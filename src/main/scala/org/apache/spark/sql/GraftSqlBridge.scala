@@ -1,0 +1,41 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{Dataset => CDataset, SparkSession => CSparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+
+/** Bridge into `private[sql]` constructors of the classic (non-Connect) Spark
+  * implementation. The reference builds its DataFrame by wrapping a
+  * `LogicalPlan` and reconstructing the frame
+  * (`/root/reference/src/dataframe/sample.rs:40-50`); Spark's analog —
+  * `Dataset.ofRows` — is package-private, so this one-file shim in the
+  * `org.apache.spark.sql` package is the only place we reach past the public
+  * API (SNIPPETS.md pattern [3], Apache-2.0 public pattern).
+  */
+object GraftSqlBridge {
+  def classicSession(spark: SparkSession): CSparkSession =
+    spark.asInstanceOf[CSparkSession]
+
+  /** Build a DataFrame from a raw logical plan (analog of Dataset.ofRows). */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    CDataset.ofRows(classicSession(spark), plan)
+
+  /** The analyzed logical plan underlying a DataFrame. */
+  def logicalPlan(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[CDataset[Row]].queryExecution.analyzed
+
+  def queryExecution(df: DataFrame): QueryExecution =
+    df.asInstanceOf[CDataset[Row]].queryExecution
+
+  /** Idempotently install graft planner strategies on an existing session
+    * (for sessions not built via `SparkSession.builder().withExtensions`).
+    */
+  def ensureStrategy(
+      spark: SparkSession,
+      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val exp = classicSession(spark).experimental
+    if (!exp.extraStrategies.contains(strategy)) {
+      exp.extraStrategies = exp.extraStrategies :+ strategy
+    }
+  }
+}
