@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.implicits._
+import graft.queries._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -28,47 +29,43 @@ object SparkEntry {
       .agg(count("*").as("n"), sum("l_quantity").as("sum_qty"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // TPC-H Q1-style aggregation — core groupBy/agg surface.
-    "q1_agg" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          sum("l_quantity").as("sum_qty"),
-          sum("l_extendedprice").as("sum_base_price"),
-          sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
-            .as("sum_disc_price"),
-          avg("l_quantity").as("avg_qty"),
-          avg("l_discount").as("avg_disc"),
-          count("*").as("count_order"))
-    }),
-
-    // Graft Bernoulli sample through the custom Catalyst path. RNG-based →
-    // no SQL oracle (driver records rows-only); determinism + statistics are
-    // covered by SampleSpec.
-    "sample_bernoulli" -> ((s, dir) => {
-      GraftSession.ensureExtensions(s)
-      t(s, dir, "lineitem")
-        .sampleExt(0.3, Some(42L))
-        .groupBy("l_returnflag")
-        .agg(count("*").as("n"))
-    }),
+  /** All query modules, each covering one slice of SURVEY.md §2 + the
+    * training-data-pipeline operator set.
+    */
+  def modules: Seq[QueryModule] = Seq(
+    SampleQueries,
+    RelationalQueries,
   )
 
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    modules.flatMap(_.all).map(q => q.name -> q.build).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
+    * the same parquet tables. Omitted for non-SQL-expressible ops (RNG
+    * sampling, LSH signatures) → driver records a rows-only check.
     */
-  def oracleSql: Map[String, String] = Map(
-    "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty,
-        |  sum(l_extendedprice) AS sum_base_price,
-        |  sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
-        |  avg(l_quantity) AS avg_qty,
-        |  avg(l_discount) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+  def oracleSql: Map[String, String] =
+    modules.flatMap(_.all).collect {
+      case GraftQuery(name, _, Some(sql)) => name -> sql
+    }.toMap
+}
+
+/** The reference's own operator — Bernoulli sampling through the custom
+  * Catalyst path (SURVEY.md §2.1). RNG-based → no SQL oracle; determinism
+  * and statistics are covered by SampleSpec.
+  */
+object SampleQueries extends QueryModule {
+  override def all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "sample_bernoulli",
+      (s, dir) => {
+        GraftSession.ensureExtensions(s)
+        t(s, dir, "lineitem")
+          .sampleExt(0.3, Some(42L))
+          .groupBy("l_returnflag")
+          .agg(count("*").as("n"))
+      },
+      None),
   )
 }

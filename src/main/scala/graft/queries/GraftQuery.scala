@@ -17,4 +17,16 @@ trait QueryModule {
 
   protected def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * refuses by default. Read it as long ns and convert to a µs timestamp with
+    * integer division (ns values ~1.7e18 overflow double precision, so no
+    * floating-point path). DuckDB truncates ns→µs the same way on output.
+    */
+  protected def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
 }

@@ -1,0 +1,102 @@
+#!/usr/bin/env python3
+"""Local dev harness mimicking the driver's correctness gate.
+
+Usage: python3 tools/check_oracles.py <sfDir> <verifyOutDir>
+
+Reads <verifyOutDir>/<name>/ parquet (written by graft.Verify) and
+<verifyOutDir>/oracle_sql.json, runs each oracle in DuckDB against the
+testdata parquet tables, and compares: column names (sorted), row counts,
+and values (sorted rows; floats to 1e-6 relative tolerance).
+
+Dev tool only — the shipped Scala library has no Python dependency.
+"""
+import sys, json, math, glob
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        return round(v, 6)
+    return v
+
+
+def rows_key(row):
+    return tuple((str(type(x)), str(x)) for x in row)
+
+
+def close(a, b):
+    if a is None or b is None:
+        return a is b
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            fa, fb = float(a), float(b)
+        except (TypeError, ValueError):
+            return str(a) == str(b)
+        if math.isnan(fa) and math.isnan(fb):
+            return True
+        return abs(fa - fb) <= 1e-6 * max(1.0, abs(fa), abs(fb))
+    if isinstance(a, list) and isinstance(b, list):
+        return len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
+    return str(a) == str(b)
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output written")
+            n_fail += 1
+            continue
+        try:
+            spark_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            duck_rel = con.sql(sql)
+            s_cols = sorted(spark_rel.columns)
+            d_cols = sorted(duck_rel.columns)
+            if s_cols != d_cols:
+                print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+                n_fail += 1
+                continue
+            s_rows = sorted(
+                (tuple(norm(r[spark_rel.columns.index(c)]) for c in s_cols)
+                 for r in spark_rel.fetchall()), key=str)
+            d_rows = sorted(
+                (tuple(norm(r[duck_rel.columns.index(c)]) for c in d_cols)
+                 for r in duck_rel.fetchall()), key=str)
+            if len(s_rows) != len(d_rows):
+                print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+                print("  spark sample:", s_rows[:3])
+                print("  duck  sample:", d_rows[:3])
+                n_fail += 1
+                continue
+            bad = [(a, b) for a, b in zip(s_rows, d_rows)
+                   if not all(close(x, y) for x, y in zip(a, b))]
+            if bad:
+                print(f"FAIL {name}: {len(bad)}/{len(s_rows)} rows differ; first:")
+                print("  spark:", bad[0][0])
+                print("  duck :", bad[0][1])
+                n_fail += 1
+            else:
+                print(f"PASS {name} ({len(s_rows)} rows)")
+                n_pass += 1
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, "
+          f"{len(oracles)} oracled queries")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
