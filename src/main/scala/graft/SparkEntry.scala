@@ -35,6 +35,8 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     SampleQueries,
     RelationalQueries,
+    TextQueries,
+    DedupQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */
