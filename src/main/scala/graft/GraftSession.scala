@@ -29,8 +29,12 @@ object GraftSession {
   /** Install graft planning on a session we did not build (e.g. the driver's
     * Verify/Bench sessions). Idempotent.
     */
-  def ensureExtensions(spark: SparkSession): Unit =
+  def ensureExtensions(spark: SparkSession): Unit = {
     GraftSqlBridge.ensureStrategy(spark, graft.plans.GraftStrategy)
+    graft.functions.GraftFunctionRegistry.all.foreach { case (name, builder) =>
+      GraftSqlBridge.ensureFunction(spark, name, builder)
+    }
+  }
 
   /** Read one of the driver-generated testdata tables. */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =

@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL-reach registration for the graft expression library — the analog of
+  * the reference registering its extension on every session
+  * (`/root/reference/tests/e2e.rs:95-100`), at expression granularity:
+  * `SELECT graft_minhash(shingles, 128)` works after
+  * `withExtensions(new GraftExtensions)` or `ensureExtensions`.
+  */
+object GraftFunctionRegistry {
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash" -> {
+      case Seq(c) => GraftMinHash(c, 128)
+      case Seq(c, Literal(k: Int, IntegerType)) => GraftMinHash(c, k)
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash(array<string>[, k literal]) — got ${other.size} args")
+    },
+    "graft_simhash" -> {
+      case Seq(c) => GraftSimHash(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_simhash(array<string>) — got ${other.size} args")
+    },
+    "graft_sig_agree" -> {
+      case Seq(a, b) => GraftSigAgree(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_sig_agree(array<long>, array<long>) — got ${other.size} args")
+    },
+  )
+
+  // ---- typed Column API (no SQL registration needed) -----------------
+  def minhash(c: Column, k: Int = 128): Column =
+    GraftSqlBridge.columnOf(GraftMinHash(GraftSqlBridge.expressionOf(c), k))
+
+  def simhash(c: Column): Column =
+    GraftSqlBridge.columnOf(GraftSimHash(GraftSqlBridge.expressionOf(c)))
+}

@@ -1,27 +1,32 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftSession
 
 /** Deduplication operators over `documents` / `embeddings` — exact dedup,
-  * MinHash+LSH near-dup, character-n-gram Jaccard, embedding-cosine near-dup.
+  * MinHash+LSH near-dup, SimHash, character-n-gram Jaccard,
+  * embedding-cosine near-dup.
   *
   * Scale design (100 TB):
   *   - exact dedup: hash-groupBy on a 128-bit digest — one shuffle keyed by
   *     digest, map-side partial agg; never ships full text twice.
-  *   - MinHash+LSH: signatures are a pure map (no shuffle); the candidate
-  *     join shuffles on (band_id, band_hash) — only documents sharing a
-  *     bucket ever meet, so the pair space is ~linear, not quadratic. The
-  *     exact-Jaccard verify joins candidates back to shingle sets by doc_id.
-  *     128 hashes in bands of 2 ⇒ P(miss | J≥0.8) = (1−J²)^64 ≤ 4e-13, so
-  *     the LSH output equals the brute-force oracle with overwhelming
-  *     probability — which is what makes this query DuckDB-checkable.
-  *   - n-gram Jaccard: explode-on-gram equi-join (pairs meet only via shared
-  *     grams) + count aggregation; lang used as a blocking key. Hot grams
-  *     skew the join at scale → the production path would add frequency
-  *     prefix-filtering; structure is identical.
-  *   - embedding cosine: brute-force all-pairs at test SF (the verifiable
-  *     oracle); the scale path is the LSH/IVF variant in SimilarityQueries.
+  *   - MinHash+LSH: signatures via the native codegen expression
+  *     `graft_minhash` (graft.functions.GraftMinHash) — a pure map, no
+  *     shuffle; the candidate join shuffles on (band_id, band_hash), so only
+  *     documents sharing a bucket ever meet and the pair space stays
+  *     ~linear. 128 hashes in bands of 2 ⇒ P(miss | J≥0.8) = (1−J²)^64
+  *     ≤ 4e-13, so the LSH output equals the brute-force oracle with
+  *     overwhelming probability — which is what makes it DuckDB-checkable.
+  *   - SimHash: one 64-bit signature per doc (`graft_simhash`), 4×16-bit
+  *     band index for candidates, Hamming verify. Engine-specific hash bits
+  *     ⇒ rows-only driver check; DedupSpec asserts the planted near-dup
+  *     pairs are recovered.
+  *   - embedding cosine: brute-force all-pairs via a broadcast-matrix
+  *     per-partition kernel (tight double loop, no per-pair allocation).
+  *     At test SF one broadcast block suffices; beyond driver memory the
+  *     same kernel runs over a block-nested-loop join of row ranges. The
+  *     sub-quadratic path is SimilarityQueries' LSH.
   */
 object DedupQueries extends QueryModule {
 
@@ -34,6 +39,63 @@ object DedupQueries extends QueryModule {
               expr("""array_distinct(transform(sequence(0, size(tk) - 3),
                      i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))""")
                 .as("shingles"))
+
+  /** LSH banding: explode a minhash signature into (band_id, band_hash)
+    * bucket keys — `bands` bands of `rowsPerBand` signature slots each.
+    */
+  private def bandKeys(sigCol: String, bands: Int, rowsPerBand: Int): Column =
+    explode(expr(
+      s"""transform(sequence(0, ${bands - 1}),
+         b -> struct(b AS band_id,
+                     xxhash64(${(0 until rowsPerBand).map(r => s"$sigCol[$rowsPerBand * b + $r]").mkString(", ")}) AS band_hash))"""))
+
+  /** Candidate pairs (a_id < b_id) from an LSH bucket self-join over
+    * (optional blocking cols ++ band key).
+    */
+  private def lshCandidates(
+      sig: DataFrame, idCol: String, blockCols: Seq[String],
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val b = sig.select((idCol +: blockCols).map(col) :+
+                       bandKeys("sig", bands, rowsPerBand).as("bh"): _*)
+      .select((idCol +: blockCols).map(col) :+
+              col("bh.band_id") :+ col("bh.band_hash"): _*)
+    val joinCond = (Seq("band_id", "band_hash") ++ blockCols)
+      .map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol")
+    b.as("x").join(b.as("y"), joinCond)
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact-Jaccard verify of LSH candidate pairs.
+    *
+    * `tbl` must carry (idCol, sig: array<long>, gh: array<long>) — the
+    * MinHash signature and the (distinct) 64-bit-hashed item set. Cost
+    * shape, in order:
+    *   1. the per-doc table is broadcast — attaching signatures/sets to the
+    *      candidate stream never shuffles the (potentially huge) pair table;
+    *   2. `graft_sig_agree` (native codegen, 128 long compares) drops most
+    *      low-similarity candidates at `sigFilter` (margin ≥ 0.15 below
+    *      `threshold` keeps the binomial miss probability < 1e-6);
+    *   3. exact intersection on the hashed sets only for survivors.
+    * Jaccard over 64-bit-hashed distinct items equals Jaccard over the items
+    * themselves up to a ~2^-64-per-pair collision probability — the oracle
+    * computes it over raw strings and hash-matches.
+    */
+  private def verifyJaccard(
+      cand: DataFrame, tbl: DataFrame, idCol: String,
+      threshold: Double, sigFilter: Double): DataFrame =
+    cand
+      .join(broadcast(tbl.select(col(idCol).as("a_id"), col("sig").as("siga"),
+                                 col("gh").as("ga"))), "a_id")
+      .join(broadcast(tbl.select(col(idCol).as("b_id"), col("sig").as("sigb"),
+                                 col("gh").as("gb"))), "b_id")
+      .filter(expr(s"graft_sig_agree(siga, sigb) >= $sigFilter"))
+      .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("jaccard",
+        col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
 
   override def all: Seq[GraftQuery] = Seq(
 
@@ -50,40 +112,16 @@ object DedupQueries extends QueryModule {
         |FROM documents GROUP BY md5(text)""".stripMargin)),
 
     // MinHash + LSH near-duplicate pairs at word-3-shingle Jaccard ≥ 0.8.
-    // Output is LSH-candidates → exact-verified, which (at recall ≈ 1 by
-    // the band math above) hash-matches the brute-force DuckDB oracle.
     GraftQuery(
       "dedup_minhash_lsh",
       (s, dir) => {
-        val sh = shingled(s, dir)
-        // 128-permutation signature: sig[j] = min over shingles of h_j(s),
-        // h_j = xxhash64(shingle, j). Pure map, codegen'd HOFs.
-        val sig = sh.withColumn("sig",
-          expr("""transform(sequence(0, 127),
-                 j -> array_min(transform(shingles, s -> xxhash64(s, j))))"""))
-        // 64 bands × 2 rows: band key = hash of the 2-slice.
-        val bands = sig.select(col("doc_id"),
-          explode(expr("""transform(sequence(0, 63),
-                 b -> struct(b AS band_id,
-                             xxhash64(sig[2 * b], sig[2 * b + 1]) AS band_hash))"""))
-            .as("bh"))
-          .select(col("doc_id"), col("bh.band_id"), col("bh.band_hash"))
-        val cand = bands.as("x")
-          .join(bands.as("y"),
-                col("x.band_id") === col("y.band_id") &&
-                col("x.band_hash") === col("y.band_hash") &&
-                col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
-          .distinct()
-        // Exact verify on the candidate set only.
-        cand
-          .join(sh.select(col("doc_id").as("a_id"), col("shingles").as("sa")), "a_id")
-          .join(sh.select(col("doc_id").as("b_id"), col("shingles").as("sb")), "b_id")
-          .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
-          .withColumn("jaccard",
-            col("inter") / (size(col("sa")) + size(col("sb")) - col("inter")))
-          .filter(col("jaccard") >= 0.8)
-          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+        GraftSession.ensureExtensions(s)
+        val tbl = shingled(s, dir)
+          .withColumn("sig", expr("graft_minhash(shingles, 128)"))
+          .withColumn("gh", expr("transform(shingles, x -> xxhash64(x))"))
+          .select("doc_id", "sig", "gh")
+        val cand = lshCandidates(tbl, "doc_id", Nil, bands = 64, rowsPerBand = 2)
+        verifyJaccard(cand, tbl, "doc_id", threshold = 0.8, sigFilter = 0.6)
       },
       Some("""WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
@@ -104,29 +142,58 @@ object DedupQueries extends QueryModule {
         |JOIN sz sb ON sb.doc_id = b_id
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8""".stripMargin)),
 
-    // Character-3-gram Jaccard near-dup pairs, lang-blocked, via the
-    // scalable explode-join-count plan (no cross join).
+    // SimHash near-dup candidates: 64-bit signature, 4×16-bit bands,
+    // Hamming-distance verify. Hash-engine-specific ⇒ rows-only check here;
+    // DedupSpec asserts recall of the planted near-dup pairs.
+    GraftQuery(
+      "dedup_simhash",
+      (s, dir) => {
+        GraftSession.ensureExtensions(s)
+        val sig = t(s, dir, "documents")
+          .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
+          .select(col("doc_id"), expr("graft_simhash(tk)").as("sh"))
+        val bands = sig.select(col("doc_id"), col("sh"),
+          explode(expr(
+            """transform(sequence(0, 3),
+               b -> struct(b AS band_id,
+                           shiftright(sh, 16 * b) & 65535 AS band_hash))""")).as("bh"))
+          .select(col("doc_id"), col("sh"), col("bh.band_id"), col("bh.band_hash"))
+        bands.as("x")
+          .join(bands.as("y"),
+                col("x.band_id") === col("y.band_id") &&
+                col("x.band_hash") === col("y.band_hash") &&
+                col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+                  bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long")
+                    .as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 12)
+      },
+      None),
+
+    // Character-3-gram Jaccard near-dup pairs at J ≥ 0.75, lang-blocked.
+    // Same LSH machinery over char-grams (lang joins the bucket key), exact
+    // verify via array_intersect on the candidate set only — no explode-join
+    // pair blowup on hot grams.
     GraftQuery(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        val g = t(s, dir, "documents")
+        GraftSession.ensureExtensions(s)
+        val tbl = t(s, dir, "documents")
           .filter(length(col("text")) >= 3)
           .select(col("doc_id"), col("lang"),
-                  explode(expr(
-                    """array_distinct(transform(sequence(1, length(text) - 2),
-                       i -> substring(text, i, 3)))""")).as("gr"))
-        val sz = g.groupBy("doc_id").agg(count("*").as("n"))
-        g.as("a")
-          .join(g.as("b"),
-                col("a.gr") === col("b.gr") && col("a.lang") === col("b.lang") &&
-                col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-          .agg(count("*").as("inter"))
-          .join(sz.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-          .join(sz.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-          .withColumn("jaccard", col("inter") / (col("na") + col("nb") - col("inter")))
-          .filter(col("jaccard") >= 0.75)
-          .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+                  expr("""array_distinct(transform(sequence(1, length(text) - 2),
+                         i -> substring(text, i, 3)))""").as("grams"))
+          .withColumn("sig", expr("graft_minhash(grams, 128)"))
+          .withColumn("gh", expr("transform(grams, x -> xxhash64(x))"))
+          .select("doc_id", "lang", "sig", "gh")
+        // 32 bands × 4 rows: on char-grams the background similarity is high
+        // (J ≈ 0.5 within a lang), so r=2 banding would make nearly every
+        // pair collide in ~16 bands — r=4 cuts raw collision volume ~7×
+        // while keeping P(miss | J ≥ 0.75) = (1 − 0.75⁴)^32 < 6e-6.
+        val cand = lshCandidates(tbl, "doc_id", Seq("lang"),
+                                 bands = 32, rowsPerBand = 4)
+        verifyJaccard(cand, tbl, "doc_id", threshold = 0.75, sigFilter = 0.55)
       },
       Some("""WITH g AS (
         |  SELECT doc_id, lang,
@@ -145,24 +212,46 @@ object DedupQueries extends QueryModule {
         |JOIN sz sb ON sb.doc_id = b_id
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.75""".stripMargin)),
 
-    // Embedding-cosine near-duplicate pairs (cos ≥ 0.35). Brute-force
-    // all-pairs with double-precision dot products — the exact oracle;
-    // the sub-quadratic path is SimilarityQueries' LSH/IVF.
+    // Embedding-cosine near-duplicate pairs (cos ≥ 0.35): broadcast the
+    // (normalized) matrix, tight per-partition double loop.
     GraftQuery(
       "dedup_embedding_cosine",
       (s, dir) => {
-        val e = t(s, dir, "embeddings")
-          .select(col("vec_id"),
-                  expr("transform(embedding, x -> cast(x AS double))").as("v"))
-        e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-          .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-                  expr("""aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D,
-                                    (acc, x) -> acc + x)
-                          / (sqrt(aggregate(a.v, 0D, (acc, x) -> acc + x * x))
-                           * sqrt(aggregate(b.v, 0D, (acc, x) -> acc + x * x)))""")
-                    .as("cos"))
-          .filter(col("cos") >= 0.35)
-          .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+        import s.implicits._
+        val ds = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+        // Driver-side collect of the candidate block: fine to ~10M×64 dims;
+        // beyond that, range-partition ids and run this kernel per block pair.
+        val all = ds.collect()
+          .map { case (id, v) =>
+            val d = v.map(_.toDouble)
+            (id, d, math.sqrt(d.map(x => x * x).sum))
+          }
+          .sortBy(_._1)
+        val bc = s.sparkContext.broadcast(all)
+        ds.mapPartitions { it =>
+          it.flatMap { case (aId, av) =>
+            val a = av.map(_.toDouble)
+            var na = 0.0
+            var i = 0
+            while (i < a.length) { na += a(i) * a(i); i += 1 }
+            val normA = math.sqrt(na)
+            bc.value.iterator
+              .filter(_._1 > aId)
+              .flatMap { case (bId, b, normB) =>
+                var dot = 0.0
+                var j = 0
+                while (j < a.length) { dot += a(j) * b(j); j += 1 }
+                val cos = dot / (normA * normB)
+                if (cos >= 0.35) {
+                  val r = BigDecimal(cos)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  Some((aId, bId, r))
+                } else None
+              }
+          }
+        }.toDF("a_id", "b_id", "cos")
       },
       Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[],

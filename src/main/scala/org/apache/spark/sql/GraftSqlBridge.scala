@@ -38,4 +38,30 @@ object GraftSqlBridge {
       exp.extraStrategies = exp.extraStrategies :+ strategy
     }
   }
+
+  /** Column ⇄ catalyst Expression (classic implementation only). */
+  def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expressionOf(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Idempotently register a SQL function on an existing session (the
+    * post-hoc analog of `SparkSessionExtensions.injectFunction`).
+    */
+  def ensureFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit = {
+    val reg = classicSession(spark).sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier(name)
+    if (!reg.functionExists(id)) {
+      reg.registerFunction(
+        id,
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.functions", name),
+        builder)
+    }
+  }
 }

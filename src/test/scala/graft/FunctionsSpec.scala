@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import graft.functions.{GraftMinHash, GraftSigAgree, GraftSimHash}
+
+/** Unit tests for the native codegen expressions (graft.functions). */
+class FunctionsSpec extends GraftFunSuite {
+  import spark.implicits._
+
+  private def lit(ss: Seq[String]) =
+    org.apache.spark.sql.catalyst.expressions.Literal.create(
+      ss, org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+
+  test("minhash: interpreted eval matches codegen path") {
+    val docs = Seq(
+      (1L, Seq("a b c", "b c d", "c d e")),
+      (2L, Seq("x", "y")),
+      (3L, Seq.empty[String])).toDF("id", "toks")
+    val fromDf = docs
+      .select(col("id"), graft.functions.GraftFunctionRegistry.minhash(col("toks"), 32).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, toks) <- Seq(1L -> Seq("a b c", "b c d", "c d e"),
+                           2L -> Seq("x", "y"), 3L -> Seq.empty[String])) {
+      val interp = GraftMinHash(lit(toks), 32).eval(null)
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+      assert(interp.toSeq == fromDf(id), s"id=$id")
+    }
+    // empty set → sentinel signature
+    assert(fromDf(3L).forall(_ == Long.MaxValue))
+  }
+
+  test("minhash: signature agreement estimates Jaccard") {
+    val a = (1 to 100).map(i => s"sh$i")
+    val b = (41 to 140).map(i => s"sh$i") // |∩|=60, |∪|=140 → J≈0.4286
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(expr("graft_sig_agree(graft_minhash(a, 512), graft_minhash(b, 512))").as("est"))
+    val est = df.as[Double].head()
+    assert(math.abs(est - 60.0 / 140.0) < 0.08, s"est=$est")
+  }
+
+  test("simhash: identical inputs agree; near sets have small hamming distance") {
+    val base = (1 to 80).map(i => s"tok$i")
+    val near = base.drop(4) ++ Seq("x1", "x2", "x3", "x4")
+    val far = (1 to 80).map(i => s"other$i")
+    val Seq(h1, h2, h3, h4) = Seq(base, base, near, far).map { s =>
+      GraftSimHash(lit(s)).eval(null).asInstanceOf[Long]
+    }
+    assert(h1 == h2)
+    def ham(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(ham(h1, h3) < ham(h1, h4),
+      s"near=${ham(h1, h3)} far=${ham(h1, h4)}")
+    assert(ham(h1, h3) <= 16)
+  }
+
+  test("SQL registration via extensions: graft_* callable from spark.sql") {
+    GraftSession.ensureExtensions(spark)
+    val r = spark.sql(
+      """SELECT size(graft_minhash(array('a','b'), 16)) AS k,
+        |       graft_simhash(array('a','b')) AS sh,
+        |       graft_sig_agree(array(1L, 2L), array(1L, 3L)) AS agree""".stripMargin)
+      .head()
+    assert(r.getInt(0) == 16)
+    assert(r.getDouble(2) == 0.5)
+  }
+
+  test("type checking rejects wrong input types") {
+    GraftSession.ensureExtensions(spark)
+    val e = intercept[Exception](spark.sql("SELECT graft_minhash(array(1, 2), 8)").head())
+    assert(e.getMessage.contains("array<string>"))
+  }
+
+  test("whole-stage codegen keeps the expression in a codegen stage") {
+    GraftSession.ensureExtensions(spark)
+    val df = spark.range(100).selectExpr("graft_simhash(array(cast(id AS string))) AS h")
+    val plan = org.apache.spark.sql.GraftSqlBridge.queryExecution(df).executedPlan
+    // the "*(n)" stage prefix marks operators fused into WholeStageCodegen
+    assert(plan.toString.contains("*(1) Project [graft_simhash"), plan.toString)
+    assert(df.distinct().count() == 100)
+  }
+}
