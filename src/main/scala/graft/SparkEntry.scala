@@ -37,6 +37,9 @@ object SparkEntry {
     RelationalQueries,
     TextQueries,
     DedupQueries,
+    SimilarityQueries,
+    MultimodalQueries,
+    EventQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch analytics over the `events` stream table: tumbling windows and
+  * gap-based sessionization. The same semantics run incrementally in
+  * `graft.streaming` (watermarked windowed aggregation,
+  * flatMapGroupsWithState sessionizer); these batch forms are the
+  * oracle-checkable equivalents.
+  *
+  * Scale: both queries shuffle once — on (bucket, type) and user_id
+  * respectively. Sessionization sorts within user partitions (Spark's
+  * window exec); skewed users would page through the sort spill, not OOM.
+  */
+object EventQueries extends QueryModule {
+
+  override def all: Seq[GraftQuery] = Seq(
+
+    // Tumbling 1-hour windows per event type.
+    GraftQuery(
+      "events_hourly",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"),
+                   col("event_type"))
+          .agg(count("*").as("n"),
+               round(sum(col("value")), 4).as("sum_value"),
+               round(avg(col("value")), 4).as("avg_value")),
+      Some("""SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value,
+        |  round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY 1, event_type""".stripMargin)),
+
+    // Gap-based sessionization: a >30-minute silence starts a new session.
+    // lag → flag → running sum (the classic sessionize plan); epoch-µs
+    // comparisons keep the gap test engine-exact.
+    GraftQuery(
+      "events_sessionize",
+      (s, dir) => {
+        val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+                 unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(run))
+          .groupBy("user_id", "session_id")
+          .agg(count("*").as("n_events"),
+               round(sum(col("value")), 4).as("sum_value"))
+      },
+      Some("""WITH flagged AS (
+        |  SELECT user_id, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session,
+        |    ts, event_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin)),
+  )
+}

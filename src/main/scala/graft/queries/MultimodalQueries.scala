@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media treated as opaque `binary` columns with
+  * typed metadata, decode/feature-extract/frame-sample stages.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB (`FakeMedia.decode`) — the Spark-side
+  * plumbing (binary schema, typed Dataset batch shape, per-partition
+  * processing, metadata struct outputs) is real and is what these queries
+  * exercise. Swapping in a real codec changes one function.
+  *
+  * Scale: every stage is a pure map over binary payloads — no shuffle, and
+  * payload bytes never leave the executor that scanned them. The only
+  * shuffled bytes are the small metadata/feature outputs.
+  */
+object MultimodalQueries extends QueryModule {
+
+  /** Deterministic stand-in for a media decoder: derives "image" dimensions
+    * and channel statistics purely from the payload bytes.
+    */
+  private[graft] object FakeMedia {
+    final case class Decoded(width: Int, height: Int, meanByte: Double,
+                             minByte: Int, maxByte: Int)
+
+    /** STUB — a real build would call an image codec here (e.g. TwelveMonkeys
+      * / javax.imageio over the byte array). Deterministic fake: dimensions
+      * from the byte length, stats from the raw payload.
+      */
+    def decode(bytes: Array[Byte]): Decoded = {
+      val n = bytes.length
+      val w = 64 + n % 64
+      val h = 64 + (n / 7) % 64
+      var sum = 0L
+      var mn = 255
+      var mx = 0
+      var i = 0
+      while (i < n) {
+        val b = bytes(i) & 0xff
+        sum += b
+        if (b < mn) mn = b
+        if (b > mx) mx = b
+        i += 1
+      }
+      val mean = if (n == 0) 0.0 else sum.toDouble / n
+      Decoded(w, h, mean, if (n == 0) 0 else mn, if (n == 0) 0 else mx)
+    }
+  }
+
+  override def all: Seq[GraftQuery] = Seq(
+
+    // Binary ingestion + metadata: payload bytes, digest, decoded dims.
+    // Dims are arithmetic on octet_length → ANSI-expressible ⇒ oracled.
+    GraftQuery(
+      "mm_binary_meta",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .select(
+            col("doc_id"),
+            octet_length(col("payload")).cast("long").as("n_bytes"),
+            md5(col("payload")).as("content_md5"))
+          .withColumn("width", expr("64 + n_bytes % 64"))
+          .withColumn("height", expr("64 + (n_bytes div 7) % 64"))
+          .withColumn("n_pixels", col("width") * col("height")),
+      Some("""SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  64 + octet_length(encode(text)) % 64 AS width,
+        |  64 + (octet_length(encode(text)) // 7) % 64 AS height,
+        |  (64 + octet_length(encode(text)) % 64)
+        |    * (64 + (octet_length(encode(text)) // 7) % 64) AS n_pixels
+        |FROM documents""".stripMargin)),
+
+    // Decode + feature extraction through the typed Dataset path: binary
+    // payloads mapPartitions'd through the (stubbed) decoder. Rows-only
+    // driver check; MultimodalSpec pins the feature values.
+    GraftQuery(
+      "mm_decode_features",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            // batch shape: one decoded record per payload, decoder state
+            // (a real codec's buffers) amortized across the partition
+            it.map { case (id, bytes) =>
+              val d = FakeMedia.decode(bytes)
+              (id, d.width, d.height,
+               BigDecimal(d.meanByte).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+                 .toDouble,
+               d.minByte, d.maxByte)
+            }
+          }
+          .toDF("doc_id", "width", "height", "mean_byte", "min_byte", "max_byte")
+      },
+      None),
+
+    // Frame sampling: payload sliced into 256-byte "frames", every 4th
+    // sampled. Counts are arithmetic ⇒ oracled; the ASCII-only corpus makes
+    // substring-based first-frame digests byte-exact across engines.
+    GraftQuery(
+      "mm_frame_sample",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+                  octet_length(col("text").cast("binary")).cast("long")
+                    .as("n_bytes"),
+                  md5(substring(col("text"), 1, 256)).as("first_frame_md5"))
+          .withColumn("n_frames", expr("CAST(ceil(n_bytes / 256.0) AS BIGINT)"))
+          .withColumn("n_sampled", expr("CAST(ceil(n_frames / 4.0) AS BIGINT)"))
+          .select("doc_id", "n_bytes", "n_frames", "n_sampled", "first_frame_md5"),
+      Some("""SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
+        |  CAST(ceil(ceil(octet_length(encode(text)) / 256.0) / 4.0) AS BIGINT)
+        |    AS n_sampled,
+        |  md5(substring(text, 1, 256)) AS first_frame_md5
+        |FROM documents""".stripMargin)),
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.MultimodalQueries.FakeMedia
+
+/** Multimodal plumbing: binary payload schema, stubbed decoder determinism,
+  * and agreement between the typed-Dataset decode path and direct
+  * computation.
+  */
+class MultimodalSpec extends GraftFunSuite {
+
+  test("decode stub is deterministic and byte-derived") {
+    val b = "hello world".getBytes("UTF-8")
+    val d1 = FakeMedia.decode(b)
+    val d2 = FakeMedia.decode(b)
+    assert(d1 == d2)
+    assert(d1.width == 64 + b.length % 64)
+    assert(d1.minByte >= 0 && d1.maxByte <= 255 && d1.meanByte > 0)
+    val empty = FakeMedia.decode(Array.emptyByteArray)
+    assert(empty.meanByte == 0.0 && empty.minByte == 0 && empty.maxByte == 0)
+  }
+
+  test("mm_decode_features agrees with driver-side recomputation") {
+    val got = SparkEntry.queries("mm_decode_features")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4), r.getInt(5)))
+      .toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == docs.size)
+    for ((id, text) <- docs.take(50)) {
+      val d = FakeMedia.decode(text.getBytes("UTF-8"))
+      val mean = BigDecimal(d.meanByte)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id) == ((d.width, d.height, mean, d.minByte, d.maxByte)),
+        s"doc $id")
+    }
+  }
+
+  test("binary payload column is typed binary and digest-stable") {
+    val df = SparkEntry.queries("mm_binary_meta")(spark, sf0001)
+    val schema = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(schema("n_bytes") == "bigint")
+    assert(schema("content_md5") == "string")
+    // md5 over cast-to-binary text equals md5 over the string
+    val mismatch = df.join(
+        spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id")
+      .filter(md5(col("text")) =!= col("content_md5")).count()
+    assert(mismatch == 0)
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** ANN tier checks: exact tier is internally consistent; approximate tiers
+  * (IVF, LSH) are measured for recall against the exact tier.
+  */
+class SimilaritySpec extends GraftFunSuite {
+
+  private def topk(name: String): Map[Long, Seq[Long]] =
+    SparkEntry.queries(name)(spark, sf0001)
+      .orderBy("q_id", "rnk")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+
+  test("brute-force top-k: k results per query, self excluded, scores sorted") {
+    val df = SparkEntry.queries("ann_cosine_topk")(spark, sf0001).collect()
+    val byQ = df.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    for ((q, rows) <- byQ) {
+      assert(rows.length == 5)
+      assert(!rows.map(_.getLong(1)).contains(q), "self must be excluded")
+      val scores = rows.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"q=$q scores not descending: ${scores.toSeq}")
+    }
+  }
+
+  test("IVF recall@5 vs brute force is reasonable at nprobe=4") {
+    val exact = topk("ann_cosine_topk")
+    val ivf = topk("ann_ivf_topk")
+    val recall = exact.keys.toSeq.map { q =>
+      (exact(q).toSet & ivf.getOrElse(q, Nil).toSet).size.toDouble / 5
+    }.sum / exact.size
+    info(s"IVF recall@5 = $recall")
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+
+  test("LSH recall@5 vs brute force is reasonable") {
+    val exact = topk("ann_cosine_topk")
+    val lsh = topk("ann_lsh_bucket")
+    val recall = exact.keys.toSeq.map { q =>
+      (exact(q).toSet & lsh.getOrElse(q, Nil).toSet).size.toDouble / 5
+    }.sum / exact.size
+    info(s"LSH recall@5 = $recall")
+    assert(recall >= 0.3, s"recall=$recall")
+  }
+}

@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+/** Streaming ⇄ batch agreement for the event analytics (graft.streaming). */
+class StreamingSpec extends GraftFunSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowed hourly counts: streaming (complete mode) equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = EventStreams.hourlyCounts(df)
+      .writeStream.format("memory").queryName("hourly_stream")
+      .outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (1L, ts(0), "view", 1.0), (1L, ts(10), "view", 2.0),
+        (2L, ts(65), "click", 3.0), (1L, ts(70), "view", 4.0),
+        (2L, ts(130), "view", 5.0))
+      input.addData(rows.take(3))
+      q.processAllAvailable()
+      input.addData(rows.drop(3))
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_stream")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+                             r.getDouble(3))).toSet
+      val batch = EventStreams.hourlyCounts(
+        rows.toDF("user_id", "ts", "event_type", "value"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+                             r.getDouble(3))).toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("stateful sessionizer: sessions close on gap and survive micro-batch boundaries") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      // user 1: events at 0,10 min (session 1), then 50 min (gap 40 > 30 →
+      // session 2); user 2: single event.
+      input.addData(Event(1L, ts(0), 1.0), Event(1L, ts(10), 2.0),
+                    Event(2L, ts(5), 7.0))
+      q.processAllAvailable()
+      input.addData(Event(1L, ts(50), 4.0))
+      q.processAllAvailable()
+      // advance watermark far enough to time out all open sessions
+      input.addData(Event(99L, ts(600), 0.0))
+      q.processAllAvailable()
+      input.addData(Event(98L, ts(1200), 0.0))
+      q.processAllAvailable()
+      val got = spark.table("sessions_stream")
+        .filter(col("user_id").isin(1L, 2L))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 7.0)),
+             s"got $got")
+    } finally q.stop()
+  }
+
+  test("batch sessionize query agrees with streaming sessionizer totals") {
+    // session count per user from the oracle-checked batch query
+    val batch = SparkEntry.queries("events_sessionize")(spark, sf0001)
+    val nSessions = batch.count()
+    assert(nSessions > 0)
+    // every event lands in exactly one session
+    val evCount = batch.agg(sum("n_events")).head().getLong(0)
+    val spark2 = spark
+    val raw = {
+      spark2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark2.read.parquet(s"$sf0001/events.parquet").count()
+    }
+    assert(evCount == raw)
+  }
+}
