@@ -40,6 +40,7 @@ object SparkEntry {
     SimilarityQueries,
     MultimodalQueries,
     EventQueries,
+    SourceQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,95 @@
+package graft.queries
+
+import java.io.File
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink surface — the file-format capabilities in the reference's
+  * wire vocabulary (SURVEY.md §2.3: CSV with dialect options, NDJSON,
+  * writer options + compression, `/root/reference/proto/
+  * datafusion_common.proto:411-544`). Each query round-trips driver testdata
+  * through a format (write with options → read with explicit schema →
+  * aggregate) so the DuckDB oracle certifies the whole read-write path, not
+  * just the scan. Avro has no connector in this build (core avro jars only)
+  * — recorded as out of scope.
+  *
+  * Scale: writers partition output by task (one file per partition, standard
+  * Spark layout); compression (gzip here) trades CPU for IO exactly as it
+  * would at 100 TB.
+  */
+object SourceQueries extends QueryModule {
+
+  private def ioDir(dir: String, leaf: String): String =
+    s"/tmp/graft_io/${new File(dir).getName}/$leaf"
+
+  override def all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "src_csv_roundtrip",
+      (s, dir) => {
+        val out = ioDir(dir, "lineitem_csv")
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+          .write.mode("overwrite")
+          .option("header", "true").option("compression", "gzip")
+          .csv(out)
+        val schema = StructType(Seq(
+          StructField("l_orderkey", LongType),
+          StructField("l_quantity", DoubleType),
+          StructField("l_extendedprice", DoubleType),
+          StructField("l_returnflag", StringType)))
+        s.read.option("header", "true").schema(schema).csv(out)
+          .groupBy("l_returnflag")
+          .agg(count("*").as("n"),
+               round(sum(col("l_quantity")), 2).as("sum_qty"),
+               round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    GraftQuery(
+      "src_json_roundtrip",
+      (s, dir) => {
+        val out = ioDir(dir, "orders_json")
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          .write.mode("overwrite")
+          .option("compression", "gzip")
+          .json(out)
+        val schema = StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_totalprice", DoubleType),
+          StructField("o_orderstatus", StringType)))
+        s.read.schema(schema).json(out)
+          .groupBy("o_orderstatus")
+          .agg(count("*").as("n"),
+               round(sum(col("o_totalprice")), 2).as("total"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // Partitioned-parquet write + partition-pruned read: the layout that
+    // carries 100 TB tables (pruning is asserted in PlanSpec).
+    GraftQuery(
+      "src_partitioned_parquet",
+      (s, dir) => {
+        val out = ioDir(dir, "lineitem_part")
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_returnflag")
+          .write.mode("overwrite")
+          .partitionBy("l_returnflag")
+          .parquet(out)
+        s.read.parquet(out)
+          .filter(col("l_returnflag") === "R")
+          .groupBy("l_returnflag")
+          .agg(count("*").as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      },
+      Some("""SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag""".stripMargin)),
+  )
+}
