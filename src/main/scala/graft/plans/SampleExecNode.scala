@@ -3,15 +3,18 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.physical.Partitioning
-import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+import org.apache.spark.sql.execution.{CodegenSupport, SparkPlan, UnaryExecNode}
 
 /** Fast, allocation-free xorshift64* PRNG (public-domain algorithm, Marsaglia
   * 2003 / Vigna 2016). Used instead of `java.util.Random` in the per-row hot
   * loop; Spark's own `XORShiftRandom` is `private[spark]`, so we carry our
-  * own ~10-line equivalent.
+  * own ~10-line equivalent. Public: whole-stage-generated code instantiates
+  * it from the `org.apache.spark.sql.catalyst.expressions.GeneratedClass`
+  * namespace.
   */
-private[graft] final class XorShift64Star(seed: Long) {
+final class XorShift64Star(seed: Long) {
   // Avalanche the seed first so consecutive seeds (seed+partitionId) don't
   // produce correlated streams — same motivation as Spark's XORShiftRandom
   // hashing its init seed.
@@ -60,7 +63,7 @@ private[graft] final class XorShift64Star(seed: Long) {
   * stream feeds straight into downstream pipelined operators.
   */
 case class SampleExecNode(fraction: Double, seed: Long, child: SparkPlan)
-    extends UnaryExecNode {
+    extends UnaryExecNode with CodegenSupport {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: Partitioning = child.outputPartitioning
@@ -69,14 +72,47 @@ case class SampleExecNode(fraction: Double, seed: Long, child: SparkPlan)
   override def simpleString(maxFields: Int): String =
     s"GraftSampleExec fraction=$fraction, seed=$seed"
 
+  // ---- whole-stage codegen: the sampler fuses into the surrounding
+  // pipeline (scan → sample → agg stays one generated loop) instead of
+  // forcing an iterator boundary at the custom operator.
+  override def inputRDDs(): Seq[RDD[InternalRow]] =
+    child.asInstanceOf[CodegenSupport].inputRDDs()
+
+  override protected def doProduce(ctx: CodegenContext): String =
+    child.asInstanceOf[CodegenSupport].produce(ctx, this)
+
+  override def doConsume(ctx: CodegenContext, input: Seq[ExprCode],
+                         row: ExprCode): String = {
+    val rng = ctx.addMutableState(classOf[XorShift64Star].getName, "graftRng")
+    ctx.addPartitionInitializationStatement(
+      s"$rng = new ${classOf[XorShift64Star].getName}(" +
+        s"${seed}L + partitionIndex);")
+    val numOutput = metricTerm(ctx, "numOutputRows")
+    s"""
+       |if ($rng.nextDouble() < $fraction) {
+       |  $numOutput.add(1);
+       |  ${consume(ctx, input)}
+       |}
+     """.stripMargin
+  }
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val f = fraction
     val s = seed
+    val numOutput = longMetric("numOutputRows")
     child.execute().mapPartitionsWithIndex(
       { (idx, iter) =>
         val rng = new XorShift64Star(s + idx)
         // Pass-through filter: rows are not buffered, no copies needed.
-        iter.filter(_ => rng.nextDouble() < f)
+        iter.filter { _ =>
+          val keep = rng.nextDouble() < f
+          if (keep) numOutput += 1
+          keep
+        }
       },
       preservesPartitioning = true)
   }

@@ -80,4 +80,19 @@ class SampleSpec extends GraftFunSuite {
     val rows = tenRows.sampleExt(0.5, Some(33L)).collect()
     assert(rows.forall(r => (0 to 9).contains(r.getInt(0))))
   }
+
+  test("sample fuses into whole-stage codegen with its surroundings") {
+    val df = spark.range(0, 1000, 1, 2).toDF("id").sampleExt(0.5, Some(5L))
+      .agg(sum("id"))
+    df.collect() // finalize the AQE plan so codegen stages are visible
+    val plan = org.apache.spark.sql.GraftSqlBridge.queryExecution(df).executedPlan
+    // the "*(n)" prefix marks WholeStageCodegen membership: the sampler must
+    // share stage 1 with the range source and the partial aggregate
+    assert(plan.toString.contains("*(1) GraftSampleExec"), plan.toString)
+    // determinism preserved under the codegen path
+    val a = df.collect().map(_.getLong(0)).toSeq
+    val b = spark.range(0, 1000, 1, 2).toDF("id").sampleExt(0.5, Some(5L))
+      .agg(sum("id")).collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
 }
