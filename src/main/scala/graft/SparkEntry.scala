@@ -35,6 +35,7 @@ object SparkEntry {
   def modules: Seq[QueryModule] = Seq(
     SampleQueries,
     RelationalQueries,
+    RelationalQueries2,
     TextQueries,
     DedupQueries,
     SimilarityQueries,

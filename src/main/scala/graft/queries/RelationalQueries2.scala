@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Second relational battery: multi-dimensional aggregation (CUBE, GROUPING
+  * SETS, pivot), nested/array results, correlated subqueries through the SQL
+  * entry point, decimal arithmetic, global sort, and null-handling
+  * functions. Completes the engine-surface vocabulary of SURVEY.md §2.3.
+  */
+object RelationalQueries2 extends QueryModule {
+
+  override def all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q_cube",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count("*").as("n"), round(sum(col("l_quantity")), 2).as("sum_qty")),
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin)),
+
+    GraftQuery(
+      "q_grouping_sets",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("graft_orders_gs")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+                FROM graft_orders_gs
+                GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+                                        (o_orderstatus, o_orderpriority))""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority),
+        |                        (o_orderstatus, o_orderpriority))""".stripMargin)),
+
+    // Pivot: one column per return flag. Spark's pivot compiles to the same
+    // conditional aggregation the oracle spells out.
+    GraftQuery(
+      "q_pivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_linestatus")
+          .pivot("l_returnflag", Seq("A", "N", "R"))
+          .agg(round(sum(col("l_quantity")), 2))
+          .withColumnsRenamed(Map("A" -> "qty_a", "N" -> "qty_n", "R" -> "qty_r")),
+      Some("""SELECT l_linestatus,
+        |  round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity END), 2) AS qty_a,
+        |  round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity END), 2) AS qty_n,
+        |  round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity END), 2) AS qty_r
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin)),
+
+    // Array aggregation: per-nation sorted list of supplier keys.
+    GraftQuery(
+      "q_array_agg",
+      (s, dir) =>
+        t(s, dir, "supplier")
+          .groupBy("s_nationkey")
+          .agg(array_sort(collect_list(col("s_suppkey"))).as("supp_keys"),
+               count("*").as("n")),
+      Some("""SELECT s_nationkey, list_sort(list(s_suppkey)) AS supp_keys,
+        |  count(*) AS n
+        |FROM supplier GROUP BY s_nationkey""".stripMargin)),
+
+    // Correlated scalar subquery through the SQL entry point.
+    GraftQuery(
+      "q_correlated_subquery",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("graft_orders_cs")
+        t(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem_cs")
+        s.sql("""SELECT o_orderkey,
+                  (SELECT round(max(l_quantity), 2) FROM graft_lineitem_cs
+                   WHERE l_orderkey = o_orderkey) AS max_qty
+                FROM graft_orders_cs WHERE o_orderkey < 200""")
+      },
+      Some("""SELECT o_orderkey,
+        |  (SELECT round(max(l_quantity), 2) FROM lineitem
+        |   WHERE l_orderkey = o_orderkey) AS max_qty
+        |FROM orders WHERE o_orderkey < 200""".stripMargin)),
+
+    // Exact decimal arithmetic (no float drift by construction).
+    GraftQuery(
+      "q_decimal",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select(col("l_returnflag"),
+                  col("l_extendedprice").cast("decimal(12,2)").as("p"),
+                  col("l_quantity").cast("decimal(12,2)").as("q"))
+          .groupBy("l_returnflag")
+          .agg(sum(col("p")).cast("decimal(18,2)").as("sum_price_dec"),
+               sum(col("q")).cast("decimal(18,2)").as("sum_qty_dec")),
+      Some("""SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |    AS sum_price_dec,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
+        |    AS sum_qty_dec
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Global sort (range partitioning) — full ordered output.
+    GraftQuery(
+      "q_sort_global",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy(desc("c_acctbal"), asc("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+        |ORDER BY c_acctbal DESC, c_custkey""".stripMargin)),
+
+    // Null-handling vocabulary over an outer join's null side.
+    GraftQuery(
+      "q_null_funcs",
+      (s, dir) =>
+        t(s, dir, "nation")
+          .join(t(s, dir, "supplier"),
+                col("n_nationkey") === col("s_nationkey"), "left")
+          .select(
+            col("n_nationkey"),
+            coalesce(col("s_suppkey"), lit(-1L)).as("supp_or_default"),
+            when(col("s_suppkey").isNull, "no_supplier")
+              .otherwise("has_supplier").as("supp_status"),
+            nullif(col("n_regionkey"), lit(0)).as("region_or_null")),
+      Some("""SELECT n_nationkey,
+        |  coalesce(s_suppkey, -1) AS supp_or_default,
+        |  CASE WHEN s_suppkey IS NULL THEN 'no_supplier'
+        |       ELSE 'has_supplier' END AS supp_status,
+        |  nullif(n_regionkey, 0) AS region_or_null
+        |FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey""".stripMargin)),
+
+    // Struct construction + field access (nested schema vocabulary).
+    GraftQuery(
+      "q_struct_nested",
+      (s, dir) =>
+        t(s, dir, "part")
+          .select(col("p_partkey"),
+                  struct(col("p_brand").as("brand"), col("p_size").as("size"))
+                    .as("meta"))
+          .select(col("p_partkey"),
+                  col("meta.brand").as("brand"),
+                  (col("meta.size") + 1).as("size_inc")),
+      Some("""SELECT p_partkey, p_brand AS brand, p_size + 1 AS size_inc
+        |FROM part""".stripMargin)),
+  )
+}
