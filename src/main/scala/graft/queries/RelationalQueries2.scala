@@ -140,5 +140,18 @@ object RelationalQueries2 extends QueryModule {
                   (col("meta.size") + 1).as("size_inc")),
       Some("""SELECT p_partkey, p_brand AS brand, p_size + 1 AS size_inc
         |FROM part""".stripMargin)),
+
+    // Sketch aggregates — the approximate path for 100 TB cardinality /
+    // quantile work. Engine-specific sketches ⇒ rows-only driver check;
+    // ApproxSpec bounds the error against exact values.
+    GraftQuery(
+      "q_approx_agg",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy("l_returnflag")
+          .agg(approx_count_distinct(col("l_partkey")).as("approx_nd_part"),
+               percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+                 .as("approx_median_price")),
+      None),
   )
 }

@@ -1,0 +1,72 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Remaining surface parity: sketch-aggregate error bounds, TABLESAMPLE SQL
+  * reach (the built-in SQL twin of the graft sample operator), and
+  * streaming deduplication with watermarked state.
+  */
+class SurfaceSpec extends GraftFunSuite {
+  import spark.implicits._
+
+  test("approx aggregates stay within sketch error bounds of exact values") {
+    val approx = SparkEntry.queries("q_approx_agg")(spark, sf001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("nd"),
+           expr("percentile(l_extendedprice, 0.5)").as("med"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    for ((flag, (nd, med)) <- exact) {
+      val (and_, amed) = approx(flag)
+      assert(math.abs(and_ - nd).toDouble / nd < 0.05,
+        s"$flag approx distinct $and_ vs $nd")
+      assert(math.abs(amed - med) / med < 0.02, s"$flag median $amed vs $med")
+    }
+  }
+
+  test("TABLESAMPLE: SQL reach for sampling (built-in twin of sampleExt)") {
+    spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .createOrReplaceTempView("graft_li_ts")
+    val n = spark.sql(
+      "SELECT count(*) AS n FROM graft_li_ts TABLESAMPLE (30 PERCENT) REPEATABLE (42)")
+      .as[Long].head()
+    val total = spark.table("graft_li_ts").count()
+    val sigma = math.sqrt(total * 0.3 * 0.7)
+    assert(math.abs(n - total * 0.3) < 6 * sigma + 1, s"kept $n of $total")
+  }
+
+  test("streaming dropDuplicates dedups across micro-batches with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("doc_id")
+    val q = df.writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData((1L, t0, "a"), (2L, t0, "b"), (1L, t0, "a-dup"))
+      q.processAllAvailable()
+      input.addData((2L, t0, "b-dup"), (3L, t0, "c"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream").select("doc_id")
+        .as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("reference demo parquet reads with the documented all-types schema") {
+    // the reference's own 8-row demo file (examples/datafusion.rs:26)
+    val df = spark.read.parquet("/root/reference/data/part_0.parquet")
+    assert(df.count() == 8)
+    assert(df.columns.contains("timestamp_col"))
+    val sampled = {
+      import graft.implicits._
+      df.sampleExt(1.0, Some(1L))
+    }
+    assert(sampled.count() == 8)
+  }
+}
