@@ -30,6 +30,13 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_sig_agree(array<long>, array<long>) — got ${other.size} args")
     },
+    "graft_minhash_agg" -> {
+      case Seq(c) => GraftMinHashAgg(c, 128).toAggregateExpression()
+      case Seq(c, Literal(k: Int, IntegerType)) =>
+        GraftMinHashAgg(c, k).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"graft_minhash_agg(string[, k literal]) — got ${other.size} args")
+    },
   )
 
   // ---- typed Column API (no SQL registration needed) -----------------

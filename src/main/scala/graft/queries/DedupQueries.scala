@@ -212,6 +212,34 @@ object DedupQueries extends QueryModule {
         |JOIN sz sb ON sb.doc_id = b_id
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.75""".stripMargin)),
 
+    // Corpus-level similarity via the MERGEABLE sketch: one MinHash
+    // signature per source aggregated with graft_minhash_agg (custom
+    // TypedImperativeAggregate — partial/final, k longs per group cross the
+    // shuffle), then pairwise signature agreement estimates the Jaccard of
+    // entire sources' shingle sets. Estimator output ⇒ rows-only check;
+    // FunctionsSpec pins agg == scalar-minhash-of-union and the estimate's
+    // error bound.
+    GraftQuery(
+      "dedup_source_signature",
+      (s, dir) => {
+        GraftSession.ensureExtensions(s)
+        val sigs = t(s, dir, "documents")
+          .select(col("source"), expr("split(trim(text), '\\\\s+')").as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("source"),
+                  explode(expr(
+                    """transform(sequence(0, size(tk) - 3),
+                       i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))"""))
+                    .as("shingle"))
+          .groupBy("source")
+          .agg(expr("graft_minhash_agg(shingle, 128)").as("sig"))
+        sigs.as("a").join(sigs.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("a_src"), col("b.source").as("b_src"),
+                  round(expr("graft_sig_agree(a.sig, b.sig)"), 4)
+                    .as("est_jaccard"))
+      },
+      None),
+
     // Embedding-cosine near-duplicate pairs (cos ≥ 0.35): broadcast the
     // (normalized) matrix, tight per-partition double loop.
     GraftQuery(

@@ -79,4 +79,47 @@ class FunctionsSpec extends GraftFunSuite {
     assert(plan.toString.contains("*(1) Project [graft_simhash"), plan.toString)
     assert(df.distinct().count() == 100)
   }
+
+  test("minhash_agg over exploded rows equals scalar minhash of the distinct set") {
+    GraftSession.ensureExtensions(spark)
+    val toks = Seq("alpha", "beta", "gamma", "beta", "delta")
+    val agg = toks.toDF("t")
+      .agg(expr("graft_minhash_agg(t, 64)").as("sig"))
+      .head().getSeq[Long](0)
+    val scalar = Seq(toks.distinct).toDF("ts")
+      .select(expr("graft_minhash(ts, 64)"))
+      .head().getSeq[Long](0)
+    assert(agg == scalar)
+  }
+
+  test("minhash_agg merges across partitions (partial/final) consistently") {
+    GraftSession.ensureExtensions(spark)
+    val df = spark.range(0, 10000, 1, 8)
+      .selectExpr("cast(id % 500 AS string) AS t")
+    val sig8 = df.agg(expr("graft_minhash_agg(t, 128)")).head().getSeq[Long](0)
+    val sig1 = df.coalesce(1).agg(expr("graft_minhash_agg(t, 128)"))
+      .head().getSeq[Long](0)
+    assert(sig8 == sig1, "signature must be partitioning-invariant")
+  }
+
+  test("source-signature query estimates Jaccard within sketch error") {
+    GraftSession.ensureExtensions(spark)
+    val est = SparkEntry.queries("dedup_source_signature")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // exact shingle-set jaccard per source pair
+    val sh = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("source"), expr("split(trim(text), '\\s+')").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("source"), explode(expr(
+        """transform(sequence(0, size(tk) - 3),
+           i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))""")).as("g"))
+      .distinct()
+    val sets = sh.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(est.nonEmpty)
+    for (((a, b), e) <- est) {
+      val exact = (sets(a) & sets(b)).size.toDouble / (sets(a) | sets(b)).size
+      assert(math.abs(e - exact) < 0.15, s"($a,$b) est=$e exact=$exact")
+    }
+  }
 }
