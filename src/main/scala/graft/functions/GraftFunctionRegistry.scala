@@ -30,6 +30,11 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_sig_agree(array<long>, array<long>) — got ${other.size} args")
     },
+    "graft_srp_sig" -> {
+      case Seq(v, nb) => GraftSrpSig(v, nb)
+      case other => throw new IllegalArgumentException(
+        s"graft_srp_sig(array<double>, nbits) — got ${other.size} args")
+    },
     "graft_minhash_agg" -> {
       case Seq(c) => GraftMinHashAgg(c, 128).toAggregateExpression()
       case Seq(c, Literal(k: Int, IntegerType)) =>

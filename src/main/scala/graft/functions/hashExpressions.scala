@@ -235,3 +235,71 @@ case class GraftSigAgree(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): GraftSigAgree =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_srp_sig(array<double>, nbits)` → `long`: sign-random-projection
+  * LSH signature. Hyperplane p's component i is a hash-derived uniform in
+  * [-1, 1] (`XXH64.hashLong(p * dim + i)` scaled) — deterministic and
+  * stateless, so executors need no shared random state; bit p is set iff
+  * the projection onto plane p is positive. Cosine-similar vectors agree on
+  * bits with probability 1 − θ/π.
+  */
+case class GraftSrpSig(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_srp_sig requires (array<double>, int), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_srp_sig"
+
+  override def nullSafeEval(v: Any, nb: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val bits = nb.asInstanceOf[Int]
+    val dim = arr.numElements()
+    var sig = 0L
+    var p = 0
+    while (p < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < dim) {
+        dot += arr.getDouble(i) *
+          (XXH64.hashLong(p.toLong * dim + i, 42L).toDouble / 9.223372036854776e18)
+        i += 1
+      }
+      if (dot > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, nb) => {
+      val xxh = classOf[XXH64].getName
+      val sig = ctx.freshName("sig")
+      val dim = ctx.freshName("dim")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+        |long $sig = 0L;
+        |final int $dim = $v.numElements();
+        |for (int $p = 0; $p < $nb; $p++) {
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $dim; $i++) {
+        |    $dot += $v.getDouble($i) *
+        |      (((double) $xxh.hashLong((long) $p * $dim + $i, 42L)) / 9.223372036854776e18);
+        |  }
+        |  if ($dot > 0) $sig |= (1L << $p);
+        |}
+        |${ev.value} = $sig;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftSrpSig =
+    copy(left = newLeft, right = newRight)
+}

@@ -141,6 +141,26 @@ object RelationalQueries2 extends QueryModule {
       Some("""SELECT p_partkey, p_brand AS brand, p_size + 1 AS size_inc
         |FROM part""".stripMargin)),
 
+    // Salted two-phase aggregation — the skew-mitigation pattern for hot
+    // keys at scale: phase 1 aggregates per (key, salt) spreading a hot key
+    // over 16 reducers, phase 2 merges partials per key. Result is exactly
+    // the plain groupBy (the oracle).
+    GraftQuery(
+      "q_salted_agg",
+      (s, dir) => {
+        val salted = t(s, dir, "lineitem")
+          .withColumn("salt",
+            pmod(crc32(col("l_orderkey").cast("string")), lit(16)))
+          .groupBy("l_returnflag", "salt")
+          .agg(sum(col("l_quantity")).as("pq"), count("*").as("pn"))
+        salted.groupBy("l_returnflag")
+          .agg(round(sum(col("pq")), 2).as("sum_qty"),
+               sum(col("pn")).as("n"))
+      },
+      Some("""SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
     // Sketch aggregates — the approximate path for 100 TB cardinality /
     // quantile work. Engine-specific sketches ⇒ rows-only driver check;
     // ApproxSpec bounds the error against exact values.

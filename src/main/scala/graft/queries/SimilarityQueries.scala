@@ -131,18 +131,11 @@ object SimilarityQueries extends QueryModule {
     GraftQuery(
       "ann_lsh_bucket",
       (s, dir) => {
+        graft.GraftSession.ensureExtensions(s)
         val e = vecs(s, dir)
-        // 16 pseudo-random hyperplanes: component i of plane p is a
-        // hash-derived uniform in [-1, 1] — deterministic, stateless.
-        val sigCol = expr(
-          """transform(sequence(0, 15), p ->
-             CASE WHEN aggregate(zip_with(v,
-               transform(sequence(0, 63), i ->
-                 cast(xxhash64(p * 64 + i) AS double) / 9.223372036854776e18),
-               (x, h) -> x * h), 0D, (acc, x) -> acc + x) > 0 THEN 1 ELSE 0 END)""")
-        val sigs = e.withColumn("bits", sigCol)
-          .withColumn("sig", expr(
-            "aggregate(sequence(0, 15), 0L, (acc, i) -> acc + shiftleft(cast(bits[i] AS bigint), i))"))
+        // 16 pseudo-random hyperplanes via the native codegen expression —
+        // hash-derived components, no executor random state.
+        val sigs = e.withColumn("sig", expr("graft_srp_sig(v, 16)"))
           .select(col("vec_id"), col("v"), col("sig"))
         val banded = sigs.select(col("vec_id"), col("v"),
           explode(expr("""transform(sequence(0, 3),

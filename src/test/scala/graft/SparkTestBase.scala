@@ -10,6 +10,7 @@ object SparkTestBase {
   lazy val spark: SparkSession = {
     val s = GraftSession.builder("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_wh")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
