@@ -69,4 +69,44 @@ class SurfaceSpec extends GraftFunSuite {
     }
     assert(sampled.count() == 8)
   }
+
+  test("ANALYZE TABLE statistics feed the catalog (CBO vocabulary)") {
+    spark.sql("DROP TABLE IF EXISTS graft_nation_stats")
+    val d = new java.io.File("/tmp/graft_wh/graft_nation_stats")
+    if (d.exists()) { d.listFiles().foreach(_.delete()); d.delete() }
+    spark.read.parquet(s"$sf0001/nation.parquet")
+      .write.mode("overwrite").saveAsTable("graft_nation_stats")
+    spark.sql("ANALYZE TABLE graft_nation_stats COMPUTE STATISTICS FOR COLUMNS n_nationkey")
+    val desc = spark.sql(
+      "DESCRIBE EXTENDED graft_nation_stats n_nationkey").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("distinct_count") == "25", desc.toString)
+    assert(desc("max") == "24")
+  }
+
+  test("stream-stream windowed join (clicks x purchases within the hour)") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:05:00")
+    val t1 = Timestamp.valueOf("2024-01-01 10:20:00")
+    val tFar = Timestamp.valueOf("2024-01-01 14:00:00")
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val c = clicks.toDF().toDF("user_id", "click_ts").withWatermark("click_ts", "1 hour")
+    val b = buys.toDF().toDF("buy_user", "buy_ts").withWatermark("buy_ts", "1 hour")
+    val joined = c.join(b,
+      expr("""user_id = buy_user AND
+              buy_ts BETWEEN click_ts AND click_ts + INTERVAL 1 HOUR"""))
+    val q = joined.writeStream.format("memory").queryName("ssj_stream")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, t0), (2L, t0))
+      buys.addData((1L, t1), (3L, t1))
+      q.processAllAvailable()
+      clicks.addData((9L, tFar)); buys.addData((9L, tFar))
+      q.processAllAvailable()
+      val got = spark.table("ssj_stream").select("user_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(1L, 9L), s"got $got")
+    } finally q.stop()
+  }
 }
