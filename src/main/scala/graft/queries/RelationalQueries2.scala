@@ -57,9 +57,13 @@ object RelationalQueries2 extends QueryModule {
       (s, dir) =>
         t(s, dir, "supplier")
           .groupBy("s_nationkey")
-          .agg(array_sort(collect_list(col("s_suppkey"))).as("supp_keys"),
+          // serialized to a string: list-typed cells hash differently across
+          // engines' client representations, csv form is unambiguous
+          .agg(array_join(array_sort(collect_list(col("s_suppkey"))), ",")
+                 .as("supp_keys"),
                count("*").as("n")),
-      Some("""SELECT s_nationkey, list_sort(list(s_suppkey)) AS supp_keys,
+      Some("""SELECT s_nationkey,
+        |  array_to_string(list_sort(list(s_suppkey)), ',') AS supp_keys,
         |  count(*) AS n
         |FROM supplier GROUP BY s_nationkey""".stripMargin)),
 
