@@ -49,10 +49,14 @@ object DedupQueries extends QueryModule {
          b -> struct(b AS band_id,
                      xxhash64(${(0 until rowsPerBand).map(r => s"$sigCol[$rowsPerBand * b + $r]").mkString(", ")}) AS band_hash))"""))
 
-  /** Candidate pairs (a_id < b_id) from an LSH bucket self-join over
-    * (optional blocking cols ++ band key).
+  /** Candidate pair STREAM (a_id < b_id, with duplicates — one row per
+    * colliding band) from an LSH bucket self-join over (optional blocking
+    * cols ++ band key). Callers filter BEFORE deduplicating: on dense data a
+    * pair collides in many bands, and running the cheap signature prefilter
+    * on the raw stream is cheaper than shuffling it through a distinct
+    * first.
     */
-  private def lshCandidates(
+  private def lshCandidateStream(
       sig: DataFrame, idCol: String, blockCols: Seq[String],
       bands: Int, rowsPerBand: Int): DataFrame = {
     val b = sig.select((idCol +: blockCols).map(col) :+
@@ -64,7 +68,6 @@ object DedupQueries extends QueryModule {
       .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol")
     b.as("x").join(b.as("y"), joinCond)
       .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
-      .distinct()
   }
 
   /** Exact-Jaccard verify of LSH candidate pairs.
@@ -83,14 +86,20 @@ object DedupQueries extends QueryModule {
     * computes it over raw strings and hash-matches.
     */
   private def verifyJaccard(
-      cand: DataFrame, tbl: DataFrame, idCol: String,
+      candStream: DataFrame, tbl: DataFrame, idCol: String,
       threshold: Double, sigFilter: Double): DataFrame =
-    cand
-      .join(broadcast(tbl.select(col(idCol).as("a_id"), col("sig").as("siga"),
-                                 col("gh").as("ga"))), "a_id")
-      .join(broadcast(tbl.select(col(idCol).as("b_id"), col("sig").as("sigb"),
-                                 col("gh").as("gb"))), "b_id")
+    candStream
+      .join(broadcast(tbl.select(col(idCol).as("a_id"), col("sig").as("siga"))),
+            "a_id")
+      .join(broadcast(tbl.select(col(idCol).as("b_id"), col("sig").as("sigb"))),
+            "b_id")
       .filter(expr(s"graft_sig_agree(siga, sigb) >= $sigFilter"))
+      .select("a_id", "b_id")
+      .distinct() // only the few prefilter survivors reach the shuffle
+      .join(broadcast(tbl.select(col(idCol).as("a_id"), col("gh").as("ga"))),
+            "a_id")
+      .join(broadcast(tbl.select(col(idCol).as("b_id"), col("gh").as("gb"))),
+            "b_id")
       .withColumn("inter", size(array_intersect(col("ga"), col("gb"))))
       .withColumn("jaccard",
         col("inter") / (size(col("ga")) + size(col("gb")) - col("inter")))
@@ -120,7 +129,7 @@ object DedupQueries extends QueryModule {
           .withColumn("sig", expr("graft_minhash(shingles, 128)"))
           .withColumn("gh", expr("transform(shingles, x -> xxhash64(x))"))
           .select("doc_id", "sig", "gh")
-        val cand = lshCandidates(tbl, "doc_id", Nil, bands = 64, rowsPerBand = 2)
+        val cand = lshCandidateStream(tbl, "doc_id", Nil, bands = 64, rowsPerBand = 2)
         verifyJaccard(cand, tbl, "doc_id", threshold = 0.8, sigFilter = 0.6)
       },
       Some("""WITH toks AS (
@@ -191,7 +200,7 @@ object DedupQueries extends QueryModule {
         // (J ≈ 0.5 within a lang), so r=2 banding would make nearly every
         // pair collide in ~16 bands — r=4 cuts raw collision volume ~7×
         // while keeping P(miss | J ≥ 0.75) = (1 − 0.75⁴)^32 < 6e-6.
-        val cand = lshCandidates(tbl, "doc_id", Seq("lang"),
+        val cand = lshCandidateStream(tbl, "doc_id", Seq("lang"),
                                  bands = 32, rowsPerBand = 4)
         verifyJaccard(cand, tbl, "doc_id", threshold = 0.75, sigFilter = 0.55)
       },
