@@ -31,6 +31,7 @@ object GraftSession {
     */
   def ensureExtensions(spark: SparkSession): Unit = {
     GraftSqlBridge.ensureStrategy(spark, graft.plans.GraftStrategy)
+    GraftSqlBridge.ensureOptimizerRule(spark, graft.plans.PushFilterThroughSample)
     graft.functions.GraftFunctionRegistry.all.foreach { case (name, builder) =>
       GraftSqlBridge.ensureFunction(spark, name, builder)
     }

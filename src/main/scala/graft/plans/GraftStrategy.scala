@@ -34,6 +34,7 @@ object GraftStrategy extends SparkStrategy {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectPlannerStrategy(_ => GraftStrategy)
+    e.injectOptimizerRule(_ => PushFilterThroughSample)
     graft.functions.GraftFunctionRegistry.all.foreach { case (name, builder) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),

@@ -39,6 +39,19 @@ object GraftSqlBridge {
     }
   }
 
+  /** Idempotently add an optimizer rule to an existing session (post-hoc
+    * analog of `SparkSessionExtensions.injectOptimizerRule`).
+    */
+  def ensureOptimizerRule(
+      spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = classicSession(spark).experimental
+    if (!exp.extraOptimizations.contains(rule)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
+
   /** Column ⇄ catalyst Expression (classic implementation only). */
   def columnOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)

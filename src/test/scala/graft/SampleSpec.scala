@@ -95,4 +95,23 @@ class SampleSpec extends GraftFunSuite {
       .agg(sum("id")).collect().map(_.getLong(0)).toSeq
     assert(a == b)
   }
+
+  test("optimizer rule pushes deterministic filters through the sample to the scan") {
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val df = li.sampleExt(0.5, Some(42L))
+      .filter(col("l_discount") > 0.05)
+      .select("l_orderkey", "l_discount")
+    val qe = org.apache.spark.sql.GraftSqlBridge.queryExecution(df)
+    // optimized plan: SampleNode sits ABOVE the pushed filter
+    val opt = qe.optimizedPlan.toString
+    assert(opt.indexOf("GraftSample") < opt.indexOf("Filter"), opt)
+    // and the predicate reaches the parquet scan
+    val phys = qe.executedPlan.toString
+    assert(phys.contains("PushedFilters: [IsNotNull(l_discount), GreaterThan(l_discount"), phys)
+    // result is still a valid sample of the filtered data
+    val n = df.count().toDouble
+    val total = li.filter(col("l_discount") > 0.05).count().toDouble
+    assert(math.abs(n - total * 0.5) < 6 * math.sqrt(total * 0.25) + 1,
+      s"kept $n of $total")
+  }
 }
