@@ -46,6 +46,20 @@ object MultimodalQueries extends QueryModule {
       val mean = if (n == 0) 0.0 else sum.toDouble / n
       Decoded(w, h, mean, if (n == 0) 0 else mn, if (n == 0) 0 else mx)
     }
+
+    /** STUB encoder — a real build would run an image/text embedding model.
+      * Deterministic fake: L2-normalized 16-bin byte histogram.
+      */
+    def embed(bytes: Array[Byte]): Array[Double] = {
+      val h = new Array[Double](16)
+      var i = 0
+      while (i < bytes.length) {
+        h((bytes(i) & 0xff) >> 4) += 1.0
+        i += 1
+      }
+      val norm = math.sqrt(h.map(x => x * x).sum)
+      if (norm == 0) h else h.map(_ / norm)
+    }
   }
 
   override def all: Seq[GraftQuery] = Seq(
@@ -95,6 +109,41 @@ object MultimodalQueries extends QueryModule {
             }
           }
           .toDF("doc_id", "width", "height", "mean_byte", "min_byte", "max_byte")
+      },
+      None),
+
+    // Full pipeline composition: binary payload → (stubbed) encoder →
+    // embedding column → ANN top-3 against query docs. The encoder is the
+    // deterministic byte-histogram stand-in for a real image/text encoder;
+    // everything downstream (typed Dataset, broadcast ANN, window top-k) is
+    // the production shape. Rows-only check; MultimodalSpec pins features.
+    GraftQuery(
+      "mm_embed_ann",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        import s.implicits._
+        val embedded = t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) => (id, FakeMedia.embed(bytes)) }
+          }
+          .toDF("doc_id", "v")
+        val q = broadcast(
+          embedded.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("q_id"), col("v").as("qv")))
+        val w = Window.partitionBy("q_id").orderBy(desc("c"), asc("n_id"))
+        embedded.join(q, col("doc_id") =!= col("q_id"))
+          .select(col("q_id"), col("doc_id").as("n_id"),
+                  expr("""aggregate(zip_with(qv, v, (x, y) -> x * y), 0D,
+                          (acc, x) -> acc + x)
+                          / (sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))
+                           * sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)))""")
+                    .as("c"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 3)
+          .select(col("q_id"), col("n_id"), col("rnk"),
+                  round(col("c"), 4).as("cos"))
       },
       None),
 

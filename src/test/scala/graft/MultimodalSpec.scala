@@ -49,4 +49,19 @@ class MultimodalSpec extends GraftFunSuite {
       .filter(md5(col("text")) =!= col("content_md5")).count()
     assert(mismatch == 0)
   }
+
+  test("mm_embed_ann composes encode + ANN and honors top-k structure") {
+    val rows = SparkEntry.queries("mm_embed_ann")(spark, sf0001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    for ((q, rs) <- byQ) {
+      assert(rs.length == 3)
+      assert(!rs.map(_.getLong(1)).contains(q))
+      val scores = rs.sortBy(_.getLong(2)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b }, s"q=$q")
+    }
+    // deterministic across runs
+    val again = SparkEntry.queries("mm_embed_ann")(spark, sf0001).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
 }
