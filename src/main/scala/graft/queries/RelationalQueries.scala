@@ -365,9 +365,11 @@ object RelationalQueries extends QueryModule {
                     .as("k_mod"),
                   col("value"))
           .groupBy("k_mod")
-          .agg(count("*").as("n"), round(avg(col("value")), 4).as("avg_value")),
+          // sum not avg: see events_hourly — rounded averages of 2-decimal
+          // values knife-edge on exact .00005 halves across engines
+          .agg(count("*").as("n"), round(sum(col("value")), 2).as("sum_value")),
       Some("""SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
-        |  count(*) AS n, round(avg(value), 4) AS avg_value
+        |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin)),
 
     // ---- generators (reference e2e parity: unnest of an array literal,
