@@ -72,6 +72,20 @@ object SourceQueries extends QueryModule {
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
+    // Custom DataSourceV2 scan (graft.sources.GraftSynthSource):
+    // deterministic generated rows, column pruning in the reader. Values are
+    // engine-generated ⇒ rows-only driver check; SourcesSpec pins
+    // determinism and pruning.
+    GraftQuery(
+      "src_synth_scan",
+      (s, _) =>
+        s.read.format("graft.sources.GraftSynthSource")
+          .option("rows", "100000").option("partitions", "16")
+          .load()
+          .groupBy("bucket")
+          .agg(count("*").as("n"), round(sum(col("value")), 2).as("sum_value")),
+      None),
+
     // Partitioned-parquet write + partition-pruned read: the layout that
     // carries 100 TB tables (pruning is asserted in PlanSpec).
     GraftQuery(

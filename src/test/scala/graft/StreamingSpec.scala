@@ -84,4 +84,39 @@ class StreamingSpec extends GraftFunSuite {
     }
     assert(evCount == raw)
   }
+
+  test("file-source streaming over the real events table equals batch (availableNow)") {
+    // stream the parquet fixture through the windowed aggregation; the file
+    // stream source requires a directory, so stage the fixture into one
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val dir = java.nio.file.Paths.get("/tmp/graft_stream_events")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      dir.resolve("events.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(dir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStreams.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("file_hourly")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(120000)
+      val streamed = spark.table("file_hourly").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      val batch = EventStreams.hourlyCounts(
+        spark.read.parquet(s"$sf0001/events.parquet")
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+        .collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(streamed == batch)
+      assert(batch.size > 100)
+    } finally q.stop()
+  }
 }
