@@ -30,6 +30,11 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_sig_agree(array<long>, array<long>) — got ${other.size} args")
     },
+    "graft_cosine" -> {
+      case Seq(a, b) => GraftCosine(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_cosine(array<double>, array<double>) — got ${other.size} args")
+    },
     "graft_srp_sig" -> {
       case Seq(v, nb) => GraftSrpSig(v, nb)
       case other => throw new IllegalArgumentException(

@@ -303,3 +303,70 @@ case class GraftSrpSig(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): GraftSrpSig =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_cosine(array<double>, array<double>)` → `double`: cosine
+  * similarity with strict left-to-right summation — bitwise-identical to
+  * the equivalent `aggregate(zip_with(...))` higher-order expression and to
+  * DuckDB's `list_cosine_similarity` on DOUBLE[], which is what lets
+  * ANN query output hash-match the oracle while running ~10× faster than
+  * interpreted lambda evaluation.
+  */
+case class GraftCosine(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine requires (array<double>, array<double>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double $xv = $a.getDouble($i);
+        |  final double $yv = $b.getDouble($i);
+        |  $dot += $xv * $yv;
+        |  $na += $xv * $xv;
+        |  $nb += $yv * $yv;
+        |}
+        |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftCosine =
+    copy(left = newLeft, right = newRight)
+}

@@ -122,6 +122,7 @@ object MultimodalQueries extends QueryModule {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         import s.implicits._
+        graft.GraftSession.ensureExtensions(s)
         val embedded = t(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[(Long, Array[Byte])]
@@ -135,11 +136,7 @@ object MultimodalQueries extends QueryModule {
         val w = Window.partitionBy("q_id").orderBy(desc("c"), asc("n_id"))
         embedded.join(q, col("doc_id") =!= col("q_id"))
           .select(col("q_id"), col("doc_id").as("n_id"),
-                  expr("""aggregate(zip_with(qv, v, (x, y) -> x * y), 0D,
-                          (acc, x) -> acc + x)
-                          / (sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))
-                           * sqrt(aggregate(v, 0D, (acc, x) -> acc + x * x)))""")
-                    .as("c"))
+                  expr("graft_cosine(qv, v)").as("c"))
           .withColumn("rnk", row_number().over(w).cast("long"))
           .filter(col("rnk") <= 3)
           .select(col("q_id"), col("n_id"), col("rnk"),

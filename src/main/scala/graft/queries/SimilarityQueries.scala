@@ -28,13 +28,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries extends QueryModule {
 
-  /** Cosine between two array<double> columns, computed with the same
-    * left-to-right summation DuckDB uses (bitwise-reproducible).
+  /** Cosine between two array<double> columns via the native codegen
+    * expression — strict left-to-right summation keeps it bitwise-identical
+    * to DuckDB's computation (oracle hash-match) while avoiding interpreted
+    * lambda evaluation. Callers must have graft extensions installed.
     */
   private def cosine(a: String, b: String): Column =
-    expr(s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
-            / (sqrt(aggregate($a, 0D, (acc, x) -> acc + x * x))
-             * sqrt(aggregate($b, 0D, (acc, x) -> acc + x * x)))""")
+    expr(s"graft_cosine($a, $b)")
 
   private def vecs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
@@ -46,6 +46,7 @@ object SimilarityQueries extends QueryModule {
     GraftQuery(
       "ann_cosine_topk",
       (s, dir) => {
+        graft.GraftSession.ensureExtensions(s)
         val e = vecs(s, dir)
         val q = broadcast(
           e.filter(col("vec_id") < 10)
@@ -73,6 +74,7 @@ object SimilarityQueries extends QueryModule {
     GraftQuery(
       "ann_ivf_topk",
       (s, dir) => {
+        graft.GraftSession.ensureExtensions(s)
         val e = vecs(s, dir)
         val cents = broadcast(
           e.filter(col("vec_id") % 31 === 0)
