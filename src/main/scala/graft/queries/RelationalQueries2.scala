@@ -177,5 +177,41 @@ object RelationalQueries2 extends QueryModule {
                percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
                  .as("approx_median_price")),
       None),
+
+    // argmin/argmax pattern: the representative-row-per-group operator.
+    // Ordering key is a unique integer composite (acctbal is 2-decimal, so
+    // round(bal*100)*1e6 + custkey is exact and tie-free in both engines).
+    GraftQuery(
+      "q_argmin",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .withColumn("ord",
+            expr("CAST(round(c_acctbal * 100) AS BIGINT) * 1000000 + c_custkey"))
+          .groupBy("c_nationkey")
+          .agg(min_by(col("c_name"), col("ord")).as("poorest_customer"),
+               round(min(col("c_acctbal")), 2).as("min_acctbal")),
+      Some("""SELECT c_nationkey,
+        |  arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 1000000
+        |                  + c_custkey) AS poorest_customer,
+        |  round(min(c_acctbal), 2) AS min_acctbal
+        |FROM customer GROUP BY c_nationkey""".stripMargin)),
+
+    // moving average over an explicit rows frame.
+    GraftQuery(
+      "q_moving_avg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(-2, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("mov_total",
+            round(sum(col("o_totalprice")).over(w), 2))
+          .select("o_custkey", "o_orderkey", "mov_total")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mov_total
+        |FROM orders""".stripMargin)),
   )
 }

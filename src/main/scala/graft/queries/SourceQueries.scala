@@ -31,14 +31,17 @@ object SourceQueries extends QueryModule {
         t(s, dir, "lineitem")
           .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
           .write.mode("overwrite")
-          .option("header", "true").option("compression", "gzip")
+          // full dialect options: header, custom delimiter, quoting, gzip
+          .option("header", "true").option("sep", ";")
+          .option("quote", "'").option("compression", "gzip")
           .csv(out)
         val schema = StructType(Seq(
           StructField("l_orderkey", LongType),
           StructField("l_quantity", DoubleType),
           StructField("l_extendedprice", DoubleType),
           StructField("l_returnflag", StringType)))
-        s.read.option("header", "true").schema(schema).csv(out)
+        s.read.option("header", "true").option("sep", ";").option("quote", "'")
+          .schema(schema).csv(out)
           .groupBy("l_returnflag")
           .agg(count("*").as("n"),
                round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -96,6 +99,7 @@ object SourceQueries extends QueryModule {
           .select("l_orderkey", "l_quantity", "l_returnflag")
           .write.mode("overwrite")
           .partitionBy("l_returnflag")
+          .option("compression", "zstd")
           .parquet(out)
         s.read.parquet(out)
           .filter(col("l_returnflag") === "R")
