@@ -1,0 +1,32 @@
+package graft
+
+/** Regenerates PLANS.md — formatted physical plans of headline queries, the
+  * plan-quality record backing SURVEY §8 / PlanSpec.
+  * Usage: `sbt "runMain graft.PlanDump"`.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.getOrCreate("local[8]")
+    val dir = "/root/testdata/sf0.001"
+    val names = Seq("q1_agg", "q_filter_topk", "q5_multi_join",
+                    "dedup_minhash_lsh", "ann_ivf_topk", "events_sessionize",
+                    "sample_bernoulli")
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans of headline queries\n\n")
+    sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")
+    sb.append("Properties pinned by PlanSpec: pushdown, pruning, broadcast\n")
+    sb.append("dims, partial aggregation, no exchange under sampling.\n")
+    for (name <- names) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val qe = org.apache.spark.sql.GraftSqlBridge.queryExecution(df)
+      sb.append(s"\n## $name\n\n```\n")
+      sb.append(qe.explainString(
+        org.apache.spark.sql.execution.SimpleMode).trim)
+      sb.append("\n```\n")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("/root/repo/PLANS.md"), sb.toString)
+    println("WROTE /root/repo/PLANS.md")
+    spark.stop()
+  }
+}

@@ -109,4 +109,25 @@ class SurfaceSpec extends GraftFunSuite {
       assert(got == Seq(1L, 9L), s"got $got")
     } finally q.stop()
   }
+
+  test("dropDuplicatesWithinWatermark dedups late-arriving replays") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = Timestamp.valueOf("2024-01-01 10:20:00")
+    val input = MemoryStream[(Long, Timestamp)]
+    val df = input.toDF().toDF("doc_id", "ts")
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("doc_id")
+    val q = df.writeStream.format("memory").queryName("ddw_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, t0), (2L, t0))
+      q.processAllAvailable()
+      input.addData((1L, t1), (3L, t1)) // replay of 1 within the watermark
+      q.processAllAvailable()
+      val ids = spark.table("ddw_stream").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
 }
