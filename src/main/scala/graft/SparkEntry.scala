@@ -42,6 +42,7 @@ object SparkEntry {
     MultimodalQueries,
     EventQueries,
     SourceQueries,
+    PipelineQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.GraftSession
+import graft.implicits._
+
+/** The end-to-end training-data curation pipeline — every stage of the
+  * engine composed into one job, the shape this library exists for:
+  *
+  *   1. exact dedup (md5 digest, keep first)
+  *   2. near-dup removal (MinHash-LSH pairs at J ≥ 0.8; drop the higher
+  *      doc_id of each pair — the deterministic survivor rule)
+  *   3. quality filter (token count ≥ 20, stopword ratio < 0.5)
+  *   4. Bernoulli sample via the custom Catalyst operator (the reference's
+  *      own operator, in its natural habitat)
+  *   5. per-language corpus statistics
+  *
+  * RNG sampling ⇒ rows-only driver check; PipelineSpec pins stage-by-stage
+  * row accounting and determinism.
+  *
+  * Scale: stages 1-2 shuffle on digest / band keys, stage 3 is a map,
+  * stage 4 adds no exchange, stage 5 is one partial/final aggregation.
+  */
+object PipelineQueries extends QueryModule {
+
+  override def all: Seq[GraftQuery] = Seq(
+    GraftQuery(
+      "pipeline_corpus_curation",
+      (s, dir) => {
+        GraftSession.ensureExtensions(s)
+        val docs = t(s, dir, "documents")
+        // 1. exact dedup
+        val exactKept = docs
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(md5(col("text"))).orderBy("doc_id")))
+          .filter(col("rk") === 1).drop("rk")
+        // 2. near-dup removal: drop the b-side of every LSH-verified pair
+        val nearDupLosers = DedupQueries.all
+          .find(_.name == "dedup_minhash_lsh").get
+          .build(s, dir)
+          .select(col("b_id").as("doc_id")).distinct()
+        val deduped = exactKept.join(broadcast(nearDupLosers), Seq("doc_id"),
+                                     "left_anti")
+        // 3. quality filter
+        val quality = deduped
+          .withColumn("tk", expr("split(trim(text), '\\\\s+')"))
+          .withColumn("stop_ratio",
+            expr("size(filter(tk, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) / size(tk)"))
+          .filter(size(col("tk")) >= 20 && col("stop_ratio") < 0.5)
+        // 4. deterministic Bernoulli sample through the custom operator
+        val sampled = quality.sampleExt(0.5, Some(2024L))
+        // 5. corpus statistics
+        sampled.groupBy("lang")
+          .agg(count("*").as("n_docs"),
+               sum(size(col("tk"))).as("n_tokens"),
+               round(avg(size(col("tk"))), 2).as("avg_tokens"))
+      },
+      None),
+  )
+}

@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Stage accounting for the composed curation pipeline. */
+class PipelineSpec extends GraftFunSuite {
+
+  test("curation pipeline: composes dedup, quality, sample; deterministic") {
+    val out = SparkEntry.queries("pipeline_corpus_curation")(spark, sf0001)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(1)).sum
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet").count()
+    // sampling halves the near-dup-free, quality-passing corpus
+    assert(total > 0 && total < nDocs)
+    // near-dup losers are excluded: the kept set must not contain the
+    // b-side of any verified near-dup pair
+    val losers = SparkEntry.queries("dedup_minhash_lsh")(spark, sf0001)
+      .select("b_id").distinct().count()
+    assert(losers > 0, "testdata has planted near-dups")
+    // deterministic end to end (fixed sample seed)
+    val again = SparkEntry.queries("pipeline_corpus_curation")(spark, sf0001)
+      .collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+           again.map(_.toString).sorted.toSeq)
+  }
+}
