@@ -36,6 +36,7 @@ object SparkEntry {
     SampleQueries,
     RelationalQueries,
     RelationalQueries2,
+    RelationalQueries3,
     TextQueries,
     DedupQueries,
     SimilarityQueries,

@@ -122,4 +122,34 @@ class FunctionsSpec extends GraftFunSuite {
       assert(math.abs(e - exact) < 0.15, s"($a,$b) est=$e exact=$exact")
     }
   }
+
+  test("null handling: null inputs yield null, null elements are skipped") {
+    GraftSession.ensureExtensions(spark)
+    val r = spark.sql(
+      """SELECT graft_minhash(CAST(NULL AS ARRAY<STRING>), 8) AS a,
+        |       graft_simhash(CAST(NULL AS ARRAY<STRING>)) AS b,
+        |       graft_sig_agree(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS c,
+        |       graft_cosine(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D)) AS d""".stripMargin)
+      .head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    // null ELEMENTS are skipped, not propagated
+    val withNullElem = spark.sql(
+      "SELECT graft_simhash(array('a', CAST(NULL AS STRING), 'b')) AS h").head()
+    val withoutNull = spark.sql(
+      "SELECT graft_simhash(array('a', 'b')) AS h").head()
+    assert(withNullElem.getLong(0) == withoutNull.getLong(0))
+  }
+
+  test("cosine expression equals the HOF formulation bitwise") {
+    GraftSession.ensureExtensions(spark)
+    val df = spark.sql(
+      """SELECT graft_cosine(a, b) AS native,
+        |  aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+        |  / (sqrt(aggregate(a, 0D, (acc, x) -> acc + x * x))
+        |   * sqrt(aggregate(b, 0D, (acc, x) -> acc + x * x))) AS hof
+        |FROM (SELECT transform(sequence(1, 64), i -> cast(i AS double) / 7.0) a,
+        |             transform(sequence(1, 64), i -> cast(i * i AS double) / 11.0) b)""".stripMargin)
+      .head()
+    assert(df.getDouble(0) == df.getDouble(1), "must be bitwise identical")
+  }
 }
