@@ -37,6 +37,7 @@ object SparkEntry {
     RelationalQueries,
     RelationalQueries2,
     RelationalQueries3,
+    RelationalQueries4,
     TextQueries,
     DedupQueries,
     SimilarityQueries,
