@@ -38,6 +38,7 @@ object SparkEntry {
     RelationalQueries2,
     RelationalQueries3,
     RelationalQueries4,
+    RelationalQueries5,
     TextQueries,
     DedupQueries,
     SimilarityQueries,

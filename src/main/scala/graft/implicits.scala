@@ -36,5 +36,23 @@ object implicits {
         spark,
         SampleNode(fraction, resolvedSeed, GraftSqlBridge.logicalPlan(df)))
     }
+
+    /** Leakage-free train/test split: rows are routed by a hash of the key
+      * column, so every row with the same key lands on the same side —
+      * the correct split for training data (no near-duplicate leakage
+      * across the boundary when keyed by document/group id). Deterministic,
+      * partitioning-independent, and exactly complementary.
+      */
+    def splitByHash(keyCol: String, trainFraction: Double,
+                    seed: Long = 42L): (DataFrame, DataFrame) = {
+      if (trainFraction <= 0.0 || trainFraction >= 1.0) {
+        throw new IllegalArgumentException(
+          s"train fraction should be in (0, 1) range, got: $trainFraction")
+      }
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      val bucket = pmod(xxhash64(col(keyCol), lit(seed)), lit(1000))
+      val cut = (trainFraction * 1000).toInt
+      (df.filter(bucket < cut), df.filter(bucket >= cut))
+    }
   }
 }

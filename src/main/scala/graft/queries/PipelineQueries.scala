@@ -57,5 +57,19 @@ object PipelineQueries extends QueryModule {
                round(avg(size(col("tk"))), 2).as("avg_tokens"))
       },
       None),
+
+    // Hash-routed train/test split: per-key determinism prevents
+    // near-duplicate leakage across the boundary. Rows-only check;
+    // PipelineSpec asserts disjointness/completeness/determinism.
+    GraftQuery(
+      "pipeline_train_test_split",
+      (s, dir) => {
+        val (train, test) = t(s, dir, "documents").splitByHash("doc_id", 0.8)
+        train.select(lit("train").as("split"), col("lang"))
+          .unionAll(test.select(lit("test").as("split"), col("lang")))
+          .groupBy("split", "lang")
+          .agg(count("*").as("n"))
+      },
+      None),
   )
 }

@@ -24,4 +24,20 @@ class PipelineSpec extends GraftFunSuite {
     assert(rows.map(_.toString).sorted.toSeq ==
            again.map(_.toString).sorted.toSeq)
   }
+
+  test("splitByHash: disjoint, complete, key-deterministic, ratio-correct") {
+    import graft.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val (train, test) = docs.splitByHash("doc_id", 0.8)
+    val nTrain = train.count()
+    val nTest = test.count()
+    assert(nTrain + nTest == docs.count(), "split must be complete")
+    assert(train.select("doc_id").intersect(test.select("doc_id")).count() == 0,
+      "split must be disjoint")
+    assert(math.abs(nTrain.toDouble / (nTrain + nTest) - 0.8) < 0.06)
+    // deterministic under repartitioning
+    val (train2, _) = docs.repartition(13).splitByHash("doc_id", 0.8)
+    assert(train2.select("doc_id").except(train.select("doc_id")).count() == 0)
+    intercept[IllegalArgumentException](docs.splitByHash("doc_id", 1.0))
+  }
 }
