@@ -34,6 +34,44 @@ object EventQueries extends QueryModule {
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, event_type""".stripMargin)),
 
+    // Funnel analysis: users progressing view → click → purchase, each
+    // stage strictly after the previous one. Three stage-aggregations
+    // joined per user; one row out.
+    GraftQuery(
+      "events_funnel",
+      (s, dir) => {
+        val ev = events(s, dir)
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+        val clicks = ev.filter(col("event_type") === "click").as("c")
+          .join(views, "user_id")
+          .filter(col("c.ts") > col("t_view"))
+          .groupBy("user_id").agg(min(col("c.ts")).as("t_click"))
+        val buys = ev.filter(col("event_type") === "purchase").as("p")
+          .join(clicks, "user_id")
+          .filter(col("p.ts") > col("t_click"))
+          .groupBy("user_id").agg(min(col("p.ts")).as("t_buy"))
+        views.agg(count("*").as("n_view")).crossJoin(
+          clicks.agg(count("*").as("n_view_click"))).crossJoin(
+          buys.agg(count("*").as("n_view_click_buy")))
+      },
+      Some("""WITH v AS (
+        |  SELECT user_id, min(ts) t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) t_click
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+        |  GROUP BY e.user_id),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) t_buy
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM v) AS n_view,
+        |       (SELECT count(*) FROM c) AS n_view_click,
+        |       (SELECT count(*) FROM p) AS n_view_click_buy""".stripMargin)),
+
     // Gap-based sessionization: a >30-minute silence starts a new session.
     // lag → flag → running sum (the classic sessionize plan); epoch-µs
     // comparisons keep the gap test engine-exact.
