@@ -83,22 +83,29 @@ object RelationalQueries2 extends QueryModule {
         |   WHERE l_orderkey = o_orderkey) AS max_qty
         |FROM orders WHERE o_orderkey < 200""".stripMargin)),
 
-    // Exact decimal arithmetic (no float drift by construction).
+    // Exact decimal arithmetic. Doubles are converted to exact integer
+    // cents at the row level (round(x*100) is the same IEEE double op in
+    // both engines; values are positive so HALF_UP == half-away), summed
+    // exactly as longs, and only the final aggregate becomes a decimal —
+    // a double→decimal cast per ROW diverges between engines at half-cent
+    // boundaries (Spark BigDecimal HALF_UP vs DuckDB float rounding).
     GraftQuery(
       "q_decimal",
       (s, dir) =>
         t(s, dir, "lineitem")
           .select(col("l_returnflag"),
-                  col("l_extendedprice").cast("decimal(12,2)").as("p"),
-                  col("l_quantity").cast("decimal(12,2)").as("q"))
+                  round(col("l_extendedprice") * 100).cast("long").as("pc"),
+                  round(col("l_quantity") * 100).cast("long").as("qc"))
           .groupBy("l_returnflag")
-          .agg(sum(col("p")).cast("decimal(18,2)").as("sum_price_dec"),
-               sum(col("q")).cast("decimal(18,2)").as("sum_qty_dec")),
+          .agg((sum(col("pc")) / 100.0).cast("decimal(18,2)")
+                 .as("sum_price_dec"),
+               (sum(col("qc")) / 100.0).cast("decimal(18,2)")
+                 .as("sum_qty_dec")),
       Some("""SELECT l_returnflag,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2))
-        |    AS sum_price_dec,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2))
-        |    AS sum_qty_dec
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+        |       AS DECIMAL(18,2)) AS sum_price_dec,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
+        |       AS DECIMAL(18,2)) AS sum_qty_dec
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // Global sort (range partitioning) — full ordered output.

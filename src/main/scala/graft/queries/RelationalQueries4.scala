@@ -120,7 +120,8 @@ object RelationalQueries4 extends QueryModule {
                 FROM VALUES ('a', 10L), ('b', 20L), ('a', 30L), ('c', 5L)
                      AS t(category, amount)
                 GROUP BY category"""),
-      Some("""SELECT category, count(*) AS n, sum(amount) AS total
+      Some("""SELECT category, count(*) AS n,
+        |       CAST(sum(amount) AS BIGINT) AS total
         |FROM (VALUES ('a', CAST(10 AS BIGINT)), ('b', 20), ('a', 30), ('c', 5))
         |     AS t(category, amount)
         |GROUP BY category""".stripMargin)),

@@ -19,10 +19,6 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        return round(v, 6)
     return v
 
 
@@ -31,6 +27,9 @@ def rows_key(row):
 
 
 def close(a, b):
+    # STRICT by design: the driver's gate hashes exact values (columns
+    # sorted by name), so any float tolerance here would pass locally and
+    # fail the driver (this bit round 1: q_decimal / q_values_inline).
     if a is None or b is None:
         return a is b
     if isinstance(a, float) or isinstance(b, float):
@@ -40,7 +39,7 @@ def close(a, b):
             return str(a) == str(b)
         if math.isnan(fa) and math.isnan(fb):
             return True
-        return abs(fa - fb) <= 1e-6 * max(1.0, abs(fa), abs(fb))
+        return fa == fb
     if isinstance(a, list) and isinstance(b, list):
         return len(a) == len(b) and all(close(x, y) for x, y in zip(a, b))
     return str(a) == str(b)
