@@ -30,6 +30,11 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_sig_agree(array<long>, array<long>) — got ${other.size} args")
     },
+    "graft_jaccard_sorted" -> {
+      case Seq(a, b) => GraftJaccardSorted(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_jaccard_sorted(array<long>, array<long>) — got ${other.size} args")
+    },
     "graft_cosine" -> {
       case Seq(a, b) => GraftCosine(a, b)
       case other => throw new IllegalArgumentException(

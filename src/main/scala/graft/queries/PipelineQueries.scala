@@ -35,13 +35,22 @@ object PipelineQueries extends QueryModule {
             org.apache.spark.sql.expressions.Window
               .partitionBy(md5(col("text"))).orderBy("doc_id")))
           .filter(col("rk") === 1).drop("rk")
-        // 2. near-dup removal: drop the b-side of every LSH-verified pair
-        val nearDupLosers = DedupQueries.all
-          .find(_.name == "dedup_minhash_lsh").get
-          .build(s, dir)
+        // 2. near-dup removal: drop the b-side of every LSH-verified pair.
+        // minhashLshPairs is persisted + memoized per (session, dir), so a
+        // run that also executes dedup_minhash_lsh pays the signature+verify
+        // job once, not twice (VERDICT r1 item 4).
+        val nearDupLosers = DedupQueries.minhashLshPairs(s, dir)
           .select(col("b_id").as("doc_id")).distinct()
-        val deduped = exactKept.join(broadcast(nearDupLosers), Seq("doc_id"),
-                                     "left_anti")
+        // Size-gated: the loser set is tiny on clean corpora but can be a
+        // large fraction of a crawl — never an unconditional broadcast.
+        // Gate on the EXACT count of the persisted pair set (cheap — it is
+        // already materialized/memoized), not a Catalyst estimate: the
+        // estimate flips once the cache materializes, and a flipping join
+        // strategy would change the partitioning under the sampler below,
+        // breaking the pipeline's end-to-end determinism.
+        val deduped = exactKept.join(
+          gatedExact(nearDupLosers, nearDupLosers.count() * 8),
+          Seq("doc_id"), "left_anti")
         // 3. quality filter
         val quality = deduped
           .withColumn("tk", expr("split(trim(text), '\\\\s+')"))

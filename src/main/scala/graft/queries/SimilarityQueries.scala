@@ -146,7 +146,10 @@ object SimilarityQueries extends QueryModule {
           .select(col("vec_id"), col("v"), col("bb.band_id"), col("bb.bucket"))
         val q = banded.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("band_id"), col("bucket"))
-        // skinny candidate pairs first; vectors re-attached via broadcast
+        // skinny candidate pairs first; vectors re-attached size-gated —
+        // broadcast while the embedding table fits an executor, SHUFFLE_HASH
+        // past the gate (an unconditional broadcast of the full embedding
+        // table was round-1's scale defect here).
         val cand = q
           .join(banded.select(col("vec_id"), col("band_id"), col("bucket")),
                 Seq("band_id", "bucket"))
@@ -155,8 +158,8 @@ object SimilarityQueries extends QueryModule {
           .distinct()
         val wTop = Window.partitionBy("q_id").orderBy(desc("c"), asc("n_id"))
         cand
-          .join(broadcast(e.select(col("vec_id").as("n_id"), col("v"))), "n_id")
-          .join(broadcast(e.select(col("vec_id").as("q_id"), col("v").as("qv"))), "q_id")
+          .join(gated(e.select(col("vec_id").as("n_id"), col("v"))), "n_id")
+          .join(gated(e.select(col("vec_id").as("q_id"), col("v").as("qv"))), "q_id")
           .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c"))
           .withColumn("rnk", row_number().over(wTop).cast("long"))
           .filter(col("rnk") <= 5)

@@ -34,9 +34,45 @@ class PlanSpec extends GraftFunSuite {
     assert(broadcasts >= 4, s"expected >=4 broadcast joins, got $broadcasts:\n$p")
   }
 
-  test("LSH verify joins attach per-doc data via broadcast, not shuffle") {
-    val p = planOf("dedup_minhash_lsh")
+  test("LSH verify attaches broadcast while under the size gate") {
+    // the memoized query caches its result; inspect the raw DAG instead
+    val p = GraftSqlBridge.queryExecution(
+      graft.queries.DedupQueries.buildLshPairs(spark, sf0001))
+      .executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("LSH verify never broadcasts past the size gate (100 TB path)") {
+    val conf = spark.conf
+    val prevGate = conf.getOption("spark.graft.broadcastGateBytes")
+    val prevAuto = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // the memoized result may be cached from an earlier suite; its cached
+    // plan would be substituted wholesale (cache lookup ignores join hints)
+    // and the assertion would see the OLD broadcast plan — drop it first
+    val memo = graft.queries.DedupQueries.minhashLshPairs(spark, sf0001)
+    memo.unpersist(blocking = true)
+    try {
+      conf.set("spark.graft.broadcastGateBytes", "0")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = graft.queries.DedupQueries.buildLshPairs(spark, sf0001)
+      val p = GraftSqlBridge.queryExecution(df).executedPlan.toString
+      assert(!p.contains("BroadcastExchange"),
+        s"gate=0 must eliminate every broadcast:\n$p")
+      assert(p.contains("ShuffledHashJoin"),
+        s"verify attaches should hash-join without sorting the pair stream:\n$p")
+      // semantics are unchanged on the non-broadcast path
+      val gatedRows = df.collect().map(_.toString).sorted.toSeq
+      conf.unset("spark.graft.broadcastGateBytes")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      val defRows = graft.queries.DedupQueries.buildLshPairs(spark, sf0001)
+        .collect().map(_.toString).sorted.toSeq
+      assert(gatedRows == defRows)
+    } finally {
+      prevGate.fold(conf.unset("spark.graft.broadcastGateBytes"))(
+        conf.set("spark.graft.broadcastGateBytes", _))
+      conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      memo.persist()
+    }
   }
 
   test("partitioned write is partition-pruned on read") {
