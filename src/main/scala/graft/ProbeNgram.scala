@@ -75,6 +75,22 @@ object ProbeNgram {
       .withColumn("jaccard", expr("graft_jaccard_sorted(ga, gb)"))
       .filter(col("jaccard") >= 0.75)
     time("exact verify (broadcast gh attach)") { println("  pairs=" + fin.count()) }
+
+    // variant: distinct BEFORE the sig attach — attach cost on unique pairs
+    val candU = cand.distinct()
+    time("distinct-first: unique pair count") { println("  uniq=" + candU.count()) }
+    val withSig2 = candU
+      .join(broadcast(tbl.select(col("doc_id").as("a_id"), col("sig").as("siga"))), "a_id")
+      .join(broadcast(tbl.select(col("doc_id").as("b_id"), col("sig").as("sigb"))), "b_id")
+      .filter(expr("graft_sig_agree(siga, sigb) >= 0.55"))
+      .select("a_id", "b_id")
+    val fin2 = withSig2
+      .join(broadcast(tbl.select(col("doc_id").as("a_id"), col("gh").as("ga"))), "a_id")
+      .join(broadcast(tbl.select(col("doc_id").as("b_id"), col("gh").as("gb"))), "b_id")
+      .withColumn("jaccard", expr("graft_jaccard_sorted(ga, gb)"))
+      .filter(col("jaccard") >= 0.75)
+    time("distinct-first: full verify") { println("  pairs=" + fin2.count()) }
+    time("current order: full verify AGAIN (hot)") { println("  pairs=" + fin.count()) }
     spark.stop()
   }
 }

@@ -51,10 +51,9 @@ object DedupQueries extends QueryModule {
 
   /** Candidate pair STREAM (a_id < b_id, with duplicates — one row per
     * colliding band) from an LSH bucket self-join over (optional blocking
-    * cols ++ band key). Callers filter BEFORE deduplicating: on dense data a
-    * pair collides in many bands, and running the cheap signature prefilter
-    * on the raw stream is cheaper than shuffling it through a distinct
-    * first.
+    * cols ++ band key). Callers deduplicate before attaching payloads: the
+    * distinct shuffle moves 16-byte id pairs, which is cheaper than joining
+    * kilobyte signatures onto every repeated collision.
     */
   private def lshCandidateStream(
       sig: DataFrame, idCol: String, blockCols: Seq[String],
@@ -92,13 +91,16 @@ object DedupQueries extends QueryModule {
       candStream: DataFrame, tbl: DataFrame, idCol: String,
       threshold: Double, sigFilter: Double): DataFrame =
     candStream
+      // dedupe FIRST: the raw stream repeats a pair once per colliding band
+      // (~2.5× at sf0.1), and the distinct shuffle is 16-byte rows — far
+      // cheaper than attaching 1 KB signatures to every repeat
+      .distinct()
       .join(gated(tbl.select(col(idCol).as("a_id"), col("sig").as("siga"))),
             "a_id")
       .join(gated(tbl.select(col(idCol).as("b_id"), col("sig").as("sigb"))),
             "b_id")
       .filter(expr(s"graft_sig_agree(siga, sigb) >= $sigFilter"))
       .select("a_id", "b_id")
-      .distinct() // only the few prefilter survivors reach the shuffle
       .join(gated(tbl.select(col(idCol).as("a_id"), col("gh").as("ga"))),
             "a_id")
       .join(gated(tbl.select(col(idCol).as("b_id"), col("gh").as("gb"))),
