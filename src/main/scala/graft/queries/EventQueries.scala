@@ -89,7 +89,11 @@ object EventQueries extends QueryModule {
               .otherwise(0L))
           .withColumn("session_id", sum(col("new_session")).over(run))
           .groupBy("user_id", "session_id")
-          .agg(count("*").as("n_events"),
+          // session_start_us is the session's stable identity — the same
+          // key the streaming sessionizer emits (ordinal ids need unbounded
+          // per-user state there; see EventStreams.SessionOut)
+          .agg(min(unix_micros(col("ts"))).as("session_start_us"),
+               count("*").as("n_events"),
                round(sum(col("value")), 4).as("sum_value"))
       },
       Some("""WITH flagged AS (
@@ -101,12 +105,13 @@ object EventQueries extends QueryModule {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
-        |  SELECT user_id, value,
+        |  SELECT user_id, value, ts,
         |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS session_id
         |  FROM flagged)
-        |SELECT user_id, session_id, count(*) AS n_events,
+        |SELECT user_id, session_id, epoch_us(min(ts)) AS session_start_us,
+        |  count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin)),
   )

@@ -21,9 +21,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStreams extends Serializable {
 
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
-  final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
-                              sum_value: Double)
-  final case class SessionState(sessionId: Long, startUs: Long, lastUs: Long,
+
+  /** Sessions are identified by (user_id, session_start_us), NOT an ordinal
+    * per-user counter: an ordinal would have to survive session timeouts,
+    * i.e. keep one counter per user ever seen — unbounded state. Start-time
+    * identity lets the state store drop a session the moment it times out,
+    * can never emit duplicate keys, and is exactly derivable in the batch
+    * twin (`events_sessionize` carries the same column).
+    */
+  final case class SessionOut(user_id: Long, session_start_us: Long,
+                              n_events: Long, sum_value: Double)
+  final case class SessionState(startUs: Long, lastUs: Long,
                                 n: Long, sum: Double)
 
   /** Tumbling 1-hour counts per event type; 2-hour watermark bounds state
@@ -55,8 +63,10 @@ object EventStreams extends Serializable {
                state: GroupState[SessionState]): Iterator[SessionOut] = {
       if (state.hasTimedOut) {
         val s = state.get
+        // start-time identity makes this removal safe: the user's NEXT
+        // session gets a fresh identity, never a restarted counter
         state.remove()
-        return Iterator(SessionOut(userId, s.sessionId, s.n, round4(s.sum)))
+        return Iterator(SessionOut(userId, s.startUs, s.n, round4(s.sum)))
       }
       val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.value))
       var closed = List.empty[SessionOut]
@@ -67,10 +77,10 @@ object EventStreams extends Serializable {
           case Some(s) if us - s.lastUs <= gapUs =>
             cur = Some(s.copy(lastUs = us, n = s.n + 1, sum = s.sum + e.value))
           case Some(s) =>
-            closed ::= SessionOut(userId, s.sessionId, s.n, round4(s.sum))
-            cur = Some(SessionState(s.sessionId + 1, us, us, 1, e.value))
+            closed ::= SessionOut(userId, s.startUs, s.n, round4(s.sum))
+            cur = Some(SessionState(us, us, 1, e.value))
           case None =>
-            cur = Some(SessionState(1, us, us, 1, e.value))
+            cur = Some(SessionState(us, us, 1, e.value))
         }
       }
       cur.foreach { s =>

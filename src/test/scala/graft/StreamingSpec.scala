@@ -48,8 +48,9 @@ class StreamingSpec extends GraftFunSuite {
       .writeStream.format("memory").queryName("sessions_stream")
       .outputMode("append").start()
     try {
-      // user 1: events at 0,10 min (session 1), then 50 min (gap 40 > 30 →
-      // session 2); user 2: single event.
+      def us(t: Timestamp): Long = t.getTime * 1000L
+      // user 1: events at 0,10 min (session @0), then 50 min (gap 40 > 30 →
+      // session @50); user 2: single event.
       input.addData(Event(1L, ts(0), 1.0), Event(1L, ts(10), 2.0),
                     Event(2L, ts(5), 7.0))
       q.processAllAvailable()
@@ -58,6 +59,11 @@ class StreamingSpec extends GraftFunSuite {
       // advance watermark far enough to time out all open sessions
       input.addData(Event(99L, ts(600), 0.0))
       q.processAllAvailable()
+      // regression (ADVICE r1): user 2 returns AFTER their session closed by
+      // TIMEOUT — the new session must carry a fresh identity, not a
+      // restarted per-user counter that would duplicate the first key
+      input.addData(Event(2L, ts(620), 9.0))
+      q.processAllAvailable()
       input.addData(Event(98L, ts(1200), 0.0))
       q.processAllAvailable()
       val got = spark.table("sessions_stream")
@@ -65,7 +71,10 @@ class StreamingSpec extends GraftFunSuite {
         .collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
         .toSet
-      assert(got == Set((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 7.0)),
+      assert(got == Set((1L, us(ts(0)), 2L, 3.0),
+                        (1L, us(ts(50)), 1L, 4.0),
+                        (2L, us(ts(5)), 1L, 7.0),
+                        (2L, us(ts(620)), 1L, 9.0)),
              s"got $got")
     } finally q.stop()
   }
