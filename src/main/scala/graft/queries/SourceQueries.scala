@@ -10,8 +10,9 @@ import org.apache.spark.sql.types._
   * datafusion_common.proto:411-544`). Each query round-trips driver testdata
   * through a format (write with options → read with explicit schema →
   * aggregate) so the DuckDB oracle certifies the whole read-write path, not
-  * just the scan. Avro has no connector in this build (core avro jars only)
-  * — recorded as out of scope.
+  * just the scan. Avro has no `spark-avro` connector in this build, so the
+  * format is served by our own DataSourceV2 over the avro-core jar
+  * (graft.sources.GraftAvroSource) — same oracle-checked roundtrip shape.
   *
   * Scale: writers partition output by task (one file per partition, standard
   * Spark layout); compression (gzip here) trades CPU for IO exactly as it
@@ -74,6 +75,32 @@ object SourceQueries extends QueryModule {
       Some("""SELECT o_orderstatus, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
+    // Avro container roundtrip through graft.sources.GraftAvroSource (the
+    // reference's format vocabulary lists Avro; no spark-avro jar ships
+    // here, so the source is built on avro-core directly). The oracle runs
+    // the same aggregate over the original parquet — a hash match certifies
+    // the write+read path is lossless.
+    GraftQuery(
+      "src_avro_roundtrip",
+      (s, dir) => {
+        val out = ioDir(dir, "supplier_avro")
+        t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+          .write.mode("overwrite")
+          .format("graft.sources.GraftAvroSource")
+          .option("compression", "deflate")
+          .save(out)
+        s.read.format("graft.sources.GraftAvroSource").load(out)
+          .groupBy("s_nationkey")
+          .agg(count("*").as("n"),
+               round(sum(col("s_acctbal")), 2).as("sum_bal"),
+               min("s_name").as("first_name"))
+      },
+      Some("""SELECT s_nationkey, count(*) AS n,
+        |  round(sum(s_acctbal), 2) AS sum_bal,
+        |  min(s_name) AS first_name
+        |FROM supplier GROUP BY s_nationkey""".stripMargin)),
 
     // Custom DataSourceV2 scan (graft.sources.GraftSynthSource):
     // deterministic generated rows, column pruning in the reader. Values are

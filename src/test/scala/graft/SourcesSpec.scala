@@ -42,4 +42,63 @@ class SourcesSpec extends GraftFunSuite {
     assert(math.abs(total - 5000) < 6 * math.sqrt(10000 * 0.25))
     assert(agg.count() == 16)
   }
+
+  // ---- graft.sources.GraftAvroSource ------------------------------------
+
+  private val avroFmt = "graft.sources.GraftAvroSource"
+
+  test("avro roundtrip preserves rows, schema, nulls, and float arrays") {
+    import spark.implicits._
+    val dir = "/tmp/graft_avro_spec/mixed"
+    val df = Seq(
+      (1L, Some("alpha"), 1.5, Array(1.0f, 2.0f), Array[Byte](1, 2, 3)),
+      (2L, None, -0.25, Array(3.0f), Array[Byte]()),
+      (3L, Some("gamma"), 0.0, Array.empty[Float], Array[Byte](9)))
+      .toDF("id", "name", "score", "vec", "payload")
+    df.write.mode("overwrite").format(avroFmt).save(dir)
+    val back = spark.read.format(avroFmt).load(dir)
+    assert(back.schema("id").dataType.typeName == "long")
+    assert(back.schema("name").nullable)
+    assert(back.schema("vec").dataType.typeName == "array")
+    // hex the binary column: Row.toString renders byte arrays by identity
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("payload", hex(col("payload")))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(df) == canon(back))
+  }
+
+  test("avro roundtrip over real testdata (embeddings incl. array<float>)") {
+    val dir = "/tmp/graft_avro_spec/embeddings"
+    val src = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    src.write.mode("overwrite").format(avroFmt)
+      .option("compression", "snappy").save(dir)
+    val back = spark.read.format(avroFmt).load(dir)
+    assert(back.count() == src.count())
+    val a = src.orderBy("vec_id").collect().map(_.toString).toSeq
+    val b = back.orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("avro reader prunes columns via the projected reader schema") {
+    val dir = "/tmp/graft_avro_spec/embeddings"
+    val df = spark.read.format(avroFmt).load(dir).select("vec_id")
+    val plan = org.apache.spark.sql.GraftSqlBridge.queryExecution(df)
+      .executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("vec_id#") && !scanLine.contains("embedding#"),
+           plan)
+    assert(df.distinct().count() == spark.read
+      .parquet(s"$sf0001/embeddings.parquet").count())
+  }
+
+  test("avro write honors overwrite (truncate) semantics") {
+    import spark.implicits._
+    val dir = "/tmp/graft_avro_spec/trunc"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.mode("overwrite").format(avroFmt).save(dir)
+    Seq((9L, "z")).toDF("k", "v")
+      .write.mode("overwrite").format(avroFmt).save(dir)
+    val back = spark.read.format(avroFmt).load(dir).collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(9L))
+  }
 }
