@@ -21,7 +21,12 @@ object Bench {
     // warmup: exercise scan + shuffle + codegen paths once
     spark.read.parquet(s"$sfDir/lineitem.parquet")
       .groupBy("l_returnflag").count().collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional arg: comma-separated query names to run (iteration aid;
+    // the driver passes no args and gets the full suite)
+    val only = args.headOption.map(_.split(',').toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try {
