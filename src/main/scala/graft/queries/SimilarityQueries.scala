@@ -76,16 +76,24 @@ object SimilarityQueries extends QueryModule {
       (s, dir) => {
         graft.GraftSession.ensureExtensions(s)
         val e = vecs(s, dir)
+        // ncells ≈ √N (standard IVF sizing): assign work is N·√N cosines,
+        // each probe scans ~nprobe·√N vectors, and the centroid set stays
+        // broadcastable at any N. Round 1's fixed stride of 31 made the
+        // centroid count linear in N — the assign step was O(N²/31).
+        val stride = math.ceil(math.sqrt(e.count().toDouble)).toLong
         val cents = broadcast(
-          e.filter(col("vec_id") % 31 === 0)
+          e.filter(col("vec_id") % stride === 0)
             .select(col("vec_id").as("c_id"), col("v").as("cv")))
-        // assign: nearest centroid per vector (ties → lowest c_id)
-        val wAssign = Window.partitionBy("vec_id").orderBy(desc("cc"), asc("c_id"))
+        // assign: nearest centroid per vector (ties → lowest c_id) via a
+        // map-side partial max(struct) argmax — round 1's row_number window
+        // shuffled and sorted all N·C scored rows with vectors attached;
+        // the partial agg collapses to one row per vector pre-exchange.
         val assigned = e.join(cents)
           .select(col("vec_id"), col("v"), col("c_id"), cosine("v", "cv").as("cc"))
-          .withColumn("arnk", row_number().over(wAssign))
-          .filter(col("arnk") === 1)
-          .select(col("vec_id"), col("v"), col("c_id"))
+          .groupBy("vec_id")
+          .agg(max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"),
+               first(col("v")).as("v"))
+          .select(col("vec_id"), col("v"), (-col("m.nc")).as("c_id"))
         // queries probe their 4 nearest centroids
         val q = e.filter(col("vec_id") < 10)
           .select(col("vec_id").as("q_id"), col("v").as("qv"))
@@ -106,7 +114,9 @@ object SimilarityQueries extends QueryModule {
                   round(col("c"), 4).as("cos"))
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |c AS (SELECT vec_id c_id, v cv FROM e WHERE vec_id % 31 = 0),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+        |                      FROM embeddings) = 0),
         |assign AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT e.vec_id, e.v, c.c_id,
