@@ -27,11 +27,11 @@ object ProbeNgram {
     println("[probe] avg text len: " +
       docs.select(avg(length(col("text")))).first().getDouble(0))
 
-    val tblRaw = docs
-      .filter(length(col("text")) >= 3)
+    val tblRaw = docs.repartition(32)
+      .filter(length(col("text")) >= 5)
       .select(col("doc_id"), col("lang"),
-              expr("""array_distinct(transform(sequence(1, length(text) - 2),
-                     i -> substring(text, i, 3)))""").as("grams"))
+              expr("""array_distinct(transform(sequence(1, length(text) - 4),
+                     i -> substring(text, i, 5)))""").as("grams"))
       .withColumn("sig", expr("graft_minhash(grams, 128)"))
       .withColumn("gh", expr("sort_array(transform(grams, x -> xxhash64(x)))"))
       .select("doc_id", "lang", "sig", "gh")

