@@ -15,6 +15,11 @@ object GraftSession {
       .appName("graft")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", "32")
+      // Spark Connect endpoint support: lets remote clients ship the
+      // LSample extension relation (static conf — must be present when the
+      // SparkContext starts for the plugin registry to pick it up)
+      .config("spark.connect.extensions.relation.classes",
+              "graft.connect.SampleRelationPlugin")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
