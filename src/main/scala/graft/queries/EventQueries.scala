@@ -114,5 +114,107 @@ object EventQueries extends QueryModule {
         |  count(*) AS n_events,
         |  round(sum(value), 4) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin)),
+
+    // AS-OF join: each purchase joined to the same user's most recent click
+    // at or before it (attribution). Spark has no asof operator; the
+    // scale-correct plan is NOT a range join but union + ordered window
+    // with last(_, ignoreNulls): ONE shuffle on user_id, linear work, no
+    // candidate-pair blowup regardless of how many clicks precede a
+    // purchase. Clicks are first collapsed per (user, ts) — max event_id —
+    // so the "most recent" row is deterministic in both engines.
+    GraftQuery(
+      "events_asof_join",
+      (s, dir) => {
+        val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+        val clicks = ev.filter(col("event_type") === "click")
+          .groupBy("user_id", "ts_us")
+          .agg(max("event_id").as("click_id"))
+          .select(col("user_id"), col("ts_us"), col("click_id"),
+                  lit(null).cast("long").as("purchase_id"), lit(0).as("tag"))
+        val buys = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"),
+                  lit(null).cast("long").as("click_id"),
+                  col("event_id").as("purchase_id"), lit(1).as("tag"))
+        // clicks sort before purchases at equal ts (tag), matching ASOF >=
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts_us", "tag", "purchase_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        clicks.unionAll(buys)
+          .withColumn("click_id", last(col("click_id"), ignoreNulls = true).over(w))
+          .withColumn("click_ts_us",
+            last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("purchase_id"), col("user_id"), col("ts_us"),
+                  col("click_id"), col("click_ts_us"))
+      },
+      Some("""WITH c AS (
+        |  SELECT user_id, epoch_us(ts) ts_us, max(event_id) click_id
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT user_id, epoch_us(ts) ts_us, event_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id AS purchase_id, p.user_id, p.ts_us,
+        |       c.click_id, c.ts_us AS click_ts_us
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.ts_us >= c.ts_us""".stripMargin)),
+
+    // RANGE join: concurrent activity per session — count other users'
+    // events inside each session's active window (start .. end + the 30-min
+    // timeout). Spark would execute the raw inequality join as a
+    // broadcast-nested-loop; the scale path is bin-bucketing: intervals
+    // explode to the hour bins they cover, points map to exactly one bin,
+    // the join is an equi-join on the bin plus an exact range filter. A
+    // point lands in one bin, so no post-join dedup is needed. The oracle
+    // runs the raw inequality join (DuckDB IEJoin).
+    GraftQuery(
+      "events_range_join",
+      (s, dir) => {
+        val binUs = 3600000000L // 1 h
+        val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
+        val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val run = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sessions = ev
+          .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_us").isNull ||
+                 col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_id", sum(col("new_session")).over(run))
+          .groupBy("user_id", "session_id")
+          .agg(min("ts_us").as("start_us"),
+               (max("ts_us") + 1800000000L).as("until_us"))
+        val binned = sessions
+          .withColumn("bin", explode(sequence(
+            col("start_us").divide(binUs).cast("long"),
+            col("until_us").divide(binUs).cast("long"))))
+        val points = ev.select(col("user_id").as("p_user"), col("ts_us"),
+                               (col("ts_us") / binUs).cast("long").as("bin"))
+        binned.join(points, "bin")
+          .filter(col("p_user") =!= col("user_id") &&
+                  col("ts_us") >= col("start_us") &&
+                  col("ts_us") <= col("until_us"))
+          .groupBy("user_id", "start_us")
+          .agg(count("*").as("n_concurrent"))
+      },
+      Some("""WITH e AS (SELECT user_id, epoch_us(ts) ts_us, event_id FROM events),
+        |flagged AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL
+        |           OR ts_us - lag(ts_us) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged),
+        |iv AS (
+        |  SELECT user_id, min(ts_us) start_us, max(ts_us) + 1800000000 until_us
+        |  FROM sess GROUP BY user_id, session_id)
+        |SELECT iv.user_id, iv.start_us, count(*) AS n_concurrent
+        |FROM iv JOIN e p
+        |  ON p.user_id != iv.user_id
+        | AND p.ts_us >= iv.start_us AND p.ts_us <= iv.until_us
+        |GROUP BY 1, 2""".stripMargin)),
   )
 }

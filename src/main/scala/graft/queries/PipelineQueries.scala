@@ -67,6 +67,31 @@ object PipelineQueries extends QueryModule {
       },
       None),
 
+    // Stratified sampling with per-stratum rates (corpus rebalancing: keep
+    // half of English, a fifth of everything else). Routing is a pure map —
+    // a doc is kept iff the first 4 hex chars of md5(doc_id) fall under the
+    // stratum's threshold, so the sample is deterministic, partitioning-
+    // independent, reproducible across engines (md5 hex compares as a
+    // string in both), and needs no shuffle at all; the output aggregation
+    // is the only exchange. Thresholds: floor(rate * 16^4) in hex.
+    GraftQuery(
+      "sample_stratified",
+      (s, dir) => {
+        val cut = when(col("lang") === "en", lit("8000")) // 0.5000
+          .otherwise(lit("3333"))                         // 0.1999…
+        t(s, dir, "documents")
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < cut)
+          .groupBy("lang")
+          .agg(count("*").as("n_kept"), min("doc_id").as("first_id"),
+               sum("n_chars").as("kept_chars"))
+      },
+      Some("""SELECT lang, count(*) AS n_kept, min(doc_id) AS first_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM documents
+        |WHERE substr(md5(doc_id::VARCHAR), 1, 4) <
+        |      CASE WHEN lang = 'en' THEN '8000' ELSE '3333' END
+        |GROUP BY lang""".stripMargin)),
+
     // Hash-routed train/test split: per-key determinism prevents
     // near-duplicate leakage across the boundary. Rows-only check;
     // PipelineSpec asserts disjointness/completeness/determinism.

@@ -131,5 +131,53 @@ object TextQueries extends QueryModule {
         |  md5(substring(norm, 1, 64)) AS fp_head_md5,
         |  length(norm) AS norm_len
         |FROM n""".stripMargin)),
+
+    // Corpus vocabulary with tf-idf: top-10 highest-scoring terms per
+    // language (tokenizer-vocabulary construction / domain-term mining).
+    // Two shuffles at any scale: (lang, term) partial-aggregated term
+    // stats, then a per-lang top-k window over the (small) vocabulary —
+    // the raw token stream is never shuffled un-aggregated twice.
+    // idf is the smoothed LINEAR form (n+1)/(df+1), not log: one IEEE
+    // division and one multiply are bitwise-identical across engines,
+    // while ln() may differ in the last ulp between libm implementations
+    // and silently flip ranks / rounding at the top-k cut.
+    GraftQuery(
+      "text_vocab_tfidf",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = spread(t(s, dir, "documents"))
+          .select(col("lang"), col("doc_id"),
+                  explode(expr("split(trim(text), '\\\\s+')")).as("term"))
+          .filter(length(col("term")) > 0)
+        val nDocs = toks.agg(countDistinct("doc_id").as("n_docs"))
+        val stats = toks.groupBy("lang", "term")
+          .agg(count("*").as("tf"), countDistinct("doc_id").as("df"))
+        val w = Window.partitionBy("lang")
+          .orderBy(desc("score"), asc("term"))
+        stats.crossJoin(nDocs)
+          .withColumn("score",
+            round(col("tf") * ((col("n_docs") + 1).cast("double") /
+                               (col("df") + 1)), 6))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("lang"), col("term"), col("tf"), col("df"),
+                  col("rnk"), col("score"))
+      },
+      Some("""WITH toks AS (
+        |  SELECT lang, doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) term
+        |  FROM documents),
+        |tk AS (SELECT * FROM toks WHERE length(term) > 0),
+        |n AS (SELECT count(DISTINCT doc_id) n_docs FROM tk),
+        |stats AS (
+        |  SELECT lang, term, count(*) tf, count(DISTINCT doc_id) df
+        |  FROM tk GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT lang, term, tf, df,
+        |    round(tf * ((n_docs + 1) * 1.0 / (df + 1)), 6) score
+        |  FROM stats, n),
+        |r AS (SELECT *, row_number() OVER
+        |        (PARTITION BY lang ORDER BY score DESC, term) rnk
+        |      FROM scored)
+        |SELECT lang, term, tf, df, rnk, score FROM r WHERE rnk <= 10""".stripMargin)),
   )
 }
