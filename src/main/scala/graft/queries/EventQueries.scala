@@ -15,6 +15,10 @@ import org.apache.spark.sql.functions._
   */
 object EventQueries extends QueryModule {
 
+  /** The ns→µs-normalized events table (public for spec witnesses). */
+  def eventsFor(s: org.apache.spark.sql.SparkSession, dir: String) =
+    events(s, dir)
+
   override def all: Seq[GraftQuery] = Seq(
 
     // Tumbling 1-hour windows per event type.

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.functions._
+
+/** Semantics + plan-quality for the round-2 curation operators: as-of
+  * join, binned range join, stratified sampling, tf-idf vocabulary.
+  * The DuckDB oracle already hash-checks each; these tests pin the
+  * *internal* invariants (the as-of pick really is the latest prior
+  * click, the binned range join equals the naive inequality join, the
+  * sampler is partitioning-independent) and the scale-critical plan
+  * shapes (no nested-loop joins anywhere).
+  */
+class CurationOpsSpec extends GraftFunSuite {
+
+  private def run(name: String) =
+    SparkEntry.queries(name)(spark, sf0001)
+
+  test("asof join picks the latest prior-or-equal click per purchase") {
+    val result = run("events_asof_join").collect()
+    assert(result.nonEmpty)
+
+    // independent witness: all (user, click_ts) pairs, max'd per purchase
+    val ev = graft.queries.EventQueries.eventsFor(spark, sf0001)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).sorted).toMap
+
+    result.foreach { r =>
+      val user = r.getLong(1)
+      val ts = r.getLong(2)
+      val expect = clicks.getOrElse(user, Array.empty[Long])
+        .takeWhile(_ <= ts).lastOption
+      val got = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      assert(got == expect, s"user=$user purchase_ts=$ts got=$got expect=$expect")
+    }
+    // both outcomes are exercised by the data
+    assert(result.exists(_.isNullAt(4)), "no purchase without a prior click")
+    assert(result.exists(!_.isNullAt(4)), "no purchase with a prior click")
+  }
+
+  test("asof join plan: single user_id window, no nested-loop join") {
+    val p = GraftSqlBridge.queryExecution(run("events_asof_join"))
+      .executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("binned range join equals the naive inequality join") {
+    val binned = run("events_range_join").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
+
+    // naive witness: raw inequality join on the same session intervals
+    val ev = graft.queries.EventQueries.eventsFor(spark, sf0001)
+      .withColumn("ts_us", unix_micros(col("ts")))
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val runW = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val iv = ev
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("ns", when(col("prev_us").isNull ||
+        col("ts_us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(runW))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("start_us"),
+           (max("ts_us") + 1800000000L).as("until_us"))
+    val pts = ev.select(col("user_id").as("p_user"), col("ts_us"))
+    val naive = iv.crossJoin(pts)
+      .filter(col("p_user") =!= col("user_id") &&
+              col("ts_us") >= col("start_us") && col("ts_us") <= col("until_us"))
+      .groupBy("user_id", "start_us").agg(count("*").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+
+    assert(binned.nonEmpty && binned.toSeq == naive.toSeq,
+      s"binned=${binned.length} naive=${naive.length}")
+  }
+
+  test("range join plan avoids nested-loop/cartesian execution") {
+    val p = GraftSqlBridge.queryExecution(run("events_range_join"))
+      .executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"), p)
+  }
+
+  test("stratified sampler: rates honored, deterministic, partition-independent") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val keep = substring(md5(col("doc_id").cast("string")), 1, 4) <
+      when(col("lang") === "en", lit("8000")).otherwise(lit("3333"))
+
+    val kept = docs.filter(keep)
+    val byLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptByLang = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    byLang.foreach { case (lang, n) =>
+      val rate = if (lang == "en") 0.5 else 0.2
+      val k = keptByLang.getOrElse(lang, 0L).toDouble
+      val sigma = math.sqrt(n * rate * (1 - rate))
+      assert(math.abs(k - n * rate) < 5 * sigma + 1,
+        s"lang=$lang kept=$k of $n expected=${n * rate}")
+    }
+    // same kept ids regardless of physical layout
+    val a = kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val b = docs.repartition(7).filter(keep)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("tfidf vocabulary: exactly top-10 per lang, scores consistent") {
+    val rows = run("text_vocab_tfidf").collect()
+    val perLang = rows.groupBy(_.getString(0))
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, rs) =>
+      assert(rs.length == 10, s"$lang has ${rs.length} rows")
+      val byRank = rs.sortBy(_.getLong(4))
+      assert(byRank.map(_.getLong(4)).toSeq == (1L to 10L))
+      // scores non-increasing along ranks
+      val scores = byRank.map(_.getDouble(5)).toSeq
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y }, scores)
+    }
+  }
+}
