@@ -68,11 +68,11 @@ object EventStreams extends Serializable {
         state.remove()
         return Iterator(SessionOut(userId, s.startUs, s.n, round4(s.sum)))
       }
-      val sorted = it.toIndexedSeq.sortBy(e => (e.ts.getTime, e.value))
+      val sorted = it.toIndexedSeq.sortBy(e => (microsOf(e.ts), e.value))
       var closed = List.empty[SessionOut]
       var cur = state.getOption
       for (e <- sorted) {
-        val us = e.ts.getTime * 1000L
+        val us = microsOf(e.ts)
         cur match {
           case Some(s) if us - s.lastUs <= gapUs =>
             cur = Some(s.copy(lastUs = us, n = s.n + 1, sum = s.sum + e.value))
@@ -99,4 +99,65 @@ object EventStreams extends Serializable {
 
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Event-time in µs. `getTime` alone is ms-truncated — the sub-ms part
+    * lives in the nanos field — and a ms/µs mismatch silently diverges
+    * from the batch twins' `unix_micros` on real (µs-granular) data.
+    */
+  private def microsOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+  final case class TypedEvent(user_id: Long, ts: java.sql.Timestamp,
+                              event_type: String, event_id: Long)
+  final case class Attribution(purchase_id: Long, user_id: Long, ts_us: Long,
+                               click_id: Option[Long], click_ts_us: Option[Long])
+  final case class LastClick(tsUs: Long, clickId: Long)
+
+  /** Streaming AS-OF attribution — the incremental twin of the batch
+    * `events_asof_join`: each purchase is attributed to the same user's
+    * most recent click at or before it.
+    *
+    * State per user is ONE row (the latest click), so unlike a
+    * stream-stream interval join there is no retained event buffer and no
+    * watermark-bounded join state — the classic enrich-by-latest pattern.
+    * Within a batch events process in (ts, clicks-first, event_id) order,
+    * matching the batch twin's ASOF `>=` tie rule and its max-event_id
+    * pick among same-timestamp clicks; cross-batch order is event-time
+    * (late events beyond a configured watermark are dropped upstream).
+    */
+  def asofAttribution(events: Dataset[TypedEvent]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+
+    def update(userId: Long, it: Iterator[TypedEvent],
+               state: GroupState[LastClick]): Iterator[Attribution] = {
+      val sorted = it.toIndexedSeq.sortBy(e =>
+        (microsOf(e.ts), if (e.event_type == "click") 0 else 1, e.event_id))
+      var last = state.getOption
+      val out = List.newBuilder[Attribution]
+      for (e <- sorted) {
+        val us = microsOf(e.ts)
+        e.event_type match {
+          case "click" =>
+            // among equal-ts clicks the highest event_id wins (also across
+            // batch boundaries), exactly the batch side's max(event_id)
+            // per (user, ts) collapse
+            if (last.forall(s => s.tsUs < us ||
+                  (s.tsUs == us && s.clickId < e.event_id))) {
+              last = Some(LastClick(us, e.event_id))
+            }
+          case "purchase" =>
+            out += Attribution(e.event_id, userId, us,
+              last.map(_.clickId), last.map(_.tsUs))
+          case _ => ()
+        }
+      }
+      last.foreach(state.update)
+      out.result().iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout)(update)
+  }
 }

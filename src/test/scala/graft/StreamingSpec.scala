@@ -94,6 +94,60 @@ class StreamingSpec extends GraftFunSuite {
     assert(evCount == raw)
   }
 
+  test("streaming asof attribution: state carries across micro-batches, ties and no-click cases") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{TypedEvent => TE}
+    val input = MemoryStream[TE]
+    val q = EventStreams.asofAttribution(input.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 1 clicks (two at the same ts — higher id must win),
+      // then purchases; user 2 purchases with no click ever
+      input.addData(
+        TE(1L, ts(0), "click", 10L), TE(1L, ts(0), "click", 11L),
+        TE(1L, ts(5), "purchase", 20L), TE(2L, ts(6), "purchase", 30L),
+        TE(1L, ts(7), "view", 40L))
+      q.processAllAvailable()
+      // batch 2: the stored click survives the batch boundary; a same-ts
+      // lower-id click must NOT displace it; purchase at the click's exact
+      // ts still attributes (>= semantics)
+      input.addData(TE(1L, ts(0), "click", 9L), TE(1L, ts(0), "purchase", 21L))
+      q.processAllAvailable()
+      val got = spark.table("asof_stream").collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3)))
+        .toSet
+      assert(got == Set((20L, 11L), (30L, -1L), (21L, 11L)), s"got $got")
+    } finally q.stop()
+  }
+
+  test("streaming asof attribution equals the batch events_asof_join on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.{TypedEvent => TE}
+    val events = graft.queries.EventQueries.eventsFor(spark, sf0001)
+      .selectExpr("user_id", "ts", "event_type", "event_id")
+      .as[TE].collect().toSeq
+    val input = MemoryStream[TE]
+    val q = EventStreams.asofAttribution(input.toDS())
+      .writeStream.format("memory").queryName("asof_real")
+      .outputMode("append").start()
+    try {
+      input.addData(events)
+      q.processAllAvailable()
+      val streamed = spark.table("asof_real").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                   if (r.isNullAt(3)) -1L else r.getLong(3),
+                   if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+      val batch = SparkEntry.queries("events_asof_join")(spark, sf0001)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                   if (r.isNullAt(3)) -1L else r.getLong(3),
+                   if (r.isNullAt(4)) -1L else r.getLong(4))).toSet
+      assert(streamed == batch)
+      assert(batch.size > 50)
+    } finally q.stop()
+  }
+
   test("file-source streaming over the real events table equals batch (availableNow)") {
     // stream the parquet fixture through the windowed aggregation; the file
     // stream source requires a directory, so stage the fixture into one
