@@ -179,5 +179,83 @@ object TextQueries extends QueryModule {
         |        (PARTITION BY lang ORDER BY score DESC, term) rnk
         |      FROM scored)
         |SELECT lang, term, tf, df, rnk, score FROM r WHERE rnk <= 10""".stripMargin)),
+
+    // Quality-rule battery (Gopher/C4-style heuristics): word count bounds,
+    // mean word length bounds, and intra-document repetition (duplicate
+    // word-3-gram ratio — the "repeated paragraphs" signal at word
+    // granularity). Pure map per document — zero shuffle at any scale; the
+    // ratios are exact IEEE divisions of integer counts, so the oracle
+    // hash-matches without float-order concerns.
+    GraftQuery(
+      "text_quality_rules",
+      (s, dir) =>
+        spread(t(s, dir, "documents"))
+          .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
+          .select(col("doc_id"),
+                  size(col("tk")).cast("long").as("n_words"),
+                  expr("aggregate(tk, 0L, (a, w) -> a + length(w))").as("chars"),
+                  expr("""size(transform(sequence(0, size(tk) - 3),
+                         i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))""")
+                    .cast("long").as("n_grams"),
+                  expr("""size(array_distinct(transform(sequence(0, size(tk) - 3),
+                         i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))))""")
+                    .cast("long").as("n_distinct"))
+          .filter(col("n_words") >= 3)
+          .select(col("doc_id"), col("n_words"),
+                  round(col("chars").cast("double") / col("n_words"), 4)
+                    .as("mean_word_len"),
+                  round((col("n_grams") - col("n_distinct")).cast("double") /
+                        col("n_grams"), 4).as("rep_ratio"))
+          .withColumn("keep",
+            col("n_words").between(20, 100000) &&
+            col("mean_word_len").between(2.0, 12.0) &&
+            col("rep_ratio") < 0.5),
+      Some("""WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(w) n_words,
+        |    list_sum(list_transform(w, x -> length(x))) chars,
+        |    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |     FOR i IN range(1, len(w) - 1)] grams
+        |  FROM tk WHERE len(w) >= 3),
+        |m AS (
+        |  SELECT doc_id, n_words, chars, len(grams) n_grams,
+        |    len(list_distinct(grams)) n_distinct
+        |  FROM g)
+        |SELECT doc_id, n_words,
+        |  round(chars * 1.0 / n_words, 4) AS mean_word_len,
+        |  round((n_grams - n_distinct) * 1.0 / n_grams, 4) AS rep_ratio,
+        |  (n_words BETWEEN 20 AND 100000)
+        |    AND (round(chars * 1.0 / n_words, 4) BETWEEN 2.0 AND 12.0)
+        |    AND (round((n_grams - n_distinct) * 1.0 / n_grams, 4) < 0.5)
+        |    AS keep
+        |FROM m""".stripMargin)),
+
+    // Canonical selection after exact dedup: one representative per
+    // identical-content group — the longest-metadata (n_chars), then
+    // lowest doc_id. max(struct) argmax keeps this a single partial/final
+    // aggregation on the digest key: one shuffle of (digest, winner) pairs
+    // at any corpus size, never a self-join back onto the group.
+    GraftQuery(
+      "dedup_canonical",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .groupBy(md5(col("text")).as("text_md5"))
+          .agg(count("*").as("n_copies"),
+               max(struct(col("n_chars"), (-col("doc_id")).as("nd")))
+                 .as("m"))
+          .select(col("text_md5"), col("n_copies"),
+                  (-col("m.nd")).as("canonical_id"),
+                  col("m.n_chars").as("canonical_chars")),
+      Some("""WITH r AS (
+        |  SELECT md5(text) text_md5, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY md5(text)
+        |      ORDER BY n_chars DESC, doc_id) rn,
+        |    count(*) OVER (PARTITION BY md5(text)) n_copies
+        |  FROM documents)
+        |SELECT text_md5, n_copies, doc_id AS canonical_id,
+        |  n_chars AS canonical_chars
+        |FROM r WHERE rn = 1""".stripMargin)),
   )
 }
