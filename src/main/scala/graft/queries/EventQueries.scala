@@ -131,17 +131,18 @@ object EventQueries extends QueryModule {
       (s, dir) => {
         val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
         val clicks = ev.filter(col("event_type") === "click")
-          .groupBy("user_id", "ts_us")
-          .agg(max("event_id").as("click_id"))
-          .select(col("user_id"), col("ts_us"), col("click_id"),
+          .select(col("user_id"), col("ts_us"),
+                  col("event_id").as("click_id"),
                   lit(null).cast("long").as("purchase_id"), lit(0).as("tag"))
         val buys = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts_us"),
                   lit(null).cast("long").as("click_id"),
                   col("event_id").as("purchase_id"), lit(1).as("tag"))
-        // clicks sort before purchases at equal ts (tag), matching ASOF >=
+        // clicks sort before purchases at equal ts (tag), matching ASOF >=;
+        // equal-ts clicks sort by click_id, so last() picks the max id —
+        // no separate per-(user, ts) collapse (and its extra exchange)
         val w = Window.partitionBy("user_id")
-          .orderBy("ts_us", "tag", "purchase_id")
+          .orderBy("ts_us", "tag", "click_id", "purchase_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         clicks.unionAll(buys)
           .withColumn("click_id", last(col("click_id"), ignoreNulls = true).over(w))

@@ -47,6 +47,9 @@ class CurationOpsSpec extends GraftFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") &&
            !p.contains("CartesianProduct"), p)
     assert(p.contains("Window"), p)
+    // the whole as-of is ONE user_id exchange: no join, no click collapse
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$p")
   }
 
   test("binned range join equals the naive inequality join") {
