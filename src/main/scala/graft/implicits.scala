@@ -37,6 +37,62 @@ object implicits {
         SampleNode(fraction, resolvedSeed, GraftSqlBridge.logicalPlan(df)))
     }
 
+    /** AS-OF join: enrich each left row with the payload of the latest
+      * right row whose `rightTime` is at or before the left row's
+      * `leftTime`, per `on` key (trade-vs-quote, purchase-vs-click
+      * attribution, slowly-changing enrichment).
+      *
+      * Spark has no asof operator; a range join would generate a
+      * candidate pair per (left row × earlier right row). This instead
+      * unions the two sides and carries the right payload forward with
+      * `last(_, ignoreNulls)` over an ordered per-key window — ONE
+      * shuffle on the key, linear work, no pair blowup. At equal
+      * timestamps the right row counts (ASOF `>=` semantics) and
+      * `rightOrder` breaks ties among right rows (last one wins); pass
+      * a unique column there for fully deterministic output.
+      *
+      * Output: every left column, then each non-key right column
+      * renamed `prefix + name` (including `rightTime` — the matched
+      * timestamp), null when no prior right row exists.
+      */
+    def asofJoin(right: DataFrame, on: Seq[String], leftTime: String,
+                 rightTime: String, prefix: String = "asof_",
+                 rightOrder: Seq[String] = Nil): DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit, last}
+      require(on.nonEmpty, "asofJoin needs at least one key column")
+      val leftFields = df.schema.fields.filterNot(f => on.contains(f.name))
+      val payload = right.schema.fields.filterNot(f => on.contains(f.name))
+      val clash = payload.map(prefix + _.name).toSet
+        .intersect(df.columns.toSet)
+      require(clash.isEmpty, s"prefixed right columns clash with left: $clash")
+
+      val keyCols = on.map(col)
+      val timeType = df.schema(leftTime).dataType
+      val lSide = df.select(keyCols ++
+        Seq(col(leftTime).cast(timeType).as("__t"), lit(1).as("__tag")) ++
+        leftFields.map(f => col(f.name)) ++
+        payload.map(f => lit(null).cast(f.dataType).as(prefix + f.name)): _*)
+      val rSide = right.select(keyCols ++
+        Seq(col(rightTime).cast(timeType).as("__t"), lit(0).as("__tag")) ++
+        leftFields.map(f => lit(null).cast(f.dataType).as(f.name)) ++
+        payload.map(f => col(f.name).as(prefix + f.name)): _*)
+
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols: _*)
+        .orderBy((Seq(col("__t"), col("__tag")) ++
+                  rightOrder.map(c => col(prefix + c)) ++
+                  leftFields.map(f => col(f.name))): _*)
+        .rowsBetween(Long.MinValue, 0)
+
+      payload.foldLeft(lSide.unionAll(rSide)) { (acc, f) =>
+          acc.withColumn(prefix + f.name,
+            last(col(prefix + f.name), ignoreNulls = true).over(w))
+        }
+        .filter(col("__tag") === 1)
+        .select(df.columns.map(col) ++
+                payload.map(f => col(prefix + f.name)): _*)
+    }
+
     /** Leakage-free train/test split: rows are routed by a hash of the key
       * column, so every row with the same key lands on the same side —
       * the correct split for training data (no near-duplicate leakage

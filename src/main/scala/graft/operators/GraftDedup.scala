@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Reusable MinHash+LSH near-duplicate detection — the library form of the
+  * machinery behind the `dedup_minhash_lsh` / `dedup_ngram_jaccard` catalog
+  * queries. Callers bring any (id, items-array) frame — word shingles,
+  * character n-grams, URL tokens — and get verified near-dup pairs back.
+  *
+  * Scale design (100 TB):
+  *   - signatures are a pure map via the native codegen expression
+  *     `graft_minhash` — no shuffle;
+  *   - candidate generation shuffles on (band_id, band_hash [, block cols]),
+  *     so only rows sharing a bucket ever meet and the pair space stays
+  *     ~linear in the true near-dup count;
+  *   - the verify step attaches per-row payloads through
+  *     [[ScaleHints.gated]] — broadcast under the gate, SHUFFLE_HASH past
+  *     it — so no full-table broadcast ever ships;
+  *   - exact Jaccard runs only on candidates that survive the cheap
+  *     signature-agreement prefilter (`graft_sig_agree`, native codegen),
+  *     and uses a single merge pass over sorted 64-bit item hashes
+  *     (`graft_jaccard_sorted`) instead of a per-pair hash-set build.
+  *
+  * Recall: with b bands of r rows, P(miss | J) = (1 − J^r)^b. The defaults
+  * used by the catalog (b=64, r=2 at threshold 0.8) give ≤ 4e-13.
+  */
+object GraftDedup {
+
+  /** Signature table for [[nearDupPairs]]: keeps `idCol` (and `blockCols`),
+    * adds `sig` (MinHash signature, `numHashes` longs) and `gh` (sorted
+    * distinct 64-bit item hashes — the exact-verify payload). Pure map.
+    */
+  def signatures(df: DataFrame, idCol: String, itemsCol: String,
+                 blockCols: Seq[String] = Nil,
+                 numHashes: Int = 128): DataFrame = {
+    graft.GraftSession.ensureExtensions(df.sparkSession)
+    df.withColumn("sig", expr(s"graft_minhash($itemsCol, $numHashes)"))
+      .withColumn("gh",
+        expr(s"sort_array(array_distinct(transform($itemsCol, x -> xxhash64(x))))"))
+      .select((idCol +: blockCols).map(col) :+ col("sig") :+ col("gh"): _*)
+  }
+
+  /** LSH banding: explode a minhash signature into (band_id, band_hash)
+    * bucket keys — `bands` bands of `rowsPerBand` signature slots each.
+    */
+  private def bandKeys(sigCol: String, bands: Int, rowsPerBand: Int): Column =
+    explode(expr(
+      s"""transform(sequence(0, ${bands - 1}),
+         b -> struct(b AS band_id,
+                     xxhash64(${(0 until rowsPerBand).map(r => s"$sigCol[$rowsPerBand * b + $r]").mkString(", ")}) AS band_hash))"""))
+
+  /** Candidate pair STREAM (a_id < b_id, with duplicates — one row per
+    * colliding band) from an LSH bucket self-join over (optional blocking
+    * cols ++ band key). Callers deduplicate before attaching payloads: the
+    * distinct shuffle moves 16-byte id pairs, which is cheaper than joining
+    * kilobyte signatures onto every repeated collision.
+    */
+  def lshCandidates(sig: DataFrame, idCol: String, blockCols: Seq[String],
+                    bands: Int, rowsPerBand: Int): DataFrame = {
+    val b = sig.select((idCol +: blockCols).map(col) :+
+                       bandKeys("sig", bands, rowsPerBand).as("bh"): _*)
+      .select((idCol +: blockCols).map(col) :+
+              col("bh.band_id") :+ col("bh.band_hash"): _*)
+    val joinCond = (Seq("band_id", "band_hash") ++ blockCols)
+      .map(c => col(s"x.$c") === col(s"y.$c"))
+      .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol")
+    b.as("x").join(b.as("y"), joinCond)
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+  }
+
+  /** Exact-Jaccard verify of LSH candidate pairs.
+    *
+    * `tbl` must carry (idCol, sig: array<long>, gh: array<long>) — the
+    * MinHash signature and the (distinct, sorted) 64-bit-hashed item set;
+    * callers should `.persist()` it, since it feeds the band self-join and
+    * all four verify attaches. Cost shape, in order:
+    *   1. per-row data is attached through [[ScaleHints.gated]];
+    *   2. `graft_sig_agree` (native codegen, numHashes long compares) drops
+    *      most low-similarity candidates at `sigFilter` (margin ≥ 0.15
+    *      below `threshold` keeps the binomial miss probability < 1e-6);
+    *   3. exact intersection on the hashed sets only for survivors.
+    * Jaccard over 64-bit-hashed distinct items equals Jaccard over the items
+    * themselves up to a ~2^-64-per-pair collision probability.
+    */
+  def verifyJaccard(candStream: DataFrame, tbl: DataFrame, idCol: String,
+                    threshold: Double, sigFilter: Double): DataFrame = {
+    import ScaleHints.gated
+    candStream
+      // dedupe FIRST: the raw stream repeats a pair once per colliding band
+      // (~2.5× at sf0.1), and the distinct shuffle is 16-byte rows — far
+      // cheaper than attaching 1 KB signatures to every repeat
+      .distinct()
+      .join(gated(tbl.select(col(idCol).as("a_id"), col("sig").as("siga"))),
+            "a_id")
+      .join(gated(tbl.select(col(idCol).as("b_id"), col("sig").as("sigb"))),
+            "b_id")
+      .filter(expr(s"graft_sig_agree(siga, sigb) >= $sigFilter"))
+      .select("a_id", "b_id")
+      .join(gated(tbl.select(col(idCol).as("a_id"), col("gh").as("ga"))),
+            "a_id")
+      .join(gated(tbl.select(col(idCol).as("b_id"), col("gh").as("gb"))),
+            "b_id")
+      // gh is sorted+distinct ⇒ one codegen merge-intersection pass per pair
+      .withColumn("jaccard", expr("graft_jaccard_sorted(ga, gb)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** End-to-end near-duplicate pairs: rows of `df` whose `itemsCol` sets
+    * have Jaccard ≥ `threshold` (within equal `blockCols`, if given),
+    * as (a_id, b_id, jaccard) with a_id < b_id.
+    *
+    * Picks the banding from the threshold when not given: r=2 for loose
+    * thresholds (high recall on sparse collisions), r=4 when a dense
+    * background (e.g. character n-grams) needs collisions suppressed;
+    * b = numHashes / r.
+    *
+    * The intermediate signature table is persisted — it feeds the band
+    * self-join (both sides) and four verify attaches, and would otherwise
+    * recompute the signature subtree ~5×. It stays persisted for the
+    * lifetime of the returned plan; callers running many corpora through
+    * one session should write/collect the result and let the LRU block
+    * manager evict, or manage persistence themselves via the lower-level
+    * [[signatures]]/[[lshCandidates]]/[[verifyJaccard]] pieces.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, itemsCol: String,
+                   threshold: Double, blockCols: Seq[String] = Nil,
+                   numHashes: Int = 128, rowsPerBand: Int = 0,
+                   sigFilter: Double = Double.NaN): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold should be in (0, 1], got: $threshold")
+    val r = if (rowsPerBand > 0) rowsPerBand
+            else if (threshold >= 0.85) 4 else 2
+    require(numHashes % r == 0, s"numHashes ($numHashes) must divide by rowsPerBand ($r)")
+    val sf = if (sigFilter.isNaN) math.max(0.0, threshold - 0.2) else sigFilter
+    val tbl = signatures(df, idCol, itemsCol, blockCols, numHashes).persist()
+    val cand = lshCandidates(tbl, idCol, blockCols,
+                             bands = numHashes / r, rowsPerBand = r)
+    verifyJaccard(cand, tbl, idCol, threshold, sf)
+  }
+}

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+/** Join-strategy and parallelism hints that keep one code path correct from
+  * laptop scale to cluster scale. Shared by the library operators
+  * ([[GraftDedup]]) and the query catalog (`graft.queries.QueryModule`).
+  */
+object ScaleHints {
+
+  /** Size-gate for attach joins (candidate stream ⋈ per-row payload table).
+    *
+    * Broadcast the payload side only while Catalyst's size estimate stays
+    * under `spark.graft.broadcastGateBytes` (default 256 MB — a per-executor
+    * memory bound, not Spark's conservative 10 MB auto threshold); past the
+    * gate, hint SHUFFLE_HASH so the join hash-builds on this side without
+    * sorting the (much larger) probe stream, and no full-table broadcast
+    * ever ships. At 100 TB a signature/embedding table is terabytes — the
+    * gate makes the demo plan and the cluster plan the same code path
+    * instead of an unconditional `broadcast()` that dies at scale.
+    */
+  def gated(side: DataFrame): DataFrame =
+    pick(side, side.queryExecution.optimizedPlan.stats.sizeInBytes)
+
+  /** Like [[gated]], but decided by an exact byte size the caller measured
+    * (e.g. count × row width of an already-persisted table). Catalyst's
+    * estimate can flip across cache materialization, and a flipping join
+    * strategy changes the partitioning seen downstream — fatal under a
+    * position-seeded sampler that promises same-partitioning determinism.
+    */
+  def gatedExact(side: DataFrame, exactBytes: Long): DataFrame =
+    pick(side, BigInt(exactBytes))
+
+  private def pick(side: DataFrame, est: BigInt): DataFrame = {
+    val gate = side.sparkSession.conf
+      .getOption("spark.graft.broadcastGateBytes").map(_.toLong)
+      .getOrElse(256L << 20)
+    if (est <= gate) org.apache.spark.sql.functions.broadcast(side)
+    else side.hint("SHUFFLE_HASH")
+  }
+
+  /** Ensure at least the session's default parallelism ahead of a heavy
+    * per-row map stage (signature/gram computation). A benchmark-sized
+    * corpus packs into one or two 128 MB read splits, which would run the
+    * expensive compute on 1-2 cores; at real scale the input already has
+    * more splits than cores and this is a no-op — no shuffle is added.
+    */
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+}

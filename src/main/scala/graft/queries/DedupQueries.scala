@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.GraftSession
 
@@ -42,78 +42,6 @@ object DedupQueries extends QueryModule {
                      i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))""")
                 .as("shingles"))
 
-  /** LSH banding: explode a minhash signature into (band_id, band_hash)
-    * bucket keys — `bands` bands of `rowsPerBand` signature slots each.
-    */
-  private def bandKeys(sigCol: String, bands: Int, rowsPerBand: Int): Column =
-    explode(expr(
-      s"""transform(sequence(0, ${bands - 1}),
-         b -> struct(b AS band_id,
-                     xxhash64(${(0 until rowsPerBand).map(r => s"$sigCol[$rowsPerBand * b + $r]").mkString(", ")}) AS band_hash))"""))
-
-  /** Candidate pair STREAM (a_id < b_id, with duplicates — one row per
-    * colliding band) from an LSH bucket self-join over (optional blocking
-    * cols ++ band key). Callers deduplicate before attaching payloads: the
-    * distinct shuffle moves 16-byte id pairs, which is cheaper than joining
-    * kilobyte signatures onto every repeated collision.
-    */
-  private def lshCandidateStream(
-      sig: DataFrame, idCol: String, blockCols: Seq[String],
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val b = sig.select((idCol +: blockCols).map(col) :+
-                       bandKeys("sig", bands, rowsPerBand).as("bh"): _*)
-      .select((idCol +: blockCols).map(col) :+
-              col("bh.band_id") :+ col("bh.band_hash"): _*)
-    val joinCond = (Seq("band_id", "band_hash") ++ blockCols)
-      .map(c => col(s"x.$c") === col(s"y.$c"))
-      .reduce(_ && _) && col(s"x.$idCol") < col(s"y.$idCol")
-    b.as("x").join(b.as("y"), joinCond)
-      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
-  }
-
-  /** Exact-Jaccard verify of LSH candidate pairs.
-    *
-    * `tbl` must carry (idCol, sig: array<long>, gh: array<long>) — the
-    * MinHash signature and the (distinct) 64-bit-hashed item set; callers
-    * should `.persist()` it, since it feeds the band self-join and all four
-    * verify attaches. Cost shape, in order:
-    *   1. per-doc data is attached through `gated(...)` — broadcast while
-    *      the table's size estimate fits an executor, SHUFFLE_HASH past the
-    *      gate (at 100 TB the signature table is terabytes; an unconditional
-    *      broadcast was round-1's scale defect);
-    *   2. `graft_sig_agree` (native codegen, 128 long compares) drops most
-    *      low-similarity candidates at `sigFilter` (margin ≥ 0.15 below
-    *      `threshold` keeps the binomial miss probability < 1e-6);
-    *   3. exact intersection on the hashed sets only for survivors.
-    * Jaccard over 64-bit-hashed distinct items equals Jaccard over the items
-    * themselves up to a ~2^-64-per-pair collision probability — the oracle
-    * computes it over raw strings and hash-matches.
-    */
-  private def verifyJaccard(
-      candStream: DataFrame, tbl: DataFrame, idCol: String,
-      threshold: Double, sigFilter: Double): DataFrame =
-    candStream
-      // dedupe FIRST: the raw stream repeats a pair once per colliding band
-      // (~2.5× at sf0.1), and the distinct shuffle is 16-byte rows — far
-      // cheaper than attaching 1 KB signatures to every repeat
-      .distinct()
-      .join(gated(tbl.select(col(idCol).as("a_id"), col("sig").as("siga"))),
-            "a_id")
-      .join(gated(tbl.select(col(idCol).as("b_id"), col("sig").as("sigb"))),
-            "b_id")
-      .filter(expr(s"graft_sig_agree(siga, sigb) >= $sigFilter"))
-      .select("a_id", "b_id")
-      .join(gated(tbl.select(col(idCol).as("a_id"), col("gh").as("ga"))),
-            "a_id")
-      .join(gated(tbl.select(col(idCol).as("b_id"), col("gh").as("gb"))),
-            "b_id")
-      // gh is sorted+distinct ⇒ one codegen merge-intersection pass per
-      // pair (graft_jaccard_sorted) — array_intersect's per-pair hash-set
-      // build was the dominant bench cost (~16 s at sf0.1)
-      .withColumn("jaccard", expr("graft_jaccard_sorted(ga, gb)"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
-
   private val lshPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -130,18 +58,15 @@ object DedupQueries extends QueryModule {
                                   _ => buildLshPairs(s, dir).persist())
 
   /** The un-memoized LSH DAG — exposed so plan-quality specs can inspect
-    * the physical plan without an InMemoryTableScan hiding it.
+    * the physical plan without an InMemoryTableScan hiding it. Delegates to
+    * the library operator ([[graft.operators.GraftDedup.nearDupPairs]]):
+    * threshold 0.8 picks b=64 bands of r=2 ⇒ P(miss | J≥0.8) ≤ 4e-13 and
+    * sigFilter 0.6, the exact parameters the DuckDB oracle is argued
+    * against.
     */
-  private[graft] def buildLshPairs(s: SparkSession, dir: String): DataFrame = {
-    GraftSession.ensureExtensions(s)
-    val tbl = shingled(s, dir)
-      .withColumn("sig", expr("graft_minhash(shingles, 128)"))
-      .withColumn("gh", expr("sort_array(transform(shingles, x -> xxhash64(x)))"))
-      .select("doc_id", "sig", "gh")
-      .persist() // feeds the band self-join (both sides) + 4 verify attaches
-    val cand = lshCandidateStream(tbl, "doc_id", Nil, bands = 64, rowsPerBand = 2)
-    verifyJaccard(cand, tbl, "doc_id", threshold = 0.8, sigFilter = 0.6)
-  }
+  private[graft] def buildLshPairs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.GraftDedup.nearDupPairs(
+      shingled(s, dir), "doc_id", "shingles", threshold = 0.8)
 
   override def all: Seq[GraftQuery] = Seq(
 
@@ -220,26 +145,18 @@ object DedupQueries extends QueryModule {
     GraftQuery(
       "dedup_ngram_jaccard",
       (s, dir) => {
-        GraftSession.ensureExtensions(s)
-        // persist: the gram/minhash subtree feeds the band self-join (both
-        // sides) and four verify attaches — without it the signatures are
-        // recomputed ~5×, which dominated the round-1 bench at 16-25 s.
-        val tbl = spread(t(s, dir, "documents"))
+        val grams = spread(t(s, dir, "documents"))
           .filter(length(col("text")) >= 5)
           .select(col("doc_id"), col("lang"),
                   expr("""array_distinct(transform(sequence(1, length(text) - 4),
                          i -> substring(text, i, 5)))""").as("grams"))
-          .withColumn("sig", expr("graft_minhash(grams, 128)"))
-          .withColumn("gh", expr("sort_array(transform(grams, x -> xxhash64(x)))"))
-          .select("doc_id", "lang", "sig", "gh")
-          .persist()
         // 32 bands × 4 rows: P(miss | J ≥ 0.75) = (1 − 0.75⁴)^32 < 6e-6,
         // and at the n=5 background (J ≈ 0.17) a pair collides in a band
         // with probability 0.17⁴ ≈ 8e-4 — background stays out of the
         // candidate stream without risking recall at the threshold.
-        val cand = lshCandidateStream(tbl, "doc_id", Seq("lang"),
-                                 bands = 32, rowsPerBand = 4)
-        verifyJaccard(cand, tbl, "doc_id", threshold = 0.75, sigFilter = 0.55)
+        graft.operators.GraftDedup.nearDupPairs(
+          grams, "doc_id", "grams", threshold = 0.75,
+          blockCols = Seq("lang"), rowsPerBand = 4, sigFilter = 0.55)
       },
       Some("""WITH g AS (
         |  SELECT doc_id, lang,

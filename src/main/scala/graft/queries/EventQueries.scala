@@ -120,37 +120,28 @@ object EventQueries extends QueryModule {
         |FROM sess GROUP BY user_id, session_id""".stripMargin)),
 
     // AS-OF join: each purchase joined to the same user's most recent click
-    // at or before it (attribution). Spark has no asof operator; the
-    // scale-correct plan is NOT a range join but union + ordered window
-    // with last(_, ignoreNulls): ONE shuffle on user_id, linear work, no
+    // at or before it (attribution), through the reusable
+    // `graft.implicits.asofJoin` operator — union + ordered window with
+    // last(_, ignoreNulls): ONE shuffle on user_id, linear work, no
     // candidate-pair blowup regardless of how many clicks precede a
-    // purchase. Clicks are first collapsed per (user, ts) — max event_id —
-    // so the "most recent" row is deterministic in both engines.
+    // purchase. rightOrder=click_id makes the equal-timestamp pick the max
+    // click_id, matching the oracle's per-(user, ts) max collapse.
     GraftQuery(
       "events_asof_join",
       (s, dir) => {
+        import graft.implicits._
         val ev = events(s, dir).withColumn("ts_us", unix_micros(col("ts")))
         val clicks = ev.filter(col("event_type") === "click")
-          .select(col("user_id"), col("ts_us"),
-                  col("event_id").as("click_id"),
-                  lit(null).cast("long").as("purchase_id"), lit(0).as("tag"))
+          .select(col("user_id"), col("ts_us"), col("event_id").as("click_id"))
         val buys = ev.filter(col("event_type") === "purchase")
-          .select(col("user_id"), col("ts_us"),
-                  lit(null).cast("long").as("click_id"),
-                  col("event_id").as("purchase_id"), lit(1).as("tag"))
-        // clicks sort before purchases at equal ts (tag), matching ASOF >=;
-        // equal-ts clicks sort by click_id, so last() picks the max id —
-        // no separate per-(user, ts) collapse (and its extra exchange)
-        val w = Window.partitionBy("user_id")
-          .orderBy("ts_us", "tag", "click_id", "purchase_id")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        clicks.unionAll(buys)
-          .withColumn("click_id", last(col("click_id"), ignoreNulls = true).over(w))
-          .withColumn("click_ts_us",
-            last(when(col("tag") === 0, col("ts_us")), ignoreNulls = true).over(w))
-          .filter(col("tag") === 1)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+                  col("ts_us"))
+        buys.asofJoin(clicks, on = Seq("user_id"),
+                      leftTime = "ts_us", rightTime = "ts_us",
+                      prefix = "c_", rightOrder = Seq("click_id"))
           .select(col("purchase_id"), col("user_id"), col("ts_us"),
-                  col("click_id"), col("click_ts_us"))
+                  col("c_click_id").as("click_id"),
+                  col("c_ts_us").as("click_ts_us"))
       },
       Some("""WITH c AS (
         |  SELECT user_id, epoch_us(ts) ts_us, max(event_id) click_id

@@ -18,47 +18,21 @@ trait QueryModule {
   protected def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** Size-gate for attach joins (candidate stream ⋈ per-row payload table).
-    *
-    * Broadcast the payload side only while Catalyst's size estimate stays
-    * under `spark.graft.broadcastGateBytes` (default 256 MB — a per-executor
-    * memory bound, not Spark's conservative 10 MB auto threshold); past the
-    * gate, hint SHUFFLE_HASH so the join hash-builds on this side without
-    * sorting the (much larger) probe stream, and no full-table broadcast
-    * ever ships. At 100 TB a signature/embedding table is terabytes — the
-    * gate makes the demo plan and the cluster plan the same code path
-    * instead of an unconditional `broadcast()` that dies at scale.
+  /** See [[graft.operators.ScaleHints.gated]] — size-gated broadcast vs
+    * SHUFFLE_HASH for attach joins.
     */
   protected def gated(side: DataFrame): DataFrame =
-    pick(side, side.queryExecution.optimizedPlan.stats.sizeInBytes)
+    graft.operators.ScaleHints.gated(side)
 
-  /** Like `gated`, but decided by an exact byte size the caller measured
-    * (e.g. count × row width of an already-persisted table). Catalyst's
-    * estimate can flip across cache materialization, and a flipping join
-    * strategy changes the partitioning seen downstream — fatal under a
-    * position-seeded sampler that promises same-partitioning determinism.
-    */
+  /** See [[graft.operators.ScaleHints.gatedExact]]. */
   protected def gatedExact(side: DataFrame, exactBytes: Long): DataFrame =
-    pick(side, BigInt(exactBytes))
+    graft.operators.ScaleHints.gatedExact(side, exactBytes)
 
-  private def pick(side: DataFrame, est: BigInt): DataFrame = {
-    val gate = side.sparkSession.conf
-      .getOption("spark.graft.broadcastGateBytes").map(_.toLong)
-      .getOrElse(256L << 20)
-    if (est <= gate) org.apache.spark.sql.functions.broadcast(side)
-    else side.hint("SHUFFLE_HASH")
-  }
-
-  /** Ensure at least the session's default parallelism ahead of a heavy
-    * per-row map stage (signature/gram computation). A benchmark-sized
-    * corpus packs into one or two 128 MB read splits, which would run the
-    * expensive compute on 1-2 cores; at real scale the input already has
-    * more splits than cores and this is a no-op — no shuffle is added.
+  /** See [[graft.operators.ScaleHints.spread]] — parallelism floor ahead of
+    * heavy per-row map stages.
     */
-  protected def spread(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  protected def spread(df: DataFrame): DataFrame =
+    graft.operators.ScaleHints.spread(df)
 
   /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
     * refuses by default. Read it as long ns and convert to a µs timestamp with

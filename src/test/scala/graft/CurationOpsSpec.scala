@@ -52,6 +52,45 @@ class CurationOpsSpec extends GraftFunSuite {
     assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$p")
   }
 
+  test("asofJoin API: latest prior-or-equal match, nulls, tie-break") {
+    import graft.implicits._
+    import spark.implicits._
+    val trades = Seq((1L, 10L, "t1"), (1L, 20L, "t2"), (2L, 5L, "t3"))
+      .toDF("k", "t", "trade")
+    val quotes = Seq((1L, 10L, 1.0, 100L), (1L, 10L, 2.0, 200L),
+                     (1L, 15L, 3.0, 300L), (2L, 6L, 9.0, 400L))
+      .toDF("k", "qt", "px", "qid")
+
+    val out = trades
+      .asofJoin(quotes, on = Seq("k"), leftTime = "t", rightTime = "qt",
+                rightOrder = Seq("qid"))
+      .collect().map(r => (r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),   // asof_qt
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)), // asof_px
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))  // asof_qid
+      .sortBy(_._1)
+
+    assert(out.toSeq == Seq(
+      // equal-ts quote counts (>=); among the two at qt=10 the max qid wins
+      ("t1", Some(10L), Some(2.0), Some(200L)),
+      ("t2", Some(15L), Some(3.0), Some(300L)),
+      // the only k=2 quote is AFTER the trade -> all-null payload
+      ("t3", None, None, None)), out.toSeq)
+  }
+
+  test("asofJoin API: rejects column clashes and empty keys") {
+    import graft.implicits._
+    import spark.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "asof_v")
+    val r = Seq((1L, 5L, "y")).toDF("k", "qt", "v")
+    intercept[IllegalArgumentException] {
+      l.asofJoin(r, on = Seq("k"), leftTime = "t", rightTime = "qt")
+    }
+    intercept[IllegalArgumentException] {
+      l.asofJoin(r, on = Nil, leftTime = "t", rightTime = "qt")
+    }
+  }
+
   test("binned range join equals the naive inequality join") {
     val binned = run("events_range_join").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(t => (t._1, t._2))
