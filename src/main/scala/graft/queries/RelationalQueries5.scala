@@ -65,5 +65,104 @@ object RelationalQueries5 extends QueryModule {
         |        [CAST(p_size AS BIGINT), CAST(p_size * 2 AS BIGINT)])) AS BIGINT)
         |    AS n_entries
         |FROM part""".stripMargin)),
+
+    // Exact percentiles with linear interpolation (percentile / median —
+    // the exact counterparts of q_approx_agg's sketches). Both engines use
+    // the same rank formula p*(n-1) with linear interpolation; l_quantity
+    // values are small exact doubles so the arithmetic is bitwise-stable.
+    // One partial/final aggregation per group at any scale (the sort
+    // happens inside the aggregate buffer, not as a global exchange).
+    GraftQuery(
+      "q_percentile_exact",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("percentile(l_quantity, 0.25)").as("p25"),
+            expr("percentile(l_quantity, 0.5)").as("p50"),
+            expr("percentile(l_quantity, 0.75)").as("p75"),
+            expr("median(l_extendedprice)").as("med_price"),
+            count(lit(1)).as("n")),
+      Some("""SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS p25,
+        |  quantile_cont(l_quantity, 0.5) AS p50,
+        |  quantile_cont(l_quantity, 0.75) AS p75,
+        |  median(l_extendedprice) AS med_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
+
+    // Wide-to-long reshape via the Dataset.unpivot (melt) API — the
+    // relational dual of q_pivot. Metrics are exact integer-valued doubles
+    // (counts and sums of integral columns), so the value column
+    // hash-matches across engines. The unpivot itself is a zero-shuffle
+    // per-row expansion of the (tiny) aggregated frame.
+    GraftQuery(
+      "q_unpivot",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast("double").as("n_rows"),
+               sum(col("l_quantity")).as("sum_qty"),
+               sum(col("l_linenumber").cast("double")).as("sum_line"))
+          .unpivot(Array(col("l_returnflag")),
+                   Array(col("n_rows"), col("sum_qty"), col("sum_line")),
+                   "metric", "value"),
+      Some("""WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n_rows,
+        |    sum(l_quantity) AS sum_qty,
+        |    sum(CAST(l_linenumber AS DOUBLE)) AS sum_line
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, value
+        |FROM w UNPIVOT (value FOR metric IN (n_rows, sum_qty, sum_line))""".stripMargin)),
+
+    // Element-wise combination of two arrays (zip_with) plus slice and
+    // reverse — the remaining LIST vocabulary of SURVEY.md §1.3 not covered
+    // by q_array_hof. Pure map, zero shuffle.
+    GraftQuery(
+      "q_zip_with",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_orderkey") < 100)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            expr("""array_join(zip_with(sequence(1, l_linenumber),
+                   sequence(l_linenumber, 1, -1), (x, y) -> x * y), ',')""")
+              .as("prods"),
+            expr("array_join(slice(sequence(1, l_linenumber), 1, 2), ',')")
+              .as("first2"),
+            expr("array_join(reverse(sequence(1, l_linenumber)), ',')")
+              .as("rev")),
+      Some("""SELECT l_orderkey, l_linenumber,
+        |  array_to_string([x * (l_linenumber + 1 - x)
+        |                   FOR x IN range(1, l_linenumber + 1)], ',') AS prods,
+        |  array_to_string(list_slice(
+        |    [x FOR x IN range(1, l_linenumber + 1)], 1, 2), ',') AS first2,
+        |  array_to_string(list_reverse(
+        |    [x FOR x IN range(1, l_linenumber + 1)]), ',') AS rev
+        |FROM lineitem WHERE l_orderkey < 100""".stripMargin)),
+
+    // Error-tolerant arithmetic: try_divide nulls on division by zero and
+    // try_cast nulls on malformed input instead of failing the job — the
+    // semantics a 100-TB pipeline needs when one dirty row must not kill a
+    // stage. The oracle spells the same semantics with CASE/TRY_CAST.
+    GraftQuery(
+      "q_try_arith",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") < 1000)
+          .select(
+            col("o_orderkey"),
+            try_divide(col("o_totalprice"), col("o_orderkey") % 3)
+              .as("div3"),
+            expr("try_cast(o_orderpriority AS INT)").as("bad_cast"),
+            expr("try_cast(substring(o_orderpriority, 1, 1) AS BIGINT)")
+              .as("prio_num")),
+      Some("""SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL
+        |       ELSE o_totalprice / (o_orderkey % 3) END AS div3,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
+        |  TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num
+        |FROM orders WHERE o_orderkey < 1000""".stripMargin)),
   )
 }

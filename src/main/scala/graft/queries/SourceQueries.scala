@@ -102,6 +102,62 @@ object SourceQueries extends QueryModule {
         |  min(s_name) AS first_name
         |FROM supplier GROUP BY s_nationkey""".stripMargin)),
 
+    // ORC roundtrip (Spark-native columnar format beside parquet). DuckDB
+    // cannot read ORC, but the oracle doesn't need to: it runs the same
+    // aggregate over the ORIGINAL parquet table, so a hash match certifies
+    // the ORC write+read path is lossless end-to-end.
+    GraftQuery(
+      "src_orc_roundtrip",
+      (s, dir) => {
+        val out = ioDir(dir, "customer_orc")
+        t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_acctbal")
+          .write.mode("overwrite")
+          .option("compression", "zlib")
+          .orc(out)
+        s.read.orc(out)
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("c_acctbal")), 2).as("sum_bal"),
+               min("c_name").as("first_name"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS n,
+        |  round(sum(c_acctbal), 2) AS sum_bal,
+        |  min(c_name) AS first_name
+        |FROM customer GROUP BY c_nationkey""".stripMargin)),
+
+    // Plain text-line roundtrip (spark.read/write.text — the format raw
+    // corpus dumps arrive in). Rows are serialized to delimited lines on
+    // write and parsed back with split() on read; the oracle aggregates the
+    // original table, so a hash match certifies serialize+parse round-trips.
+    GraftQuery(
+      "src_text_roundtrip",
+      (s, dir) => {
+        val out = ioDir(dir, "orders_text")
+        t(s, dir, "orders")
+          // double→string is Spark's shortest-round-trip representation, so
+          // the parse back below recovers the EXACT input double — the line
+          // format itself is lossless for this schema
+          .select(concat_ws("|", col("o_orderkey"), col("o_orderstatus"),
+                            col("o_totalprice").cast("string")).as("value"))
+          .write.mode("overwrite")
+          .option("compression", "gzip")
+          .text(out)
+        s.read.text(out)
+          .select(split(col("value"), "\\|").as("f"))
+          .select(col("f").getItem(0).cast("long").as("o_orderkey"),
+                  col("f").getItem(1).as("o_orderstatus"),
+                  col("f").getItem(2).cast("double").as("o_totalprice"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("o_totalprice")), 2).as("total"),
+               min("o_orderkey").as("min_key"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total,
+        |  min(o_orderkey) AS min_key
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // Custom DataSourceV2 scan (graft.sources.GraftSynthSource):
     // deterministic generated rows, column pruning in the reader. Values are
     // engine-generated ⇒ rows-only driver check; SourcesSpec pins
