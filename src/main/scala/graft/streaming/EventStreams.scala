@@ -97,6 +97,30 @@ object EventStreams extends Serializable {
                               GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Watermark-bounded stream-stream interval join: every (click, purchase)
+    * pair of one user with the purchase in [click_ts, click_ts + window] —
+    * conversion-pair mining. Column contract: clicks(c_user, c_ts, click_id),
+    * purchases(p_user, p_ts, purchase_id).
+    *
+    * Unlike [[asofAttribution]] (one latest-click row per user), this is a
+    * TRUE stream-stream join: both sides buffer in the state store, and the
+    * watermark plus the two-sided time bound let the runtime evict a
+    * buffered row as soon as no future match can arrive — state stays
+    * O(events per watermark horizon), not O(stream length). Works on batch
+    * frames too (withWatermark is a no-op in batch), so the batch twin for
+    * spec parity is this very function.
+    */
+  def conversionPairs(clicks: DataFrame, purchases: DataFrame,
+                      windowMinutes: Int = 60,
+                      watermark: String = "2 hours"): DataFrame =
+    clicks.withWatermark("c_ts", watermark)
+      .join(purchases.withWatermark("p_ts", watermark),
+            expr(s"""c_user = p_user AND
+                     p_ts >= c_ts AND
+                     p_ts <= c_ts + INTERVAL $windowMinutes MINUTES"""))
+      .select(col("c_user").as("user_id"), col("click_id"),
+              col("purchase_id"), col("c_ts"), col("p_ts"))
+
   private def round4(x: Double): Double =
     BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 

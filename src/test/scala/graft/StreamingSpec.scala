@@ -148,6 +148,71 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: matches within window across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Timestamp, Long)]
+    val buysIn = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.conversionPairs(
+        clicksIn.toDF().toDF("c_user", "c_ts", "click_id"),
+        buysIn.toDF().toDF("p_user", "p_ts", "purchase_id"),
+        windowMinutes = 60)
+      .writeStream.format("memory").queryName("conv_stream")
+      .outputMode("append").start()
+    try {
+      // click before its purchase lands in a LATER micro-batch: the click
+      // must stay buffered in the join state until the purchase arrives
+      clicksIn.addData((1L, ts(0), 100L), (2L, ts(10), 101L))
+      q.processAllAvailable()
+      buysIn.addData((1L, ts(30), 200L),  // within 60 min of click 100
+                     (2L, ts(90), 201L),  // 80 min after click 101 → no pair
+                     (3L, ts(40), 202L))  // no click at all
+      q.processAllAvailable()
+      // two clicks both within range of one purchase → two pairs
+      clicksIn.addData((4L, ts(100), 102L), (4L, ts(110), 103L))
+      buysIn.addData((4L, ts(120), 203L))
+      q.processAllAvailable()
+      val got = spark.table("conv_stream").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 100L, 200L), (4L, 102L, 203L), (4L, 103L, 203L)),
+             s"got $got")
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join equals its batch form on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.queries.EventQueries.eventsFor(spark, sf0001)
+      .selectExpr("user_id", "ts", "event_type", "event_id")
+    val clicks = ev.filter(col("event_type") === "click")
+      .selectExpr("user_id AS c_user", "ts AS c_ts", "event_id AS click_id")
+    val buys = ev.filter(col("event_type") === "purchase")
+      .selectExpr("user_id AS p_user", "ts AS p_ts", "event_id AS purchase_id")
+    // events at sf0.001 are sparse per user — a day-long window yields a
+    // meaningful pair count (94) while still exercising the two-sided bound
+    val batch = EventStreams.conversionPairs(clicks, buys,
+        windowMinutes = 1440, watermark = "25 hours").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val clicksIn = MemoryStream[(Long, Timestamp, Long)]
+    val buysIn = MemoryStream[(Long, Timestamp, Long)]
+    val q = EventStreams.conversionPairs(
+        clicksIn.toDF().toDF("c_user", "c_ts", "click_id"),
+        buysIn.toDF().toDF("p_user", "p_ts", "purchase_id"),
+        windowMinutes = 1440, watermark = "25 hours")
+      .writeStream.format("memory").queryName("conv_real")
+      .outputMode("append").start()
+    try {
+      clicksIn.addData(clicks.collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq)
+      buysIn.addData(buys.collect().map(r =>
+        (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("conv_real").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch.size > 50, s"only ${batch.size} conversion pairs")
+    } finally q.stop()
+  }
+
   test("file-source streaming over the real events table equals batch (availableNow)") {
     // stream the parquet fixture through the windowed aggregation; the file
     // stream source requires a directory, so stage the fixture into one
