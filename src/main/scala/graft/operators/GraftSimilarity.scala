@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reusable approximate-nearest-neighbor search — the library form of the
+  * machinery behind the `ann_*` catalog queries. Callers bring a collection
+  * frame (id, vector) and a query frame (id, vector), both `array<double>`,
+  * and get (q_id, n_id, rnk, cos) top-k neighbors back.
+  *
+  * Three tiers, mirroring how a production pipeline scales:
+  *   - [[bruteForceTopK]] — exact linear scan; the correctness baseline.
+  *     The query block broadcasts, the collection never shuffles.
+  *   - [[ivfTopK]] — inverted-file index: √N deterministic centroids,
+  *     vectors assigned to their nearest cell, queries probe the nprobe
+  *     nearest cells and rerank exactly. One shuffle on cell id.
+  *   - [[srpTopK]] — sign-random-projection LSH: hash-derived hyperplane
+  *     signatures (no executor RNG), banded buckets for candidate
+  *     generation, exact rerank. One shuffle on (band, bucket); vectors
+  *     re-attach through [[ScaleHints.gated]] so no full-table broadcast
+  *     ships past the size gate.
+  *
+  * All cosines go through the native codegen expression `graft_cosine`
+  * (strict left-to-right summation — bitwise-reproducible across runs).
+  */
+object GraftSimilarity {
+
+  private def cosine(a: String, b: String): Column =
+    expr(s"graft_cosine($a, $b)")
+
+  private def topK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("q_id").orderBy(desc("c"), asc("n_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("n_id"), col("rnk"),
+              round(col("c"), 4).as("cos"))
+  }
+
+  /** Exact top-k by cosine: broadcast the (small) query block against the
+    * full collection — a pure map over the collection, no shuffle until the
+    * final per-query window over k·|queries| rows. Self-pairs (n_id equal to
+    * q_id) are excluded.
+    */
+  def bruteForceTopK(collection: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "v",
+                     qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    graft.GraftSession.ensureExtensions(collection.sparkSession)
+    val e = collection.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val q = broadcast(
+      queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv")))
+    topK(e.join(q, col("n_id") =!= col("q_id"))
+           .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
+  }
+
+  /** IVF top-k: ncells ≈ √N deterministic centroids (ids divisible by the
+    * stride — requires a numeric id column), vectors assigned to their
+    * nearest centroid via a map-side partial argmax, queries probe their
+    * `nprobe` nearest cells and rerank exactly within them.
+    *
+    * Scale shape: the centroid set is √N — broadcastable at any N; assign
+    * is N·√N cosines map-side; the probe join shuffles once on cell id.
+    * Recall is the standard IVF trade: a true neighbor in an unprobed cell
+    * is missed — raise `nprobe` to trade scan cost for recall.
+    */
+  def ivfTopK(collection: DataFrame, queries: DataFrame, k: Int,
+              nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "v",
+              qIdCol: String = "q_id", qVecCol: String = "qv"): DataFrame = {
+    graft.GraftSession.ensureExtensions(collection.sparkSession)
+    val e = collection.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val stride = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    val cents = broadcast(
+      e.filter(col("n_id") % stride === 0)
+        .select(col("n_id").as("c_id"), col("v").as("cv")))
+    // nearest centroid per vector (ties → lowest c_id) via max(struct)
+    // partial argmax: collapses to one row per vector BEFORE any exchange
+    val assigned = e.join(cents)
+      .select(col("n_id"), col("v"), col("c_id"), cosine("v", "cv").as("cc"))
+      .groupBy("n_id")
+      .agg(max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"),
+           first(col("v")).as("v"))
+      .select(col("n_id"), col("v"), (-col("m.nc")).as("c_id"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    val wProbe = Window.partitionBy("q_id").orderBy(desc("qc"), asc("c_id"))
+    val probes = q.join(cents)
+      .select(col("q_id"), col("qv"), col("c_id"), cosine("qv", "cv").as("qc"))
+      .withColumn("prnk", row_number().over(wProbe))
+      .filter(col("prnk") <= nprobe)
+      .select(col("q_id"), col("qv"), col("c_id"))
+    topK(probes.join(assigned, "c_id")
+           .filter(col("n_id") =!= col("q_id"))
+           .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
+  }
+
+  /** SRP-LSH top-k: `nbits` sign-random-projection bits per vector (from
+    * hash-derived hyperplanes — deterministic, no RNG state), split into
+    * `bands` bucket keys; vectors sharing any (band, bucket) with a query
+    * become candidates and are reranked exactly.
+    *
+    * Scale shape: candidate generation shuffles once on (band, bucket) with
+    * only (id, band, bucket) rows; vectors re-attach to the skinny
+    * candidate stream through [[ScaleHints.gated]] — broadcast under the
+    * gate, SHUFFLE_HASH past it.
+    */
+  def srpTopK(collection: DataFrame, queries: DataFrame, k: Int,
+              nbits: Int = 16, bands: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "v",
+              qIdCol: String = "q_id", qVecCol: String = "qv"): DataFrame = {
+    require(nbits % bands == 0, s"bands ($bands) must divide nbits ($nbits)")
+    graft.GraftSession.ensureExtensions(collection.sparkSession)
+    val bandBits = nbits / bands
+    val mask = (1L << bandBits) - 1
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(id), col(vec),
+          explode(expr(
+            s"""transform(sequence(0, ${bands - 1}),
+               b -> struct(b AS band_id,
+                           shiftright(graft_srp_sig($vec, $nbits), $bandBits * b) & $mask AS bucket))"""))
+            .as("bb"))
+        .select(col(id), col("bb.band_id"), col("bb.bucket"))
+    val e = collection.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    val cand = banded(q, "q_id", "qv")
+      .join(banded(e.select(col("n_id"), col("v")), "n_id", "v"),
+            Seq("band_id", "bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"))
+      .distinct()
+    topK(cand
+           .join(ScaleHints.gated(e), "n_id")
+           .join(ScaleHints.gated(q), "q_id")
+           .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
+  }
+}

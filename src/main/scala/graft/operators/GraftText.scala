@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text-analysis building blocks — the library form of the
+  * `text_*` catalog queries. Everything here is pure `functions._` /
+  * higher-order-function Columns: codegen-friendly, no UDFs, zero shuffle —
+  * at 100 TB these are free map stages fused into whole-stage codegen.
+  */
+object GraftText {
+
+  /** English stopword markers used by the quality/language heuristics. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Whitespace tokens of `text` (leading/trailing space trimmed first). */
+  def whitespaceTokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace-normalized lowercase form — the canonical string for
+    * fingerprinting and exact dedup.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  /** md5 fingerprint of the normalized text. */
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  /** md5 of the first `n` normalized chars — prefix-block dedup key. */
+  def headFingerprintMd5(text: Column, n: Int = 64): Column =
+    md5(substring(normalized(text), 1, n))
+
+  /** BPE-ish token count: letter runs | digit runs | single punctuation. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** How many tokens of `tk` appear in `markers` (stopword/marker score). */
+  def markerScore(tk: Column, markers: Seq[String]): Column =
+    size(filter(tk, x => x.isInCollection(markers))).cast("long")
+
+  /** Marker-count / token-count ratio (e.g. stopword ratio). */
+  def markerRatio(tk: Column, markers: Seq[String], scale: Int = 4): Column =
+    round(size(filter(tk, x => x.isInCollection(markers))) / size(tk), scale)
+
+  /** Mean token length, `scale` decimals. */
+  def meanTokenLen(tk: Column, scale: Int = 4): Column =
+    round(aggregate(tk, lit(0L), (acc, x) => acc + length(x)) / size(tk),
+          scale)
+
+  /** Total characters across tokens. */
+  def tokenChars(tk: Column): Column =
+    aggregate(tk, lit(0L), (acc, x) => acc + length(x))
+
+  /** Word n-grams of the token array as space-joined strings (positions
+    * beyond the end yield shorter tails for arrays with fewer than `n`
+    * tokens — callers filter short docs first, as the catalog does).
+    */
+  def wordNGrams(tk: Column, n: Int): Column =
+    transform(sequence(lit(0), size(tk) - n),
+              i => concat_ws(" ", (0 until n).map(j => element_at(
+                tk, (i + j + 1).cast("int"))): _*))
+
+  /** Duplicate word-n-gram ratio — the intra-document repetition signal
+    * (Gopher/C4 "repeated paragraphs" heuristic at word granularity).
+    */
+  def repetitionRatio(tk: Column, n: Int = 3, scale: Int = 4): Column = {
+    val grams = wordNGrams(tk, n)
+    round((size(grams) - size(array_distinct(grams))).cast("double") /
+          size(grams), scale)
+  }
+
+  /** Language-ID from per-language marker scores: highest score wins,
+    * earlier argument wins ties, zero-everything → "und". The argument
+    * order is the deterministic priority order.
+    */
+  def langIdFrom(scores: Seq[(String, Column)]): Column = {
+    require(scores.nonEmpty, "langIdFrom needs at least one (lang, score)")
+    val cascade = scores.zipWithIndex.foldLeft(
+        when(lit(false), lit("und"))) { case (acc, ((lang, score), i)) =>
+      val laterMax = scores.drop(i + 1).map(_._2) match {
+        case Nil => lit(0L)
+        case one :: Nil => one
+        case many => greatest(many: _*)
+      }
+      acc.when(score >= laterMax && score > 0, lang)
+    }
+    cascade.otherwise("und")
+  }
+}

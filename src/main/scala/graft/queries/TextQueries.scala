@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import graft.operators.GraftText
 
 /** Text-analysis operators over the `documents` table — the
   * training-data-pipeline surface (language-ID heuristic, quality scoring,
@@ -23,16 +24,15 @@ object TextQueries extends QueryModule {
       (s, dir) =>
         t(s, dir, "documents")
           .select(col("doc_id"),
-                  expr("split(trim(text), '\\\\s+')").as("tk"),
+                  GraftText.whitespaceTokens(col("text")).as("tk"),
                   length(col("text")).cast("long").as("len_chars"))
           .select(
             col("doc_id"),
             col("len_chars"),
             size(col("tk")).cast("long").as("n_tokens"),
             size(array_distinct(col("tk"))).cast("long").as("n_unique"),
-            expr("round(aggregate(tk, 0L, (acc, x) -> acc + length(x)) / size(tk), 4)")
-              .as("avg_token_len"),
-            expr("round(size(filter(tk, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in'))) / size(tk), 4)")
+            GraftText.meanTokenLen(col("tk")).as("avg_token_len"),
+            GraftText.markerRatio(col("tk"), GraftText.StopwordsEn)
               .as("stopword_ratio")),
       Some("""SELECT doc_id,
         |  length(text) AS len_chars,
@@ -53,26 +53,21 @@ object TextQueries extends QueryModule {
       "text_lang_id",
       (s, dir) =>
         t(s, dir, "documents")
-          .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
+          .select(col("doc_id"), GraftText.whitespaceTokens(col("text")).as("tk"))
           .select(
             col("doc_id"),
-            expr("size(filter(tk, x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))")
-              .cast("long").as("score_en"),
-            expr("size(filter(tk, x -> x IN ('der', 'die', 'das', 'und', 'ist')))")
-              .cast("long").as("score_de"),
-            expr("size(filter(tk, x -> x IN ('le', 'la', 'les', 'et', 'est')))")
-              .cast("long").as("score_fr"),
-            expr("size(filter(tk, x -> x IN ('el', 'los', 'las', 'es', 'y')))")
-              .cast("long").as("score_es"))
+            GraftText.markerScore(col("tk"), GraftText.StopwordsEn)
+              .as("score_en"),
+            GraftText.markerScore(col("tk"),
+              Seq("der", "die", "das", "und", "ist")).as("score_de"),
+            GraftText.markerScore(col("tk"),
+              Seq("le", "la", "les", "et", "est")).as("score_fr"),
+            GraftText.markerScore(col("tk"),
+              Seq("el", "los", "las", "es", "y")).as("score_es"))
           .withColumn("lang_pred",
-            when(col("score_en") >= greatest(col("score_de"), col("score_fr"),
-                                             col("score_es")) &&
-                 col("score_en") > 0, "en")
-              .when(col("score_de") >= greatest(col("score_fr"), col("score_es")) &&
-                    col("score_de") > 0, "de")
-              .when(col("score_fr") >= col("score_es") && col("score_fr") > 0, "fr")
-              .when(col("score_es") > 0, "es")
-              .otherwise("und")),
+            GraftText.langIdFrom(Seq(
+              "en" -> col("score_en"), "de" -> col("score_de"),
+              "fr" -> col("score_fr"), "es" -> col("score_es")))),
       Some("""WITH sc AS (
         |  SELECT doc_id,
         |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
@@ -102,10 +97,9 @@ object TextQueries extends QueryModule {
         t(s, dir, "documents")
           .select(
             col("doc_id"),
-            expr("size(split(trim(text), '\\\\s+'))").cast("long")
+            size(GraftText.whitespaceTokens(col("text"))).cast("long")
               .as("n_ws_tokens"),
-            expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
-              .cast("long").as("n_bpe_tokens")),
+            GraftText.bpeTokenCount(col("text")).as("n_bpe_tokens")),
       Some("""SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_ws_tokens,
         |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens
@@ -117,9 +111,7 @@ object TextQueries extends QueryModule {
       "text_fingerprint",
       (s, dir) =>
         t(s, dir, "documents")
-          .select(col("doc_id"),
-                  expr("trim(regexp_replace(lower(text), '\\\\s+', ' '))")
-                    .as("norm"))
+          .select(col("doc_id"), GraftText.normalized(col("text")).as("norm"))
           .select(col("doc_id"),
                   md5(col("norm")).as("fp_md5"),
                   md5(substring(col("norm"), 1, 64)).as("fp_head_md5"),
@@ -190,15 +182,13 @@ object TextQueries extends QueryModule {
       "text_quality_rules",
       (s, dir) =>
         spread(t(s, dir, "documents"))
-          .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
+          .select(col("doc_id"), GraftText.whitespaceTokens(col("text")).as("tk"))
           .select(col("doc_id"),
                   size(col("tk")).cast("long").as("n_words"),
-                  expr("aggregate(tk, 0L, (a, w) -> a + length(w))").as("chars"),
-                  expr("""size(transform(sequence(0, size(tk) - 3),
-                         i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2])))""")
+                  GraftText.tokenChars(col("tk")).as("chars"),
+                  size(GraftText.wordNGrams(col("tk"), 3))
                     .cast("long").as("n_grams"),
-                  expr("""size(array_distinct(transform(sequence(0, size(tk) - 3),
-                         i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))))""")
+                  size(array_distinct(GraftText.wordNGrams(col("tk"), 3)))
                     .cast("long").as("n_distinct"))
           .filter(col("n_words") >= 3)
           .select(col("doc_id"), col("n_words"),

@@ -46,4 +46,22 @@ class SimilaritySpec extends GraftFunSuite {
     info(s"LSH recall@5 = $recall")
     assert(recall >= 0.3, s"recall=$recall")
   }
+
+  test("GraftSimilarity library API works with caller-named columns") {
+    import spark.implicits._
+    import graft.operators.GraftSimilarity
+    // three orthogonal-ish unit vectors + one near-duplicate of doc 1
+    val coll = Seq(
+      (10L, Array(1.0, 0.0, 0.0)),
+      (11L, Array(0.0, 1.0, 0.0)),
+      (12L, Array(0.0, 0.0, 1.0)),
+      (13L, Array(0.9, 0.1, 0.0))).toDF("doc", "emb")
+    val qs = Seq((10L, Array(1.0, 0.0, 0.0))).toDF("query", "qemb")
+    val out = GraftSimilarity.bruteForceTopK(coll, qs, k = 2,
+        idCol = "doc", vecCol = "emb", qIdCol = "query", qVecCol = "qemb")
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // nearest neighbor of doc 10 is its near-duplicate 13, then anything else
+    assert(out.length == 2 && out(0) == (10L, 13L, 1L), out.toSeq)
+  }
 }
