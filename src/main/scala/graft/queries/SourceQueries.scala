@@ -172,6 +172,40 @@ object SourceQueries extends QueryModule {
           .agg(count("*").as("n"), round(sum(col("value")), 2).as("sum_value")),
       None),
 
+    // Bucketed-table co-located join: both sides written bucketBy(8) on the
+    // join key, so the sort-merge join consumes the tables' bucket layout
+    // and needs NO shuffle of either side (PlanSpec pins zero Exchanges in
+    // the join subtree). At 100 TB this is THE join strategy for repeated
+    // fact-fact joins: pay the bucketed write once, join shuffle-free
+    // forever after. hint("MERGE") keeps the plan on the sort-merge path
+    // regardless of size estimates so the bucket layout is what's exercised.
+    GraftQuery(
+      "src_bucketed_join",
+      (s, dir) => {
+        val lOut = ioDir(dir, "bucketed/lineitem_b")
+        val oOut = ioDir(dir, "bucketed/orders_b")
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_quantity", "l_extendedprice")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", lOut).mode("overwrite").saveAsTable("g_lineitem_b")
+        t(s, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_totalprice")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", oOut).mode("overwrite").saveAsTable("g_orders_b")
+        s.table("g_lineitem_b").hint("MERGE")
+          .join(s.table("g_orders_b"),
+                col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("l_quantity")), 2).as("sum_qty"),
+               min(col("o_totalprice")).as("min_total"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  min(o_totalprice) AS min_total
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin)),
+
     // Partitioned-parquet write + partition-pruned read: the layout that
     // carries 100 TB tables (pruning is asserted in PlanSpec).
     GraftQuery(

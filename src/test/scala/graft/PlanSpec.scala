@@ -97,4 +97,18 @@ class PlanSpec extends GraftFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$p")
   }
+
+  test("bucketed tables sort-merge join with ZERO exchanges in the join subtree") {
+    // materialize the bucketed layout (also registers the tables)
+    SparkEntry.queries("src_bucketed_join")(spark, sf0001).collect()
+    val join = spark.table("g_lineitem_b").hint("MERGE")
+      .join(spark.table("g_orders_b"),
+            col("l_orderkey") === col("o_orderkey"))
+    join.collect() // finalize AQE
+    val p = GraftSqlBridge.queryExecution(join).executedPlan.toString
+    assert(p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange"),
+      s"bucketed join must not shuffle either side:\n$p")
+    assert(p.contains("SelectedBucketsCount"), p)
+  }
 }
