@@ -107,6 +107,44 @@ object GraftDedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** SimHash near-duplicate candidate pairs: 64-bit signatures via the
+    * native codegen expression `graft_simhash`, banded into `bands` equal
+    * bit-slices for LSH bucketing, verified by Hamming distance ≤
+    * `maxHamming`. Returns (a_id, b_id, hamming) with a_id < b_id.
+    *
+    * Scale shape mirrors [[nearDupPairs]]: the signature is a pure map; the
+    * only shuffle is the (band_id, band_hash) self-join, and the verify is
+    * a single bit_count on the already-joined 8-byte signatures — no
+    * payload attach step at all, which is SimHash's advantage over MinHash
+    * when items fit a similarity-preserving 64-bit sketch.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, itemsCol: String,
+                   maxHamming: Int = 12, bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands ($bands) must divide 64")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming should be in [0, 64), got: $maxHamming")
+    graft.GraftSession.ensureExtensions(df.sparkSession)
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val sig = df.select(col(idCol), expr(s"graft_simhash($itemsCol)").as("sh"))
+    val banded = sig.select(col(idCol), col("sh"),
+      explode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           b -> struct(b AS band_id,
+                       shiftright(sh, $bits * b) & $mask AS band_hash))""")).as("bh"))
+      .select(col(idCol), col("sh"), col("bh.band_id"), col("bh.band_hash"))
+    banded.as("x")
+      .join(banded.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"),
+              bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long")
+                .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** End-to-end near-duplicate pairs: rows of `df` whose `itemsCol` sets
     * have Jaccard ≥ `threshold` (within equal `blockCols`, if given),
     * as (a_id, b_id, jaccard) with a_id < b_id.

@@ -110,28 +110,11 @@ object DedupQueries extends QueryModule {
     // DedupSpec asserts recall of the planted near-dup pairs.
     GraftQuery(
       "dedup_simhash",
-      (s, dir) => {
-        GraftSession.ensureExtensions(s)
-        val sig = spread(t(s, dir, "documents"))
-          .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk"))
-          .select(col("doc_id"), expr("graft_simhash(tk)").as("sh"))
-        val bands = sig.select(col("doc_id"), col("sh"),
-          explode(expr(
-            """transform(sequence(0, 3),
-               b -> struct(b AS band_id,
-                           shiftright(sh, 16 * b) & 65535 AS band_hash))""")).as("bh"))
-          .select(col("doc_id"), col("sh"), col("bh.band_id"), col("bh.band_hash"))
-        bands.as("x")
-          .join(bands.as("y"),
-                col("x.band_id") === col("y.band_id") &&
-                col("x.band_hash") === col("y.band_hash") &&
-                col("x.doc_id") < col("y.doc_id"))
-          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
-                  bit_count(col("x.sh").bitwiseXOR(col("y.sh"))).cast("long")
-                    .as("hamming"))
-          .distinct()
-          .filter(col("hamming") <= 12)
-      },
+      (s, dir) =>
+        graft.operators.GraftDedup.simHashPairs(
+          spread(t(s, dir, "documents"))
+            .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk")),
+          "doc_id", "tk", maxHamming = 12, bands = 4),
       None),
 
     // Character-5-gram Jaccard near-dup pairs at J ≥ 0.75, lang-blocked.
