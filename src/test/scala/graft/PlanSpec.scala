@@ -98,40 +98,9 @@ class PlanSpec extends GraftFunSuite {
     assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$p")
   }
 
-  test("AQE splits a skewed join partition (skew=true in the final plan)") {
-    import spark.implicits._
-    // one hot key owning ~95% of the left side — the shape that stalls a
-    // 1000-executor cluster on one straggler task unless AQE splits it
-    val restore = Seq(
-      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-      "spark.sql.adaptive.coalescePartitions.enabled",
-      "spark.sql.autoBroadcastJoinThreshold")
-      .map(k => k -> spark.conf.getOption(k)).toMap
-    try {
-      // shrink the skew thresholds so test-sized data exhibits the same
-      // re-planning a TB-scale hot key would
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
-      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
-      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val left = spark.range(0, 200000)
-        .select(when($"id" % 20 =!= 0, lit(7L)).otherwise($"id").as("k"),
-                $"id".as("v"))
-      val right = spark.range(0, 1000).select($"id".as("k"), ($"id" * 2).as("w"))
-      val j = left.hint("MERGE").join(right, "k")
-      assert(j.collect().nonEmpty) // collect() (not count()) finalizes THIS plan
-      val p = GraftSqlBridge.queryExecution(j).executedPlan.toString
-      assert(p.contains("skew=true") && p.contains("AQEShuffleRead skewed"),
-        s"expected AQE skew-join handling in:\n$p")
-    } finally restore.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None) => spark.conf.unset(k)
-    }
-  }
-
+  // (AQE skew-join splitting is pinned by SkewSpec; bucketed co-location at
+  // spec level by BucketingSpec — this test additionally pins the ORACLED
+  // catalog query's external-path tables and the bucket-pruned scan marker.)
   test("bucketed tables sort-merge join with ZERO exchanges in the join subtree") {
     // materialize the bucketed layout (also registers the tables)
     SparkEntry.queries("src_bucketed_join")(spark, sf0001).collect()
