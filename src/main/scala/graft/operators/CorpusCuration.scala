@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Composable corpus-curation stages — the library form of the
+  * `pipeline_corpus_curation` catalog query. Each stage is an independent
+  * DataFrame → DataFrame function so callers can assemble the pipeline
+  * their corpus needs (and insert their own stages between ours).
+  *
+  * Scale shape of the canonical composition (exact dedup → near-dup removal
+  * → quality filter → sample): one digest-keyed shuffle, one size-gated
+  * anti-join against the (skinny) near-dup loser set, then pure map stages.
+  */
+object CorpusCuration {
+
+  /** Exact dedup: keep the lowest-`idCol` row of every identical-`textCol`
+    * group. One digest-keyed shuffle at any corpus size.
+    */
+  def exactDedup(docs: DataFrame, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(md5(col(textCol))).orderBy(idCol)))
+      .filter(col("__rk") === 1).drop("__rk")
+
+  /** Remove the losing side of near-duplicate pairs (e.g. from
+    * [[GraftDedup.nearDupPairs]]): every `loserCol` id in `pairs` is dropped
+    * from `docs`. The anti-join side is size-gated on its EXACT count — a
+    * Catalyst estimate can flip across cache materialization and a flipping
+    * join strategy changes downstream partitioning, which would break
+    * same-partitioning determinism under the position-seeded sampler.
+    */
+  def removeNearDups(docs: DataFrame, pairs: DataFrame,
+                     idCol: String = "doc_id",
+                     loserCol: String = "b_id"): DataFrame = {
+    val losers = pairs.select(col(loserCol).as(idCol)).distinct()
+    docs.join(ScaleHints.gatedExact(losers, losers.count() * 8),
+              Seq(idCol), "left_anti")
+  }
+
+  /** Quality gate: token count in bounds and stopword ratio under the cap.
+    * Adds a `tk` token-array column (callers often reuse it downstream).
+    * Pure map — zero shuffle at any scale.
+    */
+  def qualityFilter(docs: DataFrame, textCol: String = "text",
+                    minTokens: Int = 20, maxStopRatio: Double = 0.5,
+                    stopwords: Seq[String] = GraftText.StopwordsEn)
+      : DataFrame =
+    docs
+      .withColumn("tk", GraftText.whitespaceTokens(col(textCol)))
+      .withColumn("__stop_ratio",
+        size(filter(col("tk"), x => x.isInCollection(stopwords))) /
+        size(col("tk")))
+      .filter(size(col("tk")) >= minTokens && col("__stop_ratio") < maxStopRatio)
+      .drop("__stop_ratio")
+
+  /** Per-stratum deterministic sampling by md5-hex threshold: a row is kept
+    * iff the first 4 hex chars of md5(key) fall under its stratum's
+    * threshold `floor(rate * 16^4)`. Pure map — deterministic,
+    * partitioning-independent, reproducible across engines, zero shuffle.
+    */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Double],
+                       defaultRate: Double, stratumCol: String,
+                       keyCol: String = "doc_id"): DataFrame = {
+    def hex4(rate: Double): String = {
+      require(rate >= 0 && rate <= 1, s"rate out of [0,1]: $rate")
+      f"${math.floor(rate * 65536).toInt min 65535}%04x"
+    }
+    val cut = rates.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (stratum, rate)) =>
+        acc.when(col(stratumCol) === stratum, lit(hex4(rate)))
+    }.otherwise(lit(hex4(defaultRate)))
+    docs.filter(substring(md5(col(keyCol).cast("string")), 1, 4) < cut)
+  }
+}
