@@ -142,6 +142,32 @@ object RelationalQueries5 extends QueryModule {
         |    [x FOR x IN range(1, l_linenumber + 1)]), ',') AS rev
         |FROM lineitem WHERE l_orderkey < 100""".stripMargin)),
 
+    // LATERAL correlated subquery (SQL lateral join): a per-customer
+    // aggregate computed by a subquery referencing the outer row — the
+    // SQL-standard dual of the DataFrame groupBy+join. Catalyst
+    // decorrelates it into a plain aggregate + join, so the executed plan
+    // is one shuffle, not a per-row subquery execution.
+    GraftQuery(
+      "q_lateral",
+      (s, dir) => {
+        t(s, dir, "customer").createOrReplaceTempView("graft_cust_lat")
+        t(s, dir, "orders").createOrReplaceTempView("graft_ord_lat")
+        s.sql("""SELECT c.c_custkey, t.n_orders, t.total
+                 FROM graft_cust_lat c,
+                 LATERAL (SELECT count(o_orderkey) AS n_orders,
+                                 round(sum(o_totalprice), 2) AS total
+                          FROM graft_ord_lat o
+                          WHERE o.o_custkey = c.c_custkey) t
+                 WHERE c.c_custkey <= 200""")
+      },
+      Some("""SELECT c.c_custkey, t.n_orders, t.total
+        |FROM customer c,
+        |LATERAL (SELECT count(o_orderkey) AS n_orders,
+        |                round(sum(o_totalprice), 2) AS total
+        |         FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey) t
+        |WHERE c.c_custkey <= 200""".stripMargin)),
+
     // Error-tolerant arithmetic: try_divide nulls on division by zero and
     // try_cast nulls on malformed input instead of failing the job — the
     // semantics a 100-TB pipeline needs when one dirty row must not kill a

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{CorpusCuration, GraftDedup, GraftText}
+
+/** Unit coverage for the graft.operators library APIs beyond the single
+  * configuration each catalog query exercises.
+  */
+class OperatorLibSpec extends GraftFunSuite {
+  import spark.implicits._
+
+  test("GraftText.wordNGrams matches manual n-grams for several n") {
+    val df = Seq("a b c d e").toDF("text")
+      .select(GraftText.whitespaceTokens(col("text")).as("tk"))
+    def grams(n: Int): Seq[String] =
+      df.select(GraftText.wordNGrams(col("tk"), n).as("g"))
+        .head().getSeq[String](0)
+    assert(grams(2) == Seq("a b", "b c", "c d", "d e"))
+    assert(grams(3) == Seq("a b c", "b c d", "c d e"))
+    assert(grams(5) == Seq("a b c d e"))
+  }
+
+  test("GraftText.repetitionRatio flags repeated trigrams") {
+    val df = Seq(
+      ("clean", "one two three four five six"),
+      ("loop", "spam spam spam spam spam spam")).toDF("id", "text")
+      .select(col("id"),
+              GraftText.repetitionRatio(
+                GraftText.whitespaceTokens(col("text")), 3).as("r"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(df("clean") == 0.0)
+    // 4 trigrams, all identical -> 3 duplicates of 4 = 0.75
+    assert(df("loop") == 0.75)
+  }
+
+  test("GraftText.langIdFrom: priority order, tie-break, und fallback") {
+    val df = Seq(
+      (3L, 1L, 0L), // a wins outright
+      (2L, 2L, 0L), // tie a-vs-b -> earlier argument (a) wins
+      (0L, 1L, 2L), // c wins
+      (0L, 0L, 0L)  // nothing scored -> und
+    ).toDF("sa", "sb", "sc")
+      .select(GraftText.langIdFrom(Seq(
+        "a" -> col("sa"), "b" -> col("sb"), "c" -> col("sc"))).as("lang"))
+      .collect().map(_.getString(0)).toSeq
+    assert(df == Seq("a", "a", "c", "und"))
+  }
+
+  test("GraftDedup.nearDupPairs works with caller-named columns and blocking") {
+    val docs = Seq(
+      (1L, "x", Seq("a", "b", "c", "d", "e")),
+      (2L, "x", Seq("a", "b", "c", "d", "f")),  // J=2/3 vs 1 — below 0.6
+      (3L, "x", Seq("a", "b", "c", "d", "e")),  // J=1.0 vs 1
+      (4L, "y", Seq("a", "b", "c", "d", "e"))   // identical but other block
+    ).toDF("id", "grp", "items")
+    val pairs = GraftDedup.nearDupPairs(docs, "id", "items",
+        threshold = 0.9, blockCols = Seq("grp"))
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)), pairs)
+  }
+
+  test("GraftDedup.simHashPairs validates band/hamming arguments") {
+    val df = Seq((1L, Seq("a"))).toDF("id", "items")
+    intercept[IllegalArgumentException] {
+      GraftDedup.simHashPairs(df, "id", "items", bands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      GraftDedup.simHashPairs(df, "id", "items", maxHamming = 64)
+    }
+  }
+
+  test("CorpusCuration stages: dedup keeps lowest id, quality gates tokens") {
+    val docs = Seq(
+      (5L, "the a of and to in repeated words " + ("tok " * 20).trim),
+      (2L, "the a of and to in repeated words " + ("tok " * 20).trim),
+      (9L, "short doc"),
+      (7L, ("the " * 30).trim) // all stopwords -> ratio 1.0, gated out
+    ).toDF("doc_id", "text")
+    val deduped = CorpusCuration.exactDedup(docs)
+    assert(deduped.select("doc_id").as[Long].collect().toSet == Set(2L, 7L, 9L))
+    val quality = CorpusCuration.qualityFilter(deduped)
+    assert(quality.select("doc_id").as[Long].collect().toSet == Set(2L))
+  }
+
+  test("CorpusCuration.stratifiedSample: deterministic, rate-proportional") {
+    val docs = spark.range(0, 4000)
+      .select(col("id").as("doc_id"),
+              when(col("id") % 2 === 0, "en").otherwise("de").as("lang"))
+    val kept = CorpusCuration.stratifiedSample(
+      docs, rates = Map("en" -> 0.5), defaultRate = 0.1, stratumCol = "lang")
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 2000 per stratum; binomial 6-sigma bounds
+    assert(math.abs(counts("en") - 1000) < 6 * math.sqrt(2000 * 0.25),
+           counts.toString)
+    assert(math.abs(counts("de") - 200) < 6 * math.sqrt(2000 * 0.09),
+           counts.toString)
+    // determinism: same routing on a second evaluation
+    val again = CorpusCuration.stratifiedSample(
+      docs, rates = Map("en" -> 0.5), defaultRate = 0.1, stratumCol = "lang")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == kept.select("doc_id").as[Long].collect().toSet)
+  }
+}
