@@ -11,7 +11,8 @@ object PlanDump {
     val names = Seq("q1_agg", "q_filter_topk", "q5_multi_join",
                     "dedup_minhash_lsh", "ann_ivf_topk", "events_sessionize",
                     "sample_bernoulli", "events_asof_join", "events_range_join",
-                    "text_vocab_tfidf", "dedup_canonical")
+                    "text_vocab_tfidf", "dedup_canonical", "src_bucketed_join",
+                    "q_percentile_exact", "q_lateral")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")
