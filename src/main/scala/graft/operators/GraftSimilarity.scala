@@ -95,6 +95,79 @@ object GraftSimilarity {
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 
+  /** All embedding pairs with cosine ≥ `threshold` — exact, via a
+    * block-partitioned pair kernel: ids are bucketed into `blocks` blocks,
+    * the a-side of block x is routed to groups (x, j ≥ x) and the b-side to
+    * (i ≤ x, x), so every unordered block pair meets in EXACTLY one group
+    * and the per-partition double loop computes each candidate dot product
+    * once. No driver-side collect, no full-table broadcast — the shuffle
+    * replicates each row `blocks` times, and the quadratic work is spread
+    * over blocks·(blocks+1)/2 independent tasks.
+    *
+    * This is the exact tier (inherently O(N²) compares — right for
+    * verification corpora); the sub-quadratic path is [[srpTopK]]
+    * candidates + exact rerank. Returns (a_id, b_id, cos) with a_id < b_id,
+    * cosine rounded HALF_UP to 4 decimals. `vecCol` may be float or double.
+    */
+  def cosinePairs(df: DataFrame, threshold: Double, blocks: Int = 8,
+                  idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val session = df.sparkSession
+    import session.implicits._
+    val B = blocks
+    val base = df
+      .select(col(idCol).cast("long"),
+              expr(s"transform($vecCol, x -> cast(x AS double))"))
+      .as[(Long, Array[Double])]
+      .map { case (id, d) =>
+        var n = 0.0
+        var i = 0
+        while (i < d.length) { n += d(i) * d(i); i += 1 }
+        (id, d, math.sqrt(n), java.lang.Math.floorMod(id, B.toLong).toInt)
+      }
+    val aSide = base.flatMap { case (id, v, nrm, blk) =>
+      Iterator.range(blk, B).map(j => (blk, j, true, id, v, nrm))
+    }
+    val bSide = base.flatMap { case (id, v, nrm, blk) =>
+      Iterator.range(0, blk + 1).map(i => (i, blk, false, id, v, nrm))
+    }
+    aSide.union(bSide)
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int),
+                        rows: Iterator[(Int, Int, Boolean, Long,
+                                        Array[Double], Double)]) =>
+        val (bi, bj) = key
+        val as = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Double)]
+        val bs = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Array[Double], Double)]
+        rows.foreach { case (_, _, isA, id, v, nrm) =>
+          if (isA) as += ((id, v, nrm)) else bs += ((id, v, nrm))
+        }
+        val diag = bi == bj
+        as.iterator.flatMap { case (aId, a, na) =>
+          bs.iterator.flatMap { case (bId, b, nb) =>
+            // diagonal groups hold every row on both sides — keep each pair
+            // once (a < b); off-diagonal pairs appear once already, so just
+            // normalize the id orientation.
+            if (aId == bId || (diag && aId > bId)) None
+            else {
+              var dot = 0.0
+              var j = 0
+              while (j < a.length) { dot += a(j) * b(j); j += 1 }
+              val cos = dot / (na * nb)
+              if (cos >= threshold) {
+                val r = BigDecimal(cos)
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                Some((math.min(aId, bId), math.max(aId, bId), r))
+              } else None
+            }
+          }
+        }
+      }
+      .toDF("a_id", "b_id", "cos")
+  }
+
   /** SRP-LSH top-k: `nbits` sign-random-projection bits per vector (from
     * hash-derived hyperplanes — deterministic, no RNG state), split into
     * `bands` bucket keys; vectors sharing any (band, bucket) with a query

@@ -197,63 +197,9 @@ object DedupQueries extends QueryModule {
     // (`ann_lsh_bucket`) candidates + rerank.
     GraftQuery(
       "dedup_embedding_cosine",
-      (s, dir) => {
-        import s.implicits._
-        val B = 8
-        val base = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"))
-          .as[(Long, Array[Float])]
-          .map { case (id, v) =>
-            val d = new Array[Double](v.length)
-            var n = 0.0
-            var i = 0
-            while (i < v.length) { d(i) = v(i); n += d(i) * d(i); i += 1 }
-            (id, d, math.sqrt(n), java.lang.Math.floorMod(id, B.toLong).toInt)
-          }
-        // a-side sends block x to groups (x, j≥x); b-side to (i≤x, x):
-        // every unordered block pair meets exactly once.
-        val aSide = base.flatMap { case (id, v, nrm, blk) =>
-          Iterator.range(blk, B).map(j => (blk, j, true, id, v, nrm))
-        }
-        val bSide = base.flatMap { case (id, v, nrm, blk) =>
-          Iterator.range(0, blk + 1).map(i => (i, blk, false, id, v, nrm))
-        }
-        aSide.union(bSide)
-          .groupByKey(r => (r._1, r._2))
-          .flatMapGroups { (key: (Int, Int),
-                            rows: Iterator[(Int, Int, Boolean, Long,
-                                            Array[Double], Double)]) =>
-            val (bi, bj) = key
-            val as = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Array[Double], Double)]
-            val bs = scala.collection.mutable.ArrayBuffer
-              .empty[(Long, Array[Double], Double)]
-            rows.foreach { case (_, _, isA, id, v, nrm) =>
-              if (isA) as += ((id, v, nrm)) else bs += ((id, v, nrm))
-            }
-            val diag = bi == bj
-            as.iterator.flatMap { case (aId, a, na) =>
-              bs.iterator.flatMap { case (bId, b, nb) =>
-                // diagonal groups hold every row on both sides — keep each
-                // pair once (a < b); off-diagonal pairs appear once already,
-                // so just normalize the id orientation.
-                if (aId == bId || (diag && aId > bId)) None
-                else {
-                  var dot = 0.0
-                  var j = 0
-                  while (j < a.length) { dot += a(j) * b(j); j += 1 }
-                  val cos = dot / (na * nb)
-                  if (cos >= 0.35) {
-                    val r = BigDecimal(cos)
-                      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-                    Some((math.min(aId, bId), math.max(aId, bId), r))
-                  } else None
-                }
-              }
-            }
-          }
-          .toDF("a_id", "b_id", "cos")
-      },
+      (s, dir) =>
+        graft.operators.GraftSimilarity.cosinePairs(
+          t(s, dir, "embeddings"), threshold = 0.35, blocks = 8),
       Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[],
         |                               b.embedding::DOUBLE[]), 4) AS cos
