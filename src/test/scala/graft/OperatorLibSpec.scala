@@ -82,6 +82,39 @@ class OperatorLibSpec extends GraftFunSuite {
     assert(quality.select("doc_id").as[Long].collect().toSet == Set(2L))
   }
 
+  test("GraftSimilarity.cosinePairs works with caller-named columns") {
+    import graft.operators.GraftSimilarity
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),   // cos vs 1 ≈ 0.9939
+      (3L, Array(0.0f, 1.0f)))   // orthogonal to 1
+      .toDF("k", "emb")
+    val pairs = GraftSimilarity.cosinePairs(vecs, threshold = 0.9,
+        blocks = 2, idCol = "k", vecCol = "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), pairs)
+  }
+
+  test("CorpusCuration.qualityFilter runs unchanged on a streaming frame") {
+    // the stage is a pure map, so the SAME library call works under
+    // readStream — batch/stream unification of the curation library
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = CorpusCuration.qualityFilter(
+        input.toDF().toDF("doc_id", "text"), minTokens = 3)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("quality_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "one two three four"), (2L, "too short"),
+                    (3L, "the the the the")) // all stopwords -> gated
+      q.processAllAvailable()
+      val kept = spark.table("quality_stream").as[Long].collect().toSet
+      assert(kept == Set(1L), kept.toString)
+    } finally q.stop()
+  }
+
   test("CorpusCuration.stratifiedSample: deterministic, rate-proportional") {
     val docs = spark.range(0, 4000)
       .select(col("id").as("doc_id"),
