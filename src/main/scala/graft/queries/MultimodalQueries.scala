@@ -22,7 +22,8 @@ object MultimodalQueries extends QueryModule {
     */
   private[graft] object FakeMedia {
     final case class Decoded(width: Int, height: Int, meanByte: Double,
-                             minByte: Int, maxByte: Int)
+                             minByte: Int, maxByte: Int,
+                             sumByte: Long, nBytes: Int)
 
     /** STUB — a real build would call an image codec here (e.g. TwelveMonkeys
       * / javax.imageio over the byte array). Deterministic fake: dimensions
@@ -44,7 +45,8 @@ object MultimodalQueries extends QueryModule {
         i += 1
       }
       val mean = if (n == 0) 0.0 else sum.toDouble / n
-      Decoded(w, h, mean, if (n == 0) 0 else mn, if (n == 0) 0 else mx)
+      Decoded(w, h, mean, if (n == 0) 0 else mn, if (n == 0) 0 else mx,
+              sum, n)
     }
 
     /** STUB encoder — a real build would run an image/text embedding model.
@@ -102,21 +104,41 @@ object MultimodalQueries extends QueryModule {
             // (a real codec's buffers) amortized across the partition
             it.map { case (id, bytes) =>
               val d = FakeMedia.decode(bytes)
-              (id, d.width, d.height,
-               BigDecimal(d.meanByte).setScale(4, BigDecimal.RoundingMode.HALF_UP)
-                 .toDouble,
-               d.minByte, d.maxByte)
+              // exact integer features only: a mean would be round(avg(...))
+              // which half-rounds differently across engines (the one
+              // documented oracle-killer); sum/count carry the same
+              // information losslessly
+              (id, d.width.toLong, d.height.toLong, d.sumByte,
+               d.nBytes.toLong, d.minByte.toLong, d.maxByte.toLong)
             }
           }
-          .toDF("doc_id", "width", "height", "mean_byte", "min_byte", "max_byte")
+          .toDF("doc_id", "width", "height", "sum_byte", "n_bytes",
+                "min_byte", "max_byte")
       },
-      None),
+      // the payload is the ASCII text cast to binary, so the oracle can
+      // replicate the byte-level stub with code points (= bytes for ASCII;
+      // the testdata is verified 7-bit)
+      Some("""WITH b AS (
+        |  SELECT doc_id, length(text) n,
+        |    list_transform(string_split(text, ''), x -> unicode(x)) cs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(64 + n % 64 AS BIGINT) AS width,
+        |  CAST(64 + (n // 7) % 64 AS BIGINT) AS height,
+        |  CAST(list_sum(cs) AS BIGINT) AS sum_byte,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(list_min(cs) AS BIGINT) AS min_byte,
+        |  CAST(list_max(cs) AS BIGINT) AS max_byte
+        |FROM b""".stripMargin)),
 
     // Full pipeline composition: binary payload → (stubbed) encoder →
     // embedding column → ANN top-3 against query docs. The encoder is the
     // deterministic byte-histogram stand-in for a real image/text encoder;
     // everything downstream (typed Dataset, broadcast ANN, window top-k) is
-    // the production shape. Rows-only check; MultimodalSpec pins features.
+    // the production shape. The stub is integer arithmetic over ASCII
+    // bytes, so DuckDB replicates the whole chain: nibble histogram →
+    // L2-normalize → cosine top-3 (same left-to-right float order as
+    // graft_cosine — the ann_* queries established the bitwise match).
     GraftQuery(
       "mm_embed_ann",
       (s, dir) => {
@@ -142,7 +164,27 @@ object MultimodalQueries extends QueryModule {
           .select(col("q_id"), col("n_id"), col("rnk"),
                   round(col("c"), 4).as("cos"))
       },
-      None),
+      Some("""WITH cs AS (
+        |  SELECT doc_id,
+        |    list_transform(string_split(text, ''), x -> unicode(x) // 16) bins
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    [CAST(len(list_filter(bins, b -> b = i)) AS DOUBLE)
+        |     FOR i IN range(0, 16)] raw
+        |  FROM cs),
+        |nv AS (
+        |  SELECT doc_id,
+        |    list_transform(raw,
+        |      x -> x / sqrt(list_sum(list_transform(raw, y -> y * y)))) v
+        |  FROM h),
+        |q AS (SELECT doc_id q_id, v qv FROM nv WHERE doc_id < 5),
+        |sc AS (SELECT q_id, nv.doc_id n_id, list_cosine_similarity(qv, nv.v) c
+        |       FROM q JOIN nv ON nv.doc_id != q_id),
+        |r AS (SELECT q_id, n_id, c,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+        |      FROM sc)
+        |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 3""".stripMargin)),
 
     // Frame sampling: payload sliced into 256-byte "frames", every 4th
     // sampled. Counts are arithmetic ⇒ oracled; the ASCII-only corpus makes

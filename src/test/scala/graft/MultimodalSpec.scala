@@ -23,7 +23,8 @@ class MultimodalSpec extends GraftFunSuite {
   test("mm_decode_features agrees with driver-side recomputation") {
     val got = SparkEntry.queries("mm_decode_features")(spark, sf0001)
       .collect().map(r => r.getLong(0) ->
-        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getInt(4), r.getInt(5)))
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6)))
       .toMap
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
       .select("doc_id", "text").collect()
@@ -31,9 +32,9 @@ class MultimodalSpec extends GraftFunSuite {
     assert(got.size == docs.size)
     for ((id, text) <- docs.take(50)) {
       val d = FakeMedia.decode(text.getBytes("UTF-8"))
-      val mean = BigDecimal(d.meanByte)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-      assert(got(id) == ((d.width, d.height, mean, d.minByte, d.maxByte)),
+      assert(got(id) == ((d.width.toLong, d.height.toLong, d.sumByte,
+                          d.nBytes.toLong, d.minByte.toLong,
+                          d.maxByte.toLong)),
         s"doc $id")
     }
   }
