@@ -69,6 +69,24 @@ class OperatorLibSpec extends GraftFunSuite {
     }
   }
 
+  test("GraftSimilarity.srpTopK validates band divisibility") {
+    import graft.operators.GraftSimilarity
+    val v = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "v")
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.srpTopK(v, v.selectExpr("vec_id AS q_id", "v AS qv"),
+                              k = 1, nbits = 16, bands = 5)
+    }
+  }
+
+  test("asofJoin with an empty right side yields all-null payloads") {
+    import graft.implicits._
+    val l = Seq((1L, 10L, "x")).toDF("k", "t", "payload")
+    val r = Seq.empty[(Long, Long, Double)].toDF("k", "qt", "px")
+    val out = l.asofJoin(r, on = Seq("k"), leftTime = "t", rightTime = "qt")
+      .collect()
+    assert(out.length == 1 && out(0).isNullAt(3) && out(0).isNullAt(4))
+  }
+
   test("CorpusCuration stages: dedup keeps lowest id, quality gates tokens") {
     val docs = Seq(
       (5L, "the a of and to in repeated words " + ("tok " * 20).trim),
