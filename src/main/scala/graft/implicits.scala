@@ -93,6 +93,38 @@ object implicits {
                 payload.map(f => col(prefix + f.name)): _*)
     }
 
+    /** Binned range join: every row of `points` whose `pointCol` value lies
+      * in this frame's [startCol, endCol] interval (inclusive both ends),
+      * joined without a quadratic pair blowup. Intervals explode to the
+      * fixed-width bins they cover, a point maps to exactly ONE bin, and
+      * the join is an equi-join on the bin plus an exact containment
+      * filter — so a point meets only intervals whose bins it shares, and
+      * no post-join dedup is needed.
+      *
+      * A raw inequality join would plan as a broadcast-nested-loop — the
+      * classic 100-TB killer for interval joins. Here the shuffle is an
+      * equi-join keyed by bin; pick `binWidth` near the typical interval
+      * length so intervals explode to O(1) bins each. Bin ids use floor
+      * division, so negative domains bin correctly. Column names of the
+      * two frames must be disjoint.
+      */
+    def rangeJoinBinned(points: DataFrame, startCol: String, endCol: String,
+                        pointCol: String, binWidth: Long): DataFrame = {
+      import org.apache.spark.sql.functions.{col, explode, floor, sequence}
+      require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+      val clash = df.columns.toSet.intersect(points.columns.toSet)
+      require(clash.isEmpty, s"column names must be disjoint, both have: $clash")
+      val binned = df.withColumn("__bin", explode(sequence(
+        floor(col(startCol) / binWidth).cast("long"),
+        floor(col(endCol) / binWidth).cast("long"))))
+      val p = points.withColumn("__bin",
+        floor(col(pointCol) / binWidth).cast("long"))
+      binned.join(p, "__bin")
+        .filter(col(pointCol) >= col(startCol) &&
+                col(pointCol) <= col(endCol))
+        .drop("__bin")
+    }
+
     /** Leakage-free train/test split: rows are routed by a hash of the key
       * column, so every row with the same key lands on the same side —
       * the correct split for training data (no near-duplicate leakage

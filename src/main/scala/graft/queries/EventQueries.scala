@@ -179,16 +179,11 @@ object EventQueries extends QueryModule {
           .groupBy("user_id", "session_id")
           .agg(min("ts_us").as("start_us"),
                (max("ts_us") + 1800000000L).as("until_us"))
-        val binned = sessions
-          .withColumn("bin", explode(sequence(
-            col("start_us").divide(binUs).cast("long"),
-            col("until_us").divide(binUs).cast("long"))))
-        val points = ev.select(col("user_id").as("p_user"), col("ts_us"),
-                               (col("ts_us") / binUs).cast("long").as("bin"))
-        binned.join(points, "bin")
-          .filter(col("p_user") =!= col("user_id") &&
-                  col("ts_us") >= col("start_us") &&
-                  col("ts_us") <= col("until_us"))
+        import graft.implicits._
+        val points = ev.select(col("user_id").as("p_user"), col("ts_us"))
+        sessions.rangeJoinBinned(points, "start_us", "until_us", "ts_us",
+                                 binWidth = binUs)
+          .filter(col("p_user") =!= col("user_id"))
           .groupBy("user_id", "start_us")
           .agg(count("*").as("n_concurrent"))
       },

@@ -69,6 +69,32 @@ class OperatorLibSpec extends GraftFunSuite {
     }
   }
 
+  test("rangeJoinBinned equals the naive containment join, negative domain") {
+    import graft.implicits._
+    // intervals straddling zero exercise the floor-division binning
+    val intervals = Seq((1L, -150L, -30L), (2L, -50L, 80L), (3L, 60L, 200L))
+      .toDF("iv_id", "lo", "hi")
+    val points = Seq((10L, -100L), (11L, -40L), (12L, 0L), (13L, 70L),
+                     (14L, 300L)).toDF("p_id", "x")
+    for (binWidth <- Seq(7L, 64L, 1000L)) {
+      val got = intervals
+        .rangeJoinBinned(points, "lo", "hi", "x", binWidth)
+        .select("iv_id", "p_id").as[(Long, Long)].collect().toSet
+      val naive = intervals.join(points,
+          col("x") >= col("lo") && col("x") <= col("hi"))
+        .select("iv_id", "p_id").as[(Long, Long)].collect().toSet
+      assert(got == naive, s"binWidth=$binWidth: $got != $naive")
+      assert(naive == Set((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L),
+                          (2L, 13L), (3L, 13L)))
+    }
+    intercept[IllegalArgumentException] {
+      intervals.rangeJoinBinned(points, "lo", "hi", "x", 0L)
+    }
+    intercept[IllegalArgumentException] { // clashing column names
+      intervals.rangeJoinBinned(intervals, "lo", "hi", "lo", 10L)
+    }
+  }
+
   test("GraftSimilarity.srpTopK validates band divisibility") {
     import graft.operators.GraftSimilarity
     val v = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "v")
