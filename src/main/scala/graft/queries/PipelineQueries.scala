@@ -77,6 +77,50 @@ object PipelineQueries extends QueryModule {
         |      CASE WHEN lang = 'en' THEN '8000' ELSE '3333' END
         |GROUP BY lang""".stripMargin)),
 
+    // Benchmark-contamination detection: train-split documents sharing any
+    // word-8-gram with a test-split document — the leakage audit every
+    // training corpus needs before a model ships. The split is md5-hex
+    // threshold routing (cross-engine deterministic, same as
+    // sample_stratified); the overlap test is a semi join on the gram.
+    // Scale: the gram explode is a pure map; the semi join shuffles on the
+    // gram key with map-side distinct — at 100 TB you'd key the join on
+    // xxhash64(gram) to ship 8 bytes per gram instead of the string (same
+    // plan shape; the string key here keeps the oracle cross-engine).
+    GraftQuery(
+      "pipeline_contamination",
+      (s, dir) => {
+        import graft.operators.GraftText
+        val route = substring(md5(col("doc_id").cast("string")), 1, 4)
+        val g = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), route.as("route"),
+                  GraftText.whitespaceTokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 8)
+          .select(col("doc_id"), col("lang"), col("route"),
+                  explode(array_distinct(GraftText.wordNGrams(col("tk"), 8)))
+                    .as("gram"))
+        val testGrams = g.filter(col("route") >= "cccc")
+          .select("gram").distinct()
+        g.filter(col("route") < "cccc")
+          .join(testGrams, Seq("gram"), "left_semi")
+          .select("doc_id", "lang").distinct()
+          .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
+      },
+      Some("""WITH tk AS (
+        |  SELECT doc_id, lang, substr(md5(doc_id::VARCHAR), 1, 4) route,
+        |         regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, lang, route,
+        |    unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+        |                          FOR i IN range(1, len(w) - 6)])) gram
+        |  FROM tk WHERE len(w) >= 8),
+        |test_grams AS (SELECT DISTINCT gram FROM g WHERE route >= 'cccc'),
+        |contaminated AS (
+        |  SELECT DISTINCT g.doc_id, g.lang FROM g
+        |  WHERE route < 'cccc' AND gram IN (SELECT gram FROM test_grams))
+        |SELECT lang, count(*) AS n_contaminated
+        |FROM contaminated GROUP BY lang""".stripMargin)),
+
     // Hash-routed train/test split: per-key determinism prevents
     // near-duplicate leakage across the boundary. Rows-only check;
     // PipelineSpec asserts disjointness/completeness/determinism.
