@@ -56,6 +56,34 @@ object CorpusCuration {
       .filter(size(col("tk")) >= minTokens && col("__stop_ratio") < maxStopRatio)
       .drop("__stop_ratio")
 
+  /** Benchmark-contamination audit: the rows of `train` that share at least
+    * one word-`n`-gram with any row of `test` — the leakage check a
+    * training corpus runs before a model ships. Returns the contaminated
+    * `train` rows with all their columns.
+    *
+    * Scale shape: the gram explode is a pure map with per-doc distinct;
+    * the semi join shuffles on the gram key with map-side distinct, and the
+    * contaminated id set (skinny) semi-joins back onto train. At 100 TB,
+    * key the gram join on xxhash64(gram) to ship 8 bytes per gram — same
+    * plan shape (the catalog query keeps the string key so its DuckDB
+    * oracle is cross-engine).
+    */
+  def contaminatedDocs(train: DataFrame, test: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       n: Int = 8): DataFrame = {
+    def gramsOf(d: DataFrame) = d
+      .select(col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol),
+              explode(array_distinct(GraftText.wordNGrams(col("__tk"), n)))
+                .as("__gram"))
+    val testGrams = gramsOf(test).select("__gram").distinct()
+    val ids = gramsOf(train)
+      .join(testGrams, Seq("__gram"), "left_semi")
+      .select(idCol).distinct()
+    train.join(ids, Seq(idCol), "left_semi")
+  }
+
   /** Per-stratum deterministic sampling by md5-hex threshold: a row is kept
     * iff the first 4 hex chars of md5(key) fall under its stratum's
     * threshold `floor(rate * 16^4)`. Pure map — deterministic,

@@ -89,20 +89,11 @@ object PipelineQueries extends QueryModule {
     GraftQuery(
       "pipeline_contamination",
       (s, dir) => {
-        import graft.operators.GraftText
         val route = substring(md5(col("doc_id").cast("string")), 1, 4)
-        val g = t(s, dir, "documents")
-          .select(col("doc_id"), col("lang"), route.as("route"),
-                  GraftText.whitespaceTokens(col("text")).as("tk"))
-          .filter(size(col("tk")) >= 8)
-          .select(col("doc_id"), col("lang"), col("route"),
-                  explode(array_distinct(GraftText.wordNGrams(col("tk"), 8)))
-                    .as("gram"))
-        val testGrams = g.filter(col("route") >= "cccc")
-          .select("gram").distinct()
-        g.filter(col("route") < "cccc")
-          .join(testGrams, Seq("gram"), "left_semi")
-          .select("doc_id", "lang").distinct()
+        val docs = t(s, dir, "documents").withColumn("route", route)
+        graft.operators.CorpusCuration.contaminatedDocs(
+            train = docs.filter(col("route") < "cccc"),
+            test = docs.filter(col("route") >= "cccc"), n = 8)
           .groupBy("lang").agg(count(lit(1)).as("n_contaminated"))
       },
       Some("""WITH tk AS (
