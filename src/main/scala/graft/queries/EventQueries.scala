@@ -38,6 +38,35 @@ object EventQueries extends QueryModule {
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, event_type""".stripMargin)),
 
+    // Sliding 1-hour windows every 15 minutes — each event lands in
+    // size/slide = 4 overlapping windows (the windowing mode tumbling
+    // events_hourly doesn't cover; the same groupBy(window(...)) runs
+    // incrementally under readStream). Spark's window() materializes the
+    // per-event window list at plan time, so this stays one shuffle on
+    // (window, type) with map-side partial aggregation — the 4× row
+    // expansion happens map-side, pre-combine. The oracle derives each
+    // event's 4 window starts arithmetically.
+    GraftQuery(
+      "events_sliding",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+                   col("event_type"))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("value")), 4).as("sum_value"))
+          .select(unix_micros(col("window.start")).as("start_us"),
+                  col("event_type"), col("n"), col("sum_value")),
+      Some("""WITH e AS (SELECT epoch_us(ts) us, event_type, value FROM events),
+        |w AS (
+        |  SELECT (us // 900000000) * 900000000 - k * 900000000 AS start_us,
+        |         event_type, value
+        |  FROM e, (SELECT unnest(range(0, 4)) k)
+        |  WHERE (us // 900000000) * 900000000 - k * 900000000
+        |        + 3600000000 > us)
+        |SELECT start_us, event_type, count(*) AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM w GROUP BY start_us, event_type""".stripMargin)),
+
     // Funnel analysis: users progressing view → click → purchase, each
     // stage strictly after the previous one. Three stage-aggregations
     // joined per user; one row out.

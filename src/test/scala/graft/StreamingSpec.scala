@@ -41,6 +41,33 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("sliding-window counts: streaming (complete mode) equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sv"))
+      .select(col("window.start").as("b"), col("event_type"), col("n"), col("sv"))
+    val q = agg(input.toDF().toDF("user_id", "ts", "event_type", "value"))
+      .writeStream.format("memory").queryName("sliding_stream")
+      .outputMode("complete").start()
+    try {
+      val rows = Seq((1L, ts(0), "view", 1.0), (2L, ts(40), "click", 2.0),
+                     (1L, ts(75), "view", 3.0))
+      input.addData(rows.take(2)); q.processAllAvailable()
+      input.addData(rows.drop(2)); q.processAllAvailable()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      val streamed = spark.table("sliding_stream").collect().map(key).toSet
+      val batch = agg(rows.toDF("user_id", "ts", "event_type", "value"))
+        .collect().map(key).toSet
+      assert(streamed == batch && batch.nonEmpty)
+      // every event appears in exactly size/slide = 4 windows
+      assert(batch.toSeq.map(_._3).sum == 3 * 4)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer: sessions close on gap and survive micro-batch boundaries") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
