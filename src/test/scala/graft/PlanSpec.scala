@@ -98,6 +98,25 @@ class PlanSpec extends GraftFunSuite {
     assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$p")
   }
 
+  test("sliding windows aggregate with ONE shuffle (map-side window expansion)") {
+    val p = planOf("events_sliding")
+    assert(p.contains("partial_count"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange:\n$p")
+  }
+
+  test("LATERAL subquery decorrelates — no nested-loop join in the plan") {
+    val p = planOf("q_lateral")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"lateral should decorrelate to an equi-join:\n$p")
+  }
+
+  test("contamination audit plans as semi joins, never a cross product") {
+    val p = planOf("pipeline_contamination")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   // (AQE skew-join splitting is pinned by SkewSpec; bucketed co-location at
   // spec level by BucketingSpec — this test additionally pins the ORACLED
   // catalog query's external-path tables and the bucket-pruned scan marker.)
