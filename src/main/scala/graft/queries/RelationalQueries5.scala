@@ -142,6 +142,40 @@ object RelationalQueries5 extends QueryModule {
         |    [x FOR x IN range(1, l_linenumber + 1)]), ',') AS rev
         |FROM lineitem WHERE l_orderkey < 100""".stripMargin)),
 
+    // Outer generator variants: explode_outer/posexplode_outer keep the
+    // parent row (with null element) when the array is empty — the
+    // left-join-shaped unnest that plain explode silently drops. The oracle
+    // spells the same semantics by padding empty arrays with [NULL].
+    GraftQuery(
+      "q_explode_outer",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .filter(col("o_orderkey") < 200)
+          // orders with key % 3 == 0 get an EMPTY array
+          .select(col("o_orderkey"),
+                  when(col("o_orderkey") % 3 === 0, array().cast("array<long>"))
+                    .otherwise(expr("sequence(1L, o_orderkey % 3)"))
+                    .as("arr"))
+          .select(col("o_orderkey"),
+                  posexplode_outer(col("arr")).as(Seq("pos", "elem")))
+          .select(col("o_orderkey"),
+                  col("pos").cast("long").as("pos"), col("elem")),
+      Some("""WITH a AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN []::BIGINT[]
+        |         ELSE [x FOR x IN range(1, o_orderkey % 3 + 1)] END arr
+        |  FROM orders WHERE o_orderkey < 200),
+        |s AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN len(arr) = 0 THEN [{'pos': NULL, 'elem': NULL}]
+        |         ELSE [{'pos': i - 1, 'elem': arr[i]}
+        |               FOR i IN range(1, len(arr) + 1)] END st
+        |  FROM a),
+        |u AS (SELECT o_orderkey, unnest(st) AS u FROM s)
+        |SELECT o_orderkey, CAST(u.pos AS BIGINT) AS pos,
+        |  CAST(u.elem AS BIGINT) AS elem
+        |FROM u""".stripMargin)),
+
     // LATERAL correlated subquery (SQL lateral join): a per-customer
     // aggregate computed by a subquery referencing the outer row — the
     // SQL-standard dual of the DataFrame groupBy+join. Catalyst

@@ -95,6 +95,26 @@ class OperatorLibSpec extends GraftFunSuite {
     }
   }
 
+  test("GraftSimilarity.ivfTopK and srpTopK honor caller-named columns") {
+    import graft.operators.GraftSimilarity
+    // ids 0..24 with 2-d vectors on a ring; centroids = ids % 5 == 0
+    val coll = (0L until 25L).map { i =>
+      val a = i * 2 * math.Pi / 25
+      (i, Array(math.cos(a), math.sin(a)))
+    }.toDF("item", "feat")
+    val qs = coll.filter(col("item") === 0L)
+      .select(col("item").as("probe"), col("feat").as("pv"))
+    val ivf = GraftSimilarity.ivfTopK(coll, qs, k = 3, nprobe = 3,
+        idCol = "item", vecCol = "feat", qIdCol = "probe", qVecCol = "pv")
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(2)))
+    // ring neighbors of 0 are 1 and 24 (symmetric) then 2/23
+    assert(ivf.length == 3 && Set(ivf(0)._1, ivf(1)._1) == Set(1L, 24L), ivf.toSeq)
+    val srp = GraftSimilarity.srpTopK(coll, qs, k = 3,
+        idCol = "item", vecCol = "feat", qIdCol = "probe", qVecCol = "pv")
+      .collect()
+    assert(srp.nonEmpty && srp.forall(_.getLong(0) == 0L))
+  }
+
   test("GraftSimilarity.srpTopK validates band divisibility") {
     import graft.operators.GraftSimilarity
     val v = Seq((1L, Array(1.0, 0.0))).toDF("vec_id", "v")
