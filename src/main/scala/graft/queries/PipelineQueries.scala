@@ -112,6 +112,27 @@ object PipelineQueries extends QueryModule {
         |SELECT lang, count(*) AS n_contaminated
         |FROM contaminated GROUP BY lang""".stripMargin)),
 
+    // Fixed-SIZE uniform sample: exactly n rows, chosen as the n smallest
+    // md5(key) values — deterministic, engine-independent, and planned as
+    // TakeOrderedAndProject (per-partition top-n + merge of n·P candidates),
+    // NEVER a global sort. The scale contrast to sample_bernoulli's
+    // fixed-RATE sampling: "give me exactly 100k docs from 100 TB" is a
+    // top-k on a hash, not a shuffle-the-world orderBy.
+    GraftQuery(
+      "sample_fixed_size",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+                  md5(col("doc_id").cast("string")).as("r"))
+          .orderBy("r").limit(100)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_id")),
+      Some("""WITH s AS (
+        |  SELECT doc_id, lang FROM documents
+        |  ORDER BY md5(doc_id::VARCHAR) LIMIT 100)
+        |SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
+        |FROM s GROUP BY lang""".stripMargin)),
+
     // Hash-routed train/test split: per-key determinism prevents
     // near-duplicate leakage across the boundary. Rows-only check;
     // PipelineSpec asserts disjointness/completeness/determinism.

@@ -101,4 +101,24 @@ class SourcesSpec extends GraftFunSuite {
     val back = spark.read.format(avroFmt).load(dir).collect()
     assert(back.map(_.getLong(0)).toSeq == Seq(9L))
   }
+
+  test("maxRecordsPerFile bounds output file sizes (compaction control)") {
+    // the knob that keeps 100-TB outputs from producing multi-GB files a
+    // downstream reader can't split
+    val out = "/tmp/graft_io/maxrec_test"
+    spark.read.parquet(s"$sf001/orders.parquet")
+      .coalesce(2)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1000)
+      .parquet(out)
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    val total = spark.read.parquet(out).count()
+    assert(files.length >= (total / 1000).toInt,
+      s"expected >= ${total / 1000} files for $total rows, got ${files.length}")
+    for (f <- files) {
+      val n = spark.read.parquet(f.getAbsolutePath).count()
+      assert(n <= 1000, s"${f.getName} has $n rows > maxRecordsPerFile")
+    }
+  }
 }
