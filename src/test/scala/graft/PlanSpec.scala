@@ -111,6 +111,13 @@ class PlanSpec extends GraftFunSuite {
       s"lateral should decorrelate to an equi-join:\n$p")
   }
 
+  test("fixed-size hash sample plans as TakeOrderedAndProject, not a global sort") {
+    val p = planOf("sample_fixed_size")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"must not range-shuffle the corpus for a top-n:\n$p")
+  }
+
   test("contamination audit plans as semi joins, never a cross product") {
     val p = planOf("pipeline_contamination")
     assert(p.contains("LeftSemi"), p)
