@@ -12,7 +12,8 @@ object PlanDump {
                     "dedup_minhash_lsh", "ann_ivf_topk", "events_sessionize",
                     "sample_bernoulli", "events_asof_join", "events_range_join",
                     "text_vocab_tfidf", "dedup_canonical", "src_bucketed_join",
-                    "q_percentile_exact", "q_lateral")
+                    "q_percentile_exact", "q_lateral", "events_sliding",
+                    "pipeline_contamination", "sample_fixed_size")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")
