@@ -69,6 +69,30 @@ class OperatorLibSpec extends GraftFunSuite {
     }
   }
 
+  test("asofJoin matches a brute-force reference on randomized data") {
+    import graft.implicits._
+    val rnd = new scala.util.Random(7)
+    val lefts = (1 to 300).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(200).toLong, i.toLong))
+    val rights = (1 to 300).map(i =>
+      (rnd.nextInt(20).toLong, rnd.nextInt(200).toLong, 1000L + i,
+       rnd.nextInt(1000).toDouble))
+    val out = lefts.toDF("k", "t", "lid")
+      .asofJoin(rights.toDF("k", "qt", "rid", "v"),
+                on = Seq("k"), leftTime = "t", rightTime = "qt",
+                rightOrder = Seq("rid"))
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(4)) -1L else r.getLong(4)))  // lid -> asof_rid
+      .toMap
+    // reference: per left row, the right row with max (qt, rid) among
+    // qt <= t of the same key
+    for ((k, t, lid) <- lefts) {
+      val expect = rights.filter(r => r._1 == k && r._2 <= t)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3).getOrElse(-1L)
+      assert(out(lid) == expect, s"left $lid (k=$k, t=$t)")
+    }
+  }
+
   test("rangeJoinBinned equals the naive containment join, negative domain") {
     import graft.implicits._
     // intervals straddling zero exercise the floor-division binning
