@@ -142,6 +142,27 @@ object RelationalQueries5 extends QueryModule {
         |    [x FOR x IN range(1, l_linenumber + 1)]), ',') AS rev
         |FROM lineitem WHERE l_orderkey < 100""".stripMargin)),
 
+    // Boolean and filtered aggregates: count_if, bool_and/bool_or, and the
+    // SQL-standard FILTER clause — predicate aggregation without CASE
+    // gymnastics. One partial/final aggregation at any scale.
+    GraftQuery(
+      "q_bool_agg",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("graft_ord_bool")
+        s.sql("""SELECT o_orderstatus,
+                   count_if(o_totalprice > 100000) AS n_big,
+                   count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_even,
+                   bool_and(o_totalprice > 0) AS all_pos,
+                   bool_or(o_orderkey % 97 = 0) AS any_97
+                 FROM graft_ord_bool GROUP BY o_orderstatus""")
+      },
+      Some("""SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+        |  count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_even,
+        |  bool_and(o_totalprice > 0) AS all_pos,
+        |  bool_or(o_orderkey % 97 = 0) AS any_97
+        |FROM orders GROUP BY o_orderstatus""".stripMargin)),
+
     // Outer generator variants: explode_outer/posexplode_outer keep the
     // parent row (with null element) when the array is empty — the
     // left-join-shaped unnest that plain explode silently drops. The oracle
