@@ -52,6 +52,12 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_minhash_agg(string[, k literal]) — got ${other.size} args")
     },
+    "graft_topk" -> {
+      case Seq(s, i, Literal(k: Int, IntegerType)) =>
+        GraftTopKAgg(s, i, k).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"graft_topk(score double, id bigint, k literal) — got ${other.size} args")
+    },
   )
 
   // ---- typed Column API (no SQL registration needed) -----------------

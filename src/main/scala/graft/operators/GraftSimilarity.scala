@@ -29,14 +29,20 @@ object GraftSimilarity {
   private def cosine(a: String, b: String): Column =
     expr(s"graft_cosine($a, $b)")
 
-  private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("q_id").orderBy(desc("c"), asc("n_id"))
+  /** Per-query top-k cut via the mergeable `graft_topk` aggregate: each
+    * executor keeps a k-slot heap per q_id and only k (score, id) pairs per
+    * query cross the shuffle — vs a row_number window, which would shuffle
+    * and sort EVERY candidate row of a query. Same output, including the
+    * (score desc, id asc) tie rule.
+    */
+  private def topK(scored: DataFrame, k: Int): DataFrame =
     scored
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= k)
-      .select(col("q_id"), col("n_id"), col("rnk"),
-              round(col("c"), 4).as("cos"))
-  }
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(c, n_id, $k)").as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("p", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"),
+              (col("p") + 1).cast("long").as("rnk"),
+              round(col("s.score"), 4).as("cos"))
 
   /** Exact top-k by cosine: broadcast the (small) query block against the
     * full collection — a pure map over the collection, no shuffle until the

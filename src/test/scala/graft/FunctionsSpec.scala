@@ -152,4 +152,39 @@ class FunctionsSpec extends GraftFunSuite {
       .head()
     assert(df.getDouble(0) == df.getDouble(1), "must be bitwise identical")
   }
+
+  test("graft_topk equals the sort-based top-k on randomized data, any partitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 5000).map { i =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(500) / 100.0, i.toLong)
+    }
+    // sort-based reference: per key, top-5 by (score desc, id asc)
+    val expect = rows.groupBy(_._1).map { case (k, rs) =>
+      k -> rs.sortBy(r => (-r._2, r._3)).take(5).map(r => (r._2, r._3))
+    }
+    for (parts <- Seq(1, 7, 32)) {
+      val got = rows.toDF("q_id", "c", "n_id").repartition(parts)
+        .groupBy("q_id")
+        .agg(org.apache.spark.sql.functions.expr("graft_topk(c, n_id, 5)").as("tk"))
+        .collect()
+        .map { r =>
+          r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+            .map(x => (x.getDouble(0), x.getLong(1)))
+        }.toMap
+      assert(got.keySet == expect.keySet)
+      for ((k, e) <- expect) assert(got(k) == e, s"parts=$parts key=$k")
+    }
+  }
+
+  test("graft_topk tie rule: equal scores resolve to the lower id") {
+    import spark.implicits._
+    val got = Seq((1L, 0.5, 9L), (1L, 0.5, 3L), (1L, 0.5, 7L), (1L, 0.9, 5L))
+      .toDF("k", "c", "id")
+      .groupBy("k")
+      .agg(org.apache.spark.sql.functions.expr("graft_topk(c, id, 2)").as("tk"))
+      .head().getSeq[org.apache.spark.sql.Row](1)
+      .map(x => (x.getDouble(0), x.getLong(1)))
+    assert(got == Seq((0.9, 5L), (0.5, 3L)), got.toString)
+  }
 }
