@@ -142,9 +142,7 @@ object MultimodalQueries extends QueryModule {
     GraftQuery(
       "mm_embed_ann",
       (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
         import s.implicits._
-        graft.GraftSession.ensureExtensions(s)
         val embedded = t(s, dir, "documents")
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[(Long, Array[Byte])]
@@ -152,17 +150,11 @@ object MultimodalQueries extends QueryModule {
             it.map { case (id, bytes) => (id, FakeMedia.embed(bytes)) }
           }
           .toDF("doc_id", "v")
-        val q = broadcast(
+        graft.operators.GraftSimilarity.bruteForceTopK(
+          embedded,
           embedded.filter(col("doc_id") < 5)
-            .select(col("doc_id").as("q_id"), col("v").as("qv")))
-        val w = Window.partitionBy("q_id").orderBy(desc("c"), asc("n_id"))
-        embedded.join(q, col("doc_id") =!= col("q_id"))
-          .select(col("q_id"), col("doc_id").as("n_id"),
-                  expr("graft_cosine(qv, v)").as("c"))
-          .withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 3)
-          .select(col("q_id"), col("n_id"), col("rnk"),
-                  round(col("c"), 4).as("cos"))
+            .select(col("doc_id").as("q_id"), col("v").as("qv")),
+          k = 3, idCol = "doc_id")
       },
       Some("""WITH cs AS (
         |  SELECT doc_id,
