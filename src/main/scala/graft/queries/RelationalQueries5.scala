@@ -142,6 +142,35 @@ object RelationalQueries5 extends QueryModule {
         |    [x FOR x IN range(1, l_linenumber + 1)]), ',') AS rev
         |FROM lineitem WHERE l_orderkey < 100""".stripMargin)),
 
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    // each other instead of disappearing — the join a dedup-by-possibly-
+    // missing-key pipeline needs. Still a hash-partitionable equi-join
+    // (nulls hash to one partition), not a nested loop.
+    GraftQuery(
+      "q_null_safe_join",
+      (s, dir) => {
+        def side(maxKey: Long) =
+          t(s, dir, "orders").filter(col("o_orderkey") < maxKey)
+            .select(nullif(col("o_orderkey") % 5, lit(4)).as("k"),
+                    col("o_orderkey"))
+        val a = side(100).select(col("k"), col("o_orderkey").as("a_key"))
+        val b = side(50).select(col("k").as("bk"), col("o_orderkey").as("b_key"))
+        a.join(b, a("k") <=> b("bk"))
+          .groupBy(coalesce(col("k"), lit(-1L)).as("key_or_null"))
+          .agg(count(lit(1)).as("n_pairs"),
+               min(col("a_key") + col("b_key")).as("min_sum"))
+      },
+      Some("""WITH a AS (
+        |  SELECT NULLIF(o_orderkey % 5, 4) k, o_orderkey a_key
+        |  FROM orders WHERE o_orderkey < 100),
+        |b AS (
+        |  SELECT NULLIF(o_orderkey % 5, 4) k, o_orderkey b_key
+        |  FROM orders WHERE o_orderkey < 50)
+        |SELECT coalesce(a.k, -1) AS key_or_null, count(*) AS n_pairs,
+        |  min(a_key + b_key) AS min_sum
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY coalesce(a.k, -1)""".stripMargin)),
+
     // Boolean and filtered aggregates: count_if, bool_and/bool_or, and the
     // SQL-standard FILTER clause — predicate aggregation without CASE
     // gymnastics. One partial/final aggregation at any scale.
