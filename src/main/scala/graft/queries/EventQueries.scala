@@ -67,6 +67,32 @@ object EventQueries extends QueryModule {
         |  round(sum(value), 4) AS sum_value
         |FROM w GROUP BY start_us, event_type""".stripMargin)),
 
+    // LOCF gap-fill (last observation carried forward): every event carries
+    // the user's most recent purchase value at or before it — the window
+    // IGNORE NULLS vocabulary (`last(expr, ignoreNulls)` / SQL
+    // `last_value(... IGNORE NULLS)`), and the standard feature-engineering
+    // backfill. One shuffle on user_id; the running window is linear.
+    GraftQuery(
+      "events_locf",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("pv",
+            when(col("event_type") === "purchase", col("value")))
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+                  round(last(col("pv"), ignoreNulls = true).over(w), 4)
+                    .as("last_purchase_value"))
+      },
+      Some("""SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  round(last_value(CASE WHEN event_type = 'purchase' THEN value END
+        |                   IGNORE NULLS)
+        |        OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+        |    AS last_purchase_value
+        |FROM events""".stripMargin)),
+
     // Funnel analysis: users progressing view → click → purchase, each
     // stage strictly after the previous one. Three stage-aggregations
     // joined per user; one row out.
