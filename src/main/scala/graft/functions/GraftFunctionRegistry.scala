@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL-reach registration for the graft expression library — the analog of
   * the reference registering its extension on every session
@@ -51,6 +51,14 @@ object GraftFunctionRegistry {
         GraftMinHashAgg(c, k).toAggregateExpression()
       case other => throw new IllegalArgumentException(
         s"graft_minhash_agg(string[, k literal]) — got ${other.size} args")
+    },
+    "graft_cdc_chunks" -> {
+      case Seq(c, Literal(minLen: Int, IntegerType), Literal(mask: Int, IntegerType)) =>
+        GraftCdcChunks(c, minLen, mask.toLong)
+      case Seq(c, Literal(minLen: Int, IntegerType), Literal(mask: Long, LongType)) =>
+        GraftCdcChunks(c, minLen, mask)
+      case other => throw new IllegalArgumentException(
+        s"graft_cdc_chunks(text, minLen literal, mask literal) — got ${other.size} args")
     },
     "graft_topk" -> {
       case Seq(s, i, Literal(k: Int, IntegerType)) =>

@@ -145,6 +145,51 @@ object GraftDedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Content-defined-chunking near-dup pairs: documents sharing at least
+    * one CDC chunk become candidates, verified by Jaccard over their chunk
+    * sets ≥ `threshold`. Returns (a_id, b_id, jaccard) with a_id < b_id.
+    *
+    * Where MinHash measures token-set overlap, CDC chunking (Gear rolling
+    * hash, boundaries defined by content — see [[graft.functions.GraftCdc]])
+    * targets LONG documents differing by local edits: an insertion only
+    * re-chunks its neighborhood, every later chunk re-aligns, so two
+    * versions of a document share almost all chunks — while a fixed-width
+    * chunking would misalign the whole suffix after the edit.
+    *
+    * Scale shape: chunking is a pure map (one pass over the bytes); the
+    * candidate join shuffles (id, chunk_hash) pairs on the 8-byte hash;
+    * verify is the codegen merge-intersection over sorted chunk arrays,
+    * attached size-gated. Avg chunk ≈ minLen + mask+1 bytes.
+    */
+  def cdcChunkPairs(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double, minLen: Int = 32,
+                    maskBits: Int = 6): DataFrame = {
+    require(maskBits >= 1 && maskBits <= 48, s"maskBits in [1,48], got $maskBits")
+    graft.GraftSession.ensureExtensions(df.sparkSession)
+    val mask = (1L << maskBits) - 1
+    val tbl = df
+      .select(col(idCol),
+              expr(s"graft_cdc_chunks($textCol, $minLen, ${mask}L)").as("ch"))
+      .withColumn("gh", expr("sort_array(array_distinct(ch))"))
+      .select(col(idCol), col("gh"))
+      .persist()
+    val e = tbl.select(col(idCol), explode(col("gh")).as("chunk"))
+    val cand = e.as("x")
+      .join(e.as("y"),
+            col("x.chunk") === col("y.chunk") &&
+            col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("a_id"), col(s"y.$idCol").as("b_id"))
+      .distinct()
+    cand
+      .join(ScaleHints.gated(
+        tbl.select(col(idCol).as("a_id"), col("gh").as("ga"))), "a_id")
+      .join(ScaleHints.gated(
+        tbl.select(col(idCol).as("b_id"), col("gh").as("gb"))), "b_id")
+      .withColumn("jaccard", expr("graft_jaccard_sorted(ga, gb)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** End-to-end near-duplicate pairs: rows of `df` whose `itemsCol` sets
     * have Jaccard ≥ `threshold` (within equal `blockCols`, if given),
     * as (a_id, b_id, jaccard) with a_id < b_id.

@@ -117,6 +117,19 @@ object DedupQueries extends QueryModule {
           "doc_id", "tk", maxHamming = 12, bands = 4),
       None),
 
+    // Content-defined-chunking near-dup pairs: Gear rolling-hash chunk
+    // boundaries move WITH the content, so local edits leave the rest of a
+    // long document's chunks aligned (the storage-dedup construction).
+    // Chunk hashes are engine-specific ⇒ rows-only driver check;
+    // OperatorLibSpec pins the edit-resilience property directly.
+    GraftQuery(
+      "dedup_cdc_chunks",
+      (s, dir) =>
+        graft.operators.GraftDedup.cdcChunkPairs(
+          spread(t(s, dir, "documents")), "doc_id", "text",
+          threshold = 0.5, minLen = 32, maskBits = 6),
+      None),
+
     // Character-5-gram Jaccard near-dup pairs at J ≥ 0.75, lang-blocked.
     // Same LSH machinery over char-grams (lang joins the bucket key), exact
     // verify on the candidate set only — no explode-join pair blowup on hot

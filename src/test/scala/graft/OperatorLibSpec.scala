@@ -119,6 +119,44 @@ class OperatorLibSpec extends GraftFunSuite {
     }
   }
 
+  test("CDC chunking survives a middle insertion; fixed-width would not") {
+    import graft.operators.GraftDedup
+    val rnd = new scala.util.Random(3)
+    def words(n: Int) = (1 to n).map(_ => rnd.nextInt(1000).toString).mkString(" ")
+    val base = words(400)
+    // insert a sentence in the MIDDLE — every byte after it shifts
+    val edited = {
+      val cut = base.length / 2
+      base.substring(0, cut) + " INSERTED EDIT HERE " + base.substring(cut)
+    }
+    val docs = Seq((1L, base), (2L, edited), (3L, words(400)))
+      .toDF("doc_id", "text")
+    val pairs = GraftDedup.cdcChunkPairs(docs, "doc_id", "text",
+        threshold = 0.5, minLen = 32, maskBits = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the edited copy still shares most chunks with the original; the
+    // unrelated doc matches nothing
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L)), pairs.toSeq)
+    assert(pairs.head._3 >= 0.5, s"jaccard ${pairs.head._3}")
+
+    // interpreted eval equals the codegen path and chunks rebuild the doc
+    import graft.functions.{GraftCdc, GraftCdcChunks}
+    import org.apache.spark.sql.functions.{expr => sexpr}
+    val viaDf = docs.select(col("doc_id"),
+        sexpr("graft_cdc_chunks(text, 32, 31)").as("ch"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for ((id, text) <- Seq(1L -> base, 2L -> edited)) {
+      val direct = GraftCdc.chunkHashes(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 32, 31L)
+        .toLongArray()
+      assert(direct.toSeq == viaDf(id), s"doc $id")
+    }
+    // validation
+    val litX = org.apache.spark.sql.catalyst.expressions.Literal("x")
+    intercept[IllegalArgumentException] { GraftCdcChunks(litX, 0, 31L) }
+    intercept[IllegalArgumentException] { GraftCdcChunks(litX, 32, 0L) }
+  }
+
   test("GraftSimilarity.ivfTopK and srpTopK honor caller-named columns") {
     import graft.operators.GraftSimilarity
     // ids 0..24 with 2-d vectors on a ring; centroids = ids % 5 == 0
