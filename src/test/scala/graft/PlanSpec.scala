@@ -111,6 +111,34 @@ class PlanSpec extends GraftFunSuite {
       s"lateral should decorrelate to an equi-join:\n$p")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // Spark injects a bloom filter built from the selective (dimension)
+    // side as a might_contain() predicate on the fact scan — rows that
+    // can't join are dropped BEFORE the shuffle. At 100 TB this is the
+    // difference between shuffling the whole fact table and shuffling the
+    // matching fraction.
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+                   "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // test-sized scans are below the default application-side threshold
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1B")
+      val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf001/orders.parquet")
+        .filter(col("o_totalprice") > 400000)
+      val j = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      j.collect()
+      val p = GraftSqlBridge.queryExecution(j).executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"expected a runtime bloom filter on the fact side:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("fixed-size hash sample plans as TakeOrderedAndProject, not a global sort") {
     val p = planOf("sample_fixed_size")
     assert(p.contains("TakeOrderedAndProject"), p)
