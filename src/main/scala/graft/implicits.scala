@@ -125,6 +125,28 @@ object implicits {
         .drop("__bin")
     }
 
+    /** Leakage-free train/test split routed on md5-hex of the key: a row
+      * goes to train iff the first 4 hex chars of md5(key) fall under
+      * floor(trainFraction · 16⁴). Same guarantees as [[splitByHash]]
+      * (per-key routing, disjoint, complementary, partitioning-independent)
+      * plus CROSS-ENGINE determinism — md5 of the decimal string form is
+      * identical in any engine, so the split is reproducible outside Spark
+      * (and DuckDB-oracle-checkable). Granularity is 1/65536; prefer
+      * [[splitByHash]] (xxhash64 — cheaper per row) when the split only
+      * ever needs to be reproduced inside Spark.
+      */
+    def splitByHexHash(keyCol: String, trainFraction: Double)
+        : (DataFrame, DataFrame) = {
+      if (trainFraction <= 0.0 || trainFraction >= 1.0) {
+        throw new IllegalArgumentException(
+          s"train fraction should be in (0, 1) range, got: $trainFraction")
+      }
+      import org.apache.spark.sql.functions.{col, md5, substring}
+      val route = substring(md5(col(keyCol).cast("string")), 1, 4)
+      val cut = f"${(trainFraction * 65536).toInt min 65535}%04x"
+      (df.filter(route < cut), df.filter(route >= cut))
+    }
+
     /** Leakage-free train/test split: rows are routed by a hash of the key
       * column, so every row with the same key lands on the same side —
       * the correct split for training data (no near-duplicate leakage

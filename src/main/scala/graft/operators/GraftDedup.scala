@@ -27,6 +27,31 @@ import org.apache.spark.sql.functions._
   */
 object GraftDedup {
 
+  /** Every frame this module `.persist()`ed and has not yet released —
+    * long-lived sessions (a multi-corpus curation service) call
+    * [[unpersistAll]] between corpora so one corpus's signature tables
+    * don't pin executor storage while the next one runs.
+    */
+  private val pinned =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
+
+  /** Release every intermediate this module persisted (blocking). Returns
+    * how many frames were released. Safe while results built on them are
+    * still alive — Spark just recomputes the subtree on next use.
+    */
+  def unpersistAll(): Int = {
+    var n = 0
+    var df = pinned.poll()
+    while (df != null) {
+      df.unpersist(blocking = true)
+      n += 1
+      df = pinned.poll()
+    }
+    n
+  }
+
   /** Signature table for [[nearDupPairs]]: keeps `idCol` (and `blockCols`),
     * adds `sig` (MinHash signature, `numHashes` longs) and `gh` (sorted
     * distinct 64-bit item hashes — the exact-verify payload). Pure map.
@@ -172,7 +197,7 @@ object GraftDedup {
               expr(s"graft_cdc_chunks($textCol, $minLen, ${mask}L)").as("ch"))
       .withColumn("gh", expr("sort_array(array_distinct(ch))"))
       .select(col(idCol), col("gh"))
-      .persist()
+    pin(tbl.persist())
     val e = tbl.select(col(idCol), explode(col("gh")).as("chunk"))
     val cand = e.as("x")
       .join(e.as("y"),
@@ -201,11 +226,10 @@ object GraftDedup {
     *
     * The intermediate signature table is persisted — it feeds the band
     * self-join (both sides) and four verify attaches, and would otherwise
-    * recompute the signature subtree ~5×. It stays persisted for the
-    * lifetime of the returned plan; callers running many corpora through
-    * one session should write/collect the result and let the LRU block
-    * manager evict, or manage persistence themselves via the lower-level
-    * [[signatures]]/[[lshCandidates]]/[[verifyJaccard]] pieces.
+    * recompute the signature subtree ~5×. Callers running many corpora
+    * through one session should call [[unpersistAll]] after consuming each
+    * corpus's pairs (or manage persistence themselves via the lower-level
+    * [[signatures]]/[[lshCandidates]]/[[verifyJaccard]] pieces).
     */
   def nearDupPairs(df: DataFrame, idCol: String, itemsCol: String,
                    threshold: Double, blockCols: Seq[String] = Nil,
@@ -217,7 +241,7 @@ object GraftDedup {
             else if (threshold >= 0.85) 4 else 2
     require(numHashes % r == 0, s"numHashes ($numHashes) must divide by rowsPerBand ($r)")
     val sf = if (sigFilter.isNaN) math.max(0.0, threshold - 0.2) else sigFilter
-    val tbl = signatures(df, idCol, itemsCol, blockCols, numHashes).persist()
+    val tbl = pin(signatures(df, idCol, itemsCol, blockCols, numHashes).persist())
     val cand = lshCandidates(tbl, idCol, blockCols,
                              bands = numHashes / r, rowsPerBand = r)
     verifyJaccard(cand, tbl, idCol, threshold, sf)

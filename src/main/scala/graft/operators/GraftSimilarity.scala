@@ -61,10 +61,19 @@ object GraftSimilarity {
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 
-  /** IVF top-k: ncells ≈ √N deterministic centroids (ids divisible by the
-    * stride — requires a numeric id column), vectors assigned to their
+  /** IVF top-k: ≈√N deterministic centroids, vectors assigned to their
     * nearest centroid via a map-side partial argmax, queries probe their
     * `nprobe` nearest cells and rerank exactly within them.
+    *
+    * Centroids are the rows whose first 8 md5-hex chars of the id fall
+    * under a threshold — hash-uniform over ANY id domain (sparse,
+    * clustered, post-dedup, non-numeric), unlike an id-modulo pick, and
+    * reproducible in any engine. With `centroidFraction` unset the
+    * threshold targets ⌈√N⌉/N centroids via an IN-PLAN count subquery
+    * (one lazy aggregation over the skinny id projection — part of the
+    * same job, never a separate driver action); at 100 TB pass
+    * `centroidFraction` from catalog stats (ANALYZE row count) and the
+    * extra pass disappears entirely.
     *
     * Scale shape: the centroid set is √N — broadcastable at any N; assign
     * is N·√N cosines map-side; the probe join shuffles once on cell id.
@@ -72,14 +81,30 @@ object GraftSimilarity {
     * is missed — raise `nprobe` to trade scan cost for recall.
     */
   def ivfTopK(collection: DataFrame, queries: DataFrame, k: Int,
-              nprobe: Int = 4,
+              nprobe: Int = 4, centroidFraction: Option[Double] = None,
               idCol: String = "vec_id", vecCol: String = "v",
               qIdCol: String = "q_id", qVecCol: String = "qv"): DataFrame = {
     graft.GraftSession.ensureExtensions(collection.sparkSession)
     val e = collection.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    val stride = math.ceil(math.sqrt(e.count().toDouble)).toLong
+    // threshold on the first 8 md5-hex chars: lowercase fixed-width hex
+    // compares as the 32-bit value; cut = ceil(2³² · fraction), clamped
+    val cut: Column = centroidFraction match {
+      case Some(f) =>
+        require(f > 0 && f <= 1, s"centroidFraction out of (0, 1]: $f")
+        lit(f"${math.min(0xFFFFFFFFL, math.ceil(f * 4294967296.0).toLong)}%08x")
+      case None =>
+        format_string("%08x",
+          least(ceil(lit(4294967296.0) * ceil(sqrt(col("__N"))) / col("__N")),
+                lit(4294967295L)))
+    }
+    val withN = centroidFraction match {
+      case Some(_) => e
+      case None =>
+        e.crossJoin(broadcast(e.agg(count(lit(1)).cast("double").as("__N"))))
+    }
     val cents = broadcast(
-      e.filter(col("n_id") % stride === 0)
+      withN
+        .filter(substring(md5(col("n_id").cast("string")), 1, 8) < cut)
         .select(col("n_id").as("c_id"), col("v").as("cv")))
     // nearest centroid per vector (ties → lowest c_id) via max(struct)
     // partial argmax: collapses to one row per vector BEFORE any exchange
@@ -101,26 +126,52 @@ object GraftSimilarity {
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 
+  /** Block count for [[cosinePairs]] at `n` rows: B ≈ ⌈√(n/rowsPerBlock)⌉
+    * keeps a block near `rowsPerBlock` rows (task memory = 2 blocks) while
+    * row replication grows only as √N. Floor 2 (the kernel needs a pair
+    * grid), cap 64 (row replication = B; past 64× the shuffle dominates —
+    * at that scale use [[srpTopK]] candidates instead of exact all-pairs).
+    */
+  private[graft] def cosineBlocksFor(n: Long, rowsPerBlock: Long): Int = {
+    require(rowsPerBlock > 0, s"rowsPerBlock must be positive: $rowsPerBlock")
+    math.max(2, math.min(64,
+      math.ceil(math.sqrt(n.toDouble / rowsPerBlock)).toInt))
+  }
+
   /** All embedding pairs with cosine ≥ `threshold` — exact, via a
-    * block-partitioned pair kernel: ids are bucketed into `blocks` blocks,
+    * block-partitioned pair kernel: ids are bucketed into B blocks,
     * the a-side of block x is routed to groups (x, j ≥ x) and the b-side to
     * (i ≤ x, x), so every unordered block pair meets in EXACTLY one group
     * and the per-partition double loop computes each candidate dot product
     * once. No driver-side collect, no full-table broadcast — the shuffle
-    * replicates each row `blocks` times, and the quadratic work is spread
-    * over blocks·(blocks+1)/2 independent tasks.
+    * replicates each row B times, and the quadratic work is spread
+    * over B·(B+1)/2 independent tasks.
+    *
+    * B defaults to [[cosineBlocksFor]] over the plan's row estimate
+    * (exact row count when catalog stats know it, else sizeInBytes over a
+    * ~512 B/row parquet guess) — so a 100× corpus gets ~10× the blocks and
+    * a block stays executor-sized instead of growing with N. The block
+    * count never changes WHICH pairs come back, only the partitioning.
+    * Pass `blocks` explicitly to override.
     *
     * This is the exact tier (inherently O(N²) compares — right for
     * verification corpora); the sub-quadratic path is [[srpTopK]]
     * candidates + exact rerank. Returns (a_id, b_id, cos) with a_id < b_id,
     * cosine rounded HALF_UP to 4 decimals. `vecCol` may be float or double.
     */
-  def cosinePairs(df: DataFrame, threshold: Double, blocks: Int = 8,
+  def cosinePairs(df: DataFrame, threshold: Double,
+                  blocks: Option[Int] = None,
+                  rowsPerBlock: Long = 65536,
                   idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     val session = df.sparkSession
     import session.implicits._
-    val B = blocks
+    val B = blocks.getOrElse {
+      val stats = df.queryExecution.optimizedPlan.stats
+      val nEst = stats.rowCount.map(_.toLong)
+        .getOrElse(math.max(1L, stats.sizeInBytes.toLong / 512))
+      cosineBlocksFor(nEst, rowsPerBlock)
+    }
     val base = df
       .select(col(idCol).cast("long"),
               expr(s"transform($vecCol, x -> cast(x AS double))"))

@@ -50,12 +50,26 @@ object DedupQueries extends QueryModule {
     * curation pipeline share one signature+verify job instead of paying it
     * twice per run (VERDICT r1 item 4). The signature table itself is also
     * persisted — the band self-join and the verify attaches would otherwise
-    * re-execute the minhash/gram subtree on every branch. Results are a few
-    * rows per thousand docs; the cache is deliberately never unpersisted.
+    * re-execute the minhash/gram subtree on every branch. Long-lived
+    * multi-corpus sessions release everything via [[unpersistCache]].
     */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsCache.computeIfAbsent((s, dir),
                                   _ => buildLshPairs(s, dir).persist())
+
+  /** Release every memoized pair frame AND the signature tables the
+    * library pinned under them ([[graft.operators.GraftDedup.unpersistAll]]).
+    * A long-lived session running corpus after corpus calls this between
+    * corpora so the previous corpus's storage doesn't accumulate.
+    */
+  def unpersistCache(): Unit = {
+    val it = lshPairsCache.entrySet().iterator()
+    while (it.hasNext) {
+      it.next().getValue.unpersist(blocking = true)
+      it.remove()
+    }
+    graft.operators.GraftDedup.unpersistAll()
+  }
 
   /** The un-memoized LSH DAG — exposed so plan-quality specs can inspect
     * the physical plan without an InMemoryTableScan hiding it. Delegates to
@@ -204,15 +218,16 @@ object DedupQueries extends QueryModule {
     // collect()ed the table on the driver; a bottleneck at scale).
     // Vectors hash into B blocks; each unordered block pair (i ≤ j) is one
     // shuffle group holding exactly two blocks, and a tight per-group
-    // double loop scores the pairs. Task memory = 2 blocks (pick B ∝ √N so
-    // a block fits an executor). Exact all-pairs is inherently quadratic —
-    // this is the exact-oracle tier; the sub-quadratic path is SRP-LSH
-    // (`ann_lsh_bucket`) candidates + rerank.
+    // double loop scores the pairs. Task memory = 2 blocks; B auto-sizes
+    // as ⌈√(N/rowsPerBlock)⌉ from the plan's row estimate, so blocks stay
+    // executor-sized as the corpus grows. Exact all-pairs is inherently
+    // quadratic — this is the exact-oracle tier; the sub-quadratic path is
+    // SRP-LSH (`ann_lsh_bucket`) candidates + rerank.
     GraftQuery(
       "dedup_embedding_cosine",
       (s, dir) =>
         graft.operators.GraftSimilarity.cosinePairs(
-          t(s, dir, "embeddings"), threshold = 0.35, blocks = 8),
+          t(s, dir, "embeddings"), threshold = 0.35),
       Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[],
         |                               b.embedding::DOUBLE[]), 4) AS cos

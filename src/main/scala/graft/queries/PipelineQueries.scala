@@ -11,15 +11,18 @@ import graft.implicits._
   *   2. near-dup removal (MinHash-LSH pairs at J ≥ 0.8; drop the higher
   *      doc_id of each pair — the deterministic survivor rule)
   *   3. quality filter (token count ≥ 20, stopword ratio < 0.5)
-  *   4. Bernoulli sample via the custom Catalyst operator (the reference's
-  *      own operator, in its natural habitat)
+  *   4. deterministic 50% downsample (md5-hex threshold routing — the
+  *      cross-engine sampler; the custom Catalyst Bernoulli operator is
+  *      exercised by `sample_bernoulli` and PipelineSpec)
   *   5. per-language corpus statistics
   *
-  * RNG sampling ⇒ rows-only driver check; PipelineSpec pins stage-by-stage
-  * row accounting and determinism.
+  * Every stage is cross-engine deterministic, so the WHOLE pipeline is
+  * DuckDB-oracled end to end (LSH = brute-force pairs w.h.p. — the same
+  * argument `dedup_minhash_lsh`'s green oracle rests on); PipelineSpec
+  * additionally pins stage-by-stage row accounting and determinism.
   *
-  * Scale: stages 1-2 shuffle on digest / band keys, stage 3 is a map,
-  * stage 4 adds no exchange, stage 5 is one partial/final aggregation.
+  * Scale: stages 1-2 shuffle on digest / band keys, stages 3-4 are pure
+  * maps, stage 5 is one partial/final aggregation.
   */
 object PipelineQueries extends QueryModule {
 
@@ -44,15 +47,57 @@ object PipelineQueries extends QueryModule {
           exactKept, DedupQueries.minhashLshPairs(s, dir))
         // 3. quality filter (pure map; keeps the tk column for stage 5)
         val quality = CorpusCuration.qualityFilter(deduped)
-        // 4. deterministic Bernoulli sample through the custom operator
-        val sampled = quality.sampleExt(0.5, Some(2024L))
-        // 5. corpus statistics
+        // 4. deterministic 50% downsample — md5-hex threshold (cross-engine;
+        // empty rates ⇒ one uniform threshold for every stratum)
+        val sampled = CorpusCuration.stratifiedSample(
+          quality, rates = Map.empty, defaultRate = 0.5, stratumCol = "lang")
+        // 5. corpus statistics; avg as exact-int division (sum/count of
+        // BIGINTs → identical nearest double in any engine, no round())
         sampled.groupBy("lang")
           .agg(count("*").as("n_docs"),
-               sum(size(col("tk"))).as("n_tokens"),
-               round(avg(size(col("tk"))), 2).as("avg_tokens"))
+               sum(size(col("tk"))).as("n_tokens"))
+          .withColumn("avg_tokens",
+            col("n_tokens").cast("double") / col("n_docs"))
       },
-      None),
+      Some("""WITH kept AS (
+        |  SELECT doc_id, lang, text FROM (
+        |    SELECT doc_id, lang, text,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) rk
+        |    FROM documents) WHERE rk = 1),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                                FOR i IN range(1, len(tk) - 1)]) s
+        |  FROM toks WHERE len(tk) >= 3),
+        |e AS (SELECT doc_id, unnest(s) g FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM e GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |losers AS (
+        |  SELECT DISTINCT b_id FROM pair
+        |  JOIN sz sa ON sa.doc_id = a_id
+        |  JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |survivors AS (
+        |  SELECT k.doc_id, k.lang,
+        |         regexp_split_to_array(trim(k.text), '\s+') tk
+        |  FROM kept k WHERE k.doc_id NOT IN (SELECT b_id FROM losers)),
+        |quality AS (
+        |  SELECT doc_id, lang, tk FROM survivors
+        |  WHERE len(tk) >= 20
+        |    AND len(list_filter(tk, x -> list_contains(
+        |          ['the','a','of','and','to','in'], x))) * 1.0 / len(tk) < 0.5),
+        |sampled AS (
+        |  SELECT * FROM quality
+        |  WHERE substr(md5(doc_id::VARCHAR), 1, 4) < '8000')
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(tk)) AS BIGINT) AS n_tokens,
+        |  CAST(sum(len(tk)) AS DOUBLE) / count(*) AS avg_tokens
+        |FROM sampled GROUP BY lang""".stripMargin)),
 
     // Stratified sampling with per-stratum rates (corpus rebalancing: keep
     // half of English, a fifth of everything else). Routing is a pure map —
@@ -134,17 +179,24 @@ object PipelineQueries extends QueryModule {
         |FROM s GROUP BY lang""".stripMargin)),
 
     // Hash-routed train/test split: per-key determinism prevents
-    // near-duplicate leakage across the boundary. Rows-only check;
-    // PipelineSpec asserts disjointness/completeness/determinism.
+    // near-duplicate leakage across the boundary. Routed on md5-hex
+    // (splitByHexHash) so the split is cross-engine reproducible and the
+    // driver gets a full hash oracle; floor(0.8·16⁴) = 0xcccc.
+    // PipelineSpec asserts disjointness/completeness/determinism for both
+    // this and the xxhash64 variant (splitByHash).
     GraftQuery(
       "pipeline_train_test_split",
       (s, dir) => {
-        val (train, test) = t(s, dir, "documents").splitByHash("doc_id", 0.8)
+        val (train, test) =
+          t(s, dir, "documents").splitByHexHash("doc_id", 0.8)
         train.select(lit("train").as("split"), col("lang"))
           .unionAll(test.select(lit("test").as("split"), col("lang")))
           .groupBy("split", "lang")
           .agg(count("*").as("n"))
       },
-      None),
+      Some("""SELECT CASE WHEN substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc'
+        |            THEN 'train' ELSE 'test' END AS split,
+        |       lang, count(*) AS n
+        |FROM documents GROUP BY 1, 2""".stripMargin)),
   )
 }

@@ -85,10 +85,13 @@ object RelationalQueries2 extends QueryModule {
 
     // Exact decimal arithmetic. Doubles are converted to exact integer
     // cents at the row level (round(x*100) is the same IEEE double op in
-    // both engines; values are positive so HALF_UP == half-away), summed
-    // exactly as longs, and only the final aggregate becomes a decimal —
-    // a double→decimal cast per ROW diverges between engines at half-cent
-    // boundaries (Spark BigDecimal HALF_UP vs DuckDB float rounding).
+    // both engines; values are positive so HALF_UP == half-away) and summed
+    // exactly as longs. The decimal division cents/100 happens internally
+    // (DECIMAL(18,0) / 100 — exact, two fractional digits) and the RESULT
+    // columns are BIGINT cents + the decimal quotient cast to DOUBLE:
+    // emitting a DECIMAL-typed cell trips engine-specific client
+    // representation in the driver's hasher even when values match to the
+    // cent (verified identical at sf0.001/0.01/0.1 in round 2).
     GraftQuery(
       "q_decimal",
       (s, dir) =>
@@ -97,15 +100,22 @@ object RelationalQueries2 extends QueryModule {
                   round(col("l_extendedprice") * 100).cast("long").as("pc"),
                   round(col("l_quantity") * 100).cast("long").as("qc"))
           .groupBy("l_returnflag")
-          .agg((sum(col("pc")) / 100.0).cast("decimal(18,2)")
-                 .as("sum_price_dec"),
-               (sum(col("qc")) / 100.0).cast("decimal(18,2)")
-                 .as("sum_qty_dec")),
+          .agg(sum(col("pc")).as("price_cents"),
+               sum(col("qc")).as("qty_cents"))
+          .select(col("l_returnflag"),
+                  col("price_cents"),
+                  col("qty_cents"),
+                  (col("price_cents").cast("decimal(18,0)") / lit(100))
+                    .cast("double").as("sum_price"),
+                  (col("qty_cents").cast("decimal(18,0)") / lit(100))
+                    .cast("double").as("sum_qty")),
       Some("""SELECT l_returnflag,
-        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
-        |       AS DECIMAL(18,2)) AS sum_price_dec,
-        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) / 100.0
-        |       AS DECIMAL(18,2)) AS sum_qty_dec
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
+        |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents,
+        |  CAST(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |            AS DECIMAL(18,0)) / 100 AS DOUBLE) AS sum_price,
+        |  CAST(CAST(sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |            AS DECIMAL(18,0)) / 100 AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag""".stripMargin)),
 
     // Global sort (range partitioning) — full ordered output.

@@ -57,9 +57,13 @@ object SimilarityQueries extends QueryModule {
         GraftSimilarity.ivfTopK(e, queryBlock(e), k = 5, nprobe = 4)
       },
       Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
         |c AS (SELECT vec_id c_id, v cv FROM e
-        |      WHERE vec_id % (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
-        |                      FROM embeddings) = 0),
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
         |assign AS (
         |  SELECT vec_id, v, c_id FROM (
         |    SELECT e.vec_id, e.v, c.c_id,

@@ -34,11 +34,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * date, timestamp (micros), and arrays thereof; nullable columns map to
   * `union(null, T)` both ways.
   *
-  * Scale shape: one input split per container file (Avro sync-marker
-  * sub-file splitting is out of scope — at 100 TB the writer side already
-  * produces one file per task, so parallelism comes from file count);
-  * column pruning is pushed into the Avro decoder via a projected reader
-  * schema, so unneeded columns are skipped during decode, not materialized.
+  * Scale shape: files split on Avro sync markers into ≤ `maxSplitBytes`
+  * input splits (option, default 128 MB) — a reader seeks to the first
+  * sync point after its split start and stops past its split end, so a
+  * single giant container file still reads on many cores and every block
+  * is consumed by exactly one split (the classic Hadoop Avro input-split
+  * contract). Column pruning is pushed into the Avro decoder via a
+  * projected reader schema, so unneeded columns are skipped during
+  * decode, not materialized.
   */
 class GraftAvroSource extends TableProvider {
   import GraftAvroSource._
@@ -213,8 +216,12 @@ private class GraftAvroTable(path: String, tableSchema: StructType)
     Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
         TableCapability.TRUNCATE).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftAvroScanBuilder(path, tableSchema)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxSplit = Option(options.get("maxSplitBytes")).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+    require(maxSplit > 0, s"maxSplitBytes must be positive, got $maxSplit")
+    new GraftAvroScanBuilder(path, tableSchema, maxSplit)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftAvroWriteBuilder(path, info.schema(),
@@ -223,7 +230,8 @@ private class GraftAvroTable(path: String, tableSchema: StructType)
 
 // ---- read --------------------------------------------------------------
 
-private class GraftAvroScanBuilder(path: String, full: StructType)
+private class GraftAvroScanBuilder(path: String, full: StructType,
+                                   maxSplitBytes: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = full
 
@@ -238,7 +246,15 @@ private class GraftAvroScanBuilder(path: String, full: StructType)
       val dir = new Path(path)
       val fs = dir.getFileSystem(new Configuration())
       GraftAvroSource.listAvro(fs, dir)
-        .map(p => GraftAvroFilePartition(p.toString): InputPartition)
+        .flatMap { p =>
+          val len = fs.getFileStatus(p).getLen
+          // byte-range splits; the reader syncs to block boundaries, so a
+          // block belongs to the split containing its first byte
+          (0L until math.max(1L, len) by maxSplitBytes).map { start =>
+            GraftAvroFilePartition(p.toString, start,
+              math.min(maxSplitBytes, len - start)): InputPartition
+          }
+        }
         .toArray
     }
 
@@ -247,25 +263,32 @@ private class GraftAvroScanBuilder(path: String, full: StructType)
   }
 }
 
-private case class GraftAvroFilePartition(file: String) extends InputPartition
+private case class GraftAvroFilePartition(file: String, start: Long,
+                                          length: Long) extends InputPartition
 
 private class GraftAvroReaderFactory(requiredJson: String)
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val file = p.asInstanceOf[GraftAvroFilePartition].file
+    val split = p.asInstanceOf[GraftAvroFilePartition]
     val required = DataType.fromJson(requiredJson).asInstanceOf[StructType]
     // projected reader schema: Avro's schema resolution skips writer fields
     // absent from the reader schema during decode — pruning at the byte level
     val readerSchema = GraftAvroSource.toAvro(required)
     val datum = new GenericDatumReader[GenericRecord](null, readerSchema)
-    val in = new FsInput(new Path(file), new Configuration())
+    val in = new FsInput(new Path(split.file), new Configuration())
     val reader = new DataFileReader[GenericRecord](in, datum)
+    // the Hadoop Avro split contract: start at the first sync point at or
+    // after `start`, stop once past the first sync point at or after `end` —
+    // adjacent splits hand off exactly at block boundaries
+    reader.sync(split.start)
+    val end = split.start + split.length
 
     new PartitionReader[InternalRow] {
       private var record: GenericRecord = _
 
       override def next(): Boolean = {
+        if (reader.pastSync(end)) return false
         if (!reader.hasNext) return false
         record = reader.next(record)
         true

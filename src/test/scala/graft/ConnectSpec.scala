@@ -89,6 +89,28 @@ class ConnectSpec extends GraftFunSuite {
     assert(physical.contains("SampleExec"), s"physical plan:\n$physical")
   }
 
+  test("server-side physical plan under the plugin renders identically to " +
+       "the classic path (e2e.rs:72-92 analog)") {
+    // the reference's last e2e test compares physical plans by rendered
+    // EXPLAIN after serde; classic Spark's only client→server boundary is
+    // the Connect relation, so the analog pin is: planning the decoded
+    // relation yields the SAME physical plan text as the in-process API
+    val anyBytes = SampleProto.encodeAny(
+      SampleProto.LSample(0.5f, Some(33L), lineitemRelation.toByteArray))
+    val rel = proto.Relation.newBuilder()
+      .setExtension(PAny.parseFrom(anyBytes))
+      .build()
+    val viaConnect = GraftSqlBridge.ofRows(spark, planner.transformRelation(rel))
+    val direct = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .sampleExt(0.5, Some(33L))
+    def rendered(df: org.apache.spark.sql.DataFrame): String =
+      GraftSqlBridge.queryExecution(df).executedPlan.toString
+        .replaceAll("#\\d+", "#x") // expression ids are allocation-order
+    assert(rendered(viaConnect) == rendered(direct),
+      s"plans diverge:\n${rendered(viaConnect)}\n----\n${rendered(direct)}")
+    assert(rendered(direct).contains("SampleExec"))
+  }
+
   test("foreign type_url falls through to the next codec (extension.rs:75)") {
     val foreign = {
       val out = new java.io.ByteArrayOutputStream()

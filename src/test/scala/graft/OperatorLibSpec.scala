@@ -159,7 +159,8 @@ class OperatorLibSpec extends GraftFunSuite {
 
   test("GraftSimilarity.ivfTopK and srpTopK honor caller-named columns") {
     import graft.operators.GraftSimilarity
-    // ids 0..24 with 2-d vectors on a ring; centroids = ids % 5 == 0
+    // ids 0..24 with 2-d vectors on a ring; ⌈√25⌉ = 5 target centroids
+    // picked by the md5-hex threshold (6, 19, 24 on this id set)
     val coll = (0L until 25L).map { i =>
       val a = i * 2 * math.Pi / 25
       (i, Array(math.cos(a), math.sin(a)))
@@ -216,9 +217,54 @@ class OperatorLibSpec extends GraftFunSuite {
       (3L, Array(0.0f, 1.0f)))   // orthogonal to 1
       .toDF("k", "emb")
     val pairs = GraftSimilarity.cosinePairs(vecs, threshold = 0.9,
-        blocks = 2, idCol = "k", vecCol = "emb")
+        blocks = Some(2), idCol = "k", vecCol = "emb")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), pairs)
+  }
+
+  test("cosinePairs auto-sizes its block count with the corpus") {
+    import graft.operators.GraftSimilarity.cosineBlocksFor
+    // B ≈ ⌈√(N/rowsPerBlock)⌉, so 100× the corpus → 10× the blocks: a
+    // block stays near rowsPerBlock rows instead of growing with N
+    assert(cosineBlocksFor(1000L, 65536L) == 2)           // floor
+    assert(cosineBlocksFor(1L << 20, 65536L) == 4)
+    assert(cosineBlocksFor(100L << 20, 65536L) == 40)     // 100× data
+    assert(cosineBlocksFor(1L << 40, 65536L) == 64)       // cap
+    assert(cosineBlocksFor(0L, 65536L) == 2)
+    intercept[IllegalArgumentException](cosineBlocksFor(10L, 0L))
+    // auto-derived blocks produce the same pairs as an explicit override
+    val vecs = (0L until 40L).map(i =>
+      (i, Array(math.cos(i * 0.3), math.sin(i * 0.3)))).toDF("k", "emb")
+    import graft.operators.GraftSimilarity
+    val auto = GraftSimilarity.cosinePairs(vecs, threshold = 0.95,
+        idCol = "k", vecCol = "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = GraftSimilarity.cosinePairs(vecs, threshold = 0.95,
+        blocks = Some(5), idCol = "k", vecCol = "emb")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(auto == fixed && auto.nonEmpty)
+  }
+
+  test("unpersistCache releases dedup storage between corpora") {
+    import graft.operators.GraftDedup
+    def docs(tag: String) = (0L until 50L).map(i =>
+      (i, s"$tag token$i alpha beta gamma delta".split(" ").toSeq))
+      .toDF("doc_id", "items")
+    def pinned = spark.sparkContext.getPersistentRDDs.size
+    // other suites share the session — measure OUR pins as a delta from a
+    // clean dedup-cache baseline
+    graft.queries.DedupQueries.unpersistCache()
+    val base = pinned
+    GraftDedup.nearDupPairs(docs("a"), "doc_id", "items", 0.8).count()
+    assert(pinned > base, "first corpus should pin its signature table")
+    // releasing between corpora returns storage to the baseline...
+    graft.queries.DedupQueries.unpersistCache()
+    assert(pinned == base, s"expected $base pins after release, have $pinned")
+    // ...and the second corpus only ever holds its own pins
+    GraftDedup.nearDupPairs(docs("b"), "doc_id", "items", 0.8).count()
+    assert(pinned > base)
+    graft.queries.DedupQueries.unpersistCache()
+    assert(pinned == base)
   }
 
   test("CorpusCuration.qualityFilter runs unchanged on a streaming frame") {

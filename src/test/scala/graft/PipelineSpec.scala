@@ -40,4 +40,24 @@ class PipelineSpec extends GraftFunSuite {
     assert(train2.select("doc_id").except(train.select("doc_id")).count() == 0)
     intercept[IllegalArgumentException](docs.splitByHash("doc_id", 1.0))
   }
+
+  test("splitByHexHash: same guarantees, md5-routed (cross-engine form)") {
+    import graft.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val (train, test) = docs.splitByHexHash("doc_id", 0.8)
+    val nTrain = train.count()
+    val nTest = test.count()
+    assert(nTrain + nTest == docs.count(), "split must be complete")
+    assert(train.select("doc_id").intersect(test.select("doc_id")).count() == 0,
+      "split must be disjoint")
+    assert(math.abs(nTrain.toDouble / (nTrain + nTest) - 0.8) < 0.06)
+    // routing matches the md5 rule any engine would compute
+    val misrouted = train.withColumn("r",
+        substring(md5(col("doc_id").cast("string")), 1, 4))
+      .filter(col("r") >= "cccc").count()
+    assert(misrouted == 0)
+    val (train2, _) = docs.repartition(13).splitByHexHash("doc_id", 0.8)
+    assert(train2.select("doc_id").except(train.select("doc_id")).count() == 0)
+    intercept[IllegalArgumentException](docs.splitByHexHash("doc_id", 0.0))
+  }
 }

@@ -91,6 +91,34 @@ class SourcesSpec extends GraftFunSuite {
       .parquet(s"$sf0001/embeddings.parquet").count())
   }
 
+  test("avro sub-file splitting: one big file reads on many cores, losslessly") {
+    import spark.implicits._
+    val dir = "/tmp/graft_avro_spec/split"
+    // one writer task → ONE container file with many sync-delimited blocks
+    val n = 20000L
+    spark.range(n).select(col("id"),
+        concat(lit("padding-padding-padding-"), col("id")).as("txt"))
+      .coalesce(1)
+      .write.mode("overwrite").format(avroFmt)
+      .option("compression", "none").save(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+    assert(files.length == 1, s"expected one container file, got ${files.length}")
+    assert(files(0).length() > 256 * 1024, "file too small to exercise splits")
+    // default read: file splits into ≤128 MB chunks — tiny file, 1 partition
+    val whole = spark.read.format(avroFmt).load(dir)
+    // forced small splits: many partitions, same rows — every block consumed
+    // by exactly one split (sync handoff), none dropped or doubled
+    val split = spark.read.format(avroFmt)
+      .option("maxSplitBytes", 64 * 1024).load(dir)
+    assert(split.rdd.getNumPartitions > 4,
+      s"only ${split.rdd.getNumPartitions} partitions")
+    assert(split.count() == n)
+    assert(split.select(countDistinct("id")).head().getLong(0) == n)
+    assert(whole.orderBy("id").collect().toSeq ==
+           split.orderBy("id").collect().toSeq)
+  }
+
   test("avro write honors overwrite (truncate) semantics") {
     import spark.implicits._
     val dir = "/tmp/graft_avro_spec/trunc"
