@@ -66,6 +66,16 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_topk(score double, id bigint, k literal) — got ${other.size} args")
     },
+    "graft_q8" -> {
+      case Seq(c) => GraftQ8(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_q8(array<double>) — got ${other.size} args")
+    },
+    "graft_q8_cos" -> {
+      case Seq(a, b) => GraftQ8Cos(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_q8_cos(array<int>, array<int>) — got ${other.size} args")
+    },
   )
 
   // ---- typed Column API (no SQL registration needed) -----------------

@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Scalar (int8-range) vector quantization for the ANN family.
+  *
+  * `graft_q8(v)` maps each component to round(x·127/max|x|) ∈ [-127, 127];
+  * `graft_q8_cos(qa, qb)` then estimates cosine as
+  * qa·qb / √((qa·qa)(qb·qb)) — the per-vector scales CANCEL in the
+  * normalized form, so no scale column is ever stored or shipped, and the
+  * whole estimate is integer arithmetic plus one final division: exactly
+  * reproducible in any engine (every intermediate sum is an exact integer
+  * well under 2⁵³).
+  *
+  * Rounding is half-AWAY-from-zero on both paths (Math.round for x ≥ 0,
+  * −Math.round(−x) otherwise) — the same rule C-family `round()` applies,
+  * so a SQL oracle quantizes to identical integers.
+  *
+  * Scale story: a 64-dim float64 vector is 512 B; its q8 form is 64 ints
+  * that pack to 64 B on the wire — the candidate-scoring stage of a
+  * quantized ANN ships and scans ~8× less data, and the inner loop is
+  * integer multiply-adds. The exact rerank touches original vectors only
+  * for the few candidates that survive.
+  */
+case class GraftQ8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_q8 requires array<double>, got $other")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_q8"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Int](n)
+    if (maxAbs > 0.0) {
+      i = 0
+      while (i < n) {
+        val t = arr.getDouble(i) * 127.0 / maxAbs
+        out(i) = if (t >= 0) Math.round(t).toInt else (-Math.round(-t)).toInt
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs")
+      val a = ctx.freshName("a")
+      val t = ctx.freshName("t")
+      val out = ctx.freshName("out")
+      s"""
+        |final int $n = $c.numElements();
+        |double $maxAbs = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double $a = java.lang.Math.abs($c.getDouble($i));
+        |  if ($a > $maxAbs) $maxAbs = $a;
+        |}
+        |int[] $out = new int[$n];
+        |if ($maxAbs > 0.0) {
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final double $t = $c.getDouble($i) * 127.0 / $maxAbs;
+        |    $out[$i] = $t >= 0 ? (int) java.lang.Math.round($t)
+        |                       : (int) -java.lang.Math.round(-$t);
+        |  }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GraftQ8 =
+    copy(child = newChild)
+}
+
+/** `graft_q8_cos(array<int>, array<int>)` → `double`: cosine estimate over
+  * quantized vectors — see [[GraftQ8]]. Zero-norm input (an all-zero
+  * vector) yields 0.0. Length mismatch is an error, mirroring
+  * [[GraftSigAgree]]'s strictness.
+  */
+case class GraftQ8Cos(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_q8_cos requires (array<int>, array<int>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_q8_cos"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_q8_cos: vector lengths differ ($n vs ${y.numElements()})")
+    var ab = 0L
+    var aa = 0L
+    var bb = 0L
+    var i = 0
+    while (i < n) {
+      val xv = x.getInt(i).toLong
+      val yv = y.getInt(i).toLong
+      ab += xv * yv
+      aa += xv * xv
+      bb += yv * yv
+      i += 1
+    }
+    if (aa == 0L || bb == 0L) 0.0
+    else ab / math.sqrt((aa * bb).toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  throw new IllegalArgumentException(
+        |    "graft_q8_cos: vector lengths differ (" + $n + " vs " +
+        |    $b.numElements() + ")");
+        |}
+        |long $ab = 0L, $aa = 0L, $bb = 0L;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final long $xv = (long) $a.getInt($i);
+        |  final long $yv = (long) $b.getInt($i);
+        |  $ab += $xv * $yv;
+        |  $aa += $xv * $xv;
+        |  $bb += $yv * $yv;
+        |}
+        |${ev.value} = ($aa == 0L || $bb == 0L)
+        |  ? 0.0 : $ab / java.lang.Math.sqrt((double) ($aa * $bb));
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftQ8Cos =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -82,6 +82,50 @@ object CorpusCuration {
       .join(testGrams, Seq("__gram"), "left_semi")
       .select(idCol).distinct()
     train.join(ids, Seq(idCol), "left_semi")
+  }
+
+  /** Incremental dedup against an EXISTING corpus: the rows of `incoming`
+    * whose `textCol` does not appear anywhere in `corpus` — the daily-crawl
+    * vs historical-corpus shape, where re-shuffling the 100-TB history per
+    * increment is the thing to avoid.
+    *
+    * Scale shape: a bloom filter over the corpus digests is built by ONE
+    * aggregation (Spark's mergeable `bloom_filter_agg`, map-side partials)
+    * and reaches the incoming side as a scalar subquery — the same
+    * mechanism as Spark's runtime join pruning. A `might_contain` miss is
+    * DEFINITELY new, and that majority of incoming rows never enters a
+    * join at all; only probable duplicates (bloom hits ≈ true dups + fpp)
+    * anti-join the corpus digest set for exact verification. The result is
+    * exact — the bloom only routes. Tune `expectedItems`/`numBits` to the
+    * corpus cardinality (~8 bits/item ≈ 2% fpp).
+    */
+  def incrementalNew(incoming: DataFrame, corpus: DataFrame,
+                     textCol: String = "text",
+                     expectedItems: Long = 1000000L,
+                     numBits: Long = 8000000L): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{columnOf, expressionOf, logicalPlan}
+    import org.apache.spark.sql.catalyst.expressions.{Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+
+    val digest = md5(col(textCol)) // 128-bit content key for the exact join
+    val bloomDf = corpus.select(columnOf(
+      BloomFilterAggregate(
+        expressionOf(xxhash64(digest)),
+        CLit(expectedItems), CLit(numBits), 0, 0).toAggregateExpression()).as("bf"))
+    def mightContain: Column = columnOf(BloomFilterMightContain(
+      // scalar subquery: the bloom build executes once and broadcasts to
+      // every task — BloomFilterMightContain requires this form by design
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+        logicalPlan(bloomDf)),
+      expressionOf(xxhash64(col("__d")))))
+
+    val inc = incoming.withColumn("__d", digest)
+    val definitelyNew = inc.filter(!mightContain)
+    val verified = inc.filter(mightContain)
+      .join(ScaleHints.gated(corpus.select(digest.as("__d")).distinct()),
+            Seq("__d"), "left_anti")
+    definitelyNew.unionByName(verified).drop("__d")
   }
 
   /** Per-stratum deterministic sampling by md5-hex threshold: a row is kept

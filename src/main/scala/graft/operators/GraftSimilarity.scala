@@ -225,6 +225,45 @@ object GraftSimilarity {
       .toDF("a_id", "b_id", "cos")
   }
 
+  /** Scalar-quantized top-k: both sides quantize to int8-range vectors
+    * (`graft_q8` — per-vector scales cancel in the normalized cosine, so
+    * no scale column exists), ALL candidate scoring runs on the quantized
+    * forms (`graft_q8_cos` — integer multiply-adds over ~8× less data than
+    * the float64 vectors), the top `k·rerankFactor` per query by quantized
+    * score are then reranked with the exact cosine on the original vectors.
+    *
+    * Scale shape: the broadcast query block ships quantized vectors; the
+    * N·Q scoring loop touches no doubles; only k·rerankFactor candidates
+    * per query re-attach the full-precision vectors (size-gated). The
+    * classic memory-bandwidth trade of quantized ANN, with recall
+    * controlled by `rerankFactor` (the quantization error bounds how far a
+    * true top-k item can fall in the approximate ordering).
+    */
+  def quantizedTopK(collection: DataFrame, queries: DataFrame, k: Int,
+                    rerankFactor: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "v",
+                    qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
+    graft.GraftSession.ensureExtensions(collection.sparkSession)
+    val e = collection.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    val e8 = e.select(col("n_id"), expr("graft_q8(v)").as("nv8"))
+    val q8 = broadcast(q.select(col("q_id"), expr("graft_q8(qv)").as("qv8")))
+    val m = k * rerankFactor
+    val cand = e8.join(q8, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+              expr("graft_q8_cos(qv8, nv8)").as("ac"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(ac, n_id, $m)").as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("s"))
+      .select(col("q_id"), col("s.id").as("n_id"))
+    topK(cand
+           .join(ScaleHints.gated(e), "n_id")
+           .join(ScaleHints.gated(q), "q_id")
+           .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
+  }
+
   /** SRP-LSH top-k: `nbits` sign-random-projection bits per vector (from
     * hash-derived hyperplanes — deterministic, no RNG state), split into
     * `bands` bucket keys; vectors sharing any (band, bucket) with a query

@@ -213,6 +213,38 @@ object DedupQueries extends QueryModule {
       },
       None),
 
+    // Incremental dedup against an existing corpus: split the documents
+    // into "history" and "incoming" by md5 route, then keep only incoming
+    // docs whose text is NOT in history. The bloom filter over history
+    // digests routes most genuinely-new rows past the join entirely
+    // (might_contain miss = definitely new); only probable dups anti-join
+    // the digest set — so the per-increment shuffle scales with the
+    // increment, not the 100-TB history. Result is exact ⇒ full oracle.
+    GraftQuery(
+      "dedup_incremental",
+      (s, dir) => {
+        val route = substring(md5(col("doc_id").cast("string")), 1, 4)
+        val docs = t(s, dir, "documents").withColumn("route", route)
+        graft.operators.CorpusCuration.incrementalNew(
+            incoming = docs.filter(col("route") >= "cccc").drop("route"),
+            corpus = docs.filter(col("route") < "cccc").drop("route"),
+            expectedItems = 100000L, numBits = 800000L)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_new"), min("doc_id").as("first_id"),
+               sum("n_chars").cast("long").as("new_chars"))
+      },
+      Some("""WITH hist AS (
+        |  SELECT text FROM documents
+        |  WHERE substr(md5(doc_id::VARCHAR), 1, 4) < 'cccc'),
+        |inc AS (
+        |  SELECT * FROM documents
+        |  WHERE substr(md5(doc_id::VARCHAR), 1, 4) >= 'cccc'),
+        |nw AS (
+        |  SELECT * FROM inc WHERE text NOT IN (SELECT text FROM hist))
+        |SELECT lang, count(*) AS n_new, min(doc_id) AS first_id,
+        |  CAST(sum(n_chars) AS BIGINT) AS new_chars
+        |FROM nw GROUP BY lang""".stripMargin)),
+
     // Embedding-cosine near-duplicate pairs (cos ≥ 0.35): distributed
     // block-nested-loop all-pairs — NO driver materialization (round 1
     // collect()ed the table on the driver; a bottleneck at scale).

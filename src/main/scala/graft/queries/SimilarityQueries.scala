@@ -94,5 +94,48 @@ object SimilarityQueries extends QueryModule {
         GraftSimilarity.srpTopK(e, queryBlock(e), k = 5, nbits = 16, bands = 4)
       },
       None),
+
+    // Scalar-quantized tier: candidate scoring on int8-range vectors
+    // (graft_q8 — scales cancel in the normalized cosine, so the estimate
+    // is pure integer arithmetic and cross-engine exact), top-20 by
+    // quantized score, exact-cosine rerank to top-5. The oracle replays
+    // the same two-stage algorithm in SQL, so this tier hash-matches too.
+    GraftQuery(
+      "ann_quantized_topk",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        GraftSimilarity.quantizedTopK(e, queryBlock(e), k = 5,
+                                      rerankFactor = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |mx AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) m FROM e),
+        |q8 AS (SELECT vec_id, v,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x * 127.0 / m)) END q
+        |       FROM mx),
+        |qq AS (SELECT vec_id q_id, v qv, q qq8 FROM q8 WHERE vec_id < 10),
+        |ap AS (
+        |  SELECT q_id, e8.vec_id n_id,
+        |    CASE WHEN list_dot_product(e8.q, e8.q) = 0
+        |           OR list_dot_product(qq.qq8, qq.qq8) = 0 THEN 0.0
+        |         ELSE list_dot_product(qq.qq8, e8.q)
+        |              / sqrt(list_dot_product(e8.q, e8.q)
+        |                     * list_dot_product(qq.qq8, qq.qq8)) END ac
+        |  FROM qq JOIN q8 e8 ON e8.vec_id != qq.q_id),
+        |cand AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) r
+        |    FROM ap) WHERE r <= 20),
+        |scored AS (
+        |  SELECT c.q_id, c.n_id, list_cosine_similarity(qq.qv, e.v) cs
+        |  FROM cand c
+        |  JOIN qq ON qq.q_id = c.q_id
+        |  JOIN e ON e.vec_id = c.n_id),
+        |r AS (SELECT q_id, n_id, cs,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, round(cs, 4) AS cos
+        |FROM r WHERE rnk <= 5""".stripMargin)),
   )
 }

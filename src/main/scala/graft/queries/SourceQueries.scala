@@ -102,6 +102,35 @@ object SourceQueries extends QueryModule {
         |  min(s_name) AS first_name
         |FROM supplier GROUP BY s_nationkey""".stripMargin)),
 
+    // Arrow IPC roundtrip through graft.sources.GraftArrowSource (the last
+    // format in the reference's wire vocabulary: proto:95-96 lists ARROW;
+    // Spark ships arrow-vector for Python interchange but no Arrow FILE
+    // source, so this one is ours). Small batchSize exercises multi-batch
+    // files; the oracle aggregates the original parquet — a hash match
+    // certifies the write+read path is lossless.
+    GraftQuery(
+      "src_arrow_roundtrip",
+      (s, dir) => {
+        val out = ioDir(dir, "part_arrow")
+        t(s, dir, "part")
+          .select("p_partkey", "p_name", "p_brand", "p_size", "p_retailprice")
+          .write.mode("overwrite")
+          .format("graft.sources.GraftArrowSource")
+          .option("batchSize", "512")
+          .save(out)
+        s.read.format("graft.sources.GraftArrowSource").load(out)
+          .groupBy("p_brand")
+          .agg(count(lit(1)).as("n"),
+               sum(col("p_size").cast("long")).as("sum_size"),
+               round(sum(col("p_retailprice")), 2).as("sum_price"),
+               min("p_name").as("first_name"))
+      },
+      Some("""SELECT p_brand, count(*) AS n,
+        |  CAST(sum(p_size) AS BIGINT) AS sum_size,
+        |  round(sum(p_retailprice), 2) AS sum_price,
+        |  min(p_name) AS first_name
+        |FROM part GROUP BY p_brand""".stripMargin)),
+
     // ORC roundtrip (Spark-native columnar format beside parquet). DuckDB
     // cannot read ORC, but the oracle doesn't need to: it runs the same
     // aggregate over the ORIGINAL parquet table, so a hash match certifies

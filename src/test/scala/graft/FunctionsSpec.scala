@@ -187,4 +187,52 @@ class FunctionsSpec extends GraftFunSuite {
       .map(x => (x.getDouble(0), x.getLong(1)))
     assert(got == Seq((0.9, 5L), (0.5, 3L)), got.toString)
   }
+
+  test("graft_q8: int8 range, max |component| hits ±127, half-away rounding") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Array(1.0, -1.0, 0.5, 0.0)),      // symmetric ends
+      (2L, Array(0.0, 0.0)),                 // zero vector → all zeros
+      (3L, Array(-2.0, 1.0)),                // negative max-abs component
+      (4L, Array(127.0, 0.5)))               // 0.5·127/127 = 0.5 → away = 1
+      .toDF("id", "v")
+      .select(col("id"), expr("graft_q8(v)").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toSeq).toMap
+    assert(rows(1L) == Seq(127, -127, 64, 0))   // 63.5 rounds away to 64
+    assert(rows(2L) == Seq(0, 0))
+    assert(rows(3L) == Seq(-127, 64))           // scale from |−2|; 63.5 → 64
+    assert(rows(4L) == Seq(127, 1))             // 0.5 → 1 (away, not even)
+    // interpreted eval equals codegen
+    val interp = graft.functions.GraftQ8(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          Seq(1.0, -1.0, 0.5, 0.0),
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))
+      .eval(null)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    assert(interp.toSeq == rows(1L))
+  }
+
+  test("graft_q8_cos: exact on parallel/orthogonal, strict on length, 0 on zero") {
+    import spark.implicits._
+    def q8cos(a: Seq[Int], b: Seq[Int]): Double =
+      Seq((a, b)).toDF("a", "b")
+        .select(expr("graft_q8_cos(a, b)")).as[Double].head()
+    assert(q8cos(Seq(3, 4), Seq(3, 4)) == 1.0)
+    assert(q8cos(Seq(1, 0), Seq(0, 1)) == 0.0)
+    assert(q8cos(Seq(1, 0), Seq(-1, 0)) == -1.0)
+    assert(q8cos(Seq(0, 0), Seq(5, 5)) == 0.0) // zero norm → defined 0
+    val e = intercept[Exception] { q8cos(Seq(1, 2, 3), Seq(1, 2)) }
+    assert(e.getMessage.contains("lengths differ") ||
+           Option(e.getCause).exists(_.getMessage.contains("lengths differ")))
+    // quantized estimate tracks the true cosine on real embeddings
+    val est = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .limit(200)
+      .selectExpr("transform(embedding, x -> cast(x AS double)) AS v")
+      .selectExpr(
+        "graft_q8_cos(graft_q8(v), graft_q8(reverse(v))) AS approx",
+        "graft_cosine(v, reverse(v)) AS exact")
+      .selectExpr("max(abs(approx - exact)) AS err").as[Double].head()
+    assert(est < 0.02, s"max quantization error $est")
+  }
 }

@@ -267,6 +267,38 @@ class OperatorLibSpec extends GraftFunSuite {
     assert(pinned == base)
   }
 
+  test("incrementalNew equals the exact anti join, routed through a bloom prefilter") {
+    val corpus = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc"))
+      .toDF("doc_id", "text")
+    val incoming = Seq((10L, "bbb"), (11L, "ddd"), (12L, "eee"), (13L, "ccc"))
+      .toDF("doc_id", "text")
+    val out = CorpusCuration.incrementalNew(incoming, corpus,
+      expectedItems = 100L, numBits = 800L)
+    assert(out.columns.toSeq == Seq("doc_id", "text"))
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(11L, 12L))
+    // the plan routes through might_contain over a bloom scalar subquery —
+    // the mechanism that keeps definitely-new rows out of the join
+    val plan = org.apache.spark.sql.GraftSqlBridge.queryExecution(out)
+      .executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+
+    // real data: agrees with the plain digest anti join at corpus scale
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("route",
+        substring(md5(col("doc_id").cast("string")), 1, 4))
+    val hist = docs.filter(col("route") < "cccc").drop("route")
+    val inc = docs.filter(col("route") >= "cccc").drop("route")
+    val viaBloom = CorpusCuration.incrementalNew(inc, hist,
+        expectedItems = 10000L, numBits = 80000L)
+      .select("doc_id").as[Long].collect().toSet
+    val plain = inc.join(
+        hist.select(md5(col("text")).as("__d")).distinct()
+          .withColumnRenamed("__d", "__d"),
+        md5(col("text")) === col("__d"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom == plain && viaBloom.nonEmpty)
+  }
+
   test("CorpusCuration.qualityFilter runs unchanged on a streaming frame") {
     // the stage is a pure map, so the SAME library call works under
     // readStream — batch/stream unification of the curation library

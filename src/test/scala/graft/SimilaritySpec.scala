@@ -47,6 +47,27 @@ class SimilaritySpec extends GraftFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("quantized top-k: near-perfect recall vs brute force") {
+    val exact = topk("ann_cosine_topk")
+    val qz = topk("ann_quantized_topk")
+    val recall = exact.keys.toSeq.map { q =>
+      (exact(q).toSet & qz.getOrElse(q, Nil).toSet).size.toDouble / 5
+    }.sum / exact.size
+    info(s"quantized recall@5 = $recall")
+    // int8 quantization error is ~1e-2 on cosine; a 4× rerank pool should
+    // recover almost all of the true top-5
+    assert(recall >= 0.8, s"recall=$recall")
+    // reranked scores are the EXACT cosine: any (q, n) pair present in
+    // both tiers must carry the same score
+    val exactScores = SparkEntry.queries("ann_cosine_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val qzScores = SparkEntry.queries("ann_quantized_topk")(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val shared = exactScores.keySet & qzScores.keySet
+    assert(shared.nonEmpty)
+    assert(shared.forall(k => exactScores(k) == qzScores(k)))
+  }
+
   test("GraftSimilarity library API works with caller-named columns") {
     import spark.implicits._
     import graft.operators.GraftSimilarity

@@ -130,6 +130,81 @@ class SourcesSpec extends GraftFunSuite {
     assert(back.map(_.getLong(0)).toSeq == Seq(9L))
   }
 
+  // ---- graft.sources.GraftArrowSource -----------------------------------
+
+  private val arrowFmt = "graft.sources.GraftArrowSource"
+
+  test("arrow roundtrip preserves rows, schema, nulls, arrays, timestamps") {
+    import spark.implicits._
+    val dir = "/tmp/graft_arrow_spec/mixed"
+    val df = Seq(
+      (1L, Some("alpha"), 1.5, Array(1.0f, 2.0f), Array[Byte](1, 2, 3),
+       java.sql.Timestamp.valueOf("2024-01-01 10:00:00.000001")),
+      (2L, None, -0.25, Array(3.0f), Array[Byte](),
+       java.sql.Timestamp.valueOf("2024-06-15 23:59:59.999999")),
+      (3L, Some("gamma"), 0.0, Array.empty[Float], Array[Byte](9),
+       java.sql.Timestamp.valueOf("1999-12-31 00:00:00")))
+      .toDF("id", "name", "score", "vec", "payload", "at")
+    df.write.mode("overwrite").format(arrowFmt).save(dir)
+    val back = spark.read.format(arrowFmt).load(dir)
+    assert(back.schema("id").dataType.typeName == "long")
+    assert(back.schema("name").nullable)
+    assert(back.schema("vec").dataType.typeName == "array")
+    assert(back.schema("at").dataType.typeName == "timestamp")
+    def canon(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("payload", hex(col("payload")))
+        .collect().map(_.toString).sorted.toSeq
+    assert(canon(df) == canon(back))
+  }
+
+  test("arrow roundtrip over real testdata (embeddings incl. array<float>)") {
+    val dir = "/tmp/graft_arrow_spec/embeddings"
+    val src = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    src.write.mode("overwrite").format(arrowFmt)
+      .option("batchSize", "100").save(dir)
+    val back = spark.read.format(arrowFmt).load(dir)
+    assert(back.count() == src.count())
+    val a = src.orderBy("vec_id").collect().map(_.toString).toSeq
+    val b = back.orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("arrow reader prunes columns at decode (ReadSchema)") {
+    val dir = "/tmp/graft_arrow_spec/embeddings"
+    val df = spark.read.format(arrowFmt).load(dir).select("vec_id")
+    val plan = org.apache.spark.sql.GraftSqlBridge.queryExecution(df)
+      .executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("vec_id#") && !scanLine.contains("embedding#"),
+           plan)
+    assert(df.distinct().count() == spark.read
+      .parquet(s"$sf0001/embeddings.parquet").count())
+  }
+
+  test("arrow batch-granular splitting: one file reads on many cores, losslessly") {
+    import spark.implicits._
+    val dir = "/tmp/graft_arrow_spec/split"
+    val n = 20000L
+    // one writer task + small batches → one file with many record batches
+    spark.range(n).select(col("id"),
+        concat(lit("padding-padding-padding-"), col("id")).as("txt"))
+      .coalesce(1)
+      .write.mode("overwrite").format(arrowFmt)
+      .option("batchSize", "1000").save(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".arrow"))
+    assert(files.length == 1, s"expected one IPC file, got ${files.length}")
+    val whole = spark.read.format(arrowFmt).load(dir)
+    val split = spark.read.format(arrowFmt)
+      .option("maxSplitBytes", 64 * 1024).load(dir)
+    assert(split.rdd.getNumPartitions > 4,
+      s"only ${split.rdd.getNumPartitions} partitions")
+    assert(split.count() == n)
+    assert(split.select(countDistinct("id")).head().getLong(0) == n)
+    assert(whole.orderBy("id").collect().toSeq ==
+           split.orderBy("id").collect().toSeq)
+  }
+
   test("maxRecordsPerFile bounds output file sizes (compaction control)") {
     // the knob that keeps 100-TB outputs from producing multi-GB files a
     // downstream reader can't split
