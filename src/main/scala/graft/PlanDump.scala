@@ -13,7 +13,8 @@ object PlanDump {
                     "sample_bernoulli", "events_asof_join", "events_range_join",
                     "text_vocab_tfidf", "dedup_canonical", "src_bucketed_join",
                     "q_percentile_exact", "q_lateral", "events_sliding",
-                    "pipeline_contamination", "sample_fixed_size")
+                    "pipeline_contamination", "sample_fixed_size",
+                    "ann_quantized_topk", "dedup_incremental")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

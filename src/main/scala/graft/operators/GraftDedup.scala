@@ -215,6 +215,62 @@ object GraftDedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list — the transitive
+    * closure a real corpus dedup needs AFTER pair mining: a≈b and b≈c put
+    * a, b, c in ONE cluster even when a≉c directly, so "keep one doc per
+    * cluster" drops the whole chain, not just pair losers.
+    *
+    * Hash-min label propagation: every id starts labeled with itself;
+    * each round every vertex takes the min label in its neighborhood;
+    * converges in O(cluster diameter) rounds — near-dup clusters are
+    * shallow (stars/chains of a few hops), so 3-5 rounds in practice,
+    * `maxIter` bounds the pathological chain. Each round is one shuffle
+    * of (id, label) pairs joined against the (skinny, size-gated) edge
+    * list; intermediates are persisted per round and released on
+    * convergence. The per-round convergence check is one count action —
+    * the standard iterative-algorithm shape (this is the one operator
+    * family where driver-side iteration is the correct design, as in any
+    * BSP/Pregel system).
+    *
+    * Returns (id, component) for every id in `pairs`, component = min id
+    * of the cluster. Deterministic for any input order or partitioning.
+    */
+  def connectedComponents(pairs: DataFrame,
+                          aCol: String = "a_id", bCol: String = "b_id",
+                          maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    // undirected edges, both directions, deduped
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // min label over the closed neighborhood {v} ∪ N(v)
+      val fromNeighbors = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(min(col("component")).as("nc"))
+      val next = labels.join(fromNeighbors, Seq("id"), "left")
+        .select(col("id"),
+                least(col("component"), coalesce(col("nc"), col("component")))
+                  .as("component"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
   /** End-to-end near-duplicate pairs: rows of `df` whose `itemsCol` sets
     * have Jaccard ≥ `threshold` (within equal `blockCols`, if given),
     * as (a_id, b_id, jaccard) with a_id < b_id.

@@ -119,6 +119,43 @@ object DedupQueries extends QueryModule {
         |JOIN sz sb ON sb.doc_id = b_id
         |WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8""".stripMargin)),
 
+    // Transitive dedup clusters: connected components over the LSH pair
+    // list (a≈b, b≈c ⇒ one cluster {a,b,c} even though a≉c directly) —
+    // hash-min label propagation, O(cluster diameter) rounds, one skinny
+    // (id, label) shuffle per round. The oracle computes the same closure
+    // with a recursive CTE over the brute-force pair set.
+    GraftQuery(
+      "dedup_components",
+      (s, dir) =>
+        graft.operators.GraftDedup.connectedComponents(minhashLshPairs(s, dir))
+          .withColumnRenamed("id", "doc_id"),
+      Some("""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                                FOR i IN range(1, len(tk) - 1)]) s
+        |  FROM toks WHERE len(tk) >= 3),
+        |e AS (SELECT doc_id, unnest(s) g FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM e GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |np AS (
+        |  SELECT a_id, b_id FROM pair
+        |  JOIN sz sa ON sa.doc_id = a_id
+        |  JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |ed AS (SELECT a_id s, b_id d FROM np
+        |       UNION SELECT b_id, a_id FROM np),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM ed
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s)
+        |SELECT s AS doc_id, least(s, min(d)) AS component
+        |FROM reach GROUP BY s""".stripMargin)),
+
     // SimHash near-dup candidates: 64-bit signature, 4×16-bit bands,
     // Hamming-distance verify. Hash-engine-specific ⇒ rows-only check here;
     // DedupSpec asserts recall of the planted near-dup pairs.

@@ -267,6 +267,27 @@ class OperatorLibSpec extends GraftFunSuite {
     assert(pinned == base)
   }
 
+  test("connectedComponents: chains close transitively, deterministic labels") {
+    import graft.operators.GraftDedup
+    // chain 1-2-3-4-5 (diameter 4 → needs several propagation rounds),
+    // star 10-{11,12,13}, isolated pair (20, 21)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+                    (10L, 11L), (10L, 12L), (10L, 13L),
+                    (21L, 20L)).toDF("a_id", "b_id")
+    val got = GraftDedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+                      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+                      20L -> 20L, 21L -> 20L), got)
+    // partitioning-independent
+    val again = GraftDedup.connectedComponents(pairs.repartition(7))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      GraftDedup.connectedComponents(pairs, maxIter = 0)
+    }
+  }
+
   test("incrementalNew equals the exact anti join, routed through a bloom prefilter") {
     val corpus = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc"))
       .toDF("doc_id", "text")
