@@ -113,9 +113,10 @@ object CorpusCuration {
       BloomFilterAggregate(
         expressionOf(xxhash64(digest)),
         CLit(expectedItems), CLit(numBits), 0, 0).toAggregateExpression()).as("bf"))
-    def mightContain: Column = columnOf(BloomFilterMightContain(
-      // scalar subquery: the bloom build executes once and broadcasts to
-      // every task — BloomFilterMightContain requires this form by design
+    // one shared scalar subquery: the bloom build plans once, executes
+    // once, and broadcasts to every task (both filter branches reuse it) —
+    // BloomFilterMightContain requires the scalar-subquery form by design
+    val mightContain: Column = columnOf(BloomFilterMightContain(
       org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
         logicalPlan(bloomDf)),
       expressionOf(xxhash64(col("__d")))))

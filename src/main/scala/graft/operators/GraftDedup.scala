@@ -220,37 +220,94 @@ object GraftDedup {
     * a, b, c in ONE cluster even when a≉c directly, so "keep one doc per
     * cluster" drops the whole chain, not just pair losers.
     *
-    * Hash-min label propagation: every id starts labeled with itself;
-    * each round every vertex takes the min label in its neighborhood;
-    * converges in O(cluster diameter) rounds — near-dup clusters are
-    * shallow (stars/chains of a few hops), so 3-5 rounds in practice,
-    * `maxIter` bounds the pathological chain. Each round is one shuffle
-    * of (id, label) pairs joined against the (skinny, size-gated) edge
-    * list; intermediates are persisted per round and released on
-    * convergence. The per-round convergence check is one count action —
-    * the standard iterative-algorithm shape (this is the one operator
-    * family where driver-side iteration is the correct design, as in any
-    * BSP/Pregel system).
+    * Two tiers, dispatched on the EXACT pair count (the pair frame is
+    * persisted first, so the count pass is the same job either tier
+    * consumes):
+    *
+    *   - ≤ `smallGraphPairs` long-id pairs (the normal case — near-dup
+    *     pairs are rare relative to the corpus, ~1% of docs even at 100 TB):
+    *     one EXECUTOR task runs union-find with path compression and
+    *     union-by-min over the whole edge list. ~16 bytes/pair of task
+    *     memory, zero iteration latency, no driver-side data.
+    *   - larger (or non-integral ids): hash-min label propagation — every
+    *     id starts labeled with itself, each round takes the min label in
+    *     its closed neighborhood, one skinny (id, label) shuffle per round,
+    *     O(cluster diameter) rounds bounded by `maxIter`, per-round persist
+    *     with a convergence probe on the cached frame. The BSP/Pregel
+    *     shape — the one operator family where driver-side iteration is
+    *     the correct design.
     *
     * Returns (id, component) for every id in `pairs`, component = min id
-    * of the cluster. Deterministic for any input order or partitioning.
+    * of the cluster. Deterministic for any input order, partitioning, or
+    * tier (both tiers produce identical output on long ids).
     */
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "a_id", bCol: String = "b_id",
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          smallGraphPairs: Long = 4000000L): DataFrame = {
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    def isIntegral(c: String) = pairs.schema(c).dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val integral = isIntegral(aCol) && isIntegral(bCol)
+    if (integral) {
+      val p = pin(pairs.select(col(aCol).cast("long").as("a"),
+                               col(bCol).cast("long").as("b")).persist())
+      if (p.count() <= smallGraphPairs) return unionFindComponents(p)
+    }
+    iterativeComponents(pairs, aCol, bCol, maxIter)
+  }
+
+  /** Single-executor-task union-find over a (persisted, counted-small)
+    * long-id edge list: path compression + union-by-min ⇒ every root is
+    * its component's min id.
+    */
+  private def unionFindComponents(p: DataFrame): DataFrame = {
+    val session = p.sparkSession
+    import session.implicits._
+    p.as[(Long, Long)].repartition(1).mapPartitions { it =>
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != c) {
+          val nxt = parent(c); parent(c) = r; c = nxt
+        }
+        r
+      }
+      for ((a, b) <- it) {
+        val ra = find(a)
+        val rb = find(b)
+        parent.getOrElseUpdate(ra, ra)
+        parent.getOrElseUpdate(rb, rb)
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      parent.keysIterator.map(id => (id, find(id))).toArray.iterator
+    }.toDF("id", "component")
+  }
+
+  private def iterativeComponents(pairs: DataFrame, aCol: String,
+                                  bCol: String, maxIter: Int): DataFrame = {
     // undirected edges, both directions, deduped
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id")).distinct()
+    var pinnedRound = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .withColumn("__old", col("id"))
       .persist()
+    var labels = pinnedRound.select("id", "component")
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // min label over the closed neighborhood {v} ∪ N(v)
+      // min label over the closed neighborhood {v} ∪ N(v); the previous
+      // label rides along as __old so the convergence probe needs no extra
+      // join — one shuffle round + one cheap probe on the cached frame
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
@@ -258,16 +315,17 @@ object GraftDedup {
       val next = labels.join(fromNeighbors, Seq("id"), "left")
         .select(col("id"),
                 least(col("component"), coalesce(col("nc"), col("component")))
-                  .as("component"))
+                  .as("component"),
+                col("component").as("__old"))
         .persist()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .filter(col("component") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      converged = next.filter(col("component") =!= col("__old")).isEmpty
+      pinnedRound.unpersist()
+      pinnedRound = next
+      labels = next.select("id", "component")
       iter += 1
     }
     edges.unpersist()
+    pin(pinnedRound) // released via unpersistAll, like the signature tables
     labels
   }
 

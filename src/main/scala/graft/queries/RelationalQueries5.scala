@@ -274,5 +274,28 @@ object RelationalQueries5 extends QueryModule {
         |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast,
         |  TRY_CAST(substring(o_orderpriority, 1, 1) AS BIGINT) AS prio_num
         |FROM orders WHERE o_orderkey < 1000""".stripMargin)),
+
+    // Equi-width histogram — the distribution-profiling primitive (data
+    // quality dashboards, drift monitors). Fixed bin bounds keep the bin
+    // function a pure map (no min/max pre-pass) and floor of an exact
+    // double division is engine-identical; the top bin is open-ended.
+    // One partial/final aggregation at any scale.
+    GraftQuery(
+      "q_histogram",
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(least(floor(col("o_totalprice") / 50000.0), lit(9L))
+                    .cast("long").as("bin"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("lo", col("bin") * 50000.0)
+          .withColumn("hi",
+            when(col("bin") === 9L, lit(null).cast("double"))
+              .otherwise((col("bin") + 1) * 50000.0)),
+      Some("""SELECT bin, count(*) AS n, bin * 50000.0 AS lo,
+        |  CASE WHEN bin = 9 THEN NULL ELSE (bin + 1) * 50000.0 END AS hi
+        |FROM (SELECT CAST(least(floor(o_totalprice / 50000.0), 9) AS BIGINT)
+        |        AS bin FROM orders)
+        |GROUP BY bin""".stripMargin)),
   )
 }

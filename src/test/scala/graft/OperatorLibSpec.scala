@@ -283,6 +283,16 @@ class OperatorLibSpec extends GraftFunSuite {
     val again = GraftDedup.connectedComponents(pairs.repartition(7))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == got)
+    // the big-graph iterative tier (forced via smallGraphPairs = 0)
+    // produces identical labels
+    val iterative = GraftDedup.connectedComponents(pairs, smallGraphPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(iterative == got)
+    // non-integral ids route to the iterative tier and still close chains
+    val strPairs = Seq(("a", "b"), ("b", "c")).toDF("a_id", "b_id")
+    val strGot = GraftDedup.connectedComponents(strPairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(strGot == Map("a" -> "a", "b" -> "a", "c" -> "a"), strGot)
     intercept[IllegalArgumentException] {
       GraftDedup.connectedComponents(pairs, maxIter = 0)
     }
