@@ -66,6 +66,23 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_topk(score double, id bigint, k literal) — got ${other.size} args")
     },
+    "graft_theta_sketch" -> {
+      case Seq(c) => GraftThetaAgg(c, 12).toAggregateExpression()
+      case Seq(c, Literal(lgK: Int, IntegerType)) =>
+        GraftThetaAgg(c, lgK).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"graft_theta_sketch(string[, lgK literal]) — got ${other.size} args")
+    },
+    "graft_theta_est" -> {
+      case Seq(c) => GraftThetaEst(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_theta_est(binary) — got ${other.size} args")
+    },
+    "graft_theta_intersect_est" -> {
+      case Seq(a, b) => GraftThetaIntersectEst(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_theta_intersect_est(binary, binary) — got ${other.size} args")
+    },
     "graft_q8" -> {
       case Seq(c) => GraftQ8(c)
       case other => throw new IllegalArgumentException(

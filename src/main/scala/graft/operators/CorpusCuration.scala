@@ -56,6 +56,26 @@ object CorpusCuration {
       .filter(size(col("tk")) >= minTokens && col("__stop_ratio") < maxStopRatio)
       .drop("__stop_ratio")
 
+  /** Cluster-level near-dup removal: close `pairs` transitively
+    * ([[GraftDedup.connectedComponents]]) and keep ONE row per cluster —
+    * the min-id member — plus every row in no pair at all. Stricter than
+    * [[removeNearDups]] (which drops only direct pair losers): a≈b≈c
+    * keeps just a even though a≉c directly.
+    *
+    * Scale shape: components over the (skinny) pair list, then one
+    * size-gated semi/anti join pass over the corpus.
+    */
+  def dedupByComponents(docs: DataFrame, pairs: DataFrame,
+                        idCol: String = "doc_id",
+                        aCol: String = "a_id", bCol: String = "b_id")
+      : DataFrame = {
+    val comp = GraftDedup.connectedComponents(pairs, aCol, bCol)
+    val losers = comp.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(ScaleHints.gatedExact(losers, losers.count() * 8),
+              Seq(idCol), "left_anti")
+  }
+
   /** Benchmark-contamination audit: the rows of `train` that share at least
     * one word-`n`-gram with any row of `test` — the leakage check a
     * training corpus runs before a model ships. Returns the contaminated

@@ -250,6 +250,37 @@ object DedupQueries extends QueryModule {
       },
       None),
 
+    // Corpus-overlap set algebra via mergeable THETA sketches: one sketch
+    // per source (partial/final aggregated — ≤ 2^12 · 8 bytes per group
+    // crosses the shuffle), then pairwise INTERSECTION estimates answer
+    // "how many distinct shingles do sources share" without any
+    // shingle-level join — the set operation HLL sketches cannot do.
+    // Estimator output ⇒ rows-only driver check; FunctionsSpec pins
+    // exact-mode equality (< 2^lgK distinct items ⇒ estimate == exact)
+    // and cross-partition merge consistency.
+    GraftQuery(
+      "dedup_source_overlap",
+      (s, dir) => {
+        GraftSession.ensureExtensions(s)
+        val sk = t(s, dir, "documents")
+          .select(col("source"), expr("split(trim(text), '\\\\s+')").as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("source"),
+                  explode(expr(
+                    """transform(sequence(0, size(tk) - 3),
+                       i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))"""))
+                    .as("shingle"))
+          .groupBy("source")
+          .agg(expr("graft_theta_sketch(shingle)").as("sk"))
+        sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("a_src"), col("b.source").as("b_src"),
+                  round(expr("graft_theta_est(a.sk)"), 1).as("a_distinct"),
+                  round(expr("graft_theta_est(b.sk)"), 1).as("b_distinct"),
+                  round(expr("graft_theta_intersect_est(a.sk, b.sk)"), 1)
+                    .as("shared_est"))
+      },
+      None),
+
     // Incremental dedup against an existing corpus: split the documents
     // into "history" and "incoming" by md5 route, then keep only incoming
     // docs whose text is NOT in history. The bloom filter over history

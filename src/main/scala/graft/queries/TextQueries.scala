@@ -124,6 +124,34 @@ object TextQueries extends QueryModule {
         |  length(norm) AS norm_len
         |FROM n""".stripMargin)),
 
+    // PII-style redaction: replace every digit run with a <NUM> tag — the
+    // scrub pass a training corpus runs before anything else sees it.
+    // Pure map at any scale (regexp_replace is a per-row transform). The
+    // per-lang md5-of-redacted-min certifies the actual rewritten TEXT
+    // cross-engine, not just the hit counts; '[0-9]+' parses identically
+    // under Java regex and RE2.
+    GraftQuery(
+      "text_redact",
+      (s, dir) => {
+        val hits = size(expr("regexp_extract_all(text, '[0-9]+', 0)"))
+        t(s, dir, "documents")
+          .select(col("lang"), col("doc_id"), hits.as("h"),
+                  md5(regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+                    .as("red_md5"))
+          .groupBy("lang")
+          .agg(sum(when(col("h") > 0, 1L).otherwise(0L)).as("n_docs_redacted"),
+               sum(col("h")).cast("long").as("n_digit_runs"),
+               min(col("red_md5")).as("min_redacted_md5"))
+      },
+      Some("""SELECT lang,
+        |  CAST(sum(CASE WHEN len(regexp_extract_all(text, '[0-9]+')) > 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_redacted,
+        |  CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+        |    AS n_digit_runs,
+        |  min(md5(regexp_replace(text, '[0-9]+', '<NUM>', 'g')))
+        |    AS min_redacted_md5
+        |FROM documents GROUP BY lang""".stripMargin)),
+
     // Corpus vocabulary with tf-idf: top-10 highest-scoring terms per
     // language (tokenizer-vocabulary construction / domain-term mining).
     // Two shuffles at any scale: (lang, term) partial-aggregated term

@@ -188,6 +188,39 @@ class FunctionsSpec extends GraftFunSuite {
     assert(got == Seq((0.9, 5L), (0.5, 3L)), got.toString)
   }
 
+  test("theta sketch: exact mode below 2^lgK, set algebra, partition-merge") {
+    import spark.implicits._
+    // two overlapping sets, both far below 2^12 distinct ⇒ EXACT mode:
+    // estimates are exact counts, intersection included
+    val rows = (1 to 300).map(i => ("a", s"item$i")) ++
+               (201 to 500).map(i => ("b", s"item$i"))
+    val sk = rows.toDF("src", "item")
+      .repartition(7) // force partial/final merge across partitions
+      .groupBy("src").agg(expr("graft_theta_sketch(item)").as("sk"))
+    val est = sk.as("x").join(sk.as("y"), col("x.src") < col("y.src"))
+      .selectExpr("graft_theta_est(x.sk)", "graft_theta_est(y.sk)",
+                  "graft_theta_intersect_est(x.sk, y.sk)")
+      .head()
+    assert(est.getDouble(0) == 300.0, est)
+    assert(est.getDouble(1) == 300.0, est)
+    assert(est.getDouble(2) == 100.0, est) // items 201..300 shared
+    // duplicates don't inflate the distinct estimate
+    val dup = (rows ++ rows).toDF("src", "item").repartition(5)
+      .groupBy("src").agg(expr("graft_theta_est(graft_theta_sketch(item))"))
+      .collect().map(_.getDouble(1)).sorted
+    assert(dup.toSeq == Seq(300.0, 300.0))
+    // past exact mode the estimate stays within the sketch error envelope
+    val big = (1 to 60000).map(i => s"x$i").toDF("item")
+      .selectExpr("graft_theta_est(graft_theta_sketch(item, 12))")
+      .head().getDouble(0)
+    assert(math.abs(big - 60000) / 60000 < 0.05, s"estimate $big")
+    // validation: lgK bounds
+    intercept[IllegalArgumentException] {
+      graft.functions.GraftThetaAgg(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), 30)
+    }
+  }
+
   test("graft_q8: int8 range, max |component| hits ±127, half-away rounding") {
     import spark.implicits._
     val rows = Seq(

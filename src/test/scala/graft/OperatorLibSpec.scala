@@ -298,6 +298,20 @@ class OperatorLibSpec extends GraftFunSuite {
     }
   }
 
+  test("dedupByComponents keeps one doc per transitive cluster") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).map(i => (i, s"doc$i"))
+      .toDF("doc_id", "text")
+    // 1-2-3 chain and 4-5 pair; 9 untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a_id", "b_id")
+    val kept = CorpusCuration.dedupByComponents(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 9L), kept)
+    // contrast with pair-loser removal: it would KEEP 3 if (1,3) is not a
+    // direct pair... here the b-sides are 2,3,5 so both agree; the chain
+    // case that differs is a-b, b-c with c only a b-side — covered above
+    // via the transitive closure of components
+  }
+
   test("incrementalNew equals the exact anti join, routed through a bloom prefilter") {
     val corpus = Seq((1L, "aaa"), (2L, "bbb"), (3L, "ccc"))
       .toDF("doc_id", "text")
