@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST line of `sbt runMain` output as JSON from a
+// bounded tail buffer: forked stdout must pass through raw (no [info]
+// prefix) and sbt's trailing "[success] Total time" line must not displace
+// the contract line.
+run / connectInput := false
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -39,12 +39,32 @@ object Bench {
       // a failed query records -1, never a (fast-looking) wall time
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def toJson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    // Full per-query detail first (a ~4 KB line — for humans and the
+    // judge's per-query log)...
+    println(s"""{"metric":"full","unit":"sec","queries":${toJson(results)},"failed":$failed,"sf":"$sfDir"}""")
+    // ...then the driver-contract line LAST and COMPACT: the driver keeps
+    // only a 2000-char output tail, so the final JSON line must fit inside
+    // it whole (the full map above does not — r1-r3 all recorded
+    // parsed:null because of exactly this).
+    val headlineSet: Set[String] = Set(
+      "q1_agg", "q3_join_agg", "q5_multi_join", "q_filter_topk",
+      "q_window_rank", "q_sort_global", "q_percentile_exact",
+      "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+      "dedup_embedding_cosine", "dedup_components",
+      "ann_cosine_topk", "ann_ivf_topk", "ann_quantized_topk",
+      "text_vocab_tfidf", "text_quality_rules",
+      "events_sessionize", "events_asof_join", "events_range_join",
+      "pipeline_corpus_curation", "pipeline_contamination",
+      "mm_embed_ann", "sample_bernoulli", "src_bucketed_join")
+    val headline = results.filter(r => headlineSet.contains(r._1))
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(headline)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
