@@ -131,9 +131,12 @@ object implicits {
       * (per-key routing, disjoint, complementary, partitioning-independent)
       * plus CROSS-ENGINE determinism — md5 of the decimal string form is
       * identical in any engine, so the split is reproducible outside Spark
-      * (and DuckDB-oracle-checkable). Granularity is 1/65536; prefer
-      * [[splitByHash]] (xxhash64 — cheaper per row) when the split only
-      * ever needs to be reproduced inside Spark.
+      * (and DuckDB-oracle-checkable). Granularity is 1/65536 — fractions
+      * under that are rejected (they would silently yield an empty train
+      * side); prefer [[splitByHash]] (xxhash64 — cheaper per row) when the
+      * split only ever needs to be reproduced inside Spark. NULL keys hash
+      * a sentinel, so they route to ONE side like any other key value and
+      * the complete+disjoint guarantee holds for them too.
       */
     def splitByHexHash(keyCol: String, trainFraction: Double)
         : (DataFrame, DataFrame) = {
@@ -141,8 +144,13 @@ object implicits {
         throw new IllegalArgumentException(
           s"train fraction should be in (0, 1) range, got: $trainFraction")
       }
-      import org.apache.spark.sql.functions.{col, md5, substring}
-      val route = substring(md5(col(keyCol).cast("string")), 1, 4)
+      if ((trainFraction * 65536).toInt < 1) {
+        throw new IllegalArgumentException(
+          s"train fraction below the 1/65536 routing granularity: $trainFraction")
+      }
+      import org.apache.spark.sql.functions.{coalesce, col, lit, md5, substring}
+      val route = substring(
+        md5(coalesce(col(keyCol).cast("string"), lit("\u0000null-key"))), 1, 4)
       val cut = f"${(trainFraction * 65536).toInt min 65535}%04x"
       (df.filter(route < cut), df.filter(route >= cut))
     }

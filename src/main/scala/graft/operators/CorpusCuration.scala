@@ -128,7 +128,11 @@ object CorpusCuration {
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
 
-    val digest = md5(col(textCol)) // 128-bit content key for the exact join
+    // 128-bit content key for the exact join. NULL text digests a sentinel
+    // (md5(null) is null, which would satisfy NEITHER filter branch and
+    // silently drop the row): null-text rows dedup against each other and
+    // against null-text corpus rows, like any other content value.
+    val digest = md5(coalesce(col(textCol), lit("\u0000null-text")))
     val bloomDf = corpus.select(columnOf(
       BloomFilterAggregate(
         expressionOf(xxhash64(digest)),

@@ -227,15 +227,20 @@ object GraftDedup {
     *   - ≤ `smallGraphPairs` long-id pairs (the normal case — near-dup
     *     pairs are rare relative to the corpus, ~1% of docs even at 100 TB):
     *     one EXECUTOR task runs union-find with path compression and
-    *     union-by-min over the whole edge list. ~16 bytes/pair of task
-    *     memory, zero iteration latency, no driver-side data.
-    *   - larger (or non-integral ids): hash-min label propagation — every
-    *     id starts labeled with itself, each round takes the min label in
-    *     its closed neighborhood, one skinny (id, label) shuffle per round,
-    *     O(cluster diameter) rounds bounded by `maxIter`, per-round persist
-    *     with a convergence probe on the cached frame. The BSP/Pregel
-    *     shape — the one operator family where driver-side iteration is
-    *     the correct design.
+    *     union-by-min over the whole edge list in a primitive flat-array
+    *     map — ~32 bytes per NODE (≤ 2·pairs nodes ⇒ ~512 MB worst case
+    *     at the default threshold, well inside one task's share), zero
+    *     iteration latency, no driver-side data.
+    *   - larger (or non-integral ids): hash-min label propagation with
+    *     pointer jumping — every id starts labeled with itself, each round
+    *     takes the min label in its closed neighborhood THEN shortcuts to
+    *     its label's label, so convergence is O(log cluster diameter)
+    *     rounds (maxIter 20 covers diameters past 10^6), two skinny
+    *     (id, label) shuffles per round, per-round persist with a
+    *     convergence probe on the cached frame. Throws rather than return
+    *     unconverged (= wrong) labels if `maxIter` is ever exhausted. The
+    *     BSP/Pregel shape — the one operator family where driver-side
+    *     iteration is the correct design.
     *
     * Returns (id, component) for every id in `pairs`, component = min id
     * of the cluster. Deterministic for any input order, partitioning, or
@@ -268,25 +273,33 @@ object GraftDedup {
     val session = p.sparkSession
     import session.implicits._
     p.as[(Long, Long)].repartition(1).mapPartitions { it =>
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      // Open-addressing long→long map (linear probing, power-of-two
+      // capacity, load ≤ 0.5): ~32 B/node of flat array — a boxed
+      // mutable.HashMap[Long, Long] costs 50-100 B/entry in object
+      // headers alone, which at the 4M-pair dispatch threshold (up to 8M
+      // nodes) is the difference between ~256 MB and an executor OOM.
+      val parent = new LongLongMap(1 << 16)
       def find(x: Long): Long = {
         var r = x
-        while (parent.getOrElse(r, r) != r) r = parent(r)
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
         var c = x // path compression
         while (parent.getOrElse(c, c) != c) {
-          val nxt = parent(c); parent(c) = r; c = nxt
+          val nxt = parent.getOrElse(c, c); parent.put(c, r); c = nxt
         }
         r
       }
       for ((a, b) <- it) {
         val ra = find(a)
         val rb = find(b)
-        parent.getOrElseUpdate(ra, ra)
-        parent.getOrElseUpdate(rb, rb)
-        if (ra < rb) parent(rb) = ra
-        else if (rb < ra) parent(ra) = rb
+        if (!parent.contains(ra)) parent.put(ra, ra)
+        if (!parent.contains(rb)) parent.put(rb, rb)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
       }
-      parent.keysIterator.map(id => (id, find(id))).toArray.iterator
+      val out = new Array[(Long, Long)](parent.size)
+      var i = 0
+      parent.foreachKey { id => out(i) = (id, find(id)); i += 1 }
+      out.iterator
     }.toDF("id", "component")
   }
 
@@ -297,35 +310,58 @@ object GraftDedup {
       .unionAll(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
       .persist()
-    var pinnedRound = edges.select(col("src").as("id")).distinct()
+    // localCheckpoint (not persist) each round: the round body references
+    // `labels` three times, so carrying lineage across rounds would grow
+    // the logical plan 3^rounds — checkpointing makes each round's result
+    // a leaf (blocks are reclaimed by the ContextCleaner as old rounds
+    // become unreachable). Eager, so the convergence probe reads blocks.
+    var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .withColumn("__old", col("id"))
-      .persist()
-    var labels = pinnedRound.select("id", "component")
+      .localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // min label over the closed neighborhood {v} ∪ N(v); the previous
-      // label rides along as __old so the convergence probe needs no extra
-      // join — one shuffle round + one cheap probe on the cached frame
+      // One round = min label over the closed neighborhood {v} ∪ N(v),
+      // THEN a pointer-jumping shortcut (component ← label of component —
+      // every component value is itself an id in `labels`, initially and
+      // inductively, since labels only ever take existing min-label
+      // values). Plain neighbor-min alone needs O(cluster diameter)
+      // rounds, so a duplication CHAIN longer than maxIter would silently
+      // split one true cluster; the shortcut doubles the label-tree hop
+      // distance per round, making convergence O(log diameter) — maxIter
+      // 20 covers diameters past 10^6. The previous label rides along as
+      // __old so the convergence probe needs no extra join.
       val fromNeighbors = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .groupBy(col("dst").as("id"))
         .agg(min(col("component")).as("nc"))
-      val next = labels.join(fromNeighbors, Seq("id"), "left")
+      val hopped = labels.join(fromNeighbors, Seq("id"), "left")
         .select(col("id"),
                 least(col("component"), coalesce(col("nc"), col("component")))
                   .as("component"),
                 col("component").as("__old"))
-        .persist()
+      val next = hopped
+        .join(labels.select(col("id").as("component"),
+                            col("component").as("__cc")),
+              Seq("component"), "left")
+        .select(col("id"),
+                least(col("component"), coalesce(col("__cc"), col("component")))
+                  .as("component"),
+                col("__old"))
+        .localCheckpoint()
       converged = next.filter(col("component") =!= col("__old")).isEmpty
-      pinnedRound.unpersist()
-      pinnedRound = next
       labels = next.select("id", "component")
       iter += 1
     }
     edges.unpersist()
-    pin(pinnedRound) // released via unpersistAll, like the signature tables
+    if (!converged) {
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+        "component labels would be WRONG (one cluster split into several)." +
+        " Raise maxIter; with pointer jumping each round doubles the " +
+        "reachable label distance, so +1 round doubles the coverable " +
+        "cluster diameter.")
+    }
     labels
   }
 

@@ -298,6 +298,31 @@ class OperatorLibSpec extends GraftFunSuite {
     }
   }
 
+  test("connectedComponents: a chain longer than maxIter still converges " +
+       "(pointer jumping), ids at the long-domain edge survive") {
+    import graft.operators.GraftDedup
+    // diameter-63 chain through the ITERATIVE tier with maxIter 20:
+    // plain one-hop hash-min would need 63 rounds and silently split the
+    // cluster (the r3 advice bug); pointer jumping closes it in O(log n)
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val got = GraftDedup.connectedComponents(chain, smallGraphPairs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L), got)
+    // … and rather than EVER return wrong labels, an unreachable budget
+    // throws (maxIter = 1 cannot close a diameter-63 chain)
+    intercept[IllegalStateException] {
+      GraftDedup.connectedComponents(chain, smallGraphPairs = 0L,
+        maxIter = 1).collect()
+    }
+    // union-find tier: Long.MinValue is a legal id (it doubles as the
+    // primitive map's empty-slot sentinel — must be carried out-of-band)
+    val edge = Seq((Long.MinValue, 5L), (5L, 7L)).toDF("a_id", "b_id")
+    val uf = GraftDedup.connectedComponents(edge)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(uf == Map(Long.MinValue -> Long.MinValue, 5L -> Long.MinValue,
+                     7L -> Long.MinValue), uf)
+  }
+
   test("dedupByComponents keeps one doc per transitive cluster") {
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 9L).map(i => (i, s"doc$i"))
       .toDF("doc_id", "text")
@@ -342,6 +367,24 @@ class OperatorLibSpec extends GraftFunSuite {
         md5(col("text")) === col("__d"), "left_anti")
       .select("doc_id").as[Long].collect().toSet
     assert(viaBloom == plain && viaBloom.nonEmpty)
+  }
+
+  test("incrementalNew classifies NULL-text rows instead of dropping them") {
+    // md5(null) is null — before the sentinel fix a null-text incoming row
+    // satisfied neither bloom branch and vanished from the output
+    val corpusNoNull = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val incoming = Seq((10L, "aaa"), (11L, null.asInstanceOf[String]),
+                       (12L, "bbb")).toDF("doc_id", "text")
+    val outNew = CorpusCuration.incrementalNew(incoming, corpusNoNull,
+        expectedItems = 10L, numBits = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(outNew == Set(11L, 12L), outNew) // null text is NEW here
+    val corpusWithNull = Seq((1L, "aaa"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val outDup = CorpusCuration.incrementalNew(incoming, corpusWithNull,
+        expectedItems = 10L, numBits = 200L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(outDup == Set(12L), outDup) // …and a DUP of corpus null text here
   }
 
   test("CorpusCuration.qualityFilter runs unchanged on a streaming frame") {

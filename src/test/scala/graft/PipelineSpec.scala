@@ -60,4 +60,22 @@ class PipelineSpec extends GraftFunSuite {
     assert(train2.select("doc_id").except(train.select("doc_id")).count() == 0)
     intercept[IllegalArgumentException](docs.splitByHexHash("doc_id", 0.0))
   }
+
+  test("splitByHexHash: NULL keys route to exactly one side; sub-granularity " +
+       "fractions are rejected") {
+    import graft.implicits._
+    import spark.implicits._
+    // md5(null) is null — before the sentinel fix a null-key row fell out
+    // of BOTH sides, breaking the complete+disjoint contract
+    val rows = Seq((Some(1L), "a"), (None, "b"), (None, "c"), (Some(2L), "d"))
+      .toDF("k", "v")
+    val (tr, te) = rows.splitByHexHash("k", 0.5)
+    assert(tr.count() + te.count() == 4, "null-key rows must not vanish")
+    assert(tr.intersect(te).count() == 0)
+    // determinism: both null rows land on the SAME side (same sentinel hash)
+    val nullSides = Seq(tr, te).map(_.filter(col("k").isNull).count())
+    assert(nullSides.contains(2L) && nullSides.contains(0L), nullSides)
+    // 1/100000 < 1/65536 would floor to an empty train side — reject
+    intercept[IllegalArgumentException](rows.splitByHexHash("k", 0.00001))
+  }
 }
