@@ -14,7 +14,9 @@ object PlanDump {
                     "text_vocab_tfidf", "dedup_canonical", "src_bucketed_join",
                     "q_percentile_exact", "q_lateral", "events_sliding",
                     "pipeline_contamination", "sample_fixed_size",
-                    "ann_quantized_topk", "dedup_incremental")
+                    "ann_quantized_topk", "dedup_incremental",
+                    "pipeline_sequence_pack", "text_bm25_topk",
+                    "text_chunk_windows")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

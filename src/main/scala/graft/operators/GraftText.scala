@@ -60,6 +60,25 @@ object GraftText {
               i => concat_ws(" ", (0 until n).map(j => element_at(
                 tk, (i + j + 1).cast("int"))): _*))
 
+  /** Overlapping token windows of width `window` every `stride` tokens —
+    * the doc→chunk explode feeding embedding/retrieval pipelines. Chunk i
+    * covers tokens [i·stride, i·stride + window); the last chunk may be
+    * shorter; a doc with ≤ `window` tokens yields exactly one chunk (its
+    * whole token array; empty-token docs yield one empty chunk — callers
+    * filter empties first, as the catalog does). Returns an ARRAY of
+    * space-joined chunk strings; explode with `posexplode` for
+    * (chunk_idx, chunk) rows. Pure map — codegen'd, zero shuffle.
+    */
+  def chunkWindows(tk: Column, window: Int, stride: Int): Column = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val lastStart = // index of the final chunk's first token
+      ceil((greatest(size(tk) - window, lit(0))).cast("double") / stride)
+        .cast("int")
+    transform(sequence(lit(0), lastStart),
+              i => concat_ws(" ", slice(tk, i * stride + 1, lit(window))))
+  }
+
   /** Duplicate word-n-gram ratio — the intra-document repetition signal
     * (Gopher/C4 "repeated paragraphs" heuristic at word granularity).
     */

@@ -198,5 +198,66 @@ object PipelineQueries extends QueryModule {
         |            THEN 'train' ELSE 'test' END AS split,
         |       lang, count(*) AS n
         |FROM documents GROUP BY 1, 2""".stripMargin)),
+
+    // Sequence packing: assign docs to fixed-capacity (512-token) context
+    // windows without splitting docs, sharded by language so each shard
+    // packs independently — [[graft.operators.TrainingPack.packBySize]].
+    // pack_id = floor(exclusive-cumsum(tokens) / 512) in doc_id order:
+    // pure window cumsum, deterministic, cross-engine (full hash oracle).
+    // Scale: ONE shuffle on the shard key; never a global sort.
+    GraftQuery(
+      "pipeline_sequence_pack",
+      (s, dir) => {
+        import graft.operators.TrainingPack
+        val counted = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+                  size(graft.operators.GraftText.whitespaceTokens(col("text")))
+                    .cast("long").as("n_tokens"))
+        TrainingPack.packBySize(counted, tokenCol = "n_tokens",
+          orderCol = "doc_id", maxTokens = 512L, shardCols = Seq("lang"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+        |         - n_tokens AS BIGINT) AS stream_offset
+        |  FROM d)
+        |SELECT doc_id, lang, n_tokens, stream_offset,
+        |  CAST(floor(stream_offset / 512.0) AS BIGINT) AS pack_id
+        |FROM o""".stripMargin)),
+
+    // Pack-level utilization audit over the same packing: docs and tokens
+    // per (lang, pack) — how full the context windows run. A pack may
+    // exceed 512 by its last doc's overflow (boundary-preserving packing).
+    GraftQuery(
+      "pipeline_pack_summary",
+      (s, dir) => {
+        import graft.operators.TrainingPack
+        val counted = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+                  size(graft.operators.GraftText.whitespaceTokens(col("text")))
+                    .cast("long").as("n_tokens"))
+        TrainingPack.packSummary(
+          TrainingPack.packBySize(counted, tokenCol = "n_tokens",
+            orderCol = "doc_id", maxTokens = 512L, shardCols = Seq("lang")),
+          tokenCol = "n_tokens", shardCols = Seq("lang"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    CAST(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+        |         - n_tokens AS BIGINT) AS stream_offset
+        |  FROM d)
+        |SELECT lang, CAST(floor(stream_offset / 512.0) AS BIGINT) AS pack_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM o GROUP BY 1, 2""".stripMargin)),
   )
 }

@@ -275,5 +275,72 @@ object TextQueries extends QueryModule {
         |SELECT text_md5, n_copies, doc_id AS canonical_id,
         |  n_chars AS canonical_chars
         |FROM r WHERE rn = 1""".stripMargin)),
+
+    // Doc → overlapping token-window chunks (width 32, stride 24) — the
+    // explode feeding embedding/retrieval pipelines. Pure map + generator:
+    // whole-stage codegen, zero shuffle, columns pruned to (doc_id, text).
+    // Chunk i covers tokens [24i, 24i+32); the last chunk may be shorter.
+    GraftQuery(
+      "text_chunk_windows",
+      (s, dir) =>
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+                  GraftText.whitespaceTokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 1)
+          .select(col("doc_id"),
+                  posexplode(GraftText.chunkWindows(col("tk"), 32, 24)))
+          .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+                  size(GraftText.whitespaceTokens(col("col")))
+                    .cast("long").as("n_chunk_tokens"),
+                  col("col").as("chunk")),
+      Some("""WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 1),
+        |x AS (
+        |  SELECT doc_id, tk, unnest(range(0,
+        |    CAST(ceil(greatest(len(tk) - 32, 0) / 24.0) AS BIGINT) + 1))
+        |    AS chunk_idx
+        |  FROM d),
+        |c AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(list_slice(tk, chunk_idx * 24 + 1,
+        |                               chunk_idx * 24 + 32), ' ') chunk
+        |  FROM x)
+        |SELECT doc_id, chunk_idx,
+        |  len(regexp_split_to_array(chunk, '\s+')) AS n_chunk_tokens, chunk
+        |FROM c""".stripMargin)),
+
+    // BM25 top-20 for a keyword query — Robertson/Spärck-Jones with the
+    // Lucene +1 IDF smoothing ([[graft.operators.TextRank.bm25TopK]]).
+    // RANKS are the contract (integers — the fractional score stays
+    // internal, immune to cross-engine float-rendering drift); ties break
+    // on doc_id. Scale shape: term filter inside the explode-select so
+    // only query-term rows shuffle; df/stats attach by broadcast; top-k is
+    // TakeOrderedAndProject.
+    GraftQuery(
+      "text_bm25_topk",
+      (s, dir) =>
+        graft.operators.TextRank.bm25TopK(
+          t(s, dir, "documents"),
+          queryTerms = Seq("spark", "vector", "join"), k = 20),
+      Some("""WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) n, avg(len(tk)) avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
+        |  WHERE term IN ('spark', 'vector', 'join') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id,
+        |    sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) score,
+        |    count(*) n_terms_hit
+        |  FROM tf JOIN df USING (term), stats GROUP BY doc_id)
+        |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        |  doc_id, n_terms_hit
+        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
   )
 }

@@ -20,6 +20,90 @@ class OperatorLibSpec extends GraftFunSuite {
     assert(grams(5) == Seq("a b c d e"))
   }
 
+  test("GraftText.chunkWindows: coverage, overlap, and edge cases") {
+    def chunks(text: String, w: Int, s: Int): Seq[String] =
+      Seq(text).toDF("text")
+        .select(GraftText.chunkWindows(
+          GraftText.whitespaceTokens(col("text")), w, s).as("c"))
+        .head().getSeq[String](0)
+    // 7 tokens, window 3 stride 2 → starts 0,2,4 (4 covers through 6)
+    assert(chunks("a b c d e f g", 3, 2) ==
+           Seq("a b c", "c d e", "e f g"))
+    // last chunk shorter when stride doesn't land flush
+    assert(chunks("a b c d e f", 4, 3) == Seq("a b c d", "d e f"))
+    // doc shorter than the window → exactly one whole-doc chunk
+    assert(chunks("a b", 5, 5) == Seq("a b"))
+    // exact multiple: no empty trailing chunk
+    assert(chunks("a b c d", 2, 2) == Seq("a b", "c d"))
+    // every token index is covered by at least one chunk (stride ≤ window)
+    val all = chunks("t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", 4, 3)
+    assert((0 until 10).forall(i => all.exists(_.contains(s"t$i"))))
+    intercept[IllegalArgumentException](
+      GraftText.chunkWindows(col("x"), 2, 3)) // stride > window
+  }
+
+  test("TrainingPack.packBySize: no doc split, shard-local ids, capacity") {
+    import graft.operators.TrainingPack
+    val docs = Seq(
+      ("en", 1L, 300L), ("en", 2L, 300L), ("en", 3L, 100L),
+      ("en", 4L, 600L), ("de", 10L, 512L), ("de", 11L, 1L))
+      .toDF("lang", "doc_id", "n_tokens")
+    val packed = TrainingPack.packBySize(docs, "n_tokens", "doc_id",
+        maxTokens = 512L, shardCols = Seq("lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+                (r.getLong(3), r.getLong(4))).toMap
+    // en stream offsets: 0, 300, 600, 700 → packs 0, 0, 1, 1
+    assert(packed(("en", 1L)) == (0L, 0L))
+    assert(packed(("en", 2L)) == (300L, 0L)) // overflows pack 0 — not split
+    assert(packed(("en", 3L)) == (600L, 1L))
+    assert(packed(("en", 4L)) == (700L, 1L))
+    // de shard restarts at offset 0 (shard-local packing)
+    assert(packed(("de", 10L)) == (0L, 0L))
+    assert(packed(("de", 11L)) == (512L, 1L)) // exact-fit doc closes pack 0
+    // partitioning-independence
+    val again = TrainingPack.packBySize(docs.repartition(5), "n_tokens",
+        "doc_id", 512L, Seq("lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+                (r.getLong(3), r.getLong(4))).toMap
+    assert(again == packed)
+    // summary accounts every doc and token exactly once
+    val sums = TrainingPack.packSummary(
+        TrainingPack.packBySize(docs, "n_tokens", "doc_id", 512L,
+          Seq("lang")), "n_tokens", Seq("lang"))
+      .agg(sum("n_docs"), sum("n_tokens")).head()
+    assert(sums.getLong(0) == 6L && sums.getLong(1) == 1813L)
+    intercept[IllegalArgumentException](
+      TrainingPack.packBySize(docs, "n_tokens", "doc_id", 0L))
+  }
+
+  test("TextRank.bm25TopK: rarity and frequency ordering, determinism") {
+    import graft.operators.TextRank
+    // 'rare' appears in one doc, 'common' in three; equal doc lengths
+    val docs = Seq(
+      (1L, "rare pad pad pad"),
+      (2L, "common pad pad pad"),
+      (3L, "common common pad pad"),
+      (4L, "common pad pad pad"),
+      (5L, "nohit pad pad pad")).toDF("doc_id", "text")
+    val got = TextRank.bm25TopK(docs, Seq("rare", "common"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // only matching docs rank; doc 5 (no query term) is absent
+    assert(got.map(_._2).toSet == Set(1L, 2L, 3L, 4L))
+    val rankOf = got.map(t => t._2 -> t._1).toMap
+    // the rare-term doc outranks any common-term doc (IDF dominance)
+    assert(rankOf(1L) == 1L, got.mkString(", "))
+    // higher tf of the same term outranks lower tf (same dl)
+    assert(rankOf(3L) < rankOf(2L))
+    // equal scores break ties by doc_id: docs 2 and 4 are identical
+    assert(rankOf(2L) < rankOf(4L) && rankOf(4L) == rankOf(2L) + 1)
+    intercept[IllegalArgumentException](
+      TextRank.bm25TopK(docs, Nil, k = 5))
+    intercept[IllegalArgumentException](
+      TextRank.bm25TopK(docs, Seq("x"), k = 0))
+  }
+
   test("GraftText.repetitionRatio flags repeated trigrams") {
     val df = Seq(
       ("clean", "one two three four five six"),
