@@ -303,4 +303,36 @@ object GraftSimilarity {
            .join(ScaleHints.gated(q), "q_id")
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
+
+  /** SemDeDup-style semantic dedup assignment: vectors whose cosine
+    * similarity reaches `threshold` are clustered transitively
+    * ([[GraftDedup.connectedComponents]] over the pair list) and each
+    * cluster keeps its min-id member. Returns one row per input vector:
+    * (idCol, cluster_id, kept) — unpaired vectors form singleton clusters
+    * and are always kept; downstream corpus dedup is a semi join on the
+    * kept ids.
+    *
+    * Pair mining defaults to the exact [[cosinePairs]] tier (the
+    * oracle-checkable baseline, inherently quadratic); at 100 TB pass a
+    * pre-mined `pairs` frame from the SRP-LSH candidate path instead —
+    * the closure and assignment stages are identical either way, and the
+    * cluster attach is size-gated (near-dup clusters are a sliver of the
+    * corpus).
+    */
+  def semanticAssignments(df: DataFrame, threshold: Double,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding",
+                          pairs: Option[DataFrame] = None): DataFrame = {
+    val p = pairs.getOrElse(
+      cosinePairs(df, threshold, idCol = idCol, vecCol = vecCol)
+        .select("a_id", "b_id"))
+    val comp = GraftDedup.connectedComponents(p)
+      .withColumnRenamed("id", idCol)
+    df.select(col(idCol))
+      .join(ScaleHints.gated(comp), Seq(idCol), "left")
+      .select(col(idCol),
+              coalesce(col("component"), col(idCol)).as("cluster_id"),
+              (coalesce(col("component"), col(idCol)) === col(idCol))
+                .as("kept"))
+  }
 }

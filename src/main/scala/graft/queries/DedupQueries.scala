@@ -334,5 +334,34 @@ object DedupQueries extends QueryModule {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         |                             b.embedding::DOUBLE[]) >= 0.35""".stripMargin)),
+
+    // SemDeDup-style semantic dedup: cosine-similar vectors cluster
+    // transitively; each cluster keeps its min-id member, singletons are
+    // always kept. Pair mining here is the exact cosine tier (so the
+    // oracle can replicate it); at 100 TB callers feed the SRP-LSH pair
+    // path into the same closure ([[GraftSimilarity.semanticAssignments]]).
+    GraftQuery(
+      "dedup_semantic",
+      (s, dir) =>
+        graft.operators.GraftSimilarity.semanticAssignments(
+          t(s, dir, "embeddings"), threshold = 0.35),
+      Some("""WITH RECURSIVE p AS (
+        |  SELECT a.vec_id a_id, b.vec_id b_id
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding::DOUBLE[],
+        |                               b.embedding::DOUBLE[]) >= 0.35),
+        |ed AS (SELECT a_id s, b_id d FROM p
+        |       UNION SELECT b_id, a_id FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM ed
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s),
+        |comp AS (
+        |  SELECT s AS vec_id, least(s, min(d)) AS cluster_id
+        |  FROM reach GROUP BY s)
+        |SELECT e.vec_id,
+        |  coalesce(c.cluster_id, e.vec_id) AS cluster_id,
+        |  coalesce(c.cluster_id, e.vec_id) = e.vec_id AS kept
+        |FROM embeddings e LEFT JOIN comp c USING (vec_id)""".stripMargin)),
   )
 }

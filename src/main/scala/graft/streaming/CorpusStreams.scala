@@ -1,0 +1,46 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming forms of the corpus-curation stages — the
+  * incremental twins of [[graft.operators.CorpusCuration]], for the
+  * crawl-as-it-arrives shape where re-running batch dedup per increment
+  * is the thing to avoid.
+  */
+object CorpusStreams {
+
+  /** Streaming exact dedup: the FIRST arrival of each content digest
+    * passes, later duplicates are dropped — the incremental twin of
+    * [[graft.operators.CorpusCuration.exactDedup]] (which keeps one row
+    * per digest in batch) and the streaming complement of
+    * [[graft.operators.CorpusCuration.incrementalNew]] (which dedups an
+    * increment against a static history).
+    *
+    * State is the digest set, keyed by md5 in the state store (one
+    * shuffle on the digest); the event-time watermark bounds it — a
+    * duplicate arriving more than `dedupWindow` after its original MAY
+    * pass again (state for older digests is reclaimed), the standard
+    * bounded-state trade. NULL text digests a sentinel, so null-text rows
+    * dedup against each other like any content value.
+    */
+  def dedupStream(docs: DataFrame, textCol: String = "text",
+                  tsCol: String = "ts",
+                  dedupWindow: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__d", md5(coalesce(col(textCol), lit("\u0000null-text"))))
+      .withWatermark(tsCol, dedupWindow)
+      .dropDuplicatesWithinWatermark("__d")
+      .drop("__d")
+
+  /** Streaming quality gate: the pure-map filter stages apply to a stream
+    * unchanged (token-count bounds, stopword ratio) — provided here so
+    * stream pipelines compose gate → dedup without importing the batch
+    * module's whole surface.
+    */
+  def qualityGate(docs: DataFrame, textCol: String = "text",
+                  minTokens: Int = 20, maxStopRatio: Double = 0.5)
+      : DataFrame =
+    graft.operators.CorpusCuration.qualityFilter(
+      docs, textCol, minTokens, maxStopRatio).drop("tk")
+}

@@ -85,4 +85,31 @@ class SimilaritySpec extends GraftFunSuite {
     // nearest neighbor of doc 10 is its near-duplicate 13, then anything else
     assert(out.length == 2 && out(0) == (10L, 13L, 1L), out.toSeq)
   }
+
+  test("semanticAssignments: transitive clusters keep min id, singletons " +
+       "kept, pre-mined pairs plug in") {
+    import spark.implicits._
+    // 1≈2 and 2≈3 (chain — 1 and 3 are NOT directly similar), 9 isolated
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.436f)),   // cos(1,2) ≈ 0.9, cos(2,3) ≈ 0.9
+      (3L, Array(0.62f, 0.785f)),  // cos(1,3) ≈ 0.62 < 0.8
+      (9L, Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.operators.GraftSimilarity
+      .semanticAssignments(vecs, threshold = 0.8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(got == Map(1L -> ((1L, true)), 2L -> ((1L, false)),
+                      3L -> ((1L, false)), 9L -> ((9L, true))), got)
+    // the 100-TB path: an externally mined (LSH-tier) pair list drives the
+    // same closure/assignment stages
+    val minedPairs = Seq((1L, 3L)).toDF("a_id", "b_id")
+    val viaPairs = graft.operators.GraftSimilarity
+      .semanticAssignments(vecs, threshold = 0.8, pairs = Some(minedPairs))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2))))
+      .toMap
+    assert(viaPairs == Map(1L -> ((1L, true)), 2L -> ((2L, true)),
+                           3L -> ((1L, false)), 9L -> ((9L, true))), viaPairs)
+  }
 }

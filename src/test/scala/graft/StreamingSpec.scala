@@ -274,4 +274,30 @@ class StreamingSpec extends GraftFunSuite {
       assert(batch.size > 100)
     } finally q.stop()
   }
+
+  test("dedupStream: first arrival passes, cross-batch duplicates drop, " +
+       "null text dedups like a value") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusStreams.dedupStream(df, dedupWindow = "10 hours")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(
+        (1L, ts(0), "alpha"), (2L, ts(1), "beta"),
+        (3L, ts(2), "alpha"),                          // in-batch dup
+        (4L, ts(3), null.asInstanceOf[String])))
+      q.processAllAvailable()
+      input.addData(Seq(
+        (5L, ts(10), "beta"),                          // cross-batch dup
+        (6L, ts(11), "gamma"),                         // new content
+        (7L, ts(12), null.asInstanceOf[String])))      // dup of null text
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 4L, 6L), kept)
+    } finally q.stop()
+  }
 }
