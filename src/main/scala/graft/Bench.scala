@@ -57,7 +57,8 @@ object Bench {
       "q1_agg", "q3_join_agg", "q5_multi_join", "q_filter_topk",
       "q_window_rank", "q_sort_global", "q_percentile_exact",
       "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-      "dedup_embedding_cosine", "dedup_components",
+      "dedup_embedding_cosine", "dedup_components", "dedup_semantic",
+      "pipeline_sequence_pack", "text_bm25_topk",
       "ann_cosine_topk", "ann_ivf_topk", "ann_quantized_topk",
       "text_vocab_tfidf", "text_quality_rules",
       "events_sessionize", "events_asof_join", "events_range_join",

@@ -153,6 +153,33 @@ object CorpusCuration {
     definitelyNew.unionByName(verified).drop("__d")
   }
 
+  /** Weighted sample WITHOUT replacement, exactly `k` rows, selection
+    * probability ∝ `weightCol` — Efraimidis–Spirakis A-ES with the random
+    * draw derandomized to a hash: u = (md5₃₂(key) + 1) / 2³², selection
+    * key = ln(u) / w, keep the k largest. Deterministic,
+    * partitioning-independent, cross-engine reproducible (the same two
+    * IEEE ops from the same hash in any engine), and planned as
+    * TakeOrderedAndProject — per-partition top-k, never a global sort, so
+    * "give me 100k docs weighted by quality score from 100 TB" ships
+    * k·P candidate rows, not the corpus.
+    *
+    * Rows with non-positive weight have probability 0 and are excluded
+    * (E-S is undefined there). Ties (same key) break on `keyCol`.
+    */
+  def weightedSample(docs: DataFrame, k: Int, weightCol: String,
+                     keyCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val h = conv(substring(md5(col(keyCol).cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val esKey = log((h + 1).cast("double") / lit(4294967296.0)) /
+      col(weightCol)
+    docs.filter(col(weightCol) > 0)
+      .withColumn("__es_key", esKey)
+      .orderBy(col("__es_key").desc, col(keyCol).asc)
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** Per-stratum deterministic sampling by md5-hex threshold: a row is kept
     * iff the first 4 hex chars of md5(key) fall under its stratum's
     * threshold `floor(rate * 16^4)`. Pure map — deterministic,

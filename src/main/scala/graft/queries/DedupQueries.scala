@@ -57,16 +57,32 @@ object DedupQueries extends QueryModule {
     lshPairsCache.computeIfAbsent((s, dir),
                                   _ => buildLshPairs(s, dir).persist())
 
+  private val cosinePairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Exact cosine near-dup pairs over `embeddings` at cos ≥ 0.35, memoized
+    * per (session, sf-dir) and persisted — the all-pairs scan is the
+    * quadratic exact tier, so `dedup_embedding_cosine` and
+    * `dedup_semantic` must share ONE scan per run, not pay it each.
+    * Released by [[unpersistCache]] with the LSH caches.
+    */
+  def cosinePairs(s: SparkSession, dir: String): DataFrame =
+    cosinePairsCache.computeIfAbsent((s, dir),
+      _ => graft.operators.GraftSimilarity
+        .cosinePairs(t(s, dir, "embeddings"), threshold = 0.35).persist())
+
   /** Release every memoized pair frame AND the signature tables the
     * library pinned under them ([[graft.operators.GraftDedup.unpersistAll]]).
     * A long-lived session running corpus after corpus calls this between
     * corpora so the previous corpus's storage doesn't accumulate.
     */
   def unpersistCache(): Unit = {
-    val it = lshPairsCache.entrySet().iterator()
-    while (it.hasNext) {
-      it.next().getValue.unpersist(blocking = true)
-      it.remove()
+    Seq(lshPairsCache, cosinePairsCache).foreach { cache =>
+      val it = cache.entrySet().iterator()
+      while (it.hasNext) {
+        it.next().getValue.unpersist(blocking = true)
+        it.remove()
+      }
     }
     graft.operators.GraftDedup.unpersistAll()
   }
@@ -325,9 +341,7 @@ object DedupQueries extends QueryModule {
     // SRP-LSH (`ann_lsh_bucket`) candidates + rerank.
     GraftQuery(
       "dedup_embedding_cosine",
-      (s, dir) =>
-        graft.operators.GraftSimilarity.cosinePairs(
-          t(s, dir, "embeddings"), threshold = 0.35),
+      (s, dir) => cosinePairs(s, dir),
       Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[],
         |                               b.embedding::DOUBLE[]), 4) AS cos
@@ -344,7 +358,8 @@ object DedupQueries extends QueryModule {
       "dedup_semantic",
       (s, dir) =>
         graft.operators.GraftSimilarity.semanticAssignments(
-          t(s, dir, "embeddings"), threshold = 0.35),
+          t(s, dir, "embeddings"), threshold = 0.35,
+          pairs = Some(cosinePairs(s, dir).select("a_id", "b_id"))),
       Some("""WITH RECURSIVE p AS (
         |  SELECT a.vec_id a_id, b.vec_id b_id
         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

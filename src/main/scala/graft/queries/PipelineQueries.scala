@@ -178,6 +178,25 @@ object PipelineQueries extends QueryModule {
         |SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_id
         |FROM s GROUP BY lang""".stripMargin)),
 
+    // Weighted sample without replacement (probability ∝ doc length):
+    // Efraimidis–Spirakis with the draw derandomized to md5 —
+    // [[graft.operators.CorpusCuration.weightedSample]]. Same
+    // TakeOrderedAndProject scale shape as sample_fixed_size; the
+    // selection KEY is fractional but stays internal — output columns are
+    // the selected rows' integers.
+    GraftQuery(
+      "sample_weighted",
+      (s, dir) =>
+        graft.operators.CorpusCuration.weightedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          k = 25, weightCol = "n_chars"),
+      Some("""WITH s AS (
+        |  SELECT doc_id, n_chars,
+        |    ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 1)
+        |       / 4294967296.0) / n_chars AS k
+        |  FROM documents WHERE n_chars > 0)
+        |SELECT doc_id, n_chars FROM s ORDER BY k DESC, doc_id LIMIT 25""".stripMargin)),
+
     // Hash-routed train/test split: per-key determinism prevents
     // near-duplicate leakage across the boundary. Routed on md5-hex
     // (splitByHexHash) so the split is cross-engine reproducible and the

@@ -78,4 +78,34 @@ class PipelineSpec extends GraftFunSuite {
     // 1/100000 < 1/65536 would floor to an empty train side — reject
     intercept[IllegalArgumentException](rows.splitByHexHash("k", 0.00001))
   }
+
+  test("weightedSample: deterministic E-S selection, weight-monotone, " +
+       "non-positive weights excluded") {
+    import graft.operators.CorpusCuration
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("n_chars"))
+    val sel = CorpusCuration.weightedSample(docs, k = 50,
+      weightCol = "n_chars").select("doc_id").as[Long].collect().toSet
+    assert(sel.size == 50)
+    // deterministic and partitioning-independent
+    val again = CorpusCuration.weightedSample(docs.repartition(7), k = 50,
+      weightCol = "n_chars").select("doc_id").as[Long].collect().toSet
+    assert(again == sel)
+    // selection probability rises with weight: the mean n_chars of the
+    // sample should clearly exceed the corpus mean (weights span ~10x)
+    val selMean = CorpusCuration.weightedSample(docs, 50, "n_chars")
+      .agg(avg("n_chars")).head().getDouble(0)
+    val allMean = docs.agg(avg("n_chars")).head().getDouble(0)
+    assert(selMean > allMean,
+      s"weighted mean $selMean should exceed corpus mean $allMean")
+    // a zero/negative-weight row can never be selected
+    val withZero = docs.unionByName(
+      Seq((99999L, 0L), (99998L, -5L)).toDF("doc_id", "n_chars"))
+    val z = CorpusCuration.weightedSample(withZero, k = 600, "n_chars")
+      .select("doc_id").as[Long].collect().toSet
+    assert(!z.contains(99999L) && !z.contains(99998L))
+    intercept[IllegalArgumentException](
+      CorpusCuration.weightedSample(docs, 0, "n_chars"))
+  }
 }
