@@ -168,4 +168,34 @@ class PlanSpec extends GraftFunSuite {
       s"bucketed join must not shuffle either side:\n$p")
     assert(p.contains("SelectedBucketsCount"), p)
   }
+
+  test("sequence packing shuffles ONCE (on the shard key), never globally") {
+    val p = planOf("pipeline_sequence_pack")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange:\n$p")
+    assert(p.contains("hashpartitioning(lang"),
+      s"the one shuffle must key on the shard column:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"sharded packing must not plan a global sort:\n$p")
+  }
+
+  test("chunk windows are a pure map: zero exchanges, pruned scan") {
+    val p = planOf("text_chunk_windows")
+    assert(!p.contains("Exchange"), s"chunking must not shuffle:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+           !read.contains("lang"), read)
+  }
+
+  test("BM25 and weighted sample take top-k via TakeOrderedAndProject, " +
+       "not a global sort") {
+    val bm25 = planOf("text_bm25_topk")
+    assert(bm25.contains("TakeOrderedAndProject"), bm25)
+    assert(bm25.contains("BroadcastHashJoin"),
+      s"df attach must broadcast:\n$bm25")
+    val ws = planOf("sample_weighted")
+    assert(ws.contains("TakeOrderedAndProject"), ws)
+    assert(!ws.contains("rangepartitioning"),
+      s"weighted sample must not global-sort:\n$ws")
+  }
 }
