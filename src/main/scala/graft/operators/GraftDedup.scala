@@ -186,6 +186,34 @@ object GraftDedup {
     * verify is the codegen merge-intersection over sorted chunk arrays,
     * attached size-gated. Avg chunk ≈ minLen + mask+1 bytes.
     */
+  /** Prefix/truncation duplicates: rows whose `textCol` is a strict or
+    * exact prefix of ANOTHER row's text — the crawl-truncation shape
+    * (same page fetched to different lengths), which n-gram Jaccard
+    * misses when the truncation is aggressive. Adds `is_prefix_dup` to
+    * every row.
+    *
+    * The test is one lexicographic window: sort by text; a text A
+    * prefixes SOME other text iff it prefixes its immediate successor
+    * (any A-prefixed string sorts after A and before every non-A-prefixed
+    * string above A, so the smallest one is adjacent). Exact duplicates
+    * are prefix-dups of each other except the last in (text, id) order —
+    * run after exact dedup to flag truncations only.
+    *
+    * Scale shape: ONE range-partitioned sort on the text key, zero joins,
+    * no pair blowup. At 100 TB, sort on a fixed-width prefix key
+    * (`substring(text, 1, k)`) and verify within equal-key groups so the
+    * shuffle ships k bytes per row instead of documents; the catalog form
+    * keeps whole-text ordering for cross-engine oracle parity.
+    */
+  def prefixDups(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(textCol).asc, col(idCol).asc)
+    df.withColumn("is_prefix_dup",
+      coalesce(lead(col(textCol), 1).over(w).startsWith(col(textCol)),
+               lit(false)))
+  }
+
   def cdcChunkPairs(df: DataFrame, idCol: String, textCol: String,
                     threshold: Double, minLen: Int = 32,
                     maskBits: Int = 6): DataFrame = {

@@ -349,6 +349,35 @@ object DedupQueries extends QueryModule {
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
         |                             b.embedding::DOUBLE[]) >= 0.35""".stripMargin)),
 
+    // Prefix/truncation dedup: docs whose text is a prefix of another
+    // doc's — the crawl-truncation duplicate that n-gram Jaccard misses
+    // ([[GraftDedup.prefixDups]]: one lexicographic window, zero joins).
+    // The corpus is augmented with deterministic 100-char truncations of
+    // every 50th doc so the operator has true positives to flag; both
+    // engines compute the same augmentation.
+    GraftQuery(
+      "dedup_prefix",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        val truncated = docs.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+                  substring(col("text"), 1, 100).as("text"))
+        graft.operators.GraftDedup.prefixDups(
+            docs.unionAll(truncated), "doc_id", "text")
+          .select("doc_id", "is_prefix_dup")
+      },
+      Some("""WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, substr(text, 1, 100) AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |w AS (
+        |  SELECT doc_id,
+        |    coalesce(starts_with(lead(text) OVER (ORDER BY text, doc_id),
+        |                         text), false) AS is_prefix_dup
+        |  FROM aug)
+        |SELECT doc_id, is_prefix_dup FROM w""".stripMargin)),
+
     // SemDeDup-style semantic dedup: cosine-similar vectors cluster
     // transitively; each cluster keeps its min-id member, singletons are
     // always kept. Pair mining here is the exact cosine tier (so the

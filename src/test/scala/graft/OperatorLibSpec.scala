@@ -453,6 +453,26 @@ class OperatorLibSpec extends GraftFunSuite {
     assert(viaBloom == plain && viaBloom.nonEmpty)
   }
 
+  test("prefixDups: non-adjacent prefixes found, exact dups flag all but " +
+       "last, null text safe") {
+    import graft.operators.GraftDedup
+    val docs = Seq(
+      (1L, "abc"),          // prefix of "abc xyz" AND "abcd" — but "abcd"
+      (2L, "abc xyz"),      //   sorts between: adjacency via the SMALLEST
+      (3L, "abcd"),         //   A-prefixed successor ("abc xyz") still works
+      (4L, "zzz"),          // prefix of nothing
+      (5L, "abc"),          // exact dup of 1 — 1 flags (5 is its successor)
+      (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = GraftDedup.prefixDups(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    // sorted order: null(6), "abc"(1), "abc"(5), "abc xyz"(2), "abcd"(3), "zzz"(4)
+    assert(got == Map(1L -> true,  // succ "abc"(5) — exact dup
+                      5L -> true,  // succ "abc xyz" — strict prefix
+                      2L -> false, // "abcd" does not start with "abc xyz"
+                      3L -> false, 4L -> false, 6L -> false), got)
+  }
+
   test("incrementalNew classifies NULL-text rows instead of dropping them") {
     // md5(null) is null — before the sentinel fix a null-text incoming row
     // satisfied neither bloom branch and vanished from the output
