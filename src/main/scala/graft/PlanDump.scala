@@ -16,7 +16,8 @@ object PlanDump {
                     "pipeline_contamination", "sample_fixed_size",
                     "ann_quantized_topk", "dedup_incremental",
                     "pipeline_sequence_pack", "text_bm25_topk",
-                    "text_chunk_windows")
+                    "text_chunk_windows", "sample_weighted",
+                    "dedup_semantic", "dedup_prefix")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -453,6 +453,25 @@ class OperatorLibSpec extends GraftFunSuite {
     assert(viaBloom == plain && viaBloom.nonEmpty)
   }
 
+  test("connectedComponents union-find tier survives hash-map growth " +
+       "(120k nodes) with mixed cluster shapes") {
+    import graft.operators.GraftDedup
+    // 40k isolated pairs (80k nodes) + one 40k-node chain: forces several
+    // open-addressing grow() cycles (growth starts at 32k live keys) and
+    // deep find() paths across rehashing
+    val pairEdges = (0L until 40000L).map(i => (2 * i, 2 * i + 1))
+    val chainEdges = (100000L until 139999L).map(i => (i, i + 1))
+    val pairs = (pairEdges ++ chainEdges).toDF("a_id", "b_id")
+    val got = GraftDedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 120000)
+    // every pair node labels to its even member
+    assert((0L until 40000L).forall(i =>
+      got(2 * i) == 2 * i && got(2 * i + 1) == 2 * i))
+    // the whole chain collapses to its min id
+    assert((100000L to 139999L).forall(i => got(i) == 100000L))
+  }
+
   test("prefixDups: non-adjacent prefixes found, exact dups flag all but " +
        "last, null text safe") {
     import graft.operators.GraftDedup
