@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming forms of the corpus-curation stages — the
   * incremental twins of [[graft.operators.CorpusCuration]], for the
@@ -43,4 +44,38 @@ object CorpusStreams {
       : DataFrame =
     graft.operators.CorpusCuration.qualityFilter(
       docs, textCol, minTokens, maxStopRatio).drop("tk")
+
+  final case class PackDoc(shard: String, doc_id: Long, n_tokens: Long)
+  final case class PackAssign(shard: String, doc_id: Long, n_tokens: Long,
+                              stream_offset: Long, pack_id: Long)
+
+  /** Streaming twin of [[graft.operators.TrainingPack.packBySize]]: docs
+    * arriving on a stream are appended to their shard's token stream and
+    * assigned the pack in which they start — state per shard is ONE long
+    * (the running token offset), so pack ids keep counting up across
+    * micro-batches forever with O(shards) state and no timeout needed.
+    *
+    * Within a micro-batch a shard's docs are laid out in `doc_id` order;
+    * across batches, arrival order IS stream order (the streaming analog
+    * of the batch operator's orderCol contract — feed in order for
+    * byte-identical batch parity, which StreamingSpec pins).
+    */
+  def packStream(docs: Dataset[PackDoc], maxTokens: Long)
+      : Dataset[PackAssign] = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (shard: String, it: Iterator[PackDoc], state: GroupState[Long]) =>
+          var off = state.getOption.getOrElse(0L)
+          val out = it.toIndexedSeq.sortBy(_.doc_id).map { d =>
+            val o = off
+            off += d.n_tokens
+            PackAssign(shard, d.doc_id, d.n_tokens, o, o / maxTokens)
+          }
+          state.update(off)
+          out.iterator
+      }
+  }
 }

@@ -300,4 +300,39 @@ class StreamingSpec extends GraftFunSuite {
       assert(kept == Set(1L, 2L, 4L, 6L), kept)
     } finally q.stop()
   }
+
+  test("packStream: offsets continue across micro-batches per shard and " +
+       "match batch packing on the same order") {
+    import graft.streaming.CorpusStreams
+    import graft.streaming.CorpusStreams.PackDoc
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[PackDoc]
+    val q = CorpusStreams.packStream(input.toDS(), maxTokens = 512L)
+      .writeStream.format("memory").queryName("pack_stream")
+      .outputMode("append").start()
+    try {
+      val batch1 = Seq(PackDoc("en", 1L, 300L), PackDoc("en", 2L, 300L),
+                       PackDoc("de", 10L, 512L))
+      val batch2 = Seq(PackDoc("en", 3L, 100L), PackDoc("en", 4L, 600L),
+                       PackDoc("de", 11L, 1L))
+      input.addData(batch1)
+      q.processAllAvailable()
+      input.addData(batch2)
+      q.processAllAvailable()
+      val streamed = spark.table("pack_stream")
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+                            ((r.getLong(3), r.getLong(4)))).toMap
+      // state carries across batches: en offsets 0,300,600,700; de 0,512
+      assert(streamed == Map(
+        ("en", 1L) -> ((0L, 0L)), ("en", 2L) -> ((300L, 0L)),
+        ("en", 3L) -> ((600L, 1L)), ("en", 4L) -> ((700L, 1L)),
+        ("de", 10L) -> ((0L, 0L)), ("de", 11L) -> ((512L, 1L))), streamed)
+      // batch parity on the same (doc_id) order
+      val batch = graft.operators.TrainingPack.packBySize(
+          (batch1 ++ batch2).toDF(), "n_tokens", "doc_id", 512L, Seq("shard"))
+        .collect().map(r => (r.getString(0), r.getLong(1)) ->
+                            ((r.getLong(3), r.getLong(4)))).toMap
+      assert(batch == streamed)
+    } finally q.stop()
+  }
 }
