@@ -198,4 +198,56 @@ object CorpusCuration {
     }.otherwise(lit(hex4(defaultRate)))
     docs.filter(substring(md5(col(keyCol).cast("string")), 1, 4) < cut)
   }
+
+  /** Temperature-rebalanced source mixture (multilingual-LM style, e.g.
+    * the τ-sampling of Conneau & Lample 2019): derive per-source sampling
+    * cuts so the kept corpus approaches shares ∝ √(source token count)
+    * (τ = 0.5 — up-weights tail sources, down-weights the head) under a
+    * total token budget of `budgetFrac` × corpus tokens, then keep each
+    * row iff its 16-bit md5 route falls under its source's cut. Returns
+    * `docs` filtered, with an integer `cut` column attached (the exact
+    * threshold — the auditable contract).
+    *
+    * Cross-engine determinism is engineered, not hoped for: τ is fixed at
+    * 0.5 because √ is the one power IEEE 754 requires correctly rounded,
+    * and the mixture weights are floored to INTEGERS (w = ⌊√tokens · 2²⁰⌋)
+    * before the normalizing sum, so the sum is exact long arithmetic —
+    * order-insensitive — instead of a float Σ whose rounding depends on
+    * aggregation order. The remaining float ops per source (one division,
+    * two multiplies by exactly-representable values, one division, one
+    * floor·2¹⁶) are each correctly rounded on identical operands in any
+    * engine. Scale: one aggregation over (source), a [[ScaleHints.gated]]
+    * attach of the per-source cut table, and a pure-map filter — the
+    * corpus itself is never re-shuffled.
+    */
+  def temperatureMixture(docs: DataFrame, budgetFrac: Double,
+                         sourceCol: String = "source",
+                         tokenCol: String = "n_tok",
+                         keyCol: String = "doc_id"): DataFrame = {
+    require(budgetFrac > 0 && budgetFrac <= 1,
+      s"budgetFrac out of (0,1]: $budgetFrac")
+    require(isPow2Representable(budgetFrac),
+      s"budgetFrac must be a small dyadic rational (k/2^n) so the budget " +
+      s"multiply is exact in any engine: $budgetFrac")
+    val per = docs.groupBy(sourceCol).agg(sum(tokenCol).as("__t"))
+    val wtd = per.withColumn("__w",
+      floor(sqrt(col("__t").cast("double")) * lit(1048576.0)).cast("long"))
+    val tot = wtd.agg(sum("__w").as("__wt"), sum("__t").as("__tt"))
+    val cuts = wtd.crossJoin(broadcast(tot))
+      .withColumn("__f", least(lit(1.0),
+        col("__w").cast("double") / col("__wt") *
+          (lit(budgetFrac) * col("__tt")) / col("__t")))
+      .withColumn("cut", floor(col("__f") * lit(65536.0)).cast("long"))
+      .select(col(sourceCol), col("cut"))
+    val route = conv(substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10)
+      .cast("long")
+    docs.join(ScaleHints.gated(cuts), sourceCol)
+      .filter(route < col("cut"))
+  }
+
+  /** True iff `x` has a short exact binary representation (k/2⁵³ with few
+    * significant bits) — the dyadic rationals whose products stay exact.
+    */
+  private def isPow2Representable(x: Double): Boolean =
+    (x * 65536.0) == math.floor(x * 65536.0)
 }

@@ -52,11 +52,19 @@ object TextRank {
     val termScore = idf * (col("__tf") * (lit(k1) + 1)) /
       (col("__tf") + lit(k1) *
         (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    // Quantize each per-term score to an integer micro-grid BEFORE the
+    // per-document sum: a float Σ rounds differently under different
+    // addend orders, so two engines (or two partitionings) can break a
+    // near-tie in opposite directions — an exact integer Σ is
+    // order-insensitive and rank-stable. 1e6 keeps ~6 significant
+    // decimals of ranking resolution; scores are positive, so HALF_UP
+    // (Spark) and half-away-from-zero (DuckDB et al.) agree.
+    val termScoreQ = round(termScore * lit(1e6), 0).cast("long")
     val scored = tf
       .join(broadcast(df), "__term")
       .crossJoin(broadcast(stats))
       .groupBy(col(idCol))
-      .agg(sum(termScore).as("__score"),
+      .agg(sum(termScoreQ).as("__score"),
            count(lit(1)).as("n_terms_hit"))
     val top = scored
       .orderBy(col("__score").desc, col(idCol).asc)
@@ -65,5 +73,63 @@ object TextRank {
       .withColumn("rank", row_number().over(
         Window.orderBy(col("__score").desc, col(idCol).asc)).cast("long"))
       .select(col("rank"), col(idCol), col("n_terms_hit"))
+  }
+
+  /** Top-`k` highest-perplexity documents per group under a bigram language
+    * model trained on the corpus itself — CCNet-style quality scoring
+    * (Wenzek et al. 2020) with the corpus as its own LM, so no external
+    * model ships. A document's score is its mean token surprisal
+    * Σ ln(c1(w₁)/c2(w₁,w₂)) / n_bigrams, where c2 is the corpus bigram
+    * count and c1 the bigram-prefix count: high = unusual word transitions
+    * (boilerplate, garbled text, wrong-language fragments), low = typical
+    * prose. Because the model is trained on the scored corpus, every
+    * document bigram has c2 ≥ 1 — MLE needs no smoothing.
+    *
+    * Scale shape: one explode produces the (doc, w₁, w₂) stream; the model
+    * is two aggregations OF that stream (bigram counts, then prefix counts
+    * from the already-collapsed bigram table — the raw stream is never
+    * shuffled twice); scoring re-joins the stream to the model on the
+    * bigram key with a [[ScaleHints.gated]] attach (vocabulary tables are
+    * MBs at laptop scale but can be 100s of GB at 100 TB — the gate picks
+    * broadcast vs shuffle-hash). The rank window's input is one row per
+    * DOCUMENT (post-aggregation), 4-6 orders below the token stream.
+    * The fractional score stays internal — output rows are integers
+    * (rank, id, n_bigrams), immune to cross-engine float rendering; ties
+    * break on the id.
+    */
+  def bigramPerplexityTopK(docs: DataFrame, k: Int,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           groupCol: String = "lang"): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val bg = docs.select(
+        col(idCol), col(groupCol),
+        GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol), col(groupCol),
+        explode(expr(
+          """transform(sequence(0, size(__tk) - 2),
+             i -> struct(__tk[i] AS w1, __tk[i + 1] AS w2))""")).as("__bg"))
+      .select(col(idCol), col(groupCol),
+        col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val c2 = bg.groupBy("__w1", "__w2").agg(count(lit(1)).as("__c2"))
+    val c1 = c2.groupBy("__w1").agg(sum("__c2").as("__c1"))
+    val model = c2.join(ScaleHints.gated(c1), "__w1")
+    // per-bigram surprisal quantized to an integer micro-grid before the
+    // per-document sum — same order-insensitive-Σ rationale as bm25TopK
+    val surprisalQ = round(
+      log(col("__c1").cast("double") / col("__c2")) * lit(1e6), 0)
+      .cast("long")
+    val scored = bg
+      .join(ScaleHints.gated(model), Seq("__w1", "__w2"))
+      .groupBy(col(idCol), col(groupCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+           sum(surprisalQ).as("__nll"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy((col("__nll") / col("n_bigrams")).desc, col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col(idCol), col("n_bigrams"))
   }
 }

@@ -278,5 +278,52 @@ object PipelineQueries extends QueryModule {
         |SELECT lang, CAST(floor(stream_offset / 512.0) AS BIGINT) AS pack_id,
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
         |FROM o GROUP BY 1, 2""".stripMargin)),
+
+    // Temperature-rebalanced data mixture (τ = 0.5, 50% token budget):
+    // per-source sampling cuts ∝ √tokens normalized under the budget, rows
+    // kept by 16-bit md5 routing — the data-mixing stage every
+    // multilingual/multi-source training corpus runs
+    // ([[graft.operators.CorpusCuration.temperatureMixture]]; determinism
+    // engineering — integer mixture weights, √ correctly rounded — is
+    // documented there). Output is per-source integers only: the exact
+    // cut (the auditable contract), kept docs, kept tokens.
+    GraftQuery(
+      "pipeline_data_mixture",
+      (s, dir) => {
+        val docs = t(s, dir, "documents").select(
+          col("doc_id"), col("source"),
+          size(graft.operators.GraftText.whitespaceTokens(col("text")))
+            .cast("long").as("n_tok"))
+        graft.operators.CorpusCuration
+          .temperatureMixture(docs, budgetFrac = 0.5)
+          .groupBy("source", "cut")
+          .agg(count(lit(1)).as("n_docs_kept"),
+               sum("n_tok").as("n_tokens_kept"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |per AS (SELECT source, CAST(sum(n_tok) AS BIGINT) t FROM d GROUP BY 1),
+        |w AS (
+        |  SELECT source, t,
+        |    CAST(floor(sqrt(CAST(t AS DOUBLE)) * 1048576.0) AS BIGINT) w
+        |  FROM per),
+        |tot AS (
+        |  SELECT CAST(sum(w) AS BIGINT) wt, CAST(sum(t) AS BIGINT) tt
+        |  FROM w),
+        |cuts AS (
+        |  SELECT source,
+        |    CAST(floor(least(1.0, CAST(w AS DOUBLE) / wt * (0.5 * tt) / t)
+        |               * 65536.0) AS BIGINT) AS cut
+        |  FROM w, tot),
+        |kept AS (
+        |  SELECT d.source, cut, doc_id, n_tok
+        |  FROM d JOIN cuts USING (source)
+        |  WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 4))::BIGINT < cut)
+        |SELECT source, cut, count(*) AS n_docs_kept,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept
+        |FROM kept GROUP BY 1, 2""".stripMargin)),
   )
 }

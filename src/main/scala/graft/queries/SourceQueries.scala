@@ -31,6 +31,11 @@ object SourceQueries extends QueryModule {
         val out = ioDir(dir, "lineitem_csv")
         t(s, dir, "lineitem")
           .select("l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag")
+          // gzip is NOT splittable: one output file = one writer thread AND
+          // one reader task forever after. Round-robin into many moderate
+          // files is the only parallel layout for non-splittable codecs —
+          // the same layout decision a 100 TB corpus dump needs.
+          .repartition(16)
           .write.mode("overwrite")
           // full dialect options: header, custom delimiter, quoting, gzip
           .option("header", "true").option("sep", ";")
@@ -59,6 +64,8 @@ object SourceQueries extends QueryModule {
         val out = ioDir(dir, "orders_json")
         t(s, dir, "orders")
           .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+          // same non-splittable-codec layout note as src_csv_roundtrip
+          .repartition(16)
           .write.mode("overwrite")
           .option("compression", "gzip")
           .json(out)

@@ -335,12 +335,49 @@ object TextQueries extends QueryModule {
         |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
         |s AS (
         |  SELECT doc_id,
-        |    sum(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
-        |        tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) score,
+        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |          * 1000000.0) AS BIGINT)) score,
         |    count(*) n_terms_hit
         |  FROM tf JOIN df USING (term), stats GROUP BY doc_id)
         |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
         |  doc_id, n_terms_hit
         |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    // Perplexity-based quality filter (CCNet-style) — the 10 most
+    // surprising documents per language under a corpus-trained bigram LM
+    // ([[graft.operators.TextRank.bigramPerplexityTopK]]: mean bigram
+    // surprisal Σ ln(c1/c2)/n, MLE over the corpus itself so no model
+    // ships and no smoothing is needed). RANKS are the contract (the
+    // fractional score stays internal, same stance as text_bm25_topk);
+    // ties break on doc_id. Scale: one explode, two aggs of the bigram
+    // stream, one gated model attach, doc-level rank window.
+    GraftQuery(
+      "text_lm_perplexity",
+      (s, dir) =>
+        graft.operators.TextRank.bigramPerplexityTopK(
+          t(s, dir, "documents"), k = 10),
+      Some("""WITH d AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(tk[1:len(tk) - 1]) w1, unnest(tk[2:len(tk)]) w2
+        |  FROM d),
+        |c2 AS (SELECT w1, w2, count(*) c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) c1 FROM c2 GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, lang, count(*) n_bigrams,
+        |    sum(CAST(round(ln(CAST(c1 AS DOUBLE) / c2) * 1000000.0)
+        |             AS BIGINT)) nll
+        |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |  GROUP BY 1, 2),
+        |r AS (
+        |  SELECT lang, doc_id, n_bigrams,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY nll / n_bigrams DESC, doc_id) rank
+        |  FROM sc)
+        |SELECT lang, rank, doc_id, n_bigrams FROM r WHERE rank <= 10""".stripMargin)),
   )
 }

@@ -549,4 +549,74 @@ class OperatorLibSpec extends GraftFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(again == kept.select("doc_id").as[Long].collect().toSet)
   }
+
+  test("TextRank.bigramPerplexityTopK: surprisal ordering, exclusions, k") {
+    import graft.operators.TextRank
+    // three typical docs share common transitions (a→b, b→a); the weird
+    // doc reuses the common word 'a' in a transition the corpus almost
+    // never makes (a→a) — exactly the boilerplate/garbled signal the
+    // perplexity filter exists to catch. A single-token doc is excluded
+    // (no bigrams). Expected mean surprisals (MLE over this corpus):
+    //   weird "a a a": 2 × (a,a); c1(a)=14, c2(a,a)=2 → ln 7 ≈ 1.95
+    //   typical:       4 × (a,b): ln(14/12), 3 × (b,a): ln(9/9)=0 → ≈ 0.088
+    val docs = Seq(
+      (1L, "a b a b a b a b", "en"),
+      (2L, "a b a b a b a b", "en"),
+      (3L, "a b a b a b a b", "en"),
+      (4L, "a a a", "en"),
+      (5L, "solo", "en"),
+    ).toDF("doc_id", "text", "lang")
+    val got = TextRank.bigramPerplexityTopK(docs, k = 10)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(2)).toSeq == Seq(4L, 1L, 2L, 3L),
+           got.mkString(", ")) // weird doc first, ties on doc_id; 5 absent
+    assert(got.map(_.getLong(3)).toSeq == Seq(2L, 7L, 7L, 7L)) // n_bigrams
+    // k truncates per group
+    assert(TextRank.bigramPerplexityTopK(docs, k = 2).count() == 2)
+    // per-group ranking: a second language ranks independently
+    val two = docs.unionAll(Seq((6L, "x y x y", "de"),
+                                (7L, "x x", "de")).toDF("doc_id", "text", "lang"))
+    val ranks = TextRank.bigramPerplexityTopK(two, k = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(ranks == Map("en" -> 4L, "de" -> 7L), ranks.toString)
+    intercept[IllegalArgumentException](
+      TextRank.bigramPerplexityTopK(docs, k = 0))
+  }
+
+  test("CorpusCuration.temperatureMixture: cuts exact, tail up-weighted") {
+    // head source has 9× the tokens of the tail source; τ=0.5 must give
+    // the tail a HIGHER keep-fraction than the head (that's the point of
+    // temperature sampling) while the head's cut stays below 100%.
+    val docs = spark.range(0, 1000).select(
+      col("id").as("doc_id"),
+      when(col("id") < 900, "head").otherwise("tail").as("source"),
+      lit(100L).as("n_tok"))
+    val kept = CorpusCuration.temperatureMixture(docs, budgetFrac = 0.5)
+    val cuts = kept.select("source", "cut").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // recompute the documented formula exactly — the operator's cut is a
+    // deterministic function of the per-source token totals
+    def expectedCut(t: Long, ts: Seq[Long]): Long = {
+      val ws = ts.map(x => math.floor(math.sqrt(x.toDouble) * 1048576.0).toLong)
+      val w = math.floor(math.sqrt(t.toDouble) * 1048576.0).toLong
+      val f = math.min(1.0,
+        w.toDouble / ws.sum * (0.5 * ts.sum) / t)
+      math.floor(f * 65536.0).toLong
+    }
+    val ts = Seq(90000L, 10000L)
+    assert(cuts("head") == expectedCut(90000L, ts), cuts.toString)
+    assert(cuts("tail") == expectedCut(10000L, ts), cuts.toString)
+    assert(cuts("tail") > cuts("head"), cuts.toString)
+    assert(cuts("head") < 65536L, cuts.toString)
+    // kept rows are a subset of input, and routing is partition-independent
+    val ids = kept.select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf((0L until 1000L).toSet))
+    val again = CorpusCuration
+      .temperatureMixture(docs.repartition(7), budgetFrac = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == ids)
+    // only dyadic budget fractions are accepted (cross-engine exactness)
+    intercept[IllegalArgumentException](
+      CorpusCuration.temperatureMixture(docs, budgetFrac = 0.3))
+  }
 }

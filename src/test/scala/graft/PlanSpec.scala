@@ -198,4 +198,29 @@ class PlanSpec extends GraftFunSuite {
     assert(!ws.contains("rangepartitioning"),
       s"weighted sample must not global-sort:\n$ws")
   }
+
+  test("LM perplexity: gated model attach, no global sort, pruned scan") {
+    val p = planOf("text_lm_perplexity")
+    // model attach is size-gated: broadcast at this scale (vocab is tiny)
+    assert(p.contains("BroadcastHashJoin"),
+      s"model attach should broadcast under the gate:\n$p")
+    // the only sort is the per-group rank window, never a global one
+    assert(!p.contains("rangepartitioning"),
+      s"no global sort in perplexity ranking:\n$p")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && read.contains("text") &&
+           read.contains("lang") && !read.contains("source"), read)
+  }
+
+  test("data mixture: per-source cuts broadcast, corpus never re-shuffled") {
+    val p = planOf("pipeline_data_mixture")
+    assert(p.contains("BroadcastHashJoin"),
+      s"cut table attach should broadcast under the gate:\n$p")
+    // the corpus-side stream reaches the filter via the broadcast attach
+    // only — no Exchange between the scan and the route filter. The plan's
+    // exchanges belong to the per-source aggregations (skinny) and the
+    // final groupBy, never a re-partition of the document stream itself.
+    assert(!p.contains("SortMergeJoin"),
+      s"mixture must not sort-merge the corpus:\n$p")
+  }
 }
