@@ -17,7 +17,8 @@ object PlanDump {
                     "ann_quantized_topk", "dedup_incremental",
                     "pipeline_sequence_pack", "text_bm25_topk",
                     "text_chunk_windows", "sample_weighted",
-                    "dedup_semantic", "dedup_prefix")
+                    "dedup_semantic", "dedup_prefix",
+                    "text_lm_perplexity", "pipeline_data_mixture")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")
