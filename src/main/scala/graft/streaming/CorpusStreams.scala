@@ -45,6 +45,25 @@ object CorpusStreams {
     graft.operators.CorpusCuration.qualityFilter(
       docs, textCol, minTokens, maxStopRatio).drop("tk")
 
+  /** Streaming APPLY side of
+    * [[graft.operators.CorpusCuration.temperatureMixture]]: per-source
+    * cuts are trained in batch on a reference corpus (pass
+    * `temperatureMixture(...)`'s distinct (source, cut) rows, or any
+    * curated cut table) and applied to the arriving stream as a
+    * stream-static broadcast join + the same 16-bit md5 route filter —
+    * a pure map per micro-batch, zero streaming state, identical keep
+    * decisions to the batch operator for the same (key, source, cut).
+    * Retraining cuts as the corpus drifts is a batch job swap, not a
+    * stream restart concern.
+    */
+  def mixtureGate(docs: DataFrame, cuts: DataFrame,
+                  sourceCol: String = "source",
+                  keyCol: String = "doc_id"): DataFrame = {
+    val route = conv(
+      substring(md5(col(keyCol).cast("string")), 1, 4), 16, 10).cast("long")
+    docs.join(broadcast(cuts), sourceCol).filter(route < col("cut"))
+  }
+
   final case class PackDoc(shard: String, doc_id: Long, n_tokens: Long)
   final case class PackAssign(shard: String, doc_id: Long, n_tokens: Long,
                               stream_offset: Long, pack_id: Long)

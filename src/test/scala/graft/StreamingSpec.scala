@@ -301,6 +301,37 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("mixtureGate: stream-static cut attach keeps exactly the batch " +
+       "operator's rows") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.CorpusCuration
+    implicit val sqlCtx = spark.sqlContext
+    // train cuts in batch on the real corpus
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet").select(
+      col("doc_id"), col("source"),
+      size(graft.operators.GraftText.whitespaceTokens(col("text")))
+        .cast("long").as("n_tok"))
+    val batchKept = CorpusCuration.temperatureMixture(docs, budgetFrac = 0.5)
+    val cuts = batchKept.select("source", "cut").distinct()
+    // stream the same docs through the gate in two micro-batches
+    val rows = docs.select("doc_id", "source")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "source")
+    val q = CorpusStreams.mixtureGate(df, cuts)
+      .writeStream.format("memory").queryName("mixture_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(200)); q.processAllAvailable()
+      input.addData(rows.drop(200)); q.processAllAvailable()
+      val streamed = spark.table("mixture_stream")
+        .select("doc_id").as[Long].collect().toSet
+      val batch = batchKept.select("doc_id").as[Long].collect().toSet
+      assert(streamed == batch)
+      assert(batch.nonEmpty && batch.size < rows.size) // gate really filters
+    } finally q.stop()
+  }
+
   test("packStream: offsets continue across micro-batches per shard and " +
        "match batch packing on the same order") {
     import graft.streaming.CorpusStreams
