@@ -325,5 +325,49 @@ object PipelineQueries extends QueryModule {
         |SELECT source, cut, count(*) AS n_docs_kept,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens_kept
         |FROM kept GROUP BY 1, 2""".stripMargin)),
+
+    // Curriculum binning: per-language ntile(4) difficulty tiers over a
+    // PURE-INTEGER complexity score (micro-scaled mean word length =
+    // non-space chars × 1e6 DIV tokens — integer division, zero float ops
+    // anywhere, so tier boundaries cannot drift across engines), doc_id
+    // breaking score ties. Length/complexity curricula order training
+    // streams easy→hard; the tier is the phase assignment. Scale: the
+    // per-lang sort is the operator's inherent cost (a curriculum IS an
+    // ordering); everything after the window is one aggregation.
+    GraftQuery(
+      "pipeline_curriculum",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = t(s, dir, "documents").select(
+          col("doc_id"), col("lang"),
+          size(graft.operators.GraftText.whitespaceTokens(col("text")))
+            .cast("long").as("n_tok"),
+          expr("""length(regexp_replace(text, '\\s+', '')) * 1000000L
+                  DIV size(split(trim(text), '\\s+'))""").as("score"))
+        scored
+          .withColumn("tier", ntile(4).over(
+            Window.partitionBy("lang").orderBy("score", "doc_id"))
+            .cast("long"))
+          .groupBy("lang", "tier")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+               min("score").as("min_score"), max("score").as("max_score"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |      AS n_tok,
+        |    length(regexp_replace(text, '\s+', '', 'g')) * 1000000
+        |      // len(regexp_split_to_array(trim(text), '\s+')) AS score
+        |  FROM documents),
+        |tiers AS (
+        |  SELECT doc_id, lang, n_tok, score,
+        |    CAST(ntile(4) OVER (PARTITION BY lang ORDER BY score, doc_id)
+        |         AS BIGINT) AS tier
+        |  FROM d)
+        |SELECT lang, tier, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(min(score) AS BIGINT) AS min_score,
+        |  CAST(max(score) AS BIGINT) AS max_score
+        |FROM tiers GROUP BY 1, 2""".stripMargin)),
   )
 }
