@@ -83,6 +83,11 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_theta_intersect_est(binary, binary) — got ${other.size} args")
     },
+    "graft_vec_sum" -> {
+      case Seq(c) => GraftVecSumAgg(c).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"graft_vec_sum(array<double|float>) — got ${other.size} args")
+    },
     "graft_q8" -> {
       case Seq(c) => GraftQ8(c)
       case other => throw new IllegalArgumentException(

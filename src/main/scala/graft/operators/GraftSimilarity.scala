@@ -83,7 +83,8 @@ object GraftSimilarity {
   def ivfTopK(collection: DataFrame, queries: DataFrame, k: Int,
               nprobe: Int = 4, centroidFraction: Option[Double] = None,
               idCol: String = "vec_id", vecCol: String = "v",
-              qIdCol: String = "q_id", qVecCol: String = "qv"): DataFrame = {
+              qIdCol: String = "q_id", qVecCol: String = "qv",
+              refineIters: Int = 0): DataFrame = {
     graft.GraftSession.ensureExtensions(collection.sparkSession)
     val e = collection.select(col(idCol).as("n_id"), col(vecCol).as("v"))
     // threshold on the first 8 md5-hex chars: lowercase fixed-width hex
@@ -102,10 +103,12 @@ object GraftSimilarity {
       case None =>
         e.crossJoin(broadcast(e.agg(count(lit(1)).cast("double").as("__N"))))
     }
+    val cents0 = withN
+      .filter(substring(md5(col("n_id").cast("string")), 1, 8) < cut)
+      .select(col("n_id").as("c_id"), col("v").as("cv"))
     val cents = broadcast(
-      withN
-        .filter(substring(md5(col("n_id").cast("string")), 1, 8) < cut)
-        .select(col("n_id").as("c_id"), col("v").as("cv")))
+      if (refineIters > 0) kmeansRefine(e, cents0, refineIters)
+      else cents0)
     // nearest centroid per vector (ties → lowest c_id) via max(struct)
     // partial argmax: collapses to one row per vector BEFORE any exchange
     val assigned = e.join(cents)
@@ -124,6 +127,44 @@ object GraftSimilarity {
     topK(probes.join(assigned, "c_id")
            .filter(col("n_id") =!= col("q_id"))
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
+  }
+
+  /** Lloyd (k-means) refinement of an IVF centroid set: `iters` rounds of
+    * assign-to-nearest (by cosine — scale-invariant, so un-normalized
+    * means work as spherical k-means centroids) and recompute-mean. Each
+    * round is one broadcast-assign map over the collection plus ONE
+    * aggregation whose map-side combine folds every partition's vectors
+    * into dense per-cell accumulators ([[graft.functions.GraftVecSumAgg]])
+    * — `dims` doubles per cell cross the shuffle, never N·dims exploded
+    * rows. Cells that lose all members drop out (standard Lloyd on a
+    * hash-seeded init). Float means depend on merge order, so refined
+    * results are approximate-deterministic: catalog queries over this path
+    * are rows-only checks, recall is pinned by SimilaritySpec.
+    */
+  def kmeansRefine(vecs: DataFrame, cents: DataFrame, iters: Int,
+                   idCol: String = "n_id", vecCol: String = "v")
+      : DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    graft.GraftSession.ensureExtensions(vecs.sparkSession)
+    val v = vecs.select(col(idCol).as("__kid"), col(vecCol).as("__kv"))
+    var c = cents.select(col("c_id"), col("cv"))
+    var i = 0
+    while (i < iters) {
+      val assigned = v.join(broadcast(c))
+        .select(col("__kid"), col("__kv"), col("c_id"),
+                cosine("__kv", "cv").as("__cc"))
+        .groupBy("__kid")
+        .agg(max(struct(col("__cc"), (-col("c_id")).as("nc"))).as("__m"),
+             first(col("__kv")).as("__kv"))
+        .select(col("__kv"), (-col("__m.nc")).as("c_id"))
+      c = assigned.groupBy("c_id")
+        .agg(expr("graft_vec_sum(__kv)").as("__s"),
+             count(lit(1)).as("__n"))
+        .select(col("c_id"),
+                transform(col("__s"), x => x / col("__n")).as("cv"))
+      i += 1
+    }
+    c
   }
 
   /** Block count for [[cosinePairs]] at `n` rows: B ≈ ⌈√(n/rowsPerBlock)⌉

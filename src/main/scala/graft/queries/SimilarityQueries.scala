@@ -95,6 +95,20 @@ object SimilarityQueries extends QueryModule {
       },
       None),
 
+    // IVF with Lloyd-refined centroids (2 k-means rounds over the
+    // hash-seeded init, [[GraftSimilarity.kmeansRefine]]) — the trained-
+    // quantizer tier. Float centroid means depend on aggregation merge
+    // order ⇒ rows-only driver check; SimilaritySpec pins recall against
+    // the exact tier and the k-results-per-query shape.
+    GraftQuery(
+      "ann_ivf_kmeans",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        GraftSimilarity.ivfTopK(e, queryBlock(e), k = 5, nprobe = 4,
+                                refineIters = 2)
+      },
+      None),
+
     // Scalar-quantized tier: candidate scoring on int8-range vectors
     // (graft_q8 — scales cancel in the normalized cosine, so the estimate
     // is pure integer arithmetic and cross-engine exact), top-20 by

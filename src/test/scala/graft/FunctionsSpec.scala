@@ -268,4 +268,41 @@ class FunctionsSpec extends GraftFunSuite {
       .selectExpr("max(abs(approx - exact)) AS err").as[Double].head()
     assert(est < 0.02, s"max quantization error $est")
   }
+
+  test("graft_vec_sum: element-wise sum across partitions, nulls, floats") {
+    import spark.implicits._
+    // 100 vectors of dim 3 scattered over 7 partitions — forces partial
+    // buffers to merge; exact because the components are small integers
+    val df = spark.range(0, 100).repartition(7)
+      .selectExpr("id % 4 AS g",
+                  "array(cast(id AS double), 1.0d, cast(id % 2 AS double)) AS v")
+    val got = df.groupBy("g").agg(expr("graft_vec_sum(v)").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    for (g <- 0L until 4L) {
+      val ids = (0L until 100L).filter(_ % 4 == g)
+      assert(got(g) == Seq(ids.sum.toDouble, 25.0,
+                           ids.count(_ % 2 == 1).toDouble), s"g=$g: ${got(g)}")
+    }
+    // null vectors are ignored; an all-null group evals to null
+    val withNulls = Seq(
+      (0L, Some(Seq(1.0, 2.0))), (0L, None), (1L, None))
+      .toDF("g", "v")
+    val n = withNulls.groupBy("g").agg(expr("graft_vec_sum(v)").as("s"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[Double](1))).toMap
+    assert(n(0L) == Seq(1.0, 2.0) && n(1L) == null, n.toString)
+    // float arrays are accepted (the embeddings table's element type)
+    val f = spark.read.parquet(s"$sf0001/embeddings.parquet").limit(50)
+      .agg(expr("graft_vec_sum(embedding)").as("s"))
+      .selectExpr("size(s)").as[Int].head()
+    assert(f > 0)
+    // mismatched lengths fail fast instead of mis-summing
+    val e = intercept[Exception] {
+      Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)).toDF("v")
+        .agg(expr("graft_vec_sum(v)")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("length")), e.toString)
+  }
 }

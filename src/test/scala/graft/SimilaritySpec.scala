@@ -37,6 +37,39 @@ class SimilaritySpec extends GraftFunSuite {
     assert(recall >= 0.3, s"recall=$recall")
   }
 
+  test("k-means-refined IVF: recall reasonable, shape intact, " +
+       "refinement really moves centroids") {
+    val exact = topk("ann_cosine_topk")
+    val km = topk("ann_ivf_kmeans")
+    val recall = exact.keys.toSeq.map { q =>
+      (exact(q).toSet & km.getOrElse(q, Nil).toSet).size.toDouble / 5
+    }.sum / exact.size
+    info(s"kmeans-IVF recall@5 = $recall")
+    assert(recall >= 0.3, s"recall=$recall")
+    // shape: k rows per query, self excluded
+    for ((q, rows) <- km) {
+      assert(rows.length == 5, s"q=$q got ${rows.length}")
+      assert(!rows.contains(q), "self must be excluded")
+    }
+    // the refinement is not a no-op: refined centroids differ from the
+    // hash-seeded init (means move unless every cell was already centered)
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id AS n_id",
+                  "transform(embedding, x -> cast(x AS double)) AS v")
+    val init = e.filter(
+      substring(md5(col("n_id").cast("string")), 1, 8) < "02000000")
+      .select(col("n_id").as("c_id"), col("v").as("cv"))
+    val refined = GraftSimilarity.kmeansRefine(e, init, iters = 1)
+    val before = init.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val after = refined.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(after.nonEmpty && after.keySet.subsetOf(before.keySet))
+    assert(after.exists { case (id, v) => before(id) != v },
+      "refinement left every centroid exactly at its seed vector")
+  }
+
   test("LSH recall@5 vs brute force is reasonable") {
     val exact = topk("ann_cosine_topk")
     val lsh = topk("ann_lsh_bucket")
