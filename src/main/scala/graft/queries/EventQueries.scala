@@ -262,5 +262,39 @@ object EventQueries extends QueryModule {
         |  ON p.user_id != iv.user_id
         | AND p.ts_us >= iv.start_us AND p.ts_us <= iv.until_us
         |GROUP BY 1, 2""".stripMargin)),
+
+    // Burst debounce: drop an event arriving within 30 min of the PREVIOUS
+    // event of the same (user, type) — raw-predecessor semantics (the
+    // predecessor counts even if it was itself dropped), the standard
+    // telemetry-dedup variant that needs only one lag, no session chain.
+    // One shuffle on (user, type); ties in ts break on event_id.
+    GraftQuery(
+      "events_dedup_burst",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy("ts_us", "event_id")
+        events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("prev_us", lag("ts_us", 1).over(w))
+          .withColumn("kept",
+            col("prev_us").isNull ||
+              col("ts_us") - col("prev_us") >= lit(1800000000L))
+          .groupBy("event_type")
+          .agg(count(when(col("kept"), 1)).as("n_kept"),
+               count(when(!col("kept"), 1)).as("n_dropped"),
+               min(when(col("kept"), col("event_id"))).as("first_kept_id"))
+      },
+      Some("""WITH x AS (
+        |  SELECT event_type, event_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |      (PARTITION BY user_id, event_type
+        |       ORDER BY epoch_us(ts), event_id) AS d
+        |  FROM events)
+        |SELECT event_type,
+        |  count(*) FILTER (d IS NULL OR d >= 1800000000) AS n_kept,
+        |  count(*) FILTER (d < 1800000000) AS n_dropped,
+        |  min(event_id) FILTER (d IS NULL OR d >= 1800000000)
+        |    AS first_kept_id
+        |FROM x GROUP BY event_type""".stripMargin)),
   )
 }

@@ -369,5 +369,31 @@ object PipelineQueries extends QueryModule {
         |  CAST(min(score) AS BIGINT) AS min_score,
         |  CAST(max(score) AS BIGINT) AS max_score
         |FROM tiers GROUP BY 1, 2""".stripMargin)),
+
+    // Fixed-size PER-GROUP sample: exactly 10 docs per language, the 10
+    // smallest md5(doc_id) in each — balanced eval/calibration sets from
+    // arbitrarily skewed corpora. Deterministic and engine-independent
+    // like sample_fixed_size, but per stratum; Spark plans the rank ≤ 10
+    // filter as WindowGroupLimit (per-partition partial top-k before the
+    // exchange), so ~10 rows per partition per group ship — the grouped
+    // analog of TakeOrderedAndProject.
+    GraftQuery(
+      "sample_per_group",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy("r", "doc_id")
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+                  md5(col("doc_id").cast("string")).as("r"))
+          .withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select(col("lang"), col("rnk"), col("doc_id"))
+      },
+      Some("""WITH s AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
+        |  FROM documents)
+        |SELECT lang, rnk, doc_id FROM s WHERE rnk <= 10""".stripMargin)),
   )
 }

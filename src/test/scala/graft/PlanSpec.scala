@@ -212,6 +212,17 @@ class PlanSpec extends GraftFunSuite {
            read.contains("lang") && !read.contains("source"), read)
   }
 
+  test("per-group sample ranks via WindowGroupLimit; burst debounce " +
+       "shuffles once") {
+    val sg = planOf("sample_per_group")
+    assert(sg.contains("WindowGroupLimit"),
+      s"rank<=n must partial-top-k before the exchange:\n$sg")
+    val db = planOf("events_dedup_burst")
+    val exchanges = db.linesIterator.count(_.contains("Exchange hash"))
+    assert(exchanges <= 2, // lag window + final small agg, nothing else
+      s"burst debounce should shuffle at most twice:\n$db")
+  }
+
   test("data mixture: per-source cuts broadcast, corpus never re-shuffled") {
     val p = planOf("pipeline_data_mixture")
     assert(p.contains("BroadcastHashJoin"),
