@@ -89,7 +89,7 @@ object implicits {
             last(col(prefix + f.name), ignoreNulls = true).over(w))
         }
         .filter(col("__tag") === 1)
-        .select(df.columns.map(col) ++
+        .select(df.columns.toIndexedSeq.map(col) ++
                 payload.map(f => col(prefix + f.name)): _*)
     }
 
