@@ -18,7 +18,9 @@ object PlanDump {
                     "pipeline_sequence_pack", "text_bm25_topk",
                     "text_chunk_windows", "sample_weighted",
                     "dedup_semantic", "dedup_prefix",
-                    "text_lm_perplexity", "pipeline_data_mixture")
+                    "text_lm_perplexity", "pipeline_data_mixture",
+                    "pipeline_curriculum", "sample_per_group",
+                    "events_dedup_burst", "ann_ivf_kmeans")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")
