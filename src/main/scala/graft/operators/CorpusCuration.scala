@@ -250,4 +250,59 @@ object CorpusCuration {
     */
   private def isPow2Representable(x: Double): Boolean =
     (x * 65536.0) == math.floor(x * 65536.0)
+
+  /** Exact repeated-substring scrubbing (the word-granular form of Lee et
+    * al. 2022's suffix-array substring dedup): every token covered by a
+    * word-`n`-gram occurring ≥ `minCount` times corpus-wide is removed,
+    * and the document is reassembled from the surviving tokens. Unlike
+    * document-level dedup this deletes the SPANS (boilerplate, licenses,
+    * quoted chains) while keeping the novel text around them.
+    *
+    * Returns one row per input document: id, `n_tokens`, `n_scrubbed`,
+    * `scrubbed_md5` (md5 of the reassembled text — fully-scrubbed docs
+    * hash the empty string). Fully deterministic, so the whole operator
+    * is DuckDB-oracle-checkable.
+    *
+    * Scale shape: the gram stream is a pure map off the token explode;
+    * duplicate grams are one aggregation (at 100 TB key it by
+    * xxhash64(gram) to ship 8 bytes per gram — same plan, the string key
+    * here keeps the oracle cross-engine); occurrence attach is a
+    * [[ScaleHints.gated]] semi join; coverage is an ANTI join equi-keyed
+    * on the doc id with a position-range residual (never a nested loop);
+    * reassembly is one groupBy whose collect_list holds a single
+    * document's surviving tokens.
+    */
+  def scrubRepeatedSpans(docs: DataFrame, n: Int = 8, minCount: Long = 2,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val base = docs.select(
+      col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+    val tk = base.select(
+      col(idCol), posexplode(col("__tk")).as(Seq("__pos", "__token")))
+    val grams = base.filter(size(col("__tk")) >= n)
+      .select(col(idCol),
+              posexplode(GraftText.wordNGrams(col("__tk"), n))
+                .as(Seq("__gpos", "__gram")))
+    val dup = grams.groupBy("__gram").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__gram")
+    val occ = grams.join(ScaleHints.gated(dup), "__gram")
+      .select(col(idCol).as("__oid"), col("__gpos"))
+    val kept = tk.join(occ,
+      col(idCol) === col("__oid") &&
+        col("__pos").between(col("__gpos"), col("__gpos") + (n - 1)),
+      "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("__n_kept"),
+           expr("""concat_ws(' ',
+                     transform(array_sort(collect_list(struct(__pos, __token))),
+                               s -> s.__token))""").as("__scrub"))
+    base.select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+              (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+                .as("n_scrubbed"),
+              md5(coalesce(col("__scrub"), lit(""))).as("scrubbed_md5"))
+  }
 }

@@ -379,5 +379,45 @@ object TextQueries extends QueryModule {
         |                       ORDER BY nll / n_bigrams DESC, doc_id) rank
         |  FROM sc)
         |SELECT lang, rank, doc_id, n_bigrams FROM r WHERE rank <= 10""".stripMargin)),
+
+    // Exact repeated-substring scrubbing (word-granular Lee et al. 2022):
+    // tokens covered by any corpus-duplicated word-8-gram are deleted and
+    // the doc reassembled — span-level dedup, not row-level
+    // ([[graft.operators.CorpusCuration.scrubRepeatedSpans]]; scale notes
+    // there). The md5 of each reassembled text certifies the actual
+    // scrubbed CONTENT cross-engine, not just the counts.
+    GraftQuery(
+      "text_scrub_repeats",
+      (s, dir) =>
+        graft.operators.CorpusCuration.scrubRepeatedSpans(
+          t(s, dir, "documents"), n = 8, minCount = 2),
+      Some("""WITH b AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) pos, unnest(w) token
+        |  FROM b),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+7], ' ')
+        |            FOR i IN range(1, len(w) - 6)]) gram,
+        |    unnest(range(1, len(w) - 6)) gpos
+        |  FROM b WHERE len(w) >= 8),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |occ AS (SELECT doc_id, gpos FROM g
+        |        WHERE gram IN (SELECT gram FROM dup)),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.token FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM occ o
+        |                    WHERE o.doc_id = t.doc_id
+        |                      AND t.pos BETWEEN o.gpos AND o.gpos + 7)),
+        |s AS (
+        |  SELECT doc_id, count(*) n_kept,
+        |    string_agg(token, ' ' ORDER BY pos) scrub
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_scrubbed,
+        |  md5(coalesce(scrub, '')) AS scrubbed_md5
+        |FROM b LEFT JOIN s USING (doc_id)""".stripMargin)),
   )
 }

@@ -619,4 +619,33 @@ class OperatorLibSpec extends GraftFunSuite {
     intercept[IllegalArgumentException](
       CorpusCuration.temperatureMixture(docs, budgetFrac = 0.3))
   }
+
+  test("scrubRepeatedSpans: shared spans deleted, novel text kept, " +
+       "full scrub hashes empty") {
+    // docs 1 and 2 share an 8-token boilerplate block; their unique tails
+    // survive. doc 3 is entirely the boilerplate → fully scrubbed. doc 4
+    // shares nothing. doc 5 is shorter than the gram order → untouchable.
+    val bp = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"$bp alpha beta"),
+      (2L, s"$bp gamma"),
+      (3L, bp),
+      (4L, "no repeats here at all nine ten eleven twelve"),
+      (5L, "tiny doc"),
+    ).toDF("doc_id", "text")
+    val got = CorpusCuration.scrubRepeatedSpans(docs, n = 8, minCount = 2)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    def m(s: String) = org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    assert(got(1L) == ((10L, 8L, m("alpha beta"))), got(1L).toString)
+    assert(got(2L) == ((9L, 8L, m("gamma"))), got(2L).toString)
+    assert(got(3L) == ((8L, 8L, m(""))), got(3L).toString)
+    assert(got(4L) == ((9L, 0L, m("no repeats here at all nine ten eleven twelve"))))
+    assert(got(5L) == ((2L, 0L, m("tiny doc"))))
+    intercept[IllegalArgumentException](
+      CorpusCuration.scrubRepeatedSpans(docs, n = 1))
+    intercept[IllegalArgumentException](
+      CorpusCuration.scrubRepeatedSpans(docs, minCount = 1))
+  }
 }
