@@ -279,8 +279,6 @@ object CorpusCuration {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val base = docs.select(
       col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
-    val tk = base.select(
-      col(idCol), posexplode(col("__tk")).as(Seq("__pos", "__token")))
     val grams = base.filter(size(col("__tk")) >= n)
       .select(col(idCol),
               posexplode(GraftText.wordNGrams(col("__tk"), n))
@@ -289,6 +287,14 @@ object CorpusCuration {
       .filter(col("__c") >= minCount).select("__gram")
     val occ = grams.join(ScaleHints.gated(dup), "__gram")
       .select(col(idCol).as("__oid"), col("__gpos"))
+    // Only documents actually HIT by a duplicated gram pay the token-level
+    // pass — at corpus scale boilerplate-carrying docs are a sliver, so the
+    // expensive explode+anti-join runs over that sliver, and every other
+    // document short-circuits to a per-row md5 of its normalized tokens
+    // (identical to what reassembly-of-everything would produce).
+    val hitIds = occ.select(col("__oid").as(idCol)).distinct()
+    val tk = base.join(ScaleHints.gated(hitIds), Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(col("__tk")).as(Seq("__pos", "__token")))
     val kept = tk.join(occ,
       col(idCol) === col("__oid") &&
         col("__pos").between(col("__gpos"), col("__gpos") + (n - 1)),
@@ -298,11 +304,18 @@ object CorpusCuration {
            expr("""concat_ws(' ',
                      transform(array_sort(collect_list(struct(__pos, __token))),
                                s -> s.__token))""").as("__scrub"))
-    base.select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"))
+    val scrubbed = base.join(ScaleHints.gated(hitIds), Seq(idCol), "left_semi")
+      .select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
               (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
                 .as("n_scrubbed"),
               md5(coalesce(col("__scrub"), lit(""))).as("scrubbed_md5"))
+    val untouched = base
+      .join(ScaleHints.gated(hitIds), Seq(idCol), "left_anti")
+      .select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"),
+              lit(0L).as("n_scrubbed"),
+              md5(concat_ws(" ", col("__tk"))).as("scrubbed_md5"))
+    scrubbed.unionAll(untouched)
   }
 }
