@@ -20,7 +20,8 @@ object PlanDump {
                     "dedup_semantic", "dedup_prefix",
                     "text_lm_perplexity", "pipeline_data_mixture",
                     "pipeline_curriculum", "sample_per_group",
-                    "events_dedup_burst", "ann_ivf_kmeans")
+                    "events_dedup_burst", "ann_ivf_kmeans",
+                    "text_scrub_repeats")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

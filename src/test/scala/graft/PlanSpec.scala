@@ -223,6 +223,13 @@ class PlanSpec extends GraftFunSuite {
       s"burst debounce should shuffle at most twice:\n$db")
   }
 
+  test("substring scrub: coverage anti join is equi-keyed, no nested loop") {
+    val p = planOf("text_scrub_repeats")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+           !p.contains("CartesianProduct"),
+      s"coverage must join on the doc id, not pair tokens with spans:\n$p")
+  }
+
   test("data mixture: per-source cuts broadcast, corpus never re-shuffled") {
     val p = planOf("pipeline_data_mixture")
     assert(p.contains("BroadcastHashJoin"),
