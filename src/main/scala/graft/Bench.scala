@@ -63,7 +63,8 @@ object Bench {
       "text_vocab_tfidf", "text_quality_rules",
       "events_sessionize", "events_asof_join", "events_range_join",
       "pipeline_corpus_curation", "pipeline_contamination",
-      "mm_embed_ann", "sample_bernoulli", "src_bucketed_join")
+      "mm_embed_ann", "sample_bernoulli", "src_bucketed_join",
+      "text_lm_perplexity", "pipeline_data_mixture", "text_scrub_repeats")
     val headline = results.filter(r => headlineSet.contains(r._1))
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(headline)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
