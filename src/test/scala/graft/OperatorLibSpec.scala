@@ -648,4 +648,37 @@ class OperatorLibSpec extends GraftFunSuite {
     intercept[IllegalArgumentException](
       CorpusCuration.scrubRepeatedSpans(docs, minCount = 1))
   }
+
+  test("scrubRepeatedSpans equals a brute-force witness on random corpora") {
+    val rng = new scala.util.Random(20260812L)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee") // tiny → real collisions
+    for (trial <- 1 to 3) {
+      val corpus = (1L to 30L).map { id =>
+        id -> Vector.fill(3 + rng.nextInt(12))(vocab(rng.nextInt(vocab.size)))
+      }
+      // brute force: corpus-wide 3-gram counts → covered position union
+      val counts = corpus.flatMap { case (_, tk) =>
+        tk.sliding(3).filter(_.size == 3).map(_.mkString(" "))
+      }.groupBy(identity).view.mapValues(_.size).toMap
+      val want = corpus.map { case (id, tk) =>
+        val covered = tk.sliding(3).zipWithIndex
+          .filter { case (g, _) => g.size == 3 && counts(g.mkString(" ")) >= 2 }
+          .flatMap { case (_, i) => i until (i + 3) }.toSet
+        val keptTk = tk.zipWithIndex.collect {
+          case (t, i) if !covered(i) => t }
+        id -> ((tk.size.toLong, covered.size.toLong,
+                org.apache.commons.codec.digest.DigestUtils
+                  .md5Hex(keptTk.mkString(" "))))
+      }.toMap
+      val docs = corpus.map { case (id, tk) => (id, tk.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = CorpusCuration.scrubRepeatedSpans(docs, n = 3, minCount = 2)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      assert(got == want, s"trial $trial: first diff = " +
+        want.collect { case (k, v) if got.get(k) != Some(v) =>
+          s"$k: want $v got ${got.get(k)}" }.take(2).mkString("; "))
+    }
+  }
 }
