@@ -174,6 +174,44 @@ object EventQueries extends QueryModule {
         |  round(sum(value), 4) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin)),
 
+    // Native session_window sessionization — same gap semantics as
+    // events_sessionize but through Spark's built-in session-window
+    // operator (UpdatingSessions/MergingSessionsExec — sort-based session
+    // merge within the user partition, the same physical machinery the
+    // streaming engine uses), not a hand-rolled lag/cumsum. Boundary
+    // nuance pinned by the oracle: session_window treats an event at
+    // EXACTLY prev + gap as a NEW session (window end is exclusive), so
+    // the oracle flags new_session on diff >= gap, where the lag/cumsum
+    // twin above uses > gap.
+    GraftQuery(
+      "events_session_window",
+      (s, dir) =>
+        events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"),
+               round(sum(col("value")), 4).as("sum_value"))
+          .select(col("user_id"),
+                  unix_micros(col("session_window.start")).as("start_us"),
+                  unix_micros(col("session_window.end")).as("end_us"),
+                  col("n_events"), col("sum_value")),
+      Some("""WITH flagged AS (
+        |  SELECT user_id, value, ts,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_session, event_id
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, value, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_id
+        |  FROM flagged)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts)) + 1800000000 AS end_us,
+        |  count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin)),
+
     // AS-OF join: each purchase joined to the same user's most recent click
     // at or before it (attribution), through the reusable
     // `graft.implicits.asofJoin` operator — union + ordered window with
