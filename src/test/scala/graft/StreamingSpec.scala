@@ -301,6 +301,42 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window: streaming (append, watermark-closed) " +
+       "equals batch for finalized sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    def sessionize(d: org.apache.spark.sql.DataFrame) = d
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+      .select(col("user_id"),
+              unix_micros(col("session_window.start")).as("start_us"),
+              col("n"), col("sv"))
+    val q = sessionize(df.withWatermark("ts", "1 minute"))
+      .writeStream.format("memory").queryName("native_sessions")
+      .outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, ts(0), 1.0), (1L, ts(10), 2.0),   // one session (gap 10 < 30)
+        (2L, ts(5), 7.0),
+        (1L, ts(50), 4.0),                      // gap 40 → new session
+        (1L, ts(80), 8.0))                      // merges into the ts(50) one
+      input.addData(rows.take(3)); q.processAllAvailable()
+      input.addData(rows.drop(3)); q.processAllAvailable()
+      // far-future event advances the watermark and closes everything above
+      input.addData((99L, ts(5000), 0.0)); q.processAllAvailable()
+      val streamed = spark.table("native_sessions")
+        .filter(col("user_id") =!= 99L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                             r.getDouble(3))).toSet
+      val batch = sessionize(rows.toDF("user_id", "ts", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                             r.getDouble(3))).toSet
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+      assert(batch.size == 3)
+    } finally q.stop()
+  }
+
   test("mixtureGate: stream-static cut attach keeps exactly the batch " +
        "operator's rows") {
     import graft.streaming.CorpusStreams
