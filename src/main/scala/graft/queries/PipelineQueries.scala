@@ -395,5 +395,35 @@ object PipelineQueries extends QueryModule {
         |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rnk
         |  FROM documents)
         |SELECT lang, rnk, doc_id FROM s WHERE rnk <= 10""".stripMargin)),
+
+    // Deterministic per-epoch corpus shuffling: each training epoch orders
+    // the corpus by md5(epoch:doc_id) — a different, reproducible,
+    // engine-independent permutation per epoch (the "reshuffle every
+    // epoch" stage of a training run, auditable and resumable because the
+    // order is a pure function of (epoch, id), not of RNG state). Three
+    // epochs cross-joined in one plan; each epoch's rank is one window.
+    // At 100 TB per-epoch order materializes as a sort key column the
+    // shard writer sorts by — never a global collect.
+    GraftQuery(
+      "pipeline_epoch_shuffle",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val epochs = s.range(0, 3).select(col("id").as("epoch"))
+        val w = Window.partitionBy("epoch").orderBy("r", "doc_id")
+        t(s, dir, "documents").select(col("doc_id"))
+          .crossJoin(broadcast(epochs))
+          .withColumn("r",
+            md5(concat_ws(":", col("epoch"), col("doc_id"))))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .select(col("epoch"), col("rank"), col("doc_id"))
+      },
+      Some("""WITH e AS (SELECT unnest(range(0, 3)) AS epoch),
+        |r AS (
+        |  SELECT epoch, doc_id,
+        |    row_number() OVER (PARTITION BY epoch
+        |      ORDER BY md5(epoch::VARCHAR || ':' || doc_id::VARCHAR),
+        |               doc_id) AS rank
+        |  FROM documents, e)
+        |SELECT epoch, rank, doc_id FROM r""".stripMargin)),
   )
 }
