@@ -64,6 +64,35 @@ object CorpusStreams {
     docs.join(broadcast(cuts), sourceCol).filter(route < col("cut"))
   }
 
+  /** Streaming APPLY side of
+    * [[graft.operators.CorpusCuration.contaminatedDocs]]: flag arriving
+    * documents sharing any word-`n`-gram with a STATIC benchmark/test set
+    * (the leakage audit, run at ingest instead of per-batch-job). The
+    * static side is the distinct test-gram table (train it once in batch);
+    * the stream side explodes each arriving doc's distinct grams and
+    * stream-static semi-joins them — matched docs collapse back to one
+    * row via `dropDuplicatesWithinWatermark` on the id (a doc's gram rows
+    * all carry its event time, so the id is unique within the horizon).
+    * State is the matched-id set inside the watermark, not the corpus.
+    */
+  def contaminationGate(docs: DataFrame, testGrams: DataFrame,
+                        tsCol: String = "ts", textCol: String = "text",
+                        idCol: String = "doc_id", n: Int = 8,
+                        dedupWindow: String = "1 hour"): DataFrame = {
+    import graft.operators.GraftText
+    docs
+      .select(col(idCol), col(tsCol),
+              GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+      .select(col(idCol), col(tsCol),
+              explode(array_distinct(GraftText.wordNGrams(col("__tk"), n)))
+                .as("__gram"))
+      .join(broadcast(testGrams), Seq("__gram"), "left_semi")
+      .withWatermark(tsCol, dedupWindow)
+      .dropDuplicatesWithinWatermark(idCol)
+      .select(col(idCol), col(tsCol))
+  }
+
   final case class PackDoc(shard: String, doc_id: Long, n_tokens: Long)
   final case class PackAssign(shard: String, doc_id: Long, n_tokens: Long,
                               stream_offset: Long, pack_id: Long)

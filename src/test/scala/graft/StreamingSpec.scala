@@ -368,6 +368,42 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("contaminationGate: stream flags exactly the batch audit's docs") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.{CorpusCuration, GraftText}
+    implicit val sqlCtx = spark.sqlContext
+    // split the real corpus like pipeline_contamination does
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("route", substring(md5(col("doc_id").cast("string")), 1, 4))
+    val train = docs.filter(col("route") < "cccc").drop("route")
+    val testD = docs.filter(col("route") >= "cccc").drop("route")
+    val batchHit = CorpusCuration.contaminatedDocs(train, testD, n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchHit.nonEmpty)
+    // static gram table trained once in batch
+    val testGrams = testD
+      .select(GraftText.whitespaceTokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 8)
+      .select(explode(array_distinct(
+        GraftText.wordNGrams(col("tk"), 8))).as("__gram"))
+      .distinct()
+    // stream the train split through the gate in two micro-batches
+    val rows = train.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), ts(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusStreams.contaminationGate(df, testGrams)
+      .writeStream.format("memory").queryName("contamination_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(150)); q.processAllAvailable()
+      input.addData(rows.drop(150)); q.processAllAvailable()
+      val streamed = spark.table("contamination_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamed == batchHit, s"diff=${streamed.diff(batchHit)} / ${batchHit.diff(streamed)}")
+    } finally q.stop()
+  }
+
   test("packStream: offsets continue across micro-batches per shard and " +
        "match batch packing on the same order") {
     import graft.streaming.CorpusStreams
