@@ -21,7 +21,8 @@ object PlanDump {
                     "text_lm_perplexity", "pipeline_data_mixture",
                     "pipeline_curriculum", "sample_per_group",
                     "events_dedup_burst", "ann_ivf_kmeans",
-                    "text_scrub_repeats")
+                    "text_scrub_repeats", "events_session_window",
+                    "pipeline_epoch_shuffle")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")
