@@ -419,5 +419,71 @@ object TextQueries extends QueryModule {
         |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_scrubbed,
         |  md5(coalesce(scrub, '')) AS scrubbed_md5
         |FROM b LEFT JOIN s USING (doc_id)""".stripMargin)),
+
+    // Collocation mining: top-20 adjacent word pairs by PMI (min support
+    // 5) — phrase discovery for tokenizer/vocabulary construction ("new
+    // york" → one unit). The ordering score is PMI WITHOUT the ln: PMI is
+    // monotone in p(w1,w2)/(p(w1)p(w2)), so ranking by the raw ratio —
+    // five exact-operand * and / in a FIXED associativity, mirrored
+    // verbatim in the oracle — is bit-deterministic cross-engine with no
+    // libm call anywhere. Ties break on the pair. Scale: token stream
+    // aggregates once for unigrams, once for bigrams; stats broadcast;
+    // top-k is TakeOrderedAndProject over the (already collapsed) pair
+    // vocabulary.
+    GraftQuery(
+      "text_collocations",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val toks = t(s, dir, "documents")
+          .select(GraftText.whitespaceTokens(col("text")).as("tk"))
+        val uni = toks.select(explode(col("tk")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val totals = toks.agg(
+          sum(size(col("tk"))).as("n_uni"),
+          sum(greatest(size(col("tk")) - 1, lit(0))).as("n_big"))
+        val big = toks.filter(size(col("tk")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(0, size(tk) - 2),
+               i -> struct(tk[i] AS w1, tk[i + 1] AS w2))""")).as("bg"))
+          .select(col("bg.w1"), col("bg.w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+          .filter(col("c2") >= 5)
+        val score = col("c2").cast("double") / col("n_big") * col("n_uni") /
+          col("c1") * col("n_uni") / col("cu2")
+        val scored = big
+          .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))), "w1")
+          .join(broadcast(uni.select(col("w").as("w2"), col("c").as("cu2"))), "w2")
+          .crossJoin(broadcast(totals))
+          .withColumn("__s", score)
+        scored.orderBy(col("__s").desc, col("w1"), col("w2")).limit(20)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("__s").desc, col("w1"), col("w2"))).cast("long"))
+          .select(col("rank"), col("w1"), col("w2"), col("c2").as("n_pair"))
+      },
+      Some("""WITH d AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') tk FROM documents),
+        |u AS (SELECT unnest(tk) w FROM d),
+        |uni AS (SELECT w, count(*) c FROM u GROUP BY w),
+        |tot AS (
+        |  SELECT CAST(sum(len(tk)) AS BIGINT) n_uni,
+        |    CAST(sum(greatest(len(tk) - 1, 0)) AS BIGINT) n_big
+        |  FROM d),
+        |bg AS (
+        |  SELECT unnest(tk[1:len(tk) - 1]) w1, unnest(tk[2:len(tk)]) w2
+        |  FROM d WHERE len(tk) >= 2),
+        |big AS (
+        |  SELECT w1, w2, count(*) c2 FROM bg GROUP BY 1, 2
+        |  HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT w1, w2, c2,
+        |    CAST(c2 AS DOUBLE) / n_big * n_uni / u1.c * n_uni / u2.c AS s
+        |  FROM big
+        |  JOIN uni u1 ON u1.w = w1
+        |  JOIN uni u2 ON u2.w = w2, tot),
+        |r AS (
+        |  SELECT row_number() OVER (ORDER BY s DESC, w1, w2) AS rank,
+        |    w1, w2, c2 AS n_pair
+        |  FROM scored)
+        |SELECT rank, w1, w2, n_pair FROM r WHERE rank <= 20""".stripMargin)),
   )
 }
