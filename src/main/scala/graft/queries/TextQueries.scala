@@ -89,6 +89,74 @@ object TextQueries extends QueryModule {
         |    ELSE 'und' END AS lang_pred
         |FROM sc""".stripMargin)),
 
+    // Code-switching detection: language-ID each HALF of a document
+    // independently (same marker heuristic as text_lang_id) and flag docs
+    // whose halves disagree — mixed-language documents are a classic
+    // low-quality stratum a curation pipeline quarantines. Pure map,
+    // integer marker counts, deterministic cascade tie-break — full
+    // oracle. (Synthetic corpus shares one vocabulary across langs, so
+    // this checks the operator's mechanics, not classifier accuracy.)
+    GraftQuery(
+      "text_code_switch",
+      (s, dir) => {
+        val langs = Seq(
+          "en" -> GraftText.StopwordsEn,
+          "de" -> Seq("der", "die", "das", "und", "ist"),
+          "fr" -> Seq("le", "la", "les", "et", "est"),
+          "es" -> Seq("el", "los", "las", "es", "y"))
+        def idOf(tkCol: org.apache.spark.sql.Column) =
+          GraftText.langIdFrom(langs.map { case (l, m) =>
+            l -> GraftText.markerScore(tkCol, m) })
+        t(s, dir, "documents")
+          .select(col("doc_id"),
+                  GraftText.whitespaceTokens(col("text")).as("tk"))
+          .withColumn("half", floor(size(col("tk")) / 2).cast("int"))
+          .select(col("doc_id"),
+                  slice(col("tk"), lit(1), col("half")).as("h1"),
+                  slice(col("tk"), col("half") + 1,
+                        size(col("tk")) - col("half")).as("h2"))
+          .select(col("doc_id"),
+                  idOf(col("h1")).as("lang_first"),
+                  idOf(col("h2")).as("lang_second"))
+          .withColumn("switched",
+            col("lang_first") =!= col("lang_second") &&
+              col("lang_first") =!= "und" && col("lang_second") =!= "und")
+      },
+      Some("""WITH t0 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    w[1:CAST(len(w) // 2 AS BIGINT)] h1,
+        |    w[CAST(len(w) // 2 + 1 AS BIGINT):len(w)] h2
+        |  FROM t0),
+        |sc AS (
+        |  SELECT doc_id,
+        |    len(list_filter(h1, x -> x IN ('the','a','of','and','to','in'))) e1,
+        |    len(list_filter(h1, x -> x IN ('der','die','das','und','ist'))) d1,
+        |    len(list_filter(h1, x -> x IN ('le','la','les','et','est'))) f1,
+        |    len(list_filter(h1, x -> x IN ('el','los','las','es','y'))) s1,
+        |    len(list_filter(h2, x -> x IN ('the','a','of','and','to','in'))) e2,
+        |    len(list_filter(h2, x -> x IN ('der','die','das','und','ist'))) d2,
+        |    len(list_filter(h2, x -> x IN ('le','la','les','et','est'))) f2,
+        |    len(list_filter(h2, x -> x IN ('el','los','las','es','y'))) s2
+        |  FROM h),
+        |lid AS (
+        |  SELECT doc_id,
+        |    CASE WHEN e1 >= greatest(d1, f1, s1) AND e1 > 0 THEN 'en'
+        |         WHEN d1 >= greatest(f1, s1) AND d1 > 0 THEN 'de'
+        |         WHEN f1 >= s1 AND f1 > 0 THEN 'fr'
+        |         WHEN s1 > 0 THEN 'es' ELSE 'und' END AS lang_first,
+        |    CASE WHEN e2 >= greatest(d2, f2, s2) AND e2 > 0 THEN 'en'
+        |         WHEN d2 >= greatest(f2, s2) AND d2 > 0 THEN 'de'
+        |         WHEN f2 >= s2 AND f2 > 0 THEN 'fr'
+        |         WHEN s2 > 0 THEN 'es' ELSE 'und' END AS lang_second
+        |  FROM sc)
+        |SELECT doc_id, lang_first, lang_second,
+        |  (lang_first != lang_second AND lang_first != 'und'
+        |   AND lang_second != 'und') AS switched
+        |FROM lid""".stripMargin)),
+
     // Token counting: whitespace tokens + a BPE-ish regex tokenizer
     // (letter runs | digit runs | single punctuation).
     GraftQuery(
