@@ -301,6 +301,32 @@ object EventQueries extends QueryModule {
         | AND p.ts_us >= iv.start_us AND p.ts_us <= iv.until_us
         |GROUP BY 1, 2""".stripMargin)),
 
+    // Cohort retention: users grouped by their first-activity date, counted
+    // distinctly in each subsequent week offset — the canonical
+    // product-analytics cohort matrix. Two shuffles (first-touch per user,
+    // then the cohort-cell aggregation); the user set per cell is a
+    // count-distinct, partial-aggregated map-side.
+    GraftQuery(
+      "events_retention",
+      (s, dir) => {
+        val ev = events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("d"))
+        val first = ev.groupBy("user_id").agg(min("d").as("cohort_d"))
+        ev.join(first, "user_id")
+          .withColumn("week_offset",
+            floor(datediff(col("d"), col("cohort_d")) / 7).cast("long"))
+          .groupBy("cohort_d", "week_offset")
+          .agg(countDistinct("user_id").as("n_users"))
+      },
+      Some("""WITH ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) d FROM events),
+        |f AS (SELECT user_id, min(d) cohort_d FROM ev GROUP BY 1)
+        |SELECT cohort_d,
+        |  CAST(date_diff('day', cohort_d, d) // 7 AS BIGINT) AS week_offset,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM ev JOIN f USING (user_id)
+        |GROUP BY 1, 2""".stripMargin)),
+
     // Burst debounce: drop an event arriving within 30 min of the PREVIOUS
     // event of the same (user, type) — raw-predecessor semantics (the
     // predecessor counts even if it was itself dropped), the standard
