@@ -242,6 +242,38 @@ object SourceQueries extends QueryModule {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus""".stripMargin)),
 
+    // Schema evolution across corpus snapshots: an early batch written
+    // WITHOUT a column, a later batch WITH it, read back as one dataset
+    // via mergeSchema — the drift shape every long-lived 100 TB corpus
+    // accumulates (new metadata columns appear mid-corpus; old files
+    // must keep reading, surfacing NULL for the new column). The oracle
+    // replays the union with an explicit NULL for the missing column, so
+    // the merged read's null semantics are hash-certified.
+    GraftQuery(
+      "src_schema_evolution",
+      (s, dir) => {
+        val out = ioDir(dir, "nation_evolving")
+        val v1 = t(s, dir, "nation").select("n_nationkey", "n_name")
+        val v2 = t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .withColumn("n_nationkey", col("n_nationkey") + 100)
+        v1.write.mode("overwrite").parquet(s"$out/batch=1")
+        v2.write.mode("overwrite").parquet(s"$out/batch=2")
+        s.read.option("mergeSchema", "true").parquet(out)
+          .groupBy(col("n_regionkey").isNull.as("legacy_rows"))
+          .agg(count(lit(1)).as("n"),
+               min("n_nationkey").as("min_key"),
+               max("n_nationkey").as("max_key"))
+      },
+      Some("""WITH merged AS (
+        |  SELECT n_nationkey, n_name, NULL::BIGINT AS n_regionkey
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT n_nationkey + 100, n_name, n_regionkey FROM nation)
+        |SELECT n_regionkey IS NULL AS legacy_rows, count(*) AS n,
+        |  min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
+        |FROM merged GROUP BY 1""".stripMargin)),
+
     // Partitioned-parquet write + partition-pruned read: the layout that
     // carries 100 TB tables (pruning is asserted in PlanSpec).
     GraftQuery(
