@@ -327,6 +327,41 @@ object EventQueries extends QueryModule {
         |FROM ev JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin)),
 
+    // Daily-volume anomaly days per event type — |z| > 2 against the
+    // type's own daily distribution, computed ENTIRELY in exact integer
+    // arithmetic: |x - μ| > 2σ  ⇔  (n·x − Σx)² · (n−1) > 4·n·(n·Σx² − (Σx)²)
+    // (both sides scaled by n²·(n−1); sample variance). No float mean, no
+    // stddev call, no rounding hazard — counts are ints, so the flag is
+    // bit-identical in any engine. Two aggregations: daily counts, then
+    // per-type moments broadcast back onto the (small) daily table.
+    GraftQuery(
+      "events_anomaly",
+      (s, dir) => {
+        val daily = events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+          .agg(count(lit(1)).as("cnt"))
+        val moments = daily.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cnt").as("sx"),
+               sum(col("cnt") * col("cnt")).as("sxx"))
+        daily.join(broadcast(moments), "event_type")
+          .withColumn("dev", col("n") * col("cnt") - col("sx"))
+          .withColumn("is_anomaly",
+            col("dev") * col("dev") * (col("n") - 1) >
+              lit(4) * col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
+          .select(col("event_type"), col("d"), col("cnt"), col("is_anomaly"))
+      },
+      Some("""WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) d, count(*) cnt
+        |  FROM events GROUP BY 1, 2),
+        |m AS (
+        |  SELECT event_type, count(*) n, CAST(sum(cnt) AS BIGINT) sx,
+        |    CAST(sum(cnt * cnt) AS BIGINT) sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, d, cnt,
+        |  (n * cnt - sx) * (n * cnt - sx) * (n - 1)
+        |    > 4 * n * (n * sxx - sx * sx) AS is_anomaly
+        |FROM daily JOIN m USING (event_type)""".stripMargin)),
+
     // Burst debounce: drop an event arriving within 30 min of the PREVIOUS
     // event of the same (user, type) — raw-predecessor semantics (the
     // predecessor counts even if it was itself dropped), the standard

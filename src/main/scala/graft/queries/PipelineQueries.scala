@@ -425,5 +425,57 @@ object PipelineQueries extends QueryModule {
         |               doc_id) AS rank
         |  FROM documents, e)
         |SELECT epoch, rank, doc_id FROM r""".stripMargin)),
+
+    // Per-source corpus report card — the audit summary a corpus release
+    // ships: docs, tokens, exact-duplicate docs (digest seen >1 across the
+    // WHOLE corpus), corpus-level stopword mass. The only fractional cell
+    // is ONE division of two exact longs (total hits / total tokens) —
+    // identical nearest-double in any engine, no float Σ anywhere.
+    // Scale: a digest aggregation + a gated semi attach + one per-source
+    // aggregation.
+    GraftQuery(
+      "pipeline_quality_report",
+      (s, dir) => {
+        import graft.operators.{GraftText, ScaleHints}
+        val d = t(s, dir, "documents").select(
+          col("source"), col("doc_id"),
+          md5(col("text")).as("digest"),
+          GraftText.whitespaceTokens(col("text")).as("tk"))
+        val dupDigests = d.groupBy("digest")
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1).select("digest")
+        val flagged = d.join(ScaleHints.gated(dupDigests), Seq("digest"),
+                             "left_semi")
+          .groupBy("source").agg(count(lit(1)).as("n_dup_docs"))
+        d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+               sum(size(col("tk"))).as("n_tokens"),
+               sum(GraftText.markerScore(col("tk"), GraftText.StopwordsEn))
+                 .as("stop_hits"))
+          .join(flagged, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+                  coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+                  col("n_tokens"), col("stop_hits"),
+                  (col("stop_hits").cast("double") / col("n_tokens"))
+                    .as("stop_ratio"))
+      },
+      Some("""WITH d AS (
+        |  SELECT source, doc_id, md5(text) digest,
+        |    regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents),
+        |dup AS (SELECT digest FROM d GROUP BY digest HAVING count(*) > 1),
+        |f AS (
+        |  SELECT source, count(*) n_dup_docs FROM d
+        |  WHERE digest IN (SELECT digest FROM dup) GROUP BY source),
+        |st AS (
+        |  SELECT source, count(*) n_docs,
+        |    CAST(sum(len(tk)) AS BIGINT) n_tokens,
+        |    CAST(sum(len(list_filter(tk,
+        |      x -> x IN ('the', 'a', 'of', 'and', 'to', 'in')))) AS BIGINT)
+        |      stop_hits
+        |  FROM d GROUP BY source)
+        |SELECT source, n_docs, coalesce(n_dup_docs, 0) AS n_dup_docs,
+        |  n_tokens, stop_hits,
+        |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio
+        |FROM st LEFT JOIN f USING (source)""".stripMargin)),
   )
 }
