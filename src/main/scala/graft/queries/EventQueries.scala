@@ -327,6 +327,30 @@ object EventQueries extends QueryModule {
         |FROM ev JOIN f USING (user_id)
         |GROUP BY 1, 2""".stripMargin)),
 
+    // Event-type transition matrix (first-order Markov counts): consecutive
+    // event-type pairs per user in time order — the sequence-model view of
+    // a clickstream. One lag window on user_id, one aggregation; the
+    // transition probability stays a ratio of the emitted integers.
+    GraftQuery(
+      "events_transitions",
+      (s, dir) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        events(s, dir)
+          .withColumn("ts_us", unix_micros(col("ts")))
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .filter(col("prev_type").isNotNull)
+          .groupBy(col("prev_type"), col("event_type").as("next_type"))
+          .agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH x AS (
+        |  SELECT event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM x WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin)),
+
     // Daily-volume anomaly days per event type — |z| > 2 against the
     // type's own daily distribution, computed ENTIRELY in exact integer
     // arithmetic: |x - μ| > 2σ  ⇔  (n·x − Σx)² · (n−1) > 4·n·(n·Σx² − (Σx)²)

@@ -113,6 +113,25 @@ object RelationalQueries4 extends QueryModule {
         |SELECT tier, count(*) AS n, round(sum(total), 2) AS tier_total
         |FROM ranked GROUP BY tier""".stripMargin)),
 
+    // Recursive CTE (Spark 4's WITH RECURSIVE) — iterative series expansion
+    // anchored on table data; DuckDB evaluates the identical recursion.
+    GraftQuery(
+      "q_recursive_cte",
+      (s, dir) => {
+        t(s, dir, "nation").createOrReplaceTempView("graft_nat_rec")
+        s.sql("""WITH RECURSIVE r(n) AS (
+                  SELECT CAST(max(n_nationkey) AS BIGINT) FROM graft_nat_rec
+                  UNION ALL
+                  SELECT n - 1 FROM r WHERE n > 0)
+                SELECT count(*) AS n_levels, sum(n) AS total FROM r""")
+      },
+      Some("""WITH RECURSIVE r(n) AS (
+        |  SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation
+        |  UNION ALL
+        |  SELECT n - 1 FROM r WHERE n > 0)
+        |SELECT count(*) AS n_levels, CAST(sum(n) AS BIGINT) AS total
+        |FROM r""".stripMargin)),
+
     GraftQuery(
       "q_values_inline",
       (s, _) =>
