@@ -372,6 +372,28 @@ object RelationalQueries extends QueryModule {
         |  count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1""".stripMargin)),
 
+    // Spark 4 VARIANT type: parse_json → open semi-structured cell →
+    // variant_get typed extraction — the engine's native answer to
+    // schema-on-read JSON (vs the string-walking get_json_object above).
+    // The oracle extracts the same path with DuckDB's JSON machinery; the
+    // typed value, not the variant encoding, is the contract.
+    GraftQuery(
+      "q_variant",
+      (s, dir) =>
+        events(s, dir)
+          .select(expr("variant_get(parse_json(props), '$.k', 'long')")
+                    .as("k"),
+                  col("event_type"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+               min("k").as("min_k"), max("k").as("max_k")),
+      Some("""SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |       AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1""".stripMargin)),
+
     // ---- generators (reference e2e parity: unnest of an array literal,
     //      /root/reference/tests/e2e.rs:24) ------------------------------
     GraftQuery(
