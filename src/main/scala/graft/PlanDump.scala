@@ -22,7 +22,10 @@ object PlanDump {
                     "pipeline_curriculum", "sample_per_group",
                     "events_dedup_burst", "ann_ivf_kmeans",
                     "text_scrub_repeats", "events_session_window",
-                    "pipeline_epoch_shuffle")
+                    "pipeline_epoch_shuffle", "text_collocations",
+                    "events_retention", "events_anomaly",
+                    "pipeline_quality_report", "q_recursive_cte",
+                    "q_variant")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")
