@@ -274,6 +274,40 @@ object SourceQueries extends QueryModule {
         |  min(n_nationkey) AS min_key, max(n_nationkey) AS max_key
         |FROM merged GROUP BY 1""".stripMargin)),
 
+    // Z-order (Morton) clustered layout: lineitem written range-partitioned
+    // and sorted by the bit-interleaved z-value of two query axes, so
+    // parquet row-group min/max stats are selective on BOTH columns — the
+    // multi-dimensional data-skipping layout for 100 TB fact tables
+    // ([[graft.operators.GraftLayout.zValue]]: pure integer bit
+    // arithmetic, codegen'd, engine-identical). The box-predicate read
+    // back is oracle-checked against the raw table, certifying the
+    // clustered write is lossless and the predicate semantics unchanged.
+    GraftQuery(
+      "src_zorder_layout",
+      (s, dir) => {
+        import graft.operators.GraftLayout
+        val out = ioDir(dir, "lineitem_zorder")
+        val zx = col("l_orderkey") % 1024
+        val zy = col("l_suppkey") % 1024
+        t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"))
+          .withColumn("z", GraftLayout.zValue(zx, zy, bits = 10))
+          .repartitionByRange(8, col("z"))
+          .sortWithinPartitions("z")
+          .write.mode("overwrite").parquet(out)
+        s.read.parquet(out)
+          .filter(zx.between(100, 299) && zy.between(300, 499))
+          .agg(count(lit(1)).as("n"),
+               round(sum(col("l_quantity")), 2).as("sum_qty"),
+               min("l_orderkey").as("min_key"))
+      },
+      Some("""SELECT count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  min(l_orderkey) AS min_key
+        |FROM lineitem
+        |WHERE l_orderkey % 1024 BETWEEN 100 AND 299
+        |  AND l_suppkey % 1024 BETWEEN 300 AND 499""".stripMargin)),
+
     // Partitioned-parquet write + partition-pruned read: the layout that
     // carries 100 TB tables (pruning is asserted in PlanSpec).
     GraftQuery(

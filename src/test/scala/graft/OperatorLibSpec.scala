@@ -649,6 +649,28 @@ class OperatorLibSpec extends GraftFunSuite {
       CorpusCuration.scrubRepeatedSpans(docs, minCount = 1))
   }
 
+  test("GraftLayout.zValue matches a reference Morton interleave, and " +
+       "orders locally-close points closely") {
+    import graft.operators.GraftLayout
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map(i =>
+        (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val rng = new scala.util.Random(7L)
+    val pts = Seq.fill(200)((rng.nextInt(1024).toLong, rng.nextInt(1024).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), GraftLayout.zValue(col("x"), col("y"), 10).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    for ((x, y) <- pts)
+      assert(got((x, y)) == ref(x, y, 10), s"($x, $y)")
+    // the locality property the layout exists for: points inside one
+    // 32x32 tile span a z range far tighter than random pairs do
+    val tile = (0 until 32).flatMap(i => (0 until 32).map(j =>
+      ref(512 + i, 256 + j, 10)))
+    assert(tile.max - tile.min < 4096, s"tile spread ${tile.max - tile.min}")
+    intercept[IllegalArgumentException](
+      GraftLayout.zValue(col("x"), col("y"), 32))
+  }
+
   test("scrubRepeatedSpans equals a brute-force witness on random corpora") {
     val rng = new scala.util.Random(20260812L)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee") // tiny → real collisions
