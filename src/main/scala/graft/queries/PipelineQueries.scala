@@ -426,6 +426,57 @@ object PipelineQueries extends QueryModule {
         |  FROM documents, e)
         |SELECT epoch, rank, doc_id FROM r""".stripMargin)),
 
+    // Corpus snapshot upsert (MERGE-INTO semantics over plain tables):
+    // next = incoming wins on id conflict, history rows otherwise — the
+    // versioned-corpus update step, as one full-outer coalesce. Emits the
+    // per-origin accounting (updated / inserted / carried) a release note
+    // needs. One shuffle on the id; both sides stream through it once.
+    GraftQuery(
+      "pipeline_corpus_upsert",
+      (s, dir) => {
+        val route = substring(md5(col("doc_id").cast("string")), 1, 4)
+        val docs = t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars"), route.as("r"))
+        val history = docs.filter(col("r") < "aaaa").drop("r")
+        val incoming = docs.filter(col("r") >= "8000").drop("r")
+          .withColumn("n_chars", col("n_chars") + 1000000)
+        val h = history.select(col("doc_id"), col("lang").as("h_lang"),
+                               col("n_chars").as("h_chars"))
+        val i = incoming.select(col("doc_id"), col("lang").as("i_lang"),
+                                col("n_chars").as("i_chars"))
+        h.join(i, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+                  coalesce(col("i_lang"), col("h_lang")).as("lang"),
+                  coalesce(col("i_chars"), col("h_chars")).as("n_chars"),
+                  when(col("i_lang").isNotNull && col("h_lang").isNotNull,
+                       "updated")
+                    .when(col("i_lang").isNotNull, "inserted")
+                    .otherwise("carried").as("origin"))
+          .groupBy("origin")
+          .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"),
+               min("doc_id").as("first_id"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    substr(md5(doc_id::VARCHAR), 1, 4) r
+        |  FROM documents),
+        |h AS (SELECT doc_id, lang h_lang, n_chars h_chars
+        |      FROM d WHERE r < 'aaaa'),
+        |i AS (SELECT doc_id, lang i_lang, n_chars + 1000000 i_chars
+        |      FROM d WHERE r >= '8000'),
+        |m AS (
+        |  SELECT doc_id,
+        |    coalesce(i_chars, h_chars) n_chars,
+        |    CASE WHEN i_lang IS NOT NULL AND h_lang IS NOT NULL
+        |           THEN 'updated'
+        |         WHEN i_lang IS NOT NULL THEN 'inserted'
+        |         ELSE 'carried' END AS origin
+        |  FROM h FULL OUTER JOIN i USING (doc_id))
+        |SELECT origin, count(*) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS first_id
+        |FROM m GROUP BY origin""".stripMargin)),
+
     // Per-source corpus report card — the audit summary a corpus release
     // ships: docs, tokens, exact-duplicate docs (digest seen >1 across the
     // WHOLE corpus), corpus-level stopword mass. The only fractional cell
