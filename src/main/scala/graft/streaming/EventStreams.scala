@@ -46,6 +46,28 @@ object EventStreams extends Serializable {
       .select(col("window.start").as("bucket"), col("event_type"),
               col("n"), col("sum_value"))
 
+  /** Streaming twin of the batch `events_anomaly` flag: daily volumes per
+    * event type (tumbling 1-day windows, watermark-closed) checked against
+    * STATIC per-type moments trained on a reference period — the same
+    * division-free integer z-test inequality, so a day flags identically
+    * in stream and batch. `moments` columns: event_type, n, sx, sxx.
+    * Retraining the moments as the reference period moves is a batch-job
+    * swap, like [[graft.streaming.CorpusStreams.mixtureGate]]'s cuts.
+    */
+  def anomalyFlags(events: DataFrame, moments: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("event_type"), to_date(col("window.start")).as("d"),
+              col("cnt"))
+      .join(broadcast(moments), "event_type")
+      .withColumn("__dev", col("n") * col("cnt") - col("sx"))
+      .withColumn("is_anomaly",
+        col("__dev") * col("__dev") * (col("n") - 1) >
+          lit(4) * col("n") * (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("event_type"), col("d"), col("cnt"), col("is_anomaly"))
+
   /** Gap-based sessionization with explicit state: a session closes after
     * `gapMinutes` of user silence (event-time timeout) and is emitted once,
     * matching the batch `events_sessionize` aggregation.

@@ -368,6 +368,44 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("anomalyFlags: streaming daily flags equal the batch z-test on " +
+       "the real events table") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch truth and the static moments it uses
+    val batch = SparkEntry.queries("events_anomaly")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getDate(1).toString,
+                           r.getLong(2), r.getBoolean(3))).toSet
+    val daily = graft.queries.EventQueries.eventsFor(spark, sf0001)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    val moments = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cnt").as("sx"),
+           sum(col("cnt") * col("cnt")).as("sxx"))
+    // stream the real events through in two batches, then flush
+    val rows = graft.queries.EventQueries.eventsFor(spark, sf0001)
+      .select("user_id", "ts", "event_type")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2)))
+      .sortBy(_._2.getTime).toSeq
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("user_id", "ts", "event_type")
+    val q = EventStreams.anomalyFlags(df, moments)
+      .writeStream.format("memory").queryName("anomaly_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(rows.size / 2)); q.processAllAvailable()
+      input.addData(rows.drop(rows.size / 2)); q.processAllAvailable()
+      input.addData((0L, Timestamp.valueOf("2030-01-01 00:00:00"), "zz_flush"))
+      q.processAllAvailable()
+      val streamed = spark.table("anomaly_stream")
+        .filter(col("event_type") =!= "zz_flush")
+        .collect().map(r => (r.getString(0), r.getDate(1).toString,
+                             r.getLong(2), r.getBoolean(3))).toSet
+      assert(streamed == batch,
+        s"missing=${batch.diff(streamed).take(3)} extra=${streamed.diff(batch).take(3)}")
+      assert(batch.exists(_._4) || batch.nonEmpty)
+    } finally q.stop()
+  }
+
   test("contaminationGate: stream flags exactly the batch audit's docs") {
     import graft.streaming.CorpusStreams
     import graft.operators.{CorpusCuration, GraftText}
