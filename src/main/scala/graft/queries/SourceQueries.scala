@@ -162,6 +162,33 @@ object SourceQueries extends QueryModule {
         |  min(c_name) AS first_name
         |FROM customer GROUP BY c_nationkey""".stripMargin)),
 
+    // XML roundtrip (Spark 4's integrated XML source — the last of the
+    // classic interchange formats). DuckDB doesn't read XML, and doesn't
+    // need to: the oracle aggregates the ORIGINAL parquet, so a hash match
+    // certifies the XML write+read path is lossless end-to-end (same
+    // stance as the ORC roundtrip).
+    GraftQuery(
+      "src_xml_roundtrip",
+      (s, dir) => {
+        val out = ioDir(dir, "region_xml")
+        t(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+          .write.mode("overwrite")
+          .option("rootTag", "nations").option("rowTag", "nation")
+          .xml(out)
+        val schema = StructType(Seq(
+          StructField("n_nationkey", LongType),
+          StructField("n_name", StringType),
+          StructField("n_regionkey", LongType)))
+        s.read.option("rowTag", "nation").schema(schema).xml(out)
+          .groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n"), min("n_name").as("first_name"),
+               sum("n_nationkey").as("key_sum"))
+      },
+      Some("""SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation GROUP BY n_regionkey""".stripMargin)),
+
     // Plain text-line roundtrip (spark.read/write.text — the format raw
     // corpus dumps arrive in). Rows are serialized to delimited lines on
     // write and parsed back with split() on read; the oracle aggregates the
