@@ -46,6 +46,39 @@ object EventStreams extends Serializable {
       .select(col("window.start").as("bucket"), col("event_type"),
               col("n"), col("sum_value"))
 
+  final case class TypeStep(user_id: Long, ts: java.sql.Timestamp,
+                            event_type: String, event_id: Long)
+  final case class Transition(prev_type: String, next_type: String)
+
+  /** Streaming twin of the batch `events_transitions` matrix: each user's
+    * consecutive event-type pairs, emitted as they happen. State per user
+    * is ONE string (the last event type) — O(users), no timeout needed;
+    * the pair stream feeds any downstream count. Within a micro-batch a
+    * user's events are ordered by (ts, event_id); across batches arrival
+    * order is stream order (same contract as [[CorpusStreams.packStream]]).
+    */
+  def transitionStream(events: Dataset[TypeStep]): Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout) {
+        (_: Long, it: Iterator[TypeStep], state: GroupState[String]) =>
+          var prev = state.getOption.orNull
+          // full-resolution ordering key: getTime is ms-truncated, and the
+          // batch twin orders by microseconds — seconds·1e9 + nanos ties out
+          val out = it.toIndexedSeq
+            .sortBy(e => (math.floorDiv(e.ts.getTime, 1000L) * 1000000000L +
+                          e.ts.getNanos, e.event_id))
+            .flatMap { e =>
+              val t = Option(prev).map(p => Transition(p, e.event_type))
+              prev = e.event_type
+              t
+            }
+          state.update(prev)
+          out.iterator
+      }
+  }
+
   /** Streaming twin of the batch `events_anomaly` flag: daily volumes per
     * event type (tumbling 1-day windows, watermark-closed) checked against
     * STATIC per-type moments trained on a reference period — the same

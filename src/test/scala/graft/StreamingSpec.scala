@@ -368,6 +368,38 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("transitionStream: per-user pair counts equal the batch matrix " +
+       "on the real events table") {
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.TypeStep
+    implicit val sqlCtx = spark.sqlContext
+    val batch = SparkEntry.queries("events_transitions")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val rows = graft.queries.EventQueries.eventsFor(spark, sf0001)
+      .select("user_id", "ts", "event_type", "event_id")
+      .collect()
+      .map(r => TypeStep(r.getLong(0), r.getTimestamp(1), r.getString(2),
+                         r.getLong(3)))
+      .sortBy(e => (math.floorDiv(e.ts.getTime, 1000L) * 1000000000L +
+                    e.ts.getNanos, e.event_id)).toSeq
+    val input = MemoryStream[TypeStep]
+    val q = EventStreams.transitionStream(input.toDS())
+      .writeStream.format("memory").queryName("transitions_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(rows.size / 2)); q.processAllAvailable()
+      input.addData(rows.drop(rows.size / 2)); q.processAllAvailable()
+      val streamed = spark.table("transitions_stream")
+        .groupBy("prev_type", "next_type").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      assert(streamed == batch,
+        s"missing=${batch.keySet.diff(streamed.keySet)} " +
+        s"diffs=${batch.collect { case (k, v) if streamed.get(k) != Some(v) => k }.take(3)}")
+    } finally q.stop()
+  }
+
   test("anomalyFlags: streaming daily flags equal the batch z-test on " +
        "the real events table") {
     implicit val sqlCtx = spark.sqlContext
