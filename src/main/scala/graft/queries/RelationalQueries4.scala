@@ -113,6 +113,21 @@ object RelationalQueries4 extends QueryModule {
         |SELECT tier, count(*) AS n, round(sum(total), 2) AS tier_total
         |FROM ranked GROUP BY tier""".stripMargin)),
 
+    // GROUP BY ALL / ORDER BY ALL — the modern-SQL shorthand both engines
+    // support (grouping keys inferred from the non-aggregate select list).
+    GraftQuery(
+      "q_group_by_all",
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("graft_ord_gba")
+        s.sql("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+                        round(sum(o_totalprice), 2) AS total
+                FROM graft_ord_gba
+                GROUP BY ALL ORDER BY ALL""")
+      },
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY ALL ORDER BY ALL""".stripMargin)),
+
     // Recursive CTE (Spark 4's WITH RECURSIVE) — iterative series expansion
     // anchored on table data; DuckDB evaluates the identical recursion.
     GraftQuery(
