@@ -25,7 +25,8 @@ object PlanDump {
                     "pipeline_epoch_shuffle", "text_collocations",
                     "events_retention", "events_anomaly",
                     "pipeline_quality_report", "q_recursive_cte",
-                    "q_variant")
+                    "q_variant", "src_zorder_layout",
+                    "pipeline_corpus_upsert", "events_transitions")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")
