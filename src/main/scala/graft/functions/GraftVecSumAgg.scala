@@ -16,7 +16,8 @@ import org.apache.spark.sql.types._
   * posexplode-and-regroup alternative that shuffles N·dims skinny rows.
   *
   * Dimensionality is discovered from the first non-null input (buffer
-  * starts empty); mismatched lengths fail fast rather than mis-summing.
+  * starts empty); mismatched lengths fail fast rather than mis-summing,
+  * and so does a null ELEMENT inside a vector (vectors must be dense).
   * NULL vectors are ignored, like SQL sum. Groups with only nulls eval to
   * NULL. Sum is associative-but-not-exactly (float rounding depends on
   * merge order) — callers treat centroids as approximate by nature, and
@@ -55,6 +56,11 @@ case class GraftVecSumAgg(
       s"graft_vec_sum: vector length $n != accumulator length ${acc.length}")
     var i = 0
     while (i < n) {
+      // fail fast on a null ELEMENT, same stance as the length check —
+      // getDouble on a null slot returns an undefined value, and silently
+      // summing it would corrupt the centroid instead of flagging bad data
+      require(!v.isNullAt(i),
+        s"graft_vec_sum: null element at index $i (vectors must be dense)")
       acc(i) += (if (elemIsFloat) v.getFloat(i).toDouble else v.getDouble(i))
       i += 1
     }

@@ -83,23 +83,34 @@ object CorpusCuration {
     *
     * Scale shape: the gram explode is a pure map with per-doc distinct;
     * the semi join shuffles on the gram key with map-side distinct, and the
-    * contaminated id set (skinny) semi-joins back onto train. At 100 TB,
-    * key the gram join on xxhash64(gram) to ship 8 bytes per gram — same
-    * plan shape (the catalog query keeps the string key so its DuckDB
-    * oracle is cross-engine).
+    * contaminated id set (skinny) semi-joins back onto train. By default
+    * (`hashGrams = true`) the join is keyed on xxhash64(gram) — 8 bytes
+    * cross the distinct Exchange and the broadcast instead of ~n·wordlen
+    * strings, which is what survives 100 TB. The result is identical to the
+    * string tier unless two distinct grams collide in 64 bits (birthday
+    * bound ≈ G²/2⁶⁵ — at even 10¹² corpus grams that is ~3%, per-PAIR, and
+    * a collision only ever ADDS a contamination false positive, the safe
+    * direction for a leakage audit). `hashGrams = false` keeps the exact
+    * string tier — the cross-engine-checkable form the DuckDB oracle runs.
     */
   def contaminatedDocs(train: DataFrame, test: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
-                       n: Int = 8): DataFrame = {
+                       n: Int = 8, hashGrams: Boolean = true): DataFrame = {
     def gramsOf(d: DataFrame) = d
       .select(col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) >= n)
       .select(col(idCol),
               explode(array_distinct(GraftText.wordNGrams(col("__tk"), n)))
                 .as("__gram"))
-    val testGrams = gramsOf(test).select("__gram").distinct()
-    val ids = gramsOf(train)
-      .join(testGrams, Seq("__gram"), "left_semi")
+    // Key projection happens BEFORE the distinct/shuffle, so the string
+    // gram never crosses an Exchange on the hashed tier.
+    def keyed(d: DataFrame) =
+      d.select(col(idCol),
+               (if (hashGrams) xxhash64(col("__gram")) else col("__gram"))
+                 .as("__gk"))
+    val testGrams = keyed(gramsOf(test)).select("__gk").distinct()
+    val ids = keyed(gramsOf(train))
+      .join(testGrams, Seq("__gk"), "left_semi")
       .select(idCol).distinct()
     train.join(ids, Seq(idCol), "left_semi")
   }
@@ -226,8 +237,8 @@ object CorpusCuration {
                          keyCol: String = "doc_id"): DataFrame = {
     require(budgetFrac > 0 && budgetFrac <= 1,
       s"budgetFrac out of (0,1]: $budgetFrac")
-    require(isPow2Representable(budgetFrac),
-      s"budgetFrac must be a small dyadic rational (k/2^n) so the budget " +
+    require(isMultipleOfTwoPowMinus16(budgetFrac),
+      s"budgetFrac must be a multiple of 1/65536 (k/2^16) so the budget " +
       s"multiply is exact in any engine: $budgetFrac")
     val per = docs.groupBy(sourceCol).agg(sum(tokenCol).as("__t"))
     val wtd = per.withColumn("__w",
@@ -245,10 +256,16 @@ object CorpusCuration {
       .filter(route < col("cut"))
   }
 
-  /** True iff `x` has a short exact binary representation (k/2⁵³ with few
-    * significant bits) — the dyadic rationals whose products stay exact.
+  /** True iff `x` is an exact multiple of 2⁻¹⁶ (i.e. x = k/65536 for an
+    * integer k) — NOT "few significant bits": 19661/65536 ≈ 0.30000305
+    * passes. That is the precise contract [[temperatureMixture]] needs:
+    * with budgetFrac = k/2¹⁶, `budgetFrac * tokenTotal` is exact IEEE
+    * arithmetic whenever k · tokenTotal < 2⁵³ (≈ 1.4e11 total tokens at
+    * k = 65536 — beyond that the product can round and the cross-engine
+    * exactness guarantee lapses; callers at that scale should pre-scale
+    * tokens to a coarser unit).
     */
-  private def isPow2Representable(x: Double): Boolean =
+  private def isMultipleOfTwoPowMinus16(x: Double): Boolean =
     (x * 65536.0) == math.floor(x * 65536.0)
 
   /** Exact repeated-substring scrubbing (the word-granular form of Lee et

@@ -59,6 +59,13 @@ object TextRank {
     // order-insensitive and rank-stable. 1e6 keeps ~6 significant
     // decimals of ranking resolution; scores are positive, so HALF_UP
     // (Spark) and half-away-from-zero (DuckDB et al.) agree.
+    // Residual risk, accepted under the rank-only contract: each addend
+    // still passes through libm ln (not correctly rounded), so a last-ulp
+    // cross-engine difference landing exactly on a .5 grid boundary could
+    // flip one quantized long and with it a near-tie rank. A fully
+    // log-free monotone surrogate (as text_collocations uses) cannot
+    // express BM25's idf·tf saturation product, so the grid is the best
+    // available contract here.
     val termScoreQ = round(termScore * lit(1e6), 0).cast("long")
     val scored = tf
       .join(broadcast(df), "__term")

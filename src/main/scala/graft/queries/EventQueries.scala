@@ -179,10 +179,11 @@ object EventQueries extends QueryModule {
     // operator (UpdatingSessions/MergingSessionsExec — sort-based session
     // merge within the user partition, the same physical machinery the
     // streaming engine uses), not a hand-rolled lag/cumsum. Boundary
-    // nuance pinned by the oracle: session_window treats an event at
-    // EXACTLY prev + gap as a NEW session (window end is exclusive), so
-    // the oracle flags new_session on diff >= gap, where the lag/cumsum
-    // twin above uses > gap.
+    // nuance: sessions merge on TOUCHING windows, so an event at EXACTLY
+    // prev + gap still MERGES into the session (verified empirically on
+    // Spark 4.1.2: two events exactly 30 min apart yield one session with
+    // end = last ts + gap; StreamingSpec pins it) — the oracle flags
+    // new_session on diff > gap, same boundary as the lag/cumsum twin.
     GraftQuery(
       "events_session_window",
       (s, dir) =>
@@ -197,7 +198,7 @@ object EventQueries extends QueryModule {
       Some("""WITH flagged AS (
         |  SELECT user_id, value, ts,
         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_session, event_id
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

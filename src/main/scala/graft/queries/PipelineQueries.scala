@@ -127,10 +127,12 @@ object PipelineQueries extends QueryModule {
     // training corpus needs before a model ships. The split is md5-hex
     // threshold routing (cross-engine deterministic, same as
     // sample_stratified); the overlap test is a semi join on the gram.
-    // Scale: the gram explode is a pure map; the semi join shuffles on the
-    // gram key with map-side distinct — at 100 TB you'd key the join on
-    // xxhash64(gram) to ship 8 bytes per gram instead of the string (same
-    // plan shape; the string key here keeps the oracle cross-engine).
+    // Scale: the gram explode is a pure map; the semi join shuffles on
+    // xxhash64(gram) — 8-byte bigint keys, not ~50-byte strings, cross the
+    // distinct Exchange and the broadcast (the default hashed tier of
+    // contaminatedDocs). The DuckDB oracle joins on the string gram; the
+    // OUTPUT is identical because the gram key never reaches the result
+    // (64-bit collisions aside, which only add a false positive).
     GraftQuery(
       "pipeline_contamination",
       (s, dir) => {

@@ -92,6 +92,9 @@ object RelationalQueries2 extends QueryModule {
     // DECIMAL cell or the DOUBLE cast of one — trips engine-specific client
     // rendering in the driver's hasher even when values match to the cent
     // (judge re-verified identical values at sf0.001/0.01/0.1 in round 2).
+    // DuckDB's sum(BIGINT) returns HUGEINT (int128), so the oracle wraps
+    // each sum in CAST(... AS BIGINT) — otherwise the oracle cells carry a
+    // different type/rendering than Spark's int64 even with equal values.
     GraftQuery(
       "q_decimal",
       (s, dir) =>
@@ -108,8 +111,10 @@ object RelationalQueries2 extends QueryModule {
                   col("price_cents"),
                   col("qty_cents")),
       Some("""SELECT l_returnflag,
-        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS price_cents,
-        |  sum(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_cents
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS price_cents,
+        |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS qty_cents
         |FROM lineitem GROUP BY l_returnflag
         |HAVING CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
         |            AS DECIMAL(20,0)) / 100 >= 0""".stripMargin)),
