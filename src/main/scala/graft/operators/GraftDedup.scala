@@ -68,8 +68,9 @@ object GraftDedup {
 
   /** LSH banding: explode a minhash signature into (band_id, band_hash)
     * bucket keys — `bands` bands of `rowsPerBand` signature slots each.
+    * Shared with the streaming twin ([[graft.streaming.CorpusStreams.nearDupPairStream]]).
     */
-  private def bandKeys(sigCol: String, bands: Int, rowsPerBand: Int): Column =
+  private[graft] def bandKeys(sigCol: String, bands: Int, rowsPerBand: Int): Column =
     explode(expr(
       s"""transform(sequence(0, ${bands - 1}),
          b -> struct(b AS band_id,

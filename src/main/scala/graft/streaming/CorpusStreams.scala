@@ -93,6 +93,156 @@ object CorpusStreams {
       .select(col(idCol), col(tsCol))
   }
 
+  final case class NearDupIn(id: Long, ts: java.sql.Timestamp,
+                             bandId: Int, bandHash: Long,
+                             sig: Array[Long], gh: Array[Long])
+  final case class NearDupPairOut(a_id: Long, b_id: Long, jaccard: Double,
+                                  ts: java.sql.Timestamp)
+  final case class BucketEntry(id: Long, tsMs: Long,
+                               sig: Array[Long], gh: Array[Long])
+  final case class BucketState(entries: List[BucketEntry])
+
+  /** Streaming MinHash+LSH near-duplicate mining — the incremental twin of
+    * [[graft.operators.GraftDedup.nearDupPairs]], for crawl-as-it-arrives
+    * near-dup detection where re-running the batch pair job per increment
+    * would re-shuffle the whole corpus. Emits (a_id, b_id, jaccard, ts)
+    * with a_id < b_id, jaccard ≥ `threshold`, exactly the batch operator's
+    * verified-pair contract, as each pair's LATER document arrives.
+    *
+    * Shape: signature + item-hash set are the same pure-map codegen
+    * expressions as batch (`graft_minhash`, xxhash64 items); each doc
+    * explodes into (band_id, band_hash) bucket keys — the ONE shuffle —
+    * and `flatMapGroupsWithState` keeps per-bucket state: the (id, ts,
+    * sig, gh) of every doc seen in that bucket within the watermark
+    * horizon. A new arrival compares against its bucket's residents:
+    * signature-agreement prefilter, then exact Jaccard over the sorted
+    * hashed item sets — identical math to the batch verify tier.
+    *
+    * Exactly-once pair emission WITHOUT a cross-bucket distinct (two docs
+    * collide in ~b·J^r bands): both residents' full signatures are in
+    * state, so each bucket recomputes the pair's FIRST colliding band
+    * (slot equality) and only the bucket owning that band emits —
+    * deterministic, no second stateful operator, no post-hoc dedup.
+    *
+    * State/semantics contract: a pair is found iff the two docs' event
+    * times lie within `horizonMinutes` of each other (the explicit |Δts|
+    * check makes the result independent of trigger timing); bucket
+    * residents evict once the watermark passes their ts + horizon, and
+    * event-time timeouts purge idle buckets, so state is O(docs per
+    * horizon), not O(stream). Doc ids must be unique within the horizon
+    * (run [[dedupStream]] upstream for re-crawls). Late docs beyond the
+    * watermark are dropped by the runtime, the standard bounded-state
+    * trade.
+    *
+    * Input contract: `docs` carries (idCol: integral, tsCol: timestamp,
+    * itemsCol: array<string> — shingles/tokens, same as batch).
+    */
+  def nearDupPairStream(docs: DataFrame, idCol: String = "doc_id",
+                        itemsCol: String = "items", tsCol: String = "ts",
+                        threshold: Double = 0.8,
+                        horizonMinutes: Long = 60,
+                        numHashes: Int = 128, rowsPerBand: Int = 0,
+                        sigFilter: Double = Double.NaN)
+      : Dataset[NearDupPairOut] = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold should be in (0, 1], got: $threshold")
+    require(horizonMinutes > 0,
+      s"horizonMinutes must be positive, got $horizonMinutes")
+    // same banding/prefilter dispatch as the batch operator, so the two
+    // tiers' recall contracts line up spec-for-spec
+    val r = if (rowsPerBand > 0) rowsPerBand
+            else if (threshold >= 0.85) 4 else 2
+    require(numHashes % r == 0,
+      s"numHashes ($numHashes) must divide by rowsPerBand ($r)")
+    val sf = if (sigFilter.isNaN) math.max(0.0, threshold - 0.2) else sigFilter
+    val bands = numHashes / r
+    val horizonMs = horizonMinutes * 60000L
+    graft.GraftSession.ensureExtensions(docs.sparkSession)
+    import docs.sparkSession.implicits._
+
+    val banded = docs
+      .withColumn("sig", expr(s"graft_minhash($itemsCol, $numHashes)"))
+      .withColumn("gh", expr(
+        s"sort_array(array_distinct(transform($itemsCol, x -> xxhash64(x))))"))
+      .withWatermark(tsCol, s"$horizonMinutes minutes")
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+              graft.operators.GraftDedup.bandKeys("sig", bands, r).as("bh"),
+              col("sig"), col("gh"))
+      .select(col("id"), col("ts"), col("bh.band_id").as("bandId"),
+              col("bh.band_hash").as("bandHash"), col("sig"), col("gh"))
+      .as[NearDupIn]
+
+    def firstCollidingBand(sa: Array[Long], sb: Array[Long]): Int = {
+      var b = 0
+      while (b < bands) {
+        var i = 0
+        var ok = true
+        while (i < r && ok) { ok = sa(b * r + i) == sb(b * r + i); i += 1 }
+        if (ok) return b
+        b += 1
+      }
+      -1
+    }
+    // same math as the codegen kernels graft_sig_agree / graft_jaccard_sorted
+    def sigAgree(sa: Array[Long], sb: Array[Long]): Double = {
+      var eq = 0
+      var i = 0
+      while (i < sa.length) { if (sa(i) == sb(i)) eq += 1; i += 1 }
+      if (sa.length == 0) 0.0 else eq.toDouble / sa.length
+    }
+    def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+      if (a.length == 0 && b.length == 0) return 0.0
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+        else if (a(i) < b(j)) i += 1
+        else j += 1
+      }
+      inter.toDouble / (a.length + b.length - inter)
+    }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    def update(key: (Int, Long), it: Iterator[NearDupIn],
+               state: GroupState[BucketState]): Iterator[NearDupPairOut] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      var live = state.getOption.map(_.entries).getOrElse(Nil)
+        .filter(e => e.tsMs + horizonMs >= wmMs)
+      if (state.hasTimedOut) {
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(BucketState(live))
+          state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
+        }
+        return Iterator.empty
+      }
+      val bandId = key._1
+      val out = List.newBuilder[NearDupPairOut]
+      for (e <- it.toIndexedSeq.sortBy(d => (d.ts.getTime, d.id))) {
+        val eMs = e.ts.getTime
+        for (s <- live) {
+          if (s.id != e.id && math.abs(eMs - s.tsMs) <= horizonMs &&
+              firstCollidingBand(e.sig, s.sig) == bandId &&
+              sigAgree(e.sig, s.sig) >= sf) {
+            val j = jaccardSorted(e.gh, s.gh)
+            if (j >= threshold) {
+              val (a, b) = if (e.id < s.id) (e.id, s.id) else (s.id, e.id)
+              out += NearDupPairOut(a, b, round4(j), e.ts)
+            }
+          }
+        }
+        live ::= BucketEntry(e.id, eMs, e.sig, e.gh)
+      }
+      state.update(BucketState(live))
+      state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
+      out.result().iterator
+    }
+
+    banded.groupByKey(d => (d.bandId, d.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   final case class PackDoc(shard: String, doc_id: Long, n_tokens: Long)
   final case class PackAssign(shard: String, doc_id: Long, n_tokens: Long,
                               stream_offset: Long, pack_id: Long)

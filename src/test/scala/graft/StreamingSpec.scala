@@ -508,4 +508,104 @@ class StreamingSpec extends GraftFunSuite {
       assert(batch == streamed)
     } finally q.stop()
   }
+
+  test("nearDupPairStream: stream pairs equal batch nearDupPairs on real " +
+       "documents, across micro-batch boundaries") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    // same doc prep as dedup_minhash_lsh: distinct word-3-shingles
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+              expr("split(trim(text), '\\\\s+')").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+              expr("""array_distinct(transform(sequence(0, size(tk) - 3),
+                     i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))""")
+                .as("items"))
+    val batch = graft.operators.GraftDedup
+      .nearDupPairs(docs, "doc_id", "items", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty)
+    // event times spread over 30 min (all within the 60-min horizon); the
+    // split across two addData calls exercises cross-batch bucket state
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 30),
+                 r.getSeq[String](1).toList))
+      .sortBy(_._1).toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[(Long, Timestamp, List[String])]
+    val df = input.toDF().toDF("doc_id", "ts", "items")
+    val q = CorpusStreams
+      .nearDupPairStream(df, threshold = 0.8, horizonMinutes = 60)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("neardup_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"stream-only=${streamed.diff(batch)} batch-only=${batch.diff(streamed)}")
+    } finally q.stop()
+  }
+
+  test("nearDupPairStream: docs farther apart than the horizon never pair, " +
+       "and each pair is emitted exactly once") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val items = (1 to 40).map(i => s"tok$i").toList
+    val input = MemoryStream[(Long, Timestamp, List[String])]
+    val df = input.toDF().toDF("doc_id", "ts", "items")
+    val q = CorpusStreams
+      .nearDupPairStream(df, threshold = 0.8, horizonMinutes = 30)
+      .writeStream.format("memory").queryName("neardup_horizon")
+      .outputMode("append").start()
+    try {
+      // identical docs 10 min apart: ONE pair row despite colliding in all
+      // 64 bands (first-colliding-band ownership dedups emission)
+      input.addData(Seq((1L, ts(0), items), (2L, ts(10), items)))
+      q.processAllAvailable()
+      // identical doc 100 min after doc 2: beyond the 30-min horizon of
+      // both residents — no new pair
+      input.addData(Seq((3L, ts(110), items)))
+      q.processAllAvailable()
+      val got = spark.table("neardup_horizon")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == Seq((1L, 2L, 1.0)), got.mkString(","))
+    } finally q.stop()
+  }
+
+  test("sessionizer: an event after its session was TIMEOUT-closed opens a " +
+       "new session, not a resurrection of the old key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions_posttimeout")
+      .outputMode("append").start()
+    try {
+      def us(t: Timestamp): Long = t.getTime * 1000L
+      input.addData(Event(7L, ts(0), 1.5))
+      q.processAllAvailable()
+      // unrelated user far in the future: watermark passes 0:30, the state
+      // store fires user 7's event-time timeout and emits the closed session
+      input.addData(Event(42L, ts(300), 0.0))
+      q.processAllAvailable()
+      val afterTimeout = spark.table("sessions_posttimeout")
+        .filter(col("user_id") === 7L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(afterTimeout.toSeq == Seq((us(ts(0)), 1L, 1.5)),
+        s"timeout should have closed the first session: ${afterTimeout.toSeq}")
+      // user 7 returns AFTER the timeout: must open a FRESH session keyed by
+      // its own start time — not resurrect (or duplicate) the closed one
+      input.addData(Event(7L, ts(310), 2.5))
+      q.processAllAvailable()
+      input.addData(Event(42L, ts(900), 0.0)) // close the second session too
+      q.processAllAvailable()
+      val all = spark.table("sessions_posttimeout")
+        .filter(col("user_id") === 7L)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(all == Set((us(ts(0)), 1L, 1.5), (us(ts(310)), 1L, 2.5)),
+        s"got $all")
+    } finally q.stop()
+  }
 }
