@@ -26,7 +26,8 @@ object PlanDump {
                     "events_retention", "events_anomaly",
                     "pipeline_quality_report", "q_recursive_cte",
                     "q_variant", "src_zorder_layout",
-                    "pipeline_corpus_upsert", "events_transitions")
+                    "pipeline_corpus_upsert", "events_transitions",
+                    "dedup_embedding_cosine")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -41,9 +41,10 @@ object GraftFunctionRegistry {
         s"graft_cosine(array<double>, array<double>) — got ${other.size} args")
     },
     "graft_srp_sig" -> {
-      case Seq(v, nb) => GraftSrpSig(v, nb)
+      case Seq(v, nb) => GraftSrpSig(v, nb, Literal(42L, LongType))
+      case Seq(v, nb, seed) => GraftSrpSig(v, nb, seed)
       case other => throw new IllegalArgumentException(
-        s"graft_srp_sig(array<double>, nbits) — got ${other.size} args")
+        s"graft_srp_sig(array<double>, nbits[, seed]) — got ${other.size} args")
     },
     "graft_minhash_agg" -> {
       case Seq(c) => GraftMinHashAgg(c, 128).toAggregateExpression()

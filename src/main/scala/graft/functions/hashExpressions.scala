@@ -318,23 +318,29 @@ case class GraftJaccardSorted(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** `graft_srp_sig(array<double>, nbits)` → `long`: sign-random-projection
-  * LSH signature. Hyperplane p's component i is a hash-derived uniform in
-  * [-1, 1] (`XXH64.hashLong(p * dim + i)` scaled) — deterministic and
-  * stateless, so executors need no shared random state; bit p is set iff
-  * the projection onto plane p is positive. Cosine-similar vectors agree on
-  * bits with probability 1 − θ/π.
+/** `graft_srp_sig(array<double>, nbits[, seed])` → `long`:
+  * sign-random-projection LSH signature. Hyperplane p's component i is a
+  * hash-derived uniform in [-1, 1] (`XXH64.hashLong(p * dim + i, seed)`
+  * scaled) — deterministic and stateless, so executors need no shared
+  * random state; bit p is set iff the projection onto plane p is positive.
+  * Cosine-similar vectors agree on bits with probability 1 − θ/π.
+  *
+  * `seed` (default 42, the historical fixed value) selects an independent
+  * hyperplane family — any integral EXPRESSION, e.g. the band index, so a
+  * banded scheme can draw more than 64 independent bits total while each
+  * band's signature stays one long ([[graft.operators.GraftSimilarity.srpPairs]]).
   */
-case class GraftSrpSig(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+case class GraftSrpSig(first: Expression, second: Expression,
+                       third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), IntegerType) =>
+    (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(DoubleType, _), IntegerType, IntegerType | LongType) =>
         // nbits must be a literal in [1, 64]: the signature is one long, and
         // `1L << p` wraps mod 64 — nbits > 64 would silently collide bit
         // positions (SQL-reachable, so a type check, not a require)
-        right match {
+        second match {
           case lit if lit.foldable =>
             val v = lit.eval(null)
             if (v == null)
@@ -349,14 +355,20 @@ case class GraftSrpSig(left: Expression, right: Expression)
             "graft_srp_sig: nbits must be a literal")
         }
       case other => TypeCheckResult.TypeCheckFailure(
-        s"graft_srp_sig requires (array<double>, int), got $other")
+        s"graft_srp_sig requires (array<double>, int[, int|bigint]), got $other")
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_srp_sig"
 
-  override def nullSafeEval(v: Any, nb: Any): Any = {
+  private def seedOf(s: Any): Long = s match {
+    case l: java.lang.Long => l.longValue()
+    case i: java.lang.Integer => i.longValue()
+  }
+
+  override def nullSafeEval(v: Any, nb: Any, sd: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val bits = nb.asInstanceOf[Int]
+    val seed = seedOf(sd)
     val dim = arr.numElements()
     var sig = 0L
     var p = 0
@@ -365,7 +377,7 @@ case class GraftSrpSig(left: Expression, right: Expression)
       var i = 0
       while (i < dim) {
         dot += arr.getDouble(i) *
-          (XXH64.hashLong(p.toLong * dim + i, 42L).toDouble / 9.223372036854776e18)
+          (XXH64.hashLong(p.toLong * dim + i, seed).toDouble / 9.223372036854776e18)
         i += 1
       }
       if (dot > 0) sig |= (1L << p)
@@ -375,7 +387,7 @@ case class GraftSrpSig(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (v, nb) => {
+    nullSafeCodeGen(ctx, ev, (v, nb, sd) => {
       val xxh = classOf[XXH64].getName
       val sig = ctx.freshName("sig")
       val dim = ctx.freshName("dim")
@@ -389,7 +401,7 @@ case class GraftSrpSig(left: Expression, right: Expression)
         |  double $dot = 0.0;
         |  for (int $i = 0; $i < $dim; $i++) {
         |    $dot += $v.getDouble($i) *
-        |      (((double) $xxh.hashLong((long) $p * $dim + $i, 42L)) / 9.223372036854776e18);
+        |      (((double) $xxh.hashLong((long) $p * $dim + $i, (long) $sd)) / 9.223372036854776e18);
         |  }
         |  if ($dot > 0) $sig |= (1L << $p);
         |}
@@ -398,8 +410,9 @@ case class GraftSrpSig(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): GraftSrpSig =
-    copy(left = newLeft, right = newRight)
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): GraftSrpSig =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }
 
 /** `graft_cosine(array<double>, array<double>)` → `double`: cosine

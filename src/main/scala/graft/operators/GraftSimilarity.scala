@@ -345,6 +345,68 @@ object GraftSimilarity {
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 
+  /** Sub-quadratic embedding near-dup PAIRS: SRP-LSH banded candidates +
+    * exact cosine verify — the scale tier of [[cosinePairs]], for true
+    * near-duplicate thresholds (≥ ~0.85). Returns (a_id, b_id, cos) with
+    * a_id < b_id, cos ≥ `threshold`, rounded HALF_UP to 4 — the same
+    * contract as the exact tier, minus pairs whose every band misses.
+    *
+    * Banding: `bands` independent `bandBits`-bit SRP signatures (per-band
+    * hyperplane families via the seed argument of `graft_srp_sig`, so total
+    * independent bits = bands·bandBits with each band key one long).
+    * Recall: a pair at cosine c agrees per bit w.p. p = 1 − acos(c)/π, so
+    * P(miss) = (1 − p^bandBits)^bands — at the defaults (8 bits × 24
+    * bands), c = 0.94 ⇒ P(miss) ≈ 5e-6, and the hyperplanes are
+    * hash-derived, so recall on a GIVEN corpus is deterministic and
+    * spec-checkable, not a per-run coin flip. Below c ≈ 0.7 the bit
+    * agreement decays toward 1/2 and NO banding separates pairs from
+    * background (the [[cosinePairs]] exact tier is the only complete
+    * option there — which is why that tier exists).
+    *
+    * Scale shape: signatures are a pure map; the candidate self-join
+    * shuffles (id, band, bucket) rows — 20 bytes, never vectors; exact
+    * verify re-attaches vectors to the skinny surviving pair stream
+    * through [[ScaleHints.gated]]. O(N²) only in the degenerate case of a
+    * corpus whose vectors all collide (uniform data at low threshold);
+    * on real clustered corpora candidates ≈ true pairs + o(N²).
+    */
+  def srpPairs(df: DataFrame, threshold: Double,
+               bandBits: Int = 8, bands: Int = 24,
+               idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold should be in (0, 1], got: $threshold")
+    require(bandBits >= 1 && bandBits <= 64,
+      s"bandBits must be in [1, 64], got $bandBits")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    graft.GraftSession.ensureExtensions(df.sparkSession)
+    val v = df.select(col(idCol).cast("long").as("__id"),
+                      expr(s"transform($vecCol, x -> cast(x AS double))")
+                        .as("__v"))
+    val banded = v.select(col("__id"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             b -> struct(b AS band_id,
+                         graft_srp_sig(__v, $bandBits, b) AS bucket))"""))
+          .as("bb"))
+      .select(col("__id"), col("bb.band_id"), col("bb.bucket"))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+            col("x.band_id") === col("y.band_id") &&
+            col("x.bucket") === col("y.bucket") &&
+            col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("a_id"), col("y.__id").as("b_id"))
+      .distinct()
+    cand
+      .join(ScaleHints.gated(
+        v.select(col("__id").as("a_id"), col("__v").as("__va"))), "a_id")
+      .join(ScaleHints.gated(
+        v.select(col("__id").as("b_id"), col("__v").as("__vb"))), "b_id")
+      .withColumn("cos", cosine("__va", "__vb"))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+  }
+
   /** SemDeDup-style semantic dedup assignment: vectors whose cosine
     * similarity reaches `threshold` are clustered transitively
     * ([[GraftDedup.connectedComponents]] over the pair list) and each

@@ -62,8 +62,11 @@ object DedupQueries extends QueryModule {
 
   /** Exact cosine near-dup pairs over `embeddings` at cos ≥ 0.35, memoized
     * per (session, sf-dir) and persisted — the all-pairs scan is the
-    * quadratic exact tier, so `dedup_embedding_cosine` and
-    * `dedup_semantic` must share ONE scan per run, not pay it each.
+    * labeled-exact quadratic tier, consumed by `dedup_semantic` (whose
+    * 0.35 threshold sits where no hash family can separate pairs from
+    * background, so exact is the only complete option). The catalog's
+    * near-dup pair demonstration (`dedup_embedding_cosine`) runs the
+    * sub-quadratic [[graft.operators.GraftSimilarity.srpPairs]] tier.
     * Released by [[unpersistCache]] with the LSH caches.
     */
   def cosinePairs(s: SparkSession, dir: String): DataFrame =
@@ -329,25 +332,46 @@ object DedupQueries extends QueryModule {
         |  CAST(sum(n_chars) AS BIGINT) AS new_chars
         |FROM nw GROUP BY lang""".stripMargin)),
 
-    // Embedding-cosine near-duplicate pairs (cos ≥ 0.35): distributed
-    // block-nested-loop all-pairs — NO driver materialization (round 1
-    // collect()ed the table on the driver; a bottleneck at scale).
-    // Vectors hash into B blocks; each unordered block pair (i ≤ j) is one
-    // shuffle group holding exactly two blocks, and a tight per-group
-    // double loop scores the pairs. Task memory = 2 blocks; B auto-sizes
-    // as ⌈√(N/rowsPerBlock)⌉ from the plan's row estimate, so blocks stay
-    // executor-sized as the corpus grows. Exact all-pairs is inherently
-    // quadratic — this is the exact-oracle tier; the sub-quadratic path is
-    // SRP-LSH (`ann_lsh_bucket`) candidates + rerank.
+    // Embedding-cosine near-duplicate pairs — the SUB-QUADRATIC tier as
+    // the catalog path (the thing a user copies): SRP-LSH banded
+    // candidates + exact cosine verify ([[GraftSimilarity.srpPairs]]),
+    // never an all-pairs scan. The raw table has no true near-dups (its
+    // densest pairs sit at cos ≤ 0.52, where NO hash family separates
+    // pairs from background), so — like dedup_prefix's planted
+    // truncations — the corpus is augmented with deterministic near-dup
+    // twins (second half of every 10th vector doubled: cos(v, twin) =
+    // (1+r)/√(1+3r) ∈ [0.9428, 1] for r = tail mass share, exact-in-IEEE
+    // in both engines) and mined at the realistic near-dup threshold 0.9.
+    // Recall at these parameters is deterministic (hash-derived
+    // hyperplanes): P(miss) = (1 − p⁸)²⁴ ≈ 5e-6 per pair at p(0.9428) =
+    // 0.89; SimilaritySpec pins srpPairs ≡ exact cosinePairs on this
+    // corpus, and the DuckDB oracle is the brute-force ground truth.
+    // The labeled-exact quadratic kernel remains the oracle twin
+    // (`dedup_semantic` runs it at its low-threshold regime).
     GraftQuery(
       "dedup_embedding_cosine",
-      (s, dir) => cosinePairs(s, dir),
-      Some("""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_cosine_similarity(a.embedding::DOUBLE[],
-        |                               b.embedding::DOUBLE[]), 4) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[],
-        |                             b.embedding::DOUBLE[]) >= 0.35""".stripMargin)),
+      (s, dir) => {
+        val base = t(s, dir, "embeddings")
+        val twins = base.filter(col("vec_id") % 10 === 0)
+          .select((col("vec_id") + 100000).as("vec_id"),
+                  concat(slice(col("embedding"), 1, 32),
+                         transform(slice(col("embedding"), 33, 32),
+                                   x => x * lit(2))).as("embedding"))
+        graft.operators.GraftSimilarity.srpPairs(
+          base.select("vec_id", "embedding").unionAll(twins), threshold = 0.9)
+      },
+      Some("""WITH aug AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000,
+        |    list_concat(list_slice(embedding::DOUBLE[], 1, 32),
+        |      list_transform(list_slice(embedding::DOUBLE[], 33, 64),
+        |                     x -> x * 2))
+        |  FROM embeddings WHERE vec_id % 10 = 0)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9""".stripMargin)),
 
     // Prefix/truncation dedup: docs whose text is a prefix of another
     // doc's — the crawl-truncation duplicate that n-gram Jaccard misses

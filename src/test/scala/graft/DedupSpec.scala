@@ -54,20 +54,81 @@ class DedupSpec extends GraftFunSuite {
   }
 
   test("embedding cosine pairs match brute-force HOF computation") {
-    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
-      .select(col("vec_id"), expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    // the catalog query's own augmentation (near-dup twins via doubled
+    // second half), brute-forced independently with HOF cosine at 0.9
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val aug = base.unionAll(
+      base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+                concat(slice(col("embedding"), 1, 32),
+                       transform(slice(col("embedding"), 33, 32),
+                                 x => x * lit(2))).as("embedding")))
+    val e = aug.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
     val expected = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
               expr("""aggregate(zip_with(a.v, b.v, (x, y) -> x * y), 0D,
                       (acc, x) -> acc + x)
                       / (sqrt(aggregate(a.v, 0D, (acc, x) -> acc + x * x))
                        * sqrt(aggregate(b.v, 0D, (acc, x) -> acc + x * x)))""").as("c"))
-      .filter(col("c") >= 0.35)
+      .filter(col("c") >= 0.9)
       .select(col("a_id"), col("b_id"), round(col("c"), 4).as("cos"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val got = q("dedup_embedding_cosine").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == expected)
     assert(got.nonEmpty)
+  }
+
+  test("theta-sketch source overlap: estimate within the k=4096 error " +
+       "bound of the exact pairwise overlap at two scale factors") {
+    GraftSession.ensureExtensions(spark)
+    for (dir <- Seq(sf001, "/root/testdata/sf0.1")) {
+      // exact per-source distinct shingle counts and pairwise overlaps:
+      // shingle -> set of sources containing it -> explode source pairs,
+      // so the exact job is one aggregation + a bounded per-shingle
+      // pair expansion (<= |sources|^2/2), never a shingle self-join
+      val shingles = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), expr("split(trim(text), '\\\\s+')").as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, size(tk) - 3),
+             i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))""")).as("sh"))
+        .distinct()
+        .persist()
+      val exactSizes = shingles.groupBy("source").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val exactShared = shingles
+        .groupBy("sh").agg(sort_array(collect_set(col("source"))).as("ss"))
+        .select(explode(expr(
+          """flatten(transform(ss, (a, i) ->
+               transform(slice(ss, i + 2, size(ss)),
+                         b -> struct(a AS a_src, b AS b_src))))""")).as("p"))
+        .groupBy(col("p.a_src").as("a_src"), col("p.b_src").as("b_src"))
+        .agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      shingles.unpersist()
+      val est = SparkEntry.queries("dedup_source_overlap")(spark, dir)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1),
+                   r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      assert(est.length == exactSizes.size * (exactSizes.size - 1) / 2)
+      for ((aSrc, bSrc, aEst, bEst, sharedEst) <- est) {
+        val ea = exactSizes(aSrc).toDouble
+        val eb = exactSizes(bSrc).toDouble
+        val eShared = exactShared.getOrElse((aSrc, bSrc), 0L).toDouble
+        val union = ea + eb - eShared
+        // single-set theta estimate: rel. std ≈ 1/sqrt(k-1) ≈ 1.6% at
+        // k = 4096 — 5% is a > 3 sigma contract
+        assert(math.abs(aEst - ea) / ea <= 0.05, s"$dir $aSrc: $aEst vs $ea")
+        assert(math.abs(bEst - eb) / eb <= 0.05, s"$dir $bSrc: $bEst vs $eb")
+        // intersection error scales with the UNION the sketches cover:
+        // |est - exact| <= 3.3 * union / sqrt(k) ≈ 5.2% of union, + margin
+        assert(math.abs(sharedEst - eShared) <= 0.06 * union,
+          s"$dir ($aSrc,$bSrc): est=$sharedEst exact=$eShared union=$union")
+      }
+    }
   }
 }

@@ -145,4 +145,36 @@ class SimilaritySpec extends GraftFunSuite {
     assert(viaPairs == Map(1L -> ((1L, true)), 2L -> ((2L, true)),
                            3L -> ((1L, false)), 9L -> ((9L, true))), viaPairs)
   }
+
+  test("srpPairs ≡ exact cosinePairs on the augmented near-dup corpus " +
+       "(deterministic recall 1 at the catalog parameters)") {
+    import org.apache.spark.sql.functions._
+    // the dedup_embedding_cosine construction: plant near-dup twins
+    // (cos ∈ [0.9428, 1]) by doubling the second half of every 10th vector
+    def augmented(dir: String) = {
+      val base = spark.read.parquet(s"$dir/embeddings.parquet")
+        .select("vec_id", "embedding")
+      val twins = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+                concat(slice(col("embedding"), 1, 32),
+                       transform(slice(col("embedding"), 33, 32),
+                                 x => x * lit(2))).as("embedding"))
+      base.unionAll(twins)
+    }
+    for (dir <- Seq(sf0001, sf001)) {
+      val aug = augmented(dir).persist()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getDouble(2))
+      val lsh = graft.operators.GraftSimilarity
+        .srpPairs(aug, threshold = 0.9).collect().map(key).toSet
+      val exact = graft.operators.GraftSimilarity
+        .cosinePairs(aug, threshold = 0.9).collect().map(key).toSet
+      aug.unpersist()
+      assert(lsh == exact,
+        s"$dir: lsh-only=${lsh.diff(exact)} exact-only=${exact.diff(lsh)}")
+      assert(exact.nonEmpty && exact.forall(_._3 >= 0.9), s"$dir: $exact")
+      // every planted twin is found
+      assert(exact.count(p => p._2 == p._1 + 100000) == exact.size)
+    }
+  }
 }
