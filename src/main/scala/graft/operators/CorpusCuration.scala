@@ -281,9 +281,15 @@ object CorpusCuration {
     * is DuckDB-oracle-checkable.
     *
     * Scale shape: the gram stream is a pure map off the token explode;
-    * duplicate grams are one aggregation (at 100 TB key it by
-    * xxhash64(gram) to ship 8 bytes per gram — same plan, the string key
-    * here keeps the oracle cross-engine); occurrence attach is a
+    * duplicate grams are one aggregation — `hashGrams = true` keys it
+    * (and the occurrence attach) on xxhash64(gram), shipping 8 bytes per
+    * gram instead of the string, same plan shape. Unlike the
+    * contamination audit (where a collision only adds an audit false
+    * positive), a collision HERE would merge two distinct grams' counts
+    * and could delete a unique span as "repeated" — so the default stays
+    * the exact string tier and the hashed tier is the opt-in for corpora
+    * where the shuffle width dominates that ~G²/2⁶⁵ risk (CurationOpsSpec
+    * pins hashed ≡ string on the real corpus). Occurrence attach is a
     * [[ScaleHints.gated]] semi join; coverage is an ANTI join equi-keyed
     * on the doc id with a position-range residual (never a nested loop);
     * reassembly is one groupBy whose collect_list holds a single
@@ -291,18 +297,21 @@ object CorpusCuration {
     */
   def scrubRepeatedSpans(docs: DataFrame, n: Int = 8, minCount: Long = 2,
                          idCol: String = "doc_id",
-                         textCol: String = "text"): DataFrame = {
+                         textCol: String = "text",
+                         hashGrams: Boolean = false): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val base = docs.select(
       col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+    val gramKey = if (hashGrams) xxhash64(col("__gram")) else col("__gram")
     val grams = base.filter(size(col("__tk")) >= n)
       .select(col(idCol),
               posexplode(GraftText.wordNGrams(col("__tk"), n))
                 .as(Seq("__gpos", "__gram")))
-    val dup = grams.groupBy("__gram").agg(count(lit(1)).as("__c"))
-      .filter(col("__c") >= minCount).select("__gram")
-    val occ = grams.join(ScaleHints.gated(dup), "__gram")
+      .select(col(idCol), col("__gpos"), gramKey.as("__gk"))
+    val dup = grams.groupBy("__gk").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount).select("__gk")
+    val occ = grams.join(ScaleHints.gated(dup), "__gk")
       .select(col(idCol).as("__oid"), col("__gpos"))
     // Only documents actually HIT by a duplicated gram pay the token-level
     // pass — at corpus scale boilerplate-carrying docs are a sliver, so the

@@ -84,7 +84,40 @@ object GraftSimilarity {
               nprobe: Int = 4, centroidFraction: Option[Double] = None,
               idCol: String = "vec_id", vecCol: String = "v",
               qIdCol: String = "q_id", qVecCol: String = "qv",
-              refineIters: Int = 0): DataFrame = {
+              refineIters: Int = 0): DataFrame =
+    ivfTopKWith(
+      buildIvfIndex(collection, centroidFraction, idCol, vecCol, refineIters),
+      queries, k, nprobe, qIdCol, qVecCol)
+
+  /** A built IVF index: `centroids` (c_id, cv) — √N rows, broadcastable at
+    * any N — and `assigned` (n_id, v, c_id) — the collection with each
+    * vector's cell id attached. Build once with [[buildIvfIndex]], persist
+    * (or write both frames to tables) and serve every query batch through
+    * [[ivfTopKWith]]: the N·√N assign cost is paid at build time, not per
+    * batch — the operative shape for a 100-TB embedding store, where
+    * `assigned` would be a cell-bucketed table and each probe reads only
+    * its cells' buckets.
+    */
+  final case class IvfIndex(centroids: DataFrame, assigned: DataFrame) {
+    def persist(): IvfIndex = {
+      centroids.persist(); assigned.persist(); this
+    }
+    def unpersist(blocking: Boolean = false): IvfIndex = {
+      centroids.unpersist(blocking); assigned.unpersist(blocking); this
+    }
+  }
+
+  /** Build the IVF index for [[ivfTopKWith]]: pick ≈√N deterministic
+    * centroids (hash-uniform md5 threshold — see [[ivfTopK]]'s scaladoc for
+    * why not id-modulo), optionally Lloyd-refine them, and assign every
+    * vector to its nearest cell via the map-side partial argmax. One
+    * broadcast-assign pass over the collection; nothing is persisted here —
+    * callers persist (or write out) the returned frames to amortize.
+    */
+  def buildIvfIndex(collection: DataFrame,
+                    centroidFraction: Option[Double] = None,
+                    idCol: String = "vec_id", vecCol: String = "v",
+                    refineIters: Int = 0): IvfIndex = {
     graft.GraftSession.ensureExtensions(collection.sparkSession)
     val e = collection.select(col(idCol).as("n_id"), col(vecCol).as("v"))
     // threshold on the first 8 md5-hex chars: lowercase fixed-width hex
@@ -106,17 +139,33 @@ object GraftSimilarity {
     val cents0 = withN
       .filter(substring(md5(col("n_id").cast("string")), 1, 8) < cut)
       .select(col("n_id").as("c_id"), col("v").as("cv"))
-    val cents = broadcast(
+    val cents =
       if (refineIters > 0) kmeansRefine(e, cents0, refineIters)
-      else cents0)
+      else cents0
     // nearest centroid per vector (ties → lowest c_id) via max(struct)
     // partial argmax: collapses to one row per vector BEFORE any exchange
-    val assigned = e.join(cents)
+    val assigned = e.join(broadcast(cents))
       .select(col("n_id"), col("v"), col("c_id"), cosine("v", "cv").as("cc"))
       .groupBy("n_id")
       .agg(max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"),
            first(col("v")).as("v"))
       .select(col("n_id"), col("v"), (-col("m.nc")).as("c_id"))
+    IvfIndex(cents, assigned)
+  }
+
+  /** Query a built [[IvfIndex]]: each query probes its `nprobe` nearest
+    * cells and reranks exactly within them — identical output to the
+    * one-shot [[ivfTopK]] on the same collection (OperatorLibSpec pins the
+    * parity), but the collection-side assign is NOT recomputed, so a
+    * served query batch costs |Q|·√N probe cosines + the probed cells'
+    * rerank, independent of how many batches came before.
+    */
+  def ivfTopKWith(index: IvfIndex, queries: DataFrame, k: Int,
+                  nprobe: Int = 4,
+                  qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val cents = broadcast(index.centroids)
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
     val wProbe = Window.partitionBy("q_id").orderBy(desc("qc"), asc("c_id"))
     val probes = q.join(cents)
@@ -124,7 +173,7 @@ object GraftSimilarity {
       .withColumn("prnk", row_number().over(wProbe))
       .filter(col("prnk") <= nprobe)
       .select(col("q_id"), col("qv"), col("c_id"))
-    topK(probes.join(assigned, "c_id")
+    topK(probes.join(index.assigned, "c_id")
            .filter(col("n_id") =!= col("q_id"))
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }

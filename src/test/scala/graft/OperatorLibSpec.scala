@@ -649,6 +649,21 @@ class OperatorLibSpec extends GraftFunSuite {
       CorpusCuration.scrubRepeatedSpans(docs, minCount = 1))
   }
 
+  test("scrubRepeatedSpans hashed gram tier equals the exact string tier " +
+       "on the real corpus") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    def run(hashed: Boolean) =
+      CorpusCuration.scrubRepeatedSpans(docs, hashGrams = hashed)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val viaString = run(hashed = false)
+    val viaHash = run(hashed = true)
+    assert(viaHash == viaString)
+    assert(viaString.values.exists(_._2 > 0)) // some spans really scrubbed
+  }
+
   test("GraftLayout.zValue matches a reference Morton interleave, and " +
        "orders locally-close points closely") {
     import graft.operators.GraftLayout
@@ -702,5 +717,35 @@ class OperatorLibSpec extends GraftFunSuite {
         want.collect { case (k, v) if got.get(k) != Some(v) =>
           s"$k: want $v got ${got.get(k)}" }.take(2).mkString("; "))
     }
+  }
+
+  test("IVF index reuse: ivfTopKWith on a persisted index equals one-shot " +
+       "ivfTopK for every query batch, and the assign is served from cache") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    def batch(m: Long) = e.filter(col("vec_id") % 20 === m)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    try {
+      // two served batches, each identical to the one-shot path
+      for (m <- Seq(0L, 7L)) {
+        val oneShot = GraftSimilarity.ivfTopK(e, batch(m), k = 5)
+          .collect().map(key).toSet
+        val served = GraftSimilarity.ivfTopKWith(idx, batch(m), k = 5)
+        val got = served.collect().map(key).toSet
+        assert(got == oneShot && got.nonEmpty, s"batch $m")
+      }
+      // the amortization contract: the served plan reads the CACHED
+      // assignment (InMemoryTableScan), not a fresh scan+assign of the
+      // collection — the point of building the index once
+      val p = org.apache.spark.sql.GraftSqlBridge
+        .queryExecution(GraftSimilarity.ivfTopKWith(idx, batch(0L), k = 5))
+        .executedPlan.toString
+      assert(p.contains("InMemoryTableScan"), p)
+    } finally idx.unpersist(blocking = true)
   }
 }
