@@ -329,7 +329,45 @@ case class GraftJaccardSorted(left: Expression, right: Expression)
   * hyperplane family — any integral EXPRESSION, e.g. the band index, so a
   * banded scheme can draw more than 64 independent bits total while each
   * band's signature stays one long ([[graft.operators.GraftSimilarity.srpPairs]]).
+  *
+  * The (nbits × dim) plane matrix for a given (nbits, dim, seed) is a pure
+  * function of its key, so it is materialized once per JVM and shared
+  * across rows and tasks ([[GraftSrpSig.planes]]) — without the cache every
+  * row re-derives nbits·dim hash values, and the signature is hash-bound
+  * instead of multiply-bound (dim 64 × 480 banded bits = 30k XXH64 calls
+  * per vector, ~20× the cost of the dot products they feed).
   */
+object GraftSrpSig {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Double]]()
+
+  /** Plane p's component i at index p·dim + i; values uniform in [-1, 1].
+    * Called from both interpreted eval and generated code (the Scala
+    * companion gets a static forwarder, so codegen reaches it as a plain
+    * static call). Capped so adversarial seed streams cannot grow the cache
+    * without bound — past the cap the matrix is computed per call, which is
+    * only ever slower, never wrong.
+    */
+  def planes(bits: Int, dim: Int, seed: Long): Array[Double] = {
+    val key = (bits, dim, seed)
+    val hit = cache.get(key)
+    if (hit != null) return hit
+    val m = new Array[Double](bits * dim)
+    var p = 0
+    while (p < bits) {
+      var i = 0
+      while (i < dim) {
+        m(p * dim + i) =
+          XXH64.hashLong(p.toLong * dim + i, seed).toDouble / 9.223372036854776e18
+        i += 1
+      }
+      p += 1
+    }
+    if (cache.size < 4096) cache.putIfAbsent(key, m)
+    m
+  }
+}
+
 case class GraftSrpSig(first: Expression, second: Expression,
                        third: Expression)
     extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
@@ -370,40 +408,46 @@ case class GraftSrpSig(first: Expression, second: Expression,
     val bits = nb.asInstanceOf[Int]
     val seed = seedOf(sd)
     val dim = arr.numElements()
+    val planes = GraftSrpSig.planes(bits, dim, seed)
     var sig = 0L
     var p = 0
+    var base = 0
     while (p < bits) {
       var dot = 0.0
       var i = 0
       while (i < dim) {
-        dot += arr.getDouble(i) *
-          (XXH64.hashLong(p.toLong * dim + i, seed).toDouble / 9.223372036854776e18)
+        dot += arr.getDouble(i) * planes(base + i)
         i += 1
       }
       if (dot > 0) sig |= (1L << p)
       p += 1
+      base += dim
     }
     sig
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (v, nb, sd) => {
-      val xxh = classOf[XXH64].getName
+      val cls = "graft.functions.GraftSrpSig"
       val sig = ctx.freshName("sig")
       val dim = ctx.freshName("dim")
+      val pl = ctx.freshName("planes")
       val p = ctx.freshName("p")
       val i = ctx.freshName("i")
+      val base = ctx.freshName("base")
       val dot = ctx.freshName("dot")
       s"""
         |long $sig = 0L;
         |final int $dim = $v.numElements();
+        |final double[] $pl = $cls.planes($nb, $dim, (long) $sd);
+        |int $base = 0;
         |for (int $p = 0; $p < $nb; $p++) {
         |  double $dot = 0.0;
         |  for (int $i = 0; $i < $dim; $i++) {
-        |    $dot += $v.getDouble($i) *
-        |      (((double) $xxh.hashLong((long) $p * $dim + $i, (long) $sd)) / 9.223372036854776e18);
+        |    $dot += $v.getDouble($i) * $pl[$base + $i];
         |  }
         |  if ($dot > 0) $sig |= (1L << $p);
+        |  $base += $dim;
         |}
         |${ev.value} = $sig;
       """.stripMargin

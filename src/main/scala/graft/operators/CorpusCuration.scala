@@ -84,32 +84,42 @@ object CorpusCuration {
     * Scale shape: the gram explode is a pure map with per-doc distinct;
     * the semi join shuffles on the gram key with map-side distinct, and the
     * contaminated id set (skinny) semi-joins back onto train. By default
-    * (`hashGrams = true`) the join is keyed on xxhash64(gram) — 8 bytes
-    * cross the distinct Exchange and the broadcast instead of ~n·wordlen
-    * strings, which is what survives 100 TB. The result is identical to the
-    * string tier unless two distinct grams collide in 64 bits (birthday
-    * bound ≈ G²/2⁶⁵ — at even 10¹² corpus grams that is ~3%, per-PAIR, and
-    * a collision only ever ADDS a contamination false positive, the safe
-    * direction for a leakage audit). `hashGrams = false` keeps the exact
-    * string tier — the cross-engine-checkable form the DuckDB oracle runs.
+    * (`hashGrams = true`) the gram key is xxhash64 over the n-token SLICE
+    * of the token array — the gram STRING is never built: no concat
+    * allocation/copy per gram, per-doc distinct runs over longs, and 8
+    * bytes cross the distinct Exchange and the broadcast instead of
+    * ~n·wordlen strings, which is what survives 100 TB. (Spark's xxhash64
+    * folds each array element into a running seed, so the key is
+    * token-boundary-aware — ["a b","c"] and ["a","b c"] hash apart, which
+    * plain separator-joined gram strings cannot even guarantee.) The result
+    * is identical to the string tier unless two distinct grams collide in
+    * 64 bits (birthday bound ≈ G²/2⁶⁵ — at even 10¹² corpus grams that is
+    * ~3%, per-PAIR, and a collision only ever ADDS a contamination false
+    * positive, the safe direction for a leakage audit). `hashGrams = false`
+    * keeps the exact string-gram tier — the cross-engine-checkable form the
+    * DuckDB oracle runs.
     */
   def contaminatedDocs(train: DataFrame, test: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
                        n: Int = 8, hashGrams: Boolean = true): DataFrame = {
-    def gramsOf(d: DataFrame) = d
+    def tokens(d: DataFrame) = d
       .select(col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) >= n)
-      .select(col(idCol),
-              explode(array_distinct(GraftText.wordNGrams(col("__tk"), n)))
-                .as("__gram"))
-    // Key projection happens BEFORE the distinct/shuffle, so the string
-    // gram never crosses an Exchange on the hashed tier.
-    def keyed(d: DataFrame) =
-      d.select(col(idCol),
-               (if (hashGrams) xxhash64(col("__gram")) else col("__gram"))
-                 .as("__gk"))
-    val testGrams = keyed(gramsOf(test)).select("__gk").distinct()
-    val ids = keyed(gramsOf(train))
+    // Gram keys per doc, already distinct — one array expression per row,
+    // so nothing string-shaped survives past the map stage on the hashed
+    // tier and the explode emits (id, bigint) rows only.
+    def gramKeys(d: DataFrame) =
+      if (hashGrams)
+        tokens(d).select(col(idCol),
+          explode(array_distinct(expr(
+            s"transform(sequence(0, size(__tk) - $n)," +
+              s" i -> xxhash64(slice(__tk, i + 1, $n)))"))).as("__gk"))
+      else
+        tokens(d).select(col(idCol),
+          explode(array_distinct(GraftText.wordNGrams(col("__tk"), n)))
+            .as("__gk"))
+    val testGrams = gramKeys(test).select("__gk").distinct()
+    val ids = gramKeys(train)
       .join(testGrams, Seq("__gk"), "left_semi")
       .select(idCol).distinct()
     train.join(ids, Seq(idCol), "left_semi")

@@ -394,6 +394,59 @@ object GraftSimilarity {
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 
+  /** Band geometry for [[srpPairs]] sized from corpus cardinality and the
+    * cosine the mining must not miss — the executable form of "bandBits ≈
+    * log2(N) + slack".
+    *
+    * `bandBits` keeps expected background bucket occupancy O(1): with
+    * 2^bandBits ≳ 4·n buckets per band, a band's background candidate
+    * term n²/2^(bandBits+1) stays ≤ n/8 — linear, so total candidates
+    * track true pairs, not n². `bands` then buys recall: a pair at cosine
+    * `recallAt` agrees per bit w.p. p = 1 − acos(recallAt)/π, and bands =
+    * ⌈ln(missTarget)/ln(1 − p^bandBits)⌉ drives P(every band misses)
+    * below `missTarget`. The two are the classic LSH exponent tradeoff:
+    * wider bands kill quadratic background but demand more bands for the
+    * same recall — demanding recall AT a low threshold is what makes the
+    * geometry expensive, which is why `recallAt` is explicit (set it to
+    * the cosine of the dups you must find, e.g. 0.94 planted twins, not
+    * the audit threshold below them).
+    *
+    * Pure driver-side arithmetic — callers at 100 TB know n from table
+    * stats; no job is launched here.
+    */
+  def srpGeometry(n: Long, recallAt: Double,
+                  missTarget: Double = 1e-4): (Int, Int) = {
+    require(n > 0, s"n must be positive, got $n")
+    require(recallAt > 0.7 && recallAt <= 1.0,
+      s"recallAt must be in (0.7, 1] — below ~0.7 per-bit agreement decays " +
+      s"toward 1/2 and no geometry separates pairs from background; got $recallAt")
+    require(missTarget > 0 && missTarget < 1,
+      s"missTarget must be in (0, 1), got $missTarget")
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    val bandBits = math.min(48, math.max(12, log2n + 2))
+    val p = 1.0 - math.acos(math.min(1.0, recallAt)) / math.Pi
+    val pBand = math.pow(p, bandBits)
+    val bands = math.max(1, math.ceil(math.log(missTarget) /
+      math.log1p(-pBand)).toInt)
+    require(bands <= 512,
+      s"geometry needs $bands bands (${bands * bandBits} signature bits) — " +
+      s"recallAt=$recallAt is too close to the background regime for " +
+      s"n=$n; raise recallAt, relax missTarget, or use the exact tier")
+    (bandBits, bands)
+  }
+
+  /** [[srpPairs]] with geometry auto-sized by [[srpGeometry]]: `n` is the
+    * corpus cardinality (from table stats — pass `df.count()` only if you
+    * genuinely don't have it), `recallAt` the cosine at which pairs must
+    * not be missed. */
+  def srpPairsSized(df: DataFrame, threshold: Double, n: Long,
+                    recallAt: Double, missTarget: Double = 1e-4,
+                    idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val (bandBits, bands) = srpGeometry(n, recallAt, missTarget)
+    srpPairs(df, threshold, bandBits, bands, idCol, vecCol)
+  }
+
   /** Sub-quadratic embedding near-dup PAIRS: SRP-LSH banded candidates +
     * exact cosine verify — the scale tier of [[cosinePairs]], for true
     * near-duplicate thresholds (≥ ~0.85). Returns (a_id, b_id, cos) with
@@ -404,13 +457,24 @@ object GraftSimilarity {
     * hyperplane families via the seed argument of `graft_srp_sig`, so total
     * independent bits = bands·bandBits with each band key one long).
     * Recall: a pair at cosine c agrees per bit w.p. p = 1 − acos(c)/π, so
-    * P(miss) = (1 − p^bandBits)^bands — at the defaults (8 bits × 24
-    * bands), c = 0.94 ⇒ P(miss) ≈ 5e-6, and the hyperplanes are
-    * hash-derived, so recall on a GIVEN corpus is deterministic and
-    * spec-checkable, not a per-run coin flip. Below c ≈ 0.7 the bit
-    * agreement decays toward 1/2 and NO banding separates pairs from
-    * background (the [[cosinePairs]] exact tier is the only complete
-    * option there — which is why that tier exists).
+    * P(miss) = (1 − p^bandBits)^bands — at the defaults (12 bits × 40
+    * bands), c = 0.94 ⇒ P(miss) ≈ 1.4e-5; right at a 0.90 threshold
+    * P(miss) ≈ 1.1e-3 (boundary pairs are best-effort — the [[cosinePairs]]
+    * exact tier is the certifying twin). The hyperplanes are hash-derived,
+    * so recall on a GIVEN corpus is deterministic and spec-checkable, not a
+    * per-run coin flip. Below c ≈ 0.7 the bit agreement decays toward 1/2
+    * and NO banding separates pairs from background.
+    *
+    * Band width is the quadratic-vs-recall dial, and it must lean WIDE:
+    * uncorrelated background pairs still agree per bit w.p. 1/2, so each
+    * band contributes ≈ N²/2^(bandBits+1) background candidates — a
+    * quadratic term whose constant is bands/2^bandBits. The previous
+    * defaults (8 × 24) put that at N²/21 and the 10×-data bench ran 8×,
+    * not ~linear; 12 × 40 cuts the constant 9.4× (N²/205) for the same
+    * planted-pair recall, and the extra signature bits are a bargain now
+    * that hyperplanes are cached per JVM ([[graft.functions.GraftSrpSig]]).
+    * Size bandBits ≈ log2(N) + slack at larger N to keep expected bucket
+    * occupancy O(1) — candidates then stay ≈ true pairs + o(N²).
     *
     * Scale shape: signatures are a pure map; the candidate self-join
     * shuffles (id, band, bucket) rows — 20 bytes, never vectors; exact
@@ -420,7 +484,7 @@ object GraftSimilarity {
     * on real clustered corpora candidates ≈ true pairs + o(N²).
     */
   def srpPairs(df: DataFrame, threshold: Double,
-               bandBits: Int = 8, bands: Int = 24,
+               bandBits: Int = 12, bands: Int = 40,
                idCol: String = "vec_id", vecCol: String = "embedding")
       : DataFrame = {
     require(threshold > 0 && threshold <= 1,

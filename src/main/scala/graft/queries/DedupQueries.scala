@@ -343,8 +343,8 @@ object DedupQueries extends QueryModule {
     // (1+r)/√(1+3r) ∈ [0.9428, 1] for r = tail mass share, exact-in-IEEE
     // in both engines) and mined at the realistic near-dup threshold 0.9.
     // Recall at these parameters is deterministic (hash-derived
-    // hyperplanes): P(miss) = (1 − p⁸)²⁴ ≈ 5e-6 per pair at p(0.9428) =
-    // 0.89; SimilaritySpec pins srpPairs ≡ exact cosinePairs on this
+    // hyperplanes): P(miss) = (1 − p¹²)⁴⁰ ≈ 1.4e-5 per pair at p(0.9428)
+    // = 0.89; SimilaritySpec pins srpPairs ≡ exact cosinePairs on this
     // corpus, and the DuckDB oracle is the brute-force ground truth.
     // The labeled-exact quadratic kernel remains the oracle twin
     // (`dedup_semantic` runs it at its low-threshold regime).

@@ -128,11 +128,12 @@ object PipelineQueries extends QueryModule {
     // threshold routing (cross-engine deterministic, same as
     // sample_stratified); the overlap test is a semi join on the gram.
     // Scale: the gram explode is a pure map; the semi join shuffles on
-    // xxhash64(gram) — 8-byte bigint keys, not ~50-byte strings, cross the
-    // distinct Exchange and the broadcast (the default hashed tier of
-    // contaminatedDocs). The DuckDB oracle joins on the string gram; the
-    // OUTPUT is identical because the gram key never reaches the result
-    // (64-bit collisions aside, which only add a false positive).
+    // xxhash64 of the n-token slice — the gram string is never even BUILT
+    // on the Spark side, and 8-byte bigint keys, not ~50-byte strings,
+    // cross the distinct Exchange and the broadcast (the default hashed
+    // tier of contaminatedDocs). The DuckDB oracle joins on the string
+    // gram; the OUTPUT is identical because the gram key never reaches the
+    // result (64-bit collisions aside, which only add a false positive).
     GraftQuery(
       "pipeline_contamination",
       (s, dir) => {

@@ -150,6 +150,23 @@ class PlanSpec extends GraftFunSuite {
     val p = planOf("pipeline_contamination")
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the hashed tier must never BUILD the gram string: the join key is
+    // xxhash64 over the n-token slice, so no concat survives into the plan
+    assert(p.contains("xxhash64(slice("),
+      s"gram keys must hash token slices directly:\n$p")
+    assert(!p.contains("concat_ws"),
+      s"no gram string may be materialized on the hashed tier:\n$p")
+  }
+
+  test("SRP pair mining joins on (band, bucket) — no cross product, " +
+       "no vectors through the candidate shuffle") {
+    val p = planOf("dedup_embedding_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidate generation must be an equi-join:\n$p")
+    assert(p.contains("band_id"), s"candidates must join on the band key:\n$p")
+    // the exact-verify attach re-joins vectors onto the surviving pair
+    // stream; the candidate join itself carries only (id, band, bucket)
+    assert(p.contains("graft_srp_sig"), p)
   }
 
   // (AQE skew-join splitting is pinned by SkewSpec; bucketed co-location at

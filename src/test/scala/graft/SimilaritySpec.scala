@@ -177,4 +177,60 @@ class SimilaritySpec extends GraftFunSuite {
       assert(exact.count(p => p._2 == p._1 + 100000) == exact.size)
     }
   }
+
+  test("srpGeometry: occupancy-linear band width, analytic miss bound, " +
+       "and a hard stop short of the background regime") {
+    import graft.operators.GraftSimilarity.srpGeometry
+    def missOf(bb: Int, bands: Int, c: Double): Double = {
+      val p = 1.0 - math.acos(c) / math.Pi
+      math.pow(1.0 - math.pow(p, bb), bands)
+    }
+    for (n <- Seq(1000L, 20000L, 1000000L, 1000000000L);
+         c <- Seq(0.92, 0.94, 0.97)
+         // (1e9, 0.92) legitimately exceeds the band cap — covered below
+         if n < 1000000000L || c > 0.92) {
+      val (bb, bands) = srpGeometry(n, c)
+      // background stays linear: >= ~4 buckets per vector per band
+      // (bandBits floor of 12 over-provisions the smallest corpora)
+      assert((1L << bb) >= 4L * n || bb == 48, s"n=$n c=$c: bits=$bb")
+      // the geometry meets its own analytic recall promise
+      assert(missOf(bb, bands, c) <= 1e-4,
+        s"n=$n c=$c: ($bb, $bands) miss=${missOf(bb, bands, c)}")
+      assert(bands <= 512)
+    }
+    // larger corpora never get narrower bands
+    val widths = Seq(1000L, 100000L, 10000000L, 1000000000L)
+      .map(n => srpGeometry(n, 0.94)._1)
+    assert(widths == widths.sorted, widths.toString)
+    // recall demanded too close to background ⇒ refuse, don't go quadratic
+    intercept[IllegalArgumentException] {
+      srpGeometry(1000000000L, recallAt = 0.75)
+    }
+    intercept[IllegalArgumentException] { srpGeometry(1000L, recallAt = 0.5) }
+  }
+
+  test("srpPairsSized ≡ exact cosinePairs on the augmented corpus " +
+       "(auto geometry from (n, recallAt = planted cosine))") {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select("vec_id", "embedding")
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+              concat(slice(col("embedding"), 1, 32),
+                     transform(slice(col("embedding"), 33, 32),
+                               x => x * lit(2))).as("embedding"))
+    val aug = base.unionAll(twins).persist()
+    val n = aug.count()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val sized = graft.operators.GraftSimilarity
+      .srpPairsSized(aug, threshold = 0.9, n = n, recallAt = 0.9428)
+      .collect().map(key).toSet
+    val exact = graft.operators.GraftSimilarity
+      .cosinePairs(aug, threshold = 0.9).collect().map(key).toSet
+    aug.unpersist()
+    assert(sized == exact,
+      s"sized-only=${sized.diff(exact)} exact-only=${exact.diff(sized)}")
+    assert(exact.nonEmpty)
+  }
 }
