@@ -292,8 +292,9 @@ object CorpusCuration {
     *
     * Scale shape: the gram stream is a pure map off the token explode;
     * duplicate grams are one aggregation — `hashGrams = true` keys it
-    * (and the occurrence attach) on xxhash64(gram), shipping 8 bytes per
-    * gram instead of the string, same plan shape. Unlike the
+    * (and the occurrence attach) on xxhash64 over the n-token slice, so
+    * the gram string is never built and 8 bytes per gram cross the
+    * shuffle instead of the string, same plan shape. Unlike the
     * contamination audit (where a collision only adds an audit false
     * positive), a collision HERE would merge two distinct grams' counts
     * and could delete a unique span as "repeated" — so the default stays
@@ -313,12 +314,16 @@ object CorpusCuration {
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
     val base = docs.select(
       col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
-    val gramKey = if (hashGrams) xxhash64(col("__gram")) else col("__gram")
+    // posexplode supplies the span position either way; the hashed tier
+    // maps gram i straight to xxhash64 of its n-token slice, so no gram
+    // string is ever materialized on that tier
+    val gramArr =
+      if (hashGrams)
+        expr(s"transform(sequence(0, size(__tk) - $n)," +
+             s" i -> xxhash64(slice(__tk, i + 1, $n)))")
+      else GraftText.wordNGrams(col("__tk"), n)
     val grams = base.filter(size(col("__tk")) >= n)
-      .select(col(idCol),
-              posexplode(GraftText.wordNGrams(col("__tk"), n))
-                .as(Seq("__gpos", "__gram")))
-      .select(col(idCol), col("__gpos"), gramKey.as("__gk"))
+      .select(col(idCol), posexplode(gramArr).as(Seq("__gpos", "__gk")))
     val dup = grams.groupBy("__gk").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__gk")
     val occ = grams.join(ScaleHints.gated(dup), "__gk")
