@@ -142,16 +142,54 @@ object GraftSimilarity {
     val cents =
       if (refineIters > 0) kmeansRefine(e, cents0, refineIters)
       else cents0
-    // nearest centroid per vector (ties → lowest c_id) via max(struct)
-    // partial argmax: collapses to one row per vector BEFORE any exchange
-    val assigned = e.join(broadcast(cents))
+    IvfIndex(cents, assignTo(cents, e))
+  }
+
+  /** Nearest centroid per vector (ties → lowest c_id) via max(struct)
+    * partial argmax: collapses to one row per vector BEFORE any exchange.
+    * Shared by the full build and the incremental append.
+    */
+  private def assignTo(cents: DataFrame, e: DataFrame): DataFrame =
+    e.join(broadcast(cents))
       .select(col("n_id"), col("v"), col("c_id"), cosine("v", "cv").as("cc"))
       .groupBy("n_id")
       .agg(max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"),
            first(col("v")).as("v"))
       .select(col("n_id"), col("v"), (-col("m.nc")).as("c_id"))
-    IvfIndex(cents, assigned)
+
+  /** Append a batch to an existing index WITHOUT re-clustering: the new
+    * vectors are assigned to the EXISTING centroids (same map-side partial
+    * argmax as the build) and unioned onto `assigned` — the daily
+    * embedding-batch flow of a large store, costing |batch|·√N cosines
+    * instead of the full N·√N rebuild, with served results identical to a
+    * from-scratch assign against the same centroids (append order cannot
+    * matter: each vector's cell depends only on the fixed centroid set, so
+    * appends commute and associate — OperatorLibSpec pins both).
+    *
+    * Centroids do NOT move here, so sustained drift in the incoming data
+    * skews cell sizes over time; probe cost tracks the LARGEST probed
+    * cells, not the mean. Watch [[ivfCellStats]] and rebuild (or
+    * [[kmeansRefine]] + reassign) when the occupancy tail grows.
+    */
+  def ivfAppend(index: IvfIndex, batch: DataFrame,
+                idCol: String = "vec_id", vecCol: String = "v"): IvfIndex = {
+    graft.GraftSession.ensureExtensions(batch.sparkSession)
+    val e = batch.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    IvfIndex(index.centroids,
+             index.assigned.unionByName(assignTo(index.centroids, e)))
   }
+
+  /** Per-cell occupancy — the rebuild signal for [[ivfAppend]] callers
+    * (and the skew diagnostic for probe-cost modeling): one row per
+    * centroid with its vector count, including empty cells (count 0).
+    */
+  def ivfCellStats(index: IvfIndex): DataFrame =
+    index.centroids.select(col("c_id"))
+      .join(index.assigned.groupBy("c_id")
+              .agg(count(lit(1)).as("n_vectors")),
+            Seq("c_id"), "left")
+      .select(col("c_id"),
+              coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
 
   /** Query a built [[IvfIndex]]: each query probes its `nprobe` nearest
     * cells and reranks exactly within them — identical output to the
@@ -358,6 +396,19 @@ object GraftSimilarity {
     * hash-derived hyperplanes — deterministic, no RNG state), split into
     * `bands` bucket keys; vectors sharing any (band, bucket) with a query
     * become candidates and are reranked exactly.
+    *
+    * Geometry note — deliberately the OPPOSITE lean from [[srpPairs]]:
+    * top-k retrieval must surface neighbors at whatever cosine the corpus
+    * offers (here the densest neighbors sit at cos ≤ ~0.5, where per-bit
+    * agreement is barely above 1/2), so bands must stay NARROW to admit
+    * enough candidates — wide bands would silently return near-empty
+    * top-k. Narrow bands mean candidate volume ~ bands·N/2^bandBits per
+    * query, i.e. a constant fraction of N: correct semantics, linear-ish
+    * only in small-N regimes. For kNN at 100 TB the scale path is
+    * [[buildIvfIndex]]/[[ivfTopKWith]] (√N probe work per query);
+    * srpTopK is the hash-sketch demonstration tier, and [[srpPairs]] +
+    * [[srpGeometry]] are the scale form for THRESHOLD mining, where wide
+    * bands are affordable because only true near-dups must collide.
     *
     * Scale shape: candidate generation shuffles once on (band, bucket) with
     * only (id, band, bucket) rows; vectors re-attach to the skinny

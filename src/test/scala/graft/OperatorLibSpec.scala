@@ -748,4 +748,60 @@ class OperatorLibSpec extends GraftFunSuite {
       assert(p.contains("InMemoryTableScan"), p)
     } finally idx.unpersist(blocking = true)
   }
+
+  test("IVF incremental append: assign-only batches commute, match a " +
+       "from-scratch assign against the same centroids, and serve " +
+       "identically; cell stats cover every centroid") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val seed = e.filter(col("vec_id") % 4 === 0)
+    val b1 = e.filter(col("vec_id") % 4 === 1)
+    val b2 = e.filter(col("vec_id") % 4 > 1)
+    def rows(idx: GraftSimilarity.IvfIndex) =
+      idx.assigned.select("n_id", "c_id").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val idx = GraftSimilarity.buildIvfIndex(seed).persist()
+    try {
+      val viaAppends = GraftSimilarity.ivfAppend(
+        GraftSimilarity.ivfAppend(idx, b1), b2)
+      val viaOneAppend = GraftSimilarity.ivfAppend(idx, b1.unionAll(b2))
+      val a1 = rows(viaAppends)
+      assert(a1 == rows(viaOneAppend), "appends must associate/commute")
+      assert(a1.size == e.count(), s"${a1.size}")
+      // every appended vector landed in its true nearest cell (brute force
+      // over the fixed centroid set)
+      val cents = idx.centroids.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      def cos(x: Seq[Double], y: Seq[Double]): Double = {
+        val dot = x.zip(y).map { case (a, b) => a * b }.sum
+        dot / (math.sqrt(x.map(a => a * a).sum) *
+               math.sqrt(y.map(a => a * a).sum))
+      }
+      val vecs = b1.unionAll(b2).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+      vecs.foreach { case (id, v) =>
+        val best = cents.map { case (cid, cv) => (cos(v, cv), -cid) }.max
+        assert(a1(id) == -best._2, s"vector $id: got ${a1(id)}, want ${-best._2}")
+      }
+      // serving the appended index == serving a same-centroid full assign
+      val q = e.filter(col("vec_id") % 20 === 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val servedAppended = GraftSimilarity
+        .ivfTopKWith(viaAppends, q, k = 5).collect().map(key).toSet
+      val servedScratch = GraftSimilarity.ivfTopKWith(
+        GraftSimilarity.ivfAppend(
+          GraftSimilarity.IvfIndex(idx.centroids,
+            idx.assigned.limit(0)), e), q, k = 5).collect().map(key).toSet
+      assert(servedAppended == servedScratch && servedAppended.nonEmpty)
+      // cell stats: one row per centroid (empty cells included), sums to N
+      val stats = GraftSimilarity.ivfCellStats(viaAppends).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(stats.keySet == cents.keySet)
+      assert(stats.values.sum == e.count())
+    } finally idx.unpersist(blocking = true)
+  }
 }
