@@ -243,6 +243,132 @@ object CorpusStreams {
                               GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class SrpVecIn(id: Long, ts: java.sql.Timestamp, bandId: Int,
+                            bucket: Long, bsigs: Array[Long],
+                            v: Array[Double])
+  final case class CosPairOut(a_id: Long, b_id: Long, cos: Double,
+                              ts: java.sql.Timestamp)
+  final case class SrpBucketEntry(id: Long, tsMs: Long, bsigs: Array[Long],
+                                  v: Array[Double])
+  final case class SrpBucketState(entries: List[SrpBucketEntry])
+
+  /** Streaming SRP-LSH embedding near-dup mining — the incremental twin of
+    * [[graft.operators.GraftSimilarity.srpPairs]], completing the
+    * streaming dedup matrix (exact: [[dedupStream]]; token near-dup:
+    * [[nearDupPairStream]]; embedding near-dup: this). Emits (a_id, b_id,
+    * cos, ts) with a_id < b_id and cos ≥ `threshold` — exactly the batch
+    * operator's verified-pair contract — as each pair's LATER vector
+    * arrives.
+    *
+    * Shape: per-band seeded signatures are the same codegen expression as
+    * batch (`graft_srp_sig(v, bandBits, band)`, hyperplanes cached per
+    * JVM); each vector explodes into (band, bucket) keys — the ONE
+    * shuffle — and `flatMapGroupsWithState` keeps per-bucket state: the
+    * (id, ts, all-band signatures, vector) of every resident within the
+    * watermark horizon. A new arrival exact-cosine-verifies against its
+    * bucket's residents with the same strict accumulation order as the
+    * `graft_cosine` kernel, so stream and batch scores are bit-identical.
+    *
+    * Exactly-once emission, same trick as [[nearDupPairStream]]: a true
+    * near-dup pair collides in many bands, but both residents' full
+    * band-signature arrays are in state, so every bucket recomputes the
+    * pair's FIRST colliding band and only that band's bucket emits.
+    *
+    * Band geometry defaults match batch (12 bits × 40 bands) and obey the
+    * same quadratic-constant analysis — size via
+    * [[graft.operators.GraftSimilarity.srpGeometry]] for other corpus
+    * scales. State is O(vectors per horizon) × (bands + dim) longs/doubles
+    * per resident; ids must be unique within the horizon.
+    */
+  def srpPairStream(vecs: DataFrame, idCol: String = "vec_id",
+                    vecCol: String = "embedding", tsCol: String = "ts",
+                    threshold: Double = 0.9,
+                    horizonMinutes: Long = 60,
+                    bandBits: Int = 12, bands: Int = 40)
+      : Dataset[CosPairOut] = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold should be in (0, 1], got: $threshold")
+    require(horizonMinutes > 0,
+      s"horizonMinutes must be positive, got $horizonMinutes")
+    require(bandBits >= 1 && bandBits <= 64,
+      s"bandBits must be in [1, 64], got $bandBits")
+    require(bands >= 1, s"bands must be >= 1, got $bands")
+    val horizonMs = horizonMinutes * 60000L
+    graft.GraftSession.ensureExtensions(vecs.sparkSession)
+    import vecs.sparkSession.implicits._
+
+    val banded = vecs
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+              expr(s"transform($vecCol, x -> cast(x AS double))").as("__v"))
+      .withColumn("bsigs", expr(
+        s"""transform(sequence(0, ${bands - 1}),
+           b -> graft_srp_sig(__v, $bandBits, b))"""))
+      .withWatermark("ts", s"$horizonMinutes minutes")
+      .select(col("id"), col("ts"),
+              posexplode(col("bsigs")).as(Seq("bandId", "bucket")),
+              col("bsigs"), col("__v").as("v"))
+      .as[SrpVecIn]
+
+    def firstCollidingBand(sa: Array[Long], sb: Array[Long]): Int = {
+      var b = 0
+      while (b < bands) { if (sa(b) == sb(b)) return b; b += 1 }
+      -1
+    }
+    // identical accumulation order to the graft_cosine codegen kernel —
+    // one loop, three accumulators — so scores match batch bit-for-bit
+    def cosExact(x: Array[Double], y: Array[Double]): Double = {
+      val n = math.min(x.length, y.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x(i); val yv = y(i)
+        dot += xv * yv; na += xv * xv; nb += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    def update(key: (Int, Long), it: Iterator[SrpVecIn],
+               state: GroupState[SrpBucketState]): Iterator[CosPairOut] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      var live = state.getOption.map(_.entries).getOrElse(Nil)
+        .filter(e => e.tsMs + horizonMs >= wmMs)
+      if (state.hasTimedOut) {
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(SrpBucketState(live))
+          state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
+        }
+        return Iterator.empty
+      }
+      val bandId = key._1
+      val out = List.newBuilder[CosPairOut]
+      for (e <- it.toIndexedSeq.sortBy(d => (d.ts.getTime, d.id))) {
+        val eMs = e.ts.getTime
+        for (s <- live) {
+          if (s.id != e.id && math.abs(eMs - s.tsMs) <= horizonMs &&
+              firstCollidingBand(e.bsigs, s.bsigs) == bandId) {
+            val c = cosExact(e.v, s.v)
+            if (c >= threshold) {
+              val (a, b) = if (e.id < s.id) (e.id, s.id) else (s.id, e.id)
+              out += CosPairOut(a, b, round4(c), e.ts)
+            }
+          }
+        }
+        live ::= SrpBucketEntry(e.id, eMs, e.bsigs, e.v)
+      }
+      state.update(SrpBucketState(live))
+      state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
+      out.result().iterator
+    }
+
+    banded.groupByKey(d => (d.bandId, d.bucket))
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
   final case class PackDoc(shard: String, doc_id: Long, n_tokens: Long)
   final case class PackAssign(shard: String, doc_id: Long, n_tokens: Long,
                               stream_offset: Long, pack_id: Long)

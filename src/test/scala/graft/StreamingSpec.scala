@@ -575,6 +575,76 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("srpPairStream: stream pairs equal batch srpPairs on the augmented " +
+       "embeddings, across micro-batch boundaries") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    // the dedup_embedding_cosine construction: planted near-dup twins
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+              concat(slice(col("embedding"), 1, 32),
+                     transform(slice(col("embedding"), 33, 32),
+                               x => x * lit(2))).as("embedding"))
+    val aug = base.unionAll(twins)
+    val batch = graft.operators.GraftSimilarity
+      .srpPairs(aug, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty)
+    // event times spread over 30 min (inside the 60-min horizon); split
+    // across two addData calls to exercise cross-batch bucket state
+    val rows = aug
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS float))")
+                .as("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 30),
+                 r.getSeq[Float](1).toList))
+      .sortBy(_._1).toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[(Long, Timestamp, List[Float])]
+    val df = input.toDF().toDF("vec_id", "ts", "embedding")
+    val q = CorpusStreams
+      .srpPairStream(df, threshold = 0.9, horizonMinutes = 60)
+      .writeStream.format("memory").queryName("srp_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("srp_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == batch,
+        s"stream-only=${streamed.diff(batch)} batch-only=${batch.diff(streamed)}")
+    } finally q.stop()
+  }
+
+  test("srpPairStream: vectors beyond the horizon never pair, and a pair " +
+       "colliding in every band is emitted exactly once") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val v = (1 to 16).map(_.toFloat / 16f).toList
+    val input = MemoryStream[(Long, Timestamp, List[Float])]
+    val df = input.toDF().toDF("vec_id", "ts", "embedding")
+    val q = CorpusStreams
+      .srpPairStream(df, threshold = 0.9, horizonMinutes = 30)
+      .writeStream.format("memory").queryName("srp_horizon")
+      .outputMode("append").start()
+    try {
+      // identical vectors 10 min apart: cos = 1, colliding in ALL 40
+      // bands — first-colliding-band ownership must yield ONE pair row
+      input.addData(Seq((1L, ts(0), v), (2L, ts(10), v)))
+      q.processAllAvailable()
+      // identical vector 100 min later: beyond the 30-min horizon of both
+      // residents — no new pair
+      input.addData(Seq((3L, ts(110), v)))
+      q.processAllAvailable()
+      val got = spark.table("srp_horizon")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == Seq((1L, 2L, 1.0)), got.mkString(","))
+    } finally q.stop()
+  }
+
   test("sessionizer: an event after its session was TIMEOUT-closed opens a " +
        "new session, not a resurrection of the old key") {
     implicit val sqlCtx = spark.sqlContext
