@@ -87,6 +87,57 @@ object SimilarityQueries extends QueryModule {
         |      FROM scored)
         |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin)),
 
+    // IVF incremental-append flow as an ORACLED row: the index is built
+    // on a seed split (centroids = md5-threshold pick over the SEED only,
+    // √(N/4) of them), the remaining vectors arrive later via
+    // GraftSimilarity.ivfAppend (assign-only, centroids fixed), and the
+    // appended index serves the query batch. The DuckDB oracle replays
+    // the same construction — seed-subset centroid cut, all-vector
+    // assignment to those fixed centroids, probe + exact rerank — so the
+    // daily-batch append path is hash-certified end-to-end, not just
+    // spec-pinned (OperatorLibSpec additionally pins append≡from-scratch
+    // and commutativity).
+    GraftQuery(
+      "ann_ivf_append",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val idx = GraftSimilarity.ivfAppend(
+          GraftSimilarity.buildIvfIndex(e.filter(col("vec_id") % 4 === 0)),
+          e.filter(col("vec_id") % 4 =!= 0))
+        GraftSimilarity.ivfTopKWith(idx, queryBlock(e), k = 5, nprobe = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |seed AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM seed),
+        |c AS (SELECT vec_id c_id, v cv FROM seed
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.q_id, q.qv, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM q, c) WHERE prnk <= 4),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.vec_id != p.q_id),
+        |r AS (SELECT q_id, n_id, c,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin)),
+
     GraftQuery(
       "ann_lsh_bucket",
       (s, dir) => {

@@ -80,6 +80,45 @@ class FunctionsSpec extends GraftFunSuite {
     assert(df.distinct().count() == 100)
   }
 
+  test("graft_srp_sig: generated code COMPILES with fallback disabled and " +
+       "matches interpreted eval through the shared plane cache") {
+    GraftSession.ensureExtensions(spark)
+    // fallback=false turns a codegen compile failure (e.g. the static
+    // forwarder call into the plane cache breaking) into a hard error
+    // instead of a silent interpreted fallback — the perf contract IS the
+    // codegen path, so it must fail loudly
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val df = spark.range(8)
+        .selectExpr(
+          // hash-derived components so rows point in distinct directions
+          // (scalar multiples of one vector would share every sign bit)
+          "transform(sequence(0, 63), i -> cast(xxhash64(id * 64 + i) % 1000 AS double)) AS v")
+        .selectExpr("v", "graft_srp_sig(v, 12, 3) AS s")
+      val plan = org.apache.spark.sql.GraftSqlBridge
+        .queryExecution(df).executedPlan.toString
+      // the projection carrying graft_srp_sig must sit INSIDE a
+      // WholeStageCodegen stage (the "*(n)" prefix)
+      val sigLine = plan.linesIterator
+        .find(_.contains("graft_srp_sig(")).getOrElse("")
+      assert(sigLine.trim.startsWith("*("), plan)
+      val rows = df.collect()
+      // interpreted twin evaluates through the same cached plane matrix
+      import org.apache.spark.sql.catalyst.expressions.Literal
+      import org.apache.spark.sql.types.{ArrayType, DoubleType}
+      rows.foreach { r =>
+        val interp = graft.functions.GraftSrpSig(
+            Literal.create(r.getSeq[Double](0), ArrayType(DoubleType)),
+            Literal(12), Literal(3)).eval(null)
+        assert(interp == r.getLong(1), s"row $r")
+      }
+      // distinct inputs produce distinct signatures here (sanity that the
+      // cache isn't serving one row's projection to every row)
+      assert(rows.map(_.getLong(1)).distinct.length > 1)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
   test("minhash_agg over exploded rows equals scalar minhash of the distinct set") {
     GraftSession.ensureExtensions(spark)
     val toks = Seq("alpha", "beta", "gamma", "beta", "delta")
