@@ -74,20 +74,42 @@ object CorpusStreams {
     * row via `dropDuplicatesWithinWatermark` on the id (a doc's gram rows
     * all carry its event time, so the id is unique within the horizon).
     * State is the matched-id set inside the watermark, not the corpus.
+    *
+    * `hashGrams = true` (default, matching the batch audit) keys the semi
+    * join on xxhash64 of the n-token ARRAY: the stream side hashes token
+    * slices without ever building the gram string, and the static side
+    * re-splits its gram strings (`split(gram, ' ')` recovers exactly the
+    * whitespace tokens the gram was joined from) so both sides hash the
+    * identical array — the broadcast then carries 8-byte keys, not
+    * strings. A 64-bit collision only ADDS a flagged doc, the safe
+    * direction for a leakage gate; `hashGrams = false` keeps string keys.
     */
   def contaminationGate(docs: DataFrame, testGrams: DataFrame,
                         tsCol: String = "ts", textCol: String = "text",
                         idCol: String = "doc_id", n: Int = 8,
-                        dedupWindow: String = "1 hour"): DataFrame = {
+                        dedupWindow: String = "1 hour",
+                        hashGrams: Boolean = true): DataFrame = {
     import graft.operators.GraftText
-    docs
+    val tk = docs
       .select(col(idCol), col(tsCol),
               GraftText.whitespaceTokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) >= n)
-      .select(col(idCol), col(tsCol),
-              explode(array_distinct(GraftText.wordNGrams(col("__tk"), n)))
-                .as("__gram"))
-      .join(broadcast(testGrams), Seq("__gram"), "left_semi")
+    val streamKeys =
+      if (hashGrams)
+        tk.select(col(idCol), col(tsCol),
+          explode(array_distinct(expr(
+            s"transform(sequence(0, size(__tk) - $n)," +
+              s" i -> xxhash64(slice(__tk, i + 1, $n)))"))).as("__gk"))
+      else
+        tk.select(col(idCol), col(tsCol),
+          explode(array_distinct(GraftText.wordNGrams(col("__tk"), n)))
+            .as("__gk"))
+    val staticKeys =
+      if (hashGrams)
+        testGrams.select(xxhash64(split(col("__gram"), " ")).as("__gk"))
+      else testGrams.select(col("__gram").as("__gk"))
+    streamKeys
+      .join(broadcast(staticKeys), Seq("__gk"), "left_semi")
       .withWatermark(tsCol, dedupWindow)
       .dropDuplicatesWithinWatermark(idCol)
       .select(col(idCol), col(tsCol))

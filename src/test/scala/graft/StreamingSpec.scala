@@ -465,13 +465,25 @@ class StreamingSpec extends GraftFunSuite {
     val q = CorpusStreams.contaminationGate(df, testGrams)
       .writeStream.format("memory").queryName("contamination_stream")
       .outputMode("append").start()
+    // string-key tier on the same stream: identical flags (the hashed
+    // default only changes the join key representation)
+    val input2 = MemoryStream[(Long, Timestamp, String)]
+    val df2 = input2.toDF().toDF("doc_id", "ts", "text")
+    val q2 = CorpusStreams.contaminationGate(df2, testGrams, hashGrams = false)
+      .writeStream.format("memory").queryName("contamination_stream_str")
+      .outputMode("append").start()
     try {
       input.addData(rows.take(150)); q.processAllAvailable()
       input.addData(rows.drop(150)); q.processAllAvailable()
       val streamed = spark.table("contamination_stream")
         .select("doc_id").as[Long].collect().toSet
       assert(streamed == batchHit, s"diff=${streamed.diff(batchHit)} / ${batchHit.diff(streamed)}")
-    } finally q.stop()
+      input2.addData(rows); q2.processAllAvailable()
+      val streamedStr = spark.table("contamination_stream_str")
+        .select("doc_id").as[Long].collect().toSet
+      assert(streamedStr == batchHit,
+        s"string tier diverged: ${streamedStr.diff(batchHit)} / ${batchHit.diff(streamedStr)}")
+    } finally { q.stop(); q2.stop() }
   }
 
   test("packStream: offsets continue across micro-batches per shard and " +
