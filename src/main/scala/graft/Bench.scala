@@ -59,7 +59,8 @@ object Bench {
       "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
       "dedup_embedding_cosine", "dedup_components", "dedup_semantic",
       "pipeline_sequence_pack", "text_bm25_topk",
-      "ann_cosine_topk", "ann_ivf_topk", "ann_quantized_topk",
+      "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_append",
+      "ann_quantized_topk",
       "text_vocab_tfidf", "text_quality_rules",
       "events_sessionize", "events_asof_join", "events_range_join",
       "pipeline_corpus_curation", "pipeline_contamination",
