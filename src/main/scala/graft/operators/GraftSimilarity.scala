@@ -179,6 +179,41 @@ object GraftSimilarity {
              index.assigned.unionByName(assignTo(index.centroids, e)))
   }
 
+  /** Persist an [[IvfIndex]] at rest: centroids as plain parquet,
+    * `assigned` PARTITIONED BY cell id — the layout where "each probe
+    * reads only its cells" stops being documentation and becomes what the
+    * scan does. Serving a batch through [[ivfTopKWith]] on the
+    * [[readIvfIndex]] frames plans Spark's dynamic partition pruning on
+    * the probe join: the (broadcast-small) probe side's cell ids become a
+    * runtime partition filter on the assigned scan, so only the probed
+    * cells' files are read — no driver-side collect of cell ids, the
+    * pruning is in-plan (IvfStoreSpec pins `dynamicpruning` in the scan
+    * and result parity with the in-memory index).
+    *
+    * Scale: √N partitions of √N vectors each — directory count and file
+    * sizes both stay manageable at any N (1e9 vectors ⇒ ~31k dirs); the
+    * write shuffles once on cell id so each partition is one file, the
+    * natural bucket for cell-local rerank.
+    */
+  def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+    index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    index.assigned
+      .repartition(col("c_id"))
+      .write.mode("overwrite").partitionBy("c_id")
+      .parquet(s"$dir/assigned")
+  }
+
+  /** Load an index written by [[writeIvfIndex]]. The partition column
+    * comes back first-read as its inferred type; cast pins the long
+    * contract so served output is type-identical to the in-memory path.
+    */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   dir: String): IvfIndex =
+    IvfIndex(
+      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assigned")
+        .withColumn("c_id", col("c_id").cast("long")))
+
   /** Per-cell occupancy — the rebuild signal for [[ivfAppend]] callers
     * (and the skew diagnostic for probe-cost modeling): one row per
     * centroid with its vector count, including empty cells (count 0).

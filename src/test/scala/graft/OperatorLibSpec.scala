@@ -749,6 +749,43 @@ class OperatorLibSpec extends GraftFunSuite {
     } finally idx.unpersist(blocking = true)
   }
 
+  test("IVF index at rest: cell-partitioned layout, served batch prunes " +
+       "to the probed cells via dynamic partition pruning, result parity") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store").toString
+    try {
+      GraftSimilarity.writeIvfIndex(idx, dir)
+      val stored = GraftSimilarity.readIvfIndex(spark, dir)
+      // layout: one directory per NON-EMPTY cell
+      val cellDirs = new java.io.File(s"$dir/assigned").listFiles()
+        .count(f => f.isDirectory && f.getName.startsWith("c_id="))
+      val nonEmpty = idx.assigned.select("c_id").distinct().count()
+      assert(cellDirs.toLong == nonEmpty, s"$cellDirs dirs vs $nonEmpty cells")
+      val q = e.filter(col("vec_id") % 20 === 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val served = GraftSimilarity.ivfTopKWith(stored, q, k = 5)
+      val servedRows = served.collect().map(key).toSet
+      val memRows = GraftSimilarity.ivfTopKWith(idx, q, k = 5)
+        .collect().map(key).toSet
+      assert(servedRows == memRows && servedRows.nonEmpty)
+      // the assigned scan must carry a RUNTIME partition filter derived
+      // from the probe join — only the probed cells' directories are read
+      val p = org.apache.spark.sql.GraftSqlBridge
+        .queryExecution(served).executedPlan.toString
+      assert(p.contains("dynamicpruning"),
+        s"assigned scan must be dynamic-partition-pruned:\n$p")
+    } finally {
+      idx.unpersist(blocking = true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF incremental append: assign-only batches commute, match a " +
        "from-scratch assign against the same centroids, and serve " +
        "identically; cell stats cover every centroid") {
