@@ -299,8 +299,13 @@ object CorpusStreams {
     * Band geometry defaults match batch (12 bits × 40 bands) and obey the
     * same quadratic-constant analysis — size via
     * [[graft.operators.GraftSimilarity.srpGeometry]] for other corpus
-    * scales. State is O(vectors per horizon) × (bands + dim) longs/doubles
-    * per resident; ids must be unique within the horizon.
+    * scales. State cost, stated exactly: every in-horizon vector is
+    * resident in ALL `bands` buckets, each holding its (bands + dim)
+    * longs/doubles — total ≈ |horizon| · bands · (bands + dim) values, a
+    * `bands`× multiplier over the batch shuffle row. That is the price of
+    * in-bucket verify with no second join; bound the horizon accordingly
+    * (the batch operator remains the path for wide lookbacks). Ids must
+    * be unique within the horizon.
     */
   def srpPairStream(vecs: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding", tsCol: String = "ts",
