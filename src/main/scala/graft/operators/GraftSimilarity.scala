@@ -562,6 +562,14 @@ object GraftSimilarity {
     * Size bandBits ≈ log2(N) + slack at larger N to keep expected bucket
     * occupancy O(1) — candidates then stay ≈ true pairs + o(N²).
     *
+    * (Multi-probe — joining each exact band key against Hamming-1
+    * neighbors — was evaluated analytically and rejected: at equal recall
+    * it cuts signature bits ~3× but a random pair now collides per band
+    * w.p. (1 + bandBits)/2^bandBits, raising the background quadratic
+    * constant ~4× over the wide-band geometry. With hyperplanes cached
+    * per JVM, signature compute is the CHEAP axis and background
+    * candidates are the scale cost, so wide exact bands dominate.)
+    *
     * Scale shape: signatures are a pure map; the candidate self-join
     * shuffles (id, band, bucket) rows — 20 bytes, never vectors; exact
     * verify re-attaches vectors to the skinny surviving pair stream
