@@ -780,6 +780,20 @@ class OperatorLibSpec extends GraftFunSuite {
         .queryExecution(served).executedPlan.toString
       assert(p.contains("dynamicpruning"),
         s"assigned scan must be dynamic-partition-pruned:\n$p")
+      // full lifecycle composes: append a later batch onto the STORED
+      // index, re-write, re-read, serve — identical to the in-memory
+      // append path (the store is just frames; nothing is lost at rest)
+      val twins = e.limit(40)
+        .select((col("vec_id") + 500000).as("vec_id"), col("v"))
+      val appendedMem = GraftSimilarity.ivfAppend(idx, twins)
+      GraftSimilarity.writeIvfIndex(
+        GraftSimilarity.ivfAppend(stored, twins), s"$dir/v2")
+      val appendedStored = GraftSimilarity.readIvfIndex(spark, s"$dir/v2")
+      val a = GraftSimilarity.ivfTopKWith(appendedStored, q, k = 5)
+        .collect().map(key).toSet
+      val b = GraftSimilarity.ivfTopKWith(appendedMem, q, k = 5)
+        .collect().map(key).toSet
+      assert(a == b && a.nonEmpty)
     } finally {
       idx.unpersist(blocking = true)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
