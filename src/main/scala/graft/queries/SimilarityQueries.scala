@@ -87,6 +87,55 @@ object SimilarityQueries extends QueryModule {
         |      FROM scored)
         |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin)),
 
+    // IVF index AT REST as an oracled row: build on the full collection,
+    // write the cell-PARTITIONED store (writeIvfIndex), read it back,
+    // serve. The served output is identical to ann_ivf_topk (same
+    // centroid/assign/probe math), so the oracle SQL is shared verbatim —
+    // what this row adds to the DRIVER gate is the store path: the
+    // partitioned write, the partition-column type round-trip, and the
+    // dynamic-partition-pruned serve must all preserve values exactly
+    // (OperatorLibSpec pins the dynamicpruning plan + dir layout).
+    GraftQuery(
+      "ann_ivf_stored",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val out =
+          s"/tmp/graft_io/${new java.io.File(dir).getName}/ivf_index"
+        GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), out)
+        GraftSimilarity.ivfTopKWith(GraftSimilarity.readIvfIndex(s, out),
+                                    queryBlock(e), k = 5, nprobe = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.q_id, q.qv, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM q, c) WHERE prnk <= 4),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.vec_id != p.q_id),
+        |r AS (SELECT q_id, n_id, c,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin)),
+
     // IVF incremental-append flow as an ORACLED row: the index is built
     // on a seed split (centroids = md5-threshold pick over the SEED only,
     // √(N/4) of them), the remaining vectors arrive later via
