@@ -6,11 +6,18 @@ import org.apache.spark.sql.SparkSession
   * computation (sorts, projections, writes) without driver-side collect
   * skew; a warmup query first so JIT/codegen compilation doesn't land on
   * whichever query runs first.
+  *
+  * Each query runs SPARK_GRAFT_BENCH_RUNS times (default 3) and the
+  * artifact records the [min, median, max] spread — a single-run number
+  * can't tell a plan regression from JIT/page-cache noise (the r4→r5
+  * pipeline_data_mixture 2.5→4.8 s slip was unattributable for exactly
+  * that reason). The headline `value` is the sum of per-query medians.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,35 +31,45 @@ object Bench {
     // optional arg: comma-separated query names to run (iteration aid;
     // the driver passes no args and gets the full suite)
     val only = args.headOption.map(_.split(',').toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // spread per query: Seq of per-run seconds; a failed run poisons the
+    // query to all -1 (never a fast-looking partial spread)
+    val results: Seq[(String, Seq[Double])] = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
+        val times = (1 to runs).map { _ =>
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            -1.0
+          }
         }
-      // a failed query records -1, never a (fast-looking) wall time
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+        name -> (if (times.exists(_ < 0)) Seq.fill(runs)(-1.0) else times)
+      }
+    def median(ts: Seq[Double]): Double = {
+      val s = ts.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    def toJson(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    // [min, med, max] triple per query — the spread the judge reads
+    def toJson(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (k, ts) =>
+        "\"" + k + "\":[" + fmt(ts.min) + "," + fmt(median(ts)) + "," + fmt(ts.max) + "]"
+      }.mkString("{", ",", "}")
+    val total = results.map(r => median(r._2)).filter(_ >= 0).sum
+    val failed = results.collect { case (k, ts) if ts.head < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    // Full per-query detail first (a ~4 KB line — for humans and the
+    // Full per-query detail first (a ~8 KB line — for humans and the
     // judge's per-query log)...
-    println(s"""{"metric":"full","unit":"sec","queries":${toJson(results)},"failed":$failed,"sf":"$sfDir"}""")
+    val fullLine = s"""{"metric":"full","unit":"sec","runs":$runs,"queries":${toJson(results)},"failed":$failed,"sf":"$sfDir"}"""
+    println(fullLine)
     // ...then the driver-contract line LAST and COMPACT: the driver keeps
     // only a 2000-char output tail, so the final JSON line must fit inside
     // it whole (the full map above does not — r1-r3 all recorded
-    // parsed:null because of exactly this).
+    // parsed:null because of exactly this). Headline values are the same
+    // [min, med, max] triples; `value` is the sum of medians.
     val headlineSet: Set[String] = Set(
       "q1_agg", "q3_join_agg", "q5_multi_join", "q_filter_topk",
       "q_window_rank", "q_sort_global", "q_percentile_exact",
@@ -67,16 +84,18 @@ object Bench {
       "mm_embed_ann", "sample_bernoulli", "src_bucketed_join",
       "text_lm_perplexity", "pipeline_data_mixture", "text_scrub_repeats")
     val headline = results.filter(r => headlineSet.contains(r._1))
-    val contract = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":${toJson(headline)},"failed":$failed,"sf":"$sfDir"}"""
+    val contract = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"queries":${toJson(headline)},"failed":$failed,"sf":"$sfDir"}"""
     // Belt and braces against log-tail truncation (BENCH_r03 lost its
     // totals to exactly that): the contract line also lands in a FILE the
     // judge can always read, before stdout gets a chance to truncate.
+    // Target overridable for other checkouts (env), defaulting to the
+    // path the judge reads.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_last.json")
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/bench_last.json"),
-      contract + "\n" +
-        s"""{"metric":"full","unit":"sec","queries":${toJson(results)},"failed":$failed,"sf":"$sfDir"}""" + "\n")
+      java.nio.file.Paths.get(outPath),
+      contract + "\n" + fullLine + "\n")
     catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_last.json write failed: ${e.getMessage}")
+      System.err.println(s"[bench] $outPath write failed: ${e.getMessage}")
     }
     println(contract)
     spark.stop()
