@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Reusable approximate-nearest-neighbor search — the library form of the
@@ -107,6 +106,23 @@ object GraftSimilarity {
     }
   }
 
+  /** Fail fast on a non-integral id column: the at-rest layout
+    * ([[writeIvfIndex]]) partitions by c_id and [[readIvfIndex]] pins the
+    * long contract with a cast — a store written with string/decimal ids
+    * would read back all-null c_id and [[ivfTopKWith]] would silently
+    * serve zero rows (ADVICE r5). Checked at build/append/write time, not
+    * discovered at read time.
+    */
+  private def requireIntegralId(df: DataFrame, c: String, ctx: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(c).dataType
+    require(dt == ByteType || dt == ShortType || dt == IntegerType ||
+            dt == LongType,
+      s"$ctx: id column '$c' must be integral (byte/short/int/long) — the " +
+      s"cell-partitioned store round-trips it through a long cast, and a " +
+      s"${dt.simpleString} id would read back null and serve zero rows")
+  }
+
   /** Build the IVF index for [[ivfTopKWith]]: pick ≈√N deterministic
     * centroids (hash-uniform md5 threshold — see [[ivfTopK]]'s scaladoc for
     * why not id-modulo), optionally Lloyd-refine them, and assign every
@@ -119,6 +135,7 @@ object GraftSimilarity {
                     idCol: String = "vec_id", vecCol: String = "v",
                     refineIters: Int = 0): IvfIndex = {
     graft.GraftSession.ensureExtensions(collection.sparkSession)
+    requireIntegralId(collection, idCol, "buildIvfIndex")
     val e = collection.select(col(idCol).as("n_id"), col(vecCol).as("v"))
     // threshold on the first 8 md5-hex chars: lowercase fixed-width hex
     // compares as the 32-bit value; cut = ceil(2³² · fraction), clamped
@@ -174,6 +191,7 @@ object GraftSimilarity {
   def ivfAppend(index: IvfIndex, batch: DataFrame,
                 idCol: String = "vec_id", vecCol: String = "v"): IvfIndex = {
     graft.GraftSession.ensureExtensions(batch.sparkSession)
+    requireIntegralId(batch, idCol, "ivfAppend")
     val e = batch.select(col(idCol).as("n_id"), col(vecCol).as("v"))
     IvfIndex(index.centroids,
              index.assigned.unionByName(assignTo(index.centroids, e)))
@@ -196,6 +214,8 @@ object GraftSimilarity {
     * natural bucket for cell-local rerank.
     */
   def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+    requireIntegralId(index.assigned, "c_id", "writeIvfIndex")
+    requireIntegralId(index.assigned, "n_id", "writeIvfIndex")
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     index.assigned
       .repartition(col("c_id"))
@@ -226,6 +246,41 @@ object GraftSimilarity {
       .select(col("c_id"),
               coalesce(col("n_vectors"), lit(0L)).as("n_vectors"))
 
+  /** Act on the [[ivfCellStats]] drift signal: when the largest cell holds
+    * more than `maxOccupancyRatio` × the mean occupancy, rebuild the index
+    * from its own assigned collection — fresh hash-picked centroids over
+    * the CURRENT id population (so a region that grew via [[ivfAppend]]
+    * now seeds centroids proportional to its mass), optional Lloyd refine —
+    * otherwise return the index unchanged (reference-identical, so callers
+    * can `eq`-check whether a rebuild fired). This is the missing last step
+    * of the append → drift → rebuild lifecycle: appends keep centroids
+    * fixed and probe cost tracks the LARGEST probed cells, so calling this
+    * after each append wave caps the occupancy tail at the chosen ratio.
+    *
+    * The decision reads one 1-row aggregate of the skinny (c_id, count)
+    * stats — a driver-side scalar is inherent to a rebuild-or-not branch
+    * (same pattern as [[GraftDedup.connectedComponents]]'s tier gate);
+    * nothing row-shaped ever reaches the driver. Serve parity after a
+    * rebuild is exactly [[buildIvfIndex]]-on-the-same-vectors parity
+    * (OperatorLibSpec pins the drift scenario end-to-end).
+    */
+  def ivfMaybeRebuild(index: IvfIndex, maxOccupancyRatio: Double = 8.0,
+                      centroidFraction: Option[Double] = None,
+                      refineIters: Int = 0): IvfIndex = {
+    require(maxOccupancyRatio >= 1,
+      s"maxOccupancyRatio must be >= 1, got $maxOccupancyRatio")
+    val r = ivfCellStats(index)
+      .agg(max(col("n_vectors")).cast("double").as("mx"),
+           avg(col("n_vectors").cast("double")).as("mean"))
+      .head()
+    val drifted = !r.isNullAt(0) && !r.isNullAt(1) && r.getDouble(1) > 0 &&
+      r.getDouble(0) > maxOccupancyRatio * r.getDouble(1)
+    if (!drifted) index
+    else buildIvfIndex(index.assigned.select(col("n_id"), col("v")),
+                       centroidFraction, idCol = "n_id", vecCol = "v",
+                       refineIters = refineIters)
+  }
+
   /** Query a built [[IvfIndex]]: each query probes its `nprobe` nearest
     * cells and reranks exactly within them — identical output to the
     * one-shot [[ivfTopK]] on the same collection (OperatorLibSpec pins the
@@ -238,15 +293,54 @@ object GraftSimilarity {
                   qIdCol: String = "q_id", qVecCol: String = "qv")
       : DataFrame = {
     graft.GraftSession.ensureExtensions(queries.sparkSession)
-    val cents = broadcast(index.centroids)
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
-    val wProbe = Window.partitionBy("q_id").orderBy(desc("qc"), asc("c_id"))
-    val probes = q.join(cents)
-      .select(col("q_id"), col("qv"), col("c_id"), cosine("qv", "cv").as("qc"))
-      .withColumn("prnk", row_number().over(wProbe))
-      .filter(col("prnk") <= nprobe)
+    // Per-query nprobe cell selection as a SHUFFLE-FREE map: the √N
+    // centroid set folds into ONE broadcast row (collect_list — 31k
+    // (c_id, cv) structs ≈ 16 MB even at N = 1e9) and each query row
+    // sorts its own cosine array. Selection order (qc desc, c_id asc)
+    // matches the previous per-query window exactly. Two things about
+    // this shape are LOAD-BEARING for the at-rest store's file pruning —
+    // dynamic partition pruning only survives to execution when (a) the
+    // probe build side plans without internal exchanges (a Window's
+    // shuffle gets AQE-rewritten and the broadcast-reuse sameResult check
+    // fails ⇒ the filter degenerates to `true` and every file is read)
+    // and (b) the probe side carries a likely-selective predicate, which
+    // the `qc >= -2` bound provides (vacuously true for a cosine — it
+    // exists for the PartitionPruning rule, and reads as the sanity bound
+    // it is). Removing the probe shuffle is also simply the better
+    // serving plan at scale.
+    val centsRow = broadcast(index.centroids.agg(
+      collect_list(struct(col("c_id"), col("cv"))).as("__cents")))
+    val probes = q.crossJoin(centsRow)
+      .select(col("q_id"), col("qv"),
+        explode(expr(
+          s"""slice(
+                array_sort(
+                  transform(__cents,
+                            c -> struct(graft_cosine(qv, c.cv) AS qc,
+                                        c.c_id AS c_id)),
+                  (a, b) -> CASE WHEN a.qc > b.qc THEN -1
+                                 WHEN a.qc < b.qc THEN 1
+                                 WHEN a.c_id < b.c_id THEN -1
+                                 WHEN a.c_id > b.c_id THEN 1 ELSE 0 END),
+                1, $nprobe)""")).as("__p"))
+      .select(col("q_id"), col("qv"), col("__p.c_id").as("c_id"),
+              col("__p.qc").as("__qc"))
+      .filter(col("__qc") >= lit(-2.0))
       .select(col("q_id"), col("qv"), col("c_id"))
-    topK(probes.join(index.assigned, "c_id")
+    // The probe side is |Q|·nprobe skinny rows — broadcast-small by DESIGN
+    // at any store size (the serving contract bounds the batch; split
+    // oversized offline batches), exactly like [[bruteForceTopK]]'s query
+    // block. The explicit hint is LOAD-BEARING for the at-rest layout:
+    // with probes as the broadcast build side, dynamic partition pruning
+    // REUSES that broadcast to filter the assigned scan down to the probed
+    // cells' files. Left to size estimates, a small store gets broadcast
+    // itself and the DPP filter degenerates to `true` at runtime
+    // (reuseBroadcastOnly) — every file read; and the crossJoin-inflated
+    // stats of the probe DAG can flip it to a shuffle join, which breaks
+    // the broadcast-reuse DPP the same way. OperatorLibSpec pins numFiles
+    // ≤ probed cells — the I/O fact, not just the plan shape.
+    topK(broadcast(probes).join(index.assigned, "c_id")
            .filter(col("n_id") =!= col("q_id"))
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }

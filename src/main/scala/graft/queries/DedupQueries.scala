@@ -90,6 +90,31 @@ object DedupQueries extends QueryModule {
     graft.operators.GraftDedup.unpersistAll()
   }
 
+  /** The twin-augmented embedding corpus shared by `dedup_embedding_cosine`
+    * and `dedup_semantic_scale`: the raw table has no true near-dups (its
+    * densest pairs sit at cos ≤ 0.52), so every 10th vector gets a planted
+    * near-dup twin — second half doubled ⇒ cos(v, twin) = (1+r)/√(1+3r)
+    * ∈ [0.9428, 1] for r = tail mass share, exact-in-IEEE in both engines.
+    * Twin ids offset by max(vec_id) + 1 computed IN-PLAN (broadcast 1-row
+    * aggregate, no driver collect) so the construction can never collide
+    * with real ids at any scale factor — a fixed +100000 offset would
+    * silently alias once vec_id reaches it (ADVICE r5). The oracle
+    * replicates the offset with a scalar subquery.
+    */
+  private[graft] def twinAugmented(base0: DataFrame): DataFrame = {
+    val base = base0.select("vec_id", "embedding")
+    // a 1-row broadcast attach plans as BroadcastNestedLoopJoin (constant
+    // join keys fold away) — benign at any scale; PlanSpec pins that every
+    // BNLJ in this query is exactly such a max-aggregate attach
+    val off = broadcast(base.agg((max("vec_id") + 1).cast("long").as("__off")))
+    val twins = base.filter(col("vec_id") % 10 === 0).crossJoin(off)
+      .select((col("vec_id") + col("__off")).as("vec_id"),
+              concat(slice(col("embedding"), 1, 32),
+                     transform(slice(col("embedding"), 33, 32),
+                               x => x * lit(2))).as("embedding"))
+    base.unionAll(twins)
+  }
+
   /** The un-memoized LSH DAG — exposed so plan-quality specs can inspect
     * the physical plan without an InMemoryTableScan hiding it. Delegates to
     * the library operator ([[graft.operators.GraftDedup.nearDupPairs]]):
@@ -351,19 +376,13 @@ object DedupQueries extends QueryModule {
     GraftQuery(
       "dedup_embedding_cosine",
       (s, dir) => {
-        val base = t(s, dir, "embeddings")
-        val twins = base.filter(col("vec_id") % 10 === 0)
-          .select((col("vec_id") + 100000).as("vec_id"),
-                  concat(slice(col("embedding"), 1, 32),
-                         transform(slice(col("embedding"), 33, 32),
-                                   x => x * lit(2))).as("embedding"))
         graft.operators.GraftSimilarity.srpPairs(
-          base.select("vec_id", "embedding").unionAll(twins), threshold = 0.9)
+          twinAugmented(t(s, dir, "embeddings")), threshold = 0.9)
       },
       Some("""WITH aug AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 100000,
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
         |    list_concat(list_slice(embedding::DOUBLE[], 1, 32),
         |      list_transform(list_slice(embedding::DOUBLE[], 33, 64),
         |                     x -> x * 2))
@@ -383,8 +402,12 @@ object DedupQueries extends QueryModule {
       "dedup_prefix",
       (s, dir) => {
         val docs = t(s, dir, "documents").select("doc_id", "text")
-        val truncated = docs.filter(col("doc_id") % 50 === 0)
-          .select((col("doc_id") + 100000).as("doc_id"),
+        // truncation ids offset in-plan by max(doc_id) + 1 — same
+        // no-collision-at-any-SF rationale as [[twinAugmented]]
+        val off = broadcast(docs.agg((max("doc_id") + 1).cast("long")
+          .as("__off")))
+        val truncated = docs.filter(col("doc_id") % 50 === 0).crossJoin(off)
+          .select((col("doc_id") + col("__off")).as("doc_id"),
                   substring(col("text"), 1, 100).as("text"))
         graft.operators.GraftDedup.prefixDups(
             docs.unionAll(truncated), "doc_id", "text")
@@ -393,7 +416,8 @@ object DedupQueries extends QueryModule {
       Some("""WITH aug AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id, substr(text, 1, 100) AS text
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+        |    substr(text, 1, 100) AS text
         |  FROM documents WHERE doc_id % 50 = 0),
         |w AS (
         |  SELECT doc_id,
@@ -431,5 +455,51 @@ object DedupQueries extends QueryModule {
         |  coalesce(c.cluster_id, e.vec_id) AS cluster_id,
         |  coalesce(c.cluster_id, e.vec_id) = e.vec_id AS kept
         |FROM embeddings e LEFT JOIN comp c USING (vec_id)""".stripMargin)),
+
+    // Semantic dedup, SCALE path: the same closure + keep-min-id
+    // assignment as `dedup_semantic`, but pair mining is the
+    // SUB-QUADRATIC SRP-LSH tier at a production near-dup threshold
+    // (τ = 0.9) — the form a 100-TB corpus actually runs. The raw corpus
+    // has no pairs at 0.9 (densest background cos ≤ 0.52), so it's
+    // twin-augmented like `dedup_embedding_cosine`; at these parameters
+    // SRP recall on the planted pairs is deterministic
+    // (P(miss) ≈ 1.4e-5 per pair, SimilaritySpec pins srpPairs ≡ exact),
+    // which is what lets the brute-force DuckDB oracle certify the whole
+    // banded pipeline end-to-end. `dedup_semantic` remains the low-τ
+    // labeled-exact twin; this row is the scale demonstration.
+    GraftQuery(
+      "dedup_semantic_scale",
+      (s, dir) => {
+        val aug = twinAugmented(t(s, dir, "embeddings"))
+        graft.operators.GraftSimilarity.semanticAssignments(
+          aug, threshold = 0.9,
+          pairs = Some(graft.operators.GraftSimilarity
+            .srpPairs(aug, threshold = 0.9).select("a_id", "b_id")))
+      },
+      Some("""WITH RECURSIVE aug AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+        |    list_concat(list_slice(embedding::DOUBLE[], 1, 32),
+        |      list_transform(list_slice(embedding::DOUBLE[], 33, 64),
+        |                     x -> x * 2))
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |p AS (
+        |  SELECT a.vec_id a_id, b.vec_id b_id
+        |  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9),
+        |ed AS (SELECT a_id s, b_id d FROM p
+        |       UNION SELECT b_id, a_id FROM p),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM ed
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s),
+        |comp AS (
+        |  SELECT s AS vec_id, least(s, min(d)) AS cluster_id
+        |  FROM reach GROUP BY s)
+        |SELECT a.vec_id,
+        |  coalesce(c.cluster_id, a.vec_id) AS cluster_id,
+        |  coalesce(c.cluster_id, a.vec_id) = a.vec_id AS kept
+        |FROM aug a LEFT JOIN comp c USING (vec_id)""".stripMargin)),
   )
 }

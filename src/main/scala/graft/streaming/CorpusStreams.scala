@@ -273,6 +273,9 @@ object CorpusStreams {
   final case class SrpBucketEntry(id: Long, tsMs: Long, bsigs: Array[Long],
                                   v: Array[Double])
   final case class SrpBucketState(entries: List[SrpBucketEntry])
+  final case class SrpBucketEntryQ(id: Long, tsMs: Long, bsigs: Array[Long],
+                                   q: Array[Byte])
+  final case class SrpBucketStateQ(entries: List[SrpBucketEntryQ])
 
   /** Streaming SRP-LSH embedding near-dup mining — the incremental twin of
     * [[graft.operators.GraftSimilarity.srpPairs]], completing the
@@ -306,12 +309,28 @@ object CorpusStreams {
     * in-bucket verify with no second join; bound the horizon accordingly
     * (the batch operator remains the path for wide lookbacks). Ids must
     * be unique within the horizon.
+    *
+    * `quantizedState = true` cuts the dominant per-resident term ~8×: the
+    * stored vector payload becomes its `graft_q8` form (dim BYTES instead
+    * of dim doubles; at the 64-dim default the resident shrinks 832 →
+    * 384 B, and the vector term alone 512 → 64 B — the bigger the dim,
+    * the closer to 8× the whole entry gets). Verification then scores the
+    * arriving vector's q8 form against the resident's in the same
+    * integer-exact arithmetic as `graft_q8_cos` — scales cancel, every
+    * intermediate sum is an exact integer — so the tier is deterministic
+    * and spec-checkable against batch `graft_q8_cos` values, but the
+    * emitted `cos` IS the quantized estimate (|error| ≲ 0.02 at dim 64),
+    * not the exact cosine: thresholds within that band of true pair
+    * cosines should stay on the exact tier. The resident's full vector is
+    * gone by design, so no exact rerank of historic residents is possible
+    * — that is the state/precision trade, stated plainly.
     */
   def srpPairStream(vecs: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding", tsCol: String = "ts",
                     threshold: Double = 0.9,
                     horizonMinutes: Long = 60,
-                    bandBits: Int = 12, bands: Int = 40)
+                    bandBits: Int = 12, bands: Int = 40,
+                    quantizedState: Boolean = false)
       : Dataset[CosPairOut] = {
     require(threshold > 0 && threshold <= 1,
       s"threshold should be in (0, 1], got: $threshold")
@@ -357,6 +376,38 @@ object CorpusStreams {
     def round4(x: Double): Double =
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
+    // graft_q8's exact mapping (round half-away-from-zero of x·127/max|x|)
+    // — values fit a byte by construction
+    def q8(x: Array[Double]): Array[Byte] = {
+      var maxAbs = 0.0
+      var i = 0
+      while (i < x.length) {
+        val a = math.abs(x(i)); if (a > maxAbs) maxAbs = a; i += 1
+      }
+      val out = new Array[Byte](x.length)
+      if (maxAbs > 0.0) {
+        i = 0
+        while (i < x.length) {
+          val t = x(i) * 127.0 / maxAbs
+          out(i) = (if (t >= 0) Math.round(t) else -Math.round(-t)).toByte
+          i += 1
+        }
+      }
+      out
+    }
+    // graft_q8_cos's integer-exact arithmetic over the byte form
+    def q8Cos(x: Array[Byte], y: Array[Byte]): Double = {
+      val n = math.min(x.length, y.length)
+      var ab = 0L; var aa = 0L; var bb = 0L
+      var i = 0
+      while (i < n) {
+        val xv = x(i).toLong; val yv = y(i).toLong
+        ab += xv * yv; aa += xv * xv; bb += yv * yv
+        i += 1
+      }
+      if (aa == 0L || bb == 0L) 0.0 else ab / math.sqrt((aa * bb).toDouble)
+    }
+
     def update(key: (Int, Long), it: Iterator[SrpVecIn],
                state: GroupState[SrpBucketState]): Iterator[CosPairOut] = {
       val wmMs = state.getCurrentWatermarkMs()
@@ -391,9 +442,50 @@ object CorpusStreams {
       out.result().iterator
     }
 
-    banded.groupByKey(d => (d.bandId, d.bucket))
-      .flatMapGroupsWithState(OutputMode.Append,
-                              GroupStateTimeout.EventTimeTimeout)(update)
+    // the quantized twin of `update`: residents live as q8 bytes, the
+    // arriving row quantizes itself once and scores integer-exactly
+    def updateQ(key: (Int, Long), it: Iterator[SrpVecIn],
+                state: GroupState[SrpBucketStateQ]): Iterator[CosPairOut] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      var live = state.getOption.map(_.entries).getOrElse(Nil)
+        .filter(e => e.tsMs + horizonMs >= wmMs)
+      if (state.hasTimedOut) {
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(SrpBucketStateQ(live))
+          state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
+        }
+        return Iterator.empty
+      }
+      val bandId = key._1
+      val out = List.newBuilder[CosPairOut]
+      for (e <- it.toIndexedSeq.sortBy(d => (d.ts.getTime, d.id))) {
+        val eMs = e.ts.getTime
+        val eq = q8(e.v)
+        for (s <- live) {
+          if (s.id != e.id && math.abs(eMs - s.tsMs) <= horizonMs &&
+              firstCollidingBand(e.bsigs, s.bsigs) == bandId) {
+            val c = q8Cos(eq, s.q)
+            if (c >= threshold) {
+              val (a, b) = if (e.id < s.id) (e.id, s.id) else (s.id, e.id)
+              out += CosPairOut(a, b, round4(c), e.ts)
+            }
+          }
+        }
+        live ::= SrpBucketEntryQ(e.id, eMs, e.bsigs, eq)
+      }
+      state.update(SrpBucketStateQ(live))
+      state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
+      out.result().iterator
+    }
+
+    val grouped = banded.groupByKey(d => (d.bandId, d.bucket))
+    if (quantizedState)
+      grouped.flatMapGroupsWithState(OutputMode.Append,
+                                     GroupStateTimeout.EventTimeTimeout)(updateQ)
+    else
+      grouped.flatMapGroupsWithState(OutputMode.Append,
+                                     GroupStateTimeout.EventTimeTimeout)(update)
   }
 
   final case class PackDoc(shard: String, doc_id: Long, n_tokens: Long)

@@ -58,9 +58,12 @@ class DedupSpec extends GraftFunSuite {
     // second half), brute-forced independently with HOF cosine at 0.9
     val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id"), col("embedding"))
+    // offset derived from max(vec_id) + 1, matching the catalog's
+    // collision-proof in-plan construction (collect is fine in a test)
+    val off = base.agg(max("vec_id")).head().getLong(0) + 1
     val aug = base.unionAll(
       base.filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select((col("vec_id") + off).as("vec_id"),
                 concat(slice(col("embedding"), 1, 32),
                        transform(slice(col("embedding"), 33, 32),
                                  x => x * lit(2))).as("embedding")))
@@ -128,6 +131,28 @@ class DedupSpec extends GraftFunSuite {
         // |est - exact| <= 3.3 * union / sqrt(k) ≈ 5.2% of union, + margin
         assert(math.abs(sharedEst - eShared) <= 0.06 * union,
           s"$dir ($aSrc,$bSrc): est=$sharedEst exact=$eShared union=$union")
+      }
+    }
+  }
+
+  test("semantic dedup scale path: SRP-mined clusters pair every twin " +
+       "with its base vector and keep exactly the base corpus") {
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val nBase = base.count()
+    val nTwins = base.filter(col("vec_id") % 10 === 0).count()
+    val off = base.agg(max("vec_id")).head().getLong(0) + 1
+    val got = q("dedup_semantic_scale").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.length == nBase + nTwins, s"${got.length}")
+    assert(nTwins > 0)
+    got.foreach { case (id, cluster, kept) =>
+      if (id >= off) {
+        // planted twin: clustered under its base vector, dropped
+        assert(cluster == id - off && !kept, s"twin $id -> ($cluster, $kept)")
+      } else {
+        // base vector: own cluster (min id), kept — background pairs all
+        // sit at cos <= 0.52, far below the 0.9 mining threshold
+        assert(cluster == id && kept, s"base $id -> ($cluster, $kept)")
       }
     }
   }

@@ -765,7 +765,10 @@ class OperatorLibSpec extends GraftFunSuite {
         .count(f => f.isDirectory && f.getName.startsWith("c_id="))
       val nonEmpty = idx.assigned.select("c_id").distinct().count()
       assert(cellDirs.toLong == nonEmpty, s"$cellDirs dirs vs $nonEmpty cells")
-      val q = e.filter(col("vec_id") % 20 === 3)
+      // a SMALL query batch (5 queries × nprobe 4 ⇒ ≤ 20 of the ~35
+      // cells) — a batch that probes every cell would leave dynamic
+      // pruning nothing to prove at the numFiles level
+      val q = e.filter(col("vec_id") % 100 === 3)
         .select(col("vec_id").as("q_id"), col("v").as("qv"))
       def key(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
@@ -780,6 +783,40 @@ class OperatorLibSpec extends GraftFunSuite {
         .queryExecution(served).executedPlan.toString
       assert(p.contains("dynamicpruning"),
         s"assigned scan must be dynamic-partition-pruned:\n$p")
+      // ...and the pruning is certified by what was READ, not just what
+      // was planned: the executed scan's numFiles metric is bounded by the
+      // probed cell count (each cell is exactly one file in this layout),
+      // strictly below the full store
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def allScans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+        case a: AdaptiveSparkPlanExec => allScans(a.executedPlan)
+        case s: QueryStageExec => allScans(s.plan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(allScans) ++
+          other.subqueries.flatMap(allScans)
+      }
+      val assignedScans = allScans(
+        org.apache.spark.sql.GraftSqlBridge.queryExecution(served)
+          .executedPlan)
+        .filter(_.relation.location.rootPaths.exists(
+          _.toString.contains("assigned")))
+      assert(assignedScans.nonEmpty, "no FileSourceScanExec over assigned/")
+      val probedCells = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(desc("qc"), asc("c_id"))
+        q.crossJoin(broadcast(stored.centroids))
+          .select(col("q_id"), col("c_id"),
+                  expr("graft_cosine(qv, cv)").as("qc"))
+          .withColumn("prnk", row_number().over(w))
+          .filter(col("prnk") <= 4)
+          .select("c_id").distinct().count()
+      }
+      val filesRead = assignedScans.map(_.metrics("numFiles").value).max
+      assert(filesRead > 0 && filesRead <= probedCells,
+        s"filesRead=$filesRead probedCells=$probedCells")
+      assert(filesRead < nonEmpty,
+        s"filesRead=$filesRead should be < total cells $nonEmpty")
       // full lifecycle composes: append a later batch onto the STORED
       // index, re-write, re-read, serve — identical to the in-memory
       // append path (the store is just frames; nothing is lost at rest)
@@ -854,5 +891,86 @@ class OperatorLibSpec extends GraftFunSuite {
       assert(stats.keySet == cents.keySet)
       assert(stats.values.sum == e.count())
     } finally idx.unpersist(blocking = true)
+  }
+
+  test("IVF drift lifecycle: skewed appends trip ivfMaybeRebuild, the " +
+       "rebuild caps the occupancy tail, serve parity holds; a healthy " +
+       "index passes through untouched") {
+    import graft.operators.GraftSimilarity
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    def ratioOf(idx: GraftSimilarity.IvfIndex): Double = {
+      val r = GraftSimilarity.ivfCellStats(idx)
+        .agg(max("n_vectors").cast("double"), avg("n_vectors")).head()
+      r.getDouble(0) / r.getDouble(1)
+    }
+    val idx = GraftSimilarity.buildIvfIndex(base).persist()
+    try {
+      // healthy index: below the ratio -> returned reference-identical
+      val healthyRatio = ratioOf(idx)
+      assert(GraftSimilarity.ivfMaybeRebuild(
+        idx, maxOccupancyRatio = healthyRatio + 1) eq idx)
+      // drift: a tight new cluster of 300 DISTINCT vectors (one base
+      // vector under per-id, per-coordinate scalings) all lands in one
+      // fixed cell via ivfAppend — the occupancy tail the scaladoc warns
+      // about
+      val off = base.agg(max("vec_id")).head().getLong(0) + 1
+      val u = base.filter(col("vec_id") === 7).head().getSeq[Double](1)
+      val uLit = u.mkString("array(", "D,", "D)")
+      val batch = spark.range(300)
+        .select((col("id") + off).as("vec_id"),
+                expr(s"""transform($uLit,
+                        (x, j) -> x * (1D + (id + 1) * 1e-4D * (j + 1)))""")
+                  .as("v"))
+      val driftedIdx = GraftSimilarity.ivfAppend(idx, batch)
+      val driftedRatio = ratioOf(driftedIdx)
+      assert(driftedRatio > 2 * healthyRatio,
+        s"drift setup too weak: $healthyRatio -> $driftedRatio")
+      // rebuild fires (new object), re-centroids over the CURRENT
+      // population, and the occupancy tail comes back down
+      val rebuilt = GraftSimilarity.ivfMaybeRebuild(
+        driftedIdx, maxOccupancyRatio = 2 * healthyRatio)
+      assert(!(rebuilt eq driftedIdx), "rebuild should have fired")
+      val rebuiltRatio = ratioOf(rebuilt)
+      assert(rebuiltRatio < driftedRatio,
+        s"rebuild must shrink the tail: $driftedRatio -> $rebuiltRatio")
+      // serve parity: the rebuilt index is exactly a from-scratch build
+      // over the same vectors
+      val q = base.filter(col("vec_id") % 20 === 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val served = GraftSimilarity.ivfTopKWith(rebuilt, q, k = 5)
+        .collect().map(key).toSet
+      val scratch = GraftSimilarity.ivfTopK(
+        base.unionAll(batch), q, k = 5).collect().map(key).toSet
+      assert(served == scratch && served.nonEmpty)
+    } finally idx.unpersist(blocking = true)
+  }
+
+  test("IVF id contract: non-integral id columns fail fast at build, " +
+       "append, and write — not silently at read") {
+    import graft.operators.GraftSimilarity
+    val strIds = spark.range(10)
+      .select(col("id").cast("string").as("vec_id"),
+              expr("array(cast(id AS double), 1D)").as("v"))
+    val okIds = spark.range(10)
+      .select(col("id").as("vec_id"),
+              expr("array(cast(id AS double), 1D)").as("v"))
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.buildIvfIndex(strIds)
+    }
+    val idx = GraftSimilarity.buildIvfIndex(okIds)
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.ivfAppend(idx, strIds)
+    }
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.writeIvfIndex(
+        GraftSimilarity.IvfIndex(
+          idx.centroids,
+          idx.assigned.withColumn("c_id", col("c_id").cast("string"))),
+        "/tmp/never_written_ivf")
+    }
   }
 }

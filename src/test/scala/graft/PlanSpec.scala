@@ -161,8 +161,16 @@ class PlanSpec extends GraftFunSuite {
   test("SRP pair mining joins on (band, bucket) — no cross product, " +
        "no vectors through the candidate shuffle") {
     val p = planOf("dedup_embedding_cosine")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+    assert(!p.contains("CartesianProduct"),
       s"LSH candidate generation must be an equi-join:\n$p")
+    // nested-loop joins may appear ONLY as the 1-row max-aggregate offset
+    // attach of the twin augmentation (constant join keys fold away, so a
+    // 1-row broadcast attach always plans as BNLJ) — never pairing corpus
+    // rows against corpus rows
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    val offsetAttaches = """functions=\[max\(vec_id""".r.findAllIn(p).size
+    assert(bnlj == offsetAttaches,
+      s"$bnlj nested-loop joins vs $offsetAttaches 1-row offset attaches:\n$p")
     assert(p.contains("band_id"), s"candidates must join on the band key:\n$p")
     // the exact-verify attach re-joins vectors onto the surviving pair
     // stream; the candidate join itself carries only (id, band, bucket)

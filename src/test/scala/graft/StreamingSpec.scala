@@ -631,6 +631,60 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("srpPairStream quantized state: same pair set as batch srpPairs, " +
+       "scores integer-exactly equal batch graft_q8_cos, across " +
+       "micro-batch boundaries") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.ensureExtensions(spark)
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+              concat(slice(col("embedding"), 1, 32),
+                     transform(slice(col("embedding"), 33, 32),
+                               x => x * lit(2))).as("embedding"))
+    val aug = base.unionAll(twins)
+    // expected: the batch pair SET (twin cosines >= 0.9428 vs background
+    // <= 0.52, so the ~0.02 q8 error can't flip membership at 0.9), each
+    // pair scored by the deterministic q8 metric the quantized tier emits
+    val vv = aug.select(col("vec_id").as("id"),
+      expr("graft_q8(transform(embedding, x -> cast(x AS double)))").as("q"))
+    val expected = graft.operators.GraftSimilarity
+      .srpPairs(aug, threshold = 0.9).select("a_id", "b_id")
+      .join(vv.select(col("id").as("a_id"), col("q").as("qa")), "a_id")
+      .join(vv.select(col("id").as("b_id"), col("q").as("qb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+              round(expr("graft_q8_cos(qa, qb)"), 4).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty)
+    val rows = aug
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS float))")
+                .as("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 30),
+                 r.getSeq[Float](1).toList))
+      .sortBy(_._1).toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[(Long, Timestamp, List[Float])]
+    val df = input.toDF().toDF("vec_id", "ts", "embedding")
+    val q = CorpusStreams
+      .srpPairStream(df, threshold = 0.9, horizonMinutes = 60,
+                     quantizedState = true)
+      .writeStream.format("memory").queryName("srp_stream_q8")
+      .outputMode("append").start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("srp_stream_q8")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == expected,
+        s"stream-only=${streamed.diff(expected)} " +
+        s"batch-only=${expected.diff(streamed)}")
+    } finally q.stop()
+  }
+
   test("srpPairStream: vectors beyond the horizon never pair, and a pair " +
        "colliding in every band is emitted exactly once") {
     import graft.streaming.CorpusStreams
