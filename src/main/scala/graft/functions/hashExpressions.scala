@@ -340,13 +340,21 @@ case class GraftJaccardSorted(left: Expression, right: Expression)
 object GraftSrpSig {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Double]]()
+  private val cachedBytes = new java.util.concurrent.atomic.AtomicLong(0L)
+  // bytes of plane matrices the per-JVM cache may pin (entry count alone
+  // is not a bound: dim 4096 × 48 bits × hundreds of band seeds would pin
+  // hundreds of MB for the process lifetime — ADVICE r5); 64 MB covers
+  // every geometry the library plans while staying a rounding error of
+  // executor memory
+  private val maxCacheBytes = 64L << 20
 
   /** Plane p's component i at index p·dim + i; values uniform in [-1, 1].
     * Called from both interpreted eval and generated code (the Scala
     * companion gets a static forwarder, so codegen reaches it as a plain
-    * static call). Capped so adversarial seed streams cannot grow the cache
-    * without bound — past the cap the matrix is computed per call, which is
-    * only ever slower, never wrong.
+    * static call). Capped by entry count (map overhead under adversarial
+    * tiny-matrix seed streams) AND total bytes (big-matrix geometries) —
+    * past either cap the matrix is computed per call, which is only ever
+    * slower, never wrong.
     */
   def planes(bits: Int, dim: Int, seed: Long): Array[Double] = {
     val key = (bits, dim, seed)
@@ -363,7 +371,11 @@ object GraftSrpSig {
       }
       p += 1
     }
-    if (cache.size < 4096) cache.putIfAbsent(key, m)
+    val bytes = m.length.toLong * 8
+    if (cache.size < 4096 && cachedBytes.get() + bytes <= maxCacheBytes &&
+        cache.putIfAbsent(key, m) == null) {
+      cachedBytes.addAndGet(bytes)
+    }
     m
   }
 }

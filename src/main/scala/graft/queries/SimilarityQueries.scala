@@ -12,9 +12,10 @@ import graft.operators.GraftSimilarity
   *      baseline; DuckDB oracle hash-match).
   *   2. `ann_ivf_topk` — IVF with √N deterministic centroids; the oracle
   *      runs the same algorithm in SQL, so this is also hash-matched.
-  *   3. `ann_lsh_bucket` — SRP-LSH; hash bits are engine-specific ⇒
-  *      rows-only driver check; SimilaritySpec measures recall against
-  *      tier 1.
+  *   3. `ann_lsh_bucket` — SRP-LSH; the hyperplane matrix is a pure
+  *      constant of (nbits, dim, seed), so the oracle inlines it and
+  *      replays the signature walk — hash-matched like the others;
+  *      SimilaritySpec additionally measures recall against tier 1.
   *
   * At 100 TB: tier 1 is a broadcast-map (no shuffle) per query batch;
   * tier 2 shuffles once on cell id; tier 3 shuffles once on (band, bucket).
@@ -30,6 +31,45 @@ object SimilarityQueries extends QueryModule {
   private def queryBlock(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+  /** The DuckDB replay of `ann_lsh_bucket` (srpTopK at nbits=16, bands=4,
+    * k=5 over dim-64 embeddings): the 16×64 hyperplane matrix is a pure
+    * constant — `GraftSrpSig.planes(16, 64, 42)`, the exact doubles the
+    * Spark expression uses — inlined as literals (Scala's shortest
+    * round-trip Double formatting parses back bit-identically). Per bit,
+    * sign(list_dot_product(v, plane)) reproduces the kernel's ascending-
+    * index accumulation; bands are 4-bit shift/mask slices of the one
+    * signature; candidates collide in ANY band; exact-cosine rerank to
+    * top-5 mirrors the other ANN oracles.
+    */
+  private lazy val lshBucketOracleSql: String = {
+    val planes = graft.functions.GraftSrpSig.planes(16, 64, 42L)
+    def planeList(p: Int): String =
+      (0 until 64).map(i => planes(p * 64 + i).toString)
+        .mkString("[", ",", "]")
+    val sigExpr = (0 until 16).map { p =>
+      s"(CASE WHEN list_dot_product(v, ${planeList(p)}) > 0 " +
+      s"THEN ${1L << p} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sg AS (SELECT vec_id, v, $sigExpr AS sig FROM e),
+       |q AS (SELECT vec_id AS q_id, sig AS qsig FROM sg WHERE vec_id < 10),
+       |cand AS (
+       |  SELECT DISTINCT q.q_id, s.vec_id AS n_id
+       |  FROM q JOIN sg s ON s.vec_id != q.q_id AND (
+       |       ((q.qsig >> 0) & 15) = ((s.sig >> 0) & 15)
+       |    OR ((q.qsig >> 4) & 15) = ((s.sig >> 4) & 15)
+       |    OR ((q.qsig >> 8) & 15) = ((s.sig >> 8) & 15)
+       |    OR ((q.qsig >> 12) & 15) = ((s.sig >> 12) & 15))),
+       |scored AS (
+       |  SELECT c.q_id, c.n_id, list_cosine_similarity(qe.v, ne.v) AS c
+       |  FROM cand c JOIN e qe ON qe.vec_id = c.q_id
+       |              JOIN e ne ON ne.vec_id = c.n_id),
+       |r AS (SELECT q_id, n_id, c,
+       |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+       |      FROM scored)
+       |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin
+  }
 
   override def all: Seq[GraftQuery] = Seq(
 
@@ -187,13 +227,23 @@ object SimilarityQueries extends QueryModule {
         |      FROM scored)
         |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin)),
 
+    // SRP-LSH top-k. Long oracled rows-only ("hash bits are
+    // engine-specific") — but they aren't: the hyperplane matrix is a
+    // pure function of (nbits=16, dim=64, seed=42), so the oracle inlines
+    // the very doubles the expression derives (computed by the same
+    // `GraftSrpSig.planes` at SQL-authoring time — no RNG, no state) and
+    // DuckDB replays the signature walk: per-bit sign of an in-order dot
+    // product (list_dot_product accumulates left-to-right like the
+    // codegen kernel — identical operands, identical order, identical
+    // IEEE result), 4-bit band split via shift/mask, any-band collision,
+    // exact rerank.
     GraftQuery(
       "ann_lsh_bucket",
       (s, dir) => {
         val e = vecs(s, dir)
         GraftSimilarity.srpTopK(e, queryBlock(e), k = 5, nbits = 16, bands = 4)
       },
-      None),
+      Some(lshBucketOracleSql)),
 
     // IVF with Lloyd-refined centroids (2 k-means rounds over the
     // hash-seeded init, [[GraftSimilarity.kmeansRefine]]) — the trained-
