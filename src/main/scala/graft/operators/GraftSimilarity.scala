@@ -288,6 +288,37 @@ object GraftSimilarity {
     * served query batch costs |Q|·√N probe cosines + the probed cells'
     * rerank, independent of how many batches came before.
     */
+  /** The shuffle-free probe-cell selection shared by the batch serve and
+    * the streaming twin ([[graft.streaming.CorpusStreams.ivfServeStream]]):
+    * input must carry `q_id`/`qv` (plus any passthrough columns named in
+    * `keep`); output is one row per (query, probed cell) with `c_id`
+    * attached. Selection order (qc desc, c_id asc) — see [[ivfTopKWith]]
+    * for why the map-only shape and the vacuous `qc >= -2` filter are
+    * load-bearing.
+    */
+  private[graft] def probeCells(q: DataFrame, centroids: DataFrame,
+                                nprobe: Int, keep: Seq[String]): DataFrame = {
+    val centsRow = broadcast(centroids.agg(
+      collect_list(struct(col("c_id"), col("cv"))).as("__cents")))
+    q.crossJoin(centsRow)
+      .select(keep.map(col) :+
+        explode(expr(
+          s"""slice(
+                array_sort(
+                  transform(__cents,
+                            c -> struct(graft_cosine(qv, c.cv) AS qc,
+                                        c.c_id AS c_id)),
+                  (a, b) -> CASE WHEN a.qc > b.qc THEN -1
+                                 WHEN a.qc < b.qc THEN 1
+                                 WHEN a.c_id < b.c_id THEN -1
+                                 WHEN a.c_id > b.c_id THEN 1 ELSE 0 END),
+                1, $nprobe)""")).as("__p"): _*)
+      .select(keep.map(col) :+ col("__p.c_id").as("c_id") :+
+              col("__p.qc").as("__qc"): _*)
+      .filter(col("__qc") >= lit(-2.0))
+      .select(keep.map(col) :+ col("c_id"): _*)
+  }
+
   def ivfTopKWith(index: IvfIndex, queries: DataFrame, k: Int,
                   nprobe: Int = 4,
                   qIdCol: String = "q_id", qVecCol: String = "qv")
@@ -309,25 +340,7 @@ object GraftSimilarity {
     // exists for the PartitionPruning rule, and reads as the sanity bound
     // it is). Removing the probe shuffle is also simply the better
     // serving plan at scale.
-    val centsRow = broadcast(index.centroids.agg(
-      collect_list(struct(col("c_id"), col("cv"))).as("__cents")))
-    val probes = q.crossJoin(centsRow)
-      .select(col("q_id"), col("qv"),
-        explode(expr(
-          s"""slice(
-                array_sort(
-                  transform(__cents,
-                            c -> struct(graft_cosine(qv, c.cv) AS qc,
-                                        c.c_id AS c_id)),
-                  (a, b) -> CASE WHEN a.qc > b.qc THEN -1
-                                 WHEN a.qc < b.qc THEN 1
-                                 WHEN a.c_id < b.c_id THEN -1
-                                 WHEN a.c_id > b.c_id THEN 1 ELSE 0 END),
-                1, $nprobe)""")).as("__p"))
-      .select(col("q_id"), col("qv"), col("__p.c_id").as("c_id"),
-              col("__p.qc").as("__qc"))
-      .filter(col("__qc") >= lit(-2.0))
-      .select(col("q_id"), col("qv"), col("c_id"))
+    val probes = probeCells(q, index.centroids, nprobe, Seq("q_id", "qv"))
     // The probe side is |Q|·nprobe skinny rows — broadcast-small by DESIGN
     // at any store size (the serving contract bounds the batch; split
     // oversized offline batches), exactly like [[bruteForceTopK]]'s query

@@ -488,6 +488,61 @@ object CorpusStreams {
                                      GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  /** Streaming serve twin of
+    * [[graft.operators.GraftSimilarity.ivfTopKWith]]: an unbounded stream
+    * of (q_id, ts, qv) queries answered against a BUILT (static) IVF
+    * index — the online half of the build/append/store lifecycle, where
+    * the index is the 100-TB side and queries trickle in forever.
+    *
+    * Plan shape, all stream-static: probe-cell selection is the same
+    * shuffle-free per-row map as batch (one broadcast centroid row, in-row
+    * top-nprobe — [[graft.operators.GraftSimilarity.probeCells]], shared
+    * code); candidates attach via a stream-static equi join on cell id —
+    * a [[graft.operators.GraftSimilarity.readIvfIndex]] store serves
+    * identically (StreamingSpec pins it; the batch serve remains the path
+    * with metric-certified file pruning — micro-batch planning is not
+    * asserted to prune); the per-query
+    * top-k runs `graft_topk` as a STREAMING aggregation — the same
+    * mergeable k-slot heap, now living in the state store, finalized in
+    * append mode when the watermark passes the query's event time. Output
+    * rows are (q_id, ts, n_id, rnk, cos), value-identical to the batch
+    * serve for the same query (StreamingSpec pins the parity).
+    *
+    * `latenessMinutes` is the answer-latency / reorder-tolerance dial:
+    * append-mode aggregation emits a query's top-k only once the
+    * watermark clears its timestamp, so state is O(in-flight queries) —
+    * never O(stream) — and a candidate row arriving later than the bound
+    * is dropped with its query already answered.
+    */
+  def ivfServeStream(index: graft.operators.GraftSimilarity.IvfIndex,
+                     queries: DataFrame, k: Int, nprobe: Int = 4,
+                     latenessMinutes: Long = 10,
+                     qIdCol: String = "q_id", qVecCol: String = "qv",
+                     tsCol: String = "ts"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
+    require(latenessMinutes > 0,
+      s"latenessMinutes must be positive, got $latenessMinutes")
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val q = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(tsCol).as("ts"),
+              expr(s"transform($qVecCol, x -> cast(x AS double))").as("qv"))
+      .withWatermark("ts", s"$latenessMinutes minutes")
+    val probes = graft.operators.GraftSimilarity
+      .probeCells(q, index.centroids, nprobe, Seq("q_id", "ts", "qv"))
+    probes.join(index.assigned, "c_id")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("ts"), col("n_id"),
+              expr("graft_cosine(qv, v)").as("c"))
+      .groupBy(col("q_id"), col("ts"))
+      .agg(expr(s"graft_topk(c, n_id, $k)").as("tk"))
+      .select(col("q_id"), col("ts"),
+              posexplode(col("tk")).as(Seq("p", "s")))
+      .select(col("q_id"), col("ts"), col("s.id").as("n_id"),
+              (col("p") + 1).cast("long").as("rnk"),
+              round(col("s.score"), 4).as("cos"))
+  }
+
   final case class PackDoc(shard: String, doc_id: Long, n_tokens: Long)
   final case class PackAssign(shard: String, doc_id: Long, n_tokens: Long,
                               stream_offset: Long, pack_id: Long)

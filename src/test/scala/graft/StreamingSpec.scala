@@ -685,6 +685,82 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("ivfServeStream: a query stream served against a static IVF index " +
+       "answers each watermark-closed query identically to the batch " +
+       "serve, across micro-batch boundaries") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.GraftSimilarity
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.ensureExtensions(spark)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    try {
+      val qBatch = e.filter(col("vec_id") % 25 === 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val batchServe = GraftSimilarity.ivfTopKWith(idx, qBatch, k = 5)
+        .collect().map(key).toSet
+      assert(batchServe.nonEmpty)
+      // queries arrive over two micro-batches at spread event times; a
+      // final far-future query advances the watermark so every real
+      // query's aggregation closes (its own answer stays open — excluded)
+      val rows = qBatch.collect()
+        .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 8),
+                   r.getSeq[Double](1).toList))
+        .sortBy(_._1).toSeq
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      val input = MemoryStream[(Long, Timestamp, List[Double])]
+      val df = input.toDF().toDF("q_id", "ts", "qv")
+      val q = CorpusStreams
+        .ivfServeStream(idx, df, k = 5, latenessMinutes = 10)
+        .writeStream.format("memory").queryName("ivf_serve")
+        .outputMode("append").start()
+      try {
+        input.addData(h1); q.processAllAvailable()
+        input.addData(h2); q.processAllAvailable()
+        input.addData(Seq((999999L, ts(600), rows.head._3)))
+        q.processAllAvailable()
+        val streamed = spark.table("ivf_serve")
+          .filter(col("q_id") =!= 999999L)
+          .select("q_id", "n_id", "rnk", "cos")
+          .collect().map(key).toSet
+        assert(streamed == batchServe,
+          s"stream-only=${streamed.diff(batchServe)} " +
+          s"batch-only=${batchServe.diff(streamed)}")
+      } finally q.stop()
+      // the same stream served against the AT-REST store (readIvfIndex
+      // frames re-scanned per micro-batch) answers identically
+      val dir = java.nio.file.Files.createTempDirectory("ivf_serve_store")
+        .toString
+      try {
+        GraftSimilarity.writeIvfIndex(idx, dir)
+        val stored = GraftSimilarity.readIvfIndex(spark, dir)
+        val input2 = MemoryStream[(Long, Timestamp, List[Double])]
+        val q2 = CorpusStreams
+          .ivfServeStream(stored, input2.toDF().toDF("q_id", "ts", "qv"),
+                          k = 5, latenessMinutes = 10)
+          .writeStream.format("memory").queryName("ivf_serve_stored")
+          .outputMode("append").start()
+        try {
+          input2.addData(h1 ++ h2); q2.processAllAvailable()
+          input2.addData(Seq((999999L, ts(600), rows.head._3)))
+          q2.processAllAvailable()
+          val viaStore = spark.table("ivf_serve_stored")
+            .filter(col("q_id") =!= 999999L)
+            .select("q_id", "n_id", "rnk", "cos")
+            .collect().map(key).toSet
+          assert(viaStore == batchServe,
+            s"store-only=${viaStore.diff(batchServe)} " +
+            s"batch-only=${batchServe.diff(viaStore)}")
+        } finally q2.stop()
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    } finally idx.unpersist(blocking = true)
+  }
+
   test("srpPairStream: vectors beyond the horizon never pair, and a pair " +
        "colliding in every band is emitted exactly once") {
     import graft.streaming.CorpusStreams
