@@ -762,29 +762,38 @@ class StreamingSpec extends GraftFunSuite {
   }
 
   test("srpPairStream: vectors beyond the horizon never pair, and a pair " +
-       "colliding in every band is emitted exactly once") {
+       "colliding in every band is emitted exactly once — both state " +
+       "tiers (exact and quantized)") {
     import graft.streaming.CorpusStreams
     implicit val sqlCtx = spark.sqlContext
     val v = (1 to 16).map(_.toFloat / 16f).toList
-    val input = MemoryStream[(Long, Timestamp, List[Float])]
-    val df = input.toDF().toDF("vec_id", "ts", "embedding")
-    val q = CorpusStreams
-      .srpPairStream(df, threshold = 0.9, horizonMinutes = 30)
-      .writeStream.format("memory").queryName("srp_horizon")
-      .outputMode("append").start()
-    try {
-      // identical vectors 10 min apart: cos = 1, colliding in ALL 40
-      // bands — first-colliding-band ownership must yield ONE pair row
-      input.addData(Seq((1L, ts(0), v), (2L, ts(10), v)))
-      q.processAllAvailable()
-      // identical vector 100 min later: beyond the 30-min horizon of both
-      // residents — no new pair
-      input.addData(Seq((3L, ts(110), v)))
-      q.processAllAvailable()
-      val got = spark.table("srp_horizon")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-      assert(got.toSeq == Seq((1L, 2L, 1.0)), got.mkString(","))
-    } finally q.stop()
+    // the eviction/ownership logic is duplicated between update and
+    // updateQ, so both tiers get the identical pin
+    for (quantized <- Seq(false, true)) {
+      val input = MemoryStream[(Long, Timestamp, List[Float])]
+      val df = input.toDF().toDF("vec_id", "ts", "embedding")
+      val name = if (quantized) "srp_horizon_q8" else "srp_horizon"
+      val q = CorpusStreams
+        .srpPairStream(df, threshold = 0.9, horizonMinutes = 30,
+                       quantizedState = quantized)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        // identical vectors 10 min apart: cos = 1 (q8 of identical
+        // vectors is identical ⇒ q8 cosine 1 too), colliding in ALL 40
+        // bands — first-colliding-band ownership must yield ONE pair row
+        input.addData(Seq((1L, ts(0), v), (2L, ts(10), v)))
+        q.processAllAvailable()
+        // identical vector 100 min later: beyond the 30-min horizon of
+        // both residents — no new pair
+        input.addData(Seq((3L, ts(110), v)))
+        q.processAllAvailable()
+        val got = spark.table(name)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        assert(got.toSeq == Seq((1L, 2L, 1.0)),
+          s"quantized=$quantized: ${got.mkString(",")}")
+      } finally q.stop()
+    }
   }
 
   test("sessionizer: an event after its session was TIMEOUT-closed opens a " +
