@@ -685,6 +685,41 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("srpPairStream quantized state measurably shrinks the state store " +
+       "on the same input") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS float))")
+                .as("embedding"))
+    val rows = base.collect()
+      .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 30),
+                 r.getSeq[Float](1).toList)).toSeq
+    def stateBytes(quantized: Boolean): Long = {
+      val input = MemoryStream[(Long, Timestamp, List[Float])]
+      val name = s"srp_statebytes_$quantized"
+      val q = CorpusStreams
+        .srpPairStream(input.toDF().toDF("vec_id", "ts", "embedding"),
+                       threshold = 0.9, horizonMinutes = 60,
+                       quantizedState = quantized)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(rows); q.processAllAvailable()
+        q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum
+      } finally q.stop()
+    }
+    val exact = stateBytes(false)
+    val quant = stateBytes(true)
+    // dim 64: resident = id + ts + 40 band sigs + vector payload; the
+    // payload drops 512 B (doubles) -> 64 B (bytes), so the whole store
+    // should shrink by a solid factor, not a rounding error
+    assert(quant < (exact * 3) / 4,
+      s"quantized state should be substantially smaller: " +
+      s"exact=$exact quantized=$quant")
+  }
+
   test("ivfServeStream: a query stream served against a static IVF index " +
        "answers each watermark-closed query identically to the batch " +
        "serve, across micro-batch boundaries") {
