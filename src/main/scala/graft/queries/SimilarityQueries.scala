@@ -245,6 +245,74 @@ object SimilarityQueries extends QueryModule {
       },
       Some(lshBucketOracleSql)),
 
+    // The append→drift→REBUILD lifecycle end-to-end under the oracle:
+    // build on the corpus, then append a CLONE BURST — every 5th
+    // vector's id carrying vector 7's embedding (the one-hot-region
+    // ingest drift ivfAppend's scaladoc warns about): all clones land in
+    // v7's cell, max occupancy ≈ N/5 while the mean stays ≈ 1.2√N, so
+    // ivfMaybeRebuild at ratio 1.5 fires deterministically at every SF
+    // (the require guards the construction; the no-fire pass-through is
+    // reference-identity-pinned in OperatorLibSpec). The rebuilt index is
+    // definitionally a fresh build over the grown population, so DuckDB
+    // replays the standard construction on the cloned-augmented corpus —
+    // certifying the rebuild path restores the canonical index, values
+    // and all.
+    GraftQuery(
+      "ann_ivf_rebuild",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val off = broadcast(e.agg((max("vec_id") + 1).cast("long")
+          .as("__off")))
+        val v7 = broadcast(e.filter(col("vec_id") === 7)
+          .select(col("v").as("__v7")))
+        val clones = e.filter(col("vec_id") % 5 === 0)
+          .crossJoin(off).crossJoin(v7)
+          .select((col("vec_id") + col("__off")).as("vec_id"),
+                  col("__v7").as("v"))
+        val grown = GraftSimilarity.ivfAppend(
+          GraftSimilarity.buildIvfIndex(e), clones)
+        val idx = GraftSimilarity.ivfMaybeRebuild(grown,
+                                                  maxOccupancyRatio = 1.5)
+        require(!(idx eq grown), "drift construction must trip the rebuild")
+        GraftSimilarity.ivfTopKWith(idx, queryBlock(e), k = 5, nprobe = 4)
+      },
+      Some("""WITH base AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |e AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base),
+        |         (SELECT v FROM base WHERE vec_id = 7)
+        |  FROM base WHERE vec_id % 5 = 0),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |q AS (SELECT vec_id q_id, v qv FROM base WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.q_id, q.qv, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM q, c) WHERE prnk <= 4),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.vec_id != p.q_id),
+        |r AS (SELECT q_id, n_id, c,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin)),
+
     // IVF with Lloyd-refined centroids (2 k-means rounds over the
     // hash-seeded init, [[GraftSimilarity.kmeansRefine]]) — the trained-
     // quantizer tier. Float centroid means depend on aggregation merge
