@@ -281,20 +281,25 @@ object GraftSimilarity {
                        refineIters = refineIters)
   }
 
-  /** Query a built [[IvfIndex]]: each query probes its `nprobe` nearest
-    * cells and reranks exactly within them — identical output to the
-    * one-shot [[ivfTopK]] on the same collection (OperatorLibSpec pins the
-    * parity), but the collection-side assign is NOT recomputed, so a
-    * served query batch costs |Q|·√N probe cosines + the probed cells'
-    * rerank, independent of how many batches came before.
-    */
   /** The shuffle-free probe-cell selection shared by the batch serve and
     * the streaming twin ([[graft.streaming.CorpusStreams.ivfServeStream]]):
     * input must carry `q_id`/`qv` (plus any passthrough columns named in
     * `keep`); output is one row per (query, probed cell) with `c_id`
-    * attached. Selection order (qc desc, c_id asc) — see [[ivfTopKWith]]
-    * for why the map-only shape and the vacuous `qc >= -2` filter are
-    * load-bearing.
+    * attached, selection order (qc desc, c_id asc).
+    *
+    * The shape is a per-query MAP: the √N centroid set folds into ONE
+    * broadcast row (collect_list — 31k (c_id, cv) structs ≈ 16 MB even at
+    * N = 1e9) and each query row sorts its own cosine array. Two things
+    * here are LOAD-BEARING for the at-rest store's file pruning — dynamic
+    * partition pruning only survives to execution when (a) the probe side
+    * plans without internal exchanges (the previous per-query Window's
+    * shuffle got AQE-rewritten, the broadcast-reuse sameResult check
+    * failed, and the DPP filter silently degenerated to `true` — every
+    * file read while the plan string still said `dynamicpruning`), and
+    * (b) the probe side carries a likely-selective predicate, which the
+    * `qc >= -2` bound provides (vacuously true for a cosine — it exists
+    * for the PartitionPruning rule, and reads as the sanity bound it is).
+    * Dropping the probe shuffle is also simply the better serving plan.
     */
   private[graft] def probeCells(q: DataFrame, centroids: DataFrame,
                                 nprobe: Int, keep: Seq[String]): DataFrame = {
@@ -319,27 +324,20 @@ object GraftSimilarity {
       .select(keep.map(col) :+ col("c_id"): _*)
   }
 
+  /** Query a built [[IvfIndex]]: each query probes its `nprobe` nearest
+    * cells ([[probeCells]] — shuffle-free, and deliberately so) and
+    * reranks exactly within them — identical output to the one-shot
+    * [[ivfTopK]] on the same collection (OperatorLibSpec pins the
+    * parity), but the collection-side assign is NOT recomputed, so a
+    * served query batch costs |Q|·√N probe cosines + the probed cells'
+    * rerank, independent of how many batches came before.
+    */
   def ivfTopKWith(index: IvfIndex, queries: DataFrame, k: Int,
                   nprobe: Int = 4,
                   qIdCol: String = "q_id", qVecCol: String = "qv")
       : DataFrame = {
     graft.GraftSession.ensureExtensions(queries.sparkSession)
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
-    // Per-query nprobe cell selection as a SHUFFLE-FREE map: the √N
-    // centroid set folds into ONE broadcast row (collect_list — 31k
-    // (c_id, cv) structs ≈ 16 MB even at N = 1e9) and each query row
-    // sorts its own cosine array. Selection order (qc desc, c_id asc)
-    // matches the previous per-query window exactly. Two things about
-    // this shape are LOAD-BEARING for the at-rest store's file pruning —
-    // dynamic partition pruning only survives to execution when (a) the
-    // probe build side plans without internal exchanges (a Window's
-    // shuffle gets AQE-rewritten and the broadcast-reuse sameResult check
-    // fails ⇒ the filter degenerates to `true` and every file is read)
-    // and (b) the probe side carries a likely-selective predicate, which
-    // the `qc >= -2` bound provides (vacuously true for a cosine — it
-    // exists for the PartitionPruning rule, and reads as the sanity bound
-    // it is). Removing the probe shuffle is also simply the better
-    // serving plan at scale.
     val probes = probeCells(q, index.centroids, nprobe, Seq("q_id", "qv"))
     // The probe side is |Q|·nprobe skinny rows — broadcast-small by DESIGN
     // at any store size (the serving contract bounds the batch; split
