@@ -201,8 +201,13 @@ object DedupQueries extends QueryModule {
         |FROM reach GROUP BY s""".stripMargin)),
 
     // SimHash near-dup candidates: 64-bit signature, 4×16-bit bands,
-    // Hamming-distance verify. Hash-engine-specific ⇒ rows-only check here;
-    // DedupSpec asserts recall of the planted near-dup pairs.
+    // Hamming-distance verify. Rows-only by necessity — and the necessity
+    // is precise: simhash hashes DATA-DEPENDENT token bytes through
+    // XXH64, which DuckDB does not implement, so the oracle cannot replay
+    // the bits (contrast `ann_lsh_bucket`, whose SRP hyperplanes are
+    // data-INDEPENDENT constants of (nbits, dim, seed) that the oracle
+    // inlines as literals — that row IS hash-matched). DedupSpec asserts
+    // recall of the planted near-dup pairs instead.
     GraftQuery(
       "dedup_simhash",
       (s, dir) =>
