@@ -442,15 +442,39 @@ class OperatorLibSpec extends GraftFunSuite {
         substring(md5(col("doc_id").cast("string")), 1, 4))
     val hist = docs.filter(col("route") < "cccc").drop("route")
     val inc = docs.filter(col("route") >= "cccc").drop("route")
-    val viaBloom = CorpusCuration.incrementalNew(inc, hist,
+    val viaBloomDf = CorpusCuration.incrementalNew(inc, hist,
         expectedItems = 10000L, numBits = 80000L)
-      .select("doc_id").as[Long].collect().toSet
+    val viaBloom = viaBloomDf.select("doc_id").as[Long].collect().toSet
     val plain = inc.join(
         hist.select(md5(col("text")).as("__d")).distinct()
           .withColumnRenamed("__d", "__d"),
         md5(col("text")) === col("__d"), "left_anti")
       .select("doc_id").as[Long].collect().toSet
     assert(viaBloom == plain && viaBloom.nonEmpty)
+    // ...and the routing claim certified by EXECUTION metrics, not the
+    // plan string: the anti join's output counts only bloom false
+    // positives (definitely-new rows bypassed the join entirely), so the
+    // per-increment join work is a sliver of the genuinely-new mass —
+    // the property that makes the increment cost ∝ increment at 100 TB
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec => nodes(s.plan)
+      case other => other +: (other.children.flatMap(nodes) ++
+        other.subqueries.flatMap(nodes))
+    }
+    val antiOut = nodes(org.apache.spark.sql.GraftSqlBridge
+        .queryExecution(viaBloomDf).executedPlan)
+      .collect {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftAnti =>
+            j.metrics("numOutputRows").value
+      }
+    assert(antiOut.nonEmpty, "no LeftAnti join executed")
+    assert(antiOut.sum <= viaBloom.size / 10,
+      s"anti join emitted ${antiOut.sum} rows — the bloom route should " +
+      s"leave it only false positives (vs ${viaBloom.size} new rows)")
   }
 
   test("connectedComponents union-find tier survives hash-map growth " +
