@@ -223,6 +223,31 @@ object GraftSimilarity {
       .parquet(s"$dir/assigned")
   }
 
+  /** Absorb a batch into an AT-REST index without rewriting the store:
+    * the batch is assigned against the STORED centroids (the same
+    * map-side argmax as [[ivfAppend]]) and written `mode("append")` into
+    * the cell-partitioned layout — each touched cell directory gains one
+    * file, untouched cells' files are never rewritten, so the write cost
+    * is ∝ batch while [[writeIvfIndex]]'s full rewrite stays the
+    * compaction path (run it after [[ivfMaybeRebuild]] fires and the
+    * per-cell file count has grown past taste — rebuild and compaction
+    * are the same full pass). Serving the re-read store is identical to
+    * serving the in-memory [[ivfAppend]] result (OperatorLibSpec pins
+    * it); appends commute here exactly as they do in memory, because a
+    * vector's cell depends only on the fixed stored centroids.
+    */
+  def appendIvfStore(spark: org.apache.spark.sql.SparkSession, dir: String,
+                     batch: DataFrame,
+                     idCol: String = "vec_id", vecCol: String = "v"): Unit = {
+    requireIntegralId(batch, idCol, "appendIvfStore")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    val e = batch.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    assignTo(cents, e)
+      .repartition(col("c_id"))
+      .write.mode("append").partitionBy("c_id")
+      .parquet(s"$dir/assigned")
+  }
+
   /** Load an index written by [[writeIvfIndex]]. The partition column
     * comes back first-read as its inferred type; cast pins the long
     * contract so served output is type-identical to the in-memory path.

@@ -543,6 +543,38 @@ object CorpusStreams {
               round(col("s.score"), 4).as("cos"))
   }
 
+  /** Streaming ingest into the at-rest IVF store — the write-side
+    * complement of [[ivfServeStream]]: each micro-batch of (id, vector)
+    * rows is assigned against the STORED centroids and appended into the
+    * cell-partitioned layout
+    * ([[graft.operators.GraftSimilarity.appendIvfStore]] — cost ∝ batch,
+    * untouched cells never rewritten). Returns the configured
+    * `DataStreamWriter`; the caller `.start()`s it (and owns checkpoint
+    * location etc.).
+    *
+    * Delivery: foreachBatch + append-files is AT-LEAST-ONCE — a batch
+    * retried after a mid-write failure can append twice. The serve path
+    * tolerates duplicate (id, vector) rows (identical cosines, ids
+    * dedupe in top-k only if the caller's ids are unique), but exactly-once
+    * at rest needs a transactional table format or a read-side
+    * `dropDuplicates(id)` — stated plainly rather than papered over.
+    * Rebuild/compaction remain batch concerns: run
+    * [[graft.operators.GraftSimilarity.ivfMaybeRebuild]] +
+    * [[graft.operators.GraftSimilarity.writeIvfIndex]] on a schedule.
+    */
+  def ivfIngestStream(dir: String, vecs: DataFrame,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.operators.GraftSimilarity.appendIvfStore(
+        batch.sparkSession, dir,
+        batch.select(col(idCol),
+                     expr(s"transform($vecCol, x -> cast(x AS double))")
+                       .as("__v")),
+        idCol, "__v")
+    }
+
   final case class PackDoc(shard: String, doc_id: Long, n_tokens: Long)
   final case class PackAssign(shard: String, doc_id: Long, n_tokens: Long,
                               stream_offset: Long, pack_id: Long)

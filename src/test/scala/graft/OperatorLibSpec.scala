@@ -917,6 +917,76 @@ class OperatorLibSpec extends GraftFunSuite {
     } finally idx.unpersist(blocking = true)
   }
 
+  test("appendIvfStore absorbs a batch into the at-rest layout without " +
+       "rewriting existing files; served results equal the in-memory " +
+       "append; streaming ingest lands identically") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val seed = e.filter(col("vec_id") % 3 === 0)
+    val rest = e.filter(col("vec_id") % 3 =!= 0)
+    val idx = GraftSimilarity.buildIvfIndex(seed).persist()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_store_app").toString
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    def assignedFiles() = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(s"$dir/assigned"),
+                 Array("parquet"), true)
+      .toArray.map(_.toString).toSet
+    try {
+      GraftSimilarity.writeIvfIndex(idx, dir)
+      val before = assignedFiles()
+      GraftSimilarity.appendIvfStore(spark, dir, rest)
+      val after = assignedFiles()
+      // append-only at rest: every original file is still there untouched,
+      // and the batch landed as NEW files inside the cell dirs
+      assert(before.subsetOf(after) && after.size > before.size,
+        s"before=${before.size} after=${after.size}")
+      // serving the appended store == serving the in-memory append
+      val q = e.filter(col("vec_id") % 50 === 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val viaStore = GraftSimilarity
+        .ivfTopKWith(GraftSimilarity.readIvfIndex(spark, dir), q, k = 5)
+        .collect().map(key).toSet
+      val viaMem = GraftSimilarity
+        .ivfTopKWith(GraftSimilarity.ivfAppend(idx, rest), q, k = 5)
+        .collect().map(key).toSet
+      assert(viaStore == viaMem && viaStore.nonEmpty)
+      // streaming ingest of the same batch into a fresh store lands the
+      // same served answers (two micro-batches through foreachBatch)
+      import graft.streaming.CorpusStreams
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val dir2 = java.nio.file.Files.createTempDirectory("ivf_ingest").toString
+      try {
+        GraftSimilarity.writeIvfIndex(idx, dir2)
+        val rows = rest.collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toSeq
+        val (b1, b2) = rows.splitAt(rows.size / 2)
+        val input = MemoryStream[(Long, List[Double])]
+        val sq = CorpusStreams
+          .ivfIngestStream(dir2, input.toDF().toDF("vec_id", "embedding"))
+          .option("checkpointLocation", s"$dir2/_chk")
+          .start()
+        try {
+          input.addData(b1); sq.processAllAvailable()
+          input.addData(b2); sq.processAllAvailable()
+        } finally sq.stop()
+        val viaIngest = GraftSimilarity
+          .ivfTopKWith(GraftSimilarity.readIvfIndex(spark, dir2), q, k = 5)
+          .collect().map(key).toSet
+        assert(viaIngest == viaMem,
+          s"ingest-only=${viaIngest.diff(viaMem)} mem-only=${viaMem.diff(viaIngest)}")
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir2))
+    } finally {
+      idx.unpersist(blocking = true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("IVF drift lifecycle: skewed appends trip ivfMaybeRebuild, the " +
        "rebuild caps the occupancy tail, serve parity holds; a healthy " +
        "index passes through untouched") {
