@@ -1066,5 +1066,9 @@ class OperatorLibSpec extends GraftFunSuite {
           idx.assigned.withColumn("c_id", col("c_id").cast("string"))),
         "/tmp/never_written_ivf")
     }
+    intercept[IllegalArgumentException] {
+      // fails on the id check BEFORE touching the (nonexistent) store
+      GraftSimilarity.appendIvfStore(spark, "/tmp/never_read_ivf", strIds)
+    }
   }
 }
