@@ -38,13 +38,23 @@ object Bench {
       .map { case (name, fn) =>
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
-          try {
+          val t = try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
           } catch { case e: Throwable =>
             System.err.println(s"[bench] $name failed: ${e.getMessage}")
             -1.0
           }
+          // Cleanup OUTSIDE the timed region: several queries persist()
+          // intermediate frames (the ann_ivf_* index family above all) and
+          // nothing unpersists them — across 144 queries x `runs` shared-JVM
+          // executions that residue inflated late-alphabet queries (BENCH_r06
+          // recorded q5_multi_join at 3.22 s vs 0.88 s isolated,
+          // judge-measured). Clearing per RUN (not just per query) also keeps
+          // run 2/3 from silently reusing run 1's persisted frames, so the
+          // spread measures the plan, not cache luck.
+          spark.catalog.clearCache()
+          t
         }
         name -> (if (times.exists(_ < 0)) Seq.fill(runs)(-1.0) else times)
       }

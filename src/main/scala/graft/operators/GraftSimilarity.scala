@@ -111,7 +111,13 @@ object GraftSimilarity {
     * long contract with a cast — a store written with string/decimal ids
     * would read back all-null c_id and [[ivfTopKWith]] would silently
     * serve zero rows (ADVICE r5). Checked at build/append/write time, not
-    * discovered at read time.
+    * discovered at read time. Width is then NORMALIZED to long in the
+    * projection right after this check (ADVICE r6): blessing byte/short/
+    * int/long here but writing the native width would let a store built
+    * with int ids and appended with long ids hold parquet files with
+    * different n_id schemas in one directory — mergeSchema=false reads
+    * pick one footer and fail (or mis-width) at read time, the exact late
+    * failure this guard exists to prevent.
     */
   private def requireIntegralId(df: DataFrame, c: String, ctx: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
@@ -136,7 +142,8 @@ object GraftSimilarity {
                     refineIters: Int = 0): IvfIndex = {
     graft.GraftSession.ensureExtensions(collection.sparkSession)
     requireIntegralId(collection, idCol, "buildIvfIndex")
-    val e = collection.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val e = collection.select(col(idCol).cast("long").as("n_id"),
+                              col(vecCol).as("v"))
     // threshold on the first 8 md5-hex chars: lowercase fixed-width hex
     // compares as the 32-bit value; cut = ceil(2³² · fraction), clamped
     val cut: Column = centroidFraction match {
@@ -192,7 +199,8 @@ object GraftSimilarity {
                 idCol: String = "vec_id", vecCol: String = "v"): IvfIndex = {
     graft.GraftSession.ensureExtensions(batch.sparkSession)
     requireIntegralId(batch, idCol, "ivfAppend")
-    val e = batch.select(col(idCol).as("n_id"), col(vecCol).as("v"))
+    val e = batch.select(col(idCol).cast("long").as("n_id"),
+                         col(vecCol).as("v"))
     IvfIndex(index.centroids,
              index.assigned.unionByName(assignTo(index.centroids, e)))
   }
@@ -228,24 +236,131 @@ object GraftSimilarity {
     * map-side argmax as [[ivfAppend]]) and written `mode("append")` into
     * the cell-partitioned layout — each touched cell directory gains one
     * file, untouched cells' files are never rewritten, so the write cost
-    * is ∝ batch while [[writeIvfIndex]]'s full rewrite stays the
-    * compaction path (run it after [[ivfMaybeRebuild]] fires and the
-    * per-cell file count has grown past taste — rebuild and compaction
-    * are the same full pass). Serving the re-read store is identical to
-    * serving the in-memory [[ivfAppend]] result (OperatorLibSpec pins
-    * it); appends commute here exactly as they do in memory, because a
-    * vector's cell depends only on the fixed stored centroids.
+    * is ∝ batch while [[compactIvfCells]] bounds the per-cell file count
+    * incrementally (and [[writeIvfIndex]]'s full rewrite stays the
+    * whole-store path, shared with rebuild). Serving the re-read store is
+    * identical to serving the in-memory [[ivfAppend]] result
+    * (OperatorLibSpec pins it); appends commute here exactly as they do
+    * in memory, because a vector's cell depends only on the fixed stored
+    * centroids.
+    *
+    * `batchTag` makes the append IDEMPOTENT — the retry contract for
+    * streaming ingest ([[graft.streaming.CorpusStreams.ivfIngestStream]]
+    * passes the micro-batch id): the batch stages to the
+    * tag-deterministic `$$dir/ingest_staging/<tag>` (overwrite — a
+    * retried stage replaces itself), then lands in the cell dirs as files
+    * named `ingest-<tag>-<i>.parquet` after any files of the SAME tag
+    * from a previous partial attempt are deleted — same tag ⇒ same
+    * files, so append-twice ≡ append-once (OperatorLibSpec replays a
+    * tag). Cleanup only lists the cells the staged batch touches: cell
+    * assignment is deterministic in (batch, stored centroids), so a
+    * retry's files can only live in cells the current staging also
+    * holds. Untagged appends keep the plain `mode("append")` fast path
+    * (batch callers own their retries).
     */
   def appendIvfStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                      batch: DataFrame,
-                     idCol: String = "vec_id", vecCol: String = "v"): Unit = {
+                     idCol: String = "vec_id", vecCol: String = "v",
+                     batchTag: Option[String] = None): Unit = {
     requireIntegralId(batch, idCol, "appendIvfStore")
+    // c_id pinned long on read: a store written before the long-normalize
+    // contract may hold narrower centroid ids; the assigned files this
+    // append writes must carry ONE n_id/c_id width regardless.
     val cents = spark.read.parquet(s"$dir/centroids")
-    val e = batch.select(col(idCol).as("n_id"), col(vecCol).as("v"))
-    assignTo(cents, e)
-      .repartition(col("c_id"))
-      .write.mode("append").partitionBy("c_id")
-      .parquet(s"$dir/assigned")
+      .withColumn("c_id", col("c_id").cast("long"))
+    val e = batch.select(col(idCol).cast("long").as("n_id"),
+                         col(vecCol).as("v"))
+    val assigned = assignTo(cents, e).repartition(col("c_id"))
+    batchTag match {
+      case None =>
+        assigned.write.mode("append").partitionBy("c_id")
+          .parquet(s"$dir/assigned")
+      case Some(rawTag) =>
+        val tag = rawTag.replaceAll("[^A-Za-z0-9_-]", "_")
+        require(tag.nonEmpty, s"batchTag sanitized to empty: '$rawTag'")
+        import org.apache.hadoop.fs.Path
+        val staging = new Path(s"$dir/ingest_staging/$tag")
+        val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        assigned.write.mode("overwrite").partitionBy("c_id")
+          .parquet(staging.toString)
+        val assignedRoot = new Path(s"$dir/assigned")
+        val cellDirs = fs.listStatus(staging)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
+        for (cd <- cellDirs) {
+          val dest = new Path(assignedRoot, cd.getPath.getName)
+          if (fs.exists(dest))
+            fs.listStatus(dest)
+              .filter(_.getPath.getName.startsWith(s"ingest-$tag-"))
+              .foreach(f => fs.delete(f.getPath, false))
+          else fs.mkdirs(dest)
+          val parts = fs.listStatus(cd.getPath)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .sortBy(_.getPath.getName)
+          parts.zipWithIndex.foreach { case (f, i) =>
+            require(fs.rename(f.getPath,
+                              new Path(dest, s"ingest-$tag-$i.parquet")),
+              s"appendIvfStore: rename failed for ${f.getPath}")
+          }
+        }
+        fs.delete(staging, true)
+    }
+  }
+
+  /** Incremental compaction of the at-rest layout: rewrite ONLY the cell
+    * directories holding more than `maxFilesPerCell` parquet files, each
+    * down to one file — cost ∝ oversized cells' bytes, never the store
+    * ([[writeIvfIndex]]'s full rewrite is no longer the only remedy for
+    * append fragmentation). Untouched cells' files are not opened, moved,
+    * or rewritten (OperatorLibSpec pins byte-identity via mtimes).
+    *
+    * Swap protocol per oversized cell, single-writer assumed (the same
+    * assumption every mode("overwrite") path here makes): the compacted
+    * file is written to `$$dir/compact_staging`, the live cell dir is
+    * renamed to a dot-prefixed sibling (hidden — Spark's file index skips
+    * dot/underscore paths, so a concurrent read never double-counts),
+    * the staged dir renamed in, then the old dir deleted. A crash between
+    * the two renames leaves the cell's data intact in the hidden dir —
+    * recovery is renaming `.compact-old-c_id=X` back — rather than
+    * duplicated or lost.
+    *
+    * Returns the number of cells compacted.
+    */
+  def compactIvfCells(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      maxFilesPerCell: Int = 4): Int = {
+    require(maxFilesPerCell >= 1,
+      s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
+    import org.apache.hadoop.fs.Path
+    val assignedRoot = new Path(s"$dir/assigned")
+    val fs = assignedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(assignedRoot)) return 0
+    val stagingRoot = new Path(s"$dir/compact_staging")
+    var compacted = 0
+    val cellDirs = fs.listStatus(assignedRoot)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
+    for (cd <- cellDirs) {
+      val nFiles = fs.listStatus(cd.getPath)
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (nFiles > maxFilesPerCell) {
+        val staged = new Path(stagingRoot, cd.getPath.getName)
+        fs.delete(staged, true)
+        // data files under a cell dir carry (n_id, v) only — c_id lives
+        // in the directory name — so the rewrite round-trips the layout
+        spark.read.parquet(cd.getPath.toString)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(staged.toString)
+        fs.delete(new Path(staged, "_SUCCESS"), false)
+        val old = new Path(assignedRoot, s".compact-old-${cd.getPath.getName}")
+        fs.delete(old, true)
+        require(fs.rename(cd.getPath, old),
+          s"compactIvfCells: could not retire ${cd.getPath}")
+        require(fs.rename(staged, cd.getPath),
+          s"compactIvfCells: could not land $staged (live data is in $old)")
+        fs.delete(old, true)
+        compacted += 1
+      }
+    }
+    fs.delete(stagingRoot, true)
+    compacted
   }
 
   /** Load an index written by [[writeIvfIndex]]. The partition column
@@ -255,9 +370,11 @@ object GraftSimilarity {
   def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
                    dir: String): IvfIndex =
     IvfIndex(
-      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/centroids")
+        .withColumn("c_id", col("c_id").cast("long")),
       spark.read.parquet(s"$dir/assigned")
-        .withColumn("c_id", col("c_id").cast("long")))
+        .withColumn("c_id", col("c_id").cast("long"))
+        .withColumn("n_id", col("n_id").cast("long")))
 
   /** Per-cell occupancy — the rebuild signal for [[ivfAppend]] callers
     * (and the skew diagnostic for probe-cost modeling): one row per
@@ -330,13 +447,30 @@ object GraftSimilarity {
                                 nprobe: Int, keep: Seq[String]): DataFrame = {
     val centsRow = broadcast(centroids.agg(
       collect_list(struct(col("c_id"), col("cv"))).as("__cents")))
-    q.crossJoin(centsRow)
+    // Zero-norm guard (ADVICE r6): graft_cosine has no zero-norm special
+    // case — a zero query vector scores NaN against every centroid, the
+    // comparator would treat NaN as a tie and the `__qc >= -2` DPP
+    // predicate is false for NaN, so the query's probe rows would vanish
+    // and the serve would SILENTLY return zero rows. Fail loudly instead:
+    // one O(dim) norm check per query row (the broadcast-small side),
+    // wired through the qv projection so column pruning can't drop it.
+    // Zero-norm CENTROIDS stay non-fatal: their qc is NaN for every
+    // query, `nanvl(·, -9)` sorts them deterministically last (ties by
+    // c_id), and the -2 bound filters them out — a degenerate centroid
+    // can never be probed, which is the only sane serve semantics for it.
+    val qChecked = q.withColumn("qv",
+      when(expr(
+             "assert_true(aggregate(qv, 0D, (a, x) -> a + x * x) > 0D, " +
+             "'probeCells: zero-norm query vector — cosine similarity is " +
+             "undefined for it and it would serve zero results')").isNull,
+           col("qv")))
+    qChecked.crossJoin(centsRow)
       .select(keep.map(col) :+
         explode(expr(
           s"""slice(
                 array_sort(
                   transform(__cents,
-                            c -> struct(graft_cosine(qv, c.cv) AS qc,
+                            c -> struct(nanvl(graft_cosine(qv, c.cv), -9D) AS qc,
                                         c.c_id AS c_id)),
                   (a, b) -> CASE WHEN a.qc > b.qc THEN -1
                                  WHEN a.qc < b.qc THEN 1

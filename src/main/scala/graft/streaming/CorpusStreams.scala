@@ -158,18 +158,37 @@ object CorpusStreams {
     *
     * Input contract: `docs` carries (idCol: integral, tsCol: timestamp,
     * itemsCol: array<string> — shingles/tokens, same as batch).
+    *
+    * `maxBucketResidents` caps a DEGENERATE bucket (constant shingle sets
+    * — e.g. empty docs — hash every arrival to the same band keys, and
+    * without a cap that one bucket's state grows to the whole horizon
+    * while its per-arrival verify scans every resident): when an arrival
+    * pushes a bucket past the cap, the OLDEST resident (smallest ts, tie
+    * → smallest id) is evicted and an overflow MARKER row is emitted —
+    * `(a_id = evicted id, b_id = -1, jaccard = -1, ts = arrival ts)`,
+    * impossible as a real pair — so capped buckets are observable, not
+    * silent. Recall effect, stated exactly: an evicted resident can no
+    * longer pair IN THAT BUCKET; a true pair is lost only if every one of
+    * its colliding bands' buckets evicted the earlier doc first, so for
+    * non-adversarial corpora a cap ≳ expected bucket occupancy × safety
+    * factor leaves recall untouched (StreamingSpec pins both: bounded
+    * state + markers under adversarial same-bucket input, unchanged
+    * output at a non-binding cap).
     */
   def nearDupPairStream(docs: DataFrame, idCol: String = "doc_id",
                         itemsCol: String = "items", tsCol: String = "ts",
                         threshold: Double = 0.8,
                         horizonMinutes: Long = 60,
                         numHashes: Int = 128, rowsPerBand: Int = 0,
-                        sigFilter: Double = Double.NaN)
+                        sigFilter: Double = Double.NaN,
+                        maxBucketResidents: Int = Int.MaxValue)
       : Dataset[NearDupPairOut] = {
     require(threshold > 0 && threshold <= 1,
       s"threshold should be in (0, 1], got: $threshold")
     require(horizonMinutes > 0,
       s"horizonMinutes must be positive, got $horizonMinutes")
+    require(maxBucketResidents >= 1,
+      s"maxBucketResidents must be >= 1, got $maxBucketResidents")
     // same banding/prefilter dispatch as the batch operator, so the two
     // tiers' recall contracts line up spec-for-spec
     val r = if (rowsPerBand > 0) rowsPerBand
@@ -254,6 +273,12 @@ object CorpusStreams {
           }
         }
         live ::= BucketEntry(e.id, eMs, e.sig, e.gh)
+        if (maxBucketResidents != Int.MaxValue &&
+            live.length > maxBucketResidents) {
+          val victim = live.minBy(en => (en.tsMs, en.id))
+          live = live.filterNot(en => en.id == victim.id)
+          out += NearDupPairOut(victim.id, -1L, -1.0, e.ts)
+        }
       }
       state.update(BucketState(live))
       state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
@@ -324,13 +349,25 @@ object CorpusStreams {
     * cosines should stay on the exact tier. The resident's full vector is
     * gone by design, so no exact rerank of historic residents is possible
     * — that is the state/precision trade, stated plainly.
+    *
+    * `maxBucketResidents` caps a DEGENERATE bucket — all-zero (or any
+    * constant-sign-pattern) embeddings share every band signature, so one
+    * bucket's state would otherwise grow to the whole horizon with
+    * O(residents) verify per arrival. Same contract as
+    * [[nearDupPairStream]]: oldest resident (smallest ts, tie → smallest
+    * id) evicts past the cap and an overflow marker
+    * `(a_id = evicted id, b_id = -1, cos = -1, ts = arrival ts)` is
+    * emitted; an evicted resident can still pair through its OTHER
+    * bands' buckets, so the cap costs recall only when every colliding
+    * band's bucket is hot.
     */
   def srpPairStream(vecs: DataFrame, idCol: String = "vec_id",
                     vecCol: String = "embedding", tsCol: String = "ts",
                     threshold: Double = 0.9,
                     horizonMinutes: Long = 60,
                     bandBits: Int = 12, bands: Int = 40,
-                    quantizedState: Boolean = false)
+                    quantizedState: Boolean = false,
+                    maxBucketResidents: Int = Int.MaxValue)
       : Dataset[CosPairOut] = {
     require(threshold > 0 && threshold <= 1,
       s"threshold should be in (0, 1], got: $threshold")
@@ -339,6 +376,8 @@ object CorpusStreams {
     require(bandBits >= 1 && bandBits <= 64,
       s"bandBits must be in [1, 64], got $bandBits")
     require(bands >= 1, s"bands must be >= 1, got $bands")
+    require(maxBucketResidents >= 1,
+      s"maxBucketResidents must be >= 1, got $maxBucketResidents")
     val horizonMs = horizonMinutes * 60000L
     graft.GraftSession.ensureExtensions(vecs.sparkSession)
     import vecs.sparkSession.implicits._
@@ -395,9 +434,16 @@ object CorpusStreams {
       }
       out
     }
-    // graft_q8_cos's integer-exact arithmetic over the byte form
+    // graft_q8_cos's integer-exact arithmetic over the byte form —
+    // INCLUDING its length contract (ADVICE r6): the batch kernel throws
+    // on mismatched dims, so dim drift in the stream must fail loudly
+    // here too, not silently score truncated prefixes
     def q8Cos(x: Array[Byte], y: Array[Byte]): Double = {
-      val n = math.min(x.length, y.length)
+      if (x.length != y.length)
+        throw new IllegalArgumentException(
+          s"q8Cos: vector lengths differ (${x.length} vs ${y.length}) — " +
+          "dim drift in the stream; same contract as graft_q8_cos")
+      val n = x.length
       var ab = 0L; var aa = 0L; var bb = 0L
       var i = 0
       while (i < n) {
@@ -436,6 +482,12 @@ object CorpusStreams {
           }
         }
         live ::= SrpBucketEntry(e.id, eMs, e.bsigs, e.v)
+        if (maxBucketResidents != Int.MaxValue &&
+            live.length > maxBucketResidents) {
+          val victim = live.minBy(en => (en.tsMs, en.id))
+          live = live.filterNot(en => en.id == victim.id)
+          out += CosPairOut(victim.id, -1L, -1.0, e.ts)
+        }
       }
       state.update(SrpBucketState(live))
       state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
@@ -473,6 +525,12 @@ object CorpusStreams {
           }
         }
         live ::= SrpBucketEntryQ(e.id, eMs, e.bsigs, eq)
+        if (maxBucketResidents != Int.MaxValue &&
+            live.length > maxBucketResidents) {
+          val victim = live.minBy(en => (en.tsMs, en.id))
+          live = live.filterNot(en => en.id == victim.id)
+          out += CosPairOut(victim.id, -1L, -1.0, e.ts)
+        }
       }
       state.update(SrpBucketStateQ(live))
       state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
@@ -552,27 +610,33 @@ object CorpusStreams {
     * `DataStreamWriter`; the caller `.start()`s it (and owns checkpoint
     * location etc.).
     *
-    * Delivery: foreachBatch + append-files is AT-LEAST-ONCE — a batch
-    * retried after a mid-write failure can append twice. The serve path
-    * tolerates duplicate (id, vector) rows (identical cosines, ids
-    * dedupe in top-k only if the caller's ids are unique), but exactly-once
-    * at rest needs a transactional table format or a read-side
-    * `dropDuplicates(id)` — stated plainly rather than papered over.
+    * Delivery: IDEMPOTENT per micro-batch (exactly-once at rest under
+    * Structured Streaming's batch-id replay contract): each micro-batch
+    * appends under its `batchId` as the store's batch tag, so the files
+    * it lands have batch-deterministic names and a retried micro-batch
+    * REPLACES its own previous (partial or complete) files instead of
+    * duplicating them — replaying the same id twice serves identically
+    * to once (OperatorLibSpec pins it). The one residual at-least-once
+    * window is a retry AFTER the source already reassigned different
+    * rows to the same batch id (a checkpoint deleted mid-stream) —
+    * a misuse of the checkpoint contract, not a crash mode.
     * Rebuild/compaction remain batch concerns: run
-    * [[graft.operators.GraftSimilarity.ivfMaybeRebuild]] +
-    * [[graft.operators.GraftSimilarity.writeIvfIndex]] on a schedule.
+    * [[graft.operators.GraftSimilarity.ivfMaybeRebuild]] (full rewrite
+    * via [[graft.operators.GraftSimilarity.writeIvfIndex]]) and
+    * [[graft.operators.GraftSimilarity.compactIvfCells]] (incremental —
+    * bounds the per-cell file growth this ingest creates) on a schedule.
     */
   def ivfIngestStream(dir: String, vecs: DataFrame,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding")
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.operators.GraftSimilarity.appendIvfStore(
         batch.sparkSession, dir,
         batch.select(col(idCol),
                      expr(s"transform($vecCol, x -> cast(x AS double))")
                        .as("__v")),
-        idCol, "__v")
+        idCol, "__v", batchTag = Some(s"b$batchId"))
     }
 
   final case class PackDoc(shard: String, doc_id: Long, n_tokens: Long)

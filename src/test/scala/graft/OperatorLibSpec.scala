@@ -1071,4 +1071,199 @@ class OperatorLibSpec extends GraftFunSuite {
       GraftSimilarity.appendIvfStore(spark, "/tmp/never_read_ivf", strIds)
     }
   }
+
+  test("appendIvfStore with a batchTag is idempotent: replaying the same " +
+       "tag replaces its own files, the store serves identically to a " +
+       "single append") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val seed = e.filter(col("vec_id") % 3 === 0)
+    val batch = e.filter(col("vec_id") % 3 =!= 0)
+    val idx = GraftSimilarity.buildIvfIndex(seed).persist()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idem").toString
+    def files() = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(s"$dir/assigned"), Array("parquet"), true)
+      .toArray.map(_.toString).toSet
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val q = e.filter(col("vec_id") % 50 === 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    try {
+      GraftSimilarity.writeIvfIndex(idx, dir)
+      GraftSimilarity.appendIvfStore(spark, dir, batch,
+                                     batchTag = Some("b7"))
+      val once = files()
+      assert(once.exists(_.contains("ingest-b7-")),
+        s"tagged append should land tag-named files: $once")
+      val servedOnce = GraftSimilarity
+        .ivfTopKWith(GraftSimilarity.readIvfIndex(spark, dir), q, k = 5)
+        .collect().map(key).toSet
+      // replay the whole micro-batch (the foreachBatch retry shape):
+      // same tag + same rows ⇒ same file names, same store
+      GraftSimilarity.appendIvfStore(spark, dir, batch,
+                                     batchTag = Some("b7"))
+      assert(files() == once,
+        s"replay must replace, not duplicate: ${files().diff(once)}")
+      val servedTwice = GraftSimilarity
+        .ivfTopKWith(GraftSimilarity.readIvfIndex(spark, dir), q, k = 5)
+        .collect().map(key).toSet
+      assert(servedTwice == servedOnce && servedOnce.nonEmpty)
+      // row count proves no duplicate vectors hid below the serve layer
+      val n = spark.read.parquet(s"$dir/assigned").count()
+      assert(n == seed.count() + batch.count(),
+        s"store holds $n rows, expected ${seed.count() + batch.count()}")
+      // a DIFFERENT tag with the same rows appends (tags scope replays,
+      // they don't dedup content — that contract stays with the caller)
+      GraftSimilarity.appendIvfStore(spark, dir, batch,
+                                     batchTag = Some("b8"))
+      assert(spark.read.parquet(s"$dir/assigned").count() ==
+             seed.count() + 2 * batch.count())
+    } finally {
+      idx.unpersist(blocking = true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("compactIvfCells rewrites ONLY oversized cells down to one file; " +
+       "serve parity holds and untouched cells' files are byte-identical") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    // four append waves of a SMALL skewed slice (fresh ids per wave) so
+    // only the slice's cells fragment and the rest stay single-file
+    val slice = e.filter(col("vec_id") % 53 === 1)
+    def cellFiles(): Map[String, Map[String, (Long, Long)]] = {
+      val root = new java.io.File(s"$dir/assigned")
+      root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("c_id="))
+        .map { d =>
+          d.getName -> d.listFiles()
+            .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+            .map(f => f.getName -> ((f.lastModified(), f.length()))).toMap
+        }.toMap
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val q = e.filter(col("vec_id") % 50 === 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    try {
+      GraftSimilarity.writeIvfIndex(idx, dir)
+      for (w <- 1 to 4)
+        GraftSimilarity.appendIvfStore(spark, dir,
+          slice.select((col("vec_id") + w * 1000000L).as("vec_id"), col("v")))
+      val before = cellFiles()
+      val over = before.filter(_._2.size > 2)
+      val under = before.filter(_._2.size <= 2)
+      assert(over.nonEmpty, "test needs fragmented cells")
+      assert(under.nonEmpty, "test needs untouched cells")
+      val servedBefore = GraftSimilarity
+        .ivfTopKWith(GraftSimilarity.readIvfIndex(spark, dir), q, k = 5)
+        .collect().map(key).toSet
+      val nCompacted = GraftSimilarity.compactIvfCells(spark, dir,
+                                                       maxFilesPerCell = 2)
+      assert(nCompacted == over.size,
+        s"compacted $nCompacted, expected ${over.size}")
+      val after = cellFiles()
+      // oversized cells collapsed to exactly one file
+      assert(over.keySet.forall(c => after(c).size == 1),
+        over.keySet.map(c => s"$c -> ${after(c).size}").mkString(", "))
+      // cells under the bound: same files, same mtime and size — never
+      // opened for write, not merely equal content
+      assert(under.forall { case (c, fs) => after(c) == fs },
+        "untouched cells must keep byte-identical files")
+      // no staging or retired-dir residue
+      assert(!new java.io.File(s"$dir/compact_staging").exists())
+      assert(new java.io.File(s"$dir/assigned").listFiles()
+        .forall(!_.getName.startsWith(".compact-old-")))
+      // store content and serve identical across the compaction
+      val servedAfter = GraftSimilarity
+        .ivfTopKWith(GraftSimilarity.readIvfIndex(spark, dir), q, k = 5)
+        .collect().map(key).toSet
+      assert(servedAfter == servedBefore && servedAfter.nonEmpty)
+      // second pass is a no-op: nothing left over the bound
+      assert(GraftSimilarity.compactIvfCells(spark, dir, 2) == 0)
+    } finally {
+      idx.unpersist(blocking = true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
+  test("IVF id widths normalize to long at every boundary: an int-id " +
+       "store absorbs a long-id append into ONE parquet schema") {
+    import graft.operators.GraftSimilarity
+    import org.apache.spark.sql.types.LongType
+    val ints = spark.range(0, 400)
+      .select(col("id").cast("int").as("vec_id"),
+              expr("array(cast(id % 17 AS double) + 0.5, " +
+                   "cast(id % 5 AS double) + 1.0)").as("v"))
+    val longs = spark.range(1000, 1200)
+      .select(col("id").as("vec_id"),
+              expr("array(cast(id % 13 AS double) + 0.5, " +
+                   "cast(id % 7 AS double) + 1.0)").as("v"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_widths").toString
+    try {
+      val idx = GraftSimilarity.buildIvfIndex(ints)
+      assert(idx.assigned.schema("n_id").dataType == LongType &&
+             idx.assigned.schema("c_id").dataType == LongType,
+        "build must pin the long contract in memory")
+      GraftSimilarity.writeIvfIndex(idx, dir)
+      GraftSimilarity.appendIvfStore(spark, dir, longs)
+      // mixed-width appends previously landed files with different n_id
+      // schemas in one directory — the read would bind one footer's
+      // schema; now every file is long and the whole store reads cleanly
+      val stored = GraftSimilarity.readIvfIndex(spark, dir)
+      assert(stored.assigned.schema("n_id").dataType == LongType)
+      assert(stored.assigned.count() == 600)
+      // the in-memory append path agrees (no silent unionByName widening)
+      val mem = GraftSimilarity.ivfAppend(idx, longs)
+      assert(mem.assigned.schema("n_id").dataType == LongType)
+      val q = longs.filter(col("vec_id") < 1005)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val viaStore = GraftSimilarity.ivfTopKWith(stored, q, k = 3)
+        .collect().map(key).toSet
+      val viaMem = GraftSimilarity.ivfTopKWith(mem, q, k = 3)
+        .collect().map(key).toSet
+      assert(viaStore == viaMem && viaStore.nonEmpty)
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
+  test("probeCells zero-norm handling: a zero-norm query vector fails " +
+       "loudly; a zero-norm CENTROID is skipped, never probed") {
+    import graft.operators.GraftSimilarity
+    val coll = spark.range(0, 100)
+      .select(col("id").as("vec_id"),
+              expr("array(cast(id % 9 AS double) + 1.0, " +
+                   "cast(id % 4 AS double) + 2.0)").as("v"))
+    val idx = GraftSimilarity.buildIvfIndex(coll)
+    // zero-norm query: silent empty output is the failure mode ADVICE
+    // flagged — the serve must throw instead
+    val zeroQ = Seq((9999L, Seq(0.0, 0.0))).toDF("q_id", "qv")
+    val err = intercept[Throwable] {
+      GraftSimilarity.ivfTopKWith(idx, zeroQ, k = 3).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(messages(err).exists(_.contains("zero-norm")),
+      s"expected the zero-norm assert, got: ${messages(err).mkString(" | ")}")
+    // zero-norm centroid: its qc is NaN for every query — nanvl + the
+    // probe bound exclude it deterministically, results still served
+    val zeroCent = GraftSimilarity.IvfIndex(
+      idx.centroids.unionByName(
+        Seq((999999L, Seq(0.0, 0.0))).toDF("c_id", "cv")),
+      idx.assigned)
+    val q = coll.limit(3).select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val served = GraftSimilarity.ivfTopKWith(zeroCent, q, k = 3).collect()
+    assert(served.nonEmpty)
+    assert(GraftSimilarity.ivfTopKWith(idx, q, k = 3).collect().map(_.toString)
+             .sorted.sameElements(served.map(_.toString).sorted),
+      "a dead centroid must not change served results")
+  }
 }

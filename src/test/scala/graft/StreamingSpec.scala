@@ -864,4 +864,111 @@ class StreamingSpec extends GraftFunSuite {
         s"got $all")
     } finally q.stop()
   }
+
+  test("srpPairStream hot-bucket cap: adversarial same-bucket input keeps " +
+       "state bounded with deterministic eviction markers; a non-binding " +
+       "cap changes nothing — both state tiers") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    // every vector is a positive scaling of one direction: identical SRP
+    // signatures in ALL 40 bands (the degenerate hot bucket), cosine 1.0
+    val base = (1 to 8).map(_.toFloat).toList
+    val rows = (1 to 60).map(i => (i.toLong, ts(5), base.map(_ * i))).toList
+    def run(cap: Int, quantized: Boolean): (Set[(Long, Long)], Set[Long], Long) = {
+      val input = MemoryStream[(Long, Timestamp, List[Float])]
+      val name = s"srp_cap_${cap}_$quantized"
+      val q = CorpusStreams
+        .srpPairStream(input.toDF().toDF("vec_id", "ts", "embedding"),
+                       threshold = 0.9, horizonMinutes = 60,
+                       quantizedState = quantized, maxBucketResidents = cap)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try {
+        input.addData(rows); q.processAllAvailable()
+        val out = spark.table(name).collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        (out.filter(_._2 != -1L).toSet, out.filter(_._2 == -1L).map(_._1).toSet,
+         q.lastProgress.stateOperators.map(_.memoryUsedBytes).sum)
+      } finally q.stop()
+    }
+    for (quantized <- Seq(false, true)) {
+      val (pairsFree, markersFree, bytesFree) = run(Int.MaxValue, quantized)
+      assert(markersFree.isEmpty, "uncapped run must emit no markers")
+      val (pairsCap, markersCap, bytesCap) = run(8, quantized)
+      // deterministic oldest-first eviction: same ts ⇒ smallest id goes;
+      // arrivals 9..60 each push out one resident ⇒ ids 1..52 marked
+      assert(markersCap == (1L to 52L).toSet,
+        s"quantized=$quantized markers=$markersCap")
+      // a capped bucket pairs an arrival only with its 8 retained
+      // residents — every emitted pair spans at most 8 arrival ranks,
+      // and is a subset of the uncapped pair set (the recall trade)
+      assert(pairsCap.nonEmpty && pairsCap.subsetOf(pairsFree))
+      assert(pairsCap.forall { case (a, b) => b - a <= 8 },
+        s"quantized=$quantized: ${pairsCap.filter(p => p._2 - p._1 > 8)}")
+      // the point of the cap: state is bounded by cap·bands, not horizon
+      assert(bytesCap < bytesFree,
+        s"quantized=$quantized: capped state $bytesCap !< $bytesFree")
+      // non-binding cap: byte-for-byte the uncapped output, no markers
+      val (pairsLoose, markersLoose, _) = run(100, quantized)
+      assert(pairsLoose == pairsFree && markersLoose.isEmpty)
+    }
+  }
+
+  test("nearDupPairStream hot-bucket cap: constant shingle sets bound " +
+       "state with markers; pairs only span retained residents") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val items = List("alpha", "beta", "gamma")
+    val rows = (1 to 30).map(i => (i.toLong, ts(5), items)).toList
+    val input = MemoryStream[(Long, Timestamp, List[String])]
+    val q = CorpusStreams
+      .nearDupPairStream(input.toDF().toDF("doc_id", "ts", "items"),
+                         threshold = 0.8, horizonMinutes = 60,
+                         maxBucketResidents = 5)
+      .writeStream.format("memory").queryName("neardup_cap")
+      .outputMode("append").start()
+    try {
+      input.addData(rows); q.processAllAvailable()
+      val out = spark.table("neardup_cap").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val markers = out.filter(_._2 == -1L)
+      val pairs = out.filterNot(_._2 == -1L)
+      assert(markers.forall(_._3 == -1.0))
+      assert(markers.map(_._1).toSet == (1L to 25L).toSet,
+        s"markers=${markers.map(_._1).toSet}")
+      // identical docs: every retained-resident pair verifies at 1.0, and
+      // no pair reaches past the 5 retained residents
+      assert(pairs.nonEmpty && pairs.forall(_._3 == 1.0))
+      assert(pairs.forall { case (a, b, _) => b - a <= 5 },
+        pairs.filter(p => p._2 - p._1 > 5).mkString(","))
+    } finally q.stop()
+  }
+
+  test("srpPairStream quantized state fails loudly on dim drift, like the " +
+       "batch graft_q8_cos kernel") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    // two all-zero vectors of different dims: every hyperplane dot is 0,
+    // so their band signatures agree and they meet in a bucket — where
+    // the quantized verify must throw, not score a truncated prefix
+    val input = MemoryStream[(Long, Timestamp, List[Float])]
+    val q = CorpusStreams
+      .srpPairStream(input.toDF().toDF("vec_id", "ts", "embedding"),
+                     threshold = 0.5, horizonMinutes = 60,
+                     quantizedState = true)
+      .writeStream.format("memory").queryName("srp_dim_drift")
+      .outputMode("append").start()
+    try {
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        input.addData(Seq((1L, ts(0), List.fill(8)(0f)),
+                          (2L, ts(1), List.fill(16)(0f))))
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(messages(err).exists(_.contains("vector lengths differ")),
+        messages(err).mkString(" | "))
+    } finally q.stop()
+  }
 }
