@@ -30,6 +30,15 @@ import graft.GraftSession
   */
 object DedupQueries extends QueryModule {
 
+  /** The CDC oracle's gear table: low 6 bits of each
+    * [[graft.functions.GraftCdc.Gear]] entry, inlined into the DuckDB SQL —
+    * generated FROM the kernel's own table so the two cannot drift (the
+    * `ann_lsh_bucket` pattern: deterministic constants become oracle
+    * literals). Only 6 bits matter because the catalog query's mask is 63.
+    */
+  private val gearMod64: String =
+    graft.functions.GraftCdc.Gear.map(_ & 63L).mkString(", ")
+
   /** (doc_id, shingles): distinct word-3-shingles per document. Pure map
     * (`spread` only equalizes parallelism for the per-doc compute).
     */
@@ -220,15 +229,67 @@ object DedupQueries extends QueryModule {
     // Content-defined-chunking near-dup pairs: Gear rolling-hash chunk
     // boundaries move WITH the content, so local edits leave the rest of a
     // long document's chunks aligned (the storage-dedup construction).
-    // Chunk hashes are engine-specific ⇒ rows-only driver check;
-    // OperatorLibSpec pins the edit-resilience property directly.
+    // ORACLE-UPGRADED (r7): the xxhash64 chunk HASHES are engine-specific,
+    // but chunk IDENTITY is equally the chunk SUBSTRING — equal substrings
+    // hash equal, distinct substrings collide w.p. ~2⁻⁶⁴ — so DuckDB can
+    // replay the whole operator if it can replay the BOUNDARIES. It can:
+    // with maskBits = 6 the cut test `(h & 63) == 0` depends only on the
+    // rolling hash MOD 64, and h' = (h << 1) + gear[b] gives the tiny-int
+    // recurrence hm' = (2·(hm mod 32) + (gear[b] & 63)) mod 64 — no 64-bit
+    // wraparound needed, just the gear table's low 6 bits inlined as
+    // literals (generated from GraftCdc.Gear itself, so kernel and oracle
+    // cannot drift; the corpus is ASCII so chars == bytes, which the
+    // recursion's substr-ord addressing relies on). Jaccard over distinct
+    // chunk substrings then equals Jaccard over distinct chunk hashes.
     GraftQuery(
       "dedup_cdc_chunks",
       (s, dir) =>
         graft.operators.GraftDedup.cdcChunkPairs(
           spread(t(s, dir, "documents")), "doc_id", "text",
           threshold = 0.5, minLen = 32, maskBits = 6),
-      None),
+      Some(s"""WITH RECURSIVE gear AS (
+        |  SELECT unnest(range(256)) AS b, unnest([$gearMod64]) AS g
+        |),
+        |docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |walk AS (
+        |  SELECT doc_id, 0 AS i, 0 AS hm, 1 AS st, CAST(NULL AS VARCHAR) AS chunk
+        |  FROM docs
+        |  UNION ALL
+        |  SELECT doc_id, i,
+        |         CASE WHEN cut THEN 0 ELSE hm2 END AS hm,
+        |         CASE WHEN cut THEN i + 1 ELSE st END AS st,
+        |         CASE WHEN cut THEN substring(text, st, i - st + 1) END AS chunk
+        |  FROM (
+        |    SELECT w.doc_id, w.i + 1 AS i, w.st AS st, d.text,
+        |           (2 * (w.hm % 32) + g.g) % 64 AS hm2,
+        |           ((w.i + 1 - w.st + 1 >= 32) AND
+        |            (2 * (w.hm % 32) + g.g) % 64 = 0) AS cut
+        |    FROM walk w
+        |    JOIN docs d USING (doc_id)
+        |    JOIN gear g ON g.b = ord(substr(d.text, w.i + 1, 1))
+        |    WHERE w.i < d.n
+        |  )
+        |),
+        |cs AS (
+        |  SELECT DISTINCT doc_id, chunk FROM (
+        |    SELECT doc_id, chunk FROM walk WHERE chunk IS NOT NULL
+        |    UNION ALL
+        |    SELECT w.doc_id, substring(d.text, w.st, d.n - w.st + 1) AS chunk
+        |    FROM walk w JOIN docs d USING (doc_id)
+        |    WHERE w.i = d.n AND w.st <= d.n)
+        |),
+        |sz AS (SELECT doc_id, count(*) AS m FROM cs GROUP BY doc_id),
+        |inter AS (
+        |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS c
+        |  FROM cs x JOIN cs y ON x.chunk = y.chunk AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT i.a_id, i.b_id,
+        |       round(CAST(i.c AS DOUBLE) / (sa.m + sb.m - i.c), 4) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.a_id
+        |JOIN sz sb ON sb.doc_id = i.b_id
+        |WHERE CAST(i.c AS DOUBLE) / (sa.m + sb.m - i.c) >= 0.5""".stripMargin)),
 
     // Character-5-gram Jaccard near-dup pairs at J ≥ 0.75, lang-blocked.
     // Same LSH machinery over char-grams (lang joins the bucket key), exact
