@@ -483,6 +483,138 @@ object GraftSimilarity {
       .select(keep.map(col) :+ col("c_id"): _*)
   }
 
+  /** Two-level (coarse-quantizer) probe structures for HIGH-DIM centroid
+    * sets: `superCents` (sc_id, scv) — ⌈√M⌉ hash-picked super-centroids
+    * over the M = √N cell centroids — and `grouped` (sc_id, cells:
+    * array<struct(c_id, cv)>) — every centroid attached to its nearest
+    * super-cell. Built once per index by [[buildCoarseQuantizer]].
+    *
+    * Why it exists: [[probeCells]] folds ALL M centroids into ONE
+    * broadcast row — M·dim·8 B, 16 MB at N = 1e9/dim 64 but ~259 MB at
+    * dim 1024, past single-row comfort — and scans M·dim doubles per
+    * query. The coarse tier folds only √M super-centroids (1.5 MB at the
+    * same scale) and scans ~(1 + sProbe)·√M·dim per query — a √M cut in
+    * both the giant-row size and the per-query probe compute. The trade:
+    * cells are only found inside the `sProbe` nearest super-cells
+    * (standard two-level IVF recall), and the per-query global top-nprobe
+    * needs ONE skinny aggregation (|Q|·sProbe·nprobe rows) — an exchange,
+    * so this is the IN-MEMORY / high-dim serve path; the at-rest store
+    * keeps the exchange-free flat probe whose file pruning is
+    * metric-certified (an internal shuffle on the probe side is exactly
+    * what silently killed DPP in r6).
+    */
+  final case class IvfCoarse(superCents: DataFrame, grouped: DataFrame)
+
+  /** Build the coarse tier over an index's centroids: hash-pick ⌈√M⌉
+    * super-centroids (same md5-threshold trick as [[buildIvfIndex]] —
+    * engine-reproducible, uniform over any id domain), assign every
+    * centroid to its nearest super-cell (the [[assignTo]] argmax over the
+    * broadcast-small super set), and group each super-cell's centroids
+    * into one array row. Cost: M·√M cosines, once per (re)build — at
+    * M = √N this is N^{3/4}, vanishing next to the N·√N assign.
+    */
+  def buildCoarseQuantizer(centroids: DataFrame,
+                           superFraction: Option[Double] = None)
+      : IvfCoarse = {
+    graft.GraftSession.ensureExtensions(centroids.sparkSession)
+    val supers = {
+      val cut: Column = superFraction match {
+        case Some(f) =>
+          require(f > 0 && f <= 1, s"superFraction out of (0, 1]: $f")
+          lit(f"${math.min(0xFFFFFFFFL, math.ceil(f * 4294967296.0).toLong)}%08x")
+        case None =>
+          format_string("%08x",
+            least(ceil(lit(4294967296.0) * ceil(sqrt(col("__M"))) / col("__M")),
+                  lit(4294967295L)))
+      }
+      val withM = superFraction match {
+        case Some(_) => centroids
+        case None => centroids.crossJoin(broadcast(
+          centroids.agg(count(lit(1)).cast("double").as("__M"))))
+      }
+      withM
+        // second-level salt ("sc") decorrelates the pick from the
+        // first-level one — without it the super-cells would be exactly
+        // the first ⌈√M⌉ centroids the level-1 threshold admitted
+        .filter(substring(md5(concat(col("c_id").cast("string"), lit("sc"))),
+                          1, 8) < cut)
+        .select(col("c_id").as("sc_id"), col("cv").as("scv"))
+    }
+    val grouped = assignTo(
+        supers.select(col("sc_id").as("c_id"), col("scv").as("cv")),
+        centroids.select(col("c_id").as("n_id"), col("cv").as("v")))
+      .select(col("c_id").as("sc_id"),
+              struct(col("n_id").as("c_id"), col("v").as("cv")).as("cell"))
+      .groupBy("sc_id")
+      .agg(collect_list(col("cell")).as("cells"))
+    IvfCoarse(supers, grouped)
+  }
+
+  /** Two-level probe: stage 1 is the flat [[probeCells]] map over the
+    * SUPER-centroids (one √M-struct broadcast row, in-row top-`sProbe`);
+    * stage 2 broadcast-joins the probed super-cells' centroid arrays,
+    * takes each super's top-`nprobe` cells IN-ROW, and resolves the
+    * per-query GLOBAL top-`nprobe` with the mergeable `graft_topk`
+    * aggregate — only |Q|·sProbe·nprobe skinny (qc, c_id) rows cross that
+    * shuffle, never vectors. Selection is EXACT top-nprobe (qc desc,
+    * c_id asc) over the probed supers' cells: a globally-top cell is
+    * top-nprobe within its own super, so the in-row slice loses nothing —
+    * with sProbe ≥ the super count the candidate set is every centroid
+    * and the output is IDENTICAL to [[probeCells]] (OperatorLibSpec pins
+    * it).
+    */
+  private[graft] def probeCellsCoarse(q: DataFrame, coarse: IvfCoarse,
+                                      sProbe: Int, nprobe: Int,
+                                      keep: Seq[String]): DataFrame = {
+    // stage 2 scores qv against the probed supers' cells, so qv must
+    // survive stage 1 whether or not the caller wants it back
+    val keep1 = (keep :+ "qv").distinct
+    val superProbes = probeCells(
+      q, coarse.superCents.select(col("sc_id").as("c_id"),
+                                  col("scv").as("cv")),
+      sProbe, keep1).withColumnRenamed("c_id", "sc_id")
+    superProbes.join(broadcast(coarse.grouped), "sc_id")
+      .select(keep.map(col) :+
+        explode(expr(
+          s"""slice(
+                array_sort(
+                  transform(cells,
+                            c -> struct(nanvl(graft_cosine(qv, c.cv), -9D) AS qc,
+                                        c.c_id AS c_id)),
+                  (a, b) -> CASE WHEN a.qc > b.qc THEN -1
+                                 WHEN a.qc < b.qc THEN 1
+                                 WHEN a.c_id < b.c_id THEN -1
+                                 WHEN a.c_id > b.c_id THEN 1 ELSE 0 END),
+                1, $nprobe)""")).as("__p"): _*)
+      .select(keep.map(col) :+ col("__p.c_id").as("c_id") :+
+              col("__p.qc").as("__qc"): _*)
+      .filter(col("__qc") >= lit(-2.0))
+      .groupBy(keep.map(col): _*)
+      .agg(expr(s"graft_topk(__qc, c_id, $nprobe)").as("__tk"))
+      .select(keep.map(col) :+ explode(col("__tk.id")).as("c_id"): _*)
+  }
+
+  /** [[ivfTopKWith]] through the two-level probe — the high-dim /
+    * huge-centroid-set serve path. Same output contract; cells outside
+    * the `sProbe` probed super-cells are not searched (the two-level
+    * recall trade), and with `sProbe` ≥ the super count the result is
+    * exactly [[ivfTopKWith]]'s.
+    */
+  def ivfTopKWithCoarse(index: IvfIndex, coarse: IvfCoarse,
+                        queries: DataFrame, k: Int,
+                        sProbe: Int = 4, nprobe: Int = 4,
+                        qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    require(sProbe >= 1, s"sProbe must be >= 1, got $sProbe")
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    val probes = probeCellsCoarse(q, coarse, sProbe, nprobe,
+                                  Seq("q_id", "qv"))
+    topK(broadcast(probes).join(index.assigned, "c_id")
+           .filter(col("n_id") =!= col("q_id"))
+           .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
+  }
+
   /** Query a built [[IvfIndex]]: each query probes its `nprobe` nearest
     * cells ([[probeCells]] — shuffle-free, and deliberately so) and
     * reranks exactly within them — identical output to the one-shot

@@ -127,6 +127,80 @@ object SimilarityQueries extends QueryModule {
         |      FROM scored)
         |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin)),
 
+    // Two-level (coarse-quantizer) IVF serve as an ORACLED row — the
+    // high-dim probe tier (r7): ⌈√M⌉ super-centroids hash-picked over the
+    // M centroids (md5 of c_id || 'sc' — the second-level salt keeps the
+    // pick independent of the level-1 threshold), each centroid assigned
+    // to its nearest super, queries probe their top-2 supers and then the
+    // top-4 cells WITHIN those supers, exact rerank inside the probed
+    // cells. The Spark side's per-super in-row slice + global graft_topk
+    // equals a single global top-nprobe over the probed supers' cells (a
+    // globally-top cell is top-nprobe in its own super), which is the
+    // form the DuckDB oracle replays. Every stage is deterministic — no
+    // RNG, no float aggregation — so the row is hash-certified, and it
+    // exercises sProbe < supers (the genuinely two-level regime), not the
+    // covering degenerate case the parity spec pins.
+    GraftQuery(
+      "ann_ivf_coarse",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val idx = GraftSimilarity.buildIvfIndex(e)
+        val coarse = GraftSimilarity.buildCoarseQuantizer(idx.centroids)
+        GraftSimilarity.ivfTopKWithCoarse(idx, coarse, queryBlock(e),
+                                          k = 5, sProbe = 2, nprobe = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |mcut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM c),
+        |sc AS (SELECT c_id sc_id, cv scv FROM c
+        |       WHERE substr(md5(c_id::VARCHAR || 'sc'), 1, 8)
+        |             < (SELECT h FROM mcut)),
+        |cassign AS (
+        |  SELECT c_id, cv, sc_id FROM (
+        |    SELECT c.c_id, c.cv, sc.sc_id,
+        |      row_number() OVER (PARTITION BY c.c_id
+        |        ORDER BY list_cosine_similarity(c.cv, sc.scv) DESC, sc.sc_id) srnk
+        |    FROM c, sc) WHERE srnk = 1),
+        |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |sprobes AS (
+        |  SELECT q_id, qv, sc_id FROM (
+        |    SELECT q.q_id, q.qv, sc.sc_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, sc.scv) DESC, sc.sc_id) prnk
+        |    FROM q, sc) WHERE prnk <= 2),
+        |probes AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT s.q_id, s.qv, ca.c_id, ca.cv,
+        |      row_number() OVER (PARTITION BY s.q_id
+        |        ORDER BY list_cosine_similarity(s.qv, ca.cv) DESC, ca.c_id) crnk
+        |    FROM sprobes s JOIN cassign ca ON ca.sc_id = s.sc_id)
+        |  WHERE crnk <= 4),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.vec_id != p.q_id),
+        |r AS (SELECT q_id, n_id, c,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin)),
+
     // IVF index AT REST as an oracled row: build on the full collection,
     // write the cell-PARTITIONED store (writeIvfIndex), read it back,
     // serve. The served output is identical to ann_ivf_topk (same

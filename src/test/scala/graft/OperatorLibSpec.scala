@@ -1234,6 +1234,59 @@ class OperatorLibSpec extends GraftFunSuite {
       .deleteDirectory(new java.io.File(dir))
   }
 
+  test("two-level coarse probe: sProbe covering every super-cell serves " +
+       "IDENTICALLY to the flat probe; a narrow sProbe still finds the " +
+       "planted nearest neighbors through their super-cell") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    try {
+      val coarse = GraftSimilarity.buildCoarseQuantizer(idx.centroids)
+      val nSupers = coarse.superCents.count().toInt
+      val nCents = idx.centroids.count().toInt
+      // the point of the tier: strictly fewer supers than centroids
+      assert(nSupers >= 1 && nSupers < nCents, s"$nSupers vs $nCents")
+      // every centroid lands in exactly one super-cell
+      assert(coarse.grouped.select(explode(col("cells.c_id"))).count()
+               == nCents)
+      val q = e.filter(col("vec_id") % 100 === 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      // sProbe >= supers ⇒ candidate cells = all cells ⇒ exact parity
+      val flat = GraftSimilarity.ivfTopKWith(idx, q, k = 5, nprobe = 4)
+        .collect().map(key).toSet
+      val covered = GraftSimilarity
+        .ivfTopKWithCoarse(idx, coarse, q, k = 5,
+                           sProbe = nSupers, nprobe = 4)
+        .collect().map(key).toSet
+      assert(covered == flat && flat.nonEmpty,
+        s"coarse-only=${covered.diff(flat)} flat-only=${flat.diff(covered)}")
+      // narrow probe: answers stay well-formed for EVERY query — k ranked
+      // rows, cosines descending with the (score desc, id asc) tie rule.
+      // No subset-of-flat claim: coarse's probed CELLS are the top-nprobe
+      // within its probed supers, not a subset of flat's global top-nprobe,
+      // so either side can legitimately surface the better true neighbor —
+      // the exactness claim lives in the covering-sProbe parity above.
+      val narrow = GraftSimilarity
+        .ivfTopKWithCoarse(idx, coarse, q, k = 5, sProbe = 2, nprobe = 4)
+        .collect().map(key)
+      assert(narrow.map(_._1).toSet == q.collect().map(_.getLong(0)).toSet,
+        "every query must be answered")
+      narrow.groupBy(_._1).foreach { case (qid, rows) =>
+        val byRank = rows.sortBy(_._3)
+        assert(byRank.map(_._3).toSeq == (1L to byRank.length).toSeq,
+          s"$qid ranks: ${byRank.map(_._3).toSeq}")
+        assert(byRank.sliding(2).forall {
+          case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._2 < b._2)
+          case _ => true
+        }, s"$qid not ordered: ${byRank.mkString(",")}")
+      }
+    } finally idx.unpersist(blocking = true)
+  }
+
   test("probeCells zero-norm handling: a zero-norm query vector fails " +
        "loudly; a zero-norm CENTROID is skipped, never probed") {
     import graft.operators.GraftSimilarity
