@@ -6,12 +6,34 @@ import org.apache.spark.sql.functions._
 /** Plan-quality gates — the 100 TB design assertions. Each test pins a
   * property of the physical plan that must survive refactoring: pushdown,
   * pruning, broadcast selection, partition pruning, shuffle counts.
+  *
+  * Pin taxonomy (r7 audit, after r6 proved a plan string can lie): pins on
+  * NODE STRUCTURE — an Exchange/SortMergeJoin/TakeOrderedAndProject/
+  * BroadcastHashJoin being present or absent in the FINALIZED (post-AQE,
+  * post-collect where needed) executed plan — describe what physically ran
+  * and cannot degenerate at runtime; they stay string/structure asserts.
+  * Pins on VALUE-DEPENDENT RUNTIME FILTERS — a dynamicpruning subquery, a
+  * bloom might_contain — print the filter EXPRESSION whether or not it
+  * prunes anything (r6: `dynamicpruning` printed while every file was
+  * read), so each such pin here and in OperatorLibSpec is paired with an
+  * EXECUTED metric: scan numFiles for partition pruning (here and
+  * OperatorLibSpec's IVF store test), filter/join numOutputRows for the
+  * bloom tests (here and OperatorLibSpec's incremental-dedup test).
   */
 class PlanSpec extends GraftFunSuite {
 
   private def planOf(name: String): String =
     GraftSqlBridge.queryExecution(SparkEntry.queries(name)(spark, sf0001))
       .executedPlan.toString
+
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+    case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+    case s: QueryStageExec => nodes(s.plan)
+    case other => other +: (other.children.flatMap(nodes) ++
+      other.subqueries.flatMap(nodes))
+  }
 
   test("filters reach the parquet scan (PushedFilters)") {
     val p = planOf("q_filter_topk")
@@ -78,11 +100,25 @@ class PlanSpec extends GraftFunSuite {
   test("partitioned write is partition-pruned on read") {
     // materialize the partitioned layout, then check the pruned scan
     SparkEntry.queries("src_partitioned_parquet")(spark, sf0001).collect()
-    val pruned = spark.read
-      .parquet(s"/tmp/graft_io/sf0.001/lineitem_part")
+    val root = "/tmp/graft_io/sf0.001/lineitem_part"
+    val pruned = spark.read.parquet(root)
       .filter(col("l_returnflag") === "R")
+    pruned.collect()
     val p = GraftSqlBridge.queryExecution(pruned).executedPlan.toString
     assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"), p)
+    // executed-metric pair for the string pin: the scan must READ only
+    // the R partition's files, strictly fewer than the layout holds
+    val scans = nodes(GraftSqlBridge.queryExecution(pruned).executedPlan)
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+    assert(scans.nonEmpty)
+    val filesRead = scans.map(_.metrics("numFiles").value).max
+    val totalFiles = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(root), Array("parquet"), true).size
+    val rDirFiles = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(s"$root/l_returnflag=R"),
+                 Array("parquet"), true).size
+    assert(filesRead == rDirFiles && filesRead < totalFiles,
+      s"read $filesRead files; R holds $rDirFiles of $totalFiles")
   }
 
   test("aggregations are partial/final (map-side combine present)") {
@@ -133,6 +169,22 @@ class PlanSpec extends GraftFunSuite {
       val p = GraftSqlBridge.queryExecution(j).executedPlan.toString
       assert(p.contains("might_contain"),
         s"expected a runtime bloom filter on the fact side:\n$p")
+      // ...and certify the filter EXECUTED as a filter, not just printed
+      // (the r6 lesson): the might_contain FilterExec's output rows must
+      // be a fraction of the full fact table — the selective dim
+      // (o_totalprice > 400000) keeps ~2% of orders, so a bloom that
+      // prunes nothing would pass ~100% of lineitem through
+      val bloomOut = nodes(GraftSqlBridge.queryExecution(j).executedPlan)
+        .collect {
+          case f: org.apache.spark.sql.execution.FilterExec
+            if f.condition.toString.contains("might_contain") =>
+              f.metrics("numOutputRows").value
+        }
+      assert(bloomOut.nonEmpty, "no might_contain FilterExec executed")
+      val factRows = li.count()
+      assert(bloomOut.min < factRows / 2,
+        s"bloom passed ${bloomOut.min} of $factRows fact rows — " +
+        "the runtime filter did not actually prune")
     } finally saved.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
