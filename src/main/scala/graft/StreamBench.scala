@@ -1,0 +1,279 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming-tier benchmark (VERDICT r6 item 8): replays sf-derived inputs
+  * through the stateful streaming operators via MemoryStream and records
+  * throughput + state-store size per operator — the round-over-round
+  * regression surface BENCH gives the batch tier. Emits one JSON line and
+  * writes STREAMBENCH.json.
+  *
+  * Numbers are micro-batch replay wall times on a shared local JVM — they
+  * are comparable ROUND TO ROUND, not absolute cluster throughput; state
+  * rows/bytes come from each query's final StreamingQueryProgress
+  * (`stateOperators`), the same source the state-reduction specs read.
+  *
+  *   sbt "runMain graft.StreamBench"   # SPARK_GRAFT_SF_DIR overrides
+  */
+object StreamBench {
+
+  final case class Rec(name: String, rowsIn: Long, rowsOut: Long,
+                       sec: Double, stateRows: Long, stateBytes: Long)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.ensureExtensions(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.{CorpusStreams, EventStreams}
+
+    def ts(minute: Int): Timestamp =
+      Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+    val out = scala.collection.mutable.ListBuffer.empty[Rec]
+
+    /** Drive a memory-sink query over `chunks` feeds, timing feed-to-drain;
+      * rowsOut/state from the table + final progress. */
+    def drive(name: String, rowsIn: Long, q: StreamingQuery,
+              feeds: Seq[() => Unit]): Unit = {
+      try {
+        val t0 = System.nanoTime()
+        feeds.foreach { f => f(); q.processAllAvailable() }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+        out += Rec(name, rowsIn,
+                   spark.table(name.replace('-', '_')).count(),
+                   sec,
+                   so.map(_.numRowsTotal).sum,
+                   so.map(_.memoryUsedBytes).sum)
+        println(s"[streambench] $name done: ${out.last}")
+      } finally q.stop()
+    }
+    def sink(df: DataFrame, name: String): StreamingQuery =
+      df.writeStream.format("memory").queryName(name.replace('-', '_'))
+        .outputMode("append").start()
+    def chunks[T](rows: Seq[T], n: Int): Seq[Seq[T]] = {
+      val sz = math.max(1, (rows.size + n - 1) / n)
+      rows.grouped(sz).toSeq
+    }
+
+    // ---- corpus inputs --------------------------------------------------
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val docRows = docs.map { case (id, text) =>
+      (id, ts((id % 30).toInt), text)
+    }
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS float))"))
+      .collect()
+      .map(r => (r.getLong(0), ts((r.getLong(0) % 30).toInt),
+                 r.getSeq[Float](1).toList)).toSeq
+
+    // exact dedup: corpus + 20% re-crawled texts under fresh ids
+    locally {
+      val dups = docs.take(docs.size / 5).map { case (id, text) =>
+        (id + 10000000L, ts(29), text)
+      }
+      val rows = docRows ++ dups
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val q = sink(CorpusStreams.dedupStream(
+        in.toDF().toDF("doc_id", "ts", "text")), "sb_dedup")
+      drive("sb_dedup", rows.size, q,
+            chunks(rows, 4).map(c => () => { in.addData(c); () }))
+    }
+
+    // contamination gate: 8-gram leakage audit against a 100-doc test set
+    locally {
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val testGrams = spark.createDataFrame(
+          spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
+            .select(col("text")).collect().map(_.getString(0)).flatMap { t =>
+              val tk = t.trim.split("\\s+")
+              tk.sliding(8).filter(_.length == 8).map(g =>
+                Tuple1(g.mkString(" "))).toSeq
+            }.toSeq.asInstanceOf[Seq[Tuple1[String]]])
+        .toDF("__gram")
+      val q = sink(CorpusStreams.contaminationGate(
+        in.toDF().toDF("doc_id", "ts", "text"), testGrams), "sb_contamination")
+      drive("sb_contamination", docRows.size, q,
+            chunks(docRows, 4).map(c => () => { in.addData(c); () }))
+    }
+
+    // MinHash near-dup mining over 8-token shingles (the batch operators'
+    // item shape — raw token SETS pair nearly everything in a synthetic
+    // corpus with shared vocabulary, which measures the sink, not the op)
+    locally {
+      val rows = docRows.map { case (id, t, text) =>
+        val tk = text.trim.split("\\s+")
+        (id, t,
+         (if (tk.length >= 8) tk.sliding(8).map(_.mkString(" ")).toList
+          else List(tk.mkString(" "))).distinct)
+      }
+      val in = MemoryStream[(Long, Timestamp, List[String])]
+      val q = sink(CorpusStreams.nearDupPairStream(
+        in.toDF().toDF("doc_id", "ts", "items"), threshold = 0.8,
+        horizonMinutes = 60).toDF(), "sb_neardup_pairs")
+      drive("sb_neardup_pairs", rows.size, q,
+            chunks(rows, 4).map(c => () => { in.addData(c); () }))
+    }
+
+    // SRP embedding near-dup mining — exact and quantized state tiers.
+    // Twins planted for 10% of ids (the spec corpora's construction) so
+    // the in-bucket verify path runs on real collisions, not only on
+    // signature maintenance.
+    locally {
+      val twins = vecs.filter(_._1 % 10 == 0).map { case (id, t, v) =>
+        (id + 10000000L, t,
+         v.take(v.size / 2) ::: v.drop(v.size / 2).map(_ * 2f))
+      }
+      val rows = vecs ++ twins
+      for (quant <- Seq(false, true)) {
+        val name = if (quant) "sb_srp_pairs_q8" else "sb_srp_pairs"
+        val in = MemoryStream[(Long, Timestamp, List[Float])]
+        val q = sink(CorpusStreams.srpPairStream(
+          in.toDF().toDF("vec_id", "ts", "embedding"), threshold = 0.9,
+          horizonMinutes = 60, quantizedState = quant).toDF(), name)
+        drive(name, rows.size, q,
+              chunks(rows, 4).map(c => () => { in.addData(c); () }))
+      }
+    }
+
+    // IVF serve: static index, streamed query batches
+    locally {
+      import graft.operators.GraftSimilarity
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+                expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val idx = GraftSimilarity.buildIvfIndex(e).persist()
+      idx.centroids.count(); idx.assigned.count()
+      // ts-ordered feed: the serve stream's 10-min lateness bound means an
+      // id-ordered feed would hand batch 2 queries already behind batch
+      // 1's watermark — they'd be DROPPED as late and undercount rows_out
+      val queries = vecs.filter(_._1 % 10 == 3).sortBy(_._2.getTime)
+      val in = MemoryStream[(Long, Timestamp, List[Float])]
+      val q = sink(CorpusStreams.ivfServeStream(
+        idx, in.toDF().toDF("q_id", "ts", "qv"), k = 5,
+        qVecCol = "qv"), "sb_ivf_serve")
+      try drive("sb_ivf_serve", queries.size, q,
+                chunks(queries, 2).map(c => () => { in.addData(c); () }) :+
+                // advance the watermark past every query ts so the
+                // append-mode top-k aggregation finalizes and emits
+                (() => { in.addData(Seq((-1L, ts(600), List(0.1f)))); () }))
+      finally idx.unpersist(blocking = true)
+    }
+
+    // IVF streaming ingest into a fresh at-rest store (idempotent tags)
+    locally {
+      import graft.operators.GraftSimilarity
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+                expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val dir = java.nio.file.Files.createTempDirectory("sb_ivf_ingest").toString
+      try {
+        GraftSimilarity.writeIvfIndex(
+          GraftSimilarity.buildIvfIndex(e.filter(col("vec_id") % 3 === 0)), dir)
+        val batchRows = vecs.filter(_._1 % 3 != 0).map(v => (v._1, v._3))
+        val in = MemoryStream[(Long, List[Float])]
+        val q = CorpusStreams.ivfIngestStream(
+            dir, in.toDF().toDF("vec_id", "embedding"))
+          .option("checkpointLocation", s"$dir/_chk").start()
+        try {
+          val t0 = System.nanoTime()
+          chunks(batchRows, 2).foreach { c =>
+            in.addData(c); q.processAllAvailable()
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          out += Rec("sb_ivf_ingest", batchRows.size,
+                     spark.read.parquet(s"$dir/assigned").count(), sec, 0L, 0L)
+          println(s"[streambench] sb_ivf_ingest done: ${out.last}")
+        } finally q.stop()
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+
+    // sequence packing: shard by a stable 8-way key, stream in doc order
+    locally {
+      val rows = docs.map { case (id, text) =>
+        CorpusStreams.PackDoc(s"s${id % 8}", id,
+                              text.trim.split("\\s+").length.toLong)
+      }
+      val in = MemoryStream[CorpusStreams.PackDoc]
+      val q = sink(CorpusStreams.packStream(in.toDS(), maxTokens = 2048)
+                     .toDF(), "sb_pack")
+      drive("sb_pack", rows.size, q,
+            chunks(rows, 4).map(c => () => { in.addData(c); () }))
+    }
+
+    // ---- event inputs ---------------------------------------------------
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"),
+              col("event_id"))
+      .orderBy("ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2),
+                 r.getDouble(3), r.getLong(4))).toSeq
+
+    // gap sessionization: per-user open-session state, event-time timeout
+    locally {
+      val rows = events.map(e => EventStreams.Event(e._1, e._2, e._4))
+      val in = MemoryStream[EventStreams.Event]
+      val q = sink(EventStreams.sessionize(in.toDS()).toDF(), "sb_sessionize")
+      drive("sb_sessionize", rows.size, q,
+            chunks(rows, 4).map(c => () => { in.addData(c); () }))
+    }
+
+    // tumbling-window counts: watermarked windowed aggregation
+    locally {
+      val in = MemoryStream[(Long, Timestamp, String, Double)]
+      val q = in.toDF().toDF("user_id", "ts", "event_type", "value")
+        .transform(EventStreams.hourlyCounts)
+        .writeStream.format("memory").queryName("sb_hourly")
+        .outputMode("complete").start()
+      val rows = events.map(e => (e._1, e._2, e._3, e._4))
+      drive("sb_hourly", rows.size, q,
+            chunks(rows, 4).map(c => () => { in.addData(c); () }))
+    }
+
+    // per-user transition pairs: O(users) single-value state
+    locally {
+      val rows = events.map(e => EventStreams.TypeStep(e._1, e._2, e._3, e._5))
+      val in = MemoryStream[EventStreams.TypeStep]
+      val q = sink(EventStreams.transitionStream(in.toDS()).toDF(),
+                   "sb_transitions")
+      drive("sb_transitions", rows.size, q,
+            chunks(rows, 4).map(c => () => { in.addData(c); () }))
+    }
+
+    def fmt(r: Rec): String =
+      f""""${r.name}":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},""" +
+      f""""sec":${r.sec}%.3f,"rows_per_sec":${r.rowsIn / math.max(r.sec, 1e-9)}%.0f,""" +
+      f""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}"""
+    val json =
+      s"""{"metric":"streambench","sf":"$sfDir","ops":{${out.map(fmt).mkString(",")}}}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT",
+                                    "/root/repo/STREAMBENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
+                                        json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[streambench] $outPath write failed: ${e.getMessage}")
+    }
+    println(json)
+    spark.stop()
+  }
+}
