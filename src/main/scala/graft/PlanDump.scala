@@ -27,7 +27,8 @@ object PlanDump {
                     "pipeline_quality_report", "q_recursive_cte",
                     "q_variant", "src_zorder_layout",
                     "pipeline_corpus_upsert", "events_transitions",
-                    "dedup_embedding_cosine", "ann_ivf_append")
+                    "dedup_embedding_cosine", "ann_ivf_append",
+                    "ann_ivf_coarse", "dedup_cdc_chunks")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")
