@@ -87,7 +87,8 @@ object Bench {
       "dedup_embedding_cosine", "dedup_components", "dedup_semantic",
       "pipeline_sequence_pack", "text_bm25_topk",
       "ann_cosine_topk", "ann_ivf_topk", "ann_ivf_append",
-      "ann_ivf_stored", "ann_lsh_bucket", "ann_quantized_topk",
+      "ann_ivf_stored", "ann_ivf_coarse", "ann_ivf_rebuild",
+      "ann_lsh_bucket", "ann_quantized_topk", "dedup_cdc_chunks",
       "dedup_semantic_scale",
       "text_vocab_tfidf", "text_quality_rules",
       "events_sessionize", "events_asof_join", "events_range_join",
