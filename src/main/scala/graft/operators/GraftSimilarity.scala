@@ -246,17 +246,23 @@ object GraftSimilarity {
     *
     * `batchTag` makes the append IDEMPOTENT — the retry contract for
     * streaming ingest ([[graft.streaming.CorpusStreams.ivfIngestStream]]
-    * passes the micro-batch id): the batch stages to the
+    * passes the micro-batch id). Protocol: if the tag's COMMIT MARKER
+    * (`$$dir/ingest_tags/<tag>`) exists the batch already landed fully
+    * and the call is a no-op (a replay after success costs nothing and
+    * cannot duplicate — even if [[compactIvfCells]] has since merged the
+    * tag's files away, which is why the marker, not file presence, is
+    * the source of truth). Otherwise the batch stages to the
     * tag-deterministic `$$dir/ingest_staging/<tag>` (overwrite — a
-    * retried stage replaces itself), then lands in the cell dirs as files
-    * named `ingest-<tag>-<i>.parquet` after any files of the SAME tag
-    * from a previous partial attempt are deleted — same tag ⇒ same
-    * files, so append-twice ≡ append-once (OperatorLibSpec replays a
-    * tag). Cleanup only lists the cells the staged batch touches: cell
-    * assignment is deterministic in (batch, stored centroids), so a
-    * retry's files can only live in cells the current staging also
-    * holds. Untagged appends keep the plain `mode("append")` fast path
-    * (batch callers own their retries).
+    * retried stage replaces itself), lands in the cell dirs as files
+    * named `ingest-<tag>-<i>.parquet` after any files of EXACTLY the
+    * same tag from a previous partial attempt are deleted (exact-tag
+    * match on the parsed filename — a prefix test would let tag "a"
+    * delete tag "a-1"'s files), and finally writes the marker. Cleanup
+    * only lists the cells the staged batch touches: cell assignment is
+    * deterministic in (batch, stored centroids), so a partial attempt's
+    * files can only live in cells the current staging also holds.
+    * Untagged appends keep the plain `mode("append")` fast path (batch
+    * callers own their retries).
     */
   def appendIvfStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                      batch: DataFrame,
@@ -276,11 +282,17 @@ object GraftSimilarity {
         assigned.write.mode("append").partitionBy("c_id")
           .parquet(s"$dir/assigned")
       case Some(rawTag) =>
-        val tag = rawTag.replaceAll("[^A-Za-z0-9_-]", "_")
+        // '-' is the filename separator between tag and part index, so it
+        // may NOT appear inside a tag — otherwise `ingest-a-12.parquet`
+        // (tag "a", part 12) and tag "a-1"'s files are unparseable apart
+        // and one tag's cleanup could delete another's data
+        val tag = rawTag.replaceAll("[^A-Za-z0-9_]", "_")
         require(tag.nonEmpty, s"batchTag sanitized to empty: '$rawTag'")
         import org.apache.hadoop.fs.Path
+        val marker = new Path(s"$dir/ingest_tags/$tag")
+        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(marker)) return // committed batch: replay is a no-op
         val staging = new Path(s"$dir/ingest_staging/$tag")
-        val fs = staging.getFileSystem(spark.sparkContext.hadoopConfiguration)
         assigned.write.mode("overwrite").partitionBy("c_id")
           .parquet(staging.toString)
         val assignedRoot = new Path(s"$dir/assigned")
@@ -290,7 +302,7 @@ object GraftSimilarity {
           val dest = new Path(assignedRoot, cd.getPath.getName)
           if (fs.exists(dest))
             fs.listStatus(dest)
-              .filter(_.getPath.getName.startsWith(s"ingest-$tag-"))
+              .filter(f => ingestTagOf(f.getPath.getName).contains(tag))
               .foreach(f => fs.delete(f.getPath, false))
           else fs.mkdirs(dest)
           val parts = fs.listStatus(cd.getPath)
@@ -303,7 +315,18 @@ object GraftSimilarity {
           }
         }
         fs.delete(staging, true)
+        fs.mkdirs(marker.getParent)
+        fs.create(marker, true).close()
     }
+  }
+
+  /** Parse the tag out of an `ingest-<tag>-<i>.parquet` file name. Tags
+    * are dash-free by construction (the sanitizer maps '-' to '_'), so
+    * the grammar is unambiguous and exact-tag cleanup can never touch
+    * another tag's files. */
+  private[operators] def ingestTagOf(fileName: String): Option[String] = {
+    val m = "^ingest-([A-Za-z0-9_]+)-\\d+\\.parquet$".r.findFirstMatchIn(fileName)
+    m.map(_.group(1))
   }
 
   /** Incremental compaction of the at-rest layout: rewrite ONLY the cell
@@ -323,6 +346,15 @@ object GraftSimilarity {
     * recovery is renaming `.compact-old-c_id=X` back — rather than
     * duplicated or lost.
     *
+    * Tagged-ingest interplay: a cell holding `ingest-<tag>-*` files whose
+    * tag has NO commit marker is an in-flight or crashed tagged batch —
+    * that cell is SKIPPED this pass. Merging uncommitted files would strand
+    * them beyond the retry's exact-tag cleanup and the replay would land
+    * the batch twice; once the retry commits (or the stream checkpoint
+    * settles), the next compaction pass picks the cell up. Committed
+    * tags' files merge freely — a post-compaction replay of a committed
+    * tag is a marker-gated no-op, so losing their file identity is safe.
+    *
     * Returns the number of cells compacted.
     */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -338,9 +370,13 @@ object GraftSimilarity {
     val cellDirs = fs.listStatus(assignedRoot)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
     for (cd <- cellDirs) {
-      val nFiles = fs.listStatus(cd.getPath)
-        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (nFiles > maxFilesPerCell) {
+      val parquetNames = fs.listStatus(cd.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.getName)
+      val nFiles = parquetNames.length
+      val uncommitted = parquetNames.flatMap(ingestTagOf).distinct
+        .filterNot(t => fs.exists(new Path(s"$dir/ingest_tags/$t")))
+      if (nFiles > maxFilesPerCell && uncommitted.isEmpty) {
         val staged = new Path(stagingRoot, cd.getPath.getName)
         fs.delete(staged, true)
         // data files under a cell dir carry (n_id, v) only — c_id lives
@@ -540,6 +576,16 @@ object GraftSimilarity {
                           1, 8) < cut)
         .select(col("c_id").as("sc_id"), col("cv").as("scv"))
     }
+    // the hash pick is probabilistic in the corpus: at small M the
+    // threshold can admit ZERO rows (~e^-√M), after which every coarse
+    // serve would silently return empty — the silent-empty failure class
+    // the zero-norm guard exists for. Fail loudly instead; the check is
+    // one tiny job over the (≤√N-row) centroid frame.
+    require(!supers.isEmpty,
+      "buildCoarseQuantizer: the hash pick admitted zero super-centroids " +
+      "for this centroid set — pass superFraction to widen the cut (or " +
+      "skip the coarse tier at this scale; it buys nothing below ~10^3 " +
+      "centroids)")
     val grouped = assignTo(
         supers.select(col("sc_id").as("c_id"), col("scv").as("cv")),
         centroids.select(col("c_id").as("n_id"), col("cv").as("v")))
@@ -566,6 +612,9 @@ object GraftSimilarity {
   private[graft] def probeCellsCoarse(q: DataFrame, coarse: IvfCoarse,
                                       sProbe: Int, nprobe: Int,
                                       keep: Seq[String]): DataFrame = {
+    require(keep.contains("q_id"),
+      "probeCellsCoarse: keep must include q_id — it keys the global " +
+      "top-nprobe and the keep-column re-attach")
     // stage 2 scores qv against the probed supers' cells, so qv must
     // survive stage 1 whether or not the caller wants it back
     val keep1 = (keep :+ "qv").distinct
@@ -573,9 +622,15 @@ object GraftSimilarity {
       q, coarse.superCents.select(col("sc_id").as("c_id"),
                                   col("scv").as("cv")),
       sProbe, keep1).withColumnRenamed("c_id", "sc_id")
-    superProbes.join(broadcast(coarse.grouped), "sc_id")
-      .select(keep.map(col) :+
-        explode(expr(
+    // global top-nprobe keyed on q_id ALONE: only (q_id, qc, c_id) rows —
+    // and the mergeable topk's ≤nprobe-slot partial buffers — cross the
+    // exchange; grouping by the full keep set would ship every query
+    // VECTOR as a grouping key through the shuffle of the tier that
+    // exists because vectors are big. The other keep columns re-attach
+    // from the (serving-contract-small) query frame afterwards — sound
+    // because q_id is the query key and determines them.
+    val topCells = superProbes.join(broadcast(coarse.grouped), "sc_id")
+      .select(col("q_id"), col("qv"), explode(expr(
           s"""slice(
                 array_sort(
                   transform(cells,
@@ -585,13 +640,16 @@ object GraftSimilarity {
                                  WHEN a.qc < b.qc THEN 1
                                  WHEN a.c_id < b.c_id THEN -1
                                  WHEN a.c_id > b.c_id THEN 1 ELSE 0 END),
-                1, $nprobe)""")).as("__p"): _*)
-      .select(keep.map(col) :+ col("__p.c_id").as("c_id") :+
-              col("__p.qc").as("__qc"): _*)
+                1, $nprobe)""")).as("__p"))
+      .select(col("q_id"), col("__p.c_id").as("c_id"),
+              col("__p.qc").as("__qc"))
       .filter(col("__qc") >= lit(-2.0))
-      .groupBy(keep.map(col): _*)
+      .groupBy(col("q_id"))
       .agg(expr(s"graft_topk(__qc, c_id, $nprobe)").as("__tk"))
-      .select(keep.map(col) :+ explode(col("__tk.id")).as("c_id"): _*)
+      .select(col("q_id"), explode(col("__tk.id")).as("c_id"))
+    topCells
+      .join(broadcast(q.select(keep.map(col): _*)), "q_id")
+      .select(keep.map(col) :+ col("c_id"): _*)
   }
 
   /** [[ivfTopKWith]] through the two-level probe — the high-dim /

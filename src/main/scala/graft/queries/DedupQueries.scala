@@ -250,9 +250,19 @@ object DedupQueries extends QueryModule {
       Some(s"""WITH RECURSIVE gear AS (
         |  SELECT unnest(range(256)) AS b, unnest([$gearMod64]) AS g
         |),
-        |docs AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |docs AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |         CASE WHEN octet_length(encode(text)) != length(text)
+        |              THEN error('dedup_cdc_chunks oracle: non-ASCII text '
+        |                         || 'for doc_id ' || doc_id
+        |                         || ' — the mod-64 Gear replay addresses '
+        |                         || 'BYTES via substr/ord, which only '
+        |                         || 'equals the kernel on ASCII')
+        |              ELSE 1 END AS ascii_ok
+        |  FROM documents),
         |walk AS (
-        |  SELECT doc_id, 0 AS i, 0 AS hm, 1 AS st, CAST(NULL AS VARCHAR) AS chunk
+        |  SELECT doc_id, 0 * ascii_ok AS i, 0 AS hm, 1 AS st,
+        |         CAST(NULL AS VARCHAR) AS chunk
         |  FROM docs
         |  UNION ALL
         |  SELECT doc_id, i,

@@ -275,8 +275,14 @@ object CorpusStreams {
         live ::= BucketEntry(e.id, eMs, e.sig, e.gh)
         if (maxBucketResidents != Int.MaxValue &&
             live.length > maxBucketResidents) {
+          // evict EXACTLY the victim instance (reference equality): an
+          // id-keyed filter would sweep every duplicate-id resident at
+          // once — an at-least-once source redelivering one id could
+          // then empty the bucket and the tsMs.max below would throw,
+          // killing the query as a checkpoint-replayed poison pill
           val victim = live.minBy(en => (en.tsMs, en.id))
-          live = live.filterNot(en => en.id == victim.id)
+          live = live.filterNot(en => en.asInstanceOf[AnyRef] eq
+                                      victim.asInstanceOf[AnyRef])
           out += NearDupPairOut(victim.id, -1L, -1.0, e.ts)
         }
       }
@@ -484,8 +490,14 @@ object CorpusStreams {
         live ::= SrpBucketEntry(e.id, eMs, e.bsigs, e.v)
         if (maxBucketResidents != Int.MaxValue &&
             live.length > maxBucketResidents) {
+          // evict EXACTLY the victim instance (reference equality): an
+          // id-keyed filter would sweep every duplicate-id resident at
+          // once — an at-least-once source redelivering one id could
+          // then empty the bucket and the tsMs.max below would throw,
+          // killing the query as a checkpoint-replayed poison pill
           val victim = live.minBy(en => (en.tsMs, en.id))
-          live = live.filterNot(en => en.id == victim.id)
+          live = live.filterNot(en => en.asInstanceOf[AnyRef] eq
+                                      victim.asInstanceOf[AnyRef])
           out += CosPairOut(victim.id, -1L, -1.0, e.ts)
         }
       }
@@ -527,8 +539,14 @@ object CorpusStreams {
         live ::= SrpBucketEntryQ(e.id, eMs, e.bsigs, eq)
         if (maxBucketResidents != Int.MaxValue &&
             live.length > maxBucketResidents) {
+          // evict EXACTLY the victim instance (reference equality): an
+          // id-keyed filter would sweep every duplicate-id resident at
+          // once — an at-least-once source redelivering one id could
+          // then empty the bucket and the tsMs.max below would throw,
+          // killing the query as a checkpoint-replayed poison pill
           val victim = live.minBy(en => (en.tsMs, en.id))
-          live = live.filterNot(en => en.id == victim.id)
+          live = live.filterNot(en => en.asInstanceOf[AnyRef] eq
+                                      victim.asInstanceOf[AnyRef])
           out += CosPairOut(victim.id, -1L, -1.0, e.ts)
         }
       }
@@ -585,6 +603,14 @@ object CorpusStreams {
     val q = queries
       .select(col(qIdCol).cast("long").as("q_id"), col(tsCol).as("ts"),
               expr(s"transform($qVecCol, x -> cast(x AS double))").as("qv"))
+      // a zero-norm query vector has no defined cosine: the batch serve
+      // FAILS LOUDLY (probeCells' assert — right for a one-shot job), but
+      // in a long-running serve stream one malformed row would become a
+      // checkpoint-replayed poison pill that wedges the service. Drop such
+      // rows BEFORE the probe instead: they get no answer (exactly what
+      // the batch error reports), every other in-flight query is served,
+      // and the stream lives. StreamingSpec pins this divergence.
+      .filter(expr("aggregate(qv, 0D, (a, x) -> a + x * x) > 0D"))
       .withWatermark("ts", s"$latenessMinutes minutes")
     val probes = graft.operators.GraftSimilarity
       .probeCells(q, index.centroids, nprobe, Seq("q_id", "ts", "qv"))

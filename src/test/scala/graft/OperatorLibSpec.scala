@@ -1120,6 +1120,26 @@ class OperatorLibSpec extends GraftFunSuite {
                                      batchTag = Some("b8"))
       assert(spark.read.parquet(s"$dir/assigned").count() ==
              seed.count() + 2 * batch.count())
+      // commit markers exist for both tags
+      assert(new java.io.File(s"$dir/ingest_tags/b7").exists() &&
+             new java.io.File(s"$dir/ingest_tags/b8").exists())
+      // PARTIAL-retry cleanup is exact-tag: simulate a crashed b7 attempt
+      // (marker removed ⇒ not committed) and replay it — the cleanup must
+      // touch ONLY ingest-b7-* files, never tag b8's (prefix matching
+      // would: 'b' prefixes both; the parsed-tag equality cannot)
+      assert(new java.io.File(s"$dir/ingest_tags/b7").delete())
+      val b8Files = files().filter(_.contains("ingest-b8-"))
+      GraftSimilarity.appendIvfStore(spark, dir, batch,
+                                     batchTag = Some("b7"))
+      assert(files().filter(_.contains("ingest-b8-")) == b8Files,
+        "replaying b7 must not disturb b8's files")
+      assert(spark.read.parquet(s"$dir/assigned").count() ==
+             seed.count() + 2 * batch.count(),
+        "partial-retry replay must not change the row count")
+      // dashes in raw tags sanitize away (they are the filename separator)
+      GraftSimilarity.appendIvfStore(spark, dir, batch.limit(0),
+                                     batchTag = Some("2026-08-13"))
+      assert(new java.io.File(s"$dir/ingest_tags/2026_08_13").exists())
     } finally {
       idx.unpersist(blocking = true)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
@@ -1186,6 +1206,36 @@ class OperatorLibSpec extends GraftFunSuite {
       assert(servedAfter == servedBefore && servedAfter.nonEmpty)
       // second pass is a no-op: nothing left over the bound
       assert(GraftSimilarity.compactIvfCells(spark, dir, 2) == 0)
+      // UNCOMMITTED tagged batches are compaction-proof: land a tagged
+      // batch, strip its commit marker (simulated crash between rename
+      // and marker), and fragment its cells again — compaction must skip
+      // every cell holding the uncommitted tag's files (merging them
+      // would strand them beyond the retry's exact-tag cleanup and the
+      // replay would double the batch)
+      GraftSimilarity.appendIvfStore(spark, dir,
+        slice.select((col("vec_id") + 9000000L).as("vec_id"), col("v")),
+        batchTag = Some("crashed"))
+      assert(new java.io.File(s"$dir/ingest_tags/crashed").delete())
+      for (w <- 5 to 7)
+        GraftSimilarity.appendIvfStore(spark, dir,
+          slice.select((col("vec_id") + w * 1000000L).as("vec_id"), col("v")))
+      val frag = cellFiles().filter(_._2.size > 2)
+      val withUncommitted = frag.filter(_._2.keys.exists(_.startsWith("ingest-crashed-")))
+      assert(withUncommitted.nonEmpty, "test needs an uncommitted-tag cell")
+      val n2 = GraftSimilarity.compactIvfCells(spark, dir, 2)
+      assert(n2 == frag.size - withUncommitted.size,
+        s"compacted $n2 of ${frag.size}, expected to skip ${withUncommitted.size}")
+      val after2 = cellFiles()
+      assert(withUncommitted.forall { case (c, fs) => after2(c) == fs },
+        "uncommitted-tag cells must be untouched")
+      // once the tag commits (replay completes → marker), the next pass
+      // compacts the previously-skipped cells: nothing stays oversized
+      GraftSimilarity.appendIvfStore(spark, dir,
+        slice.select((col("vec_id") + 9000000L).as("vec_id"), col("v")),
+        batchTag = Some("crashed"))
+      assert(GraftSimilarity.compactIvfCells(spark, dir, 2) > 0)
+      assert(cellFiles().forall(_._2.size <= 2),
+        "post-commit pass must leave no cell over the bound")
     } finally {
       idx.unpersist(blocking = true)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))

@@ -944,6 +944,75 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("hot-bucket eviction removes exactly one resident: duplicate-id " +
+       "redelivery at cap=1 cannot empty a bucket and kill the query") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    // at-least-once shape: the same vec_id delivered twice, plus a third
+    // vector in the same (degenerate) bucket. An id-keyed eviction filter
+    // would remove BOTH duplicates at once, empty the bucket, and throw
+    // on the empty tsMs max — a checkpoint-replayed poison pill.
+    val v = (1 to 8).map(_.toFloat).toList
+    val rows = Seq((1L, ts(0), v), (1L, ts(0), v),
+                   (2L, ts(1), v.map(_ * 2f)), (3L, ts(2), v.map(_ * 3f)))
+    val input = MemoryStream[(Long, Timestamp, List[Float])]
+    val q = CorpusStreams
+      .srpPairStream(input.toDF().toDF("vec_id", "ts", "embedding"),
+                     threshold = 0.9, horizonMinutes = 60,
+                     maxBucketResidents = 1)
+      .writeStream.format("memory").queryName("srp_dup_evict")
+      .outputMode("append").start()
+    try {
+      input.addData(rows)
+      q.processAllAvailable() // must not throw
+      val out = spark.table("srp_dup_evict").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // markers flowed (cap 1 forces evictions); the stream survived them
+      assert(out.count(_._2 == -1L) > 0, s"expected eviction markers: $out")
+      assert(q.exception.isEmpty, q.exception.toString)
+    } finally q.stop()
+  }
+
+  test("ivfServeStream drops a zero-norm query instead of dying: the " +
+       "malformed row gets no answer, every other query is served") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.GraftSimilarity
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.ensureExtensions(spark)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    try {
+      val good = e.filter(col("vec_id") < 3)
+        .select(col("vec_id"),
+                expr("transform(v, x -> cast(x AS float))").as("qv"))
+        .collect()
+        .map(r => (r.getLong(0), ts(1), r.getSeq[Float](1).toList)).toSeq
+      val zero = (999L, ts(1), List.fill(64)(0f))
+      val input = MemoryStream[(Long, Timestamp, List[Float])]
+      val q = CorpusStreams.ivfServeStream(
+          idx, input.toDF().toDF("q_id", "ts", "qv"), k = 3)
+        .writeStream.format("memory").queryName("serve_zero_norm")
+        .outputMode("append").start()
+      try {
+        input.addData(good :+ zero)
+        q.processAllAvailable()
+        // watermark push so the good queries' top-k finalize
+        input.addData(Seq((-1L, ts(600), List(0.1f))))
+        q.processAllAvailable()
+        assert(q.exception.isEmpty,
+          s"zero-norm row must not kill the serve stream: ${q.exception}")
+        val answered = spark.table("serve_zero_norm").collect()
+          .map(_.getLong(0)).toSet
+        assert(good.map(_._1).toSet.subsetOf(answered),
+          s"good queries must be served: $answered")
+        assert(!answered.contains(999L),
+          "the zero-norm query must get no rows, not fake ones")
+      } finally q.stop()
+    } finally idx.unpersist(blocking = true)
+  }
+
   test("srpPairStream quantized state fails loudly on dim drift, like the " +
        "batch graft_q8_cos kernel") {
     import graft.streaming.CorpusStreams
