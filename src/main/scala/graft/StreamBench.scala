@@ -190,7 +190,7 @@ object StreamBench {
         val batchRows = vecs.filter(_._1 % 3 != 0).map(v => (v._1, v._3))
         val in = MemoryStream[(Long, List[Float])]
         val q = CorpusStreams.ivfIngestStream(
-            dir, in.toDF().toDF("vec_id", "embedding"))
+            dir, in.toDF().toDF("vec_id", "embedding"), streamId = "sb")
           .option("checkpointLocation", s"$dir/_chk").start()
         try {
           val t0 = System.nanoTime()

@@ -246,7 +246,7 @@ object GraftSimilarity {
     *
     * `batchTag` makes the append IDEMPOTENT — the retry contract for
     * streaming ingest ([[graft.streaming.CorpusStreams.ivfIngestStream]]
-    * passes the micro-batch id). Protocol: if the tag's COMMIT MARKER
+    * passes a stream-scoped tag). Protocol: if the tag's COMMIT MARKER
     * (`$$dir/ingest_tags/<tag>`) exists the batch already landed fully
     * and the call is a no-op (a replay after success costs nothing and
     * cannot duplicate — even if [[compactIvfCells]] has since merged the
@@ -256,19 +256,43 @@ object GraftSimilarity {
     * retried stage replaces itself), lands in the cell dirs as files
     * named `ingest-<tag>-<i>.parquet` after any files of EXACTLY the
     * same tag from a previous partial attempt are deleted (exact-tag
-    * match on the parsed filename — a prefix test would let tag "a"
-    * delete tag "a-1"'s files), and finally writes the marker. Cleanup
-    * only lists the cells the staged batch touches: cell assignment is
-    * deterministic in (batch, stored centroids), so a partial attempt's
-    * files can only live in cells the current staging also holds.
-    * Untagged appends keep the plain `mode("append")` fast path (batch
-    * callers own their retries).
+    * match on the parsed filename), and finally writes the marker.
+    * Cleanup only lists the cells the staged batch touches: cell
+    * assignment is deterministic in (batch, stored centroids), so a
+    * partial attempt's files can only live in cells the current staging
+    * also holds. Untagged appends keep the plain `mode("append")` fast
+    * path (batch callers own their retries).
+    *
+    * Tag discipline — the marker gate makes a tag COLLISION a silent
+    * no-op drop of the second batch, so collisions must be impossible,
+    * not unlikely: tags are REJECTED (not sanitized — two distinct raw
+    * tags must never normalize to one) unless they match
+    * `[A-Za-z0-9_]+` ('-' is the filename separator and would make the
+    * grammar ambiguous), the tag namespace is per STORE, and callers
+    * must scope tags by data source (ivfIngestStream composes
+    * `<streamId>_b<batchId>` and requires a fresh streamId per fresh
+    * checkpoint). Markers live until [[pruneIngestTags]] — tie its
+    * retention to the longest window a source could replay.
+    *
+    * Both append paths refuse while a [[compactIvfCells]] maintenance
+    * lock is present: compaction's list-then-merge and the append's
+    * rename-into-cell race in both directions (a file renamed in after
+    * the listing gets merged WITHOUT its marker committing; a cell dir
+    * retired mid-append fails the rename). The refusal is an error the
+    * caller retries after the pass — for a stream that is the natural
+    * micro-batch retry.
     */
   def appendIvfStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                      batch: DataFrame,
                      idCol: String = "vec_id", vecCol: String = "v",
                      batchTag: Option[String] = None): Unit = {
     requireIntegralId(batch, idCol, "appendIvfStore")
+    import org.apache.hadoop.fs.Path
+    val lock = maintenanceLock(dir)
+    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(lock),
+      s"appendIvfStore: store $dir is under compaction maintenance " +
+      s"($lock present) — retry after the pass completes")
     // c_id pinned long on read: a store written before the long-normalize
     // contract may hold narrower centroid ids; the assigned files this
     // append writes must carry ONE n_id/c_id width regardless.
@@ -281,16 +305,12 @@ object GraftSimilarity {
       case None =>
         assigned.write.mode("append").partitionBy("c_id")
           .parquet(s"$dir/assigned")
-      case Some(rawTag) =>
-        // '-' is the filename separator between tag and part index, so it
-        // may NOT appear inside a tag — otherwise `ingest-a-12.parquet`
-        // (tag "a", part 12) and tag "a-1"'s files are unparseable apart
-        // and one tag's cleanup could delete another's data
-        val tag = rawTag.replaceAll("[^A-Za-z0-9_]", "_")
-        require(tag.nonEmpty, s"batchTag sanitized to empty: '$rawTag'")
-        import org.apache.hadoop.fs.Path
+      case Some(tag) =>
+        require(tag.matches("[A-Za-z0-9_]+"),
+          s"batchTag '$tag' must match [A-Za-z0-9_]+ — '-' is the " +
+          "filename separator, and silent sanitization could collide " +
+          "two distinct tags into one marker (a silent batch drop)")
         val marker = new Path(s"$dir/ingest_tags/$tag")
-        val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
         if (fs.exists(marker)) return // committed batch: replay is a no-op
         val staging = new Path(s"$dir/ingest_staging/$tag")
         assigned.write.mode("overwrite").partitionBy("c_id")
@@ -321,12 +341,38 @@ object GraftSimilarity {
   }
 
   /** Parse the tag out of an `ingest-<tag>-<i>.parquet` file name. Tags
-    * are dash-free by construction (the sanitizer maps '-' to '_'), so
-    * the grammar is unambiguous and exact-tag cleanup can never touch
-    * another tag's files. */
+    * are dash-free by construction (rejected otherwise), so the grammar
+    * is unambiguous and exact-tag cleanup can never touch another tag's
+    * files. */
   private[operators] def ingestTagOf(fileName: String): Option[String] = {
     val m = "^ingest-([A-Za-z0-9_]+)-\\d+\\.parquet$".r.findFirstMatchIn(fileName)
     m.map(_.group(1))
+  }
+
+  private def maintenanceLock(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(s"$dir/_maintenance.lock")
+
+  /** Garbage-collect commit markers older than `olderThanMs` (marker
+    * mtime). A marker is only load-bearing while its batch could still be
+    * REPLAYED — once the source's checkpoint/retention window has passed,
+    * the marker is dead weight (one tiny file per micro-batch, forever,
+    * on a long-lived ingest). Choose the age bound ≥ the longest replay
+    * window of any stream writing this store; pruning a live tag would
+    * re-admit a replay as a duplicate, so err long. Returns markers
+    * removed.
+    */
+  def pruneIngestTags(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      olderThanMs: Long): Int = {
+    require(olderThanMs > 0, s"olderThanMs must be positive: $olderThanMs")
+    import org.apache.hadoop.fs.Path
+    val root = new Path(s"$dir/ingest_tags")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val dead = fs.listStatus(root)
+      .filter(f => f.isFile && f.getModificationTime < cutoff)
+    dead.foreach(f => fs.delete(f.getPath, false))
+    dead.length
   }
 
   /** Incremental compaction of the at-rest layout: rewrite ONLY the cell
@@ -355,6 +401,15 @@ object GraftSimilarity {
     * tags' files merge freely — a post-compaction replay of a committed
     * tag is a marker-gated no-op, so losing their file identity is safe.
     *
+    * Writer exclusion: the pass holds `$$dir/_maintenance.lock` (created
+    * atomically — a second concurrent pass fails to create it and
+    * errors), and [[appendIvfStore]] refuses while it exists, because
+    * the uncommitted-tag skip only protects files PRESENT at listing
+    * time — an append racing the pass could rename a file into a cell
+    * after its listing and have it merged without its marker ever
+    * committing. Appends that land between passes are untouched; a
+    * stream's refused micro-batch retries after the pass.
+    *
     * Returns the number of cells compacted.
     */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -365,38 +420,58 @@ object GraftSimilarity {
     val assignedRoot = new Path(s"$dir/assigned")
     val fs = assignedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(assignedRoot)) return 0
-    val stagingRoot = new Path(s"$dir/compact_staging")
-    var compacted = 0
-    val cellDirs = fs.listStatus(assignedRoot)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
-    for (cd <- cellDirs) {
-      val parquetNames = fs.listStatus(cd.getPath)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.getName)
-      val nFiles = parquetNames.length
-      val uncommitted = parquetNames.flatMap(ingestTagOf).distinct
-        .filterNot(t => fs.exists(new Path(s"$dir/ingest_tags/$t")))
-      if (nFiles > maxFilesPerCell && uncommitted.isEmpty) {
-        val staged = new Path(stagingRoot, cd.getPath.getName)
-        fs.delete(staged, true)
-        // data files under a cell dir carry (n_id, v) only — c_id lives
-        // in the directory name — so the rewrite round-trips the layout
-        spark.read.parquet(cd.getPath.toString)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(staged.toString)
-        fs.delete(new Path(staged, "_SUCCESS"), false)
-        val old = new Path(assignedRoot, s".compact-old-${cd.getPath.getName}")
-        fs.delete(old, true)
-        require(fs.rename(cd.getPath, old),
-          s"compactIvfCells: could not retire ${cd.getPath}")
-        require(fs.rename(staged, cd.getPath),
-          s"compactIvfCells: could not land $staged (live data is in $old)")
-        fs.delete(old, true)
-        compacted += 1
-      }
+    val lock = maintenanceLock(dir)
+    // create-if-absent is atomic on HDFS/local (overwrite = false): two
+    // concurrent passes cannot both win. Best-effort on stores without
+    // atomic create — the single-maintenance-writer assumption stands.
+    try fs.create(lock, false).close()
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"compactIvfCells: could not take $lock — another maintenance " +
+        "pass is running (or crashed; delete the lock to recover)", e)
     }
-    fs.delete(stagingRoot, true)
-    compacted
+    try {
+      val stagingRoot = new Path(s"$dir/compact_staging")
+      // one listing of the committed-tag namespace, not one exists() RPC
+      // per (cell, tag) — the loop below is O(cells) round-trips already
+      val committedTags: Set[String] = {
+        val root = new Path(s"$dir/ingest_tags")
+        if (fs.exists(root))
+          fs.listStatus(root).filter(_.isFile).map(_.getPath.getName).toSet
+        else Set.empty
+      }
+      var compacted = 0
+      val cellDirs = fs.listStatus(assignedRoot)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
+      for (cd <- cellDirs) {
+        val parquetNames = fs.listStatus(cd.getPath)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath.getName)
+        val nFiles = parquetNames.length
+        val uncommitted = parquetNames.flatMap(ingestTagOf).distinct
+          .filterNot(committedTags.contains)
+        if (nFiles > maxFilesPerCell && uncommitted.isEmpty) {
+          val staged = new Path(stagingRoot, cd.getPath.getName)
+          fs.delete(staged, true)
+          // data files under a cell dir carry (n_id, v) only — c_id lives
+          // in the directory name — so the rewrite round-trips the layout
+          spark.read.parquet(cd.getPath.toString)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(staged.toString)
+          fs.delete(new Path(staged, "_SUCCESS"), false)
+          val old = new Path(assignedRoot, s".compact-old-${cd.getPath.getName}")
+          fs.delete(old, true)
+          require(fs.rename(cd.getPath, old),
+            s"compactIvfCells: could not retire ${cd.getPath}")
+          require(fs.rename(staged, cd.getPath),
+            s"compactIvfCells: could not land $staged (live data is in $old)")
+          fs.delete(old, true)
+          compacted += 1
+        }
+      }
+      fs.delete(stagingRoot, true)
+      compacted
+    } finally fs.delete(lock, false)
   }
 
   /** Load an index written by [[writeIvfIndex]]. The partition column

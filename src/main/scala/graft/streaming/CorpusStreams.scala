@@ -124,6 +124,21 @@ object CorpusStreams {
                                sig: Array[Long], gh: Array[Long])
   final case class BucketState(entries: List[BucketEntry])
 
+  /** Evict the single OLDEST resident instance from a capped bucket:
+    * smallest (tsMs, id), removed by REFERENCE so duplicate-id
+    * redelivery (an at-least-once source) evicts one entry per marker —
+    * an id-keyed filter would sweep every duplicate at once, could empty
+    * the bucket, and the tsMs-max timeout bookkeeping on the emptied
+    * list would throw, killing the query as a checkpoint-replayed
+    * poison pill. Shared by all three capped bucket loops so their
+    * eviction semantics cannot drift apart.
+    */
+  private def evictOldest[E <: AnyRef](live: List[E], tsOf: E => Long,
+                                       idOf: E => Long): (List[E], E) = {
+    val victim = live.minBy(e => (tsOf(e), idOf(e)))
+    (live.filterNot(_ eq victim), victim)
+  }
+
   /** Streaming MinHash+LSH near-duplicate mining — the incremental twin of
     * [[graft.operators.GraftDedup.nearDupPairs]], for crawl-as-it-arrives
     * near-dup detection where re-running the batch pair job per increment
@@ -275,14 +290,9 @@ object CorpusStreams {
         live ::= BucketEntry(e.id, eMs, e.sig, e.gh)
         if (maxBucketResidents != Int.MaxValue &&
             live.length > maxBucketResidents) {
-          // evict EXACTLY the victim instance (reference equality): an
-          // id-keyed filter would sweep every duplicate-id resident at
-          // once — an at-least-once source redelivering one id could
-          // then empty the bucket and the tsMs.max below would throw,
-          // killing the query as a checkpoint-replayed poison pill
-          val victim = live.minBy(en => (en.tsMs, en.id))
-          live = live.filterNot(en => en.asInstanceOf[AnyRef] eq
-                                      victim.asInstanceOf[AnyRef])
+          val (kept, victim) = evictOldest(live, (_: BucketEntry).tsMs,
+                                           (_: BucketEntry).id)
+          live = kept
           out += NearDupPairOut(victim.id, -1L, -1.0, e.ts)
         }
       }
@@ -490,14 +500,9 @@ object CorpusStreams {
         live ::= SrpBucketEntry(e.id, eMs, e.bsigs, e.v)
         if (maxBucketResidents != Int.MaxValue &&
             live.length > maxBucketResidents) {
-          // evict EXACTLY the victim instance (reference equality): an
-          // id-keyed filter would sweep every duplicate-id resident at
-          // once — an at-least-once source redelivering one id could
-          // then empty the bucket and the tsMs.max below would throw,
-          // killing the query as a checkpoint-replayed poison pill
-          val victim = live.minBy(en => (en.tsMs, en.id))
-          live = live.filterNot(en => en.asInstanceOf[AnyRef] eq
-                                      victim.asInstanceOf[AnyRef])
+          val (kept, victim) = evictOldest(live, (_: SrpBucketEntry).tsMs,
+                                           (_: SrpBucketEntry).id)
+          live = kept
           out += CosPairOut(victim.id, -1L, -1.0, e.ts)
         }
       }
@@ -539,14 +544,9 @@ object CorpusStreams {
         live ::= SrpBucketEntryQ(e.id, eMs, e.bsigs, eq)
         if (maxBucketResidents != Int.MaxValue &&
             live.length > maxBucketResidents) {
-          // evict EXACTLY the victim instance (reference equality): an
-          // id-keyed filter would sweep every duplicate-id resident at
-          // once — an at-least-once source redelivering one id could
-          // then empty the bucket and the tsMs.max below would throw,
-          // killing the query as a checkpoint-replayed poison pill
-          val victim = live.minBy(en => (en.tsMs, en.id))
-          live = live.filterNot(en => en.asInstanceOf[AnyRef] eq
-                                      victim.asInstanceOf[AnyRef])
+          val (kept, victim) = evictOldest(live, (_: SrpBucketEntryQ).tsMs,
+                                           (_: SrpBucketEntryQ).id)
+          live = kept
           out += CosPairOut(victim.id, -1L, -1.0, e.ts)
         }
       }
@@ -638,32 +638,45 @@ object CorpusStreams {
     *
     * Delivery: IDEMPOTENT per micro-batch (exactly-once at rest under
     * Structured Streaming's batch-id replay contract): each micro-batch
-    * appends under its `batchId` as the store's batch tag, so the files
-    * it lands have batch-deterministic names and a retried micro-batch
-    * REPLACES its own previous (partial or complete) files instead of
-    * duplicating them — replaying the same id twice serves identically
-    * to once (OperatorLibSpec pins it). The one residual at-least-once
-    * window is a retry AFTER the source already reassigned different
-    * rows to the same batch id (a checkpoint deleted mid-stream) —
-    * a misuse of the checkpoint contract, not a crash mode.
-    * Rebuild/compaction remain batch concerns: run
-    * [[graft.operators.GraftSimilarity.ivfMaybeRebuild]] (full rewrite
-    * via [[graft.operators.GraftSimilarity.writeIvfIndex]]) and
-    * [[graft.operators.GraftSimilarity.compactIvfCells]] (incremental —
-    * bounds the per-cell file growth this ingest creates) on a schedule.
+    * appends under the tag `<streamId>_b<batchId>`, so the files it
+    * lands have batch-deterministic names, a retried micro-batch is a
+    * marker-gated no-op or replaces its own partial files — never a
+    * duplicate — and replaying the same id twice serves identically to
+    * once (OperatorLibSpec pins it).
+    *
+    * `streamId` scopes the tag namespace and carries a contract:
+    * RESTARTING from the same checkpoint must REUSE the same streamId
+    * (so replays hit their markers), and a FRESH checkpoint into the
+    * same store must use a NEW streamId — batch ids restart at 0 under
+    * a fresh checkpoint, and reusing the old streamId would make the
+    * new stream's first batches collide with committed markers and be
+    * silently skipped. Commit markers accumulate one tiny file per
+    * micro-batch; prune them with
+    * [[graft.operators.GraftSimilarity.pruneIngestTags]] on an age bound
+    * ≥ the checkpoint's replay window. Rebuild/compaction remain batch
+    * concerns — run [[graft.operators.GraftSimilarity.ivfMaybeRebuild]]
+    * (full rewrite via [[graft.operators.GraftSimilarity.writeIvfIndex]])
+    * and [[graft.operators.GraftSimilarity.compactIvfCells]] between
+    * ingest waves; the compaction pass holds a maintenance lock and a
+    * micro-batch that races it FAILS AND RETRIES rather than corrupting
+    * the store.
     */
-  def ivfIngestStream(dir: String, vecs: DataFrame,
+  def ivfIngestStream(dir: String, vecs: DataFrame, streamId: String,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding")
-      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.matches("[A-Za-z0-9_]+"),
+      s"streamId '$streamId' must match [A-Za-z0-9_]+ (it prefixes the " +
+      "store's idempotency tags)")
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       graft.operators.GraftSimilarity.appendIvfStore(
         batch.sparkSession, dir,
         batch.select(col(idCol),
                      expr(s"transform($vecCol, x -> cast(x AS double))")
                        .as("__v")),
-        idCol, "__v", batchTag = Some(s"b$batchId"))
+        idCol, "__v", batchTag = Some(s"${streamId}_b$batchId"))
     }
+  }
 
   final case class PackDoc(shard: String, doc_id: Long, n_tokens: Long)
   final case class PackAssign(shard: String, doc_id: Long, n_tokens: Long,

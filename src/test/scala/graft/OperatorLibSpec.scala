@@ -967,7 +967,8 @@ class OperatorLibSpec extends GraftFunSuite {
         val (b1, b2) = rows.splitAt(rows.size / 2)
         val input = MemoryStream[(Long, List[Double])]
         val sq = CorpusStreams
-          .ivfIngestStream(dir2, input.toDF().toDF("vec_id", "embedding"))
+          .ivfIngestStream(dir2, input.toDF().toDF("vec_id", "embedding"),
+                           streamId = "s1")
           .option("checkpointLocation", s"$dir2/_chk")
           .start()
         try {
@@ -1136,10 +1137,22 @@ class OperatorLibSpec extends GraftFunSuite {
       assert(spark.read.parquet(s"$dir/assigned").count() ==
              seed.count() + 2 * batch.count(),
         "partial-retry replay must not change the row count")
-      // dashes in raw tags sanitize away (they are the filename separator)
-      GraftSimilarity.appendIvfStore(spark, dir, batch.limit(0),
-                                     batchTag = Some("2026-08-13"))
-      assert(new java.io.File(s"$dir/ingest_tags/2026_08_13").exists())
+      // dashed/odd tags are REJECTED, not sanitized: two distinct raw
+      // tags must never normalize onto one marker — with the marker gate
+      // a collision is a SILENT drop of the second batch
+      intercept[IllegalArgumentException] {
+        GraftSimilarity.appendIvfStore(spark, dir, batch.limit(0),
+                                       batchTag = Some("2026-08-13"))
+      }
+      // marker GC: young markers survive an aggressive prune window; a
+      // tiny window prunes them (mtime-based), and a replay of a PRUNED
+      // tag would land again — which is why the doc ties the age bound
+      // to the source's replay horizon
+      assert(GraftSimilarity.pruneIngestTags(spark, dir,
+               olderThanMs = 24L * 3600 * 1000) == 0)
+      Thread.sleep(20)
+      assert(GraftSimilarity.pruneIngestTags(spark, dir, olderThanMs = 1) >= 2)
+      assert(!new java.io.File(s"$dir/ingest_tags/b7").exists())
     } finally {
       idx.unpersist(blocking = true)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
@@ -1236,6 +1249,24 @@ class OperatorLibSpec extends GraftFunSuite {
       assert(GraftSimilarity.compactIvfCells(spark, dir, 2) > 0)
       assert(cellFiles().forall(_._2.size <= 2),
         "post-commit pass must leave no cell over the bound")
+      // writer exclusion: while the maintenance lock is held, BOTH append
+      // paths refuse (the race would merge not-yet-committed files); the
+      // lock also excludes a second concurrent compaction pass
+      val lockF = new java.io.File(s"$dir/_maintenance.lock")
+      assert(!lockF.exists(), "compaction must release its lock")
+      assert(lockF.createNewFile())
+      try {
+        intercept[IllegalArgumentException] {
+          GraftSimilarity.appendIvfStore(spark, dir, slice)
+        }
+        intercept[IllegalArgumentException] {
+          GraftSimilarity.appendIvfStore(spark, dir, slice,
+                                         batchTag = Some("locked"))
+        }
+        intercept[IllegalStateException] {
+          GraftSimilarity.compactIvfCells(spark, dir, 2)
+        }
+      } finally lockF.delete()
     } finally {
       idx.unpersist(blocking = true)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
