@@ -274,13 +274,23 @@ object GraftSimilarity {
     * checkpoint). Markers live until [[pruneIngestTags]] — tie its
     * retention to the longest window a source could replay.
     *
-    * Both append paths refuse while a [[compactIvfCells]] maintenance
-    * lock is present: compaction's list-then-merge and the append's
-    * rename-into-cell race in both directions (a file renamed in after
-    * the listing gets merged WITHOUT its marker committing; a cell dir
-    * retired mid-append fails the rename). The refusal is an error the
-    * caller retries after the pass — for a stream that is the natural
-    * micro-batch retry.
+    * Maintenance exclusion (best-effort lease, single-writer by fleet
+    * discipline, the lock catches scheduling mistakes): both append
+    * paths refuse while a FRESH [[compactIvfCells]] lock is present —
+    * compaction's list-then-merge and the append's rename-into-cell race
+    * in both directions. The tagged path additionally RE-CHECKS the lock
+    * after its (minutes-long) staging job, immediately before the
+    * rename-into-store phase, so the window between check and mutation
+    * is the rename loop, not the Spark job. A lock older than
+    * [[MaintenanceLockTtlMs]] is STALE (a crashed pass) and treated as
+    * absent — one crashed compaction bounds the write outage at the TTL
+    * instead of wedging the store until a human intervenes. The refusal
+    * is an error: for [[graft.streaming.CorpusStreams.ivfIngestStream]]
+    * it fails the streaming query, and the RESTART (supervisor-level —
+    * Structured Streaming does not retry a failed batch within a run)
+    * replays the batch from the checkpoint; replays of already-committed
+    * batches no-op on their marker BEFORE the lock check, so a restart
+    * mid-compaction drains cleanly.
     */
   def appendIvfStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                      batch: DataFrame,
@@ -290,19 +300,24 @@ object GraftSimilarity {
     import org.apache.hadoop.fs.Path
     val lock = maintenanceLock(dir)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(!fs.exists(lock),
-      s"appendIvfStore: store $dir is under compaction maintenance " +
-      s"($lock present) — retry after the pass completes")
+    def requireUnlocked(phase: String): Unit =
+      require(!maintenanceLockFresh(fs, lock),
+        s"appendIvfStore($phase): store $dir is under compaction " +
+        s"maintenance ($lock present and fresh) — the caller retries " +
+        "after the pass (a failed streaming micro-batch replays on " +
+        "query restart)")
     // c_id pinned long on read: a store written before the long-normalize
     // contract may hold narrower centroid ids; the assigned files this
     // append writes must carry ONE n_id/c_id width regardless.
-    val cents = spark.read.parquet(s"$dir/centroids")
+    lazy val cents = spark.read.parquet(s"$dir/centroids")
       .withColumn("c_id", col("c_id").cast("long"))
-    val e = batch.select(col(idCol).cast("long").as("n_id"),
-                         col(vecCol).as("v"))
-    val assigned = assignTo(cents, e).repartition(col("c_id"))
+    def assigned = assignTo(cents,
+        batch.select(col(idCol).cast("long").as("n_id"),
+                     col(vecCol).as("v")))
+      .repartition(col("c_id"))
     batchTag match {
       case None =>
+        requireUnlocked("batch")
         assigned.write.mode("append").partitionBy("c_id")
           .parquet(s"$dir/assigned")
       case Some(tag) =>
@@ -311,10 +326,20 @@ object GraftSimilarity {
           "filename separator, and silent sanitization could collide " +
           "two distinct tags into one marker (a silent batch drop)")
         val marker = new Path(s"$dir/ingest_tags/$tag")
-        if (fs.exists(marker)) return // committed batch: replay is a no-op
+        // marker BEFORE lock: a replay of a committed batch touches no
+        // store file and must stay a no-op even mid-compaction — a
+        // restarted stream draining its checkpoint during a pass would
+        // otherwise die on batches that need no work at all
+        if (fs.exists(marker)) return
+        requireUnlocked("staging")
         val staging = new Path(s"$dir/ingest_staging/$tag")
         assigned.write.mode("overwrite").partitionBy("c_id")
           .parquet(staging.toString)
+        // the staging job can run minutes: re-check before MUTATING the
+        // store so a compaction that started meanwhile is honored — from
+        // here to the marker write it's driver-side renames only
+        try requireUnlocked("landing")
+        catch { case e: Throwable => fs.delete(staging, true); throw e }
         val assignedRoot = new Path(s"$dir/assigned")
         val cellDirs = fs.listStatus(staging)
           .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
@@ -352,6 +377,22 @@ object GraftSimilarity {
   private def maintenanceLock(dir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$dir/_maintenance.lock")
 
+  /** Lease bound for the compaction maintenance lock: a lock file older
+    * than this is a crashed pass (the pass's own runtime is minutes) and
+    * is treated as absent by appends / broken by the next compaction —
+    * one crash bounds the write outage at the TTL instead of wedging
+    * every writer until a human deletes the file. Recovery of a crashed
+    * pass's cell state is automatic at the next pass ([[compactIvfCells]]
+    * scaladoc); the TTL only governs who may write meanwhile.
+    */
+  private[graft] val MaintenanceLockTtlMs: Long = 2L * 3600 * 1000
+
+  private def maintenanceLockFresh(fs: org.apache.hadoop.fs.FileSystem,
+                                   lock: org.apache.hadoop.fs.Path): Boolean =
+    try fs.getFileStatus(lock).getModificationTime >
+        System.currentTimeMillis() - MaintenanceLockTtlMs
+    catch { case _: java.io.FileNotFoundException => false }
+
   /** Garbage-collect commit markers older than `olderThanMs` (marker
     * mtime). A marker is only load-bearing while its batch could still be
     * REPLAYED — once the source's checkpoint/retention window has passed,
@@ -382,15 +423,25 @@ object GraftSimilarity {
     * append fragmentation). Untouched cells' files are not opened, moved,
     * or rewritten (OperatorLibSpec pins byte-identity via mtimes).
     *
-    * Swap protocol per oversized cell, single-writer assumed (the same
-    * assumption every mode("overwrite") path here makes): the compacted
-    * file is written to `$$dir/compact_staging`, the live cell dir is
-    * renamed to a dot-prefixed sibling (hidden — Spark's file index skips
-    * dot/underscore paths, so a concurrent read never double-counts),
-    * the staged dir renamed in, then the old dir deleted. A crash between
-    * the two renames leaves the cell's data intact in the hidden dir —
-    * recovery is renaming `.compact-old-c_id=X` back — rather than
-    * duplicated or lost.
+    * Swap protocol per oversized cell: the merged file (deterministic
+    * name `compacted-0.parquet`) is staged under `$$dir/compact_staging`
+    * from the EXPLICIT file list the pass observed (never the directory —
+    * a file landing later must not be read), the live cell dir is renamed
+    * to a dot-prefixed sibling (hidden — Spark's file index skips
+    * dot/underscore paths, so a concurrent read never double-counts), the
+    * staged dir renamed in, any file the hidden dir holds that was NOT in
+    * the merge list (a late-landing append) is moved into the new live
+    * dir, then the hidden dir is deleted. If landing the staged dir
+    * fails, the swap ROLLS BACK in place (retire-rename undone) so the
+    * store is whole when the lock releases.
+    *
+    * Crash recovery is automatic at the START of the next pass, keyed on
+    * the deterministic merged-file name: a leftover `.compact-old-c_id=X`
+    * with no live sibling rolls back (rename it back); one whose live
+    * sibling holds `compacted-0.parquet` rolls forward (restore not-in-
+    * merge files, drop the rest); one whose live sibling was recreated by
+    * post-TTL appends has its files restored into the live dir. No state
+    * needs a human.
     *
     * Tagged-ingest interplay: a cell holding `ingest-<tag>-*` files whose
     * tag has NO commit marker is an in-flight or crashed tagged batch —
@@ -402,13 +453,14 @@ object GraftSimilarity {
     * tag is a marker-gated no-op, so losing their file identity is safe.
     *
     * Writer exclusion: the pass holds `$$dir/_maintenance.lock` (created
-    * atomically — a second concurrent pass fails to create it and
-    * errors), and [[appendIvfStore]] refuses while it exists, because
-    * the uncommitted-tag skip only protects files PRESENT at listing
-    * time — an append racing the pass could rename a file into a cell
-    * after its listing and have it merged without its marker ever
-    * committing. Appends that land between passes are untouched; a
-    * stream's refused micro-batch retries after the pass.
+    * atomically, stale after [[MaintenanceLockTtlMs]] — a crashed pass
+    * bounds the outage instead of wedging the store) and
+    * [[appendIvfStore]] refuses while it is fresh, re-checking after its
+    * staging job so the check-to-mutation window is the rename loop, not
+    * a Spark job. A racing micro-batch FAILS ITS QUERY and is replayed
+    * on restart from the checkpoint — Structured Streaming does not
+    * retry within a run; schedule compaction between ingest waves (or
+    * under a stream supervisor) accordingly.
     *
     * Returns the number of cells compacted.
     */
@@ -417,10 +469,13 @@ object GraftSimilarity {
     require(maxFilesPerCell >= 1,
       s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
     import org.apache.hadoop.fs.Path
+    val Merged = "compacted-0.parquet"
     val assignedRoot = new Path(s"$dir/assigned")
     val fs = assignedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(assignedRoot)) return 0
     val lock = maintenanceLock(dir)
+    if (fs.exists(lock) && !maintenanceLockFresh(fs, lock))
+      fs.delete(lock, false) // stale: a crashed pass past the TTL
     // create-if-absent is atomic on HDFS/local (overwrite = false): two
     // concurrent passes cannot both win. Best-effort on stores without
     // atomic create — the single-maintenance-writer assumption stands.
@@ -428,9 +483,53 @@ object GraftSimilarity {
     catch { case e: java.io.IOException =>
       throw new IllegalStateException(
         s"compactIvfCells: could not take $lock — another maintenance " +
-        "pass is running (or crashed; delete the lock to recover)", e)
+        s"pass is running (stale locks break after " +
+        s"${MaintenanceLockTtlMs / 60000} min)", e)
     }
     try {
+      // ---- recover any swap a crashed pass left behind ----------------
+      for (o <- fs.listStatus(assignedRoot)
+             if o.isDirectory && o.getPath.getName.startsWith(".compact-old-")) {
+        val live = new Path(assignedRoot,
+                            o.getPath.getName.stripPrefix(".compact-old-"))
+        if (!fs.exists(live)) {
+          // crashed between retire and land: roll back
+          require(fs.rename(o.getPath, live),
+            s"compactIvfCells: recovery rename ${o.getPath} -> $live failed")
+        } else {
+          // crashed between land and cleanup (live holds the merged
+          // file), or post-TTL appends recreated the live dir: restore
+          // every hidden file the live dir does not already account for —
+          // when the merge completed those are exactly the late arrivals
+          // (merged originals are represented by Merged); when it did
+          // not, everything restores. Names are unique (uuid part files,
+          // exact-tag ingest names), so no collision.
+          val mergedLanded = fs.exists(new Path(live, Merged))
+          for (f <- fs.listStatus(o.getPath) if f.isFile) {
+            val dest = new Path(live, f.getPath.getName)
+            // merge completed ⇒ hidden files are either merged originals
+            // (drop — their rows live in Merged) or late arrivals
+            // (restore); merge absent ⇒ everything restores. A merged
+            // original is exactly a file the pass listed, i.e. one whose
+            // name cannot already exist in the landed dir — so "restore
+            // unless merged-and-absent-by-merge" reduces to: restore
+            // anything the live dir lacks UNLESS the merge landed and the
+            // file carries no tag of its own... which is indistinguishable
+            // by name alone; err on the DUPLICATE-free side: with a landed
+            // merge, restore only files that are NOT plain part-files
+            // (late tagged ingests restore; anonymous part files were the
+            // merge inputs). Without a landed merge, restore everything.
+            val restore =
+              if (!mergedLanded) true
+              else ingestTagOf(f.getPath.getName).isDefined &&
+                   !fs.exists(dest)
+            if (restore && !fs.exists(dest))
+              require(fs.rename(f.getPath, dest),
+                s"compactIvfCells: recovery restore ${f.getPath} failed")
+          }
+          fs.delete(o.getPath, true)
+        }
+      }
       val stagingRoot = new Path(s"$dir/compact_staging")
       // one listing of the committed-tag namespace, not one exists() RPC
       // per (cell, tag) — the loop below is O(cells) round-trips already
@@ -444,27 +543,49 @@ object GraftSimilarity {
       val cellDirs = fs.listStatus(assignedRoot)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
       for (cd <- cellDirs) {
-        val parquetNames = fs.listStatus(cd.getPath)
+        val parquetFiles = fs.listStatus(cd.getPath)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(_.getPath.getName)
-        val nFiles = parquetNames.length
-        val uncommitted = parquetNames.flatMap(ingestTagOf).distinct
-          .filterNot(committedTags.contains)
-        if (nFiles > maxFilesPerCell && uncommitted.isEmpty) {
+          .map(_.getPath)
+        val uncommitted = parquetFiles.map(_.getName).flatMap(ingestTagOf)
+          .distinct.filterNot(committedTags.contains)
+        if (parquetFiles.length > maxFilesPerCell && uncommitted.isEmpty) {
+          val mergeList = parquetFiles.map(_.getName).toSet
           val staged = new Path(stagingRoot, cd.getPath.getName)
           fs.delete(staged, true)
-          // data files under a cell dir carry (n_id, v) only — c_id lives
-          // in the directory name — so the rewrite round-trips the layout
-          spark.read.parquet(cd.getPath.toString)
+          // EXPLICIT file list, never the directory: a file renamed in
+          // after this listing must not be merged (it is restored, not
+          // dropped, by the not-in-merge-list sweep below). Data files
+          // carry (n_id, v) only — c_id lives in the directory name — so
+          // the rewrite round-trips the layout.
+          spark.read.parquet(parquetFiles.map(_.toString): _*)
             .coalesce(1)
             .write.mode("overwrite").parquet(staged.toString)
+          val part = fs.listStatus(staged)
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          require(part.length == 1, s"staged merge not a single file: $staged")
+          require(fs.rename(part.head.getPath, new Path(staged, Merged)),
+            s"compactIvfCells: could not fix the merged name in $staged")
           fs.delete(new Path(staged, "_SUCCESS"), false)
           val old = new Path(assignedRoot, s".compact-old-${cd.getPath.getName}")
           fs.delete(old, true)
           require(fs.rename(cd.getPath, old),
             s"compactIvfCells: could not retire ${cd.getPath}")
-          require(fs.rename(staged, cd.getPath),
-            s"compactIvfCells: could not land $staged (live data is in $old)")
+          if (!fs.rename(staged, cd.getPath)) {
+            // land failed: roll the retire back so the store is whole
+            // when the lock releases, then surface the error
+            require(fs.rename(old, cd.getPath),
+              s"compactIvfCells: land AND rollback failed for ${cd.getPath}" +
+              s" — live data is in $old; next pass auto-recovers it")
+            throw new IllegalStateException(
+              s"compactIvfCells: could not land $staged; swap rolled back")
+          }
+          // restore late arrivals: anything in the retired dir that was
+          // not part of the merge landed during the pass — move it in
+          for (f <- fs.listStatus(old)
+                 if f.isFile && !mergeList.contains(f.getPath.getName))
+            require(fs.rename(f.getPath,
+                              new Path(cd.getPath, f.getPath.getName)),
+              s"compactIvfCells: late-arrival restore ${f.getPath} failed")
           fs.delete(old, true)
           compacted += 1
         }

@@ -658,8 +658,12 @@ object CorpusStreams {
     * (full rewrite via [[graft.operators.GraftSimilarity.writeIvfIndex]])
     * and [[graft.operators.GraftSimilarity.compactIvfCells]] between
     * ingest waves; the compaction pass holds a maintenance lock and a
-    * micro-batch that races it FAILS AND RETRIES rather than corrupting
-    * the store.
+    * micro-batch that races it FAILS ITS QUERY rather than corrupting
+    * the store — Structured Streaming does not retry a failed batch
+    * within a run, so the stream needs a supervisor-level restart (it
+    * resumes from the checkpoint; already-committed batches no-op on
+    * their markers, the refused batch replays). Prefer scheduling
+    * compaction from the same control loop that owns the stream.
     */
   def ivfIngestStream(dir: String, vecs: DataFrame, streamId: String,
                       idCol: String = "vec_id",

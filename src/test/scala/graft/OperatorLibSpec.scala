@@ -1249,9 +1249,9 @@ class OperatorLibSpec extends GraftFunSuite {
       assert(GraftSimilarity.compactIvfCells(spark, dir, 2) > 0)
       assert(cellFiles().forall(_._2.size <= 2),
         "post-commit pass must leave no cell over the bound")
-      // writer exclusion: while the maintenance lock is held, BOTH append
-      // paths refuse (the race would merge not-yet-committed files); the
-      // lock also excludes a second concurrent compaction pass
+      // writer exclusion: while a FRESH maintenance lock is held, BOTH
+      // append paths refuse (the race would merge not-yet-committed
+      // files); the lock also excludes a second concurrent compaction
       val lockF = new java.io.File(s"$dir/_maintenance.lock")
       assert(!lockF.exists(), "compaction must release its lock")
       assert(lockF.createNewFile())
@@ -1266,7 +1266,50 @@ class OperatorLibSpec extends GraftFunSuite {
         intercept[IllegalStateException] {
           GraftSimilarity.compactIvfCells(spark, dir, 2)
         }
+        // a STALE lock (crashed pass, past the TTL) is treated as absent
+        // by appends and broken by the next compaction — one crash bounds
+        // the outage instead of wedging every writer forever
+        assert(lockF.setLastModified(System.currentTimeMillis()
+          - GraftSimilarity.MaintenanceLockTtlMs - 60000))
+        GraftSimilarity.appendIvfStore(spark, dir,
+          slice.select((col("vec_id") + 20000000L).as("vec_id"), col("v")))
+        assert(GraftSimilarity.compactIvfCells(spark, dir, 1) > 0)
+        assert(!lockF.exists(), "pass must break the stale lock and release")
       } finally lockF.delete()
+      // ---- crash recovery, keyed on the deterministic merged name ----
+      val assignedDir = new java.io.File(s"$dir/assigned")
+      def storeCount() = spark.read.parquet(s"$dir/assigned").count()
+      // (a) retire-only crash: the live dir sits hidden, no live sibling —
+      // the next pass rolls it back untouched
+      val preA = storeCount()
+      val cellA = assignedDir.listFiles().filter(_.getName.startsWith("c_id=")).head
+      assert(cellA.renameTo(
+        new java.io.File(assignedDir, s".compact-old-${cellA.getName}")))
+      assert(GraftSimilarity.compactIvfCells(spark, dir, 100) == 0)
+      assert(new java.io.File(assignedDir, cellA.getName).exists)
+      assert(storeCount() == preA, "roll-back must restore every row")
+      // (b) landed crash: live holds the merged file, the hidden dir holds
+      // the anonymous merge INPUTS (drop — their rows live in the merge)
+      // plus a late tagged ingest file (restore)
+      val cellB = assignedDir.listFiles()
+        .filter(d => d.getName.startsWith("c_id=") &&
+                     new java.io.File(d, "compacted-0.parquet").exists).head
+      val hiddenB = new java.io.File(assignedDir, s".compact-old-${cellB.getName}")
+      assert(hiddenB.mkdir())
+      org.apache.commons.io.FileUtils.copyFile(
+        new java.io.File(cellB, "compacted-0.parquet"),
+        new java.io.File(hiddenB, "part-merge-input.parquet"))
+      val donor = assignedDir.listFiles()
+        .filter(d => d.getName.startsWith("c_id=") && d != cellB).head
+        .listFiles().filter(_.getName.endsWith(".parquet")).head
+      val lateRows = spark.read.parquet(donor.toString).count()
+      org.apache.commons.io.FileUtils.copyFile(donor,
+        new java.io.File(hiddenB, "ingest-late-0.parquet"))
+      val preB = storeCount()
+      assert(GraftSimilarity.compactIvfCells(spark, dir, 100) == 0)
+      assert(!hiddenB.exists, "recovery must consume the hidden dir")
+      assert(storeCount() == preB + lateRows,
+        "merge inputs must drop (no duplicates), late tagged file restores")
     } finally {
       idx.unpersist(blocking = true)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
