@@ -220,8 +220,8 @@ object StreamBench {
     }
 
     // ---- event inputs ---------------------------------------------------
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val events = graft.queries.GraftQuery.normalizeTs(
+        spark.read.parquet(s"$sfDir/events.parquet"))
       .select(col("user_id"), col("ts"), col("event_type"), col("value"),
               col("event_id"))
       .orderBy("ts")

@@ -12,6 +12,36 @@ final case class GraftQuery(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None)
 
+object GraftQuery {
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+
+  /** Normalize the `events.ts` column to a session-local µs TIMESTAMP
+    * regardless of which generation of the driver testdata is on disk:
+    *
+    *   - parquet TIMESTAMP(NANOS) read as long ns (via
+    *     `spark.sql.legacy.parquet.nanosAsLong`): integer-divide to µs —
+    *     ns values ~1.7e18 overflow double precision, so no float path;
+    *   - parquet TIMESTAMP(MICROS) without UTC adjustment (reads as
+    *     TIMESTAMP_NTZ): reinterpret as UTC — every entry point pins
+    *     `spark.sql.session.timeZone=UTC`, so the cast is value-preserving
+    *     and agrees with DuckDB's `epoch_us` on the same naive timestamp;
+    *   - already TIMESTAMP: pass through.
+    */
+  def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    df.schema(tsCol).dataType match {
+      case LongType =>
+        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+      case TimestampNTZType =>
+        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+      case TimestampType => df
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.$tsCol: unsupported type $other — expected long ns, " +
+          "TIMESTAMP_NTZ µs, or TIMESTAMP")
+    }
+}
+
 trait QueryModule {
   def all: Seq[GraftQuery]
 
@@ -34,15 +64,12 @@ trait QueryModule {
   protected def spread(df: DataFrame): DataFrame =
     graft.operators.ScaleHints.spread(df)
 
-  /** The `events` table stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * refuses by default. Read it as long ns and convert to a µs timestamp with
-    * integer division (ns values ~1.7e18 overflow double precision, so no
-    * floating-point path). DuckDB truncates ns→µs the same way on output.
+  /** The `events` table's `ts` physical type has varied across testdata
+    * generations (TIMESTAMP(NANOS), naive TIMESTAMP(MICROS)); normalize to a
+    * µs TIMESTAMP either way. See [[GraftQuery.normalizeTs]].
     */
   protected def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    GraftQuery.normalizeTs(spark.read.parquet(s"$dir/events.parquet"))
   }
 }

@@ -251,9 +251,8 @@ class StreamingSpec extends GraftFunSuite {
       dir.resolve("events.parquet"),
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     val schema = spark.read.parquet(s"$sf0001/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(dir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = graft.queries.GraftQuery.normalizeTs(
+      spark.readStream.schema(schema).parquet(dir.toString))
     val q = EventStreams.hourlyCounts(stream)
       .writeStream.format("memory").queryName("file_hourly")
       .outputMode("complete")
@@ -265,8 +264,8 @@ class StreamingSpec extends GraftFunSuite {
         .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
         .toSet
       val batch = EventStreams.hourlyCounts(
-        spark.read.parquet(s"$sf0001/events.parquet")
-          .withColumn("ts", expr("timestamp_micros(ts div 1000)")))
+        graft.queries.GraftQuery.normalizeTs(
+          spark.read.parquet(s"$sf0001/events.parquet")))
         .collect()
         .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
         .toSet
