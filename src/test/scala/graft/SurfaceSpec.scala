@@ -130,4 +130,37 @@ class SurfaceSpec extends GraftFunSuite {
       assert(ids == Seq(1L, 2L, 3L), s"got $ids")
     } finally q.stop()
   }
+
+  test("normalizeTs yields identical instants for every testdata generation " +
+       "of the events ts column") {
+    import graft.queries.GraftQuery.normalizeTs
+    import org.apache.spark.sql.types._
+    // the same instant expressed in each physical generation
+    val us = 1700000000123456L // 2023-11-14T22:13:20.123456Z
+    val asNs = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(us * 1000L)),
+      StructType(Seq(StructField("ts", LongType))))          // TIMESTAMP(NANOS) era
+    val asNtz = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, ((us % 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC))),
+      StructType(Seq(StructField("ts", TimestampNTZType)))) // MICROS, naive era
+    val asTs = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+          us / 1000000L, (us % 1000000L) * 1000L)))),
+      StructType(Seq(StructField("ts", TimestampType))))    // already-normalized
+    val got = Seq(asNs, asNtz, asTs).map { df =>
+      val out = normalizeTs(df)
+      assert(out.schema("ts").dataType == TimestampType)
+      out.select(unix_micros(col("ts"))).as[Long].head()
+    }
+    assert(got == Seq(us, us, us), s"got $got")
+    // unsupported types fail loudly, never silently mis-convert
+    val asStr = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row("2023-11-14")),
+      StructType(Seq(StructField("ts", StringType))))
+    intercept[IllegalArgumentException](normalizeTs(asStr))
+  }
 }
