@@ -23,9 +23,12 @@ object GraftQuery {
     *     `spark.sql.legacy.parquet.nanosAsLong`): integer-divide to µs —
     *     ns values ~1.7e18 overflow double precision, so no float path;
     *   - parquet TIMESTAMP(MICROS) without UTC adjustment (reads as
-    *     TIMESTAMP_NTZ): reinterpret as UTC — every entry point pins
-    *     `spark.sql.session.timeZone=UTC`, so the cast is value-preserving
-    *     and agrees with DuckDB's `epoch_us` on the same naive timestamp;
+    *     TIMESTAMP_NTZ): reinterpret the naive value as a UTC instant —
+    *     routed through `convert_timezone('UTC', current_timezone(), …)`
+    *     before the cast so the result is the same instant under ANY
+    *     session timezone (a bare cast would shift instants in non-UTC
+    *     user sessions), and agrees with DuckDB's `epoch_us` on the same
+    *     naive timestamp;
     *   - already TIMESTAMP: pass through.
     */
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
@@ -33,7 +36,9 @@ object GraftQuery {
       case LongType =>
         df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
       case TimestampNTZType =>
-        df.withColumn(tsCol, col(tsCol).cast(TimestampType))
+        df.withColumn(tsCol, expr(
+          s"cast(convert_timezone('UTC', current_timezone(), $tsCol) " +
+          "as timestamp)"))
       case TimestampType => df
       case other =>
         throw new IllegalArgumentException(

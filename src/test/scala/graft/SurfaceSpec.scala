@@ -157,6 +157,13 @@ class SurfaceSpec extends GraftFunSuite {
       out.select(unix_micros(col("ts"))).as[Long].head()
     }
     assert(got == Seq(us, us, us), s"got $got")
+    // the NTZ reinterpretation is session-timezone-independent: a user
+    // session not pinned to UTC must still land on the same instant
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val nyc = normalizeTs(asNtz).select(unix_micros(col("ts"))).as[Long].head()
+      assert(nyc == us, s"NTZ under non-UTC session tz drifted: $nyc")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
     // unsupported types fail loudly, never silently mis-convert
     val asStr = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row("2023-11-14")),
