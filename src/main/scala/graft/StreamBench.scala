@@ -17,6 +17,14 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * rows/bytes come from each query's final StreamingQueryProgress
   * (`stateOperators`), the same source the state-reduction specs read.
   *
+  * Each operator replays SPARK_GRAFT_STREAMBENCH_RUNS times (default 3,
+  * fresh stream + sink + store per run) and the artifact records the
+  * median with a [min, med, max] spread — single-shot replay timings on
+  * this box swing up to 3× run-to-run (observed on sb_neardup_pairs:
+  * 6.9 s vs 22.2 s same code, same data), which would read as phantom
+  * regressions round-over-round, the same lesson the batch bench learned
+  * in r6.
+  *
   *   sbt "runMain graft.StreamBench"   # SPARK_GRAFT_SF_DIR overrides
   */
 object StreamBench {
@@ -43,7 +51,14 @@ object StreamBench {
     def ts(minute: Int): Timestamp =
       Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
 
+    val runs = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_RUNS", "3")
+      .toInt.max(1)
     val out = scala.collection.mutable.ListBuffer.empty[Rec]
+
+    /** Replay an operator block `runs` times; every run constructs its own
+      * stream, sink, and (where applicable) store, so runs are independent
+      * replays, not warm-cache reruns of shared state. */
+    def rep(body: => Unit): Unit = (1 to runs).foreach(_ => body)
 
     /** Drive a memory-sink query over `chunks` feeds, timing feed-to-drain;
       * rowsOut/state from the table + final progress. */
@@ -85,7 +100,7 @@ object StreamBench {
                  r.getSeq[Float](1).toList)).toSeq
 
     // exact dedup: corpus + 20% re-crawled texts under fresh ids
-    locally {
+    rep {
       val dups = docs.take(docs.size / 5).map { case (id, text) =>
         (id + 10000000L, ts(29), text)
       }
@@ -98,7 +113,7 @@ object StreamBench {
     }
 
     // contamination gate: 8-gram leakage audit against a 100-doc test set
-    locally {
+    rep {
       val in = MemoryStream[(Long, Timestamp, String)]
       val testGrams = spark.createDataFrame(
           spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
@@ -117,26 +132,32 @@ object StreamBench {
     // MinHash near-dup mining over 8-token shingles (the batch operators'
     // item shape — raw token SETS pair nearly everything in a synthetic
     // corpus with shared vocabulary, which measures the sink, not the op)
-    locally {
+    rep {
       val rows = docRows.map { case (id, t, text) =>
         val tk = text.trim.split("\\s+")
         (id, t,
          (if (tk.length >= 8) tk.sliding(8).map(_.mkString(" ")).toList
           else List(tk.mkString(" "))).distinct)
       }
-      val in = MemoryStream[(Long, Timestamp, List[String])]
-      val q = sink(CorpusStreams.nearDupPairStream(
-        in.toDF().toDF("doc_id", "ts", "items"), threshold = 0.8,
-        horizonMinutes = 60).toDF(), "sb_neardup_pairs")
-      drive("sb_neardup_pairs", rows.size, q,
-            chunks(rows, 4).map(c => () => { in.addData(c); () }))
+      // uncapped (the honest bands×residents cost) and hot-bucket-capped
+      // twin — the r7 mitigation's state/throughput effect, measured
+      for (cap <- Seq(Int.MaxValue, 64)) {
+        val name = if (cap == Int.MaxValue) "sb_neardup_pairs"
+                   else "sb_neardup_pairs_cap64"
+        val in = MemoryStream[(Long, Timestamp, List[String])]
+        val q = sink(CorpusStreams.nearDupPairStream(
+          in.toDF().toDF("doc_id", "ts", "items"), threshold = 0.8,
+          horizonMinutes = 60, maxBucketResidents = cap).toDF(), name)
+        drive(name, rows.size, q,
+              chunks(rows, 4).map(c => () => { in.addData(c); () }))
+      }
     }
 
     // SRP embedding near-dup mining — exact and quantized state tiers.
     // Twins planted for 10% of ids (the spec corpora's construction) so
     // the in-bucket verify path runs on real collisions, not only on
     // signature maintenance.
-    locally {
+    rep {
       val twins = vecs.filter(_._1 % 10 == 0).map { case (id, t, v) =>
         (id + 10000000L, t,
          v.take(v.size / 2) ::: v.drop(v.size / 2).map(_ * 2f))
@@ -154,7 +175,7 @@ object StreamBench {
     }
 
     // IVF serve: static index, streamed query batches
-    locally {
+    rep {
       import graft.operators.GraftSimilarity
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"),
@@ -178,7 +199,7 @@ object StreamBench {
     }
 
     // IVF streaming ingest into a fresh at-rest store (idempotent tags)
-    locally {
+    rep {
       import graft.operators.GraftSimilarity
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"),
@@ -207,7 +228,7 @@ object StreamBench {
     }
 
     // sequence packing: shard by a stable 8-way key, stream in doc order
-    locally {
+    rep {
       val rows = docs.map { case (id, text) =>
         CorpusStreams.PackDoc(s"s${id % 8}", id,
                               text.trim.split("\\s+").length.toLong)
@@ -230,7 +251,7 @@ object StreamBench {
                  r.getDouble(3), r.getLong(4))).toSeq
 
     // gap sessionization: per-user open-session state, event-time timeout
-    locally {
+    rep {
       val rows = events.map(e => EventStreams.Event(e._1, e._2, e._4))
       val in = MemoryStream[EventStreams.Event]
       val q = sink(EventStreams.sessionize(in.toDS()).toDF(), "sb_sessionize")
@@ -239,7 +260,7 @@ object StreamBench {
     }
 
     // tumbling-window counts: watermarked windowed aggregation
-    locally {
+    rep {
       val in = MemoryStream[(Long, Timestamp, String, Double)]
       val q = in.toDF().toDF("user_id", "ts", "event_type", "value")
         .transform(EventStreams.hourlyCounts)
@@ -251,7 +272,7 @@ object StreamBench {
     }
 
     // per-user transition pairs: O(users) single-value state
-    locally {
+    rep {
       val rows = events.map(e => EventStreams.TypeStep(e._1, e._2, e._3, e._5))
       val in = MemoryStream[EventStreams.TypeStep]
       val q = sink(EventStreams.transitionStream(in.toDS()).toDF(),
@@ -260,12 +281,24 @@ object StreamBench {
             chunks(rows, 4).map(c => () => { in.addData(c); () }))
     }
 
-    def fmt(r: Rec): String =
+    // collapse the per-run Recs to one row per op: median-by-sec Rec plus
+    // the [min, med, max] spread ("sec" stays the median so older readers
+    // and SCALE.md references keep working)
+    def fmt(r: Rec, spread: Seq[Double]): String = {
+      val s = spread.sorted
+      val med = s(s.size / 2)
       f""""${r.name}":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},""" +
-      f""""sec":${r.sec}%.3f,"rows_per_sec":${r.rowsIn / math.max(r.sec, 1e-9)}%.0f,""" +
+      f""""sec":$med%.3f,"sec_spread":[${s.head}%.3f,$med%.3f,${s.last}%.3f],""" +
+      f""""runs":$runs,"rows_per_sec":${r.rowsIn / math.max(med, 1e-9)}%.0f,""" +
       f""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}"""
+    }
+    val collapsed = out.map(_.name).distinct.map { n =>
+      val rs = out.filter(_.name == n).sortBy(_.sec)
+      (rs(rs.size / 2), rs.map(_.sec).toSeq)
+    }
     val json =
-      s"""{"metric":"streambench","sf":"$sfDir","ops":{${out.map(fmt).mkString(",")}}}"""
+      s"""{"metric":"streambench","sf":"$sfDir","runs":$runs,""" +
+      s""""ops":{${collapsed.map((fmt _).tupled).mkString(",")}}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT",
                                     "/root/repo/STREAMBENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
