@@ -20,6 +20,36 @@ import org.apache.spark.sql.types._
   */
 object SourceQueries extends QueryModule {
 
+  /** DuckDB replay of `GraftSynthSource`'s (seed=42, id) draw — see the
+    * `src_synth_scan` catalog entry for the numeric argument. Constants are
+    * the unsigned-decimal forms of the splitmix64 / xorshift64* constants:
+    * 0x9e3779b97f4a7c15, 0xbf58476d1ce4e5b9, 0x94d049bb133111eb,
+    * 0x2545f4914f6cdd1d; 33554432 = 1 << 25; 2^-53 scales the top 53 bits
+    * to [0, 1) exactly as `XorShift64Star.nextDouble`.
+    */
+  private val M64 = "18446744073709551616"
+  private def mulmod(v: String, c: String): String =
+    s"(((($v) // 4294967296) * $c) % $M64 * 4294967296) % $M64" +
+    s" + ((($v) % 4294967296) * $c) % $M64"
+  val synthScanOracle: String =
+    s"""WITH ids AS (SELECT unnest(range(0, 100000)) AS id),
+       |s0 AS (SELECT id, xor(42::HUGEINT, id::HUGEINT) AS v FROM ids),
+       |z1 AS (SELECT id, (v + 11400714819323198485) % $M64 AS v FROM s0),
+       |z1x AS (SELECT id, xor(v, v >> 30) AS v FROM z1),
+       |z2 AS (SELECT id, (${mulmod("v", "13787848793156543929")}) % $M64 AS v FROM z1x),
+       |z2x AS (SELECT id, xor(v, v >> 27) AS v FROM z2),
+       |z3 AS (SELECT id, (${mulmod("v", "10723151780598845931")}) % $M64 AS v FROM z2x),
+       |s AS (SELECT id, CASE WHEN xor(v, v >> 31) = 0 THEN 11400714819323198485
+       |                      ELSE xor(v, v >> 31) END AS v FROM z3),
+       |x1 AS (SELECT id, xor(v, v >> 12) AS v FROM s),
+       |x2 AS (SELECT id, xor(v, (v * 33554432) % $M64) AS v FROM x1),
+       |x3 AS (SELECT id, xor(v, v >> 27) AS v FROM x2),
+       |r AS (SELECT id, (${mulmod("v", "2685821657736338717")}) % $M64 AS v FROM x3),
+       |val AS (SELECT id, CAST(v >> 11 AS DOUBLE) * 1.1102230246251565e-16 * 100.0 AS value FROM r)
+       |SELECT CAST(id % 16 AS INT) AS bucket, count(*) AS n,
+       |  round(sum(value), 2) AS sum_value
+       |FROM val GROUP BY 1""".stripMargin
+
   private def ioDir(dir: String, leaf: String): String =
     s"/tmp/graft_io/${new File(dir).getName}/$leaf"
 
@@ -222,9 +252,19 @@ object SourceQueries extends QueryModule {
         |FROM orders GROUP BY o_orderstatus""".stripMargin)),
 
     // Custom DataSourceV2 scan (graft.sources.GraftSynthSource):
-    // deterministic generated rows, column pruning in the reader. Values are
-    // engine-generated ⇒ rows-only driver check; SourcesSpec pins
-    // determinism and pruning.
+    // deterministic generated rows, column pruning in the reader.
+    // Oracle (hash-green since r7): the per-row draw is a pure function of
+    // (seed=42, id) — splitmix64 avalanche then one xorshift64* step
+    // (SampleExecNode.XorShift64Star) — which DuckDB replays exactly in
+    // 64-bit modular arithmetic: values live as non-negative HUGEINTs,
+    // 64-bit multiplies split at 2^32 so every intermediate fits 128 bits,
+    // wraparound is an explicit % 2^64, and unsigned >>> is plain >> on the
+    // non-negative representation. (k >> 11) < 2^53 is exact in a double
+    // and the 2^-53 scale is a power of two, so per-row values are
+    // bit-identical across engines; only the sum's addition order differs,
+    // which round(·, 2) absorbs (same contract as every rounded-sum
+    // oracle here). Same replay pattern as the LSH plane walk
+    // (SimilarityQueries) and the Gear CDC boundaries (DedupQueries).
     GraftQuery(
       "src_synth_scan",
       (s, _) =>
@@ -233,7 +273,7 @@ object SourceQueries extends QueryModule {
           .load()
           .groupBy("bucket")
           .agg(count("*").as("n"), round(sum(col("value")), 2).as("sum_value")),
-      None),
+      Some(SourceQueries.synthScanOracle)),
 
     // Bucketed-table co-located join: both sides written bucketBy(8) on the
     // join key, so the sort-merge join consumes the tables' bucket layout
