@@ -51,8 +51,8 @@ object StreamBench {
     def ts(minute: Int): Timestamp =
       Timestamp.valueOf(f"2024-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
 
-    val runs = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_RUNS", "3")
-      .toInt.max(1)
+    val runs = sys.env.get("SPARK_GRAFT_STREAMBENCH_RUNS")
+      .flatMap(_.trim.toIntOption).getOrElse(3).max(1)
     val out = scala.collection.mutable.ListBuffer.empty[Rec]
 
     /** Replay an operator block `runs` times; every run constructs its own
@@ -113,8 +113,9 @@ object StreamBench {
     }
 
     // contamination gate: 8-gram leakage audit against a 100-doc test set
-    rep {
-      val in = MemoryStream[(Long, Timestamp, String)]
+    // (the gram set is immutable input — built once, outside the replay
+    // loop; only the stream/sink/state are per-run)
+    locally {
       val testGrams = spark.createDataFrame(
           spark.read.parquet(s"$sfDir/documents.parquet").limit(100)
             .select(col("text")).collect().map(_.getString(0)).flatMap { t =>
@@ -123,10 +124,13 @@ object StreamBench {
                 Tuple1(g.mkString(" "))).toSeq
             }.toSeq.asInstanceOf[Seq[Tuple1[String]]])
         .toDF("__gram")
-      val q = sink(CorpusStreams.contaminationGate(
-        in.toDF().toDF("doc_id", "ts", "text"), testGrams), "sb_contamination")
-      drive("sb_contamination", docRows.size, q,
-            chunks(docRows, 4).map(c => () => { in.addData(c); () }))
+      rep {
+        val in = MemoryStream[(Long, Timestamp, String)]
+        val q = sink(CorpusStreams.contaminationGate(
+          in.toDF().toDF("doc_id", "ts", "text"), testGrams), "sb_contamination")
+        drive("sb_contamination", docRows.size, q,
+              chunks(docRows, 4).map(c => () => { in.addData(c); () }))
+      }
     }
 
     // MinHash near-dup mining over 8-token shingles (the batch operators'
@@ -174,8 +178,10 @@ object StreamBench {
       }
     }
 
-    // IVF serve: static index, streamed query batches
-    rep {
+    // IVF serve: static index, streamed query batches (the index is
+    // immutable read-only input — built and persisted ONCE outside the
+    // replay loop; each run gets a fresh stream, sink, and streaming state)
+    locally {
       import graft.operators.GraftSimilarity
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
         .select(col("vec_id"),
@@ -186,16 +192,17 @@ object StreamBench {
       // id-ordered feed would hand batch 2 queries already behind batch
       // 1's watermark — they'd be DROPPED as late and undercount rows_out
       val queries = vecs.filter(_._1 % 10 == 3).sortBy(_._2.getTime)
-      val in = MemoryStream[(Long, Timestamp, List[Float])]
-      val q = sink(CorpusStreams.ivfServeStream(
-        idx, in.toDF().toDF("q_id", "ts", "qv"), k = 5,
-        qVecCol = "qv"), "sb_ivf_serve")
-      try drive("sb_ivf_serve", queries.size, q,
-                chunks(queries, 2).map(c => () => { in.addData(c); () }) :+
-                // advance the watermark past every query ts so the
-                // append-mode top-k aggregation finalizes and emits
-                (() => { in.addData(Seq((-1L, ts(600), List(0.1f)))); () }))
-      finally idx.unpersist(blocking = true)
+      try rep {
+        val in = MemoryStream[(Long, Timestamp, List[Float])]
+        val q = sink(CorpusStreams.ivfServeStream(
+          idx, in.toDF().toDF("q_id", "ts", "qv"), k = 5,
+          qVecCol = "qv"), "sb_ivf_serve")
+        drive("sb_ivf_serve", queries.size, q,
+              chunks(queries, 2).map(c => () => { in.addData(c); () }) :+
+              // advance the watermark past every query ts so the
+              // append-mode top-k aggregation finalizes and emits
+              (() => { in.addData(Seq((-1L, ts(600), List(0.1f)))); () }))
+      } finally idx.unpersist(blocking = true)
     }
 
     // IVF streaming ingest into a fresh at-rest store (idempotent tags)

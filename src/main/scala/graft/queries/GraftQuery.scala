@@ -23,12 +23,14 @@ object GraftQuery {
     *     `spark.sql.legacy.parquet.nanosAsLong`): integer-divide to µs —
     *     ns values ~1.7e18 overflow double precision, so no float path;
     *   - parquet TIMESTAMP(MICROS) without UTC adjustment (reads as
-    *     TIMESTAMP_NTZ): reinterpret the naive value as a UTC instant —
-    *     routed through `convert_timezone('UTC', current_timezone(), …)`
-    *     before the cast so the result is the same instant under ANY
-    *     session timezone (a bare cast would shift instants in non-UTC
-    *     user sessions), and agrees with DuckDB's `epoch_us` on the same
-    *     naive timestamp;
+    *     TIMESTAMP_NTZ): reinterpret the naive value as a UTC instant via
+    *     pure calendar arithmetic — `timestampdiff(MICROSECOND, ntz-epoch,
+    *     ts)` is the naive value's exact as-if-UTC epoch offset, computed
+    *     with NO timezone rules, so the result is the same instant under
+    *     ANY session timezone (a bare cast shifts instants in non-UTC
+    *     sessions, and even a convert_timezone round-trip through local
+    *     wall time mis-resolves the DST fall-back fold hour), and agrees
+    *     with DuckDB's `epoch_us` on the same naive timestamp;
     *   - already TIMESTAMP: pass through.
     */
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
@@ -37,8 +39,8 @@ object GraftQuery {
         df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
       case TimestampNTZType =>
         df.withColumn(tsCol, expr(
-          s"cast(convert_timezone('UTC', current_timezone(), $tsCol) " +
-          "as timestamp)"))
+          s"timestamp_micros(timestampdiff(MICROSECOND, " +
+          s"TIMESTAMP_NTZ '1970-01-01 00:00:00', $tsCol))"))
       case TimestampType => df
       case other =>
         throw new IllegalArgumentException(

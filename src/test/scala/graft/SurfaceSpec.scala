@@ -158,11 +158,26 @@ class SurfaceSpec extends GraftFunSuite {
     }
     assert(got == Seq(us, us, us), s"got $got")
     // the NTZ reinterpretation is session-timezone-independent: a user
-    // session not pinned to UTC must still land on the same instant
+    // session not pinned to UTC must still land on the same instant —
+    // including instants whose New-York wall time falls in the DST
+    // fall-back fold (2024-11-03 01:30 EDT and 01:30 EST both exist; a
+    // conversion that round-trips through local wall time collapses them)
+    val foldUs = Seq(
+      1730611800000000L, // 2024-11-03T05:30:00Z = 01:30:00 EDT (first pass)
+      1730615400000000L) // 2024-11-03T06:30:00Z = 01:30:00 EST (second pass)
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try {
       val nyc = normalizeTs(asNtz).select(unix_micros(col("ts"))).as[Long].head()
       assert(nyc == us, s"NTZ under non-UTC session tz drifted: $nyc")
+      for (f <- foldUs) {
+        val ntz = spark.createDataFrame(
+          java.util.List.of(org.apache.spark.sql.Row(
+            java.time.LocalDateTime.ofEpochSecond(
+              f / 1000000L, 0, java.time.ZoneOffset.UTC))),
+          StructType(Seq(StructField("ts", TimestampNTZType))))
+        val got = normalizeTs(ntz).select(unix_micros(col("ts"))).as[Long].head()
+        assert(got == f, s"fold-hour instant drifted: $got != $f")
+      }
     } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
     // unsupported types fail loudly, never silently mis-convert
     val asStr = spark.createDataFrame(
