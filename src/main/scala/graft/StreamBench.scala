@@ -296,7 +296,7 @@ object StreamBench {
       val med = s(s.size / 2)
       f""""${r.name}":{"rows_in":${r.rowsIn},"rows_out":${r.rowsOut},""" +
       f""""sec":$med%.3f,"sec_spread":[${s.head}%.3f,$med%.3f,${s.last}%.3f],""" +
-      f""""runs":$runs,"rows_per_sec":${r.rowsIn / math.max(med, 1e-9)}%.0f,""" +
+      f""""runs":${s.size},"rows_per_sec":${r.rowsIn / math.max(med, 1e-9)}%.0f,""" +
       f""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}"""
     }
     val collapsed = out.map(_.name).distinct.map { n =>

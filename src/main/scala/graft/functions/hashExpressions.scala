@@ -477,6 +477,10 @@ case class GraftSrpSig(first: Expression, second: Expression,
   * DuckDB's `list_cosine_similarity` on DOUBLE[], which is what lets
   * ANN query output hash-match the oracle while running ~10× faster than
   * interpreted lambda evaluation.
+  *
+  * Length mismatch throws: a corpus with drifting embedding dims must fail
+  * loudly, not silently score truncated prefixes — same contract as
+  * `graft_sig_agree` and `graft_q8_cos`.
   */
 case class GraftCosine(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
@@ -494,7 +498,10 @@ case class GraftCosine(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_cosine: vector lengths differ ($n vs ${y.numElements()})")
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -520,7 +527,11 @@ case class GraftCosine(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-        |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        |final int $n = $a.numElements();
+        |if ($n != $b.numElements()) {
+        |  throw new IllegalArgumentException(
+        |    "graft_cosine: vector lengths differ (" + $n + " vs " + $b.numElements() + ")");
+        |}
         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
         |for (int $i = 0; $i < $n; $i++) {
         |  final double $xv = $a.getDouble($i);

@@ -22,6 +22,9 @@ object GraftQuery {
     *   - parquet TIMESTAMP(NANOS) read as long ns (via
     *     `spark.sql.legacy.parquet.nanosAsLong`): integer-divide to µs —
     *     ns values ~1.7e18 overflow double precision, so no float path;
+    *     gated by a plausibility check (value ≥ 1971 in ns) so a driver
+    *     unit change to micros/millis-as-long raises instead of
+    *     mis-scaling 1000×;
     *   - parquet TIMESTAMP(MICROS) without UTC adjustment (reads as
     *     TIMESTAMP_NTZ): reinterpret the naive value as a UTC instant via
     *     pure calendar arithmetic — `timestampdiff(MICROSECOND, ntz-epoch,
@@ -36,7 +39,21 @@ object GraftQuery {
   def normalizeTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
     df.schema(tsCol).dataType match {
       case LongType =>
-        df.withColumn(tsCol, expr(s"timestamp_micros($tsCol div 1000)"))
+        // the long encoding is epoch-NANOseconds by contract; a driver-side
+        // unit change (micros/millis-as-long) would silently mis-scale every
+        // window 1000×+. Gate: epoch-ns for any instant ≥ 1971-01-01 is
+        // ≥ 3.15e16, while epoch-MICROS stays below that until year ~2969
+        // (and millis ~1e6× later) — so a unit drift fails loudly per-row
+        // instead of shifting the data, matching the unsupported-type branch.
+        val nsLo = 31536000000000000L // 1971-01-01T00:00:00Z in nanoseconds
+        df.withColumn(tsCol, expr(
+          s"""CASE WHEN $tsCol IS NULL THEN CAST(NULL AS TIMESTAMP)
+             |WHEN $tsCol >= ${nsLo}L THEN timestamp_micros($tsCol div 1000)
+             |ELSE raise_error(concat('events.$tsCol: long value ',
+             |  CAST($tsCol AS STRING),
+             |  ' is too small to be epoch-nanoseconds — unit drift',
+             |  ' (micros/millis stored as long)?'))
+             |END""".stripMargin))
       case TimestampNTZType =>
         df.withColumn(tsCol, expr(
           s"timestamp_micros(timestampdiff(MICROSECOND, " +

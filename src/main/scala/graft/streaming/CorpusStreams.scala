@@ -416,9 +416,13 @@ object CorpusStreams {
       -1
     }
     // identical accumulation order to the graft_cosine codegen kernel —
-    // one loop, three accumulators — so scores match batch bit-for-bit
+    // one loop, three accumulators — so scores match batch bit-for-bit,
+    // including the strict equal-length contract (dim drift fails loudly)
     def cosExact(x: Array[Double], y: Array[Double]): Double = {
-      val n = math.min(x.length, y.length)
+      if (x.length != y.length)
+        throw new IllegalArgumentException(
+          s"cosExact: vector lengths differ (${x.length} vs ${y.length})")
+      val n = x.length
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
       while (i < n) {
@@ -589,6 +593,10 @@ object CorpusStreams {
     * watermark clears its timestamp, so state is O(in-flight queries) —
     * never O(stream) — and a candidate row arriving later than the bound
     * is dropped with its query already answered.
+    *
+    * Malformed queries (zero-norm, or a dim that differs from the
+    * index's) are DROPPED pre-probe with no answer instead of failing
+    * the stream — see the inline note on the filter below.
     */
   def ivfServeStream(index: graft.operators.GraftSimilarity.IvfIndex,
                      queries: DataFrame, k: Int, nprobe: Int = 4,
@@ -600,17 +608,30 @@ object CorpusStreams {
     require(latenessMinutes > 0,
       s"latenessMinutes must be positive, got $latenessMinutes")
     graft.GraftSession.ensureExtensions(queries.sparkSession)
+    // the index's embedding dim, read once at stream setup from the tiny
+    // centroids frame (√N rows, usually persisted) — used to screen
+    // malformed queries below
+    val indexDim = index.centroids
+      .select(org.apache.spark.sql.functions.size(col("cv")).as("d"))
+      .limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalStateException(
+        "ivfServeStream: index has no centroids")
+    }
     val q = queries
       .select(col(qIdCol).cast("long").as("q_id"), col(tsCol).as("ts"),
               expr(s"transform($qVecCol, x -> cast(x AS double))").as("qv"))
-      // a zero-norm query vector has no defined cosine: the batch serve
-      // FAILS LOUDLY (probeCells' assert — right for a one-shot job), but
-      // in a long-running serve stream one malformed row would become a
-      // checkpoint-replayed poison pill that wedges the service. Drop such
-      // rows BEFORE the probe instead: they get no answer (exactly what
-      // the batch error reports), every other in-flight query is served,
-      // and the stream lives. StreamingSpec pins this divergence.
-      .filter(expr("aggregate(qv, 0D, (a, x) -> a + x * x) > 0D"))
+      // a zero-norm or dim-mismatched query vector has no defined cosine
+      // against this index: the batch serve FAILS LOUDLY (probeCells'
+      // assert / graft_cosine's strict-length throw — right for a one-shot
+      // job), but in a long-running serve stream one malformed row would
+      // become a checkpoint-replayed poison pill that wedges the service.
+      // Drop such rows BEFORE the probe instead: they get no answer
+      // (exactly what the batch error reports), every other in-flight
+      // query is served, and the stream lives. StreamingSpec pins this
+      // divergence for both malformations.
+      .filter(expr("aggregate(qv, 0D, (a, x) -> a + x * x) > 0D") &&
+              expr(s"size(qv) = $indexDim"))
       .withWatermark("ts", s"$latenessMinutes minutes")
     val probes = graft.operators.GraftSimilarity
       .probeCells(q, index.centroids, nprobe, Seq("q_id", "ts", "qv"))

@@ -192,6 +192,30 @@ class FunctionsSpec extends GraftFunSuite {
     assert(df.getDouble(0) == df.getDouble(1), "must be bitwise identical")
   }
 
+  test("graft_cosine: dim mismatch throws on both codegen and interpreted paths") {
+    GraftSession.ensureExtensions(spark)
+    // codegen path (whole-stage over a DataFrame)
+    val eCg = intercept[Exception] {
+      spark.sql("SELECT graft_cosine(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D)) AS c")
+        .head()
+    }
+    assert(eCg.getMessage.contains("vector lengths differ") ||
+           Option(eCg.getCause).exists(_.getMessage.contains("vector lengths differ")),
+           s"codegen path: $eCg")
+    // interpreted eval path
+    def dlit(xs: Seq[Double]) =
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        xs, org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.DoubleType))
+    val eIn = intercept[IllegalArgumentException] {
+      graft.functions.GraftCosine(dlit(Seq(1.0, 2.0, 3.0)), dlit(Seq(1.0, 2.0))).eval(null)
+    }
+    assert(eIn.getMessage.contains("vector lengths differ"))
+    // equal lengths still fine on both paths
+    assert(graft.functions.GraftCosine(dlit(Seq(1.0, 0.0)), dlit(Seq(1.0, 0.0)))
+      .eval(null).asInstanceOf[Double] == 1.0)
+  }
+
   test("graft_topk equals the sort-based top-k on randomized data, any partitioning") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -988,26 +988,34 @@ class StreamingSpec extends GraftFunSuite {
                 expr("transform(v, x -> cast(x AS float))").as("qv"))
         .collect()
         .map(r => (r.getLong(0), ts(1), r.getSeq[Float](1).toList)).toSeq
-      val zero = (999L, ts(1), List.fill(64)(0f))
+      val dim = good.head._3.size
+      val zero = (999L, ts(1), List.fill(dim)(0f))
+      // wrong-dim but nonzero: would throw in graft_cosine's strict-length
+      // kernel if it reached the probe — must be dropped, not fatal
+      val drifted = (998L, ts(1), List.fill(dim / 2)(0.5f))
       val input = MemoryStream[(Long, Timestamp, List[Float])]
       val q = CorpusStreams.ivfServeStream(
           idx, input.toDF().toDF("q_id", "ts", "qv"), k = 3)
         .writeStream.format("memory").queryName("serve_zero_norm")
         .outputMode("append").start()
       try {
-        input.addData(good :+ zero)
+        input.addData(good :+ zero :+ drifted)
         q.processAllAvailable()
-        // watermark push so the good queries' top-k finalize
-        input.addData(Seq((-1L, ts(600), List(0.1f))))
+        // watermark push so the good queries' top-k finalize (full-dim,
+        // nonzero — a malformed push row would itself be filtered before
+        // the watermark and never advance it)
+        input.addData(Seq((-1L, ts(600), List.fill(dim)(0.1f))))
         q.processAllAvailable()
         assert(q.exception.isEmpty,
-          s"zero-norm row must not kill the serve stream: ${q.exception}")
+          s"malformed rows must not kill the serve stream: ${q.exception}")
         val answered = spark.table("serve_zero_norm").collect()
           .map(_.getLong(0)).toSet
         assert(good.map(_._1).toSet.subsetOf(answered),
           s"good queries must be served: $answered")
         assert(!answered.contains(999L),
           "the zero-norm query must get no rows, not fake ones")
+        assert(!answered.contains(998L),
+          "the dim-drifted query must get no rows, not truncated-prefix ones")
       } finally q.stop()
     } finally idx.unpersist(blocking = true)
   }
@@ -1025,6 +1033,31 @@ class StreamingSpec extends GraftFunSuite {
                      threshold = 0.5, horizonMinutes = 60,
                      quantizedState = true)
       .writeStream.format("memory").queryName("srp_dim_drift")
+      .outputMode("append").start()
+    try {
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        input.addData(Seq((1L, ts(0), List.fill(8)(0f)),
+                          (2L, ts(1), List.fill(16)(0f))))
+        q.processAllAvailable()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      assert(messages(err).exists(_.contains("vector lengths differ")),
+        messages(err).mkString(" | "))
+    } finally q.stop()
+  }
+
+  test("srpPairStream exact state fails loudly on dim drift too — the " +
+       "cosExact kernel mirrors graft_cosine's strict-length contract") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, List[Float])]
+    val q = CorpusStreams
+      .srpPairStream(input.toDF().toDF("vec_id", "ts", "embedding"),
+                     threshold = 0.5, horizonMinutes = 60,
+                     quantizedState = false)
+      .writeStream.format("memory").queryName("srp_dim_drift_exact")
       .outputMode("append").start()
     try {
       val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {

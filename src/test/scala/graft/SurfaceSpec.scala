@@ -165,6 +165,7 @@ class SurfaceSpec extends GraftFunSuite {
     val foldUs = Seq(
       1730611800000000L, // 2024-11-03T05:30:00Z = 01:30:00 EDT (first pass)
       1730615400000000L) // 2024-11-03T06:30:00Z = 01:30:00 EST (second pass)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
     try {
       val nyc = normalizeTs(asNtz).select(unix_micros(col("ts"))).as[Long].head()
@@ -178,11 +179,28 @@ class SurfaceSpec extends GraftFunSuite {
         val got = normalizeTs(ntz).select(unix_micros(col("ts"))).as[Long].head()
         assert(got == f, s"fold-hour instant drifted: $got != $f")
       }
-    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
     // unsupported types fail loudly, never silently mis-convert
     val asStr = spark.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row("2023-11-14")),
       StructType(Seq(StructField("ts", StringType))))
     intercept[IllegalArgumentException](normalizeTs(asStr))
+    // a long column holding epoch-MICROS (a driver unit drift) must raise,
+    // not silently divide by 1000 into year-2024/1000 nonsense
+    val asUsLong = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(us)), // µs magnitude ~1.7e15
+      StructType(Seq(StructField("ts", LongType))))
+    val eUnit = intercept[Exception] {
+      normalizeTs(asUsLong).select(unix_micros(col("ts"))).as[Long].head()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).toSeq
+    assert(msgs(eUnit).exists(_.contains("unit drift")), msgs(eUnit).mkString(" | "))
+    // null ts rows pass through as null, not as a raise
+    val asNullNs = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(null)),
+      StructType(Seq(StructField("ts", LongType))))
+    assert(normalizeTs(asNullNs).select(col("ts")).head().isNullAt(0))
   }
 }
