@@ -285,12 +285,15 @@ object GraftSimilarity {
     * [[MaintenanceLockTtlMs]] is STALE (a crashed pass) and treated as
     * absent — one crashed compaction bounds the write outage at the TTL
     * instead of wedging the store until a human intervenes. The refusal
-    * is an error: for [[graft.streaming.CorpusStreams.ivfIngestStream]]
-    * it fails the streaming query, and the RESTART (supervisor-level —
-    * Structured Streaming does not retry a failed batch within a run)
-    * replays the batch from the checkpoint; replays of already-committed
-    * batches no-op on their marker BEFORE the lock check, so a restart
-    * mid-compaction drains cleanly.
+    * is a typed error ([[MaintenanceLockHeld]]):
+    * [[graft.streaming.CorpusStreams.ivfIngestStream]] retries it
+    * in-batch with backoff up to its lock-wait bound (default: this
+    * TTL), so a routine compaction pass never fails a live ingest; only
+    * a lock outliving that bound fails the streaming query, and the
+    * RESTART (supervisor-level — Structured Streaming does not retry a
+    * failed batch within a run) replays the batch from the checkpoint;
+    * replays of already-committed batches no-op on their marker BEFORE
+    * the lock check, so a restart mid-compaction drains cleanly.
     */
   def appendIvfStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                      batch: DataFrame,
@@ -301,11 +304,12 @@ object GraftSimilarity {
     val lock = maintenanceLock(dir)
     val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def requireUnlocked(phase: String): Unit =
-      require(!maintenanceLockFresh(fs, lock),
-        s"appendIvfStore($phase): store $dir is under compaction " +
-        s"maintenance ($lock present and fresh) — the caller retries " +
-        "after the pass (a failed streaming micro-batch replays on " +
-        "query restart)")
+      if (maintenanceLockFresh(fs, lock))
+        throw new MaintenanceLockHeld(
+          s"appendIvfStore($phase): store $dir is under compaction " +
+          s"maintenance ($lock present and fresh) — the caller retries " +
+          "after the pass (ivfIngestStream retries in-batch up to its " +
+          "lock-wait bound before failing the query)")
     // c_id pinned long on read: a store written before the long-normalize
     // contract may hold narrower centroid ids; the assigned files this
     // append writes must carry ONE n_id/c_id width regardless.
@@ -373,6 +377,17 @@ object GraftSimilarity {
     val m = "^ingest-([A-Za-z0-9_]+)-\\d+\\.parquet$".r.findFirstMatchIn(fileName)
     m.map(_.group(1))
   }
+
+  /** Typed refusal for "a fresh compaction maintenance lease is held":
+    * [[appendIvfStore]] throws it so retry-capable callers
+    * ([[graft.streaming.CorpusStreams.ivfIngestStream]]) can wait out a
+    * routine maintenance pass instead of failing their streaming query,
+    * while any other cause still surfaces immediately. Extends
+    * IllegalStateException — the store's state, not the arguments, is
+    * what refuses the write.
+    */
+  final class MaintenanceLockHeld(msg: String)
+      extends IllegalStateException(msg)
 
   private def maintenanceLock(dir: String): org.apache.hadoop.fs.Path =
     new org.apache.hadoop.fs.Path(s"$dir/_maintenance.lock")
@@ -457,10 +472,12 @@ object GraftSimilarity {
     * bounds the outage instead of wedging the store) and
     * [[appendIvfStore]] refuses while it is fresh, re-checking after its
     * staging job so the check-to-mutation window is the rename loop, not
-    * a Spark job. A racing micro-batch FAILS ITS QUERY and is replayed
-    * on restart from the checkpoint — Structured Streaming does not
-    * retry within a run; schedule compaction between ingest waves (or
-    * under a stream supervisor) accordingly.
+    * a Spark job. A racing micro-batch WAITS the pass out (ivfIngestStream
+    * retries [[MaintenanceLockHeld]] in-batch up to its lock-wait bound)
+    * and only fails its query if the lock outlives that bound — then it
+    * is replayed on restart from the checkpoint (Structured Streaming
+    * does not retry within a run); scheduling compaction between ingest
+    * waves remains the low-latency choice.
     *
     * Returns the number of cells compacted.
     */

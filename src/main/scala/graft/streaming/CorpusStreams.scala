@@ -678,28 +678,53 @@ object CorpusStreams {
     * concerns — run [[graft.operators.GraftSimilarity.ivfMaybeRebuild]]
     * (full rewrite via [[graft.operators.GraftSimilarity.writeIvfIndex]])
     * and [[graft.operators.GraftSimilarity.compactIvfCells]] between
-    * ingest waves; the compaction pass holds a maintenance lock and a
-    * micro-batch that races it FAILS ITS QUERY rather than corrupting
-    * the store — Structured Streaming does not retry a failed batch
-    * within a run, so the stream needs a supervisor-level restart (it
-    * resumes from the checkpoint; already-committed batches no-op on
-    * their markers, the refused batch replays). Prefer scheduling
-    * compaction from the same control loop that owns the stream.
+    * ingest waves; the compaction pass holds a maintenance lock, and a
+    * micro-batch that races it WAITS IT OUT: the batch function retries
+    * with backoff on
+    * [[graft.operators.GraftSimilarity.MaintenanceLockHeld]] for up to
+    * `lockWaitMs` (default: the maintenance lease TTL — the longest a
+    * crashed pass can hold the store), so a routine compaction never
+    * fails a healthy ingest query. Only when the lock outlives the wait
+    * bound does the batch surface the refusal and FAIL ITS QUERY rather
+    * than corrupt the store — Structured Streaming does not retry a
+    * failed batch within a run, so that tail case needs a
+    * supervisor-level restart (it resumes from the checkpoint;
+    * already-committed batches no-op on their markers, the refused batch
+    * replays). Any non-lock failure surfaces immediately, untouched.
     */
   def ivfIngestStream(dir: String, vecs: DataFrame, streamId: String,
                       idCol: String = "vec_id",
-                      vecCol: String = "embedding")
+                      vecCol: String = "embedding",
+                      lockWaitMs: Long =
+                        graft.operators.GraftSimilarity.MaintenanceLockTtlMs,
+                      lockPollMs: Long = 5000L)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     require(streamId.matches("[A-Za-z0-9_]+"),
       s"streamId '$streamId' must match [A-Za-z0-9_]+ (it prefixes the " +
       "store's idempotency tags)")
+    require(lockWaitMs >= 0, s"lockWaitMs must be >= 0, got $lockWaitMs")
+    require(lockPollMs > 0, s"lockPollMs must be positive, got $lockPollMs")
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      graft.operators.GraftSimilarity.appendIvfStore(
-        batch.sparkSession, dir,
-        batch.select(col(idCol),
-                     expr(s"transform($vecCol, x -> cast(x AS double))")
-                       .as("__v")),
-        idCol, "__v", batchTag = Some(s"${streamId}_b$batchId"))
+      val deadline = System.currentTimeMillis() + lockWaitMs
+      var backoffMs = lockPollMs
+      var landed = false
+      while (!landed) {
+        try {
+          graft.operators.GraftSimilarity.appendIvfStore(
+            batch.sparkSession, dir,
+            batch.select(col(idCol),
+                         expr(s"transform($vecCol, x -> cast(x AS double))")
+                           .as("__v")),
+            idCol, "__v", batchTag = Some(s"${streamId}_b$batchId"))
+          landed = true
+        } catch {
+          case e: graft.operators.GraftSimilarity.MaintenanceLockHeld =>
+            val leftMs = deadline - System.currentTimeMillis()
+            if (leftMs <= 0) throw e
+            Thread.sleep(math.min(backoffMs, leftMs))
+            backoffMs = math.min(backoffMs * 2, 60000L)
+        }
+      }
     }
   }
 

@@ -1159,6 +1159,71 @@ class OperatorLibSpec extends GraftFunSuite {
     }
   }
 
+  test("ivfIngestStream waits out a held maintenance lease: the batch " +
+       "retries until release and the query never fails; a lock outliving " +
+       "the wait bound surfaces MaintenanceLockHeld") {
+    import graft.operators.GraftSimilarity
+    import graft.streaming.CorpusStreams
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val idx = GraftSimilarity.buildIvfIndex(e.filter(col("vec_id") < 40))
+      .persist()
+    val dir = java.nio.file.Files.createTempDirectory("ivf_lock_wait").toString
+    try {
+      GraftSimilarity.writeIvfIndex(idx, dir)
+      val rows = e.filter(col("vec_id").between(40, 59)).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toSeq
+      val lockF = new java.io.File(s"$dir/_maintenance.lock")
+      assert(lockF.createNewFile(), "pre-held maintenance lease")
+      // --- a routine pass: lock released while the batch is retrying ---
+      val input = MemoryStream[(Long, List[Double])]
+      val q = CorpusStreams
+        .ivfIngestStream(dir, input.toDF().toDF("vec_id", "embedding"),
+                         streamId = "lw1",
+                         lockWaitMs = 60000L, lockPollMs = 100L)
+        .option("checkpointLocation", s"$dir/_chk1")
+        .start()
+      val releaser = new Thread(() => { Thread.sleep(1500); lockF.delete() })
+      releaser.start()
+      try {
+        input.addData(rows)
+        q.processAllAvailable() // blocks through the retry window
+        assert(q.exception.isEmpty,
+          s"a routine compaction pass must not fail the ingest: ${q.exception}")
+      } finally { q.stop(); releaser.join() }
+      val stored = spark.read.parquet(s"$dir/assigned")
+        .select("n_id").as[Long].collect().toSet
+      assert(rows.map(_._1).toSet.subsetOf(stored),
+        "the waited-out batch must have landed exactly once")
+      // --- a wedged lock: wait bound expires, the refusal surfaces ---
+      assert(lockF.createNewFile())
+      val input2 = MemoryStream[(Long, List[Double])]
+      val q2 = CorpusStreams
+        .ivfIngestStream(dir, input2.toDF().toDF("vec_id", "embedding"),
+                         streamId = "lw2",
+                         lockWaitMs = 400L, lockPollMs = 100L)
+        .option("checkpointLocation", s"$dir/_chk2")
+        .start()
+      try {
+        val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          input2.addData(rows.take(3).map(r => (r._1 + 100000L, r._2)))
+          q2.processAllAvailable()
+        }
+        val causes = Iterator.iterate[Throwable](err)(_.getCause)
+          .takeWhile(_ != null).toSeq
+        assert(causes.exists(_.isInstanceOf[GraftSimilarity.MaintenanceLockHeld]),
+          causes.map(_.getClass.getName).mkString(" | "))
+      } finally { q2.stop(); lockF.delete() }
+    } finally {
+      idx.unpersist(blocking = true)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("compactIvfCells rewrites ONLY oversized cells down to one file; " +
        "serve parity holds and untouched cells' files are byte-identical") {
     import graft.operators.GraftSimilarity
@@ -1256,10 +1321,10 @@ class OperatorLibSpec extends GraftFunSuite {
       assert(!lockF.exists(), "compaction must release its lock")
       assert(lockF.createNewFile())
       try {
-        intercept[IllegalArgumentException] {
+        intercept[GraftSimilarity.MaintenanceLockHeld] {
           GraftSimilarity.appendIvfStore(spark, dir, slice)
         }
-        intercept[IllegalArgumentException] {
+        intercept[GraftSimilarity.MaintenanceLockHeld] {
           GraftSimilarity.appendIvfStore(spark, dir, slice,
                                          batchTag = Some("locked"))
         }
