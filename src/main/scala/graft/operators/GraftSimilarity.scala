@@ -224,6 +224,9 @@ object GraftSimilarity {
   def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
     requireIntegralId(index.assigned, "c_id", "writeIvfIndex")
     requireIntegralId(index.assigned, "n_id", "writeIvfIndex")
+    val conf = index.assigned.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    requireStoreFsContract(p.getFileSystem(conf), p, conf, "writeIvfIndex")
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     index.assigned
       .repartition(col("c_id"))
@@ -302,7 +305,9 @@ object GraftSimilarity {
     requireIntegralId(batch, idCol, "appendIvfStore")
     import org.apache.hadoop.fs.Path
     val lock = maintenanceLock(dir)
-    val fs = lock.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hConf = spark.sparkContext.hadoopConfiguration
+    val fs = lock.getFileSystem(hConf)
+    requireStoreFsContract(fs, new Path(dir), hConf, "appendIvfStore")
     def requireUnlocked(phase: String): Unit =
       if (maintenanceLockFresh(fs, lock))
         throw new MaintenanceLockHeld(
@@ -376,6 +381,103 @@ object GraftSimilarity {
   private[operators] def ingestTagOf(fileName: String): Option[String] = {
     val m = "^ingest-([A-Za-z0-9_]+)-\\d+\\.parquet$".r.findFirstMatchIn(fileName)
     m.map(_.group(1))
+  }
+
+  // ------------------------------------------------------------------
+  // At-rest store FILESYSTEM CONTRACT
+  //
+  // Every mutation protocol of the cell-partitioned store assumes HDFS
+  // rename/listing semantics:
+  //   - appendIvfStore's tagged path stages then RENAMES files into live
+  //     cell dirs (atomic rename = a reader sees each file fully or not
+  //     at all, and a retry's exact-tag cleanup sees ALL of a partial
+  //     attempt's files);
+  //   - compactIvfCells swaps a whole cell dir via rename (retire →
+  //     land → restore), and its crash recovery keys on LISTING the
+  //     retired dir consistently;
+  //   - the `_maintenance.lock` lease relies on create(overwrite=false)
+  //     being atomic (two passes cannot both win);
+  //   - the `ingest_tags/` commit markers rely on list-after-write
+  //     visibility (a replayed batch must see its own marker).
+  //
+  // HDFS and local files provide all four. Object stores generally do
+  // NOT: S3A's rename is a non-atomic client-side copy+delete (a crash
+  // mid-rename leaves BOTH halves, which the exact-tag cleanup would
+  // misread as a complete attempt), GCS's directory rename is per-object
+  // copy, and conditional create is not surfaced as an atomic
+  // create-if-absent through every connector. The store therefore
+  // REFUSES to mutate on a filesystem not known to satisfy the contract
+  // — at store creation and on every mutation entry point — instead of
+  // corrupting quietly under exactly the failure the protocols exist to
+  // survive. Reads stay ungated: a store SNAPSHOT copied to an object
+  // store serves fine (readIvfIndex / ivfTopKWith never mutate).
+  //
+  // Degraded mode: setting `graft.ivf.store.fs.force=true` in the Hadoop
+  // conf accepts an unlisted filesystem. That is a DOCUMENTED CONTRACT
+  // SHIFT, not a free pass: the operator asserts that (a) all writers
+  // (ingest streams, compaction, rebuild) are serialized EXTERNALLY so
+  // no rename/list race can occur, and (b) crash recovery after a
+  // mid-rename failure may require manual inspection of the affected
+  // cell dirs. The intended production posture on S3/GCS is: build and
+  // maintain the store on an HDFS-semantics tier, publish immutable
+  // snapshots to the object store for serving.
+  // ------------------------------------------------------------------
+
+  /** Hadoop conf key for the documented degraded mode (see the contract
+    * note above): accept a filesystem outside the known rename-atomic
+    * set. */
+  val StoreFsForceKey = "graft.ivf.store.fs.force"
+
+  /** Filesystems known to provide atomic rename + consistent listing +
+    * atomic create-if-absent. `file` (and RawLocal's `local`) are POSIX
+    * renames; `hdfs`/`viewfs`/`webhdfs`/`hdfs-over-routers` are the
+    * NameNode's atomic namespace ops. */
+  private val RenameAtomicSchemes =
+    Set("file", "local", "hdfs", "viewfs", "webhdfs", "swebhdfs")
+
+  /** Object-store schemes whose rename is a non-atomic copy(+delete) —
+    * refused with the specific reason rather than the generic
+    * unknown-scheme message. */
+  private val ObjectStoreSchemes =
+    Set("s3", "s3a", "s3n", "gs", "wasb", "wasbs", "swift", "oss",
+        "cosn", "obs")
+
+  /** Typed refusal for a store filesystem outside the contract — callers
+    * either move the store or opt into [[StoreFsForceKey]]. */
+  final class StoreFsContractViolation(msg: String)
+      extends IllegalStateException(msg)
+
+  /** Gate every store MUTATION on the filesystem contract above. Called
+    * at store creation ([[writeIvfIndex]]) and on each mutation entry
+    * ([[appendIvfStore]], [[compactIvfCells]]) — cheap (no RPC beyond
+    * the capability probe), and failing at open beats failing mid-swap.
+    */
+  private[operators] def requireStoreFsContract(
+      fs: org.apache.hadoop.fs.FileSystem, dir: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration, ctx: String): Unit = {
+    if (conf.getBoolean(StoreFsForceKey, false)) return
+    val scheme = Option(fs.getUri.getScheme).getOrElse("file").toLowerCase
+    def refuse(why: String): Nothing = throw new StoreFsContractViolation(
+      s"$ctx: store filesystem '$scheme://' $why. The at-rest IVF " +
+      "store's append/compaction protocols require ATOMIC RENAME, " +
+      "CONSISTENT DIRECTORY LISTING and ATOMIC CREATE-IF-ABSENT (HDFS " +
+      "semantics). Keep the mutable store on HDFS-compatible storage " +
+      "and publish snapshots to object stores for read-only serving; " +
+      s"or, if ALL writers are serialized externally, set " +
+      s"$StoreFsForceKey=true in the Hadoop conf to accept the risk " +
+      "(documented degraded mode).")
+    // a filesystem that self-reports inconsistent listing is out
+    // regardless of scheme (Hadoop CommonPathCapabilities)
+    val inconsistent =
+      try fs.hasPathCapability(dir, "fs.capability.directory.listing.inconsistent")
+      catch { case _: IllegalArgumentException | _: java.io.IOException |
+                   _: UnsupportedOperationException => false }
+    if (inconsistent) refuse("reports inconsistent directory listing")
+    if (ObjectStoreSchemes.contains(scheme))
+      refuse("is an object store whose rename is a non-atomic copy+delete")
+    if (!RenameAtomicSchemes.contains(scheme))
+      refuse("is not in the known rename-atomic set " +
+             RenameAtomicSchemes.toSeq.sorted.mkString("{", ", ", "}"))
   }
 
   /** Typed refusal for "a fresh compaction maintenance lease is held":
@@ -488,7 +590,9 @@ object GraftSimilarity {
     import org.apache.hadoop.fs.Path
     val Merged = "compacted-0.parquet"
     val assignedRoot = new Path(s"$dir/assigned")
-    val fs = assignedRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hConf = spark.sparkContext.hadoopConfiguration
+    val fs = assignedRoot.getFileSystem(hConf)
+    requireStoreFsContract(fs, new Path(dir), hConf, "compactIvfCells")
     if (!fs.exists(assignedRoot)) return 0
     val lock = maintenanceLock(dir)
     if (fs.exists(lock) && !maintenanceLockFresh(fs, lock))
