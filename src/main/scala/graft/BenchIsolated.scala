@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Isolated-arbiter benchmark: each named query runs in a FRESH JVM (one
+  * fork per query), so nothing from any other query — persisted frames,
+  * JIT profiles, codegen caches — can contaminate its timing. The
+  * in-suite `Bench` numbers carry shared-JVM residue in both directions;
+  * this main is the committed arbiter for queries whose in-suite ratios
+  * look anomalous, replacing the `/tmp` logs SCALE.md used to cite
+  * (which evaporated with the sandbox).
+  *
+  * Orchestrator mode (default):
+  *   `runMain graft.BenchIsolated [names] [outPath]`
+  *   - `names`: comma-separated query names (default: the current
+  *     round's flagged worst-ratio set below)
+  *   - `outPath`: JSON artifact path (default BENCH_ISOLATED.json in cwd)
+  *   Forks one worker JVM per query — same classpath and --add-opens as
+  *   this JVM — and aggregates the workers' JSON lines.
+  *
+  * Worker mode: `--worker <name>` — runs that one query
+  * SPARK_GRAFT_BENCH_RUNS times (default 3) against SPARK_GRAFT_SF_DIR
+  * with the Bench harness conventions (noop sink, scan+shuffle warmup,
+  * clearCache between runs, [min, med, max] spread) and prints exactly
+  * one JSON line.
+  */
+object BenchIsolated {
+  /** Queries whose IN-SUITE 10× ratios were flagged for arbitration this
+    * round (SCALE.md cites the committed artifact these produce). */
+  val DefaultFlagged: Seq[String] = Seq(
+    "dedup_source_overlap", "q_variant", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_components", "pipeline_corpus_curation")
+
+  private def median(ts: Seq[Double]): Double = {
+    val s = ts.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+  }
+  private def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "--worker" :: name :: Nil => worker(name)
+    case rest => orchestrate(rest)
+  }
+
+  private def worker(name: String): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .groupBy("l_returnflag").count().collect()
+    val fn = SparkEntry.queries.getOrElse(name,
+      sys.error(s"unknown query '$name'"))
+    val times = (1 to runs).map { _ =>
+      val t0 = System.nanoTime()
+      val t = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench-iso] $name failed: ${e.getMessage}")
+        -1.0
+      }
+      spark.catalog.clearCache()
+      t
+    }
+    val ts = if (times.exists(_ < 0)) Seq.fill(runs)(-1.0) else times
+    println(s""""$name":[${fmt(ts.min)},${fmt(median(ts))},${fmt(ts.max)}]""")
+    spark.stop()
+  }
+
+  private def orchestrate(rest: List[String]): Unit = {
+    val names = rest.headOption.filter(_.nonEmpty).map(_.split(',').toSeq)
+      .getOrElse(DefaultFlagged)
+    val outPath = rest.drop(1).headOption.getOrElse("BENCH_ISOLATED.json")
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
+    val javaBin = s"${System.getProperty("java.home")}/bin/java"
+    val cp = System.getProperty("java.class.path")
+    // forward this JVM's --add-opens etc. so the worker's Spark works
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.toArray.map(_.toString)
+      .filter(a => a.startsWith("--add-opens") || a.startsWith("--add-exports") ||
+                   a.startsWith("-Xmx") || a.startsWith("-Xss"))
+    val entries = names.map { name =>
+      val cmd: Seq[String] =
+        Seq(javaBin) ++ jvmArgs ++
+          Seq("-cp", cp, "graft.BenchIsolated", "--worker", name)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes, "UTF-8")
+      val err = new String(p.getErrorStream.readAllBytes, "UTF-8")
+      val rc = p.waitFor()
+      out.linesIterator.toSeq.lastOption
+        .filter(l => rc == 0 && l.startsWith("\"" + name + "\":")) match {
+        case Some(line) =>
+          System.err.println(s"[bench-iso] $name -> $line")
+          line
+        case None =>
+          System.err.println(
+            s"[bench-iso] $name worker rc=$rc\n${err.takeRight(800)}")
+          s""""$name":[-1,-1,-1]"""
+      }
+    }
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val json =
+      s"""{"metric":"isolated","unit":"sec","runs":$runs,"fresh_jvm_per_query":true,""" +
+      s""""sf":"$sfDir","queries":${entries.mkString("{", ",", "}")}}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
+    println(json)
+  }
+}

@@ -1022,17 +1022,35 @@ object GraftSimilarity {
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 
+  /** Fixed-point grid for [[kmeansRefine]]'s centroid accumulation:
+    * member components are rounded to x·2²⁰ before summing, so every
+    * partial sum is an integer-valued double and the aggregation is
+    * EXACT and merge-order-free while |cell| · 2²⁰ · max|x| < 2⁵³
+    * (i.e. cells up to ~8e9 unit-scale members — far past the √N cell
+    * sizes any sane build produces). */
+  private[graft] val KmeansGrid = 1048576.0 // 2^20
+
   /** Lloyd (k-means) refinement of an IVF centroid set: `iters` rounds of
-    * assign-to-nearest (by cosine — scale-invariant, so un-normalized
-    * means work as spherical k-means centroids) and recompute-mean. Each
-    * round is one broadcast-assign map over the collection plus ONE
-    * aggregation whose map-side combine folds every partition's vectors
-    * into dense per-cell accumulators ([[graft.functions.GraftVecSumAgg]])
-    * — `dims` doubles per cell cross the shuffle, never N·dims exploded
-    * rows. Cells that lose all members drop out (standard Lloyd on a
-    * hash-seeded init). Float means depend on merge order, so refined
-    * results are approximate-deterministic: catalog queries over this path
-    * are rows-only checks, recall is pinned by SimilaritySpec.
+    * assign-to-nearest (by cosine) and recompute-centroid. Each round is
+    * one broadcast-assign map over the collection plus ONE aggregation
+    * whose map-side combine folds every partition's vectors into dense
+    * per-cell accumulators ([[graft.functions.GraftVecSumAgg]]) — `dims`
+    * doubles per cell cross the shuffle, never N·dims exploded rows.
+    * Cells that lose all members drop out (standard Lloyd on a
+    * hash-seeded init).
+    *
+    * DETERMINISM BY CONSTRUCTION (not averaged floats): the recompute
+    * step quantizes each member to the [[KmeansGrid]] fixed-point grid
+    * and keeps the UN-DIVIDED component sum as the centroid — cosine is
+    * scale-invariant, so the sum is the same direction as the mean with
+    * none of the mean's division rounding, and integer-valued double
+    * addition is exact in any merge order (bound in [[KmeansGrid]]'s
+    * doc). Refined centroids are therefore bit-reproducible across
+    * partitionings AND across engines — `ann_ivf_kmeans` is a DuckDB
+    * hash-checked row (the oracle replays the rounds in SQL), and
+    * SimilaritySpec pins recall unchanged vs the float-mean formulation.
+    * The grid shifts each centroid direction by O(2⁻²⁰ / |x|) relative —
+    * orders of magnitude below the cosine gaps that decide assignments.
     */
   def kmeansRefine(vecs: DataFrame, cents: DataFrame, iters: Int,
                    idCol: String = "n_id", vecCol: String = "v")
@@ -1051,10 +1069,9 @@ object GraftSimilarity {
              first(col("__kv")).as("__kv"))
         .select(col("__kv"), (-col("__m.nc")).as("c_id"))
       c = assigned.groupBy("c_id")
-        .agg(expr("graft_vec_sum(__kv)").as("__s"),
-             count(lit(1)).as("__n"))
-        .select(col("c_id"),
-                transform(col("__s"), x => x / col("__n")).as("cv"))
+        .agg(expr(s"graft_vec_sum(transform(__kv, x -> round(x * $KmeansGrid)))")
+               .as("__s"))
+        .select(col("c_id"), col("__s").as("cv"))
       i += 1
     }
     c

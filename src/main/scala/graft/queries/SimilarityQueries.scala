@@ -389,9 +389,14 @@ object SimilarityQueries extends QueryModule {
 
     // IVF with Lloyd-refined centroids (2 k-means rounds over the
     // hash-seeded init, [[GraftSimilarity.kmeansRefine]]) — the trained-
-    // quantizer tier. Float centroid means depend on aggregation merge
-    // order ⇒ rows-only driver check; SimilaritySpec pins recall against
-    // the exact tier and the k-results-per-query shape.
+    // quantizer tier. ORACLED since the refinement went integer-exact:
+    // members are rounded to the 2^20 fixed-point grid and each
+    // centroid is the UN-DIVIDED component sum (cosine is
+    // scale-invariant), so every partial sum is an integer-valued
+    // double, exact in any merge order, and DuckDB replays both Lloyd
+    // rounds bit-identically (unrolled CTEs: assign -> per-component
+    // integer sum -> reassemble, twice). SimilaritySpec additionally
+    // pins recall and the k-results-per-query shape.
     GraftQuery(
       "ann_ivf_kmeans",
       (s, dir) => {
@@ -399,7 +404,60 @@ object SimilarityQueries extends QueryModule {
         GraftSimilarity.ivfTopK(e, queryBlock(e), k = 5, nprobe = 4,
                                 refineIters = 2)
       },
-      None),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c0 AS (SELECT vec_id c_id, v cv FROM e
+        |       WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |d AS (SELECT unnest(range(1, array_length(v) + 1)) i
+        |      FROM (SELECT v FROM e LIMIT 1)),
+        |a1 AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c0.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c0.cv) DESC, c0.c_id) arnk
+        |    FROM e, c0) WHERE arnk = 1),
+        |c1 AS (
+        |  SELECT c_id, list(s ORDER BY i) cv FROM (
+        |    SELECT c_id, d.i i, sum(round(v[d.i] * 1048576.0)) s
+        |    FROM a1, d GROUP BY c_id, d.i)
+        |  GROUP BY c_id),
+        |a2 AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c1.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c1.cv) DESC, c1.c_id) arnk
+        |    FROM e, c1) WHERE arnk = 1),
+        |c2 AS (
+        |  SELECT c_id, list(s ORDER BY i) cv FROM (
+        |    SELECT c_id, d.i i, sum(round(v[d.i] * 1048576.0)) s
+        |    FROM a2, d GROUP BY c_id, d.i)
+        |  GROUP BY c_id),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c2.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c2.cv) DESC, c2.c_id) arnk
+        |    FROM e, c2) WHERE arnk = 1),
+        |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.q_id, q.qv, c2.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c2.cv) DESC, c2.c_id) prnk
+        |    FROM q, c2) WHERE prnk <= 4),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.vec_id != p.q_id),
+        |r AS (SELECT q_id, n_id, c,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin)),
 
     // Scalar-quantized tier: candidate scoring on int8-range vectors
     // (graft_q8 — scales cancel in the normalized cosine, so the estimate
