@@ -13,7 +13,7 @@ import org.apache.spark.sql.types._
   * since ties resolve to the lower id) sits at the root and is evicted
   * first. All operations are O(log k); memory is exactly k slots.
   */
-private[functions] final class TopKBuf(val k: Int) {
+private[graft] final class TopKBuf(val k: Int) {
   var size: Int = 0
   val scores: Array[Double] = new Array[Double](k)
   val ids: Array[Long] = new Array[Long](k)

@@ -2,10 +2,12 @@ package graft
 
 import org.scalacheck.Gen
 import org.scalatest.funsuite.AnyFunSuite
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, StringType}
-import graft.functions.{GraftMinHash, GraftSimHash}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.functions.{GraftMinHash, GraftMinHashAgg, GraftQ8, GraftQ8Cos, GraftSimHash, GraftTopKAgg}
 import graft.plans.XorShift64Star
 
 /** ScalaCheck property coverage for the pure kernels (no Spark session):
@@ -79,6 +81,175 @@ class PropertySpec extends AnyFunSuite {
     forAll(Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))) { (ss: List[String]) =>
       val base = minhash(ss.distinct, 64)
       assert(minhash(scala.util.Random.shuffle(ss ++ ss), 64) == base)
+    }
+  }
+
+  // ---- aggregate-kernel laws (buffer level, no Spark session) --------
+
+  private val mhAgg = GraftMinHashAgg(BoundReference(0, StringType, true), 64)
+  private def mhBuf(tokens: Seq[String]): Array[Long] =
+    tokens.foldLeft(mhAgg.createAggregationBuffer()) { (b, t) =>
+      mhAgg.update(b, InternalRow(UTF8String.fromString(t)))
+    }
+  private val genTokens: Gen[List[String]] =
+    Gen.listOfN(30, Gen.oneOf((0 until 60).map(i => s"tok$i")))
+
+  test("graft_minhash_agg merge is commutative: merge(a,b) == merge(b,a)") {
+    forAll(Gen.zip(genTokens, genTokens)) { case (ta, tb) =>
+      val ab = mhAgg.merge(mhBuf(ta), mhBuf(tb))
+      val ba = mhAgg.merge(mhBuf(tb), mhBuf(ta))
+      assert(ab.toSeq == ba.toSeq)
+    }
+  }
+
+  test("graft_minhash_agg merge is associative: (a⊕b)⊕c == a⊕(b⊕c)") {
+    forAll(Gen.zip(genTokens, genTokens, genTokens)) { case (ta, tb, tc) =>
+      val l = mhAgg.merge(mhAgg.merge(mhBuf(ta), mhBuf(tb)), mhBuf(tc))
+      val r = mhAgg.merge(mhBuf(ta), mhAgg.merge(mhBuf(tb), mhBuf(tc)))
+      assert(l.toSeq == r.toSeq)
+    }
+  }
+
+  test("graft_minhash_agg: merging partials of ANY split equals the " +
+       "whole-set signature (sig(A ∪ B) = elementwise min)") {
+    val genSplit = for {
+      ts <- genTokens.suchThat(_.nonEmpty)
+      nCuts <- Gen.choose(1, 4)
+      cuts <- Gen.listOfN(nCuts, Gen.choose(0, ts.size))
+    } yield (ts, cuts.sorted)
+    forAll(genSplit) { case (ts, cuts) =>
+      val whole = mhBuf(ts).toSeq
+      val bounds = (0 +: cuts :+ ts.size).distinct.sorted
+      val parts = bounds.zip(bounds.tail).map { case (a, b) => ts.slice(a, b) }
+      val merged = parts.map(mhBuf).reduce(mhAgg.merge)
+      assert(merged.toSeq == whole,
+        s"split at $cuts diverged from single-pass")
+    }
+  }
+
+  private def topkAgg(k: Int) = GraftTopKAgg(
+    BoundReference(0, DoubleType, true), BoundReference(1, LongType, true), k)
+
+  test("graft_topk heap-merge equals the sort-based truth under random " +
+       "partition splits and merge orders") {
+    val genCase = for {
+      n <- Gen.choose(0, 120)
+      k <- Gen.choose(1, 12)
+      rows <- Gen.listOfN(n, Gen.zip(
+        Gen.choose(0, 50).map(_ / 10.0), // coarse scores force ties
+        Gen.choose(0L, 40L)))
+      nParts <- Gen.choose(1, 5)
+      assign <- Gen.listOfN(n, Gen.choose(0, nParts - 1))
+    } yield (rows, k, nParts, assign)
+    forAll(genCase) { case (rows, k, nParts, assign) =>
+      val agg = topkAgg(k)
+      val parts = rows.zip(assign).groupMap(_._2)(_._1)
+      val bufs = (0 until nParts).map(p =>
+        parts.getOrElse(p, Nil).foldLeft(agg.createAggregationBuffer()) {
+          (b, r) => agg.update(b, InternalRow(r._1, r._2))
+        })
+      val merged = bufs.reduce(agg.merge) // reduce order varies with nParts
+      val got = merged.sortedStrongestFirst.map(i =>
+        (merged.scores(i), merged.ids(i))).toSeq
+      // duplicates stay separate entries in the heap, so the sort truth
+      // keeps them too
+      val truthAll = rows.sortBy { case (s, id) => (-s, id) }.take(k)
+      assert(got == truthAll,
+        s"k=$k parts=$nParts got=$got truth=$truthAll")
+    }
+  }
+
+  // ---- q8 quantization laws ------------------------------------------
+
+  private def dlit(xs: Seq[Double]) =
+    Literal.create(xs, ArrayType(DoubleType))
+  private def q8(xs: Seq[Double]): Seq[Int] =
+    GraftQ8(dlit(xs)).eval(null).asInstanceOf[ArrayData].toIntArray().toSeq
+  private val genVec: Gen[List[Double]] =
+    Gen.choose(1, 48).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-1000.0, 1000.0).map(_ / 7.0)))
+      .suchThat(v => v.exists(_ != 0.0))
+
+  test("q8 roundtrip error bound: dequantized components land within " +
+       "maxAbs/254 of the original") {
+    forAll(genVec) { (v: List[Double]) =>
+      val maxAbs = v.map(math.abs).max
+      val deq = q8(v).map(_ * maxAbs / 127.0)
+      v.zip(deq).foreach { case (x, d) =>
+        assert(math.abs(x - d) <= maxAbs / 254.0 + 1e-12,
+          s"x=$x deq=$d maxAbs=$maxAbs")
+      }
+    }
+  }
+
+  test("q8 is invariant under positive power-of-two scaling (exact float " +
+       "scaling cannot move any rounding decision)") {
+    forAll(Gen.zip(genVec, Gen.oneOf(0.25, 0.5, 2.0, 4.0, 1024.0))) {
+      case (v, c) => assert(q8(v.map(_ * c)) == q8(v), s"c=$c")
+    }
+  }
+
+  test("q8_cos: symmetric, self-similarity exactly 1 for any nonzero vector") {
+    def ilit(xs: Seq[Int]) = Literal.create(xs,
+      ArrayType(org.apache.spark.sql.types.IntegerType))
+    def qcos(a: Seq[Int], b: Seq[Int]): Double =
+      GraftQ8Cos(ilit(a), ilit(b)).eval(null).asInstanceOf[Double]
+    forAll(Gen.zip(genVec, genVec)) { case (va, vb0) =>
+      val a = q8(va)
+      val b = q8(vb0.take(va.size).padTo(va.size, 1.0))
+      assert(qcos(a, b) == qcos(b, a), "symmetry")
+      if (a.exists(_ != 0)) assert(qcos(a, a) == 1.0, s"self-cos of $a")
+    }
+  }
+
+  // ---- z-order layout laws (evaluated through the real column path) --
+
+  test("zValue is a bijection on [0,2^bits)^2: deinterleave recovers (x,y)") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val bits = 12
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(400)(
+      (rnd.nextInt(1 << bits).toLong, rnd.nextInt(1 << bits).toLong)).distinct
+    val rows = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+              graft.operators.GraftLayout.zValue(col("x"), col("y"), bits).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def deinterleave(z: Long): (Long, Long) = {
+      var x = 0L; var y = 0L
+      for (i <- 0 until bits) {
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    assert(rows.map(_._3).distinct.length == pairs.length,
+      "distinct pairs must map to distinct z-values")
+    rows.foreach { case (x, y, z) =>
+      assert(deinterleave(z) == (x, y), s"z=$z did not invert to ($x,$y)")
+    }
+  }
+
+  test("zValue locality: two points share a 2^s-aligned tile IFF their " +
+       "z-values share the top 2*(bits-s) bits") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val bits = 10
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.fill(200)(
+      (rnd.nextInt(1 << bits).toLong, rnd.nextInt(1 << bits).toLong))
+    val zs = pts.toDF("x", "y")
+      .select(graft.operators.GraftLayout.zValue(col("x"), col("y"), bits).as("z"))
+      .collect().map(_.getLong(0))
+    val withZ = pts.zip(zs)
+    for (s <- Seq(2, 5, 8); ((x1, y1), z1) <- withZ.take(40);
+         ((x2, y2), z2) <- withZ.take(40)) {
+      val sameTile = (x1 >> s) == (x2 >> s) && (y1 >> s) == (y2 >> s)
+      val samePrefix = (z1 >> (2 * s)) == (z2 >> (2 * s))
+      assert(sameTile == samePrefix,
+        s"s=$s ($x1,$y1)/($x2,$y2): tile=$sameTile prefix=$samePrefix")
     }
   }
 
