@@ -32,6 +32,33 @@ object StreamBench {
   final case class Rec(name: String, rowsIn: Long, rowsOut: Long,
                        sec: Double, stateRows: Long, stateBytes: Long)
 
+  /** Regression floors (VERDICT r7 item 8): minimum acceptable MEDIAN
+    * throughput per operator, in rows/s, set at 0.5× the round-7 committed
+    * medians (STREAMBENCH.json at commit eed2c6c — e.g. sb_dedup 2089,
+    * sb_neardup_pairs 692, sb_sessionize 23316 rows/s). Median-of-runs is
+    * the gated statistic, so the 3× single-shot swing this box exhibits
+    * does not trip the gate (r7 median spreads stayed within ~25%); a
+    * genuine round-over-round collapse (plan regression, state blow-up,
+    * accidental O(n²) path) lands well below 0.5×. An operator missing
+    * from the run entirely also fails the gate — silently dropping a row
+    * must not read as green. The gate auto-applies only when the run's
+    * SF dir is the baselined sf0.1 corpus; SPARK_GRAFT_STREAMBENCH_GATE
+    * =on|off forces it either way (e.g. off for foreign hardware).
+    * Re-baseline floors when the medians legitimately move. */
+  val throughputFloors: Map[String, Double] = Map(
+    "sb_dedup"               -> 1044,
+    "sb_contamination"       -> 677,
+    "sb_neardup_pairs"       -> 346,
+    "sb_neardup_pairs_cap64" -> 433,
+    "sb_srp_pairs"           -> 280,
+    "sb_srp_pairs_q8"        -> 290,
+    "sb_ivf_serve"           -> 25,
+    "sb_ivf_ingest"          -> 329,
+    "sb_pack"                -> 1164,
+    "sb_sessionize"          -> 11658,
+    "sb_hourly"              -> 17860,
+    "sb_transitions"         -> 20907)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -315,5 +342,43 @@ object StreamBench {
     }
     println(json)
     spark.stop()
+
+    // regression gate: fail the run if any operator's MEDIAN throughput
+    // fell below its floor, or a floored operator didn't run at all.
+    // Floors are calibrated on the sf0.1 corpus the driver measures — a
+    // run against any other SF dir skips the gate (different input sizes
+    // shift every throughput) unless the env explicitly forces it on.
+    val gateEnv = sys.env.get("SPARK_GRAFT_STREAMBENCH_GATE")
+      .map(_.trim.toLowerCase)
+    val gateOn = gateEnv match {
+      case Some("off") | Some("0") | Some("false") => false
+      case Some("on") | Some("1") | Some("true")   => true
+      case _ => sfDir.stripSuffix("/").endsWith("sf0.1")
+    }
+    if (gateOn) {
+      val medByName = collapsed.map { case (r, spread) =>
+        val s = spread.sorted
+        r.name -> (r.rowsIn / math.max(s(s.size / 2), 1e-9))
+      }.toMap
+      val violations = throughputFloors.toSeq.sortBy(_._1).flatMap {
+        case (name, floor) =>
+          medByName.get(name) match {
+            case None =>
+              Some(s"$name: MISSING from this run (floor $floor rows/s)")
+            case Some(tput) if tput < floor =>
+              Some(f"$name: median $tput%.0f rows/s < floor $floor%.0f")
+            case _ => None
+          }
+      }
+      if (violations.nonEmpty) {
+        System.err.println(
+          s"[streambench] REGRESSION GATE FAILED (${violations.size}):")
+        violations.foreach(v => System.err.println(s"[streambench]   $v"))
+        sys.exit(1)
+      }
+      println(s"[streambench] regression gate passed: " +
+              s"${throughputFloors.size} floors held")
+    } else println("[streambench] regression gate skipped " +
+                   "(non-sf0.1 corpus or disabled via env)")
   }
 }
