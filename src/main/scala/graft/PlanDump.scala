@@ -28,7 +28,8 @@ object PlanDump {
                     "q_variant", "src_zorder_layout",
                     "pipeline_corpus_upsert", "events_transitions",
                     "dedup_embedding_cosine", "ann_ivf_append",
-                    "ann_ivf_coarse", "dedup_cdc_chunks")
+                    "ann_ivf_coarse", "dedup_cdc_chunks",
+                    "dedup_semantic_cells", "pipeline_decontaminate_fuzzy")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -125,6 +125,90 @@ object CorpusCuration {
     train.join(ids, Seq(idCol), "left_semi")
   }
 
+  /** FUZZY benchmark-contamination audit: (train_id, test_id, jaccard)
+    * pairs whose word-`shingleN`-gram Jaccard reaches `threshold` — the
+    * near-duplicate tier over [[contaminatedDocs]]'s exact-n-gram gate.
+    * Exact overlap catches verbatim leakage only; a lightly edited or
+    * re-tokenized benchmark document can share no single 8-gram with its
+    * source yet still leak — the audit the corpus-curation literature
+    * runs as "fuzzy decontamination" (n-gram-Jaccard near-dup of the
+    * training corpus against the eval sets) before a model ships.
+    *
+    * Mechanics are the BIPARTITE form of [[GraftDedup.nearDupPairs]]:
+    * MinHash signatures on both sides, banded bucket keys, and a
+    * train-bands ⋈ test-bands equi-join — a candidate exists only where
+    * a train doc and a test doc collide in a band, so candidate volume is
+    * driven by the (small) eval side, never train². Verify is the same
+    * two-stage attach as the self-join path: `graft_sig_agree` prefilter
+    * at `threshold − 0.2` on the already-joined signatures, then ONE
+    * sorted-merge intersection (`graft_jaccard_sorted`) per survivor.
+    * Scale shape: two pure-map signature stages; the only wide exchanges
+    * move (band key, 8-byte id) rows and the skinny candidate pairs —
+    * gram strings never cross a shuffle.
+    *
+    * Recall is deterministic enough to certify against a brute-force
+    * oracle: at threshold 0.7 the default banding is r=2 × b=64, so
+    * P(no band collides | J ≥ 0.7) ≤ (1 − 0.7²)⁶⁴ ≈ 2·10⁻¹⁹, and the
+    * sig-agree prefilter's miss probability at the 0.2 margin is < 10⁻⁶
+    * (binomial tail over 128 signature slots).
+    *
+    * Caller contract: `idCol` values must be disjoint across `train` and
+    * `test` (automatic when both sides come from one corpus's split).
+    */
+  def fuzzyContaminatedDocs(train: DataFrame, test: DataFrame,
+                            idCol: String = "doc_id",
+                            textCol: String = "text",
+                            threshold: Double = 0.7, shingleN: Int = 3,
+                            numHashes: Int = 128): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold should be in (0, 1], got: $threshold")
+    val r = if (threshold >= 0.85) 4 else 2
+    require(numHashes % r == 0,
+      s"numHashes ($numHashes) must divide by rowsPerBand ($r)")
+    val bands = numHashes / r
+    val sigFilter = math.max(0.0, threshold - 0.2)
+    import ScaleHints.gated
+    def shingled(d: DataFrame) = d
+      .select(col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= shingleN)
+      .select(col(idCol),
+              array_distinct(GraftText.wordNGrams(col("__tk"), shingleN))
+                .as("__sh"))
+    // both signature tables feed the band join AND two verify attaches —
+    // persisted and pinned under GraftDedup.unpersistAll like the
+    // self-join path's table
+    val sigT = GraftDedup.pin(
+      GraftDedup.signatures(shingled(train), idCol, "__sh", Nil, numHashes)
+        .persist())
+    val sigQ = GraftDedup.pin(
+      GraftDedup.signatures(shingled(test), idCol, "__sh", Nil, numHashes)
+        .persist())
+    def banded(sig: DataFrame, as: String) = sig
+      .select(col(idCol).as(as),
+              GraftDedup.bandKeys("sig", bands, r).as("__bh"))
+      .select(col(as), col("__bh.band_id").as("band_id"),
+              col("__bh.band_hash").as("band_hash"))
+    val cand = banded(sigT, "train_id")
+      .join(banded(sigQ, "test_id"), Seq("band_id", "band_hash"))
+      .select("train_id", "test_id")
+      .distinct()
+    cand
+      .join(gated(sigT.select(col(idCol).as("train_id"),
+                              col("sig").as("__siga"))), "train_id")
+      .join(gated(sigQ.select(col(idCol).as("test_id"),
+                              col("sig").as("__sigb"))), "test_id")
+      .filter(expr(s"graft_sig_agree(__siga, __sigb) >= $sigFilter"))
+      .select("train_id", "test_id")
+      .join(gated(sigT.select(col(idCol).as("train_id"),
+                              col("gh").as("__ga"))), "train_id")
+      .join(gated(sigQ.select(col(idCol).as("test_id"),
+                              col("gh").as("__gb"))), "test_id")
+      .withColumn("jaccard", expr("graft_jaccard_sorted(__ga, __gb)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("train_id"), col("test_id"),
+              round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Incremental dedup against an EXISTING corpus: the rows of `incoming`
     * whose `textCol` does not appear anywhere in `corpus` — the daily-crawl
     * vs historical-corpus shape, where re-shuffling the 100-TB history per

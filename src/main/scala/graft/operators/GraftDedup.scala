@@ -35,7 +35,7 @@ object GraftDedup {
   private val pinned =
     new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
 
-  private def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
+  private[operators] def pin(df: DataFrame): DataFrame = { pinned.add(df); df }
 
   /** Release every intermediate this module persisted (blocking). Returns
     * how many frames were released. Safe while results built on them are

@@ -1402,6 +1402,63 @@ object GraftSimilarity {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
   }
 
+  /** IVF-CELL-BLOCKED near-duplicate pairs: semantic dedup that reuses
+    * the embedding store's own partitioning as the candidate-blocking
+    * key. Every vector is multi-probe-assigned to its `nprobe` nearest
+    * centroids (the same hash-picked √N centroid set as
+    * [[buildIvfIndex]]); candidates are pairs sharing a cell; verify is
+    * one exact `graft_cosine` per candidate, deduplicated across shared
+    * cells by a max aggregation (the score is identical in every cell, so
+    * max is just the dedup).
+    *
+    * Why a third pair-mining tier next to [[cosinePairs]] (exact, O(N²))
+    * and [[srpPairs]] (SRP-LSH): a 100-TB corpus that already maintains
+    * the at-rest IVF store ([[writeIvfIndex]]) has ALREADY paid for the
+    * cell structure — `assigned` is partitioned by `c_id` on disk, so
+    * cell-local pairing reads each cell's files once and needs no new
+    * sketch state; with the in-memory frame the one exchange is the
+    * `c_id` shuffle below. Candidate volume is Σ|cell|² ≈ N^{3/2} at the
+    * √N-cell geometry (× nprobe² worst case) — the same sub-quadratic
+    * class as the store's own build.
+    *
+    * Contract: the candidate STRUCTURE is deterministic (hash-picked
+    * centroids, argmax assignment with c_id tie-break), so an oracle can
+    * replay the exact pair set. Recall is structural, not probabilistic:
+    * a true pair straddling cells with disjoint top-`nprobe` sets is
+    * missed — multi-probe narrows that boundary band the standard IVF
+    * way, and the catalog's SRP tier remains the recall-certified path
+    * when no store exists to reuse.
+    */
+  def cellBlockedPairs(df: DataFrame, threshold: Double, nprobe: Int = 2,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold should be in (0, 1], got: $threshold")
+    require(nprobe >= 1, s"nprobe must be >= 1, got: $nprobe")
+    graft.GraftSession.ensureExtensions(df.sparkSession)
+    val v = df.select(col(idCol).cast("long").as("n_id"),
+                      expr(s"transform($vecCol, x -> cast(x AS double))")
+                        .as("qv"))
+    val cents = buildIvfIndex(v, idCol = "n_id", vecCol = "qv").centroids
+    // both sides of the cell self-join consume the assignment — persisted
+    // (and pinned under GraftDedup.unpersistAll, the shared dedup-tier
+    // release hook) so the N·√N assign runs once, not once per side; a
+    // caller pairing over the at-rest store reads `assigned` from disk
+    // instead and skips this entirely
+    val assigned = GraftDedup.pin(
+      probeCells(v, cents, nprobe, keep = Seq("n_id", "qv")).persist())
+    val a = assigned.select(col("c_id"), col("n_id").as("a_id"),
+                            col("qv").as("__va"))
+    val b = assigned.select(col("c_id"), col("n_id").as("b_id"),
+                            col("qv").as("__vb"))
+    a.join(b, Seq("c_id"))
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cos", cosine("__va", "__vb"))
+      .filter(col("cos") >= threshold)
+      .groupBy("a_id", "b_id")
+      .agg(round(max("cos"), 4).as("cos"))
+  }
+
   /** SemDeDup-style semantic dedup assignment: vectors whose cosine
     * similarity reaches `threshold` are clustered transitively
     * ([[GraftDedup.connectedComponents]] over the pair list) and each

@@ -577,5 +577,52 @@ object DedupQueries extends QueryModule {
         |  coalesce(c.cluster_id, a.vec_id) AS cluster_id,
         |  coalesce(c.cluster_id, a.vec_id) = a.vec_id AS kept
         |FROM aug a LEFT JOIN comp c USING (vec_id)""".stripMargin)),
+
+    // Semantic near-dup pairs, STORE-REUSE path: candidate blocking by
+    // IVF cell instead of SRP bands ([[GraftSimilarity.cellBlockedPairs]])
+    // — the tier a corpus runs when it already maintains the at-rest
+    // embedding store, whose cell-partitioned layout makes pairing
+    // cell-local (no new sketch state; from the store the verify reads
+    // each cell's files once). Multi-probe nprobe=2 narrows the
+    // cell-boundary miss band. Unlike the SRP tier (probabilistic recall
+    // certified against brute force), the candidate STRUCTURE here is
+    // fully deterministic — hash-picked centroids, argmax assignment —
+    // so the oracle replays the exact blocking: centroid cut, top-2
+    // assignment with c_id tie-break, within-cell pairs, max-dedup
+    // across shared cells.
+    GraftQuery(
+      "dedup_semantic_cells",
+      (s, dir) =>
+        graft.operators.GraftSimilarity.cellBlockedPairs(
+          twinAugmented(t(s, dir, "embeddings")), threshold = 0.9,
+          nprobe = 2),
+      Some("""WITH aug AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+        |    list_concat(list_slice(embedding::DOUBLE[], 1, 32),
+        |      list_transform(list_slice(embedding::DOUBLE[], 33, 64),
+        |                     x -> x * 2))
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM aug),
+        |c AS (SELECT vec_id c_id, v cv FROM aug
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |a AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT aug.vec_id, aug.v, c.c_id,
+        |      row_number() OVER (PARTITION BY aug.vec_id
+        |        ORDER BY list_cosine_similarity(aug.v, c.cv) DESC, c.c_id) arnk
+        |    FROM aug, c) WHERE arnk <= 2),
+        |p AS (
+        |  SELECT x.vec_id a_id, y.vec_id b_id,
+        |    max(list_cosine_similarity(x.v, y.v)) mc
+        |  FROM a x JOIN a y ON x.c_id = y.c_id AND x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.v, y.v) >= 0.9
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, round(mc, 4) AS cos FROM p""".stripMargin)),
   )
 }

@@ -160,6 +160,54 @@ object PipelineQueries extends QueryModule {
         |SELECT lang, count(*) AS n_contaminated
         |FROM contaminated GROUP BY lang""".stripMargin)),
 
+    // FUZZY decontamination: train docs that are NEAR-duplicates of a
+    // test doc at word-3-gram Jaccard ≥ 0.7 — the leakage the exact
+    // 8-gram gate above cannot see (a lightly edited benchmark document
+    // shares no verbatim 8-gram yet still leaks). Bipartite MinHash-LSH
+    // ([[CorpusCuration.fuzzyContaminatedDocs]]): candidates only where a
+    // train and a test doc collide in a band, so the volume is driven by
+    // the small eval side. Recall at these parameters makes the
+    // brute-force oracle exact: P(band miss | J ≥ 0.7) ≈ 2e-19, sig-agree
+    // prefilter miss < 1e-6. Same md5-route split as
+    // `pipeline_contamination`.
+    GraftQuery(
+      "pipeline_decontaminate_fuzzy",
+      (s, dir) => {
+        val route = substring(md5(col("doc_id").cast("string")), 1, 4)
+        val docs = t(s, dir, "documents").withColumn("route", route)
+        graft.operators.CorpusCuration.fuzzyContaminatedDocs(
+            train = docs.filter(col("route") < "cccc"),
+            test = docs.filter(col("route") >= "cccc"),
+            threshold = 0.7, shingleN = 3)
+          .groupBy("train_id")
+          .agg(count(lit(1)).as("n_test_matches"), max("jaccard").as("max_j"))
+      },
+      Some("""WITH tk AS (
+        |  SELECT doc_id, substr(md5(doc_id::VARCHAR), 1, 4) route,
+        |         regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, route,
+        |         list_distinct([array_to_string(w[i:i+2], ' ')
+        |                        FOR i IN range(1, len(w) - 1)]) s
+        |  FROM tk WHERE len(w) >= 3),
+        |e AS (SELECT doc_id, route, unnest(s) g FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM e GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id train_id, b.doc_id test_id, count(*) i
+        |  FROM e a JOIN e b ON a.g = b.g
+        |  WHERE a.route < 'cccc' AND b.route >= 'cccc'
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT train_id, test_id,
+        |         round(i * 1.0 / (sa.n + sb.n - i), 4) jac
+        |  FROM pair
+        |  JOIN sz sa ON sa.doc_id = train_id
+        |  JOIN sz sb ON sb.doc_id = test_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.7)
+        |SELECT train_id, count(*) AS n_test_matches, max(jac) AS max_j
+        |FROM j GROUP BY train_id""".stripMargin)),
+
     // Fixed-SIZE uniform sample: exactly n rows, chosen as the n smallest
     // md5(key) values — deterministic, engine-independent, and planned as
     // TakeOrderedAndProject (per-partition top-n + merge of n·P candidates),

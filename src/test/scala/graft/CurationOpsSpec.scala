@@ -165,4 +165,68 @@ class CurationOpsSpec extends GraftFunSuite {
       assert(scores.zip(scores.tail).forall { case (x, y) => x >= y }, scores)
     }
   }
+
+  test("fuzzy decontamination: planted near-dup found with the exact " +
+       "jaccard, unrelated docs stay clean") {
+    import spark.implicits._
+    // train doc 1 = 10 tokens -> 8 distinct 3-grams; test doc 100 edits
+    // the LAST token only, so they share 7 of 9 distinct grams:
+    // J = 7 / 9 = 0.7778 >= 0.7
+    val t10 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val edited = ((1 to 9).map(i => s"w$i") :+ "zzz").mkString(" ")
+    val train = Seq((1L, t10),
+                    (2L, (30 to 45).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val test_ = Seq((100L, edited),
+                    (101L, (60 to 75).map(i => s"y$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = graft.operators.CorpusCuration
+      .fuzzyContaminatedDocs(train, test_, threshold = 0.7, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 100L, 0.7778)), got.mkString(", "))
+  }
+
+  test("fuzzy decontamination matches brute-force cross-side jaccard on " +
+       "the catalog's route split") {
+    val route = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("route", route)
+    val train = docs.filter(col("route") < "cccc")
+    val test_ = docs.filter(col("route") >= "cccc")
+    def shingles(d: org.apache.spark.sql.DataFrame, as: String) = d
+      .select(col("doc_id").as(as),
+              expr("split(trim(text), '\\\\s+')").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col(as),
+              expr("""array_distinct(transform(sequence(0, size(tk) - 3),
+                     i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))""")
+                .as(s"s_$as"))
+    val brute = shingles(train, "train_id")
+      .join(shingles(test_, "test_id"))
+      .withColumn("inter",
+                  size(array_intersect(col("s_train_id"), col("s_test_id"))))
+      .withColumn("j", col("inter") /
+        (size(col("s_train_id")) + size(col("s_test_id")) - col("inter")))
+      .filter(col("j") >= 0.7)
+      .select(col("train_id"), col("test_id"), round(col("j"), 4).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = graft.operators.CorpusCuration
+      .fuzzyContaminatedDocs(train, test_, threshold = 0.7, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty, "route split should straddle planted near-dups")
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
+  test("fuzzy decontamination: argument validation") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusCuration.fuzzyContaminatedDocs(
+        d, d, threshold = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusCuration.fuzzyContaminatedDocs(
+        d, d, threshold = 0.7, numHashes = 7)
+    }
+  }
 }
