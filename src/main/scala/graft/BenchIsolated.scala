@@ -110,9 +110,10 @@ object BenchIsolated {
     }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val json =
       s"""{"metric":"isolated","unit":"sec","runs":$runs,"fresh_jvm_per_query":true,""" +
-      s""""sf":"$sfDir","queries":${entries.mkString("{", ",", "}")}}"""
+      s""""cpus":$cpus,"sf":"$sfDir","queries":${entries.mkString("{", ",", "}")}}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), json + "\n")
     println(json)
   }
