@@ -115,6 +115,78 @@ object CorpusStreams {
       .select(col(idCol), col(tsCol))
   }
 
+  /** Streaming APPLY side of
+    * [[graft.operators.CorpusCuration.fuzzyContaminatedDocs]]: flag
+    * arriving documents that are NEAR-duplicates (word-`shingleN`-gram
+    * Jaccard ≥ `threshold`) of any doc in a STATIC eval set — the fuzzy
+    * tier of [[contaminationGate]], run at ingest. Unlike
+    * [[nearDupPairStream]] the stream never pairs with itself, so no
+    * bucket state accumulates: the eval side's banded signature table is
+    * broadcast (small by contract — it's the benchmark set), each
+    * arriving doc's MinHash bands probe it in a map-side stream-static
+    * equi-join, and the verify (sig-agree prefilter + sorted-merge gram
+    * intersection) runs in-plan with the batch operator's exact kernels.
+    * The only streaming state is the within-watermark (doc, test) match
+    * dedup — a pair colliding in several bands must still emit once.
+    *
+    * The band explode carries each doc's signature/gram arrays into its
+    * 64 band rows — a transient width amplification that never crosses
+    * an exchange (the broadcast join is map-side; only matched skinny
+    * rows reach the dedup state shuffle).
+    *
+    * Emits (idCol, tsCol, test_id, jaccard) per flagged pair.
+    */
+  def fuzzyContaminationGate(docs: DataFrame, testDocs: DataFrame,
+                             tsCol: String = "ts", textCol: String = "text",
+                             idCol: String = "doc_id",
+                             threshold: Double = 0.7, shingleN: Int = 3,
+                             numHashes: Int = 128,
+                             dedupWindow: String = "1 hour"): DataFrame = {
+    import graft.operators.{GraftDedup, GraftText}
+    require(threshold > 0 && threshold <= 1,
+      s"threshold should be in (0, 1], got: $threshold")
+    val r = if (threshold >= 0.85) 4 else 2
+    require(numHashes % r == 0,
+      s"numHashes ($numHashes) must divide by rowsPerBand ($r)")
+    val bands = numHashes / r
+    val sigFilter = math.max(0.0, threshold - 0.2)
+    def shingled(d: DataFrame, carry: Seq[String]) = d
+      .select((idCol +: carry).map(col) :+
+              GraftText.whitespaceTokens(col(textCol)).as("__tk"): _*)
+      .filter(size(col("__tk")) >= shingleN)
+      .select((idCol +: carry).map(col) :+
+              array_distinct(GraftText.wordNGrams(col("__tk"), shingleN))
+                .as("__sh"): _*)
+    // ts rides through signatures() as a carried (block) column
+    val sigS = GraftDedup.signatures(
+      shingled(docs, Seq(tsCol)), idCol, "__sh", Seq(tsCol), numHashes)
+    val sigQ = GraftDedup.signatures(
+      shingled(testDocs, Nil), idCol, "__sh", Nil, numHashes)
+    val streamBands = sigS
+      .select(col(idCol), col(tsCol),
+              GraftDedup.bandKeys("sig", bands, r).as("__bh"),
+              col("sig").as("__siga"), col("gh").as("__ga"))
+      .select(col(idCol), col(tsCol), col("__bh.band_id").as("band_id"),
+              col("__bh.band_hash").as("band_hash"), col("__siga"),
+              col("__ga"))
+    val staticBands = sigQ
+      .select(col(idCol).as("test_id"),
+              GraftDedup.bandKeys("sig", bands, r).as("__bh"),
+              col("sig").as("__sigb"), col("gh").as("__gb"))
+      .select(col("test_id"), col("__bh.band_id").as("band_id"),
+              col("__bh.band_hash").as("band_hash"), col("__sigb"),
+              col("__gb"))
+    streamBands
+      .join(broadcast(staticBands), Seq("band_id", "band_hash"))
+      .filter(expr(s"graft_sig_agree(__siga, __sigb) >= $sigFilter"))
+      .withColumn("jaccard", expr("graft_jaccard_sorted(__ga, __gb)"))
+      .filter(col("jaccard") >= threshold)
+      .select(col(idCol), col(tsCol), col("test_id"),
+              round(col("jaccard"), 4).as("jaccard"))
+      .withWatermark(tsCol, dedupWindow)
+      .dropDuplicatesWithinWatermark(idCol, "test_id")
+  }
+
   final case class NearDupIn(id: Long, ts: java.sql.Timestamp,
                              bandId: Int, bandHash: Long,
                              sig: Array[Long], gh: Array[Long])

@@ -485,6 +485,45 @@ class StreamingSpec extends GraftFunSuite {
     } finally { q.stop(); q2.stop() }
   }
 
+  test("fuzzyContaminationGate: stream pairs equal the batch fuzzy audit, " +
+       "emit once, and a re-sent doc inside the watermark stays silent") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.CorpusCuration
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("route", substring(md5(col("doc_id").cast("string")), 1, 4))
+    val train = docs.filter(col("route") < "cccc").drop("route")
+    val testD = docs.filter(col("route") >= "cccc").drop("route")
+    val batch = CorpusCuration.fuzzyContaminatedDocs(train, testD,
+        threshold = 0.7, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(batch.nonEmpty, "route split should straddle planted near-dups")
+    val rows = train.select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), ts(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusStreams.fuzzyContaminationGate(df, testD,
+        threshold = 0.7, shingleN = 3)
+      .writeStream.format("memory").queryName("fuzzy_contamination_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(150)); q.processAllAvailable()
+      input.addData(rows.drop(150)); q.processAllAvailable()
+      val emitted = spark.table("fuzzy_contamination_stream")
+        .select("doc_id", "test_id", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // pair-set parity with batch AND exactly-once emission (a pair
+      // colliding in several bands must not produce several rows)
+      assert(emitted.toSet == batch,
+        s"extra=${emitted.toSet -- batch} missing=${batch -- emitted.toSet}")
+      assert(emitted.length == batch.size, "duplicate emissions")
+      // replaying a flagged doc inside the watermark adds nothing
+      val flaggedId = batch.head._1
+      input.addData(rows.filter(_._1 == flaggedId)); q.processAllAvailable()
+      assert(spark.table("fuzzy_contamination_stream").count() == batch.size)
+    } finally q.stop()
+  }
+
   test("packStream: offsets continue across micro-batches per shard and " +
        "match batch packing on the same order") {
     import graft.streaming.CorpusStreams
