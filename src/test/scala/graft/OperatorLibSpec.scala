@@ -861,6 +861,46 @@ class OperatorLibSpec extends GraftFunSuite {
     }
   }
 
+  test("cell-blocked pairing straight off the at-rest store equals the " +
+       "in-memory nprobe=1 tier — the store's partitioning IS the blocking") {
+    import graft.operators.GraftSimilarity
+    GraftSession.ensureExtensions(spark)
+    val aug = graft.queries.DedupQueries.twinAugmented(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"))
+    val e = aug.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val idx = GraftSimilarity.buildIvfIndex(e)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pairs").toString
+    try {
+      GraftSimilarity.writeIvfIndex(idx, dir)
+      // the scaladoc's claim, executed: a store maintainer mines pairs
+      // from the PERSISTED assignment — no re-assign, no new sketch
+      // state, candidates are cell-local over the cell-partitioned files
+      val assigned = GraftSimilarity.readIvfIndex(spark, dir).assigned
+      val a = assigned.select(col("c_id"), col("n_id").as("a_id"),
+                              col("v").as("va"))
+      val b = assigned.select(col("c_id"), col("n_id").as("b_id"),
+                              col("v").as("vb"))
+      val fromStore = a.join(b, Seq("c_id"))
+        .filter(col("a_id") < col("b_id"))
+        .withColumn("cos", expr("graft_cosine(va, vb)"))
+        .filter(col("cos") >= 0.9)
+        .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // identical to the in-memory tier at nprobe=1: assignTo's argmax
+      // and probeCells' top-1 share the (score desc, c_id asc) tie-break
+      val inMem = GraftSimilarity
+        .cellBlockedPairs(aug, threshold = 0.9, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(fromStore.nonEmpty)
+      assert(fromStore == inMem,
+        s"missing=${inMem -- fromStore} extra=${fromStore -- inMem}")
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("IVF incremental append: assign-only batches commute, match a " +
        "from-scratch assign against the same centroids, and serve " +
        "identically; cell stats cover every centroid") {
