@@ -178,6 +178,64 @@ object MultimodalQueries extends QueryModule {
         |      FROM sc)
         |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 3""".stripMargin)),
 
+    // Resize: nearest-neighbor downsample of the (stubbed) raster — the
+    // standard pre-embedding normalization pass. Halving each dimension
+    // = keeping every 4th sample of the payload stream; the per-partition
+    // byte loop is the real plumbing a resize kernel needs (a real build
+    // swaps the stride-sample for bilinear over decoded pixels). Outputs
+    // are exact integers (count/sum/min/max of the SURVIVING bytes plus
+    // the first surviving byte), so DuckDB replays the stride walk over
+    // code points (= bytes on the verified-ASCII corpus).
+    GraftQuery(
+      "mm_resize",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val n = bytes.length
+              val out = new Array[Byte]((n + 3) / 4)
+              var i = 0
+              while (i < out.length) { out(i) = bytes(4 * i); i += 1 }
+              var sum = 0L; var mn = 255; var mx = 0
+              var j = 0
+              while (j < out.length) {
+                val b = out(j) & 0xff
+                sum += b
+                if (b < mn) mn = b
+                if (b > mx) mx = b
+                j += 1
+              }
+              val d = FakeMedia.decode(bytes)
+              (id, math.max(1, d.width / 2).toLong,
+               math.max(1, d.height / 2).toLong, out.length.toLong, sum,
+               if (out.isEmpty) 0L else mn.toLong,
+               if (out.isEmpty) 0L else mx.toLong,
+               if (out.isEmpty) 0L else (out(0) & 0xff).toLong)
+            }
+          }
+          .toDF("doc_id", "width_out", "height_out", "n_bytes_out",
+                "sum_byte_out", "min_byte_out", "max_byte_out", "head_byte")
+      },
+      Some("""WITH b AS (
+        |  SELECT doc_id, length(text) n,
+        |    [unicode(x) FOR x IN string_split(text, '')] cs
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n, [cs[i] FOR i IN range(1, n + 1, 4)] rs
+        |  FROM b)
+        |SELECT doc_id,
+        |  CAST(greatest(1, (64 + n % 64) // 2) AS BIGINT) AS width_out,
+        |  CAST(greatest(1, (64 + (n // 7) % 64) // 2) AS BIGINT) AS height_out,
+        |  CAST(len(rs) AS BIGINT) AS n_bytes_out,
+        |  CAST(coalesce(list_sum(rs), 0) AS BIGINT) AS sum_byte_out,
+        |  CAST(coalesce(list_min(rs), 0) AS BIGINT) AS min_byte_out,
+        |  CAST(coalesce(list_max(rs), 0) AS BIGINT) AS max_byte_out,
+        |  CAST(coalesce(rs[1], 0) AS BIGINT) AS head_byte
+        |FROM r""".stripMargin)),
+
     // Frame sampling: payload sliced into 256-byte "frames", every 4th
     // sampled. Counts are arithmetic ⇒ oracled; the ASCII-only corpus makes
     // substring-based first-frame digests byte-exact across engines.

@@ -39,6 +39,32 @@ class MultimodalSpec extends GraftFunSuite {
     }
   }
 
+  test("mm_resize stride-sample agrees with driver-side recomputation " +
+       "and halves the stub raster dimensions") {
+    val got = SparkEntry.queries("mm_resize")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+         r.getLong(5), r.getLong(6), r.getLong(7)))
+      .toMap
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.size == docs.size)
+    for ((id, text) <- docs.take(50)) {
+      val bytes = text.getBytes("UTF-8")
+      val out = (0 until bytes.length by 4).map(bytes(_) & 0xff)
+      val d = FakeMedia.decode(bytes)
+      val expect = (math.max(1, d.width / 2).toLong,
+                    math.max(1, d.height / 2).toLong,
+                    out.length.toLong, out.map(_.toLong).sum,
+                    if (out.isEmpty) 0L else out.min.toLong,
+                    if (out.isEmpty) 0L else out.max.toLong,
+                    if (out.isEmpty) 0L else out.head.toLong)
+      assert(got(id) == expect, s"doc $id")
+      assert(got(id)._1 * 2 <= d.width && got(id)._2 * 2 <= d.height)
+    }
+  }
+
   test("binary payload column is typed binary and digest-stable") {
     val df = SparkEntry.queries("mm_binary_meta")(spark, sf0001)
     val schema = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
