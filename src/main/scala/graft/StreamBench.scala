@@ -160,6 +160,24 @@ object StreamBench {
       }
     }
 
+    // fuzzy contamination gate: arriving docs near-dup-checked against a
+    // static 100-doc eval set (stateless band probe; state is only the
+    // within-watermark match dedup). No throughput floor yet — first
+    // baselined in r8; floor lands at the next re-calibration.
+    locally {
+      val testSet = spark.read.parquet(s"$sfDir/documents.parquet")
+        .limit(100).select("doc_id", "text")
+      testSet.persist().count()
+      try rep {
+        val in = MemoryStream[(Long, Timestamp, String)]
+        val q = sink(CorpusStreams.fuzzyContaminationGate(
+          in.toDF().toDF("doc_id", "ts", "text"), testSet,
+          threshold = 0.7, shingleN = 3), "sb_fuzzy_contamination")
+        drive("sb_fuzzy_contamination", docRows.size, q,
+              chunks(docRows, 4).map(c => () => { in.addData(c); () }))
+      } finally testSet.unpersist(blocking = true)
+    }
+
     // MinHash near-dup mining over 8-token shingles (the batch operators'
     // item shape — raw token SETS pair nearly everything in a synthetic
     // corpus with shared vocabulary, which measures the sink, not the op)

@@ -217,6 +217,27 @@ class DedupSpec extends GraftFunSuite {
     assert(pairs(2) == p2) // deterministic replay
   }
 
+  test("cell-blocked pairs completeness law: nprobe covering every cell " +
+       "degenerates to the exact brute-force pair set") {
+    import graft.operators.GraftSimilarity
+    val aug = graft.queries.DedupQueries.twinAugmented(
+      spark.read.parquet(s"$sf0001/embeddings.parquet"))
+    // with every vector assigned to EVERY cell (nprobe >= centroid
+    // count), blocking can hide nothing: the tier must equal exact
+    // all-pairs mining — the same shape of law the coarse probe pins
+    // (covering sProbe == flat serve)
+    val nCents = GraftSimilarity.buildIvfIndex(
+      aug.select(col("vec_id").as("n_id"),
+                 expr("transform(embedding, x -> cast(x AS double))")
+                   .as("qv")),
+      idCol = "n_id", vecCol = "qv").centroids.count().toInt
+    val all = GraftSimilarity
+      .cellBlockedPairs(aug, threshold = 0.9, nprobe = nCents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = bruteCosinePairs(0.9)
+    assert(all == brute, s"missing=${brute -- all} extra=${all -- brute}")
+  }
+
   test("cell-blocked pairs: argument validation") {
     import graft.operators.GraftSimilarity
     val aug = graft.queries.DedupQueries.twinAugmented(
