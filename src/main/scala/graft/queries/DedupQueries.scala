@@ -19,9 +19,10 @@ import graft.GraftSession
   *     ≤ 4e-13, so the LSH output equals the brute-force oracle with
   *     overwhelming probability — which is what makes it DuckDB-checkable.
   *   - SimHash: one 64-bit signature per doc (`graft_simhash`), 4×16-bit
-  *     band index for candidates, Hamming verify. Engine-specific hash bits
-  *     ⇒ rows-only driver check; DedupSpec asserts the planted near-dup
-  *     pairs are recovered.
+  *     band index for candidates, Hamming verify. Hash-oracled since r8:
+  *     [[SimHashOracle]] replays Spark's XXH64 in HUGEINT mod-2⁶⁴ SQL;
+  *     DedupSpec additionally asserts the planted near-dup pairs are
+  *     recovered.
   *   - embedding cosine: brute-force all-pairs via a distributed
   *     block-nested-loop kernel — vectors hashed into B blocks, one shuffle
   *     group per unordered block pair, tight double loop per group. No
@@ -210,13 +211,19 @@ object DedupQueries extends QueryModule {
         |FROM reach GROUP BY s""".stripMargin)),
 
     // SimHash near-dup candidates: 64-bit signature, 4×16-bit bands,
-    // Hamming-distance verify. Rows-only by necessity — and the necessity
-    // is precise: simhash hashes DATA-DEPENDENT token bytes through
-    // XXH64, which DuckDB does not implement, so the oracle cannot replay
-    // the bits (contrast `ann_lsh_bucket`, whose SRP hyperplanes are
-    // data-INDEPENDENT constants of (nbits, dim, seed) that the oracle
-    // inlines as literals — that row IS hash-matched). DedupSpec asserts
-    // recall of the planted near-dup pairs instead.
+    // Hamming-distance verify. ORACLE-UPGRADED in r8 (was rows-only
+    // "DuckDB has no XXH64"): the oracle now replays Spark's XXH64 over
+    // each token's UTF-8 bytes in HUGEINT mod-2^64 SQL — the same
+    // technique that oracled `src_synth_scan`'s xorshift64* draw. Every
+    // multiply in xxh64 is value × prime-constant, so the 32-bit-split
+    // `mulmod` trick applies throughout; tokens are < 32 bytes on this
+    // corpus, so only the short-input path is unrolled (3 word steps +
+    // 4-byte step + 3 byte steps + avalanche, all CASE-guarded — no
+    // recursion), with loud error() guards on non-ASCII text and ≥32-byte
+    // tokens so a corpus change fails the oracle instead of silently
+    // diverging. Verified bit-identical to `graft_simhash` per document
+    // at sf0.001 AND sf0.01 before wiring. DedupSpec keeps the
+    // planted-pair recall check.
     GraftQuery(
       "dedup_simhash",
       (s, dir) =>
@@ -224,7 +231,7 @@ object DedupQueries extends QueryModule {
           spread(t(s, dir, "documents"))
             .select(col("doc_id"), expr("split(trim(text), '\\\\s+')").as("tk")),
           "doc_id", "tk", maxHamming = 12, bands = 4),
-      None),
+      Some(SimHashOracle.sql)),
 
     // Content-defined-chunking near-dup pairs: Gear rolling-hash chunk
     // boundaries move WITH the content, so local edits leave the rest of a
@@ -625,4 +632,131 @@ object DedupQueries extends QueryModule {
         |  GROUP BY 1, 2)
         |SELECT a_id, b_id, round(mc, 4) AS cos FROM p""".stripMargin)),
   )
+}
+
+/** DuckDB replay of [[graft.functions.GraftSimHash]] — Spark's XXH64 over
+  * each token's bytes, rebuilt in HUGEINT mod-2⁶⁴ SQL so the `dedup_simhash`
+  * row is hash-oracled instead of rows-only.
+  *
+  * Approach (the `src_synth_scan` technique, extended from fixed 8-byte
+  * inputs to variable-length strings): every multiplication in xxh64 is
+  * value × prime-CONSTANT, so `mulmod` splits the value at 32 bits and
+  * multiplies each half into a HUGEINT that never overflows; rotations are
+  * (shift-mod + logical right shift) of disjoint bit ranges; xor/shift on
+  * HUGEINT values < 2⁶⁴ are exact. Tokens on this corpus are < 32 bytes,
+  * so only xxh64's short-input path exists to replay — it is UNROLLED
+  * (≤3 word steps, one 4-byte step, ≤3 byte steps, avalanche), each step
+  * CASE-guarded on the token's length, no recursion. Two loud guards make
+  * a corpus change fail the oracle rather than silently diverge: error()
+  * on non-ASCII text (byte access is via unicode(), = UTF-8 only on
+  * ASCII) and on any token ≥ 32 bytes (the ≥32 accumulator path is not
+  * implemented). The per-token hash was verified bit-identical to Spark's
+  * `XXH64.hashUnsafeBytes` (seed [[graft.functions.GraftHashing.Seed1]])
+  * on both corpora before wiring; downstream, the vote/band/Hamming
+  * replay mirrors [[graft.operators.GraftDedup.simHashPairs]] exactly
+  * (bit_or assembles the signature — a HUGEINT SUM would round through
+  * DOUBLE and zero the low bits).
+  */
+private[queries] object SimHashOracle {
+  private val M = "18446744073709551616"
+  private val P1 = "11400714785074694791"
+  private val P2 = "14029467366897019727"
+  private val P3 = "1609587929392839161"
+  private val P4 = "9650029242287828579"
+  private val P5 = "2870177450012600261"
+  /** GraftHashing.Seed1 (0x9747b28c17ef4831) as unsigned decimal. */
+  private val S1 = "10900877737840298033"
+
+  private def mulmod(v: String, c: String): String =
+    s"((((($v) // 4294967296) * $c) % $M * 4294967296) % $M" +
+    s" + ((($v) % 4294967296) * $c) % $M) % $M"
+  private def rotl(v: String, r: Int): String =
+    s"((($v) * ${1L << r}) % $M + (($v) >> ${64 - r}))"
+  private def xorf(a: String, b: String): String =
+    s"xor(CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
+
+  val sql: String = {
+    val keep = "t, nw, has4, ws, u32, tail"
+    val sb = new StringBuilder
+    sb.append(s"""WITH docs AS (
+  SELECT doc_id,
+    CASE WHEN octet_length(encode(text)) != length(text)
+         THEN error('dedup_simhash oracle: non-ASCII text for doc_id '
+                    || doc_id || ' — the xxh64 replay addresses BYTES via '
+                    || 'unicode(), which only equals UTF-8 on ASCII')
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tks
+  FROM documents),
+occ AS (
+  SELECT doc_id, unnest(tks) AS t FROM docs),
+ntok AS (SELECT doc_id, count(*) AS nt FROM occ GROUP BY doc_id),
+toks AS (
+  SELECT DISTINCT t FROM occ),
+b0 AS (
+  SELECT t,
+    CASE WHEN octet_length(encode(t)) >= 32
+         THEN error('dedup_simhash oracle: token >= 32 bytes ('
+                    || substr(t, 1, 40) || ') — the replay implements only '
+                    || 'the xxh64 short-input path')
+         ELSE octet_length(encode(t)) END AS n,
+    [unicode(x) FOR x IN string_split(t, '')] AS cs
+  FROM toks),
+wrd AS (
+  SELECT t, n, n // 8 AS nw, n % 8 >= 4 AS has4,
+    [list_sum([CAST(cs[8*j + k] AS HUGEINT) << (8*(k-1)) FOR k IN range(1, 9)])
+     FOR j IN range(0, n // 8)] AS ws,
+    CASE WHEN n % 8 >= 4 THEN
+      list_sum([CAST(cs[8*(n//8) + k] AS HUGEINT) << (8*(k-1)) FOR k IN range(1, 5)])
+    END AS u32,
+    [CAST(cs[8*(n//8) + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END + k] AS HUGEINT)
+     FOR k IN range(1, n % 4 + 1)] AS tail
+  FROM b0),
+h0 AS (SELECT $keep, CAST(($S1 + $P5 + n) % $M AS HUGEINT) AS h FROM wrd),
+""")
+    for (i <- 1 to 3) {
+      val k1 = mulmod(rotl(mulmod(s"ws[$i]", P2), 31), P1)
+      sb.append(s"""k$i AS (SELECT $keep, h,
+  CASE WHEN nw >= $i THEN $k1 END AS kk FROM h${i - 1}),
+h$i AS (SELECT $keep,
+  CASE WHEN nw >= $i THEN (${mulmod(rotl(xorf("h", "kk"), 27), P1)} + $P4) % $M
+       ELSE h END AS h FROM k$i),
+""")
+    }
+    sb.append(s"""h4 AS (SELECT $keep,
+  CASE WHEN has4 THEN (${mulmod(rotl(xorf("h", mulmod("u32", P1)), 23), P2)} + $P3) % $M
+       ELSE h END AS h FROM h3),
+""")
+    for (i <- 1 to 3) {
+      val hb = mulmod(rotl(xorf("h", s"(tail[$i] * $P5) % $M"), 11), P1)
+      sb.append(s"""h${4 + i} AS (SELECT $keep,
+  CASE WHEN len(tail) >= $i THEN $hb ELSE h END AS h FROM h${3 + i}),
+""")
+    }
+    sb.append(s"""f1 AS (SELECT t, ${xorf("h", "h >> 33")} AS h FROM h7),
+f2 AS (SELECT t, ${mulmod("h", P2)} AS h FROM f1),
+f3 AS (SELECT t, ${xorf("h", "h >> 29")} AS h FROM f2),
+f4 AS (SELECT t, ${mulmod("h", P3)} AS h FROM f3),
+ht AS (SELECT t, ${xorf("h", "h >> 32")} AS h FROM f4),
+bitcnt AS (
+  SELECT o.doc_id, bb.b, sum(CAST((ht.h >> bb.b) % 2 AS BIGINT)) AS sc
+  FROM occ o JOIN ht ON ht.t = o.t
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
+  GROUP BY o.doc_id, bb.b),
+sig AS (
+  SELECT bc.doc_id,
+    bit_or(CASE WHEN 2 * bc.sc > nt THEN CAST(1 AS HUGEINT) << CAST(bc.b AS INT)
+                ELSE CAST(0 AS HUGEINT) END) AS sh
+  FROM bitcnt bc JOIN ntok USING (doc_id)
+  GROUP BY bc.doc_id),
+bands AS (
+  SELECT doc_id, sh, bb.b AS band_id, (sh >> CAST(16 * bb.b AS INT)) % 65536 AS bh
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bb),
+pairs AS (
+  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id,
+    bit_count(xor(x.sh, y.sh)) AS hamming
+  FROM bands x JOIN bands y
+    ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id)
+SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
+FROM pairs WHERE hamming <= 12""")
+    sb.toString
+  }
 }
