@@ -353,9 +353,14 @@ object DedupQueries extends QueryModule {
     // signature per source aggregated with graft_minhash_agg (custom
     // TypedImperativeAggregate — partial/final, k longs per group cross the
     // shuffle), then pairwise signature agreement estimates the Jaccard of
-    // entire sources' shingle sets. Estimator output ⇒ rows-only check;
-    // FunctionsSpec pins agg == scalar-minhash-of-union and the estimate's
-    // error bound.
+    // entire sources' shingle sets. ORACLE-UPGRADED in r8 (was rows-only
+    // "sketch bits are engine-specific"): the bits stopped being
+    // engine-specific once the XXH64 replay existed — [[SourceSigOracle]]
+    // recomputes the k=128 Kirsch–Mitzenmacher slots as signed mins of
+    // (h1 + j·(h2|1)) mod 2⁶⁴ over each source's shingle set, which is
+    // order-independent and therefore partial/merge-tree-independent.
+    // FunctionsSpec keeps the agg == scalar-minhash-of-union law and the
+    // estimate's error bound.
     GraftQuery(
       "dedup_source_signature",
       (s, dir) => {
@@ -375,7 +380,7 @@ object DedupQueries extends QueryModule {
                   round(expr("graft_sig_agree(a.sig, b.sig)"), 4)
                     .as("est_jaccard"))
       },
-      None),
+      Some(SourceSigOracle.sql)),
 
     // Corpus-overlap set algebra via mergeable THETA sketches: one sketch
     // per source (partial/final aggregated — ≤ 2^12 · 8 bytes per group
@@ -634,40 +639,40 @@ object DedupQueries extends QueryModule {
   )
 }
 
-/** DuckDB replay of [[graft.functions.GraftSimHash]] — Spark's XXH64 over
-  * each token's bytes, rebuilt in HUGEINT mod-2⁶⁴ SQL so the `dedup_simhash`
-  * row is hash-oracled instead of rows-only.
+/** Spark-XXH64-in-DuckDB: generates a CTE chain that hashes the `t` column
+  * of CTE `{pre}in` (ASCII strings, < 128 bytes) with a constant seed,
+  * yielding `{pre}ht(t, h)` where `h` is the unsigned HUGEINT value of
+  * Spark's `XXH64.hashUnsafeBytes` over the string's bytes.
   *
-  * Approach (the `src_synth_scan` technique, extended from fixed 8-byte
-  * inputs to variable-length strings): every multiplication in xxh64 is
-  * value × prime-CONSTANT, so `mulmod` splits the value at 32 bits and
-  * multiplies each half into a HUGEINT that never overflows; rotations are
-  * (shift-mod + logical right shift) of disjoint bit ranges; xor/shift on
-  * HUGEINT values < 2⁶⁴ are exact. Tokens on this corpus are < 32 bytes,
-  * so only xxh64's short-input path exists to replay — it is UNROLLED
-  * (≤3 word steps, one 4-byte step, ≤3 byte steps, avalanche), each step
-  * CASE-guarded on the token's length, no recursion. Two loud guards make
-  * a corpus change fail the oracle rather than silently diverge: error()
-  * on non-ASCII text (byte access is via unicode(), = UTF-8 only on
-  * ASCII) and on any token ≥ 32 bytes (the ≥32 accumulator path is not
-  * implemented). The per-token hash was verified bit-identical to Spark's
-  * `XXH64.hashUnsafeBytes` (seed [[graft.functions.GraftHashing.Seed1]])
-  * on both corpora before wiring; downstream, the vote/band/Hamming
-  * replay mirrors [[graft.operators.GraftDedup.simHashPairs]] exactly
-  * (bit_or assembles the signature — a HUGEINT SUM would round through
-  * DOUBLE and zero the low bits).
+  * Technique (the `src_synth_scan` HUGEINT method, extended from fixed
+  * 8-byte inputs to variable-length strings): every multiplication in
+  * xxh64 is value × prime-CONSTANT, so `mulmod` splits the value at 32
+  * bits and multiplies each half into a HUGEINT that cannot overflow;
+  * rotations are (shift-mod + logical right shift) of disjoint bit
+  * ranges; xor/shift of HUGEINT values < 2⁶⁴ are exact. The sequential
+  * structure is fully UNROLLED with CASE guards — up to 3 accumulator
+  * blocks (inputs 32..127 bytes: the v1..v4 lane loop, merge, and
+  * mergeRounds), then ≤3 remaining 8-byte word steps, one 4-byte step,
+  * ≤3 byte steps, and the avalanche — no recursion. Inputs ≥ 128 bytes
+  * hit a loud error() (add block stages if a corpus ever needs them);
+  * byte access is via unicode() so CALLERS must guard ASCII. Verified
+  * bit-identical to the JVM kernel on every length 0..127 (random
+  * contents) before wiring; consumed by [[SimHashOracle]] and
+  * [[SourceSigOracle]].
   */
-private[queries] object SimHashOracle {
-  private val M = "18446744073709551616"
+private[queries] object XxHash64Sql {
+  val M = "18446744073709551616"
   private val P1 = "11400714785074694791"
   private val P2 = "14029467366897019727"
   private val P3 = "1609587929392839161"
   private val P4 = "9650029242287828579"
   private val P5 = "2870177450012600261"
   /** GraftHashing.Seed1 (0x9747b28c17ef4831) as unsigned decimal. */
-  private val S1 = "10900877737840298033"
+  val Seed1 = "10900877737840298033"
+  /** GraftHashing.Seed2 (0x8badf00d5ca1ab1e) as unsigned decimal. */
+  val Seed2 = "10064964682422266654"
 
-  private def mulmod(v: String, c: String): String =
+  def mulmod(v: String, c: String): String =
     s"((((($v) // 4294967296) * $c) % $M * 4294967296) % $M" +
     s" + ((($v) % 4294967296) * $c) % $M) % $M"
   private def rotl(v: String, r: Int): String =
@@ -675,10 +680,107 @@ private[queries] object SimHashOracle {
   private def xorf(a: String, b: String): String =
     s"xor(CAST($a AS HUGEINT), CAST($b AS HUGEINT))"
 
-  val sql: String = {
-    val keep = "t, nw, has4, ws, u32, tail"
+  def chain(pre: String, seed: String, guardCtx: String): String = {
+    val keep = "t, n, nb, nw, has4, bws, ws, u32, tail"
+    val nbExpr = "CASE WHEN n >= 32 THEN n // 32 ELSE 0 END"
+    def word(off: String): String =
+      s"list_sum([CAST(cs[$off + k] AS HUGEINT) << (8*(k-1)) FOR k IN range(1, 9)])"
     val sb = new StringBuilder
-    sb.append(s"""WITH docs AS (
+    sb.append(s"""${pre}b0 AS (
+  SELECT t,
+    CASE WHEN octet_length(encode(t)) >= 128
+         THEN error('$guardCtx: item >= 128 bytes — the xxh64 replay unrolls at most 3 blocks')
+         ELSE octet_length(encode(t)) END AS n,
+    [unicode(x) FOR x IN string_split(t, '')] AS cs
+  FROM ${pre}in),
+${pre}wrd AS (
+  SELECT t, n,
+    $nbExpr AS nb,
+    (n - 32 * ($nbExpr)) // 8 AS nw,
+    n % 8 >= 4 AS has4,
+    flatten([[${word("32*bi + 8*li")}
+     FOR li IN range(0, 4)]
+     FOR bi IN range(0, $nbExpr)]) AS bws,
+    [${word(s"32*($nbExpr) + 8*j")}
+     FOR j IN range(0, (n - 32 * ($nbExpr)) // 8)] AS ws,
+    CASE WHEN n % 8 >= 4 THEN
+      list_sum([CAST(cs[8*(n//8) + k] AS HUGEINT) << (8*(k-1)) FOR k IN range(1, 5)])
+    END AS u32,
+    [CAST(cs[8*(n//8) + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END + k] AS HUGEINT)
+     FOR k IN range(1, n % 4 + 1)] AS tail
+  FROM ${pre}b0),
+${pre}v0 AS (SELECT $keep,
+  CAST(($seed + $P1 + $P2) % $M AS HUGEINT) AS v1,
+  CAST(($seed + $P2) % $M AS HUGEINT) AS v2,
+  CAST($seed AS HUGEINT) AS v3,
+  CAST(($seed + $M - $P1) % $M AS HUGEINT) AS v4
+  FROM ${pre}wrd),
+""")
+    def lane(v: String, w: String): String =
+      mulmod(rotl(s"(($v) + ${mulmod(w, P2)}) % $M", 31), P1)
+    for (bi <- 1 to 3) {
+      val cols = (0 until 4).map { li =>
+        s"CASE WHEN nb >= $bi THEN ${lane(s"v${li + 1}", s"bws[${4 * (bi - 1) + li + 1}]")} ELSE v${li + 1} END AS v${li + 1}"
+      }.mkString(",\n  ")
+      sb.append(s"${pre}v$bi AS (SELECT $keep,\n  $cols FROM ${pre}v${bi - 1}),\n")
+    }
+    def mergeRound(h: String, v: String): String = {
+      val k = mulmod(rotl(mulmod(v, P2), 31), P1)
+      s"(${mulmod(xorf(h, k), P1)} + $P4) % $M"
+    }
+    sb.append(s"""${pre}m0 AS (SELECT $keep, v1, v2, v3, v4,
+  CASE WHEN n >= 32 THEN (${rotl("v1", 1)} + ${rotl("v2", 7)} + ${rotl("v3", 12)} + ${rotl("v4", 18)}) % $M
+       ELSE CAST(($seed + $P5) % $M AS HUGEINT) END AS h FROM ${pre}v3),
+""")
+    for (li <- 1 to 4) {
+      sb.append(s"""${pre}m$li AS (SELECT $keep, v1, v2, v3, v4,
+  CASE WHEN n >= 32 THEN ${mergeRound("h", s"v$li")} ELSE h END AS h FROM ${pre}m${li - 1}),
+""")
+    }
+    sb.append(s"${pre}h0 AS (SELECT $keep, CAST((h + n) % $M AS HUGEINT) AS h FROM ${pre}m4),\n")
+    for (i <- 1 to 3) {
+      val k1 = mulmod(rotl(mulmod(s"ws[$i]", P2), 31), P1)
+      sb.append(s"""${pre}k$i AS (SELECT $keep, h,
+  CASE WHEN nw >= $i THEN $k1 END AS kk FROM ${pre}h${i - 1}),
+${pre}h$i AS (SELECT $keep,
+  CASE WHEN nw >= $i THEN (${mulmod(rotl(xorf("h", "kk"), 27), P1)} + $P4) % $M
+       ELSE h END AS h FROM ${pre}k$i),
+""")
+    }
+    sb.append(s"""${pre}h4 AS (SELECT $keep,
+  CASE WHEN has4 THEN (${mulmod(rotl(xorf("h", mulmod("u32", P1)), 23), P2)} + $P3) % $M
+       ELSE h END AS h FROM ${pre}h3),
+""")
+    for (i <- 1 to 3) {
+      val hb = mulmod(rotl(xorf("h", s"(tail[$i] * $P5) % $M"), 11), P1)
+      sb.append(s"""${pre}h${4 + i} AS (SELECT $keep,
+  CASE WHEN len(tail) >= $i THEN $hb ELSE h END AS h FROM ${pre}h${3 + i}),
+""")
+    }
+    sb.append(s"""${pre}f1 AS (SELECT t, ${xorf("h", "h >> 33")} AS h FROM ${pre}h7),
+${pre}f2 AS (SELECT t, ${mulmod("h", P2)} AS h FROM ${pre}f1),
+${pre}f3 AS (SELECT t, ${xorf("h", "h >> 29")} AS h FROM ${pre}f2),
+${pre}f4 AS (SELECT t, ${mulmod("h", P3)} AS h FROM ${pre}f3),
+${pre}ht AS (SELECT t, ${xorf("h", "h >> 32")} AS h FROM ${pre}f4),
+""")
+    sb.toString
+  }
+}
+
+/** DuckDB replay of [[graft.functions.GraftSimHash]]: per-token XXH64 via
+  * [[XxHash64Sql.chain]] (Seed1), per-document bit voting (bit b set iff
+  * strictly more than half the token occurrences — duplicates count — have
+  * it set), `bit_or` signature assembly (a HUGEINT SUM silently rounds
+  * through DOUBLE and zeroes the low ~10 bits), then the exact
+  * [[graft.operators.GraftDedup.simHashPairs]] replay: 4×16-bit bands,
+  * distinct pairs, 64-bit Hamming ≤ 12. ASCII guarded at the document
+  * level. Verified bit-identical to `graft_simhash` per document at
+  * sf0.001 AND sf0.01 before wiring.
+  */
+private[queries] object SimHashOracle {
+  val sql: String = {
+    val M = XxHash64Sql.M
+    s"""WITH docs AS (
   SELECT doc_id,
     CASE WHEN octet_length(encode(text)) != length(text)
          THEN error('dedup_simhash oracle: non-ASCII text for doc_id '
@@ -689,56 +791,13 @@ private[queries] object SimHashOracle {
 occ AS (
   SELECT doc_id, unnest(tks) AS t FROM docs),
 ntok AS (SELECT doc_id, count(*) AS nt FROM occ GROUP BY doc_id),
-toks AS (
+sh_in AS (
   SELECT DISTINCT t FROM occ),
-b0 AS (
-  SELECT t,
-    CASE WHEN octet_length(encode(t)) >= 32
-         THEN error('dedup_simhash oracle: token >= 32 bytes ('
-                    || substr(t, 1, 40) || ') — the replay implements only '
-                    || 'the xxh64 short-input path')
-         ELSE octet_length(encode(t)) END AS n,
-    [unicode(x) FOR x IN string_split(t, '')] AS cs
-  FROM toks),
-wrd AS (
-  SELECT t, n, n // 8 AS nw, n % 8 >= 4 AS has4,
-    [list_sum([CAST(cs[8*j + k] AS HUGEINT) << (8*(k-1)) FOR k IN range(1, 9)])
-     FOR j IN range(0, n // 8)] AS ws,
-    CASE WHEN n % 8 >= 4 THEN
-      list_sum([CAST(cs[8*(n//8) + k] AS HUGEINT) << (8*(k-1)) FOR k IN range(1, 5)])
-    END AS u32,
-    [CAST(cs[8*(n//8) + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END + k] AS HUGEINT)
-     FOR k IN range(1, n % 4 + 1)] AS tail
-  FROM b0),
-h0 AS (SELECT $keep, CAST(($S1 + $P5 + n) % $M AS HUGEINT) AS h FROM wrd),
-""")
-    for (i <- 1 to 3) {
-      val k1 = mulmod(rotl(mulmod(s"ws[$i]", P2), 31), P1)
-      sb.append(s"""k$i AS (SELECT $keep, h,
-  CASE WHEN nw >= $i THEN $k1 END AS kk FROM h${i - 1}),
-h$i AS (SELECT $keep,
-  CASE WHEN nw >= $i THEN (${mulmod(rotl(xorf("h", "kk"), 27), P1)} + $P4) % $M
-       ELSE h END AS h FROM k$i),
-""")
-    }
-    sb.append(s"""h4 AS (SELECT $keep,
-  CASE WHEN has4 THEN (${mulmod(rotl(xorf("h", mulmod("u32", P1)), 23), P2)} + $P3) % $M
-       ELSE h END AS h FROM h3),
-""")
-    for (i <- 1 to 3) {
-      val hb = mulmod(rotl(xorf("h", s"(tail[$i] * $P5) % $M"), 11), P1)
-      sb.append(s"""h${4 + i} AS (SELECT $keep,
-  CASE WHEN len(tail) >= $i THEN $hb ELSE h END AS h FROM h${3 + i}),
-""")
-    }
-    sb.append(s"""f1 AS (SELECT t, ${xorf("h", "h >> 33")} AS h FROM h7),
-f2 AS (SELECT t, ${mulmod("h", P2)} AS h FROM f1),
-f3 AS (SELECT t, ${xorf("h", "h >> 29")} AS h FROM f2),
-f4 AS (SELECT t, ${mulmod("h", P3)} AS h FROM f3),
-ht AS (SELECT t, ${xorf("h", "h >> 32")} AS h FROM f4),
-bitcnt AS (
+""" +
+    XxHash64Sql.chain("sh_", XxHash64Sql.Seed1, "dedup_simhash oracle") +
+    s"""bitcnt AS (
   SELECT o.doc_id, bb.b, sum(CAST((ht.h >> bb.b) % 2 AS BIGINT)) AS sc
-  FROM occ o JOIN ht ON ht.t = o.t
+  FROM occ o JOIN sh_ht ht ON ht.t = o.t
   CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bb
   GROUP BY o.doc_id, bb.b),
 sig AS (
@@ -756,7 +815,60 @@ pairs AS (
   FROM bands x JOIN bands y
     ON x.band_id = y.band_id AND x.bh = y.bh AND x.doc_id < y.doc_id)
 SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming
-FROM pairs WHERE hamming <= 12""")
-    sb.toString
+FROM pairs WHERE hamming <= 12"""
+  }
+}
+
+/** DuckDB replay of the `dedup_source_signature` row — the
+  * [[graft.functions.GraftMinHashAgg]] corpus-level MinHash signature and
+  * the pairwise `graft_sig_agree` estimate, previously rows-only
+  * ("sketch bits are engine-specific"). The bits stopped being
+  * engine-specific once [[XxHash64Sql]] existed: the aggregate's k=128
+  * Kirsch–Mitzenmacher slots are sig[j] = min over shingles of the SIGNED
+  * 64-bit value (h1 + j·(h2 | 1)) mod 2⁶⁴ with h1/h2 the two seeded
+  * XXH64s — an order-independent pure function of the shingle SET, so the
+  * oracle hashes each distinct (source, shingle) once (duplicates cannot
+  * change a min), explodes j = 0..127, takes the signed min per
+  * (source, j), and counts equal slots per source pair. Matches the
+  * aggregate across ANY partial/merge tree by min-commutativity.
+  */
+private[queries] object SourceSigOracle {
+  val sql: String = {
+    val M = XxHash64Sql.M
+    s"""WITH sh0 AS (
+  SELECT source,
+    CASE WHEN octet_length(encode(text)) != length(text)
+         THEN error('dedup_source_signature oracle: non-ASCII text — byte '
+                    || 'access via unicode() only equals UTF-8 on ASCII')
+         ELSE regexp_split_to_array(trim(text), '\\s+') END AS tk
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3),
+sg AS (
+  SELECT DISTINCT source,
+    unnest([array_to_string(tk[i:i+2], ' ')
+            FOR i IN range(1, len(tk) - 1)]) AS t
+  FROM sh0),
+x_in AS (SELECT DISTINCT t FROM sg),
+y_in AS (SELECT t FROM x_in),
+""" +
+    XxHash64Sql.chain("x_", XxHash64Sql.Seed1, "dedup_source_signature h1") +
+    XxHash64Sql.chain("y_", XxHash64Sql.Seed2, "dedup_source_signature h2") +
+    s"""hh AS (
+  SELECT x.t, x.h AS h1, (y.h - y.h % 2 + 1) AS h2p
+  FROM x_ht x JOIN y_ht y ON y.t = x.t),
+g AS (
+  SELECT sg.source, j.j,
+    min(CAST(CASE WHEN gm >= 9223372036854775808 THEN gm - $M ELSE gm END AS BIGINT)) AS mn
+  FROM sg
+  JOIN hh ON hh.t = sg.t
+  CROSS JOIN (SELECT unnest(range(0, 128)) AS j) j
+  CROSS JOIN LATERAL (SELECT (hh.h1 + j.j * hh.h2p) % $M AS gm) gg
+  GROUP BY sg.source, j.j),
+agree AS (
+  SELECT a.source AS a_src, b.source AS b_src,
+    sum(CASE WHEN a.mn = b.mn THEN 1 ELSE 0 END) / 128.0 AS frac
+  FROM g a JOIN g b ON a.j = b.j AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT a_src, b_src, round(frac, 4) AS est_jaccard FROM agree"""
   }
 }
