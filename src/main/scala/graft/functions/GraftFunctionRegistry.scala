@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 
 /** SQL-reach registration for the graft expression library — the analog of
   * the reference registering its extension on every session
@@ -99,6 +99,13 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_q8_cos(array<int>, array<int>) — got ${other.size} args")
     },
+    "graft_normalize" -> {
+      case Seq(c) => GraftNormalize(c, "NFC")
+      case Seq(c, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
+        GraftNormalize(c, f.toString)
+      case other => throw new IllegalArgumentException(
+        s"graft_normalize(string[, form literal]) — got ${other.size} args")
+    },
   )
 
   // ---- typed Column API (no SQL registration needed) -----------------
@@ -107,4 +114,7 @@ object GraftFunctionRegistry {
 
   def simhash(c: Column): Column =
     GraftSqlBridge.columnOf(GraftSimHash(GraftSqlBridge.expressionOf(c)))
+
+  def normalize(c: Column, form: String = "NFC"): Column =
+    GraftSqlBridge.columnOf(GraftNormalize(GraftSqlBridge.expressionOf(c), form))
 }

@@ -443,4 +443,207 @@ object CorpusCuration {
               md5(concat_ws(" ", col("__tk"))).as("scrubbed_md5"))
     scrubbed.unionAll(untouched)
   }
+
+  /** Keep-first repeated-substring dedup — the other half of Lee et al.
+    * 2022: where [[scrubRepeatedSpans]] deletes EVERY occurrence of a
+    * repeated span (boilerplate removal — the content disappears from the
+    * corpus), this keeps the CANONICAL occurrence and cuts only the
+    * copies, so each repeated passage survives exactly once. Canonical =
+    * the lexicographically-smallest `(id, position)` occurrence of each
+    * duplicated word-`n`-gram (a `min(struct(id, pos))` aggregate — no
+    * global sort); a token is dropped iff some NON-canonical occurrence
+    * of a duplicated gram covers it. A span repeated inside one document
+    * keeps its first copy; a span shared across documents survives only
+    * in the smallest-id document — the later documents keep their novel
+    * text around the cut.
+    *
+    * Returns one row per input document: id, `n_tokens`, `n_dropped`,
+    * `kept_md5` (md5 of the reassembled surviving text). Fully
+    * deterministic → DuckDB-oracle-checkable.
+    *
+    * Scale shape mirrors [[scrubRepeatedSpans]]: gram stream off the
+    * token explode, ONE gram-keyed aggregation producing both the
+    * duplicate gate and the canonical occurrence (count + struct-min in
+    * the same partial-agg pass — no second shuffle, no window), gated
+    * semi attach of the duplicated-gram set, equi-keyed ANTI join for
+    * coverage, and only documents actually hit by a non-canonical
+    * occurrence pay the token-level reassembly.
+    */
+  def dedupSubstringSpans(docs: DataFrame, n: Int = 8, minCount: Long = 2,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    require(n >= 2, s"n-gram order must be >= 2, got $n")
+    require(minCount >= 2, s"minCount must be >= 2, got $minCount")
+    val base = docs.select(
+      col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+    val grams = base.filter(size(col("__tk")) >= n)
+      .select(col(idCol),
+              posexplode(GraftText.wordNGrams(col("__tk"), n))
+                .as(Seq("__gpos", "__gk")))
+    // one pass: duplicate gate (count) + canonical occurrence (struct min)
+    val dup = grams
+      .groupBy("__gk")
+      .agg(count(lit(1)).as("__c"),
+           min(struct(col(idCol).as("d"), col("__gpos").as("p"))).as("__canon"))
+      .filter(col("__c") >= minCount)
+      .select(col("__gk"), col("__canon.d").as("__cd"), col("__canon.p").as("__cp"))
+    val occ = grams.join(ScaleHints.gated(dup), "__gk")
+      .filter(!(col(idCol) === col("__cd") && col("__gpos") === col("__cp")))
+      .select(col(idCol).as("__oid"), col("__gpos"))
+    val hitIds = occ.select(col("__oid").as(idCol)).distinct()
+    val tk = base.join(ScaleHints.gated(hitIds), Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(col("__tk")).as(Seq("__pos", "__token")))
+    val kept = tk.join(occ,
+      col(idCol) === col("__oid") &&
+        col("__pos").between(col("__gpos"), col("__gpos") + (n - 1)),
+      "left_anti")
+    val rebuilt = kept.groupBy(idCol)
+      .agg(count(lit(1)).as("__n_kept"),
+           expr("""concat_ws(' ',
+                     transform(array_sort(collect_list(struct(__pos, __token))),
+                               s -> s.__token))""").as("__kept"))
+    val cut = base.join(ScaleHints.gated(hitIds), Seq(idCol), "left_semi")
+      .select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+              (col("n_tokens") - coalesce(col("__n_kept"), lit(0L)))
+                .as("n_dropped"),
+              md5(coalesce(col("__kept"), lit(""))).as("kept_md5"))
+    val untouched = base
+      .join(ScaleHints.gated(hitIds), Seq(idCol), "left_anti")
+      .select(col(idCol), size(col("__tk")).cast("long").as("n_tokens"),
+              lit(0L).as("n_dropped"),
+              md5(concat_ws(" ", col("__tk"))).as("kept_md5"))
+    cut.unionAll(untouched)
+  }
+
+  /** Gopher repetition rules (Rae et al. 2021, appendix A1.1) — the two
+    * intra-document repetition signals `text_quality_rules` doesn't carry:
+    * the character fraction of the single most frequent word 2-gram
+    * (`top2_frac`, threshold 0.20) and the character fraction covered by
+    * duplicated word 5-grams (`dup5_frac`, threshold 0.15, overlaps
+    * counted once — coverage, not occurrence-sum). Both fractions are
+    * over token characters (whitespace excluded); the most frequent
+    * 2-gram breaks count ties on the lexicographically smallest gram, so
+    * the whole operator is deterministic → DuckDB-oracle-checkable.
+    *
+    * Returns one row per document with ≥ 5 tokens: id, `n_tokens`,
+    * `top2_frac`, `dup5_frac`, `keep`.
+    *
+    * Scale shape: everything is keyed by the document id or the
+    * (id, gram) pair — two skinny aggregations off the gram explodes and
+    * one coverage join; no corpus-global state at all, so the operator
+    * partitions perfectly. Only documents that actually contain a
+    * duplicated 5-gram pay the position-coverage join (the same
+    * hit-sliver trick as [[scrubRepeatedSpans]]).
+    */
+  def gopherRepetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text",
+                            top2Max: Double = 0.20,
+                            dup5Max: Double = 0.15): DataFrame = {
+    val base = docs
+      .select(col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 5)
+    val stats = base.select(col(idCol), col("__tk"),
+      size(col("__tk")).cast("long").as("n_tokens"),
+      GraftText.tokenChars(col("__tk")).as("__chars"))
+    // most frequent 2-gram: chars = gram length minus the internal space
+    val g2 = base.select(col(idCol),
+        explode(GraftText.wordNGrams(col("__tk"), 2)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__c"))
+    val top2 = g2
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(idCol).orderBy(col("__c").desc, col("__g"))))
+      .filter(col("__rk") === 1)
+      .select(col(idCol),
+              (col("__c") * (length(col("__g")) - 1)).cast("long").as("__t2c"))
+    // duplicated 5-grams: coverage positions, overlaps counted once
+    val g5 = base.filter(size(col("__tk")) >= 5)
+      .select(col(idCol),
+              posexplode(GraftText.wordNGrams(col("__tk"), 5))
+                .as(Seq("__gpos", "__g")))
+    val occ = g5
+      .withColumn("__c", count(lit(1)).over(
+        Window.partitionBy(col(idCol), col("__g"))))
+      .filter(col("__c") >= 2)
+      .select(col(idCol), col("__gpos"))
+    val cov = occ
+      .select(col(idCol),
+              explode(sequence(col("__gpos"), col("__gpos") + 4)).as("__pos"))
+      .distinct()
+    val hitIds = cov.select(col(idCol)).distinct()
+    val tokChars = base.join(ScaleHints.gated(hitIds), Seq(idCol), "left_semi")
+      .select(col(idCol), posexplode(col("__tk")).as(Seq("__pos", "__token")))
+      .join(cov, Seq(idCol, "__pos"))
+      .groupBy(idCol)
+      .agg(sum(length(col("__token"))).cast("long").as("__d5c"))
+    stats
+      .join(top2, Seq(idCol))
+      .join(tokChars, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        round(col("__t2c").cast("double") / col("__chars"), 4).as("top2_frac"),
+        round(coalesce(col("__d5c"), lit(0L)).cast("double") / col("__chars"), 4)
+          .as("dup5_frac"))
+      .withColumn("keep",
+        col("top2_frac") <= top2Max && col("dup5_frac") <= dup5Max)
+  }
+
+  /** DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw documents by
+    * how target-like their hashed n-gram distribution is. Features are
+    * word 2-grams hashed into `buckets` buckets with Spark's `xxhash64`;
+    * the per-bucket importance ratio is the add-1-smoothed
+    * `(ct+1)/(Nt+B) ÷ (cr+1)/(Nr+B)` (target vs raw bucket counts), and a
+    * document's score is the sum over its gram occurrences of the
+    * log-ratio. Every step is integer-exact so the whole operator is
+    * cross-engine reproducible: the ratio is floored onto a 2²⁰
+    * fixed-point grid with DECIMAL(38,0) products (no 64-bit overflow at
+    * any corpus size — the operands reach ~10²¹ at trillion-gram scale),
+    * and the log is the classic integer fixed-point log₂ —
+    * `(ilog2(w) << 10) + ((w << 10) >> ilog2(w)) - 1024`, where
+    * `ilog2` is the binary-string length minus one (no libm anywhere;
+    * monotone in `w`, ~0.1% resolution).
+    *
+    * Returns one row per scoreable document: id, `n_grams`,
+    * `dsir_score` (bigger = more target-like). Callers select by
+    * top-fraction, threshold, or Gumbel-noise resampling.
+    *
+    * Scale shape: two bucket-keyed aggregations (target and raw counts —
+    * B buckets regardless of corpus size), a broadcast of the B-row
+    * weight table into the gram stream (`buckets` is thousands — always
+    * a map-side join), and one id-keyed sum. The only wide shuffle is
+    * the per-bucket count, whose key space is B, not the corpus.
+    */
+  def dsirScores(docs: DataFrame, isTarget: Column,
+                 buckets: Int = 4096, idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val grams = docs
+      .select(col(idCol), isTarget.as("__tgt"),
+              GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= 2)
+      .select(col(idCol), col("__tgt"),
+              explode(GraftText.wordNGrams(col("__tk"), 2)).as("__g"))
+      .select(col(idCol), col("__tgt"),
+              pmod(xxhash64(col("__g")), lit(buckets.toLong)).as("__b"))
+    val counts = grams.groupBy("__b").agg(
+      count(lit(1)).as("__cr"),
+      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    val totals = counts.agg(
+      (sum("__cr") + buckets).as("__nrb"), (sum("__ct") + buckets).as("__ntb"))
+    val weights = counts.crossJoin(broadcast(totals))
+      .withColumn("__w", greatest(lit(1L), expr(
+        s"""CAST((CAST(__ct + 1 AS DECIMAL(38,0)) * CAST(__nrb AS DECIMAL(38,0))
+           |       * CAST(1048576 AS DECIMAL(38,0)))
+           |     div (CAST(__cr + 1 AS DECIMAL(38,0)) * CAST(__ntb AS DECIMAL(38,0)))
+           |     AS BIGINT)""".stripMargin)))
+      .withColumn("__il", (length(conv(col("__w"), 10, 2)) - 1).cast("long"))
+      .withColumn("__lw",
+        expr("shiftleft(__w, 10) div shiftleft(1L, CAST(__il AS INT))") +
+          col("__il") * 1024L - 1024L)
+      .select(col("__b"), col("__lw"))
+    grams.join(broadcast(weights), "__b")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum("__lw").as("dsir_score"))
+  }
 }

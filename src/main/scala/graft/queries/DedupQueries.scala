@@ -636,6 +636,52 @@ object DedupQueries extends QueryModule {
         |  WHERE list_cosine_similarity(x.v, y.v) >= 0.9
         |  GROUP BY 1, 2)
         |SELECT a_id, b_id, round(mc, 4) AS cos FROM p""".stripMargin)),
+
+    // Keep-first repeated-substring dedup (Lee et al. 2022): the
+    // canonical (lexicographically-smallest (doc_id, pos)) occurrence of
+    // every duplicated word-8-gram survives; tokens covered by any OTHER
+    // occurrence are cut. Contrast text_scrub_repeats, which deletes
+    // every occurrence (boilerplate removal) — here each repeated passage
+    // survives exactly once, the dedup semantics that paper measures.
+    // The oracle encodes the struct-min canonical key as
+    // doc_id·2³² + pos (exact for the testdata's id/doc ranges; the
+    // operator itself uses a struct min with no range limit).
+    GraftQuery(
+      "dedup_substring_keepfirst",
+      (s, dir) =>
+        graft.operators.CorpusCuration.dedupSubstringSpans(
+          t(s, dir, "documents"), n = 8, minCount = 2),
+      Some("""WITH b AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) pos, unnest(w) token
+        |  FROM b),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest([array_to_string(w[i:i+7], ' ')
+        |            FOR i IN range(1, len(w) - 6)]) gram,
+        |    unnest(range(1, len(w) - 6)) gpos
+        |  FROM b WHERE len(w) >= 8),
+        |dup AS (
+        |  SELECT gram, min(doc_id * 4294967296 + gpos) mk
+        |  FROM g GROUP BY gram HAVING count(*) >= 2),
+        |occ AS (
+        |  SELECT g.doc_id, g.gpos FROM g JOIN dup USING (gram)
+        |  WHERE g.doc_id * 4294967296 + g.gpos <> dup.mk),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.token FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM occ o
+        |                    WHERE o.doc_id = t.doc_id
+        |                      AND t.pos BETWEEN o.gpos AND o.gpos + 7)),
+        |s AS (
+        |  SELECT doc_id, count(*) n_kept,
+        |    string_agg(token, ' ' ORDER BY pos) kept_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_dropped,
+        |  md5(coalesce(kept_text, '')) AS kept_md5
+        |FROM b LEFT JOIN s USING (doc_id)""".stripMargin)),
   )
 }
 

@@ -579,5 +579,89 @@ object PipelineQueries extends QueryModule {
         |  n_tokens, stop_hits,
         |  CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio
         |FROM st LEFT JOIN f USING (source)""".stripMargin)),
+
+    // DSIR data selection (Xie et al. 2023): score every document by how
+    // target-like (here: lang='en') its hashed word-2-gram distribution
+    // is, then take the top 50 by score — the deterministic core of
+    // importance resampling (the paper adds Gumbel noise on top; callers
+    // can too). Fully integer-exact (fixed-point ratio grid + integer
+    // log2 — see CorpusCuration.dsirScores), so the oracle replays it
+    // bit-for-bit, including Spark's xxhash64 bucket assignment via the
+    // XxHash64Sql HUGEINT chain at the builtin seed 42.
+    GraftQuery(
+      "pipeline_dsir_select",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val scored = graft.operators.CorpusCuration.dsirScores(
+          t(s, dir, "documents"), isTarget = col("lang") === "en")
+        scored
+          .orderBy(col("dsir_score").desc, col("doc_id")).limit(50)
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("dsir_score").desc, col("doc_id"))).cast("long"))
+          .select(col("rank"), col("doc_id"), col("n_grams"),
+                  col("dsir_score"))
+      },
+      Some(DsirOracle.sql)),
   )
+}
+
+/** DuckDB replay of [[graft.operators.CorpusCuration.dsirScores]] +
+  * the top-50 selection: distinct word 2-grams hashed with Spark's
+  * builtin `xxhash64` (the [[XxHash64Sql]] chain at seed 42 — the
+  * builtin's fixed seed), bucket counts, the add-1-smoothed importance
+  * ratio floored onto the 2²⁰ fixed-point grid in HUGEINT (mirroring the
+  * DECIMAL(38,0) products), the integer fixed-point log₂ via binary
+  * string length, and the per-document occurrence sum. ASCII guarded at
+  * the document level like the other chain consumers.
+  */
+private[queries] object DsirOracle {
+  val sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN octet_length(encode(text)) != length(text)
+      |         THEN error('pipeline_dsir_select oracle: non-ASCII text for '
+      |                    || 'doc_id ' || doc_id || ' — the xxh64 replay '
+      |                    || 'addresses BYTES via unicode()')
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, lang = 'en' AS tgt,
+      |    unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS g
+      |  FROM docs WHERE len(w) >= 2),
+      |ds_in AS (SELECT DISTINCT g AS t FROM gr),
+      |""".stripMargin +
+    XxHash64Sql.chain("ds_", "42", "pipeline_dsir_select oracle") +
+    """bk AS (SELECT t, CAST(h % 4096 AS BIGINT) AS b FROM ds_ht),
+      |gb AS (SELECT gr.doc_id, gr.tgt, bk.b FROM gr JOIN bk ON bk.t = gr.g),
+      |cnt AS (
+      |  SELECT b, count(*) AS cr, count(*) FILTER (WHERE tgt) AS ct
+      |  FROM gb GROUP BY b),
+      |tot AS (
+      |  SELECT CAST(sum(cr) + 4096 AS HUGEINT) AS nrb,
+      |    CAST(sum(ct) + 4096 AS HUGEINT) AS ntb
+      |  FROM cnt),
+      |wt AS (
+      |  SELECT b,
+      |    greatest(1, (CAST(ct + 1 AS HUGEINT) * nrb * 1048576)
+      |                // (CAST(cr + 1 AS HUGEINT) * ntb)) AS w
+      |  FROM cnt, tot),
+      |lg AS (
+      |  SELECT b, w, length(printf('%b', CAST(w AS BIGINT))) - 1 AS il
+      |  FROM wt),
+      |lw AS (
+      |  SELECT b,
+      |    CAST((w * 1024) // CAST(power(2, il) AS HUGEINT)
+      |         + il * 1024 - 1024 AS BIGINT) AS lw
+      |  FROM lg),
+      |sc AS (
+      |  SELECT doc_id, count(*) AS n_grams, sum(lw) AS dsir_score
+      |  FROM gb JOIN lw USING (b) GROUP BY doc_id),
+      |r AS (
+      |  SELECT row_number() OVER (ORDER BY dsir_score DESC, doc_id) AS rank,
+      |    doc_id, n_grams, dsir_score
+      |  FROM sc)
+      |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+      |  CAST(n_grams AS BIGINT) AS n_grams,
+      |  CAST(dsir_score AS BIGINT) AS dsir_score
+      |FROM r WHERE rank <= 50""".stripMargin
 }

@@ -553,5 +553,97 @@ object TextQueries extends QueryModule {
         |    w1, w2, c2 AS n_pair
         |  FROM scored)
         |SELECT rank, w1, w2, n_pair FROM r WHERE rank <= 20""".stripMargin)),
+
+    // Unicode NFC normalization — graft_normalize, a native codegen
+    // Expression with an ASCII identity fast path (the 100-TB corpus is
+    // overwhelmingly ASCII; those rows never decode). The corpus on disk
+    // is pure ASCII, so the query first manufactures DECOMPOSED text
+    // deterministically (a→a+U+0300, o→o+U+0301) in both engines, then
+    // normalizes: NFC must compose the pairs back to single code points
+    // (à, ó), shrinking the byte length. md5 certifies byte-identical
+    // composition between the JDK Normalizer and DuckDB's utf8proc.
+    GraftQuery(
+      "text_normalize_nfc",
+      (s, dir) => {
+        val dec = regexp_replace(
+          regexp_replace(col("text"), "a", "a\u0300"), "o", "o\u0301")
+        t(s, dir, "documents")
+          .select(col("doc_id"), dec.as("__dec"))
+          .select(col("doc_id"),
+                  octet_length(col("__dec")).cast("long").as("b_dec"),
+                  graft.functions.GraftFunctionRegistry.normalize(col("__dec"))
+                    .as("__nfc"))
+          .select(col("doc_id"), col("b_dec"),
+                  octet_length(col("__nfc")).cast("long").as("b_nfc"),
+                  md5(col("__nfc")).as("nfc_md5"))
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id,
+        |    replace(replace(text, 'a', 'a' || chr(768)),
+        |            'o', 'o' || chr(769)) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(strlen(t) AS BIGINT) AS b_dec,
+        |  CAST(strlen(nfc_normalize(t)) AS BIGINT) AS b_nfc,
+        |  md5(nfc_normalize(t)) AS nfc_md5
+        |FROM d""".stripMargin)),
+
+    // Gopher repetition rules (Rae et al. 2021 A1.1) — the two
+    // intra-document repetition fractions text_quality_rules doesn't
+    // carry: char share of the most frequent word 2-gram (≤ 0.20) and
+    // char share covered by duplicated word 5-grams (≤ 0.15, overlaps
+    // once). See CorpusCuration.gopherRepetitionStats for the plan shape.
+    GraftQuery(
+      "text_gopher_quality",
+      (s, dir) =>
+        graft.operators.CorpusCuration.gopherRepetitionStats(
+          t(s, dir, "documents")),
+      Some("""WITH b AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, w, len(w) ntok,
+        |    list_sum(list_transform(w, x -> length(x))) chars
+        |  FROM b WHERE len(w) >= 5),
+        |g2 AS (
+        |  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+        |                         FOR i IN range(1, len(w))]) g
+        |  FROM f),
+        |c2 AS (SELECT doc_id, g, count(*) c FROM g2 GROUP BY 1, 2),
+        |t2 AS (
+        |  SELECT doc_id, c * (length(g) - 1) AS t2c FROM (
+        |    SELECT doc_id, g, c,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY c DESC, g) rn
+        |    FROM c2) WHERE rn = 1),
+        |g5 AS (
+        |  SELECT doc_id, unnest(range(1, len(w) - 3)) gpos,
+        |    unnest([array_to_string(w[i:i+4], ' ')
+        |            FOR i IN range(1, len(w) - 3)]) g
+        |  FROM f),
+        |occ AS (
+        |  SELECT doc_id, gpos FROM (
+        |    SELECT doc_id, gpos,
+        |      count(*) OVER (PARTITION BY doc_id, g) c
+        |    FROM g5) WHERE c >= 2),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT doc_id, unnest(range(gpos, gpos + 5)) pos FROM occ)),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(1, len(w) + 1)) pos, unnest(w) token
+        |  FROM f),
+        |d5 AS (
+        |  SELECT tok.doc_id, sum(length(token)) d5c
+        |  FROM tok JOIN cov ON tok.doc_id = cov.doc_id
+        |                   AND tok.pos = cov.pos
+        |  GROUP BY 1)
+        |SELECT f.doc_id, CAST(ntok AS BIGINT) AS n_tokens,
+        |  round(t2c * 1.0 / chars, 4) AS top2_frac,
+        |  round(coalesce(d5c, 0) * 1.0 / chars, 4) AS dup5_frac,
+        |  round(t2c * 1.0 / chars, 4) <= 0.20
+        |    AND round(coalesce(d5c, 0) * 1.0 / chars, 4) <= 0.15 AS keep
+        |FROM f
+        |JOIN t2 ON t2.doc_id = f.doc_id
+        |LEFT JOIN d5 ON d5.doc_id = f.doc_id""".stripMargin)),
   )
 }

@@ -229,4 +229,88 @@ class CurationOpsSpec extends GraftFunSuite {
         d, d, threshold = 0.7, numHashes = 7)
     }
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("dedupSubstringSpans keeps the canonical occurrence, cuts every copy") {
+    import spark.implicits._
+    val span = (1 to 8).map(i => s"s$i").mkString(" ")
+    val span2 = (1 to 8).map(i => s"t$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $span gamma"),
+      (2L, s"delta $span epsilon zeta"),
+      (3L, "unique tokens only here nothing repeated at all"),
+      (4L, s"$span filler1 filler2 $span"),
+      (5L, s"$span2 mid1 mid2 $span2")).toDF("doc_id", "text")
+    val out = graft.operators.CorpusCuration.dedupSubstringSpans(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1 holds the canonical (smallest (id, pos)) occurrence — intact
+    assert(out(1L) == ((11L, 0L, md5hex(s"alpha beta $span gamma"))))
+    // doc 2's copy is cut; the novel text around it survives
+    assert(out(2L) == ((11L, 8L, md5hex("delta epsilon zeta"))))
+    // untouched document
+    assert(out(3L) == ((8L, 0L,
+      md5hex("unique tokens only here nothing repeated at all"))))
+    // both of doc 4's occurrences are non-canonical (doc 1 wins) — both cut
+    assert(out(4L) == ((18L, 16L, md5hex("filler1 filler2"))))
+    // intra-document repeat: the FIRST occurrence is canonical and survives
+    assert(out(5L) == ((18L, 8L, md5hex(s"$span2 mid1 mid2"))))
+    // contrast: scrubRepeatedSpans removes every occurrence, including the
+    // canonical one — keep-first is the dedup, scrub is boilerplate removal
+    val scrubbed = graft.operators.CorpusCuration.scrubRepeatedSpans(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scrubbed(1L) == 8L && scrubbed(5L) == 16L)
+  }
+
+  test("gopherRepetitionStats: exact fractions and thresholds") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "aa bb aa bb aa bb"),                       // top-2-gram saturated
+      (2L, (0 to 9).map(i => s"a$i").mkString(" ")),   // all-unique, boundary
+      (3L, "p1 p2 p3 p4 p5 x p1 p2 p3 p4 p5"),         // duplicated 5-gram
+      (4L, "a b c")).toDF("doc_id", "text")            // < 5 tokens → excluded
+    val out = graft.operators.CorpusCuration.gopherRepetitionStats(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(!out.contains(4L))
+    // doc 1: "aa bb" x3, gram chars 4, total chars 12 → 1.0; no dup 5-gram
+    assert(out(1L) == ((6L, 1.0, 0.0, false)))
+    // doc 2: every 2-gram unique → smallest "a0 a1" c=1; 4/20 = 0.2 (kept,
+    // boundary inclusive); no dup 5-grams
+    assert(out(2L) == ((10L, 0.2, 0.0, true)))
+    // doc 3: "p1 p2 p3 p4 p5" occurs at pos 0 and 6 → 10 of 11 tokens
+    // covered → 20 of 21 token chars ("x" is 1); top 2-gram "p1 p2" c=2 → 8/21
+    assert(out(3L) == ((11L, math.rint(8.0 / 21 * 1e4) / 1e4,
+                        math.rint(20.0 / 21 * 1e4) / 1e4, false)))
+  }
+
+  test("dsirScores ranks target-like documents above raw-only documents") {
+    import spark.implicits._
+    val tgtText = (0 to 19).map(i => s"tg${i % 4}").mkString(" ")
+    val rawText = (0 to 19).map(i => s"rw${i % 4}").mkString(" ")
+    val docs = (
+      (0 until 6).map(i => (i.toLong, tgtText, i < 4)) ++      // 4 target + 2 raw dups of target-style text
+      (6 until 10).map(i => (i.toLong, rawText, false))).toSeq  // raw-only style
+      .toDF("doc_id", "text", "tgt")
+    val out = graft.operators.CorpusCuration.dsirScores(
+        docs, isTarget = col("tgt"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every doc has 19 gram occurrences
+    assert(out.values.forall(_._1 == 19L))
+    // docs written in the target's bigram distribution outscore raw-only
+    val tgtStyleScore = out(4L)._2 // raw doc, target-style text
+    val rawStyleScore = out(7L)._2
+    assert(tgtStyleScore > rawStyleScore,
+           s"target-style $tgtStyleScore vs raw-only $rawStyleScore")
+    // identical text → identical score (scores depend only on content)
+    assert(out(0L)._2 == tgtStyleScore)
+    // deterministic across executions
+    val again = graft.operators.CorpusCuration.dsirScores(
+        docs, isTarget = col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(again == out.view.mapValues(_._2).toMap)
+  }
 }

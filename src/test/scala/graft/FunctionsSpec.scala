@@ -368,4 +368,50 @@ class FunctionsSpec extends GraftFunSuite {
       Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("length")), e.toString)
   }
+
+  test("graft_normalize: NFC composes, NFKC folds compatibility, ASCII is identity") {
+    import java.text.Normalizer
+    GraftSession.ensureExtensions(spark)
+    // decomposed a+U+0300 / o+U+0301 compose to single code points
+    val df = Seq("ca\u0300t o\u0301", "plain ascii", "\ufb01ne").toDF("t")
+    val nfc = df.selectExpr("graft_normalize(t)").as[String].collect()
+    assert(nfc(0) == "c\u00e0t \u00f3", nfc(0))
+    assert(nfc(0).getBytes("UTF-8").length <
+           "ca\u0300t o\u0301".getBytes("UTF-8").length)
+    assert(nfc(1) == "plain ascii")
+    assert(nfc(2) == "\ufb01ne") // NFC keeps the ligature
+    // NFKC folds the fi ligature to two letters
+    val nfkc = df.selectExpr("graft_normalize(t, 'NFKC')").as[String].collect()
+    assert(nfkc(2) == "fine", nfkc(2))
+    // interpreted eval path agrees with the codegen path and the JDK
+    for (s0 <- Seq("ca\u0300t o\u0301", "plain", "\ufb01ne", "")) {
+      val interp = graft.functions.GraftNormalize(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          org.apache.spark.unsafe.types.UTF8String.fromString(s0),
+          org.apache.spark.sql.types.StringType), "NFC").eval(null).toString
+      assert(interp == Normalizer.normalize(s0, Normalizer.Form.NFC), s0)
+    }
+    // nulls propagate; a bad form fails at construction, not per row
+    assert(Seq[Option[String]](None).toDF("t")
+      .selectExpr("graft_normalize(t)").collect().head.isNullAt(0))
+    val bad = intercept[Exception](
+      df.selectExpr("graft_normalize(t, 'NFX')").collect())
+    assert(bad.getMessage.contains("NFX") ||
+           Option(bad.getCause).exists(_.getMessage.contains("NFX")), bad.toString)
+  }
+
+  test("builtin xxhash64 is XXH64.hashUnsafeBytes at seed 42 (the DSIR oracle contract)") {
+    // pipeline_dsir_select's DuckDB replay runs the XxHash64Sql chain at
+    // seed 42 assuming Spark's builtin xxhash64(string) IS the same
+    // kernel the chain was fuzz-verified against; pin that equivalence.
+    import org.apache.spark.unsafe.types.UTF8String
+    for (s0 <- Seq("a", "key order", "the fast key order sort table scan",
+                   "x" * 127, "")) {
+      val viaDf = Seq(s0).toDF("t").selectExpr("xxhash64(t)").as[Long].head()
+      val u = UTF8String.fromString(s0)
+      val viaKernel = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+      assert(viaDf == viaKernel, s0)
+    }
+  }
 }
