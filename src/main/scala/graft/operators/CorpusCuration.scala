@@ -617,33 +617,74 @@ object CorpusCuration {
   def dsirScores(docs: DataFrame, isTarget: Column,
                  buckets: Int = 4096, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
+    val weights = dsirWeights(docs, isTarget, buckets, textCol)
+    dsirGramBuckets(docs, isTarget, buckets, idCol, textCol)
+      .join(broadcast(weights), col("__b") === col("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), sum("lw").as("dsir_score"))
+  }
+
+  /** The TRAINED HALF of [[dsirScores]], exposed for train/apply splits:
+    * the DENSE per-bucket fixed-point log-weight table `(bucket, lw)` —
+    * one row for EVERY bucket in `[0, buckets)`, including buckets no
+    * training gram hit (those get the smoothed prior
+    * `1/(Nt+B) ÷ 1/(Nr+B)`), so an APPLY-side document hashing into a
+    * bucket the training corpus never saw still scores deterministically
+    * instead of dropping grams. Train once in batch over the reference
+    * corpus, then apply anywhere — [[dsirScores]] joins it back
+    * immediately (batch self-scoring), and
+    * [[graft.streaming.CorpusStreams.dsirScoreStream]] folds it into a
+    * constant array for stateless streaming scoring. The table is `B`
+    * rows regardless of corpus size — always broadcastable, always
+    * collectable.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
+                  textCol: String = "text"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
-    val grams = docs
-      .select(col(idCol), isTarget.as("__tgt"),
-              GraftText.whitespaceTokens(col(textCol)).as("__tk"))
-      .filter(size(col("__tk")) >= 2)
-      .select(col(idCol), col("__tgt"),
-              explode(GraftText.wordNGrams(col("__tk"), 2)).as("__g"))
-      .select(col(idCol), col("__tgt"),
-              pmod(xxhash64(col("__g")), lit(buckets.toLong)).as("__b"))
-    val counts = grams.groupBy("__b").agg(
-      count(lit(1)).as("__cr"),
-      sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    val spark = docs.sparkSession
+    val counts = dsirGramBuckets(docs, isTarget, buckets, "__none", textCol,
+                                 needId = false)
+      .groupBy("__b").agg(
+        count(lit(1)).as("__cr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
     val totals = counts.agg(
       (sum("__cr") + buckets).as("__nrb"), (sum("__ct") + buckets).as("__ntb"))
-    val weights = counts.crossJoin(broadcast(totals))
+    // densify: every bucket scores, hit or not (the B-row range frame is
+    // driver-free and the join key space is B, not the corpus)
+    val dense = spark.range(buckets).select(col("id").as("bucket"))
+      .join(counts, col("bucket") === col("__b"), "left")
+      .select(col("bucket"),
+              coalesce(col("__cr"), lit(0L)).as("__cr"),
+              coalesce(col("__ct"), lit(0L)).as("__ct"))
+    dense.crossJoin(broadcast(totals))
       .withColumn("__w", greatest(lit(1L), expr(
         s"""CAST((CAST(__ct + 1 AS DECIMAL(38,0)) * CAST(__nrb AS DECIMAL(38,0))
            |       * CAST(1048576 AS DECIMAL(38,0)))
            |     div (CAST(__cr + 1 AS DECIMAL(38,0)) * CAST(__ntb AS DECIMAL(38,0)))
            |     AS BIGINT)""".stripMargin)))
       .withColumn("__il", (length(conv(col("__w"), 10, 2)) - 1).cast("long"))
-      .withColumn("__lw",
+      .withColumn("lw",
         expr("shiftleft(__w, 10) div shiftleft(1L, CAST(__il AS INT))") +
           col("__il") * 1024L - 1024L)
-      .select(col("__b"), col("__lw"))
-    grams.join(broadcast(weights), "__b")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_grams"), sum("__lw").as("dsir_score"))
+      .select(col("bucket"), col("lw"))
+  }
+
+  /** Shared gram→bucket stream of the DSIR pair: word 2-grams hashed
+    * with the builtin `xxhash64` into `[0, buckets)`. `needId = false`
+    * drops the id column (the weight-training side aggregates by bucket
+    * only — no reason to carry ids through the explode). */
+  private def dsirGramBuckets(docs: DataFrame, isTarget: Column,
+                              buckets: Int, idCol: String, textCol: String,
+                              needId: Boolean = true): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val idCols = if (needId) Seq(col(idCol)) else Seq.empty
+    docs
+      .select(idCols :+ isTarget.as("__tgt")
+                :+ GraftText.whitespaceTokens(col(textCol)).as("__tk"): _*)
+      .filter(size(col("__tk")) >= 2)
+      .select(idCols :+ col("__tgt")
+                :+ explode(GraftText.wordNGrams(col("__tk"), 2)).as("__g"): _*)
+      .select(idCols :+ col("__tgt")
+                :+ pmod(xxhash64(col("__g")), lit(buckets.toLong)).as("__b"): _*)
   }
 }

@@ -413,6 +413,58 @@ object DedupQueries extends QueryModule {
       },
       None),
 
+    // Exact-mode twin of dedup_source_overlap, oracled: at lgK=15 the
+    // nominal entry count (32768) exceeds every source's distinct-shingle
+    // count at all test SFs (~1.3k at sf0.01, ~11k at sf0.1), so theta
+    // stays 1.0 and every sketch retains its full hash set — estimates
+    // ARE exact distinct counts and the pairwise intersection IS exact
+    // set intersection. DuckDB replays the whole thing with plain
+    // distinct-count set algebra, certifying the complete sketch →
+    // serialize → partial/final merge → intersect pipeline at the driver
+    // gate (the lgK=12 row above keeps demonstrating real estimation,
+    // which is the production mode and inherently engine-specific).
+    GraftQuery(
+      "dedup_source_overlap_exact",
+      (s, dir) => {
+        GraftSession.ensureExtensions(s)
+        val sk = t(s, dir, "documents")
+          .select(col("source"), expr("split(trim(text), '\\\\s+')").as("tk"))
+          .filter(size(col("tk")) >= 3)
+          .select(col("source"),
+                  explode(expr(
+                    """transform(sequence(0, size(tk) - 3),
+                       i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))"""))
+                    .as("shingle"))
+          .groupBy("source")
+          .agg(expr("graft_theta_sketch(shingle, 15)").as("sk"))
+        sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
+          .select(col("a.source").as("a_src"), col("b.source").as("b_src"),
+                  round(expr("graft_theta_est(a.sk)"), 1).as("a_distinct"),
+                  round(expr("graft_theta_est(b.sk)"), 1).as("b_distinct"),
+                  round(expr("graft_theta_intersect_est(a.sk, b.sk)"), 1)
+                    .as("shared"))
+      },
+      Some("""WITH b AS (
+        |  SELECT source, regexp_split_to_array(trim(text), '\s+') w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source,
+        |    unnest([array_to_string(w[i:i+2], ' ')
+        |            FOR i IN range(1, len(w) - 1)]) s
+        |  FROM b WHERE len(w) >= 3),
+        |c AS (SELECT source, count(*) n FROM g GROUP BY 1),
+        |sh AS (
+        |  SELECT x.source a_src, y.source b_src, count(*) n
+        |  FROM g x JOIN g y ON x.s = y.s AND x.source < y.source
+        |  GROUP BY 1, 2)
+        |SELECT ca.source AS a_src, cb.source AS b_src,
+        |  round(CAST(ca.n AS DOUBLE), 1) AS a_distinct,
+        |  round(CAST(cb.n AS DOUBLE), 1) AS b_distinct,
+        |  round(CAST(coalesce(sh.n, 0) AS DOUBLE), 1) AS shared
+        |FROM c ca JOIN c cb ON ca.source < cb.source
+        |LEFT JOIN sh ON sh.a_src = ca.source AND sh.b_src = cb.source"""
+        .stripMargin)),
+
     // Incremental dedup against an existing corpus: split the documents
     // into "history" and "incoming" by md5 route, then keep only incoming
     // docs whose text is NOT in history. The bloom filter over history

@@ -65,6 +65,61 @@ object CorpusStreams {
   }
 
   /** Streaming APPLY side of
+    * [[graft.operators.CorpusCuration.dsirScores]]: score arriving
+    * documents against a DSIR weight table TRAINED IN BATCH
+    * ([[graft.operators.CorpusCuration.dsirWeights]] — dense, one row
+    * per bucket). This is the deployment split the paper's pipeline
+    * implies: estimate the target/raw bucket ratios once over the
+    * reference corpora, then rank raw data as it arrives.
+    *
+    * Scale shape — the weight table is `B` longs (kilobytes), so instead
+    * of a stream-static join it is collected ONCE at stream setup and
+    * folded into the plan as a CONSTANT array literal: scoring is then
+    * `sum(W[xxhash64(gram) mod B])` via array higher-order functions in a
+    * single stateless projection — no shuffle, no state, no watermark, no
+    * per-batch join. Every micro-batch row costs exactly its own grams.
+    * Dense training weights mean a gram the training corpus never saw
+    * still scores (the smoothed prior), identically to what the batch
+    * operator would produce had it joined that document — StreamingSpec
+    * pins stream ≡ batch score parity.
+    *
+    * Emits the input row plus `n_grams` and `dsir_score`; documents with
+    * fewer than 2 tokens are dropped (unscoreable, same as batch).
+    */
+  def dsirScoreStream(docs: DataFrame, weights: DataFrame,
+                      buckets: Int = 4096,
+                      textCol: String = "text"): DataFrame = {
+    import graft.operators.GraftText
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val w = new Array[Long](buckets)
+    val seen = new Array[Boolean](buckets)
+    weights.select(col("bucket").cast("long"), col("lw").cast("long"))
+      .collect().foreach { r =>
+        val b = r.getLong(0)
+        require(b >= 0 && b < buckets,
+          s"dsirScoreStream: weight bucket $b outside [0, $buckets) — " +
+          "bucket count must match the training call")
+        w(b.toInt) = r.getLong(1); seen(b.toInt) = true
+      }
+    require(seen.forall(identity),
+      s"dsirScoreStream: weight table covers ${seen.count(identity)} of " +
+      s"$buckets buckets — pass the DENSE dsirWeights output (every " +
+      "bucket scores, hit or not)")
+    val warr = typedLit(w.toSeq)
+    docs
+      .withColumn("__tk", GraftText.whitespaceTokens(col(textCol)))
+      .filter(size(col("__tk")) >= 2)
+      .withColumn("__lws",
+        transform(GraftText.wordNGrams(col("__tk"), 2),
+          g => element_at(warr,
+            (pmod(xxhash64(g), lit(buckets.toLong)) + 1).cast("int"))))
+      .withColumn("n_grams", size(col("__lws")).cast("long"))
+      .withColumn("dsir_score",
+        aggregate(col("__lws"), lit(0L), (a, x) => a + x))
+      .drop("__tk", "__lws")
+  }
+
+  /** Streaming APPLY side of
     * [[graft.operators.CorpusCuration.contaminatedDocs]]: flag arriving
     * documents sharing any word-`n`-gram with a STATIC benchmark/test set
     * (the leakage audit, run at ingest instead of per-batch-job). The

@@ -1111,4 +1111,68 @@ class StreamingSpec extends GraftFunSuite {
         messages(err).mkString(" | "))
     } finally q.stop()
   }
+
+  test("dsirScoreStream: stateless streaming scores equal the batch " +
+       "operator's, and unseen grams score via the smoothed prior") {
+    import graft.operators.CorpusCuration
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "le renard brun rapide saute par dessus le chien", "fr"),
+      (3L, "the dog sleeps while the quick fox runs", "en"),
+      (4L, "der schnelle braune fuchs springt hoch", "de"),
+      (5L, "quick quick brown brown fox fox dog dog", "en"),
+      (6L, "short", "en")) // < 2 tokens: unscoreable in both tiers
+    val docs = corpus.toDF("doc_id", "text", "lang")
+    val B = 256
+    val weights = CorpusCuration.dsirWeights(
+      docs, isTarget = col("lang") === "en", buckets = B)
+    assert(weights.count() == B) // dense by contract
+    val batch = CorpusCuration.dsirScores(
+        docs, isTarget = col("lang") === "en", buckets = B)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val q = CorpusStreams.dsirScoreStream(
+        input.toDF().toDF("doc_id", "ts", "text"), weights, buckets = B)
+      .select(col("doc_id"), col("n_grams"), col("dsir_score"))
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus.zipWithIndex.map { case ((id, txt, _), i) =>
+        (id, ts(i), txt) })
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch && batch.size == 5, s"stream $streamed vs batch $batch")
+
+      // a doc of grams the training corpus never saw still scores — every
+      // bucket carries the smoothed prior, so the score is deterministic
+      // and non-null rather than a dropped-gram undercount
+      input.addData(Seq((7L, ts(60), "zz yy xx ww vv uu")))
+      q.processAllAvailable()
+      val novel = spark.table("dsir_stream").collect()
+        .filter(_.getLong(0) == 7L)
+      assert(novel.length == 1 && novel.head.getLong(1) == 5 &&
+             !novel.head.isNullAt(2))
+    } finally q.stop()
+  }
+
+  test("dsirScoreStream refuses a sparse weight table") {
+    import graft.operators.CorpusCuration
+    import graft.streaming.CorpusStreams
+    val docs = Seq((1L, "a b c", "en")).toDF("doc_id", "text", "lang")
+    val dense = CorpusCuration.dsirWeights(
+      docs, isTarget = col("lang") === "en", buckets = 64)
+    val sparse = dense.limit(10)
+    val e = intercept[IllegalArgumentException] {
+      CorpusStreams.dsirScoreStream(docs, sparse, buckets = 64)
+    }
+    assert(e.getMessage.contains("DENSE"))
+    val drifted = intercept[IllegalArgumentException] {
+      CorpusStreams.dsirScoreStream(docs, dense, buckets = 32)
+    }
+    assert(drifted.getMessage.contains("outside"))
+  }
 }
