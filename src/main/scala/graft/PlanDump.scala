@@ -29,7 +29,10 @@ object PlanDump {
                     "pipeline_corpus_upsert", "events_transitions",
                     "dedup_embedding_cosine", "ann_ivf_append",
                     "ann_ivf_coarse", "dedup_cdc_chunks",
-                    "dedup_semantic_cells", "pipeline_decontaminate_fuzzy")
+                    "dedup_semantic_cells", "pipeline_decontaminate_fuzzy",
+                    "dedup_substring_keepfirst", "text_gopher_quality",
+                    "pipeline_dsir_select", "text_normalize_nfc",
+                    "dedup_source_overlap_exact")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -178,6 +178,25 @@ object StreamBench {
       } finally testSet.unpersist(blocking = true)
     }
 
+    // DSIR apply: batch-trained dense weight table folded into a constant
+    // array, scoring is one stateless projection (no join/shuffle/state).
+    // No throughput floor yet — first baselined this round; floor lands
+    // at the next re-calibration.
+    locally {
+      val ref = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text", "lang")
+      val weights = graft.operators.CorpusCuration
+        .dsirWeights(ref, isTarget = col("lang") === "en")
+      rep {
+        val in = MemoryStream[(Long, Timestamp, String)]
+        val q = sink(CorpusStreams.dsirScoreStream(
+          in.toDF().toDF("doc_id", "ts", "text"), weights)
+          .select("doc_id", "ts", "n_grams", "dsir_score"), "sb_dsir_score")
+        drive("sb_dsir_score", docRows.size, q,
+              chunks(docRows, 4).map(c => () => { in.addData(c); () }))
+      }
+    }
+
     // MinHash near-dup mining over 8-token shingles (the batch operators'
     // item shape — raw token SETS pair nearly everything in a synthetic
     // corpus with shared vocabulary, which measures the sink, not the op)

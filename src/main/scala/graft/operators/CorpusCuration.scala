@@ -410,14 +410,20 @@ object CorpusCuration {
       .select(col(idCol), posexplode(gramArr).as(Seq("__gpos", "__gk")))
     val dup = grams.groupBy("__gk").agg(count(lit(1)).as("__c"))
       .filter(col("__c") >= minCount).select("__gk")
-    val occ = grams.join(ScaleHints.gated(dup), "__gk")
-      .select(col(idCol).as("__oid"), col("__gpos"))
+    // occ (the duplicated-occurrence sliver — skinny (id, pos) rows) feeds
+    // the coverage ANTI join AND the hit-id gate: persist it so the full
+    // gram explode + dup aggregation above it runs ONCE, not once per
+    // consumer (pinned under GraftDedup.unpersistAll like the signature
+    // tables)
+    val occ = GraftDedup.pin(grams.join(ScaleHints.gated(dup), "__gk")
+      .select(col(idCol).as("__oid"), col("__gpos")).persist())
     // Only documents actually HIT by a duplicated gram pay the token-level
     // pass — at corpus scale boilerplate-carrying docs are a sliver, so the
     // expensive explode+anti-join runs over that sliver, and every other
     // document short-circuits to a per-row md5 of its normalized tokens
     // (identical to what reassembly-of-everything would produce).
-    val hitIds = occ.select(col("__oid").as(idCol)).distinct()
+    val hitIds = GraftDedup.pin(
+      occ.select(col("__oid").as(idCol)).distinct().persist())
     val tk = base.join(ScaleHints.gated(hitIds), Seq(idCol), "left_semi")
       .select(col(idCol), posexplode(col("__tk")).as(Seq("__pos", "__token")))
     val kept = tk.join(occ,
@@ -487,10 +493,14 @@ object CorpusCuration {
            min(struct(col(idCol).as("d"), col("__gpos").as("p"))).as("__canon"))
       .filter(col("__c") >= minCount)
       .select(col("__gk"), col("__canon.d").as("__cd"), col("__canon.p").as("__cp"))
-    val occ = grams.join(ScaleHints.gated(dup), "__gk")
+    // same sliver-persist rationale as scrubRepeatedSpans: occ and the
+    // hit-id gate each feed multiple consumers; one materialization of
+    // the skinny sliver replaces a full gram-explode pass per consumer
+    val occ = GraftDedup.pin(grams.join(ScaleHints.gated(dup), "__gk")
       .filter(!(col(idCol) === col("__cd") && col("__gpos") === col("__cp")))
-      .select(col(idCol).as("__oid"), col("__gpos"))
-    val hitIds = occ.select(col("__oid").as(idCol)).distinct()
+      .select(col(idCol).as("__oid"), col("__gpos")).persist())
+    val hitIds = GraftDedup.pin(
+      occ.select(col("__oid").as(idCol)).distinct().persist())
     val tk = base.join(ScaleHints.gated(hitIds), Seq(idCol), "left_semi")
       .select(col(idCol), posexplode(col("__tk")).as(Seq("__pos", "__token")))
     val kept = tk.join(occ,
@@ -567,10 +577,12 @@ object CorpusCuration {
         Window.partitionBy(col(idCol), col("__g"))))
       .filter(col("__c") >= 2)
       .select(col(idCol), col("__gpos"))
-    val cov = occ
+    // the coverage sliver feeds both the hit-id gate and the char-sum
+    // join — persist so the 5-gram explode + dup window runs once
+    val cov = GraftDedup.pin(occ
       .select(col(idCol),
               explode(sequence(col("__gpos"), col("__gpos") + 4)).as("__pos"))
-      .distinct()
+      .distinct().persist())
     val hitIds = cov.select(col(idCol)).distinct()
     val tokChars = base.join(ScaleHints.gated(hitIds), Seq(idCol), "left_semi")
       .select(col(idCol), posexplode(col("__tk")).as(Seq("__pos", "__token")))
@@ -642,11 +654,15 @@ object CorpusCuration {
                   textCol: String = "text"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
-    val counts = dsirGramBuckets(docs, isTarget, buckets, "__none", textCol,
-                                 needId = false)
-      .groupBy("__b").agg(
-        count(lit(1)).as("__cr"),
-        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+    // counts is B rows but sits atop a full corpus gram explode; persist
+    // it so totals (and the dense join below) don't re-scan the corpus
+    val counts = GraftDedup.pin(
+      dsirGramBuckets(docs, isTarget, buckets, "__none", textCol,
+                      needId = false)
+        .groupBy("__b").agg(
+          count(lit(1)).as("__cr"),
+          sum(when(col("__tgt"), 1L).otherwise(0L)).as("__ct"))
+        .persist())
     val totals = counts.agg(
       (sum("__cr") + buckets).as("__nrb"), (sum("__ct") + buckets).as("__ntb"))
     // densify: every bucket scores, hit or not (the B-row range frame is

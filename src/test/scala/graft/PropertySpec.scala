@@ -265,4 +265,33 @@ class PropertySpec extends AnyFunSuite {
         s"n=$n near=${ham(sim(base), sim(near))} far=${ham(sim(base), sim(far))}")
     }
   }
+
+  test("graft_normalize laws: idempotent per form, identity on ASCII, " +
+       "NFC after NFD recovers NFC (canonical equivalence)") {
+    import graft.functions.GraftNormalize
+    def norm(s: String, form: String): String =
+      GraftNormalize(Literal.create(s, StringType), form)
+        .eval(null).asInstanceOf[UTF8String].toString
+    // strings mixing ASCII, precomposed accents, and combining marks
+    val unicodeGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const("é"), Gen.const("Å"),
+      Gen.const("é"), Gen.const("Å"), Gen.const("ﬁ"),
+      Gen.const("½"), Gen.const(" "))).map(_.mkString)
+    forAll(unicodeGen, n = 60) { (s: String) =>
+      for (form <- Seq("NFC", "NFD", "NFKC", "NFKD")) {
+        val once = norm(s, form)
+        assert(norm(once, form) == once, s"$form not idempotent on ${s.toList}")
+      }
+      // canonical equivalence: decomposing first never changes NFC's answer
+      assert(norm(norm(s, "NFD"), "NFC") == norm(s, "NFC"))
+      // compatibility subsumes canonical: NFKC of an NFC result == NFKC
+      assert(norm(norm(s, "NFC"), "NFKC") == norm(s, "NFKC"))
+    }
+    val asciiGen: Gen[String] =
+      Gen.listOf(Gen.choose(0x20.toChar, 0x7e.toChar)).map(_.mkString)
+    forAll(asciiGen, n = 60) { (s: String) =>
+      for (form <- Seq("NFC", "NFD", "NFKC", "NFKD"))
+        assert(norm(s, form) == s, s"$form not identity on ASCII '$s'")
+    }
+  }
 }
