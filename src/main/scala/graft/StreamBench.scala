@@ -47,6 +47,9 @@ object StreamBench {
     * Re-baseline floors when the medians legitimately move. */
   val throughputFloors: Map[String, Double] = Map(
     "sb_dedup"               -> 1044,
+    // first floored from the idle round-8 refresh (medians 1167 / 4409)
+    "sb_fuzzy_contamination" -> 583,
+    "sb_dsir_score"          -> 2204,
     "sb_contamination"       -> 677,
     "sb_neardup_pairs"       -> 346,
     "sb_neardup_pairs_cap64" -> 433,
@@ -162,8 +165,8 @@ object StreamBench {
 
     // fuzzy contamination gate: arriving docs near-dup-checked against a
     // static 100-doc eval set (stateless band probe; state is only the
-    // within-watermark match dedup). No throughput floor yet — first
-    // baselined in r8; floor lands at the next re-calibration.
+    // within-watermark match dedup). Floored at 583 rows/s from the
+    // idle round-8 refresh (median 1167).
     locally {
       val testSet = spark.read.parquet(s"$sfDir/documents.parquet")
         .limit(100).select("doc_id", "text")
@@ -180,8 +183,8 @@ object StreamBench {
 
     // DSIR apply: batch-trained dense weight table folded into a constant
     // array, scoring is one stateless projection (no join/shuffle/state).
-    // No throughput floor yet — first baselined this round; floor lands
-    // at the next re-calibration.
+    // Floored at 2204 rows/s from the idle round-8 refresh (median
+    // 4409 — stateless, so throughput is the gram explode alone).
     locally {
       val ref = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text", "lang")
