@@ -84,6 +84,11 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_theta_intersect_est(binary, binary) — got ${other.size} args")
     },
+    "graft_theta_is_exact" -> {
+      case Seq(c) => GraftThetaIsExact(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_theta_is_exact(binary) — got ${other.size} args")
+    },
     "graft_vec_sum" -> {
       case Seq(c) => GraftVecSumAgg(c).toAggregateExpression()
       case other => throw new IllegalArgumentException(
@@ -103,6 +108,9 @@ object GraftFunctionRegistry {
       case Seq(c) => GraftNormalize(c, "NFC")
       case Seq(c, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>
         GraftNormalize(c, f.toString)
+      case other if other.size == 2 => throw new IllegalArgumentException(
+        "graft_normalize(string, form) — form must be a string literal " +
+          s"(NFC/NFD/NFKC/NFKD), got non-literal ${other(1).sql}")
       case other => throw new IllegalArgumentException(
         s"graft_normalize(string[, form literal]) — got ${other.size} args")
     },

@@ -131,3 +131,31 @@ case class GraftThetaIntersectEst(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): GraftThetaIntersectEst =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_theta_is_exact(binary)` → `boolean`: true iff the serialized
+  * theta sketch is still in exact mode (theta = 1.0, i.e. it retains
+  * every distinct hash it ever saw, so estimates and intersections are
+  * exact set algebra, not estimates). The precondition gate for the
+  * exact-mode query tier — callers that DEPEND on exactness (e.g. a
+  * DuckDB set-algebra oracle) assert this instead of assuming the data
+  * scale stays under 2^lgK. CodegenFallback, same rationale as
+  * [[GraftThetaEst]].
+  */
+case class GraftThetaIsExact(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_theta_is_exact requires binary, got $other")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_theta_is_exact"
+
+  override def nullSafeEval(input: Any): Any =
+    !Sketches.heapifyCompactSketch(
+      Memory.wrap(input.asInstanceOf[Array[Byte]])).isEstimationMode
+
+  override protected def withNewChildInternal(newChild: Expression): GraftThetaIsExact =
+    copy(child = newChild)
+}

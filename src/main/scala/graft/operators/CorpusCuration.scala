@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object CorpusCuration {
 
+  /** Default DSIR hash-bucket count, shared by [[dsirScores]] /
+    * [[dsirWeights]] AND the DuckDB oracle that replays them — reference
+    * this constant in both so they cannot silently desync. MUST stay a
+    * power of two: the oracle maps grams to buckets with an UNSIGNED
+    * `h % B` over the xxh64 value while Spark takes `pmod` of the SIGNED
+    * hash, and `(h + 2⁶⁴) % B == pmod(h, B)` only when `2⁶⁴ % B == 0`.
+    */
+  val DsirDefaultBuckets: Int = 4096
+  require(Integer.bitCount(DsirDefaultBuckets) == 1,
+    "DsirDefaultBuckets must be a power of two (unsigned-vs-pmod oracle parity)")
+
   /** Exact dedup: keep the lowest-`idCol` row of every identical-`textCol`
     * group. One digest-keyed shuffle at any corpus size.
     */
@@ -609,9 +620,12 @@ object CorpusCuration {
     * document's score is the sum over its gram occurrences of the
     * log-ratio. Every step is integer-exact so the whole operator is
     * cross-engine reproducible: the ratio is floored onto a 2²⁰
-    * fixed-point grid with DECIMAL(38,0) products (no 64-bit overflow at
-    * any corpus size — the operands reach ~10²¹ at trillion-gram scale),
-    * and the log is the classic integer fixed-point log₂ —
+    * fixed-point grid with DECIMAL(38,0) products (the products reach
+    * ~10²¹ at trillion-gram scale without overflow; the RESULTING ratio
+    * `w` must stay below 2⁵³ so the subsequent `w << 10` log step fits a
+    * signed 64-bit — enforced with a runtime `raise_error`, which only an
+    * extreme target/raw imbalance of ≥ 2³³ against a near-empty target
+    * could trip), and the log is the classic integer fixed-point log₂ —
     * `(ilog2(w) << 10) + ((w << 10) >> ilog2(w)) - 1024`, where
     * `ilog2` is the binary-string length minus one (no libm anywhere;
     * monotone in `w`, ~0.1% resolution).
@@ -627,7 +641,7 @@ object CorpusCuration {
     * the per-bucket count, whose key space is B, not the corpus.
     */
   def dsirScores(docs: DataFrame, isTarget: Column,
-                 buckets: Int = 4096, idCol: String = "doc_id",
+                 buckets: Int = DsirDefaultBuckets, idCol: String = "doc_id",
                  textCol: String = "text"): DataFrame = {
     val weights = dsirWeights(docs, isTarget, buckets, textCol)
     dsirGramBuckets(docs, isTarget, buckets, idCol, textCol)
@@ -650,7 +664,8 @@ object CorpusCuration {
     * rows regardless of corpus size — always broadcastable, always
     * collectable.
     */
-  def dsirWeights(docs: DataFrame, isTarget: Column, buckets: Int = 4096,
+  def dsirWeights(docs: DataFrame, isTarget: Column,
+                  buckets: Int = DsirDefaultBuckets,
                   textCol: String = "text"): DataFrame = {
     require(buckets > 0, s"buckets must be positive, got $buckets")
     val spark = docs.sparkSession
@@ -678,6 +693,13 @@ object CorpusCuration {
            |       * CAST(1048576 AS DECIMAL(38,0)))
            |     div (CAST(__cr + 1 AS DECIMAL(38,0)) * CAST(__ntb AS DECIMAL(38,0)))
            |     AS BIGINT)""".stripMargin)))
+      // the `__w << 10` in the fixed-point log below wraps silently past
+      // 2^53; fail loudly instead of diverging from the HUGEINT oracle
+      .withColumn("__w", when(col("__w") >= lit(1L << 53),
+        expr("CAST(raise_error('graft dsirWeights: fixed-point ratio >= 2^53 " +
+             "(target corpus too small relative to raw for the 2^20 grid); " +
+             "rebalance the corpora or rescale the grid') AS BIGINT)"))
+        .otherwise(col("__w")))
       .withColumn("__il", (length(conv(col("__w"), 10, 2)) - 1).cast("long"))
       .withColumn("lw",
         expr("shiftleft(__w, 10) div shiftleft(1L, CAST(__il AS INT))") +

@@ -169,17 +169,48 @@ object GraftSimilarity {
     IvfIndex(cents, assignTo(cents, e))
   }
 
-  /** Nearest centroid per vector (ties → lowest c_id) via max(struct)
-    * partial argmax: collapses to one row per vector BEFORE any exchange.
-    * Shared by the full build and the incremental append.
+  /** Nearest centroid per vector (ties → lowest c_id; NaN cosines rank
+    * greatest, mirroring Spark's total order, so a degenerate zero-norm
+    * centroid claims its vectors deterministically), computed
+    * EXCHANGE-FREE: the ≤√N centroid set folds into ONE broadcast row
+    * ([[probeCells]]'s collect_list pattern) and every vector row reduces
+    * its own cosine array in a single pure projection — `aggregate` over
+    * `transform`, an O(M) fold with the comparator spelled out. The
+    * former shape (broadcast-join + `groupBy(n_id)` max-struct argmax)
+    * collapsed to one row per vector on the map side but still
+    * hash-exchanged that row WITH its full vector payload — a whole-corpus
+    * shuffle per assign, and per Lloyd round in [[kmeansRefine]]. Now
+    * nothing crosses the wire in assignment at all; the only exchange
+    * left in an index build is the √N·dim centroid accumulation.
+    * Shared by the full build, the incremental append, the store append
+    * and the coarse-quantizer grouping. Comparator semantics equal the
+    * oracles' `ORDER BY cosine DESC, c_id LIMIT 1` exactly (SQL value
+    * ties → lowest c_id).
     */
-  private def assignTo(cents: DataFrame, e: DataFrame): DataFrame =
-    e.join(broadcast(cents))
-      .select(col("n_id"), col("v"), col("c_id"), cosine("v", "cv").as("cc"))
-      .groupBy("n_id")
-      .agg(max(struct(col("cc"), (-col("c_id")).as("nc"))).as("m"),
-           first(col("v")).as("v"))
-      .select(col("n_id"), col("v"), (-col("m.nc")).as("c_id"))
+  private def assignTo(cents: DataFrame, e: DataFrame): DataFrame = {
+    val centsRow = broadcast(cents.agg(
+      collect_list(struct(col("c_id").cast("long").as("c_id"), col("cv")))
+        .as("__cents")))
+    e.crossJoin(centsRow)
+      .select(col("n_id"), col("v"),
+        expr(
+          """aggregate(
+               transform(__cents,
+                         c -> struct(graft_cosine(v, c.cv) AS cc,
+                                     c.c_id AS c_id)),
+               CAST(NULL AS STRUCT<cc: DOUBLE, c_id: BIGINT>),
+               (acc, s) -> CASE
+                 WHEN acc IS NULL THEN s
+                 WHEN s.cc > acc.cc
+                      OR (isnan(s.cc) AND NOT isnan(acc.cc)) THEN s
+                 WHEN acc.cc > s.cc
+                      OR (isnan(acc.cc) AND NOT isnan(s.cc)) THEN acc
+                 WHEN s.c_id < acc.c_id THEN s
+                 ELSE acc END).c_id""").as("c_id"))
+      // an empty centroid set folds to an empty array → null c_id; the
+      // former join shape dropped every vector there, so match it
+      .filter(col("c_id").isNotNull)
+  }
 
   /** Append a batch to an existing index WITHOUT re-clustering: the new
     * vectors are assigned to the EXISTING centroids (same map-side partial
@@ -1057,19 +1088,16 @@ object GraftSimilarity {
       : DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
     graft.GraftSession.ensureExtensions(vecs.sparkSession)
-    val v = vecs.select(col(idCol).as("__kid"), col(vecCol).as("__kv"))
+    // each round: the exchange-free folded-row argmax ([[assignTo]] — the
+    // corpus never crosses a shuffle), then ONE aggregation whose map-side
+    // combine ships √N·dim accumulators, not vectors
+    val v = vecs.select(col(idCol).as("n_id"), col(vecCol).as("v"))
     var c = cents.select(col("c_id"), col("cv"))
     var i = 0
     while (i < iters) {
-      val assigned = v.join(broadcast(c))
-        .select(col("__kid"), col("__kv"), col("c_id"),
-                cosine("__kv", "cv").as("__cc"))
-        .groupBy("__kid")
-        .agg(max(struct(col("__cc"), (-col("c_id")).as("nc"))).as("__m"),
-             first(col("__kv")).as("__kv"))
-        .select(col("__kv"), (-col("__m.nc")).as("c_id"))
-      c = assigned.groupBy("c_id")
-        .agg(expr(s"graft_vec_sum(transform(__kv, x -> round(x * $KmeansGrid)))")
+      c = assignTo(c, v)
+        .groupBy("c_id")
+        .agg(expr(s"graft_vec_sum(transform(v, x -> round(x * $KmeansGrid)))")
                .as("__s"))
         .select(col("c_id"), col("__s").as("cv"))
       i += 1

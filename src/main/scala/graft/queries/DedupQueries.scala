@@ -437,6 +437,14 @@ object DedupQueries extends QueryModule {
                     .as("shingle"))
           .groupBy("source")
           .agg(expr("graft_theta_sketch(shingle, 15)").as("sk"))
+          // ENFORCED exactness precondition (not assumed from test SFs):
+          // any source whose distinct-shingle count pushes the lgK=15
+          // sketch into estimation mode fails loudly instead of silently
+          // desyncing from the set-algebra oracle
+          .filter(expr("""isnull(assert_true(graft_theta_is_exact(sk),
+            'dedup_source_overlap_exact: a source sketch left exact mode
+             (distinct 3-shingles exceeded the lgK=15 capacity); raise lgK
+             or use the estimating dedup_source_overlap tier'))"""))
         sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
           .select(col("a.source").as("a_src"), col("b.source").as("b_src"),
                   round(expr("graft_theta_est(a.sk)"), 1).as("a_distinct"),

@@ -593,7 +593,8 @@ object PipelineQueries extends QueryModule {
       (s, dir) => {
         import org.apache.spark.sql.expressions.Window
         val scored = graft.operators.CorpusCuration.dsirScores(
-          t(s, dir, "documents"), isTarget = col("lang") === "en")
+          t(s, dir, "documents"), isTarget = col("lang") === "en",
+          buckets = graft.operators.CorpusCuration.DsirDefaultBuckets)
         scored
           .orderBy(col("dsir_score").desc, col("doc_id")).limit(50)
           .withColumn("rank", row_number().over(
@@ -615,6 +616,10 @@ object PipelineQueries extends QueryModule {
   * the document level like the other chain consumers.
   */
 private[queries] object DsirOracle {
+  /** Bucket count interpolated from the SAME constant the Spark side
+    * uses (power-of-two required — see [[graft.operators.CorpusCuration
+    * .DsirDefaultBuckets]] for the unsigned-`%` vs `pmod` argument). */
+  private val B: Int = graft.operators.CorpusCuration.DsirDefaultBuckets
   val sql: String =
     """WITH docs AS (
       |  SELECT doc_id, lang,
@@ -631,14 +636,14 @@ private[queries] object DsirOracle {
       |ds_in AS (SELECT DISTINCT g AS t FROM gr),
       |""".stripMargin +
     XxHash64Sql.chain("ds_", "42", "pipeline_dsir_select oracle") +
-    """bk AS (SELECT t, CAST(h % 4096 AS BIGINT) AS b FROM ds_ht),
+    s"""bk AS (SELECT t, CAST(h % $B AS BIGINT) AS b FROM ds_ht),
       |gb AS (SELECT gr.doc_id, gr.tgt, bk.b FROM gr JOIN bk ON bk.t = gr.g),
       |cnt AS (
       |  SELECT b, count(*) AS cr, count(*) FILTER (WHERE tgt) AS ct
       |  FROM gb GROUP BY b),
       |tot AS (
-      |  SELECT CAST(sum(cr) + 4096 AS HUGEINT) AS nrb,
-      |    CAST(sum(ct) + 4096 AS HUGEINT) AS ntb
+      |  SELECT CAST(sum(cr) + $B AS HUGEINT) AS nrb,
+      |    CAST(sum(ct) + $B AS HUGEINT) AS ntb
       |  FROM cnt),
       |wt AS (
       |  SELECT b,

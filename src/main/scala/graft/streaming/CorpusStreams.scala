@@ -87,7 +87,7 @@ object CorpusStreams {
     * fewer than 2 tokens are dropped (unscoreable, same as batch).
     */
   def dsirScoreStream(docs: DataFrame, weights: DataFrame,
-                      buckets: Int = 4096,
+                      buckets: Int = graft.operators.CorpusCuration.DsirDefaultBuckets,
                       textCol: String = "text"): DataFrame = {
     import graft.operators.GraftText
     require(buckets > 0, s"buckets must be positive, got $buckets")

@@ -246,6 +246,37 @@ class PlanSpec extends GraftFunSuite {
     assert(p.contains("SelectedBucketsCount"), p)
   }
 
+  test("IVF assign is exchange-free: corpus rows never hash-shuffle " +
+       "between the scan and their cell ids; a Lloyd build's only hash " +
+       "exchanges are the per-round centroid accumulations") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    // plain build (fraction pinned so no count-agg sidecar muddies the pin)
+    // an AQE executedPlan prints Final AND Initial sections — count the
+    // final one only or every exchange double-counts
+    def finalPlan(df: org.apache.spark.sql.DataFrame): String =
+      GraftSqlBridge.queryExecution(df).executedPlan.toString
+        .split("== Initial Plan ==").head
+    val idx = graft.operators.GraftSimilarity.buildIvfIndex(e, Some(0.1))
+    idx.assigned.collect() // finalize AQE
+    val p = finalPlan(idx.assigned)
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"assign must not hash-shuffle the corpus (r8 verdict item 2):\n$p")
+    // Lloyd-refined build: the ONLY hash exchanges are the √N·dim
+    // centroid accumulations — one per round plus the final assign's none
+    val refined = graft.operators.GraftSimilarity
+      .buildIvfIndex(e, Some(0.1), refineIters = 2)
+    refined.assigned.collect()
+    val rp = finalPlan(refined.assigned)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(rp).size
+    assert(hashEx <= 2,
+      s"a 2-round Lloyd build may hash-exchange only the per-round " +
+      s"centroid accumulators (≤2), got $hashEx:\n$rp")
+    assert(!rp.contains("hashpartitioning(n_id"),
+      s"no per-vector exchange anywhere in the refined build:\n$rp")
+  }
+
   test("sequence packing shuffles ONCE (on the shard key), never globally") {
     val p = planOf("pipeline_sequence_pack")
     val exchanges = "Exchange".r.findAllIn(p).size
