@@ -158,10 +158,15 @@ object CorpusCuration {
     * gram strings never cross a shuffle.
     *
     * Recall is deterministic enough to certify against a brute-force
-    * oracle: at threshold 0.7 the default banding is r=2 × b=64, so
-    * P(no band collides | J ≥ 0.7) ≤ (1 − 0.7²)⁶⁴ ≈ 2·10⁻¹⁹, and the
-    * sig-agree prefilter's miss probability at the 0.2 margin is < 10⁻⁶
-    * (binomial tail over 128 signature slots).
+    * oracle, and the banding is no longer assumed from the certified
+    * operating points: geometry comes from [[GraftDedup.minhashBanding]],
+    * which ENFORCES the analytic bound
+    * `P(no band collides | J ≥ τ) ≤ (1 − τ^r)^b ≤ missTarget`
+    * for whatever (τ, r, b) a caller lands on — at the default τ=0.7
+    * that is r=2 × b=64 with bound ≈ 2·10⁻¹⁹; a geometry exceeding the
+    * target is refused, not run. The sig-agree prefilter's miss
+    * probability at the 0.2 margin is < 10⁻⁶ (binomial tail over 128
+    * signature slots).
     *
     * Caller contract: `idCol` values must be disjoint across `train` and
     * `test` (automatic when both sides come from one corpus's split).
@@ -170,13 +175,10 @@ object CorpusCuration {
                             idCol: String = "doc_id",
                             textCol: String = "text",
                             threshold: Double = 0.7, shingleN: Int = 3,
-                            numHashes: Int = 128): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold should be in (0, 1], got: $threshold")
-    val r = if (threshold >= 0.85) 4 else 2
-    require(numHashes % r == 0,
-      s"numHashes ($numHashes) must divide by rowsPerBand ($r)")
-    val bands = numHashes / r
+                            numHashes: Int = 128, rowsPerBand: Int = 0,
+                            missTarget: Double = 1e-4): DataFrame = {
+    val (r, bands) = GraftDedup.minhashBanding(threshold, numHashes,
+                                               rowsPerBand, missTarget)
     val sigFilter = math.max(0.0, threshold - 0.2)
     import ScaleHints.gated
     def shingled(d: DataFrame) = d

@@ -52,6 +52,53 @@ object GraftDedup {
     n
   }
 
+  /** The analytic recall bound of MinHash banding — the probability that
+    * a pair at EXACTLY the decision threshold collides in NO band:
+    * `P(miss | J = t) = (1 − t^r)^b` for `b` bands of `r` signature rows
+    * (per band, all `r` independent minhash slots must agree, each with
+    * probability J; bands are independent). It is the worst case over the
+    * accepted region — `P(miss | J ≥ t) ≤ (1 − t^r)^b` since the bound is
+    * decreasing in J — so it IS the stated recall contract of every
+    * banded operator here. Exposed so callers and specs can read the
+    * contract for any (τ, r, b), not just the certified defaults.
+    */
+  def bandMissProb(threshold: Double, rowsPerBand: Int, bands: Int): Double =
+    math.pow(1.0 - math.pow(threshold, rowsPerBand), bands)
+
+  /** Banding geometry for a Jaccard `threshold` with the recall bound
+    * ENFORCED, not assumed ([[bandMissProb]] must stay ≤ `missTarget` or
+    * the geometry is REFUSED): `rowsPerBand` 0 derives r from the
+    * threshold — r=2 below 0.85 (loose thresholds need high recall on
+    * sparse collisions), r=4 at ≥ 0.85 (dense backgrounds, e.g.
+    * character n-grams, need band collisions suppressed; background pairs
+    * collide per band at J_bg^r) — the certified operating points of the
+    * oracle rows (τ=0.7: 2.2e-19, τ=0.8: 4e-13). An explicit r is
+    * validated the same way, so a caller cannot silently run a geometry
+    * that drops above-threshold pairs more often than `missTarget`
+    * (e.g. τ=0.3 at r=2×b=64 misses 0.2% of true pairs — refused, where
+    * the old hard-coded rule accepted it silently).
+    */
+  def minhashBanding(threshold: Double, numHashes: Int,
+                     rowsPerBand: Int = 0,
+                     missTarget: Double = 1e-4): (Int, Int) = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold should be in (0, 1], got: $threshold")
+    require(missTarget > 0 && missTarget < 1,
+      s"missTarget must be in (0, 1), got $missTarget")
+    val r = if (rowsPerBand > 0) rowsPerBand
+            else if (threshold >= 0.85) 4 else 2
+    require(numHashes % r == 0,
+      s"numHashes ($numHashes) must divide by rowsPerBand ($r)")
+    val b = numHashes / r
+    val miss = bandMissProb(threshold, r, b)
+    require(miss <= missTarget,
+      f"minhash banding r=$r × b=$b misses a J ≥ $threshold pair with " +
+      f"probability $miss%.3g > missTarget $missTarget%.3g — raise " +
+      "numHashes, lower rowsPerBand, or relax missTarget if the recall " +
+      "loss is intended")
+    (r, b)
+  }
+
   /** Signature table for [[nearDupPairs]]: keeps `idCol` (and `blockCols`),
     * adds `sig` (MinHash signature, `numHashes` longs) and `gh` (sorted
     * distinct 64-bit item hashes — the exact-verify payload). Pure map.
@@ -398,10 +445,10 @@ object GraftDedup {
     * have Jaccard ≥ `threshold` (within equal `blockCols`, if given),
     * as (a_id, b_id, jaccard) with a_id < b_id.
     *
-    * Picks the banding from the threshold when not given: r=2 for loose
-    * thresholds (high recall on sparse collisions), r=4 when a dense
-    * background (e.g. character n-grams) needs collisions suppressed;
-    * b = numHashes / r.
+    * Banding comes from [[minhashBanding]] — threshold-derived when
+    * `rowsPerBand` is 0, and in EVERY case validated against the stated
+    * recall bound ([[bandMissProb]] ≤ `missTarget`), so a geometry that
+    * would silently drop above-threshold pairs is refused instead of run.
     *
     * The intermediate signature table is persisted — it feeds the band
     * self-join (both sides) and four verify attaches, and would otherwise
@@ -413,16 +460,14 @@ object GraftDedup {
   def nearDupPairs(df: DataFrame, idCol: String, itemsCol: String,
                    threshold: Double, blockCols: Seq[String] = Nil,
                    numHashes: Int = 128, rowsPerBand: Int = 0,
-                   sigFilter: Double = Double.NaN): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold should be in (0, 1], got: $threshold")
-    val r = if (rowsPerBand > 0) rowsPerBand
-            else if (threshold >= 0.85) 4 else 2
-    require(numHashes % r == 0, s"numHashes ($numHashes) must divide by rowsPerBand ($r)")
+                   sigFilter: Double = Double.NaN,
+                   missTarget: Double = 1e-4): DataFrame = {
+    val (r, bands) = minhashBanding(threshold, numHashes, rowsPerBand,
+                                    missTarget)
     val sf = if (sigFilter.isNaN) math.max(0.0, threshold - 0.2) else sigFilter
     val tbl = pin(signatures(df, idCol, itemsCol, blockCols, numHashes).persist())
     val cand = lshCandidates(tbl, idCol, blockCols,
-                             bands = numHashes / r, rowsPerBand = r)
+                             bands = bands, rowsPerBand = r)
     verifyJaccard(cand, tbl, idCol, threshold, sf)
   }
 }

@@ -1,0 +1,201 @@
+package graft.operators
+
+import java.io.ByteArrayInputStream
+
+import javax.imageio.ImageIO
+
+/** REAL image plumbing for the multimodal tier — no stub: images are
+  * encoded as standard uncompressed 24-bit BMP (and PNG, in specs) and
+  * decoded through the JDK's `javax.imageio` codecs into actual pixel
+  * rasters; resize is true bilinear over decoded pixels; features and
+  * embeddings are integer-exact functions of the raster.
+  *
+  * Corpus-derived test images: the driver testdata ships no image files,
+  * so the catalog queries MAKE real ones — each document's bytes become
+  * the grayscale pixels of a `rasterWidth × rasterHeight` image
+  * (row-major, zero-padded to fill the last row), encoded to a
+  * byte-for-byte deterministic BMP, then decoded back through the REAL
+  * codec. Because BMP is lossless and the layout is pure arithmetic, a
+  * DuckDB oracle can replay every downstream feature from the document's
+  * code points — the decode is real, the expected answer is still
+  * SQL-addressable (and MultimodalSpec proves the same payload
+  * round-trips pixel-identically through the PNG codec, so nothing
+  * depends on BMP specifically).
+  *
+  * Scale: every function here is a pure per-row kernel used inside
+  * `mapPartitions` — payload bytes never cross a shuffle; only small
+  * feature/metadata outputs do.
+  */
+object GraftMedia {
+
+  /** Row-major grayscale raster: `pixels(y * width + x)` ∈ [0, 255]. */
+  final case class Raster(width: Int, height: Int, pixels: Array[Int]) {
+    require(pixels.length == width * height,
+      s"raster ${width}x$height expects ${width * height} pixels, " +
+      s"got ${pixels.length}")
+  }
+
+  /** Deterministic geometry of a corpus-derived image: width in [8, 16]
+    * varies with the payload, height covers all bytes (≥ 1 row). Shared
+    * by the Spark queries AND (as plain arithmetic) the DuckDB oracles.
+    */
+  def rasterWidth(n: Int): Int = 8 + n % 9
+  def rasterHeight(n: Int, w: Int): Int = math.max(1, (n + w - 1) / w)
+
+  /** The raster a payload maps to BEFORE encoding: byte i is the gray
+    * value of pixel i (row-major); the tail of the last row pads 0. */
+  def payloadRaster(bytes: Array[Byte]): Raster = {
+    val n = bytes.length
+    val w = rasterWidth(n)
+    val h = rasterHeight(n, w)
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < n) { px(i) = bytes(i) & 0xff; i += 1 }
+    Raster(w, h, px)
+  }
+
+  /** Serialize a raster as a standard uncompressed 24-bit BMP
+    * (BITMAPINFOHEADER, bottom-up rows, 4-byte row padding, B=G=R=gray)
+    * — byte-for-byte deterministic, decodable by any BMP reader.
+    */
+  def encodeBmp(r: Raster): Array[Byte] = {
+    val rowBytes = (r.width * 3 + 3) / 4 * 4
+    val imageSize = rowBytes * r.height
+    val fileSize = 54 + imageSize
+    val out = new Array[Byte](fileSize)
+    def putInt(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte
+      out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte
+      out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    putInt(2, fileSize); putInt(10, 54)
+    putInt(14, 40); putInt(18, r.width); putInt(22, r.height)
+    out(26) = 1; out(28) = 24
+    putInt(34, imageSize)
+    putInt(38, 2835); putInt(42, 2835)
+    var y = 0
+    while (y < r.height) {
+      // BMP stores rows bottom-up
+      val base = 54 + (r.height - 1 - y) * rowBytes
+      var x = 0
+      while (x < r.width) {
+        val g = r.pixels(y * r.width + x).toByte
+        val o = base + x * 3
+        out(o) = g; out(o + 1) = g; out(o + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Serialize a raster as PNG through the JDK encoder. PNG bytes are
+    * not pinned (encoder details may vary); decoded PIXELS are — specs
+    * assert the BMP and PNG paths decode identically. */
+  def encodePng(r: Raster): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      r.width, r.height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < r.height) {
+      var x = 0
+      while (x < r.width) {
+        val g = r.pixels(y * r.width + x)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(ImageIO.write(img, "png", bos), "JDK PNG encoder unavailable")
+    bos.toByteArray
+  }
+
+  /** REAL decode: hand the bytes to `javax.imageio` (format sniffed from
+    * the payload — BMP, PNG, GIF, JPEG, whatever the JDK readers know)
+    * and extract the red channel as the grayscale raster (our images are
+    * achromatic; on color input this is a defined, documented channel
+    * pick, not an average that would need rounding rules). Throws on
+    * undecodable bytes — a corrupt corpus image should fail loudly, not
+    * flow as zeros. */
+  def decodeGray(imageBytes: Array[Byte]): Raster = {
+    val img = ImageIO.read(new ByteArrayInputStream(imageBytes))
+    require(img != null,
+      "decodeGray: payload is not a decodable image (no ImageIO reader " +
+      "claimed it)")
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        px(y * w + x) = (img.getRGB(x, y) >> 16) & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w, h, px)
+  }
+
+  /** Factor-2 bilinear downsample over DECODED pixels: with half-pixel
+    * centers, scale-2 bilinear weights collapse to the exact mean of
+    * each 2×2 block — computed in integers (floor of sum/4), so the
+    * result is bit-deterministic and oracle-replayable while being the
+    * textbook bilinear kernel for this scale. Odd trailing row/column
+    * samples clamp to the edge (only reachable when a dimension is 1 —
+    * halving drops a plain odd tail). */
+  def bilinearHalf(r: Raster): Raster = {
+    val w2 = math.max(1, r.width / 2)
+    val h2 = math.max(1, r.height / 2)
+    val out = new Array[Int](w2 * h2)
+    var i = 0
+    while (i < h2) {
+      val y0 = math.min(2 * i, r.height - 1)
+      val y1 = math.min(2 * i + 1, r.height - 1)
+      var j = 0
+      while (j < w2) {
+        val x0 = math.min(2 * j, r.width - 1)
+        val x1 = math.min(2 * j + 1, r.width - 1)
+        out(i * w2 + j) =
+          (r.pixels(y0 * r.width + x0) + r.pixels(y0 * r.width + x1) +
+           r.pixels(y1 * r.width + x0) + r.pixels(y1 * r.width + x1)) / 4
+        j += 1
+      }
+      i += 1
+    }
+    Raster(w2, h2, out)
+  }
+
+  /** Image embedding off the decoded raster: L2-normalized 16-bin
+    * intensity histogram (pixel >> 4). Integer bin counts, one float
+    * normalize — the deterministic stand-in shape for a learned encoder,
+    * now fed by REAL decoded pixels. */
+  def histogramEmbed(r: Raster): Array[Double] = {
+    val h = new Array[Double](16)
+    var i = 0
+    while (i < r.pixels.length) { h(r.pixels(i) >> 4) += 1.0; i += 1 }
+    val norm = math.sqrt(h.map(x => x * x).sum)
+    if (norm == 0) h else h.map(_ / norm)
+  }
+
+  /** Exact integer summary of a raster (the oracle-friendly feature
+    * set: sums and extrema, never engine-rounded means). */
+  final case class RasterStats(width: Int, height: Int, nPix: Int,
+                               sumPix: Long, minPix: Int, maxPix: Int)
+
+  def stats(r: Raster): RasterStats = {
+    var sum = 0L; var mn = 255; var mx = 0
+    var i = 0
+    while (i < r.pixels.length) {
+      val p = r.pixels(i)
+      sum += p
+      if (p < mn) mn = p
+      if (p > mx) mx = p
+      i += 1
+    }
+    val empty = r.pixels.isEmpty
+    RasterStats(r.width, r.height, r.pixels.length, sum,
+                if (empty) 0 else mn, if (empty) 0 else mx)
+  }
+}

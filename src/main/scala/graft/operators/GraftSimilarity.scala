@@ -187,7 +187,7 @@ object GraftSimilarity {
     * oracles' `ORDER BY cosine DESC, c_id LIMIT 1` exactly (SQL value
     * ties → lowest c_id).
     */
-  private def assignTo(cents: DataFrame, e: DataFrame): DataFrame = {
+  private[operators] def assignTo(cents: DataFrame, e: DataFrame): DataFrame = {
     val centsRow = broadcast(cents.agg(
       collect_list(struct(col("c_id").cast("long").as("c_id"), col("cv")))
         .as("__cents")))

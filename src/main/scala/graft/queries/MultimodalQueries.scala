@@ -2,72 +2,37 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 
-/** Multimodal-column plumbing: media treated as opaque `binary` columns with
-  * typed metadata, decode/feature-extract/frame-sample stages.
+import graft.operators.GraftMedia
+
+/** Multimodal-column pipeline: media as opaque `binary` columns with typed
+  * metadata, decode / feature-extract / resize / frame-sample / embed→ANN
+  * stages.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB (`FakeMedia.decode`) — the Spark-side
-  * plumbing (binary schema, typed Dataset batch shape, per-partition
-  * processing, metadata struct outputs) is real and is what these queries
-  * exercise. Swapping in a real codec changes one function.
+  * The decode is REAL — [[graft.operators.GraftMedia]] hands image bytes to
+  * the JDK's `javax.imageio` codecs (BMP/PNG/GIF/JPEG readers, hermetic, no
+  * external deps) and all downstream stages run over the actual decoded
+  * pixel raster: true factor-2 bilinear resize, integer-exact raster
+  * features, histogram embedding. The driver testdata ships no image
+  * files, so each query MANUFACTURES real ones deterministically — the
+  * document's bytes become the grayscale pixels of a small raster, encoded
+  * to standard uncompressed 24-bit BMP, then decoded back through the real
+  * codec. BMP being lossless with arithmetic layout, the DuckDB oracles
+  * replay every feature from the document's code points while the Spark
+  * side exercises the full encode→decode→process path (MultimodalSpec
+  * additionally proves the PNG codec path decodes pixel-identically).
   *
-  * Scale: every stage is a pure map over binary payloads — no shuffle, and
-  * payload bytes never leave the executor that scanned them. The only
-  * shuffled bytes are the small metadata/feature outputs.
+  * Scale: every stage is a pure map over binary payloads inside
+  * `mapPartitions` (the one justified non-Expression site: byte-level
+  * codec work) — no shuffle, payload bytes never leave the executor that
+  * scanned them. Only small metadata/feature/embedding outputs shuffle.
   */
 object MultimodalQueries extends QueryModule {
 
-  /** Deterministic stand-in for a media decoder: derives "image" dimensions
-    * and channel statistics purely from the payload bytes.
-    */
-  private[graft] object FakeMedia {
-    final case class Decoded(width: Int, height: Int, meanByte: Double,
-                             minByte: Int, maxByte: Int,
-                             sumByte: Long, nBytes: Int)
-
-    /** STUB — a real build would call an image codec here (e.g. TwelveMonkeys
-      * / javax.imageio over the byte array). Deterministic fake: dimensions
-      * from the byte length, stats from the raw payload.
-      */
-    def decode(bytes: Array[Byte]): Decoded = {
-      val n = bytes.length
-      val w = 64 + n % 64
-      val h = 64 + (n / 7) % 64
-      var sum = 0L
-      var mn = 255
-      var mx = 0
-      var i = 0
-      while (i < n) {
-        val b = bytes(i) & 0xff
-        sum += b
-        if (b < mn) mn = b
-        if (b > mx) mx = b
-        i += 1
-      }
-      val mean = if (n == 0) 0.0 else sum.toDouble / n
-      Decoded(w, h, mean, if (n == 0) 0 else mn, if (n == 0) 0 else mx,
-              sum, n)
-    }
-
-    /** STUB encoder — a real build would run an image/text embedding model.
-      * Deterministic fake: L2-normalized 16-bin byte histogram.
-      */
-    def embed(bytes: Array[Byte]): Array[Double] = {
-      val h = new Array[Double](16)
-      var i = 0
-      while (i < bytes.length) {
-        h((bytes(i) & 0xff) >> 4) += 1.0
-        i += 1
-      }
-      val norm = math.sqrt(h.map(x => x * x).sum)
-      if (norm == 0) h else h.map(_ / norm)
-    }
-  }
-
   override def all: Seq[GraftQuery] = Seq(
 
-    // Binary ingestion + metadata: payload bytes, digest, decoded dims.
-    // Dims are arithmetic on octet_length → ANSI-expressible ⇒ oracled.
+    // Binary ingestion + metadata: payload bytes, digest, raster geometry
+    // (the same deterministic geometry the decode queries encode with).
+    // Pure arithmetic on octet_length => ANSI-expressible => oracled.
     GraftQuery(
       "mm_binary_meta",
       (s, dir) =>
@@ -77,21 +42,26 @@ object MultimodalQueries extends QueryModule {
             col("doc_id"),
             octet_length(col("payload")).cast("long").as("n_bytes"),
             md5(col("payload")).as("content_md5"))
-          .withColumn("width", expr("64 + n_bytes % 64"))
-          .withColumn("height", expr("64 + (n_bytes div 7) % 64"))
+          .withColumn("width", expr("8 + n_bytes % 9"))
+          .withColumn("height",
+                      expr("greatest(1L, (n_bytes + width - 1) div width)"))
           .withColumn("n_pixels", col("width") * col("height")),
-      Some("""SELECT doc_id,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  md5(text) AS content_md5,
-        |  64 + octet_length(encode(text)) % 64 AS width,
-        |  64 + (octet_length(encode(text)) // 7) % 64 AS height,
-        |  (64 + octet_length(encode(text)) % 64)
-        |    * (64 + (octet_length(encode(text)) // 7) % 64) AS n_pixels
-        |FROM documents""".stripMargin)),
+      Some("""WITH b AS (
+        |  SELECT doc_id, octet_length(encode(text)) n, md5(text) m
+        |  FROM documents),
+        |g AS (SELECT doc_id, n, m, 8 + n % 9 AS w FROM b),
+        |d AS (SELECT doc_id, n, m, w,
+        |        greatest(1, (n + w - 1) // w) AS h FROM g)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_bytes, m AS content_md5,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels
+        |FROM d""".stripMargin)),
 
-    // Decode + feature extraction through the typed Dataset path: binary
-    // payloads mapPartitions'd through the (stubbed) decoder. Rows-only
-    // driver check; MultimodalSpec pins the feature values.
+    // REAL decode + feature extraction through the typed Dataset path:
+    // payload -> deterministic BMP encode -> javax.imageio decode ->
+    // integer-exact raster stats. The oracle replays the (lossless)
+    // pixel mapping from code points: byte i is pixel i, the last row
+    // pads zeros — so min_pix is 0 whenever padding exists.
     GraftQuery(
       "mm_decode_features",
       (s, dir) => {
@@ -100,45 +70,49 @@ object MultimodalQueries extends QueryModule {
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[(Long, Array[Byte])]
           .mapPartitions { it =>
-            // batch shape: one decoded record per payload, decoder state
-            // (a real codec's buffers) amortized across the partition
+            // batch shape: the codec's buffers amortize across the
+            // partition; one decoded record per payload
             it.map { case (id, bytes) =>
-              val d = FakeMedia.decode(bytes)
-              // exact integer features only: a mean would be round(avg(...))
-              // which half-rounds differently across engines (the one
-              // documented oracle-killer); sum/count carry the same
-              // information losslessly
-              (id, d.width.toLong, d.height.toLong, d.sumByte,
-               d.nBytes.toLong, d.minByte.toLong, d.maxByte.toLong)
+              val r = GraftMedia.decodeGray(
+                GraftMedia.encodeBmp(GraftMedia.payloadRaster(bytes)))
+              val st = GraftMedia.stats(r)
+              // exact integer features only: a mean would be
+              // round(avg(...)), the one documented oracle-killer;
+              // sum/count carry the same information losslessly
+              (id, st.width.toLong, st.height.toLong, st.sumPix,
+               st.nPix.toLong, st.minPix.toLong, st.maxPix.toLong)
             }
           }
-          .toDF("doc_id", "width", "height", "sum_byte", "n_bytes",
-                "min_byte", "max_byte")
+          .toDF("doc_id", "width", "height", "sum_pix", "n_pix",
+                "min_pix", "max_pix")
       },
-      // the payload is the ASCII text cast to binary, so the oracle can
-      // replicate the byte-level stub with code points (= bytes for ASCII;
-      // the testdata is verified 7-bit)
+      // the payload is ASCII text (testdata verified 7-bit), so code
+      // points = bytes = pixels and the raster is pure arithmetic
       Some("""WITH b AS (
         |  SELECT doc_id, length(text) n,
-        |    list_transform(string_split(text, ''), x -> unicode(x)) cs
-        |  FROM documents)
+        |    [unicode(x) FOR x IN string_split(text, '')] cs
+        |  FROM documents),
+        |g AS (SELECT doc_id, n, cs, 8 + n % 9 AS w FROM b),
+        |d AS (SELECT doc_id, n, cs, w,
+        |        greatest(1, (n + w - 1) // w) AS h FROM g)
         |SELECT doc_id,
-        |  CAST(64 + n % 64 AS BIGINT) AS width,
-        |  CAST(64 + (n // 7) % 64 AS BIGINT) AS height,
-        |  CAST(list_sum(cs) AS BIGINT) AS sum_byte,
-        |  CAST(n AS BIGINT) AS n_bytes,
-        |  CAST(list_min(cs) AS BIGINT) AS min_byte,
-        |  CAST(list_max(cs) AS BIGINT) AS max_byte
-        |FROM b""".stripMargin)),
+        |  CAST(w AS BIGINT) AS width,
+        |  CAST(h AS BIGINT) AS height,
+        |  CAST(coalesce(list_sum(cs), 0) AS BIGINT) AS sum_pix,
+        |  CAST(w * h AS BIGINT) AS n_pix,
+        |  CAST(CASE WHEN w * h > n THEN 0
+        |            ELSE coalesce(list_min(cs), 0) END AS BIGINT) AS min_pix,
+        |  CAST(coalesce(list_max(cs), 0) AS BIGINT) AS max_pix
+        |FROM d""".stripMargin)),
 
-    // Full pipeline composition: binary payload → (stubbed) encoder →
-    // embedding column → ANN top-3 against query docs. The encoder is the
-    // deterministic byte-histogram stand-in for a real image/text encoder;
-    // everything downstream (typed Dataset, broadcast ANN, window top-k) is
-    // the production shape. The stub is integer arithmetic over ASCII
-    // bytes, so DuckDB replicates the whole chain: nibble histogram →
-    // L2-normalize → cosine top-3 (same left-to-right float order as
-    // graft_cosine — the ann_* queries established the bitwise match).
+    // Full pipeline composition: payload -> REAL decode -> histogram
+    // embedding off the decoded raster -> ANN top-3. Everything
+    // downstream of the codec (typed Dataset, broadcast ANN, top-k) is
+    // the production shape; the embedding is integer bin counts + one
+    // L2 normalize, so DuckDB replicates the chain bit-exactly: nibble
+    // histogram over pixels (code points + the padded zeros in bin 0) ->
+    // normalize -> cosine top-3 (same left-to-right float order as
+    // graft_cosine — the ann_* rows established the bitwise match).
     GraftQuery(
       "mm_embed_ann",
       (s, dir) => {
@@ -147,7 +121,11 @@ object MultimodalQueries extends QueryModule {
           .select(col("doc_id"), col("text").cast("binary").as("payload"))
           .as[(Long, Array[Byte])]
           .mapPartitions { it =>
-            it.map { case (id, bytes) => (id, FakeMedia.embed(bytes)) }
+            it.map { case (id, bytes) =>
+              val r = GraftMedia.decodeGray(
+                GraftMedia.encodeBmp(GraftMedia.payloadRaster(bytes)))
+              (id, GraftMedia.histogramEmbed(r))
+            }
           }
           .toDF("doc_id", "v")
         graft.operators.GraftSimilarity.bruteForceTopK(
@@ -156,15 +134,19 @@ object MultimodalQueries extends QueryModule {
             .select(col("doc_id").as("q_id"), col("v").as("qv")),
           k = 3, idCol = "doc_id")
       },
-      Some("""WITH cs AS (
-        |  SELECT doc_id,
-        |    list_transform(string_split(text, ''), x -> unicode(x) // 16) bins
+      Some("""WITH b AS (
+        |  SELECT doc_id, length(text) n,
+        |    [unicode(x) // 16 FOR x IN string_split(text, '')] bins
         |  FROM documents),
+        |g AS (SELECT doc_id, n, bins, 8 + n % 9 AS w FROM b),
+        |p AS (SELECT doc_id, bins,
+        |        greatest(1, (n + w - 1) // w) * w - n AS pad FROM g),
         |h AS (
         |  SELECT doc_id,
-        |    [CAST(len(list_filter(bins, b -> b = i)) AS DOUBLE)
+        |    [CAST(len(list_filter(bins, b -> b = i))
+        |          + CASE WHEN i = 0 THEN pad ELSE 0 END AS DOUBLE)
         |     FOR i IN range(0, 16)] raw
-        |  FROM cs),
+        |  FROM p),
         |nv AS (
         |  SELECT doc_id,
         |    list_transform(raw,
@@ -178,14 +160,13 @@ object MultimodalQueries extends QueryModule {
         |      FROM sc)
         |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 3""".stripMargin)),
 
-    // Resize: nearest-neighbor downsample of the (stubbed) raster — the
-    // standard pre-embedding normalization pass. Halving each dimension
-    // = keeping every 4th sample of the payload stream; the per-partition
-    // byte loop is the real plumbing a resize kernel needs (a real build
-    // swaps the stride-sample for bilinear over decoded pixels). Outputs
-    // are exact integers (count/sum/min/max of the SURVIVING bytes plus
-    // the first surviving byte), so DuckDB replays the stride walk over
-    // code points (= bytes on the verified-ASCII corpus).
+    // Resize: TRUE factor-2 bilinear over the decoded raster — with
+    // half-pixel centers the scale-2 bilinear weights collapse to the
+    // exact 2x2 block mean, computed in integers (floor of sum/4), so
+    // the kernel is the real one AND bit-deterministic. The oracle
+    // replays the block means over the arithmetic pixel grid (padding
+    // zeros included; edge clamp via least(), reachable only at
+    // dimension 1). Outputs are exact integers of the RESIZED raster.
     GraftQuery(
       "mm_resize",
       (s, dir) => {
@@ -195,50 +176,55 @@ object MultimodalQueries extends QueryModule {
           .as[(Long, Array[Byte])]
           .mapPartitions { it =>
             it.map { case (id, bytes) =>
-              val n = bytes.length
-              val out = new Array[Byte]((n + 3) / 4)
-              var i = 0
-              while (i < out.length) { out(i) = bytes(4 * i); i += 1 }
-              var sum = 0L; var mn = 255; var mx = 0
-              var j = 0
-              while (j < out.length) {
-                val b = out(j) & 0xff
-                sum += b
-                if (b < mn) mn = b
-                if (b > mx) mx = b
-                j += 1
-              }
-              val d = FakeMedia.decode(bytes)
-              (id, math.max(1, d.width / 2).toLong,
-               math.max(1, d.height / 2).toLong, out.length.toLong, sum,
-               if (out.isEmpty) 0L else mn.toLong,
-               if (out.isEmpty) 0L else mx.toLong,
-               if (out.isEmpty) 0L else (out(0) & 0xff).toLong)
+              val full = GraftMedia.decodeGray(
+                GraftMedia.encodeBmp(GraftMedia.payloadRaster(bytes)))
+              val half = GraftMedia.bilinearHalf(full)
+              val st = GraftMedia.stats(half)
+              (id, st.width.toLong, st.height.toLong, st.nPix.toLong,
+               st.sumPix, st.minPix.toLong, st.maxPix.toLong,
+               half.pixels.headOption.getOrElse(0).toLong)
             }
           }
-          .toDF("doc_id", "width_out", "height_out", "n_bytes_out",
-                "sum_byte_out", "min_byte_out", "max_byte_out", "head_byte")
+          .toDF("doc_id", "width_out", "height_out", "n_px_out",
+                "sum_px_out", "min_px_out", "max_px_out", "head_px")
       },
       Some("""WITH b AS (
         |  SELECT doc_id, length(text) n,
         |    [unicode(x) FOR x IN string_split(text, '')] cs
         |  FROM documents),
-        |r AS (
-        |  SELECT doc_id, n, [cs[i] FOR i IN range(1, n + 1, 4)] rs
-        |  FROM b)
+        |g AS (SELECT doc_id, n, cs, 8 + n % 9 AS w FROM b),
+        |d AS (SELECT doc_id, n, cs, w, greatest(1, (n + w - 1) // w) AS h
+        |      FROM g),
+        |r2 AS (SELECT doc_id, n, cs, w, h,
+        |         greatest(1, w // 2) AS w2, greatest(1, h // 2) AS h2
+        |       FROM d),
+        |px AS (
+        |  SELECT doc_id, w2, h2, flatten([[
+        |      ( (CASE WHEN (2*i)*w + (2*j) < n
+        |              THEN cs[(2*i)*w + (2*j) + 1] ELSE 0 END)
+        |      + (CASE WHEN (2*i)*w + least(2*j + 1, w - 1) < n
+        |              THEN cs[(2*i)*w + least(2*j + 1, w - 1) + 1] ELSE 0 END)
+        |      + (CASE WHEN least(2*i + 1, h - 1)*w + (2*j) < n
+        |              THEN cs[least(2*i + 1, h - 1)*w + (2*j) + 1] ELSE 0 END)
+        |      + (CASE WHEN least(2*i + 1, h - 1)*w + least(2*j + 1, w - 1) < n
+        |              THEN cs[least(2*i + 1, h - 1)*w
+        |                      + least(2*j + 1, w - 1) + 1] ELSE 0 END)
+        |      ) // 4
+        |      FOR j IN range(0, w2)] FOR i IN range(0, h2)]) ps
+        |  FROM r2)
         |SELECT doc_id,
-        |  CAST(greatest(1, (64 + n % 64) // 2) AS BIGINT) AS width_out,
-        |  CAST(greatest(1, (64 + (n // 7) % 64) // 2) AS BIGINT) AS height_out,
-        |  CAST(len(rs) AS BIGINT) AS n_bytes_out,
-        |  CAST(coalesce(list_sum(rs), 0) AS BIGINT) AS sum_byte_out,
-        |  CAST(coalesce(list_min(rs), 0) AS BIGINT) AS min_byte_out,
-        |  CAST(coalesce(list_max(rs), 0) AS BIGINT) AS max_byte_out,
-        |  CAST(coalesce(rs[1], 0) AS BIGINT) AS head_byte
-        |FROM r""".stripMargin)),
+        |  CAST(w2 AS BIGINT) AS width_out,
+        |  CAST(h2 AS BIGINT) AS height_out,
+        |  CAST(len(ps) AS BIGINT) AS n_px_out,
+        |  CAST(coalesce(list_sum(ps), 0) AS BIGINT) AS sum_px_out,
+        |  CAST(coalesce(list_min(ps), 0) AS BIGINT) AS min_px_out,
+        |  CAST(coalesce(list_max(ps), 0) AS BIGINT) AS max_px_out,
+        |  CAST(coalesce(ps[1], 0) AS BIGINT) AS head_px
+        |FROM px""".stripMargin)),
 
     // Frame sampling: payload sliced into 256-byte "frames", every 4th
-    // sampled. Counts are arithmetic ⇒ oracled; the ASCII-only corpus makes
-    // substring-based first-frame digests byte-exact across engines.
+    // sampled. Counts are arithmetic => oracled; the ASCII-only corpus
+    // makes substring-based first-frame digests byte-exact across engines.
     GraftQuery(
       "mm_frame_sample",
       (s, dir) =>

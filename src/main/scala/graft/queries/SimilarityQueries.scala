@@ -71,6 +71,43 @@ object SimilarityQueries extends QueryModule {
        |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin
   }
 
+  /** The full-collection IVF build + serve replay, shared VERBATIM by
+    * `ann_ivf_stored` (directory layout) and `ann_ivf_stored_manifest`
+    * (object-store manifest layout): serving is layout-independent, so
+    * both store paths must hash-match the same SQL.
+    */
+  private val ivfStoredOracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |cut AS (
+      |  SELECT printf('%08x', CAST(least(
+      |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+      |           4294967295) AS BIGINT)) h
+      |  FROM e),
+      |c AS (SELECT vec_id c_id, v cv FROM e
+      |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+      |assign AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT e.vec_id, e.v, c.c_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+      |    FROM e, c) WHERE arnk = 1),
+      |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT q_id, qv, c_id FROM (
+      |    SELECT q.q_id, q.qv, c.c_id,
+      |      row_number() OVER (PARTITION BY q.q_id
+      |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+      |    FROM q, c) WHERE prnk <= 4),
+      |scored AS (
+      |  SELECT p.q_id, a.vec_id n_id,
+      |    list_cosine_similarity(p.qv, a.v) c
+      |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+      |  WHERE a.vec_id != p.q_id),
+      |r AS (SELECT q_id, n_id, c,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+      |      FROM scored)
+      |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin
+
   override def all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -219,36 +256,33 @@ object SimilarityQueries extends QueryModule {
         GraftSimilarity.ivfTopKWith(GraftSimilarity.readIvfIndex(s, out),
                                     queryBlock(e), k = 5, nprobe = 4)
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |cut AS (
-        |  SELECT printf('%08x', CAST(least(
-        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
-        |           4294967295) AS BIGINT)) h
-        |  FROM e),
-        |c AS (SELECT vec_id c_id, v cv FROM e
-        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
-        |assign AS (
-        |  SELECT vec_id, v, c_id FROM (
-        |    SELECT e.vec_id, e.v, c.c_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
-        |    FROM e, c) WHERE arnk = 1),
-        |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
-        |probes AS (
-        |  SELECT q_id, qv, c_id FROM (
-        |    SELECT q.q_id, q.qv, c.c_id,
-        |      row_number() OVER (PARTITION BY q.q_id
-        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
-        |    FROM q, c) WHERE prnk <= 4),
-        |scored AS (
-        |  SELECT p.q_id, a.vec_id n_id,
-        |    list_cosine_similarity(p.qv, a.v) c
-        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
-        |  WHERE a.vec_id != p.q_id),
-        |r AS (SELECT q_id, n_id, c,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
-        |      FROM scored)
-        |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin)),
+      Some(ivfStoredOracleSql)),
+
+    // The same store row on the MANIFEST (object-store) layout: build,
+    // IvfObjectStore.create (direct-write commit protocol — no renames,
+    // no _temporary), read the manifest snapshot back, serve. Values are
+    // layout-independent (same centroid/assign/probe math over the same
+    // rows), so the oracle SQL is shared VERBATIM with ann_ivf_stored —
+    // what this row certifies at the driver gate is the manifest write
+    // path: task-reported file lists, the checksummed manifest chain,
+    // and the explicit-file-list read must round-trip every value.
+    // ManifestStoreSpec covers the mutation lifecycle (append, compact,
+    // vacuum, crash/race) on a mock object store.
+    GraftQuery(
+      "ann_ivf_stored_manifest",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val out = s"/tmp/graft_io/${new java.io.File(dir).getName}" +
+          "/ivf_manifest_store"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        graft.operators.IvfObjectStore.create(
+          s, GraftSimilarity.buildIvfIndex(e), out)
+        GraftSimilarity.ivfTopKWith(graft.operators.IvfObjectStore.read(s, out),
+                                    queryBlock(e), k = 5, nprobe = 4)
+      },
+      Some(ivfStoredOracleSql)),
 
     // IVF incremental-append flow as an ORACLED row: the index is built
     // on a seed split (centroids = md5-threshold pick over the SEED only,

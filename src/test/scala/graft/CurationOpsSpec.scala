@@ -230,6 +230,68 @@ class CurationOpsSpec extends GraftFunSuite {
     }
   }
 
+  test("minhash banding is analytic, enforced, and exercised at a " +
+       "NON-default threshold: the stated bound holds, unsound " +
+       "geometries are refused, and τ=0.9 decontamination (r=4 tier) " +
+       "matches brute force") {
+    import graft.operators.GraftDedup
+    // the stated bound at the certified operating points
+    assert(GraftDedup.minhashBanding(0.7, 128) == ((2, 64)))
+    assert(GraftDedup.minhashBanding(0.9, 128) == ((4, 32)))
+    assert(GraftDedup.bandMissProb(0.7, 2, 64) < 1e-18)
+    assert(GraftDedup.bandMissProb(0.9, 4, 32) < 1e-14)
+    // monotone in J: the bound is worst-case over the accepted region
+    assert(GraftDedup.bandMissProb(0.95, 4, 32) <
+           GraftDedup.bandMissProb(0.9, 4, 32))
+    // REFUSED geometries — the silent-recall-loss cases the old
+    // hard-coded rule accepted: a low threshold at r=2 (0.2% miss), and
+    // an explicit r too aggressive for its threshold
+    val eLow = intercept[IllegalArgumentException] {
+      GraftDedup.minhashBanding(0.3, 128)
+    }
+    assert(eLow.getMessage.contains("missTarget"), eLow.getMessage)
+    intercept[IllegalArgumentException] {
+      GraftDedup.minhashBanding(0.75, 128, rowsPerBand = 8)
+    }
+    // ...and the refusal reaches the operators
+    import spark.implicits._
+    val d = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      graft.operators.CorpusCuration.fuzzyContaminatedDocs(
+        d, d, threshold = 0.3)
+    }
+    // a relaxed EXPLICIT target runs (documented intentional recall loss)
+    graft.operators.CorpusCuration.fuzzyContaminatedDocs(
+      d, d, threshold = 0.3, missTarget = 0.01)
+    // non-default τ=0.9 engages the r=4 tier end-to-end; brute parity
+    val route = substring(md5(col("doc_id").cast("string")), 1, 4)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .withColumn("route", route)
+    val train = docs.filter(col("route") < "cccc")
+    val test_ = docs.filter(col("route") >= "cccc")
+    def shingles(df: org.apache.spark.sql.DataFrame, as: String) = df
+      .select(col("doc_id").as(as),
+              expr("split(trim(text), '\\\\s+')").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col(as),
+              expr("""array_distinct(transform(sequence(0, size(tk) - 3),
+                     i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))""")
+                .as(s"s_$as"))
+    val brute = shingles(train, "train_id")
+      .join(shingles(test_, "test_id"))
+      .withColumn("inter",
+                  size(array_intersect(col("s_train_id"), col("s_test_id"))))
+      .withColumn("j", col("inter") /
+        (size(col("s_train_id")) + size(col("s_test_id")) - col("inter")))
+      .filter(col("j") >= 0.9)
+      .select(col("train_id"), col("test_id"), round(col("j"), 4).as("jaccard"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = graft.operators.CorpusCuration
+      .fuzzyContaminatedDocs(train, test_, threshold = 0.9, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == brute, s"missing=${brute -- got} extra=${got -- brute}")
+  }
+
   private def md5hex(s: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString

@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GraftSimilarity, IvfObjectStore, ManifestCommitProtocol}
+
+/** [[IvfObjectStore]] — the manifest-committed object-store layout of the
+  * at-rest IVF index. Every test here runs the store THROUGH the s3a mock
+  * scheme WITHOUT the force key: this layout's whole point is that it
+  * needs no rename atomicity and no listing consistency, so the contract
+  * gate that refuses object stores for the directory layout simply does
+  * not apply. Covers the full lifecycle (create / tagged append+replay /
+  * compact / vacuum / streaming ingest), the crash window between data
+  * staging and manifest publish, torn-manifest healing, and the
+  * optimistic version race.
+  */
+class ManifestStoreSpec extends GraftFunSuite {
+
+  private def withMockS3[T](body: String => T): T = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[graft.testfs.MockObjectStoreFs].getName)
+    val base = java.nio.file.Files.createTempDirectory("manifest_store").toString
+    try body(base)
+    finally {
+      conf.unset("fs.s3a.impl")
+      org.apache.hadoop.fs.FileSystem.closeAll()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
+    }
+  }
+
+  private def vectors() = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .select(col("vec_id"),
+            expr("transform(embedding, x -> cast(x AS double))").as("v"))
+
+  private def key(r: org.apache.spark.sql.Row) =
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+
+  private def serve(idx: GraftSimilarity.IvfIndex,
+                    q: org.apache.spark.sql.DataFrame) =
+    GraftSimilarity.ivfTopKWith(idx, q, k = 5).collect().map(key).toSet
+
+  test("object-store lifecycle WITHOUT the force key: create, tagged " +
+       "append, committed-replay no-op, compact to one object per cell, " +
+       "serve parity with the in-memory index at every step") {
+    withMockS3 { base =>
+      val e = vectors()
+      val seed = e.filter(col("vec_id") < 40)
+      val batch = e.filter(col("vec_id").between(40, 79))
+      val idx = GraftSimilarity.buildIvfIndex(seed)
+      val dir = s"s3a:$base/store"
+      // the DIRECTORY layout refuses this scheme; the manifest layout is
+      // the documented alternative and must not consult that gate
+      intercept[GraftSimilarity.StoreFsContractViolation] {
+        GraftSimilarity.writeIvfIndex(idx, dir)
+      }
+      IvfObjectStore.create(spark, idx, dir)
+      val q = batch.limit(5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      assert(serve(IvfObjectStore.read(spark, dir), q) == serve(idx, q))
+      // tagged append in two halves + a replay of the first tag
+      val (b1, b2) = (batch.filter(col("vec_id") < 60),
+                      batch.filter(col("vec_id") >= 60))
+      IvfObjectStore.append(spark, dir, b1, batchTag = Some("t_b1"))
+      IvfObjectStore.append(spark, dir, b2, batchTag = Some("t_b2"))
+      IvfObjectStore.append(spark, dir, b1, batchTag = Some("t_b1")) // replay
+      val appended = GraftSimilarity.ivfAppend(idx, batch)
+      assert(serve(IvfObjectStore.read(spark, dir), q) == serve(appended, q),
+        "append + replay must serve exactly the in-memory append (no dups)")
+      // compact: every cell down to one live object; untouched bytes stay
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val before = IvfObjectStore.currentManifest(fs, dir).get
+      val oversized = before.data.groupBy(IvfObjectStore.cellOf)
+        .filter(_._2.length > 1)
+      assert(oversized.nonEmpty, "test needs multi-file cells to compact")
+      val untouched = before.data.groupBy(IvfObjectStore.cellOf)
+        .filter(_._2.length == 1).values.flatten.toSet
+      assert(IvfObjectStore.compact(spark, dir, 1) == oversized.size)
+      val after = IvfObjectStore.currentManifest(fs, dir).get
+      assert(after.data.groupBy(IvfObjectStore.cellOf).values
+               .forall(_.length == 1),
+        "every cell must hold exactly one live object after compact(1)")
+      assert(untouched.subsetOf(after.data.toSet),
+        "single-file cells must keep their exact objects (no rewrite)")
+      assert(after.tags == before.tags, "tags ride the chain through compact")
+      assert(serve(IvfObjectStore.read(spark, dir), q) == serve(appended, q))
+      // the replaced objects still exist (readers of older manifests are
+      // safe) until vacuum collects them
+      val replaced = before.data.toSet -- after.data.toSet
+      assert(replaced.nonEmpty && replaced.forall(r =>
+        fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$r"))))
+      Thread.sleep(10)
+      assert(IvfObjectStore.vacuum(spark, dir, 1) >= replaced.size)
+      assert(replaced.forall(r =>
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$r"))))
+      assert(serve(IvfObjectStore.read(spark, dir), q) == serve(appended, q),
+        "vacuum must never touch live objects")
+    }
+  }
+
+  test("crash between data staging and manifest publish: orphans are " +
+       "invisible to readers, the batch retry lands exactly once, vacuum " +
+       "collects the orphans") {
+    withMockS3 { base =>
+      val e = vectors()
+      val idx = GraftSimilarity.buildIvfIndex(e.filter(col("vec_id") < 40))
+      val batch = e.filter(col("vec_id").between(40, 59))
+      val dir = s"s3a:$base/crash"
+      IvfObjectStore.create(spark, idx, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val v1 = IvfObjectStore.currentManifest(fs, dir).get
+      // simulate the crash: stage the batch's data files through the
+      // direct-write protocol (exactly what append does first) and die
+      // before any manifest publish
+      val k = "spark.sql.sources.commitProtocolClass"
+      spark.conf.set(k, classOf[ManifestCommitProtocol].getName)
+      try GraftSimilarity
+        .ivfAppend(idx, batch).assigned
+        .filter(col("n_id") >= 40)
+        .repartition(col("c_id"))
+        .write.mode("append").partitionBy("c_id").parquet(s"$dir/data")
+      finally spark.conf.unset(k)
+      // readers: the store still serves EXACTLY manifest v1
+      assert(IvfObjectStore.currentManifest(fs, dir).get.version ==
+               v1.version)
+      val q = batch.limit(5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      assert(serve(IvfObjectStore.read(spark, dir), q) == serve(idx, q),
+        "orphaned data objects must be invisible to the manifest read")
+      // the retry of the same logical batch commits exactly once
+      IvfObjectStore.append(spark, dir, batch, batchTag = Some("crash_b0"))
+      val viaStore = serve(IvfObjectStore.read(spark, dir), q)
+      assert(viaStore == serve(GraftSimilarity.ivfAppend(idx, batch), q),
+        "the retried batch must land exactly once beside the orphans")
+      // vacuum collects the orphans, live files survive
+      Thread.sleep(10)
+      assert(IvfObjectStore.vacuum(spark, dir, 1) > 0)
+      assert(serve(IvfObjectStore.read(spark, dir), q) == viaStore)
+    }
+  }
+
+  test("torn manifest (half-written, no atomic PUT): readers fall back to " +
+       "the previous valid version; a stale torn file is healed and its " +
+       "version slot reused; a FRESH torn file is never deleted") {
+    withMockS3 { base =>
+      val e = vectors()
+      val idx = GraftSimilarity.buildIvfIndex(e.filter(col("vec_id") < 40))
+      val batch = e.filter(col("vec_id").between(40, 59))
+      val dir = s"s3a:$base/torn"
+      IvfObjectStore.create(spark, idx, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // plant a torn v2: a prefix of a real manifest, checksum missing
+      val torn = new org.apache.hadoop.fs.Path(
+        f"$dir/manifests/v${2L}%020d.manifest")
+      val out = fs.create(torn, false)
+      out.write("graft-ivf-manifest v1\nversion 2\n".getBytes("UTF-8"))
+      out.close()
+      assert(IvfObjectStore.currentManifest(fs, dir).get.version == 1,
+        "a torn manifest must never be served")
+      // fresh torn file: append refuses to heal it (its writer may be
+      // mid-close) and exhausts the version-2 slot retries
+      intercept[IvfObjectStore.ManifestConflict] {
+        IvfObjectStore.append(spark, dir, batch, batchTag = Some("t1"))
+      }
+      // age the torn file past the grace period -> healed and reused
+      val local = new java.io.File(s"$base/torn/manifests/" +
+        f"v${2L}%020d.manifest")
+      assert(local.setLastModified(System.currentTimeMillis() -
+        IvfObjectStore.TornManifestGraceMs - 1000))
+      IvfObjectStore.append(spark, dir, batch, batchTag = Some("t1"))
+      val m = IvfObjectStore.currentManifest(fs, dir).get
+      assert(m.version == 2 && m.tags == Set("t1"),
+        s"healed slot must be reused: v=${m.version} tags=${m.tags}")
+    }
+  }
+
+  test("optimistic version race: a competing publish in the middle of an " +
+       "append is absorbed — the retry lands ON TOP of the winner and " +
+       "both commits survive in the final chain") {
+    withMockS3 { base =>
+      val e = vectors()
+      val idx = GraftSimilarity.buildIvfIndex(e.filter(col("vec_id") < 40))
+      val dir = s"s3a:$base/race"
+      IvfObjectStore.create(spark, idx, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // winner: publish v2 out from under the appender by appending first
+      IvfObjectStore.append(spark, dir,
+        e.filter(col("vec_id").between(40, 49)), batchTag = Some("winner"))
+      // loser-turned-retrier: a normal append now starts from v2; to force
+      // an actual conflict, squat v3 with a VALID foreign manifest first
+      val v2 = IvfObjectStore.currentManifest(fs, dir).get
+      val squat = v2.copy(version = 3)
+      val p = new org.apache.hadoop.fs.Path(
+        f"$dir/manifests/v${3L}%020d.manifest")
+      val out = fs.create(p, false)
+      out.write(squat.render.getBytes("UTF-8")); out.close()
+      IvfObjectStore.append(spark, dir,
+        e.filter(col("vec_id").between(50, 59)), batchTag = Some("loser"))
+      val m = IvfObjectStore.currentManifest(fs, dir).get
+      assert(m.version == 4 && m.tags == Set("winner", "loser"),
+        s"retry must land on top of the squatted version: v=${m.version} " +
+        s"tags=${m.tags}")
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val expected = serve(GraftSimilarity.ivfAppend(idx,
+        e.filter(col("vec_id").between(40, 59))), q)
+      assert(serve(IvfObjectStore.read(spark, dir), q) == expected)
+    }
+  }
+
+  test("streaming ingest into the object store: micro-batches commit as " +
+       "tagged manifest versions, serve parity with in-memory append") {
+    withMockS3 { base =>
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx = spark.sqlContext
+      import spark.implicits._
+      val e = vectors()
+      val idx = GraftSimilarity.buildIvfIndex(e.filter(col("vec_id") < 40))
+      val rest = e.filter(col("vec_id").between(40, 79))
+      val dir = s"s3a:$base/ingest"
+      IvfObjectStore.create(spark, idx, dir)
+      val rows = rest.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toSeq
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      val input = MemoryStream[(Long, List[Double])]
+      val sq = IvfObjectStore
+        .ingestStream(dir, input.toDF().toDF("vec_id", "embedding"),
+                      streamId = "os1")
+        .option("checkpointLocation", s"$base/chk_ingest")
+        .start()
+      try {
+        input.addData(b1); sq.processAllAvailable()
+        input.addData(b2); sq.processAllAvailable()
+      } finally sq.stop()
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m = IvfObjectStore.currentManifest(fs, dir).get
+      assert(m.tags == Set("os1_b0", "os1_b1"), m.tags.toString)
+      val q = rest.limit(5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      assert(serve(IvfObjectStore.read(spark, dir), q) ==
+               serve(GraftSimilarity.ivfAppend(idx, rest), q))
+    }
+  }
+}

@@ -1,26 +1,62 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.queries.MultimodalQueries.FakeMedia
 
-/** Multimodal plumbing: binary payload schema, stubbed decoder determinism,
-  * and agreement between the typed-Dataset decode path and direct
-  * computation.
+import graft.operators.GraftMedia
+
+/** Multimodal pipeline: REAL `javax.imageio` decode (BMP and PNG), true
+  * bilinear resize over decoded pixels, golden-pixel contracts, and
+  * agreement between the typed-Dataset query path and direct computation.
   */
 class MultimodalSpec extends GraftFunSuite {
 
-  test("decode stub is deterministic and byte-derived") {
-    val b = "hello world".getBytes("UTF-8")
-    val d1 = FakeMedia.decode(b)
-    val d2 = FakeMedia.decode(b)
-    assert(d1 == d2)
-    assert(d1.width == 64 + b.length % 64)
-    assert(d1.minByte >= 0 && d1.maxByte <= 255 && d1.meanByte > 0)
-    val empty = FakeMedia.decode(Array.emptyByteArray)
-    assert(empty.meanByte == 0.0 && empty.minByte == 0 && empty.maxByte == 0)
+  private def roundTrip(bytes: Array[Byte]): GraftMedia.Raster =
+    GraftMedia.decodeGray(GraftMedia.encodeBmp(GraftMedia.payloadRaster(bytes)))
+
+  test("golden pixels: the BMP encode/decode round-trip reproduces the " +
+       "payload raster exactly, and the PNG codec path decodes " +
+       "pixel-identically (the decode is format-real, not byte-trusting)") {
+    val payload = "The quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+    val expected = GraftMedia.payloadRaster(payload)
+    val viaBmp = roundTrip(payload)
+    assert(viaBmp.width == expected.width && viaBmp.height == expected.height)
+    assert(viaBmp.pixels.toSeq == expected.pixels.toSeq,
+      "BMP decode must reproduce every payload pixel (lossless round-trip)")
+    val viaPng = GraftMedia.decodeGray(GraftMedia.encodePng(expected))
+    assert(viaPng.pixels.toSeq == viaBmp.pixels.toSeq &&
+           viaPng.width == viaBmp.width,
+      "the PNG and BMP codec paths must decode identical pixels")
+    // hand-computed golden pixels: payload byte i is pixel (i / w, i % w)
+    val w = GraftMedia.rasterWidth(payload.length)
+    assert(viaBmp.pixels(0) == 'T'.toInt)
+    assert(viaBmp.pixels(w) == (payload(w) & 0xff))
+    assert(viaBmp.pixels.last == 0 ||
+           payload.length == viaBmp.pixels.length,
+      "the padded tail (if any) must decode as zeros")
+    // undecodable bytes fail loudly, never flow as zeros
+    intercept[IllegalArgumentException] {
+      GraftMedia.decodeGray("not an image".getBytes("UTF-8"))
+    }
   }
 
-  test("mm_decode_features agrees with driver-side recomputation") {
+  test("bilinear half kernel: hand-computed 2x2 block means, integer " +
+       "floor, edge clamp at dimension 1") {
+    // 4x2 raster: blocks {10,20,30,40} -> 25 and {1,2,3,5} -> 2 (floor 11/4)
+    val r = GraftMedia.Raster(4, 2, Array(10, 20, 1, 2, 30, 40, 3, 5))
+    val h = GraftMedia.bilinearHalf(r)
+    assert(h.width == 2 && h.height == 1)
+    assert(h.pixels.toSeq == Seq(25, 2))
+    // height-1 raster: the y+1 sample clamps to the only row
+    val one = GraftMedia.Raster(4, 1, Array(8, 12, 100, 50))
+    val oh = GraftMedia.bilinearHalf(one)
+    assert(oh.height == 1 && oh.pixels.toSeq == Seq(10, 75))
+    // odd width drops the trailing column (floor halving)
+    val odd = GraftMedia.bilinearHalf(GraftMedia.Raster(3, 2,
+      Array(1, 2, 99, 3, 4, 99)))
+    assert(odd.width == 1 && odd.pixels.toSeq == Seq(2))
+  }
+
+  test("mm_decode_features agrees with driver-side real decode") {
     val got = SparkEntry.queries("mm_decode_features")(spark, sf0001)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
@@ -31,16 +67,16 @@ class MultimodalSpec extends GraftFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got.size == docs.size)
     for ((id, text) <- docs.take(50)) {
-      val d = FakeMedia.decode(text.getBytes("UTF-8"))
-      assert(got(id) == ((d.width.toLong, d.height.toLong, d.sumByte,
-                          d.nBytes.toLong, d.minByte.toLong,
-                          d.maxByte.toLong)),
+      val st = GraftMedia.stats(roundTrip(text.getBytes("UTF-8")))
+      assert(got(id) == ((st.width.toLong, st.height.toLong, st.sumPix,
+                          st.nPix.toLong, st.minPix.toLong,
+                          st.maxPix.toLong)),
         s"doc $id")
     }
   }
 
-  test("mm_resize stride-sample agrees with driver-side recomputation " +
-       "and halves the stub raster dimensions") {
+  test("mm_resize bilinear agrees with driver-side recomputation and " +
+       "halves the decoded raster") {
     val got = SparkEntry.queries("mm_resize")(spark, sf0001)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
@@ -51,17 +87,14 @@ class MultimodalSpec extends GraftFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got.size == docs.size)
     for ((id, text) <- docs.take(50)) {
-      val bytes = text.getBytes("UTF-8")
-      val out = (0 until bytes.length by 4).map(bytes(_) & 0xff)
-      val d = FakeMedia.decode(bytes)
-      val expect = (math.max(1, d.width / 2).toLong,
-                    math.max(1, d.height / 2).toLong,
-                    out.length.toLong, out.map(_.toLong).sum,
-                    if (out.isEmpty) 0L else out.min.toLong,
-                    if (out.isEmpty) 0L else out.max.toLong,
-                    if (out.isEmpty) 0L else out.head.toLong)
+      val full = roundTrip(text.getBytes("UTF-8"))
+      val half = GraftMedia.bilinearHalf(full)
+      val st = GraftMedia.stats(half)
+      val expect = (st.width.toLong, st.height.toLong, st.nPix.toLong,
+                    st.sumPix, st.minPix.toLong, st.maxPix.toLong,
+                    half.pixels.headOption.getOrElse(0).toLong)
       assert(got(id) == expect, s"doc $id")
-      assert(got(id)._1 * 2 <= d.width && got(id)._2 * 2 <= d.height)
+      assert(st.width * 2 <= full.width + 1 && st.height * 2 <= full.height + 1)
     }
   }
 
@@ -77,7 +110,8 @@ class MultimodalSpec extends GraftFunSuite {
     assert(mismatch == 0)
   }
 
-  test("mm_embed_ann composes encode + ANN and honors top-k structure") {
+  test("mm_embed_ann composes real decode + encode + ANN and honors " +
+       "top-k structure") {
     val rows = SparkEntry.queries("mm_embed_ann")(spark, sf0001).collect()
     val byQ = rows.groupBy(_.getLong(0))
     assert(byQ.keySet == Set(0L, 1L, 2L, 3L, 4L))
