@@ -25,11 +25,15 @@ import org.apache.spark.sql.SparkSession
   * one JSON line.
   */
 object BenchIsolated {
-  /** Queries whose IN-SUITE 10× ratios were flagged for arbitration this
-    * round (SCALE.md cites the committed artifact these produce). */
+  /** Queries flagged for arbitration this round (SCALE.md cites the
+    * committed artifact these produce): the five unadjudicated >2×
+    * regressions of the r8 committed bench record (r8 verdict item 1 —
+    * untouched code, contaminated-machine signature) plus the two worst
+    * honest curation-tier 10× ratios kept in view (item 8). */
   val DefaultFlagged: Seq[String] = Seq(
-    "dedup_source_overlap", "q_variant", "dedup_minhash_lsh",
-    "dedup_ngram_jaccard", "dedup_components", "pipeline_corpus_curation")
+    "dedup_semantic", "mm_embed_ann", "events_sessionize",
+    "events_asof_join", "dedup_exact",
+    "dedup_substring_keepfirst", "text_gopher_quality")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

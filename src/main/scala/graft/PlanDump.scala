@@ -32,7 +32,8 @@ object PlanDump {
                     "dedup_semantic_cells", "pipeline_decontaminate_fuzzy",
                     "dedup_substring_keepfirst", "text_gopher_quality",
                     "pipeline_dsir_select", "text_normalize_nfc",
-                    "dedup_source_overlap_exact")
+                    "dedup_source_overlap_exact", "mm_resize",
+                    "ann_ivf_stored_manifest")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -51,8 +51,10 @@ object StreamBench {
     "sb_fuzzy_contamination" -> 583,
     "sb_dsir_score"          -> 2204,
     "sb_contamination"       -> 677,
-    "sb_neardup_pairs"       -> 346,
-    "sb_neardup_pairs_cap64" -> 433,
+    // re-baselined r9 (0.5× the idle medians 897 / 884) after the
+    // stream-sized banding change cut state 4.7× and lifted throughput
+    "sb_neardup_pairs"       -> 448,
+    "sb_neardup_pairs_cap64" -> 442,
     "sb_srp_pairs"           -> 280,
     "sb_srp_pairs_q8"        -> 290,
     "sb_ivf_serve"           -> 25,

@@ -293,7 +293,11 @@ object CorpusStreams {
     * check makes the result independent of trigger timing); bucket
     * residents evict once the watermark passes their ts + horizon, and
     * event-time timeouts purge idle buckets, so state is O(docs per
-    * horizon), not O(stream). Doc ids must be unique within the horizon
+    * horizon), not O(stream) — and the constant is `bands`, which this
+    * tier sizes to its own `missTarget` bound instead of inheriting the
+    * batch geometry (r9: 64 → 14 bands at the τ=0.8 default, ~4.5× less
+    * state at a P(miss) ≤ 1e-6 recall contract — see the banding note in
+    * the body). Doc ids must be unique within the horizon
     * (run [[dedupStream]] upstream for re-crawls). Late docs beyond the
     * watermark are dropped by the runtime, the standard bounded-state
     * trade.
@@ -323,22 +327,33 @@ object CorpusStreams {
                         horizonMinutes: Long = 60,
                         numHashes: Int = 128, rowsPerBand: Int = 0,
                         sigFilter: Double = Double.NaN,
-                        maxBucketResidents: Int = Int.MaxValue)
+                        maxBucketResidents: Int = Int.MaxValue,
+                        missTarget: Double = 1e-6)
       : Dataset[NearDupPairOut] = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold should be in (0, 1], got: $threshold")
     require(horizonMinutes > 0,
       s"horizonMinutes must be positive, got $horizonMinutes")
     require(maxBucketResidents >= 1,
       s"maxBucketResidents must be >= 1, got $maxBucketResidents")
-    // same banding/prefilter dispatch as the batch operator, so the two
-    // tiers' recall contracts line up spec-for-spec
-    val r = if (rowsPerBand > 0) rowsPerBand
-            else if (threshold >= 0.85) 4 else 2
-    require(numHashes % r == 0,
-      s"numHashes ($numHashes) must divide by rowsPerBand ($r)")
+    // Same r/prefilter dispatch as the batch operator, but the BAND COUNT
+    // is sized to the stream's own analytic miss target instead of
+    // inheriting the batch geometry: streaming state is
+    // bands × within-horizon residents × (sig + item hashes) — every
+    // band a resident occupies stores its FULL payload again — so bands
+    // are the state multiplier, and the batch default (64 at τ=0.8,
+    // bound 4e-13) pays ~4.5× the state of the 14 bands that already
+    // hold P(miss | J ≥ τ) = (1 − τ^r)^bands ≤ missTarget (1e-6). The
+    // r choice and the full-geometry bound stay validated through
+    // [[graft.operators.GraftDedup.minhashBanding]]; tighten
+    // `missTarget` to trade state for recall margin (capped at the full
+    // numHashes/r geometry).
+    val (r, fullBands) = graft.operators.GraftDedup.minhashBanding(
+      threshold, numHashes, rowsPerBand)
+    require(missTarget > 0 && missTarget < 1,
+      s"missTarget must be in (0, 1), got $missTarget")
     val sf = if (sigFilter.isNaN) math.max(0.0, threshold - 0.2) else sigFilter
-    val bands = numHashes / r
+    val bands = math.min(fullBands, math.max(1,
+      math.ceil(math.log(missTarget) /
+        math.log1p(-math.pow(threshold, r))).toInt))
     val horizonMs = horizonMinutes * 60000L
     graft.GraftSession.ensureExtensions(docs.sparkSession)
     import docs.sparkSession.implicits._
