@@ -413,9 +413,12 @@ object DedupQueries extends QueryModule {
       },
       None),
 
-    // Exact-mode twin of dedup_source_overlap, oracled: at lgK=15 the
-    // nominal entry count (32768) exceeds every source's distinct-shingle
-    // count at all test SFs (~1.3k at sf0.01, ~11k at sf0.1), so theta
+    // Exact-mode twin of dedup_source_overlap, oracled: at lgK=18 the
+    // nominal entry count (262144) exceeds every source's distinct-shingle
+    // count across the whole certified envelope (~1.3k at sf0.01, ~11k at
+    // sf0.1, ~110k at the 10×-sweep sf1 — the r9 guard below actually
+    // FIRED at lgK=15 on the sf1 sweep, which is why the capacity moved
+    // and why the precondition is enforced, not assumed), so theta
     // stays 1.0 and every sketch retains its full hash set — estimates
     // ARE exact distinct counts and the pairwise intersection IS exact
     // set intersection. DuckDB replays the whole thing with plain
@@ -436,14 +439,14 @@ object DedupQueries extends QueryModule {
                        i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2]))"""))
                     .as("shingle"))
           .groupBy("source")
-          .agg(expr("graft_theta_sketch(shingle, 15)").as("sk"))
+          .agg(expr("graft_theta_sketch(shingle, 18)").as("sk"))
           // ENFORCED exactness precondition (not assumed from test SFs):
-          // any source whose distinct-shingle count pushes the lgK=15
+          // any source whose distinct-shingle count pushes the lgK=18
           // sketch into estimation mode fails loudly instead of silently
           // desyncing from the set-algebra oracle
           .filter(expr("""isnull(assert_true(graft_theta_is_exact(sk),
             'dedup_source_overlap_exact: a source sketch left exact mode
-             (distinct 3-shingles exceeded the lgK=15 capacity); raise lgK
+             (distinct 3-shingles exceeded the lgK=18 capacity); raise lgK
              or use the estimating dedup_source_overlap tier'))"""))
         sk.as("a").join(sk.as("b"), col("a.source") < col("b.source"))
           .select(col("a.source").as("a_src"), col("b.source").as("b_src"),

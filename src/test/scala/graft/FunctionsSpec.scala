@@ -282,6 +282,16 @@ class FunctionsSpec extends GraftFunSuite {
       graft.functions.GraftThetaAgg(
         org.apache.spark.sql.catalyst.expressions.Literal("x"), 30)
     }
+    // graft_theta_is_exact: the exactness-precondition gate — true below
+    // the sketch's capacity, false once it samples (the r9 guard that
+    // protects dedup_source_overlap_exact's set-algebra oracle)
+    val exactFlags = Seq(
+      (1 to 300).map(i => s"s$i"),     // far below 2^12
+      (1 to 60000).map(i => s"x$i"))   // far past it
+      .map(_.toDF("item")
+        .selectExpr("graft_theta_is_exact(graft_theta_sketch(item, 12))")
+        .head().getBoolean(0))
+    assert(exactFlags == Seq(true, false), exactFlags)
   }
 
   test("graft_q8: int8 range, max |component| hits ±127, half-away rounding") {
