@@ -28,6 +28,11 @@ import javax.imageio.ImageIO
   */
 object GraftMedia {
 
+  // ImageIO's default ImageInputStream is DISK-backed (a temp file per
+  // decode) — catastrophic for a per-row kernel. Memory-backed streams
+  // are pure in-heap; set once per JVM (the flag is process-global).
+  ImageIO.setUseCache(false)
+
   /** Row-major grayscale raster: `pixels(y * width + x)` ∈ [0, 255]. */
   final case class Raster(width: Int, height: Int, pixels: Array[Int]) {
     require(pixels.length == width * height,
@@ -126,14 +131,29 @@ object GraftMedia {
       "claimed it)")
     val w = img.getWidth; val h = img.getHeight
     val px = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        px(y * w + x) = (img.getRGB(x, y) >> 16) & 0xff
-        x += 1
+    val cm = img.getColorModel
+    val bulkSafe = cm.isInstanceOf[java.awt.image.ComponentColorModel] &&
+      cm.getComponentSize(0) == 8 &&
+      (cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_RGB ||
+       cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY)
+    if (bulkSafe) {
+      // Component color models put RED (or gray) in band 0 regardless of
+      // the buffer's byte interleave (TYPE_3BYTE_BGR's sample model maps
+      // band 0 -> offset 2), so ONE bulk getSamples replaces w*h getRGB
+      // calls, each of which re-runs the color-model conversion.
+      img.getRaster.getSamples(0, 0, w, h, 0, px)
+    } else {
+      // Palette/exotic models (band 0 is an index, not red): the exact
+      // but slow per-pixel conversion path.
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          px(y * w + x) = (img.getRGB(x, y) >> 16) & 0xff
+          x += 1
+        }
+        y += 1
       }
-      y += 1
     }
     Raster(w, h, px)
   }

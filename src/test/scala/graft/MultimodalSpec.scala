@@ -39,6 +39,42 @@ class MultimodalSpec extends GraftFunSuite {
     }
   }
 
+  test("decode fast path: bulk band-0 getSamples equals the per-pixel " +
+       "getRGB conversion on component images, and palette (indexed) " +
+       "images take the exact fallback — band 0 there is a palette " +
+       "index, not red") {
+    // reference decode: always the per-pixel color-model conversion
+    def refDecode(bytes: Array[Byte]): Seq[Int] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      (0 until img.getHeight).flatMap(y => (0 until img.getWidth).map(x =>
+        (img.getRGB(x, y) >> 16) & 0xff))
+    }
+    val payload = (0 until 257).map(i => (i * 37 % 256).toByte).toArray
+    val raster = GraftMedia.payloadRaster(payload)
+    for (bytes <- Seq(GraftMedia.encodeBmp(raster),
+                      GraftMedia.encodePng(raster))) {
+      assert(GraftMedia.decodeGray(bytes).pixels.toSeq == refDecode(bytes),
+        "bulk fast path must equal the per-pixel conversion")
+    }
+    // palette image: encode through the JDK GIF writer (indexed color
+    // model); decodeGray must still return the RED channel, i.e. agree
+    // with getRGB, NOT the raw palette indices
+    val img = new java.awt.image.BufferedImage(
+      raster.width, raster.height,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+    for (y <- 0 until raster.height; x <- 0 until raster.width) {
+      val g = raster.pixels(y * raster.width + x)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", bos),
+      "JDK GIF encoder unavailable")
+    val gif = bos.toByteArray
+    assert(GraftMedia.decodeGray(gif).pixels.toSeq == refDecode(gif),
+      "indexed images must decode via the color model, not raw band 0")
+  }
+
   test("bilinear half kernel: hand-computed 2x2 block means, integer " +
        "floor, edge clamp at dimension 1") {
     // 4x2 raster: blocks {10,20,30,40} -> 25 and {1,2,3,5} -> 2 (floor 11/4)
