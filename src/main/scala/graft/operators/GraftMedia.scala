@@ -129,6 +129,19 @@ object GraftMedia {
     require(img != null,
       "decodeGray: payload is not a decodable image (no ImageIO reader " +
       "claimed it)")
+    // Component color models (BMP/PNG) bulk-read band 0 — RED (or gray)
+    // regardless of the buffer's byte interleave (TYPE_3BYTE_BGR's
+    // sample model maps band 0 -> offset 2) — one getSamples call
+    // instead of w*h getRGB color-model conversions; palette/exotic
+    // models keep the exact per-pixel path (imageToGray below).
+    imageToGray(img)
+  }
+
+  /** Gray raster of an already-decoded image (shared by the single-image
+    * and per-frame paths): bulk band-0 read for 8-bit component color
+    * models, exact per-pixel color-model conversion otherwise (palette
+    * models put an INDEX in band 0, not red). */
+  private def imageToGray(img: java.awt.image.BufferedImage): Raster = {
     val w = img.getWidth; val h = img.getHeight
     val px = new Array[Int](w * h)
     val cm = img.getColorModel
@@ -137,14 +150,8 @@ object GraftMedia {
       (cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_RGB ||
        cm.getColorSpace.getType == java.awt.color.ColorSpace.TYPE_GRAY)
     if (bulkSafe) {
-      // Component color models put RED (or gray) in band 0 regardless of
-      // the buffer's byte interleave (TYPE_3BYTE_BGR's sample model maps
-      // band 0 -> offset 2), so ONE bulk getSamples replaces w*h getRGB
-      // calls, each of which re-runs the color-model conversion.
       img.getRaster.getSamples(0, 0, w, h, 0, px)
     } else {
-      // Palette/exotic models (band 0 is an index, not red): the exact
-      // but slow per-pixel conversion path.
       var y = 0
       while (y < h) {
         var x = 0
@@ -156,6 +163,167 @@ object GraftMedia {
       }
     }
     Raster(w, h, px)
+  }
+
+  // ---------------------------------------------------------------------
+  // Multi-frame container: REAL animated GIF through the JDK codec
+  // ---------------------------------------------------------------------
+
+  /** Fixed "video" frame geometry: every frame is one frameBytes-byte
+    * slice of the payload rendered as a frameDim × frameDim gray raster
+    * (zero-padded tail). Constant geometry keeps every GIF frame the
+    * same size — the clean animated-GIF shape. */
+  val frameDim = 16
+  val frameBytes: Int = frameDim * frameDim
+
+  /** Identity gray palette (index i → RGB(i,i,i)): GIF's LZW is lossless
+    * over palette indices, so gray rasters round-trip bit-exactly. */
+  private lazy val grayPalette: java.awt.image.IndexColorModel = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+  }
+
+  private def toIndexedImage(r: Raster): java.awt.image.BufferedImage = {
+    val img = new java.awt.image.BufferedImage(
+      r.width, r.height, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED,
+      grayPalette)
+    img.getRaster.setSamples(0, 0, r.width, r.height, 0, r.pixels)
+    img
+  }
+
+  /** Slice a payload into its fixed-geometry frame rasters (≥ 1 frame;
+    * an empty payload is one all-zero frame). */
+  def payloadFrames(bytes: Array[Byte]): IndexedSeq[Raster] = {
+    val n = math.max(1, (bytes.length + frameBytes - 1) / frameBytes)
+    (0 until n).map { f =>
+      val px = new Array[Int](frameBytes)
+      var i = 0
+      val base = f * frameBytes
+      while (i < frameBytes && base + i < bytes.length) {
+        px(i) = bytes(base + i) & 0xff; i += 1
+      }
+      Raster(frameDim, frameDim, px)
+    }
+  }
+
+  /** Encode frames as a REAL multi-frame animated GIF via the JDK's
+    * sequence writer — a genuine container format any GIF decoder can
+    * read, not a private concatenation. */
+  def encodeGif(frames: Seq[Raster]): Array[Byte] = {
+    require(frames.nonEmpty, "encodeGif: at least one frame")
+    val it = ImageIO.getImageWritersByFormatName("gif")
+    require(it.hasNext, "JDK GIF writer unavailable")
+    val writer = it.next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { f =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(toIndexedImage(f), null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** REAL container parse: total frame count from the codec's index plus
+    * the DECODED rasters of every `sampleEvery`-th frame (0, k, 2k, …) —
+    * only sampled frames are materialized, the frame-sampling point.
+    * Throws on undecodable bytes. */
+  def decodeSampledFrames(gifBytes: Array[Byte],
+                          sampleEvery: Int): (Int, IndexedSeq[Raster]) = {
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    val iis = ImageIO.createImageInputStream(
+      new ByteArrayInputStream(gifBytes))
+    val readers = ImageIO.getImageReaders(iis)
+    require(readers.hasNext,
+      "decodeSampledFrames: payload is not a decodable image container")
+    val reader = readers.next()
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (n, (0 until n by sampleEvery).map(i => imageToGray(reader.read(i))))
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  // ---------------------------------------------------------------------
+  // Audio: REAL WAV (RIFF/PCM) through javax.sound.sampled
+  // ---------------------------------------------------------------------
+
+  val audioSampleRate = 8000
+
+  /** Payload bytes → signed 16-bit PCM samples: sample i is
+    * (byte_i − 96) · 256, centering printable ASCII around zero so sign
+    * structure (zero crossings) is non-degenerate; pure arithmetic, so
+    * a SQL oracle replays it from code points. */
+  def payloadSamples(bytes: Array[Byte]): Array[Int] =
+    bytes.map(b => ((b & 0xff) - 96) * 256)
+
+  /** Encode samples as a REAL WAV file via `javax.sound.sampled` —
+    * standard RIFF header, PCM_SIGNED 16-bit mono little-endian. */
+  def encodeWav(samples: Array[Int]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      audioSampleRate.toFloat, 16, 1, 2, audioSampleRate.toFloat, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode: `AudioSystem` parses the RIFF/fmt chunks (format
+    * fields come from the FILE, not from us) and streams the PCM body;
+    * samples are reassembled per the header's encoding. Throws on
+    * non-audio bytes or unexpected formats. */
+  def decodeWav(wavBytes: Array[Byte]): (Float, Array[Int]) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new ByteArrayInputStream(wavBytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+          !fmt.isBigEndian,
+        s"decodeWav: unexpected audio format $fmt")
+      val pcm = ais.readAllBytes()
+      val out = new Array[Int](pcm.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xff))
+        i += 1
+      }
+      (fmt.getSampleRate, out)
+    } finally ais.close()
+  }
+
+  /** Integer-exact audio features off DECODED samples: count, sum of
+    * absolute amplitudes, peak |amplitude|, strict sign-change zero
+    * crossings (s_i · s_{i+1} < 0). */
+  final case class AudioStats(nSamples: Int, sumAbs: Long, peak: Int,
+                              zeroCrossings: Int)
+
+  def audioStats(samples: Array[Int]): AudioStats = {
+    var sumAbs = 0L; var peak = 0; var zc = 0
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i))
+      sumAbs += a
+      if (a > peak) peak = a
+      if (i > 0 && samples(i - 1).toLong * samples(i) < 0) zc += 1
+      i += 1
+    }
+    AudioStats(samples.length, sumAbs, peak, zc)
   }
 
   /** Factor-2 bilinear downsample over DECODED pixels: with half-pixel

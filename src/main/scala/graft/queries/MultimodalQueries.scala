@@ -222,26 +222,102 @@ object MultimodalQueries extends QueryModule {
         |  CAST(coalesce(ps[1], 0) AS BIGINT) AS head_px
         |FROM px""".stripMargin)),
 
-    // Frame sampling: payload sliced into 256-byte "frames", every 4th
-    // sampled. Counts are arithmetic => oracled; the ASCII-only corpus
-    // makes substring-based first-frame digests byte-exact across engines.
+    // Frame sampling over a REAL container: the payload's 256-byte
+    // slices become 16x16 gray frames of a genuine multi-frame animated
+    // GIF (JDK sequence writer, identity gray palette => LZW-lossless),
+    // the frame COUNT comes from the codec's own index
+    // (reader.getNumImages), and only every 4th frame is decoded — the
+    // operative frame-sampling shape: parse the container, materialize
+    // the sample. Features are integer-exact over the decoded sampled
+    // rasters, so the (lossless) oracle replays them from code points.
     GraftQuery(
       "mm_frame_sample",
-      (s, dir) =>
+      (s, dir) => {
+        import s.implicits._
         t(s, dir, "documents")
-          .select(col("doc_id"),
-                  octet_length(col("text").cast("binary")).cast("long")
-                    .as("n_bytes"),
-                  md5(substring(col("text"), 1, 256)).as("first_frame_md5"))
-          .withColumn("n_frames", expr("CAST(ceil(n_bytes / 256.0) AS BIGINT)"))
-          .withColumn("n_sampled", expr("CAST(ceil(n_frames / 4.0) AS BIGINT)"))
-          .select("doc_id", "n_bytes", "n_frames", "n_sampled", "first_frame_md5"),
-      Some("""SELECT doc_id,
-        |  octet_length(encode(text)) AS n_bytes,
-        |  CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) AS n_frames,
-        |  CAST(ceil(ceil(octet_length(encode(text)) / 256.0) / 4.0) AS BIGINT)
-        |    AS n_sampled,
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            val md = java.security.MessageDigest.getInstance("MD5")
+            it.map { case (id, bytes) =>
+              val gif = GraftMedia.encodeGif(GraftMedia.payloadFrames(bytes))
+              val (nFrames, sampled) =
+                GraftMedia.decodeSampledFrames(gif, sampleEvery = 4)
+              val sampledSum =
+                sampled.iterator.map(r => GraftMedia.stats(r).sumPix).sum
+              val firstSum = GraftMedia.stats(sampled.head).sumPix
+              md.reset()
+              val d = md.digest(
+                bytes.take(GraftMedia.frameBytes))
+              (id, bytes.length.toLong, nFrames.toLong,
+               sampled.length.toLong, sampledSum, firstSum,
+               d.map("%02x".format(_)).mkString)
+            }
+          }
+          .toDF("doc_id", "n_bytes", "n_frames", "n_sampled",
+                "sampled_px_sum", "first_frame_px_sum", "first_frame_md5")
+      },
+      Some("""WITH b AS (
+        |  SELECT doc_id, text, length(text) n,
+        |    [unicode(x) FOR x IN string_split(text, '')] cs
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, n, cs,
+        |        greatest(1, (n + 255) // 256) AS nf FROM b)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(nf AS BIGINT) AS n_frames,
+        |  CAST((nf + 3) // 4 AS BIGINT) AS n_sampled,
+        |  CAST(coalesce(list_sum(
+        |    [CASE WHEN ((i - 1) // 256) % 4 = 0 THEN cs[i] ELSE 0 END
+        |     FOR i IN range(1, n + 1)]), 0) AS BIGINT) AS sampled_px_sum,
+        |  CAST(coalesce(list_sum(
+        |    [cs[i] FOR i IN range(1, least(n, 256) + 1)]), 0) AS BIGINT)
+        |    AS first_frame_px_sum,
         |  md5(substring(text, 1, 256)) AS first_frame_md5
-        |FROM documents""".stripMargin)),
+        |FROM f""".stripMargin)),
+
+    // REAL audio: payload bytes become signed 16-bit PCM samples
+    // ((byte − 96)·256 — ASCII centered so sign structure is real),
+    // written as a standard RIFF/WAV via javax.sound.sampled and decoded
+    // back through AudioSystem — the sample rate and width come from the
+    // FILE's fmt chunk, not from the encoder variables. Features are
+    // integer-exact off the decoded samples; the lossless PCM chain
+    // keeps the oracle pure arithmetic over code points.
+    GraftQuery(
+      "mm_audio_features",
+      (s, dir) => {
+        import s.implicits._
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val wav = GraftMedia.encodeWav(GraftMedia.payloadSamples(bytes))
+              val (rate, samples) = GraftMedia.decodeWav(wav)
+              val st = GraftMedia.audioStats(samples)
+              (id, st.nSamples.toLong, rate.toLong,
+               st.nSamples.toLong * 1000 / rate.toLong,
+               st.sumAbs, st.peak.toLong, st.zeroCrossings.toLong)
+            }
+          }
+          .toDF("doc_id", "n_samples", "sample_rate", "duration_ms",
+                "sum_abs", "peak", "zero_crossings")
+      },
+      Some("""WITH b AS (
+        |  SELECT doc_id, length(text) n,
+        |    [unicode(x) - 96 FOR x IN string_split(text, '')] cs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  CAST(256 * coalesce(list_sum(list_transform(cs, x -> abs(x))), 0)
+        |    AS BIGINT) AS sum_abs,
+        |  CAST(256 * coalesce(list_max(list_transform(cs, x -> abs(x))), 0)
+        |    AS BIGINT) AS peak,
+        |  CAST(coalesce(list_sum(
+        |    [CASE WHEN cs[i] * cs[i + 1] < 0 THEN 1 ELSE 0 END
+        |     FOR i IN range(1, n)]), 0) AS BIGINT) AS zero_crossings
+        |FROM b""".stripMargin)),
   )
 }

@@ -75,6 +75,63 @@ class MultimodalSpec extends GraftFunSuite {
       "indexed images must decode via the color model, not raw band 0")
   }
 
+  test("animated GIF container: the codec's own frame index counts the " +
+       "frames, sampled frames decode pixel-exactly (identity-palette " +
+       "LZW is lossless), and non-sampled frames are never materialized") {
+    val payload = (0 until 1000).map(i => (i * 13 % 128).toByte).toArray
+    val frames = GraftMedia.payloadFrames(payload)
+    assert(frames.length == 4, "1000 bytes = 4 frames of 256")
+    val gif = GraftMedia.encodeGif(frames)
+    // the REAL reader's index, not our arithmetic
+    val (n, sampled) = GraftMedia.decodeSampledFrames(gif, sampleEvery = 4)
+    assert(n == 4 && sampled.length == 1)
+    assert(sampled.head.pixels.toSeq == frames.head.pixels.toSeq,
+      "sampled frame must round-trip bit-exactly through the GIF codec")
+    val (n2, all) = GraftMedia.decodeSampledFrames(gif, sampleEvery = 1)
+    assert(n2 == 4 &&
+      all.map(_.pixels.toSeq) == frames.map(_.pixels.toSeq),
+      "every frame must round-trip (losslessness is per-frame)")
+    // empty payload: one all-zero frame, still a decodable container
+    val (n0, s0) = GraftMedia.decodeSampledFrames(
+      GraftMedia.encodeGif(GraftMedia.payloadFrames(Array.empty)), 4)
+    assert(n0 == 1 && s0.head.pixels.forall(_ == 0))
+    intercept[IllegalArgumentException] {
+      GraftMedia.decodeSampledFrames("not a gif".getBytes("UTF-8"), 1)
+    }
+  }
+
+  test("WAV audio: AudioSystem parses the file's own fmt chunk (rate, " +
+       "width, channels), PCM samples round-trip bit-exactly, and " +
+       "audio stats match hand computation") {
+    val payload = "Hello, waveform! aAzZ".getBytes("UTF-8")
+    val samples = GraftMedia.payloadSamples(payload)
+    val wav = GraftMedia.encodeWav(samples)
+    // RIFF magic proves a real container, not raw PCM
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+           new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    val (rate, decoded) = GraftMedia.decodeWav(wav)
+    assert(rate == 8000.0f, "sample rate must come from the decoded header")
+    assert(decoded.toSeq == samples.toSeq,
+      "PCM must round-trip bit-exactly")
+    val st = GraftMedia.audioStats(decoded)
+    assert(st.nSamples == payload.length)
+    assert(st.sumAbs ==
+      payload.map(b => math.abs(((b & 0xff) - 96) * 256).toLong).sum)
+    assert(st.peak == payload.map(b =>
+      math.abs(((b & 0xff) - 96) * 256)).max)
+    // hand-count strict sign changes
+    val signs = samples.toSeq
+    val zc = signs.zip(signs.tail).count { case (a, b) => a.toLong * b < 0 }
+    assert(st.zeroCrossings == zc)
+    // zero-length audio: a valid (empty) WAV, zero stats
+    val (_, empty) = GraftMedia.decodeWav(GraftMedia.encodeWav(Array.empty))
+    assert(empty.isEmpty &&
+      GraftMedia.audioStats(empty) == GraftMedia.AudioStats(0, 0, 0, 0))
+    intercept[Exception] {
+      GraftMedia.decodeWav("not audio at all".getBytes("UTF-8"))
+    }
+  }
+
   test("bilinear half kernel: hand-computed 2x2 block means, integer " +
        "floor, edge clamp at dimension 1") {
     // 4x2 raster: blocks {10,20,30,40} -> 25 and {1,2,3,5} -> 2 (floor 11/4)
