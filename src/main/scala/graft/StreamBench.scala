@@ -47,6 +47,7 @@ object StreamBench {
     * Re-baseline floors when the medians legitimately move. */
   val throughputFloors: Map[String, Double] = Map(
     "sb_dedup"               -> 1044,
+    "sb_media_embed"         -> 2960,
     // first floored from the idle round-8 refresh (medians 1167 / 4409)
     "sb_fuzzy_contamination" -> 583,
     "sb_dsir_score"          -> 2204,
@@ -142,6 +143,23 @@ object StreamBench {
         in.toDF().toDF("doc_id", "ts", "text")), "sb_dedup")
       drive("sb_dedup", rows.size, q,
             chunks(rows, 4).map(c => () => { in.addData(c); () }))
+    }
+
+    // multimodal decode+embed: REAL javax.imageio decode per arriving
+    // payload (corpus docs pre-encoded to BMP once, outside the replay
+    // loop — the stream's work is the decode, not the fixture build)
+    locally {
+      val payloads = docs.map { case (id, text) =>
+        (id, graft.operators.GraftMedia.encodeBmp(
+          graft.operators.GraftMedia.payloadRaster(text.getBytes("UTF-8"))))
+      }
+      rep {
+        val in = MemoryStream[(Long, Array[Byte])]
+        val q = sink(CorpusStreams.mediaEmbedStream(
+          in.toDF().toDF("doc_id", "payload")), "sb_media_embed")
+        drive("sb_media_embed", payloads.size, q,
+              chunks(payloads, 4).map(c => () => { in.addData(c); () }))
+      }
     }
 
     // contamination gate: 8-gram leakage audit against a 100-doc test set

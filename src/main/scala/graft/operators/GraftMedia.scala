@@ -255,11 +255,13 @@ object GraftMedia {
   val audioSampleRate = 8000
 
   /** Payload bytes → signed 16-bit PCM samples: sample i is
-    * (byte_i − 96) · 256, centering printable ASCII around zero so sign
-    * structure (zero crossings) is non-degenerate; pure arithmetic, so
-    * a SQL oracle replays it from code points. */
+    * (byte_i − 96) · 128, centering printable ASCII around zero so sign
+    * structure (zero crossings) is non-degenerate; the ·128 scale keeps
+    * EVERY byte value in 16-bit range ((255−96)·128 = 20 352 < 2¹⁵, a
+    * bound the codec-law property test exercises with full-range bytes);
+    * pure arithmetic, so a SQL oracle replays it from code points. */
   def payloadSamples(bytes: Array[Byte]): Array[Int] =
-    bytes.map(b => ((b & 0xff) - 96) * 256)
+    bytes.map(b => ((b & 0xff) - 96) * 128)
 
   /** Encode samples as a REAL WAV file via `javax.sound.sampled` —
     * standard RIFF header, PCM_SIGNED 16-bit mono little-endian. */
@@ -270,6 +272,9 @@ object GraftMedia {
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
     while (i < samples.length) {
+      require(samples(i) >= Short.MinValue && samples(i) <= Short.MaxValue,
+        s"encodeWav: sample ${samples(i)} outside signed 16-bit range " +
+        "(would wrap silently in the PCM body)")
       pcm(2 * i) = (samples(i) & 0xff).toByte
       pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
       i += 1

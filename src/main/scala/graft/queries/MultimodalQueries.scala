@@ -277,7 +277,8 @@ object MultimodalQueries extends QueryModule {
         |FROM f""".stripMargin)),
 
     // REAL audio: payload bytes become signed 16-bit PCM samples
-    // ((byte − 96)·256 — ASCII centered so sign structure is real),
+    // ((byte − 96)·128 — ASCII centered so sign structure is real,
+    // in 16-bit range for every byte value),
     // written as a standard RIFF/WAV via javax.sound.sampled and decoded
     // back through AudioSystem — the sample rate and width come from the
     // FILE's fmt chunk, not from the encoder variables. Features are
@@ -311,9 +312,9 @@ object MultimodalQueries extends QueryModule {
         |  CAST(n AS BIGINT) AS n_samples,
         |  CAST(8000 AS BIGINT) AS sample_rate,
         |  CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
-        |  CAST(256 * coalesce(list_sum(list_transform(cs, x -> abs(x))), 0)
+        |  CAST(128 * coalesce(list_sum(list_transform(cs, x -> abs(x))), 0)
         |    AS BIGINT) AS sum_abs,
-        |  CAST(256 * coalesce(list_max(list_transform(cs, x -> abs(x))), 0)
+        |  CAST(128 * coalesce(list_max(list_transform(cs, x -> abs(x))), 0)
         |    AS BIGINT) AS peak,
         |  CAST(coalesce(list_sum(
         |    [CASE WHEN cs[i] * cs[i + 1] < 0 THEN 1 ELSE 0 END

@@ -34,6 +34,40 @@ object CorpusStreams {
       .dropDuplicatesWithinWatermark("__d")
       .drop("__d")
 
+  /** Streaming multimodal decode + embed: the REAL `javax.imageio`
+    * decode and the integer raster-feature / histogram-embedding kernels
+    * ([[graft.operators.GraftMedia]]) are pure per-row functions, so
+    * they apply to an arriving image-payload stream as ONE stateless
+    * `mapPartitions` — no shuffle, no state, no watermark; payload bytes
+    * never leave the task that read them, exactly as in the batch tier.
+    * Emits `(id, width, height, sum_pix, n_pix, min_pix, max_pix, v)`
+    * with `v` the L2-normalized 16-bin intensity embedding — the batch
+    * `mm_embed_ann` embedding, ready to compose with
+    * [[ivfServeStream]] / [[srpPairStream]] downstream. Undecodable
+    * payloads fail the batch loudly (corrupt images should not flow as
+    * zeros); pre-filter with a try-decode gate if dirty input is
+    * expected.
+    */
+  def mediaEmbedStream(docs: DataFrame, idCol: String = "doc_id",
+                       payloadCol: String = "payload"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(payloadCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val r = graft.operators.GraftMedia.decodeGray(bytes)
+          val st = graft.operators.GraftMedia.stats(r)
+          (id, st.width.toLong, st.height.toLong, st.sumPix,
+           st.nPix.toLong, st.minPix.toLong, st.maxPix.toLong,
+           graft.operators.GraftMedia.histogramEmbed(r))
+        }
+      }
+      .toDF(idCol, "width", "height", "sum_pix", "n_pix",
+            "min_pix", "max_pix", "v")
+  }
+
   /** Streaming quality gate: the pure-map filter stages apply to a stream
     * unchanged (token-count bounds, stopword ratio) — provided here so
     * stream pipelines compose gate → dedup without importing the batch

@@ -116,9 +116,9 @@ class MultimodalSpec extends GraftFunSuite {
     val st = GraftMedia.audioStats(decoded)
     assert(st.nSamples == payload.length)
     assert(st.sumAbs ==
-      payload.map(b => math.abs(((b & 0xff) - 96) * 256).toLong).sum)
+      payload.map(b => math.abs(((b & 0xff) - 96) * 128).toLong).sum)
     assert(st.peak == payload.map(b =>
-      math.abs(((b & 0xff) - 96) * 256)).max)
+      math.abs(((b & 0xff) - 96) * 128)).max)
     // hand-count strict sign changes
     val signs = samples.toSeq
     val zc = signs.zip(signs.tail).count { case (a, b) => a.toLong * b < 0 }

@@ -294,4 +294,37 @@ class PropertySpec extends AnyFunSuite {
         assert(norm(s, form) == s, s"$form not identity on ASCII '$s'")
     }
   }
+
+  test("media codec laws: BMP, animated-GIF and WAV chains are lossless " +
+       "for ALL payloads (round-trip through the real JDK codecs " +
+       "recovers every pixel / sample)") {
+    import graft.operators.GraftMedia
+    val bytesGen = Gen.choose(0, 700).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
+    forAll(bytesGen, n = 25) { payload =>
+      // still image: BMP encode -> imageio decode == the payload raster
+      val raster = GraftMedia.payloadRaster(payload)
+      val viaBmp = GraftMedia.decodeGray(GraftMedia.encodeBmp(raster))
+      assert(viaBmp.width == raster.width &&
+             viaBmp.pixels.toSeq == raster.pixels.toSeq)
+      // container: every frame of the GIF round-trips bit-exactly and
+      // the codec's frame count equals the arithmetic frame count
+      val frames = GraftMedia.payloadFrames(payload)
+      val (n, all) = GraftMedia.decodeSampledFrames(
+        GraftMedia.encodeGif(frames), sampleEvery = 1)
+      assert(n == frames.length &&
+             all.map(_.pixels.toSeq) == frames.map(_.pixels.toSeq))
+      // sampling law: every-kth materializes exactly frames 0, k, 2k, …
+      val k = 1 + math.abs(payload.length) % 5
+      val (_, sampled) = GraftMedia.decodeSampledFrames(
+        GraftMedia.encodeGif(frames), sampleEvery = k)
+      assert(sampled.map(_.pixels.toSeq) ==
+             (0 until n by k).map(i => frames(i).pixels.toSeq))
+      // audio: WAV PCM round-trip recovers every sample
+      val samples = GraftMedia.payloadSamples(payload)
+      val (rate, decoded) = GraftMedia.decodeWav(GraftMedia.encodeWav(samples))
+      assert(rate == GraftMedia.audioSampleRate.toFloat &&
+             decoded.toSeq == samples.toSeq)
+    }
+  }
 }

@@ -300,6 +300,49 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("mediaEmbedStream: REAL decode+embed over an arriving payload " +
+       "stream equals the batch kernels row-for-row, across micro-batch " +
+       "boundaries, with zero streaming state") {
+    import graft.operators.GraftMedia
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val payloads = Seq("alpha doc", "a longer second document body",
+                       "third", "", "fourth payload with more bytes in it")
+      .zipWithIndex.map { case (t, i) =>
+        (i.toLong, GraftMedia.encodeBmp(
+          GraftMedia.payloadRaster(t.getBytes("UTF-8"))))
+      }
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = CorpusStreams.mediaEmbedStream(
+        input.toDF().toDF("doc_id", "payload"))
+      .writeStream.format("memory").queryName("media_embed_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(payloads.take(2))
+      q.processAllAvailable()
+      input.addData(payloads.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("media_embed_stream")
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+           r.getLong(5), r.getLong(6), r.getSeq[Double](7).toList)))
+        .toMap
+      assert(got.size == payloads.size)
+      payloads.foreach { case (id, bytes) =>
+        val r = GraftMedia.decodeGray(bytes)
+        val st = GraftMedia.stats(r)
+        assert(got(id) == ((st.width.toLong, st.height.toLong, st.sumPix,
+          st.nPix.toLong, st.minPix.toLong, st.maxPix.toLong,
+          GraftMedia.histogramEmbed(r).toList)),
+          s"row $id must equal the batch kernels")
+      }
+      // stateless claim: no state operators in the progress record
+      val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+      assert(so.map(_.numRowsTotal).sum == 0,
+        "mediaEmbedStream must carry zero streaming state")
+    } finally q.stop()
+  }
+
   test("native session_window: streaming (append, watermark-closed) " +
        "equals batch for finalized sessions") {
     implicit val sqlCtx = spark.sqlContext
