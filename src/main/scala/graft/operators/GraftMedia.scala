@@ -206,14 +206,23 @@ object GraftMedia {
     }
   }
 
+  // ImageWriter/ImageReader instances are expensive to construct (SPI
+  // lookup + codec state) and NOT thread-safe — per-row create/dispose
+  // is pure overhead in a mapPartitions kernel. One instance per thread,
+  // reset between uses, is the javax.imageio reuse contract.
+  private val gifWriterTL =
+    ThreadLocal.withInitial[javax.imageio.ImageWriter] { () =>
+      val it = ImageIO.getImageWritersByFormatName("gif")
+      require(it.hasNext, "JDK GIF writer unavailable")
+      it.next()
+    }
+
   /** Encode frames as a REAL multi-frame animated GIF via the JDK's
     * sequence writer — a genuine container format any GIF decoder can
     * read, not a private concatenation. */
   def encodeGif(frames: Seq[Raster]): Array[Byte] = {
     require(frames.nonEmpty, "encodeGif: at least one frame")
-    val it = ImageIO.getImageWritersByFormatName("gif")
-    require(it.hasNext, "JDK GIF writer unavailable")
-    val writer = it.next()
+    val writer = gifWriterTL.get()
     val bos = new java.io.ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     try {
@@ -224,7 +233,7 @@ object GraftMedia {
           new javax.imageio.IIOImage(toIndexedImage(f), null, null), null)
       }
       writer.endWriteSequence()
-    } finally { writer.dispose(); ios.close() }
+    } finally { writer.reset(); ios.close() }
     bos.toByteArray
   }
 

@@ -132,6 +132,32 @@ class MultimodalSpec extends GraftFunSuite {
     }
   }
 
+  test("JPEG decode path: the lossy codec decodes through the same " +
+       "entry point — exact dimensions, pixels within compression " +
+       "tolerance (pinning the scaladoc's BMP/PNG/GIF/JPEG claim)") {
+    val payload = (0 until 300).map(i => (i % 97).toByte).toArray
+    val raster = GraftMedia.payloadRaster(payload)
+    val img = new java.awt.image.BufferedImage(
+      raster.width, raster.height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until raster.height; x <- 0 until raster.width) {
+      val g = raster.pixels(y * raster.width + x)
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpeg", bos),
+      "JDK JPEG encoder unavailable")
+    val got = GraftMedia.decodeGray(bos.toByteArray)
+    assert(got.width == raster.width && got.height == raster.height,
+      "JPEG decode must preserve dimensions exactly")
+    val maxErr = got.pixels.zip(raster.pixels).map {
+      case (a, b) => math.abs(a - b)
+    }.max
+    assert(maxErr <= 48,
+      s"JPEG round-trip error $maxErr implausibly large for near-flat " +
+      "gray content — the decode path is broken, not just lossy")
+  }
+
   test("bilinear half kernel: hand-computed 2x2 block means, integer " +
        "floor, edge clamp at dimension 1") {
     // 4x2 raster: blocks {10,20,30,40} -> 25 and {1,2,3,5} -> 2 (floor 11/4)
