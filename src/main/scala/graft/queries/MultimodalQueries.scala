@@ -160,6 +160,84 @@ object MultimodalQueries extends QueryModule {
         |      FROM sc)
         |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 3""".stripMargin)),
 
+    // The multimodal ANN SCALE path: same decode -> embed chain as
+    // mm_embed_ann, but served through the IVF index instead of the
+    // brute-force baseline — at corpus scale the media embeddings land
+    // in the same √N-cell index as every other embedding column, and
+    // queries probe nprobe cells instead of scanning N vectors. Every
+    // stage is deterministic (hash-picked centroids, argmax with c_id
+    // tie-break, exact rerank inside probed cells), so the oracle
+    // replays the WHOLE chain: pixels from code points -> histogram
+    // embedding -> centroid cut -> assignment -> probe -> rerank.
+    GraftQuery(
+      "mm_embed_ivf",
+      (s, dir) => {
+        import s.implicits._
+        val embedded = t(s, dir, "documents")
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val r = GraftMedia.decodeGray(
+                GraftMedia.encodeBmp(GraftMedia.payloadRaster(bytes)))
+              (id, GraftMedia.histogramEmbed(r))
+            }
+          }
+          .toDF("doc_id", "v")
+        graft.operators.GraftSimilarity.ivfTopK(
+          embedded,
+          embedded.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("q_id"), col("v").as("qv")),
+          k = 3, nprobe = 4, idCol = "doc_id")
+      },
+      Some("""WITH b AS (
+        |  SELECT doc_id, length(text) n,
+        |    [unicode(x) // 16 FOR x IN string_split(text, '')] bins
+        |  FROM documents),
+        |g AS (SELECT doc_id, n, bins, 8 + n % 9 AS w FROM b),
+        |p AS (SELECT doc_id, bins,
+        |        greatest(1, (n + w - 1) // w) * w - n AS pad FROM g),
+        |h AS (
+        |  SELECT doc_id,
+        |    [CAST(len(list_filter(bins, b -> b = i))
+        |          + CASE WHEN i = 0 THEN pad ELSE 0 END AS DOUBLE)
+        |     FOR i IN range(0, 16)] raw
+        |  FROM p),
+        |e AS (
+        |  SELECT doc_id,
+        |    list_transform(raw,
+        |      x -> x / sqrt(list_sum(list_transform(raw, y -> y * y)))) v
+        |  FROM h),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT doc_id c_id, v cv FROM e
+        |      WHERE substr(md5(doc_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT doc_id, v, c_id FROM (
+        |    SELECT e.doc_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.doc_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |q AS (SELECT doc_id q_id, v qv FROM e WHERE doc_id < 5),
+        |probes AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.q_id, q.qv, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM q, c) WHERE prnk <= 4),
+        |scored AS (
+        |  SELECT p.q_id, a.doc_id n_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.doc_id != p.q_id),
+        |r AS (SELECT q_id, n_id, c,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 3""".stripMargin)),
+
     // Resize: TRUE factor-2 bilinear over the decoded raster — with
     // half-pixel centers the scale-2 bilinear weights collapse to the
     // exact 2x2 block mean, computed in integers (floor of sum/4), so
