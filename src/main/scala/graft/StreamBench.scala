@@ -60,6 +60,7 @@ object StreamBench {
     "sb_srp_pairs_q8"        -> 290,
     "sb_ivf_serve"           -> 25,
     "sb_ivf_ingest"          -> 329,
+    "sb_ivf_ingest_manifest" -> 447,
     "sb_pack"                -> 1164,
     "sb_sessionize"          -> 11658,
     "sb_hourly"              -> 17860,
@@ -316,6 +317,42 @@ object StreamBench {
           out += Rec("sb_ivf_ingest", batchRows.size,
                      spark.read.parquet(s"$dir/assigned").count(), sec, 0L, 0L)
           println(s"[streambench] sb_ivf_ingest done: ${out.last}")
+        } finally q.stop()
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+
+    // streaming ingest into the MANIFEST-COMMITTED object-store layout:
+    // same replay as sb_ivf_ingest, but every micro-batch publishes a
+    // new manifest version via the rename-free commit protocol — the
+    // throughput delta vs the directory store IS the price of
+    // object-store-safe commits
+    rep {
+      import graft.operators.{GraftSimilarity, IvfObjectStore}
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+                expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("sb_ivf_ingest_manifest").toString
+      try {
+        IvfObjectStore.create(spark,
+          GraftSimilarity.buildIvfIndex(e.filter(col("vec_id") % 3 === 0)),
+          dir)
+        val batchRows = vecs.filter(_._1 % 3 != 0).map(v => (v._1, v._3))
+        val in = MemoryStream[(Long, List[Float])]
+        val q = IvfObjectStore.ingestStream(
+            dir, in.toDF().toDF("vec_id", "embedding"), streamId = "sb")
+          .option("checkpointLocation", s"$dir/_chk").start()
+        try {
+          val t0 = System.nanoTime()
+          chunks(batchRows, 2).foreach { c =>
+            in.addData(c); q.processAllAvailable()
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          out += Rec("sb_ivf_ingest_manifest", batchRows.size,
+                     IvfObjectStore.read(spark, dir).assigned.count(),
+                     sec, 0L, 0L)
+          println(s"[streambench] sb_ivf_ingest_manifest done: ${out.last}")
         } finally q.stop()
       } finally org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(dir))
