@@ -68,8 +68,21 @@ object LocalClusterSmoke {
       val rows = SparkEntry.queries("q3_join_agg")(spark, "/root/testdata/sf0.001")
         .count()
       require(rows > 0, s"q3: $rows")
+      // 5. the media codec kernels run EXECUTOR-side: the mapPartitions
+      // encode→decode chain (GraftMedia's static palette + per-thread
+      // ImageWriter state must survive executor class loading) against a
+      // pure-arithmetic driver-side replay of the sampled-frame pixel sum
+      val mm = SparkEntry.queries("mm_frame_sample")(
+          spark, "/root/testdata/sf0.001")
+        .agg(sum("sampled_px_sum")).head().getLong(0)
+      val mmExpected = doc.select("text").collect().map { r =>
+        r.getString(0).getBytes("UTF-8").zipWithIndex.collect {
+          case (b, i) if (i / 256) % 4 == 0 => (b & 0xff).toLong
+        }.sum
+      }.sum
+      require(mm == mmExpected, s"media: $mm != $mmExpected")
       println(s"LOCAL_CLUSTER_OK executors=${execIds.toSeq.sorted.mkString(",")} " +
-        s"sample=$n minhashSigSum=$mh topk=$tk q3Rows=$rows")
+        s"sample=$n minhashSigSum=$mh topk=$tk q3Rows=$rows mediaPxSum=$mm")
     } finally spark.stop()
   }
 }
