@@ -645,5 +645,144 @@ object TextQueries extends QueryModule {
         |FROM f
         |JOIN t2 ON t2.doc_id = f.doc_id
         |LEFT JOIN d5 ON d5.doc_id = f.doc_id""".stripMargin)),
+
+    // BPE vocabulary TRAINING (Sennrich et al. 2016 learn_bpe as
+    // relational rounds): one corpus-sized job (tokenize + word count),
+    // then each merge round is an (a, b)-keyed aggregation over the
+    // DISTINCT-WORD vocab plus a one-row broadcast argmax applied as a
+    // pure map — no corpus re-scan, no driver loop over data. Greedy
+    // left-to-right non-overlapping merge application is ANSI `replace`
+    // over a double-space-joined symbol string (replace never rescans
+    // its own output — exactly learn_bpe's substitution), so DuckDB
+    // replays all four rounds with the same `replace`.
+    GraftQuery(
+      "text_bpe_train",
+      (s, dir) => graft.operators.GraftBpe.bpeTrain(
+        t(s, dir, "documents"), merges = 4),
+      Some("""WITH w0 AS (
+        |  SELECT w, count(*) cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |v0 AS (SELECT cnt,
+        |         array_to_string([c FOR c IN string_split(w, '')], '  ') s
+        |       FROM w0),
+        |p1 AS (SELECT p.a a, p.b b, sum(cnt) pc FROM (
+        |   SELECT cnt, unnest([{'a': l[i], 'b': l[i+1]}
+        |                      FOR i IN range(1, len(l))]) p
+        |   FROM (SELECT cnt, string_split(s, '  ') l FROM v0)
+        |   WHERE len(l) >= 2)
+        | GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, pc FROM p1 ORDER BY pc DESC, a, b LIMIT 1),
+        |v1 AS (SELECT cnt, trim(replace(' ' || s || ' ',
+        |   ' ' || (SELECT a FROM b1) || '  ' || (SELECT b FROM b1) || ' ',
+        |   ' ' || (SELECT a || b FROM b1) || ' ')) s FROM v0),
+        |p2 AS (SELECT p.a a, p.b b, sum(cnt) pc FROM (
+        |   SELECT cnt, unnest([{'a': l[i], 'b': l[i+1]}
+        |                      FOR i IN range(1, len(l))]) p
+        |   FROM (SELECT cnt, string_split(s, '  ') l FROM v1)
+        |   WHERE len(l) >= 2)
+        | GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a, b LIMIT 1),
+        |v2 AS (SELECT cnt, trim(replace(' ' || s || ' ',
+        |   ' ' || (SELECT a FROM b2) || '  ' || (SELECT b FROM b2) || ' ',
+        |   ' ' || (SELECT a || b FROM b2) || ' ')) s FROM v1),
+        |p3 AS (SELECT p.a a, p.b b, sum(cnt) pc FROM (
+        |   SELECT cnt, unnest([{'a': l[i], 'b': l[i+1]}
+        |                      FOR i IN range(1, len(l))]) p
+        |   FROM (SELECT cnt, string_split(s, '  ') l FROM v2)
+        |   WHERE len(l) >= 2)
+        | GROUP BY 1, 2),
+        |b3 AS (SELECT a, b, pc FROM p3 ORDER BY pc DESC, a, b LIMIT 1),
+        |v3 AS (SELECT cnt, trim(replace(' ' || s || ' ',
+        |   ' ' || (SELECT a FROM b3) || '  ' || (SELECT b FROM b3) || ' ',
+        |   ' ' || (SELECT a || b FROM b3) || ' ')) s FROM v2),
+        |p4 AS (SELECT p.a a, p.b b, sum(cnt) pc FROM (
+        |   SELECT cnt, unnest([{'a': l[i], 'b': l[i+1]}
+        |                      FOR i IN range(1, len(l))]) p
+        |   FROM (SELECT cnt, string_split(s, '  ') l FROM v3)
+        |   WHERE len(l) >= 2)
+        | GROUP BY 1, 2),
+        |b4 AS (SELECT a, b, pc FROM p4 ORDER BY pc DESC, a, b LIMIT 1),
+        |v4 AS (SELECT cnt, trim(replace(' ' || s || ' ',
+        |   ' ' || (SELECT a FROM b4) || '  ' || (SELECT b FROM b4) || ' ',
+        |   ' ' || (SELECT a || b FROM b4) || ' ')) s FROM v3)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) merge_rank, a pair_a, b pair_b,
+        |         CAST(pc AS BIGINT) pair_count FROM b1
+        |  UNION ALL SELECT 2, a, b, pc FROM b2
+        |  UNION ALL SELECT 3, a, b, pc FROM b3
+        |  UNION ALL SELECT 4, a, b, pc FROM b4)""".stripMargin)),
+
+    // BPE SEGMENTATION with the learned table (train/apply split — the
+    // DSIR pattern): merges collected once at setup (O(4), not O(data))
+    // and folded into a chain of replace expressions, so application is
+    // ONE stateless projection — streaming-ready, no join, no state.
+    GraftQuery(
+      "text_bpe_segment",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        graft.operators.GraftBpe.bpeSegment(
+            docs, graft.operators.GraftBpe.bpeTrain(docs, merges = 4))
+          .select(col("doc_id"),
+                  size(col("bpe_tokens")).cast("long").as("n_subwords"),
+                  md5(array_join(col("bpe_tokens"), "|")).as("seg_md5"))
+      },
+      Some("""WITH w0 AS (
+        |  SELECT w, count(*) cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY w),
+        |v0 AS (SELECT cnt,
+        |         array_to_string([c FOR c IN string_split(w, '')], '  ') s
+        |       FROM w0),
+        |p1 AS (SELECT p.a a, p.b b, sum(cnt) pc FROM (
+        |   SELECT cnt, unnest([{'a': l[i], 'b': l[i+1]}
+        |                      FOR i IN range(1, len(l))]) p
+        |   FROM (SELECT cnt, string_split(s, '  ') l FROM v0)
+        |   WHERE len(l) >= 2)
+        | GROUP BY 1, 2),
+        |b1 AS (SELECT a, b, pc FROM p1 ORDER BY pc DESC, a, b LIMIT 1),
+        |v1 AS (SELECT cnt, trim(replace(' ' || s || ' ',
+        |   ' ' || (SELECT a FROM b1) || '  ' || (SELECT b FROM b1) || ' ',
+        |   ' ' || (SELECT a || b FROM b1) || ' ')) s FROM v0),
+        |p2 AS (SELECT p.a a, p.b b, sum(cnt) pc FROM (
+        |   SELECT cnt, unnest([{'a': l[i], 'b': l[i+1]}
+        |                      FOR i IN range(1, len(l))]) p
+        |   FROM (SELECT cnt, string_split(s, '  ') l FROM v1)
+        |   WHERE len(l) >= 2)
+        | GROUP BY 1, 2),
+        |b2 AS (SELECT a, b, pc FROM p2 ORDER BY pc DESC, a, b LIMIT 1),
+        |v2 AS (SELECT cnt, trim(replace(' ' || s || ' ',
+        |   ' ' || (SELECT a FROM b2) || '  ' || (SELECT b FROM b2) || ' ',
+        |   ' ' || (SELECT a || b FROM b2) || ' ')) s FROM v1),
+        |p3 AS (SELECT p.a a, p.b b, sum(cnt) pc FROM (
+        |   SELECT cnt, unnest([{'a': l[i], 'b': l[i+1]}
+        |                      FOR i IN range(1, len(l))]) p
+        |   FROM (SELECT cnt, string_split(s, '  ') l FROM v2)
+        |   WHERE len(l) >= 2)
+        | GROUP BY 1, 2),
+        |b3 AS (SELECT a, b, pc FROM p3 ORDER BY pc DESC, a, b LIMIT 1),
+        |v3 AS (SELECT cnt, trim(replace(' ' || s || ' ',
+        |   ' ' || (SELECT a FROM b3) || '  ' || (SELECT b FROM b3) || ' ',
+        |   ' ' || (SELECT a || b FROM b3) || ' ')) s FROM v2),
+        |p4 AS (SELECT p.a a, p.b b, sum(cnt) pc FROM (
+        |   SELECT cnt, unnest([{'a': l[i], 'b': l[i+1]}
+        |                      FOR i IN range(1, len(l))]) p
+        |   FROM (SELECT cnt, string_split(s, '  ') l FROM v3)
+        |   WHERE len(l) >= 2)
+        | GROUP BY 1, 2),
+        |b4 AS (SELECT a, b, pc FROM p4 ORDER BY pc DESC, a, b LIMIT 1),
+        |v4 AS (SELECT cnt, trim(replace(' ' || s || ' ',
+        |   ' ' || (SELECT a FROM b4) || '  ' || (SELECT b FROM b4) || ' ',
+        |   ' ' || (SELECT a || b FROM b4) || ' ')) s FROM v3)
+        |SELECT doc_id,
+        |  CAST(len(flatten([string_split(trim(replace(' ' || trim(replace(' ' || trim(replace(' ' || trim(replace(' ' || array_to_string([c FOR c IN string_split(w, '')], '  ') || ' ', ' ' || m1.a || '  ' || m1.b || ' ', ' ' || m1.a || m1.b || ' ')) || ' ', ' ' || m2.a || '  ' || m2.b || ' ', ' ' || m2.a || m2.b || ' ')) || ' ', ' ' || m3.a || '  ' || m3.b || ' ', ' ' || m3.a || m3.b || ' ')) || ' ', ' ' || m4.a || '  ' || m4.b || ' ', ' ' || m4.a || m4.b || ' ')), '  ')
+        |    FOR w IN regexp_split_to_array(trim(text), '\s+')
+        |    IF length(w) > 0])) AS BIGINT) AS n_subwords,
+        |  md5(array_to_string(flatten([string_split(trim(replace(' ' || trim(replace(' ' || trim(replace(' ' || trim(replace(' ' || array_to_string([c FOR c IN string_split(w, '')], '  ') || ' ', ' ' || m1.a || '  ' || m1.b || ' ', ' ' || m1.a || m1.b || ' ')) || ' ', ' ' || m2.a || '  ' || m2.b || ' ', ' ' || m2.a || m2.b || ' ')) || ' ', ' ' || m3.a || '  ' || m3.b || ' ', ' ' || m3.a || m3.b || ' ')) || ' ', ' ' || m4.a || '  ' || m4.b || ' ', ' ' || m4.a || m4.b || ' ')), '  ')
+        |    FOR w IN regexp_split_to_array(trim(text), '\s+')
+        |    IF length(w) > 0]), '|')) AS seg_md5
+        |FROM documents, b1 m1, b2 m2, b3 m3, b4 m4""".stripMargin)),
   )
 }
