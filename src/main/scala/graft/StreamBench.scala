@@ -48,6 +48,7 @@ object StreamBench {
   val throughputFloors: Map[String, Double] = Map(
     "sb_dedup"               -> 1044,
     "sb_media_embed"         -> 2960,
+    "sb_bpe_segment"         -> 1363,
     // first floored from the idle round-8 refresh (medians 1167 / 4409)
     "sb_fuzzy_contamination" -> 583,
     "sb_dsir_score"          -> 2204,
@@ -161,6 +162,27 @@ object StreamBench {
         drive("sb_media_embed", payloads.size, q,
               chunks(payloads, 4).map(c => () => { in.addData(c); () }))
       }
+    }
+
+    // BPE segmentation: batch-trained merges folded into one stateless
+    // projection over the arriving corpus (the merge table is immutable
+    // input — trained once, outside the replay loop)
+    locally {
+      val merges = graft.operators.GraftBpe.bpeTrain(
+        spark.read.parquet(s"$sfDir/documents.parquet"), merges = 8)
+        .persist()
+      merges.count()
+      rep {
+        val in = MemoryStream[(Long, String)]
+        val q = sink(graft.operators.GraftBpe.bpeSegment(
+            in.toDF().toDF("doc_id", "text"), merges)
+          .select(col("doc_id"), size(col("bpe_tokens")).as("n")),
+          "sb_bpe_segment")
+        drive("sb_bpe_segment", docs.size, q,
+              chunks(docs.map { case (id, t) => (id, t) }, 4)
+                .map(c => () => { in.addData(c); () }))
+      }
+      merges.unpersist()
     }
 
     // contamination gate: 8-gram leakage audit against a 100-doc test set

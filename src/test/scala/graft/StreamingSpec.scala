@@ -343,6 +343,39 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("bpeSegment on a stream: batch-trained merges apply to arriving " +
+       "docs as one stateless projection, scores equal the batch " +
+       "segmentation row-for-row") {
+    import graft.operators.GraftBpe
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    val train = Seq("low low low", "lower lower", "newest").toDF("text")
+    val merges = GraftBpe.bpeTrain(train, merges = 4)
+    val arriving = Seq((1L, "low lower"), (2L, "lowest newest"),
+                       (3L, ""), (4L, "slow low"))
+    val input = MemoryStream[(Long, String)]
+    val q = GraftBpe.bpeSegment(
+        input.toDF().toDF("doc_id", "text"), merges)
+      .select("doc_id", "bpe_tokens")
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(arriving.take(2)); q.processAllAvailable()
+      input.addData(arriving.drop(2)); q.processAllAvailable()
+      val got = spark.table("bpe_stream").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      val batch = GraftBpe.bpeSegment(
+          arriving.toDF("doc_id", "text"), merges)
+        .select("doc_id", "bpe_tokens").collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      assert(got == batch, s"\nstream $got\nbatch  $batch")
+      assert(got(1L) == List("low", "lower"), got(1L))
+      val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+      assert(so.map(_.numRowsTotal).sum == 0,
+        "bpeSegment must carry zero streaming state")
+    } finally q.stop()
+  }
+
   test("native session_window: streaming (append, watermark-closed) " +
        "equals batch for finalized sessions") {
     implicit val sqlCtx = spark.sqlContext
