@@ -105,17 +105,23 @@ object GraftBpe {
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getString(1), r.getString(2)))
     require(ms.nonEmpty, "bpeSegment: empty merge table")
-    // fold the merge chain into one expression over a word's state
-    val chain = ms.foldLeft("array_join(filter(split(w, ''), " +
-        "x -> length(x) > 0), '  ')") { case (acc, (a, b)) =>
-      val qa = a.replace("'", "\\'"); val qb = b.replace("'", "\\'")
-      s"trim(replace(concat(' ', $acc, ' '), " +
-        s"concat(' ', '$qa', '  ', '$qb', ' '), " +
-        s"concat(' ', '$qa$qb', ' ')))"
+    // fold the merge chain over a word's state with Column-API lambdas —
+    // pairs bind as `lit` values, never as spliced SQL string literals
+    // (a symbol containing a quote or backslash must not change the plan)
+    def chainOf(w: Column): Column = {
+      val init = array_join(
+        filter(split(w, ""), x => length(x) > lit(0)), "  ")
+      ms.foldLeft(init) { case (acc, (a, b)) =>
+        trim(org.apache.spark.sql.functions.replace(
+          concat(lit(" "), acc, lit(" ")),
+          concat(lit(" "), lit(a), lit("  "), lit(b), lit(" ")),
+          concat(lit(" "), lit(a + b), lit(" "))))
+      }
     }
-    docs.withColumn("bpe_tokens", expr(
-      s"""flatten(transform(
-         |  filter(split(trim($textCol), '\\\\s+'), w -> length(w) > 0),
-         |  w -> split($chain, '  ')))""".stripMargin))
+    docs.withColumn("bpe_tokens",
+      flatten(transform(
+        filter(split(trim(col(textCol)), "\\s+"),
+               w => length(w) > lit(0)),
+        w => split(chainOf(w), "  "))))
   }
 }

@@ -112,4 +112,20 @@ class BpeSpec extends GraftFunSuite {
       GraftBpe.bpeSegment(docs, merges.limit(0))
     }
   }
+
+  test("symbols with quotes/backslashes bind as values, not spliced SQL " +
+       "(the injection-hardening contract of the merge-chain fold)") {
+    val docs = Seq("do'n do'n d\\x d\\x d\\x").toDF("text")
+    val m = GraftBpe.bpeTrain(docs, merges = 2).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // pairs: d\x x3 words give (d,\)=3, (\,x)=3; do'n x2 give (d,o)=2,
+    // (o,')=2, (',n)=2 -> r1 tie at 3: ('\','x') vs ('d','\') -> '\\'(0x5c)
+    // vs 'd'(0x64) -> ('\','x') first
+    assert(m == Seq(("\\", "x", 3L), ("d", "\\x", 3L)), m)
+    val seg = GraftBpe.bpeSegment(
+        Seq("d\\x do'n").toDF("text"),
+        GraftBpe.bpeTrain(docs, merges = 2))
+      .select("bpe_tokens").head().getSeq[String](0)
+    assert(seg == Seq("d\\x", "d", "o", "'", "n"), seg)
+  }
 }
