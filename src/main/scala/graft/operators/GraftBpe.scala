@@ -70,10 +70,11 @@ object GraftBpe {
                merges: Int = 4): DataFrame = {
     require(merges >= 1 && merges <= 16,
       s"bpeTrain: merges must be in [1, 16], got $merges")
-    val v0 = vocab(docs, textCol)
-      // the vocab is the per-round input; persisting it is what makes
-      // each round vocab-sized instead of corpus-sized
-      .persist()
+    // the vocab is the per-round input; persisting it is what makes each
+    // round vocab-sized instead of corpus-sized; pinned under
+    // GraftDedup.unpersistAll like the module's other persisted slivers,
+    // so long-lived sessions can release it between corpora
+    val v0 = GraftDedup.pin(vocab(docs, textCol).persist())
     var v = v0
     var result: DataFrame = null
     for (k <- 1 to merges) {
