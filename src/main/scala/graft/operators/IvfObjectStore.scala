@@ -30,7 +30,9 @@ import GraftSimilarity.IvfIndex
   *
   * Instantiated reflectively by Spark via
   * `spark.sql.sources.commitProtocolClass`; the companion hands each
-  * job's committed file list back to the caller keyed by output path.
+  * job's committed file list back to the caller keyed by a per-write
+  * UUID token carried in the writer options (never by output path —
+  * concurrent writers to one store directory must not race the handoff).
   */
 class ManifestCommitProtocol(jobId: String, path: String,
                              dynamicPartitionOverwrite: Boolean)
@@ -49,9 +51,23 @@ class ManifestCommitProtocol(jobId: String, path: String,
   override def setupJob(jobContext: JobContext): Unit = ()
 
   override def commitJob(jobContext: JobContext,
-                         taskCommits: Seq[TaskCommitMessage]): Unit =
+                         taskCommits: Seq[TaskCommitMessage]): Unit = {
+    // The handoff is keyed by the per-write token [[IvfObjectStore]] put in
+    // the writer options (which Spark folds into the job's Hadoop conf) —
+    // NEVER by output path: two concurrent writers to the same store (the
+    // advertised append+compact / streaming+maintenance mode) both target
+    // `$dir/data`, and path-keying would let one writer publish the
+    // other's files under its own tag while its own staged files are
+    // orphaned. A token collision is impossible (UUID per write).
+    val token = jobContext.getConfiguration.get(ManifestCommitProtocol.TokenKey)
+    require(token != null && token.nonEmpty,
+      "ManifestCommitProtocol: no " + ManifestCommitProtocol.TokenKey +
+      " in the job conf — this protocol is only valid for writes issued " +
+      "through IvfObjectStore.writeVia (did an unrelated write get routed " +
+      "through it?)")
     ManifestCommitProtocol.record(
-      path, taskCommits.flatMap(_.obj.asInstanceOf[Seq[String]]))
+      token, taskCommits.flatMap(_.obj.asInstanceOf[Seq[String]]))
+  }
 
   override def abortJob(jobContext: JobContext): Unit = ()
   override def setupTask(taskContext: TaskAttemptContext): Unit =
@@ -91,21 +107,23 @@ class ManifestCommitProtocol(jobId: String, path: String,
 }
 
 object ManifestCommitProtocol {
+  /** Writer-option key carrying the per-write handoff token; Spark copies
+    * writer options into the write job's Hadoop conf, which is where
+    * [[ManifestCommitProtocol.commitJob]] reads it back. */
+  private[graft] val TokenKey = "graft.manifest.commit.token"
+
   private val results =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
 
-  /** Key writes by the scheme-less URI path so the qualified output path
-    * Spark passes the protocol ("file:/x", "s3a://b/x") meets the plain
-    * string the caller used ("/x"). */
-  private def key(p: String): String = new Path(p).toUri.getPath
+  private[operators] def record(token: String, files: Seq[String]): Unit =
+    results.put(token, files)
 
-  private[operators] def record(path: String, files: Seq[String]): Unit =
-    results.put(key(path), files)
-
-  /** Claim (and clear) the committed file list of the last job that wrote
-    * `path` in this JVM. */
-  private[operators] def take(path: String): Option[Seq[String]] =
-    Option(results.remove(key(path)))
+  /** Claim (and clear) the committed file list of the job that carried
+    * `token`. Tokens are unique per write, so concurrent writers to the
+    * SAME store directory (append ∥ compact, streaming ∥ maintenance)
+    * each take exactly their own file list. */
+  private[operators] def take(token: String): Option[Seq[String]] =
+    Option(results.remove(token))
 }
 
 /** The OBJECT-STORE layout of the at-rest IVF index: a manifest-committed
@@ -286,24 +304,28 @@ object IvfObjectStore {
 
   /** Route a DataFrame write through [[ManifestCommitProtocol]] and hand
     * back the store-relative paths of exactly the files the committed
-    * tasks wrote. */
+    * tasks wrote. The write runs on a FORKED child session (cloned
+    * session state, same SparkContext) so the commit-protocol conf flip
+    * is invisible to the caller's session — an unrelated `df.write` on
+    * the owning session during this window keeps its normal task-commit
+    * semantics — and the handoff is claimed by a per-write UUID token
+    * riding the writer options, so concurrent store writers never race
+    * each other's file lists. */
   private def writeVia(df: DataFrame, outPath: String,
                        partitioned: Boolean): Seq[String] = {
-    val spark = df.sparkSession
-    val k = "spark.sql.sources.commitProtocolClass"
-    val prev = spark.conf.getOption(k)
-    spark.conf.set(k, classOf[ManifestCommitProtocol].getName)
-    try {
-      val w = df.write.mode("append")
-      (if (partitioned) w.partitionBy("c_id") else w).parquet(outPath)
-      ManifestCommitProtocol.take(outPath).getOrElse(
-        throw new ManifestStoreException(
-          s"ManifestCommitProtocol recorded no commit for $outPath — " +
-          "another protocol handled the write"))
-    } finally prev match {
-      case Some(v) => spark.conf.set(k, v)
-      case None => spark.conf.unset(k)
-    }
+    import org.apache.spark.sql.GraftSqlBridge
+    val isolated = GraftSqlBridge.forkSession(df.sparkSession)
+    isolated.conf.set("spark.sql.sources.commitProtocolClass",
+                      classOf[ManifestCommitProtocol].getName)
+    val frame = GraftSqlBridge.ofRows(isolated, GraftSqlBridge.logicalPlan(df))
+    val token = java.util.UUID.randomUUID().toString
+    val w = frame.write.mode("append")
+      .option(ManifestCommitProtocol.TokenKey, token)
+    (if (partitioned) w.partitionBy("c_id") else w).parquet(outPath)
+    ManifestCommitProtocol.take(token).getOrElse(
+      throw new ManifestStoreException(
+        s"ManifestCommitProtocol recorded no commit for $outPath — " +
+        "another protocol handled the write"))
   }
 
   private def stageAssigned(dir: String, assigned: DataFrame): Seq[String] =
@@ -313,6 +335,7 @@ object IvfObjectStore {
   /** Create the store: stage centroid + assigned objects, publish
     * manifest v1. Refuses a dir that already has a manifest chain. */
   def create(spark: SparkSession, index: IvfIndex, dir: String): Unit = {
+    graft.GraftSession.ensureExtensions(spark)
     val fs = fsOf(spark, dir)
     currentManifest(fs, dir).foreach { m =>
       throw new ManifestStoreException(
@@ -375,6 +398,10 @@ object IvfObjectStore {
     batchTag.foreach(t => require(t.matches("[A-Za-z0-9_]+"),
       s"batchTag '$t' must match [A-Za-z0-9_]+ (same tag grammar as the " +
       "directory store: silent sanitization could collide two tags)"))
+    // same convention as GraftSimilarity's public entry points: a fresh
+    // ingest-daemon session that only reads + appends must still resolve
+    // graft_cosine inside assignTo
+    graft.GraftSession.ensureExtensions(spark)
     val fs = fsOf(spark, dir)
     var staged: Seq[String] = null
     var stagedAgainst: Seq[String] = null
@@ -527,6 +554,7 @@ object IvfObjectStore {
     require(streamId.matches("[A-Za-z0-9_]+"),
       s"streamId '$streamId' must match [A-Za-z0-9_]+ (it prefixes the " +
       "store's idempotency tags)")
+    graft.GraftSession.ensureExtensions(vecs.sparkSession)
     vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       append(batch.sparkSession, dir,
              batch.select(col(idCol),

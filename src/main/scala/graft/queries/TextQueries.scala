@@ -710,9 +710,9 @@ object TextQueries extends QueryModule {
         |SELECT * FROM (
         |  SELECT CAST(1 AS BIGINT) merge_rank, a pair_a, b pair_b,
         |         CAST(pc AS BIGINT) pair_count FROM b1
-        |  UNION ALL SELECT 2, a, b, pc FROM b2
-        |  UNION ALL SELECT 3, a, b, pc FROM b3
-        |  UNION ALL SELECT 4, a, b, pc FROM b4)""".stripMargin)),
+        |  UNION ALL SELECT CAST(2 AS BIGINT), a, b, CAST(pc AS BIGINT) FROM b2
+        |  UNION ALL SELECT CAST(3 AS BIGINT), a, b, CAST(pc AS BIGINT) FROM b3
+        |  UNION ALL SELECT CAST(4 AS BIGINT), a, b, CAST(pc AS BIGINT) FROM b4)""".stripMargin)),
 
     // BPE SEGMENTATION with the learned table (train/apply split — the
     // DSIR pattern): merges collected once at setup (O(4), not O(data))

@@ -388,6 +388,17 @@ object CorpusStreams {
     val bands = math.min(fullBands, math.max(1,
       math.ceil(math.log(missTarget) /
         math.log1p(-math.pow(threshold, r))).toInt))
+    // the fullBands cap can defeat a caller-supplied missTarget tighter
+    // than numHashes/r can deliver — the recall contract is ENFORCED,
+    // never silently relaxed (same stance as the batch tier's
+    // minhashBanding): refuse an unattainable target instead
+    val achieved =
+      graft.operators.GraftDedup.bandMissProb(threshold, r, bands)
+    require(achieved <= missTarget,
+      f"nearDupPairStream: $bands bands of $r rows (capped by numHashes=" +
+      f"$numHashes) give miss probability $achieved%.3g > missTarget " +
+      f"$missTarget%.3g — raise numHashes, lower rowsPerBand, or relax " +
+      "missTarget if the recall bound is acceptable")
     val horizonMs = horizonMinutes * 60000L
     graft.GraftSession.ensureExtensions(docs.sparkSession)
     import docs.sparkSession.implicits._

@@ -20,6 +20,14 @@ object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     CDataset.ofRows(classicSession(spark), plan)
 
+  /** Fork an isolated child session sharing the SparkContext and cloning
+    * the session state (conf, function registry, temp views) — session
+    * confs are per-session, so a conf the child sets can never leak into
+    * writes running concurrently on the parent. Classic-only
+    * (`cloneSession` is `private[sql]`, hence it lives in this shim). */
+  def forkSession(spark: SparkSession): SparkSession =
+    classicSession(spark).cloneSession()
+
   /** The analyzed logical plan underlying a DataFrame. */
   def logicalPlan(df: DataFrame): LogicalPlan =
     df.asInstanceOf[CDataset[Row]].queryExecution.analyzed

@@ -119,7 +119,12 @@ class ManifestStoreSpec extends GraftFunSuite {
         .ivfAppend(idx, batch).assigned
         .filter(col("n_id") >= 40)
         .repartition(col("c_id"))
-        .write.mode("append").partitionBy("c_id").parquet(s"$dir/data")
+        .write.mode("append").partitionBy("c_id")
+        // the crashed writer HAD a token — it died between commitJob and
+        // its manifest publish, so its handoff is simply never taken
+        .option(ManifestCommitProtocol.TokenKey,
+                "dead-writer-" + System.nanoTime())
+        .parquet(s"$dir/data")
       finally spark.conf.unset(k)
       // readers: the store still serves EXACTLY manifest v1
       assert(IvfObjectStore.currentManifest(fs, dir).get.version ==
@@ -208,6 +213,54 @@ class ManifestStoreSpec extends GraftFunSuite {
       val expected = serve(GraftSimilarity.ivfAppend(idx,
         e.filter(col("vec_id").between(40, 59))), q)
       assert(serve(IvfObjectStore.read(spark, dir), q) == expected)
+    }
+  }
+
+  test("concurrent appends to ONE store directory: token-keyed commit " +
+       "handoff gives each writer exactly its own file list — both " +
+       "batches land once, neither publishes the other's files — and the " +
+       "owner session's commitProtocolClass conf is never touched") {
+    withMockS3 { base =>
+      val e = vectors()
+      val idx = GraftSimilarity.buildIvfIndex(e.filter(col("vec_id") < 40))
+      val dir = s"s3a:$base/conc"
+      IvfObjectStore.create(spark, idx, dir)
+      val confKey = "spark.sql.sources.commitProtocolClass"
+      val prevProtocol = spark.conf.getOption(confKey)
+      assert(!prevProtocol.exists(_.contains("ManifestCommitProtocol")),
+        "precondition: owner session runs the default protocol")
+      // two writers, same JVM, same $dir/data — the advertised
+      // streaming+maintenance shape; path-keyed handoff would let one
+      // take() claim the other's record
+      val ranges = Seq((40, 49, "ca"), (50, 59, "cb"))
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+      val ths = ranges.map { case (lo, hi, tag) =>
+        new Thread(() => {
+          try IvfObjectStore.append(spark, dir,
+            e.filter(col("vec_id").between(lo, hi)), batchTag = Some(tag))
+          catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      ths.foreach(_.start()); ths.foreach(_.join())
+      assert(errs.isEmpty, s"concurrent appends failed: ${errs.peek()}")
+      assert(spark.conf.getOption(confKey) == prevProtocol,
+        "store writes must run on a forked session — the owner conf " +
+        "was mutated")
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m = IvfObjectStore.currentManifest(fs, dir).get
+      assert(m.tags == Set("ca", "cb"), m.tags.toString)
+      // every manifest data entry resolves to real bytes (no writer
+      // published a file list that belonged to the other and lost its own)
+      m.data.foreach { rel =>
+        assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")),
+          s"manifest references a missing object: $rel")
+      }
+      // and the served result is exactly base + both batches, once each
+      val ids = IvfObjectStore.read(spark, dir).assigned
+        .select("n_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == (0L until 60L),
+        s"expected ids 0..59 exactly once, got ${ids.length} rows")
     }
   }
 

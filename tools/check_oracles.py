@@ -32,6 +32,18 @@ def close(a, b):
     # fail the driver (this bit round 1: q_decimal / q_values_inline).
     if a is None or b is None:
         return a is b
+    # int-on-one-side / float-on-the-other is a FAIL even when the values
+    # are numerically equal: the driver hashes typed values, so a DuckDB
+    # HUGEINT column (reaching pandas as float) against a Spark BIGINT
+    # hashes differently (this bit round 9: text_bpe_train's un-cast
+    # UNION ALL branches). Decimal-vs-float stays tolerated — the
+    # driver's pandas path coerces DECIMAL to float64, so those DO hash
+    # alike. Cast both sides to BIGINT in the oracle SQL instead.
+    def is_int(x):
+        return isinstance(x, int) and not isinstance(x, bool)
+    if (is_int(a) and isinstance(b, float)) or \
+       (is_int(b) and isinstance(a, float)):
+        return False
     if isinstance(a, float) or isinstance(b, float):
         try:
             fa, fb = float(a), float(b)
