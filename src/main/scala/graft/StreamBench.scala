@@ -243,6 +243,24 @@ object StreamBench {
       }
     }
 
+    // Naive Bayes classification gate (stateless model-fold projection,
+    // same deployment shape as the DSIR scorer: train in batch, fold the
+    // C×B model into a constant, score with zero joins/state)
+    locally {
+      val ref = spark.read.parquet(s"$sfDir/documents.parquet")
+      val nbModel = graft.operators.GraftClassifier.nbTrain(
+        ref.filter(col("doc_id") % 5 =!= 0))
+      rep {
+        val in = MemoryStream[(Long, Timestamp, String)]
+        val q = sink(CorpusStreams.nbClassifyStream(
+          in.toDF().toDF("doc_id", "ts", "text"), nbModel)
+          .select("doc_id", "ts", "n_grams", "pred_label", "nb_score"),
+          "sb_nb_classify")
+        drive("sb_nb_classify", docRows.size, q,
+              chunks(docRows, 4).map(c => () => { in.addData(c); () }))
+      }
+    }
+
     // MinHash near-dup mining over 8-token shingles (the batch operators'
     // item shape — raw token SETS pair nearly everything in a synthetic
     // corpus with shared vocabulary, which measures the sink, not the op)

@@ -271,6 +271,36 @@ object CorpusCuration {
     definitelyNew.unionByName(verified).drop("__d")
   }
 
+  /** Snapshot reconciliation: classify every document id across two
+    * corpus snapshots as `added` / `removed` / `changed` / `unchanged`
+    * by content digest — the crawl-refresh bookkeeping step (what did
+    * this month's dump actually change?) that feeds incremental
+    * reprocessing: `changed ∪ added` is the work list, `removed` the
+    * tombstone list.
+    *
+    * Ids are assumed unique per snapshot (duplicate ids would
+    * cross-multiply through the join — run [[exactDedup]] first). NULL
+    * text digests a sentinel, so a null-text row compares equal to
+    * another null-text row, not to nothing.
+    *
+    * Scale shape: ONE full-outer join carrying only `(id, 16-byte md5)`
+    * per side — document bytes never cross the shuffle, so the cost is
+    * the id space, not the corpus size.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+                   idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val digest = md5(coalesce(col(textCol), lit("\u0000null-text")))
+    val a = before.select(col(idCol), digest.as("__da"))
+    val b = after.select(col(idCol), digest.as("__db"))
+    a.join(b, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__da").isNull, lit("added"))
+          .when(col("__db").isNull, lit("removed"))
+          .when(col("__da") === col("__db"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Weighted sample WITHOUT replacement, exactly `k` rows, selection
     * probability ∝ `weightCol` — Efraimidis–Spirakis A-ES with the random
     * draw derandomized to a hash: u = (md5₃₂(key) + 1) / 2³², selection

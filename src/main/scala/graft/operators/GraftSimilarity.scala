@@ -60,6 +60,45 @@ object GraftSimilarity {
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 
+  /** Embedding-proximity data selection (the SemDeDup / DCLM-style
+    * "pick what sits near the curated region" gate): score every vector
+    * by cosine to the CENTROID of a seed subset and return the global
+    * top-k `(rank, id, cos)`.
+    *
+    * The centroid is the seed set's per-component sum on the
+    * [[KmeansGrid]] 2²⁰ fixed-point grid — integer addition is exact in
+    * any merge order, and cosine is scale-invariant, so the sum IS the
+    * centroid direction with no division and no float-order
+    * nondeterminism (the same engineered-exactness trick as the Lloyd
+    * step; a SQL engine replays it bit-for-bit).
+    *
+    * Scale shape: ONE dims-wide aggregate over the seed sliver (map-side
+    * combined — `dims` doubles per partition cross the wire), the 1-row
+    * centroid broadcast into a pure map over the corpus, and a global
+    * top-k (TakeOrdered — per-partition heaps, k rows to the driver).
+    * Zero wide shuffles at any corpus size.
+    */
+  def centroidSelect(vecs: DataFrame, isSeed: Column, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "v")
+      : DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.GraftSession.ensureExtensions(vecs.sparkSession)
+    val e = vecs.select(col(idCol).as("n_id"), col(vecCol).as("v"),
+                        isSeed.as("__seed"))
+    val centroid = e.filter(col("__seed"))
+      .agg(expr(
+        s"graft_vec_sum(transform(v, x -> round(x * ${KmeansGrid.toLong})))")
+        .as("__cv"))
+    import org.apache.spark.sql.expressions.Window
+    e.crossJoin(broadcast(centroid))
+      .select(col("n_id"), cosine("v", "__cv").as("__c"))
+      .orderBy(col("__c").desc, col("n_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("__c").desc, col("n_id"))).cast("long"))
+      .select(col("rank"), col("n_id").as(idCol),
+              round(col("__c"), 4).as("cos"))
+  }
+
   /** IVF top-k: ≈√N deterministic centroids, vectors assigned to their
     * nearest centroid via a map-side partial argmax, queries probe their
     * `nprobe` nearest cells and rerank exactly within them.

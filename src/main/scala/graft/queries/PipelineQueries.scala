@@ -603,7 +603,160 @@ object PipelineQueries extends QueryModule {
                   col("dsir_score"))
       },
       Some(DsirOracle.sql)),
+
+    // Naive Bayes language classification (the fastText-style classifier
+    // gate of curation pipelines — CCNet / GPT-3 quality-filter pattern):
+    // train a multinomial NB on the 80% split (doc_id % 5 != 0) with
+    // `lang` as the label, classify the held-out 20%, report prediction +
+    // correctness. Fully integer-exact (2^20 fixed-point likelihood grid
+    // + integer log2 + deterministic argmax tie-break), so the oracle
+    // replays training AND inference bit-for-bit, xxhash64 buckets
+    // included. See GraftClassifier for the scale shape (C×B model,
+    // broadcast apply).
+    GraftQuery(
+      "pipeline_nb_classify",
+      (s, dir) => {
+        import graft.operators.GraftClassifier
+        val docs = t(s, dir, "documents")
+        val model = GraftClassifier.nbTrain(
+          docs.filter(col("doc_id") % 5 =!= 0), labelCol = "lang")
+        GraftClassifier.nbClassify(
+            docs.filter(col("doc_id") % 5 === 0), model)
+          .join(t(s, dir, "documents").select(col("doc_id"), col("lang")),
+                "doc_id")
+          .select(col("doc_id"), col("n_grams"), col("pred_label"),
+                  col("nb_score"),
+                  (col("pred_label") === col("lang")).as("is_correct"))
+      },
+      Some(NbOracle.sql)),
+
+    // Corpus snapshot reconciliation (crawl-refresh bookkeeping): diff
+    // two snapshots by content digest into added/removed/changed/
+    // unchanged — `changed ∪ added` is the incremental-reprocessing work
+    // list. The "after" snapshot is manufactured deterministically from
+    // the same table (drop %13, edit %7, add %17 under shifted ids) so
+    // both engines diff identical inputs. Scale: the join carries only
+    // (id, md5) — document bytes never shuffle.
+    GraftQuery(
+      "pipeline_corpus_diff",
+      (s, dir) => {
+        import graft.operators.CorpusCuration
+        val before = t(s, dir, "documents")
+        val after = before
+          .filter(col("doc_id") % 13 =!= 0)
+          .withColumn("text",
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" rev2")))
+              .otherwise(col("text")))
+          .unionByName(
+            before.filter(col("doc_id") % 17 === 0)
+              .select((col("doc_id") + 1000000L).as("doc_id"),
+                      concat(lit("fresh crawl "), col("text")).as("text")),
+            allowMissingColumns = true)
+        CorpusCuration.snapshotDiff(before, after)
+      },
+      Some("""WITH before AS (SELECT doc_id, text FROM documents),
+        |after AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
+        |  FROM before WHERE doc_id % 13 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'fresh crawl ' || text
+        |  FROM before WHERE doc_id % 17 = 0),
+        |a AS (SELECT doc_id, md5(text) da FROM before),
+        |b AS (SELECT doc_id, md5(text) db FROM after)
+        |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+        |  CASE WHEN a.doc_id IS NULL THEN 'added'
+        |       WHEN b.doc_id IS NULL THEN 'removed'
+        |       WHEN da = db THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""".stripMargin)),
   )
+}
+
+/** DuckDB replay of [[graft.operators.GraftClassifier]] train + apply:
+  * whitespace unigrams hashed with Spark's builtin `xxhash64` (the
+  * [[XxHash64Sql]] chain at seed 42), per-(label, bucket) counts on the
+  * 80% split, add-1-smoothed likelihoods and document-frequency priors
+  * floored onto the 2²⁰ fixed-point grid in HUGEINT, the integer
+  * fixed-point log₂ via binary string length, per-(doc, label) score
+  * sums over the held-out 20%, and the (score desc, label asc) argmax.
+  * ASCII guarded at the document level like the other chain consumers.
+  */
+private[queries] object NbOracle {
+  private val B: Int = graft.operators.GraftClassifier.NbDefaultBuckets
+  val sql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, lang, doc_id % 5 != 0 AS is_train,
+      |    CASE WHEN octet_length(encode(text)) != length(text)
+      |         THEN error('pipeline_nb_classify oracle: non-ASCII text for '
+      |                    || 'doc_id ' || doc_id || ' — the xxh64 replay '
+      |                    || 'addresses BYTES via unicode()')
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+      |  FROM documents),
+      |gr AS (
+      |  SELECT doc_id, lang, is_train, unnest(w) AS g
+      |  FROM docs WHERE len(w) >= 1),
+      |grf AS (SELECT * FROM gr WHERE length(g) > 0),
+      |nb_in AS (SELECT DISTINCT g AS t FROM grf),
+      |""".stripMargin +
+    XxHash64Sql.chain("nb_", "42", "pipeline_nb_classify oracle") +
+    s"""bk AS (SELECT t, CAST(h % $B AS BIGINT) AS b FROM nb_ht),
+      |gb AS (SELECT grf.doc_id, grf.lang, grf.is_train, bk.b
+      |       FROM grf JOIN bk ON bk.t = grf.g),
+      |cnt AS (
+      |  SELECT lang, b, count(*) AS n
+      |  FROM gb WHERE is_train GROUP BY lang, b),
+      |nc AS (SELECT lang, sum(n) AS nc FROM cnt GROUP BY lang),
+      |dc AS (
+      |  SELECT lang, count(*) AS dc FROM docs
+      |  WHERE is_train AND len(w) >= 1 GROUP BY lang),
+      |d AS (SELECT CAST(sum(dc) AS HUGEINT) AS d FROM dc),
+      |pri AS (
+      |  SELECT lang, greatest(1, (CAST(dc AS HUGEINT) * 1048576) // d) AS wp
+      |  FROM dc, d),
+      |lp AS (
+      |  SELECT lang,
+      |    CAST((wp * 1024)
+      |           // CAST(power(2, length(printf('%b', CAST(wp AS BIGINT))) - 1)
+      |                AS HUGEINT)
+      |         + (length(printf('%b', CAST(wp AS BIGINT))) - 1) * 1024
+      |         - 1024 AS BIGINT) AS lp
+      |  FROM pri),
+      |dense AS (
+      |  SELECT r.b, nc.lang, coalesce(cnt.n, 0) AS n, nc.nc
+      |  FROM (SELECT unnest(range(0, $B)) AS b) r
+      |  CROSS JOIN nc
+      |  LEFT JOIN cnt ON cnt.b = r.b AND cnt.lang = nc.lang),
+      |wt AS (
+      |  SELECT b, lang,
+      |    greatest(1, (CAST(n + 1 AS HUGEINT) * 1048576)
+      |                // CAST(nc + $B AS HUGEINT)) AS w
+      |  FROM dense),
+      |lw AS (
+      |  SELECT b, lang,
+      |    CAST((w * 1024)
+      |           // CAST(power(2, length(printf('%b', CAST(w AS BIGINT))) - 1)
+      |                AS HUGEINT)
+      |         + (length(printf('%b', CAST(w AS BIGINT))) - 1) * 1024
+      |         - 1024 AS BIGINT) AS lw
+      |  FROM wt),
+      |test AS (SELECT doc_id, lang AS actual, b
+      |         FROM gb WHERE NOT is_train),
+      |sc AS (
+      |  SELECT t.doc_id, any_value(t.actual) AS actual, lw.lang,
+      |    count(*) AS n_grams, sum(lw.lw) AS s
+      |  FROM test t JOIN lw ON lw.b = t.b
+      |  GROUP BY t.doc_id, lw.lang),
+      |tot AS (
+      |  SELECT sc.doc_id, sc.actual, sc.lang, sc.n_grams,
+      |    sc.s + lp.lp AS score,
+      |    row_number() OVER (PARTITION BY sc.doc_id
+      |                       ORDER BY sc.s + lp.lp DESC, sc.lang) AS rnk
+      |  FROM sc JOIN lp ON lp.lang = sc.lang)
+      |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+      |  lang AS pred_label, CAST(score AS BIGINT) AS nb_score,
+      |  lang = actual AS is_correct
+      |FROM tot WHERE rnk = 1""".stripMargin
 }
 
 /** DuckDB replay of [[graft.operators.CorpusCuration.dsirScores]] +

@@ -535,5 +535,34 @@ object SimilarityQueries extends QueryModule {
         |      FROM scored)
         |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, round(cs, 4) AS cos
         |FROM r WHERE rnk <= 5""".stripMargin)),
+
+    // Embedding-proximity data selection (SemDeDup / DCLM-style): score
+    // every vector by cosine to the integer-exact centroid of the seed
+    // subset (vec_id % 10 == 0 — the "curated reference" stand-in) and
+    // keep the global top 50. The centroid is the seed sum on the 2^20
+    // fixed-point grid (exact in any merge order; cosine scale-invariance
+    // makes division unnecessary), so the oracle replays it bit-for-bit.
+    // Plan: 1-row centroid broadcast → map-side cosines → TakeOrdered;
+    // zero wide shuffles at any corpus size.
+    GraftQuery(
+      "pipeline_embed_select",
+      (s, dir) =>
+        GraftSimilarity.centroidSelect(
+          vecs(s, dir), isSeed = col("vec_id") % 10 === 0, k = 50),
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |d AS (SELECT unnest(range(1, array_length(v) + 1)) i
+        |      FROM (SELECT v FROM e LIMIT 1)),
+        |cv AS (
+        |  SELECT list(s ORDER BY i) cv FROM (
+        |    SELECT d.i i, sum(round(v[d.i] * 1048576.0)) s
+        |    FROM e, d WHERE vec_id % 10 = 0 GROUP BY d.i)),
+        |sc AS (
+        |  SELECT vec_id, list_cosine_similarity(e.v, cv.cv) c
+        |  FROM e, cv),
+        |r AS (SELECT vec_id, c,
+        |        row_number() OVER (ORDER BY c DESC, vec_id) rank
+        |      FROM sc)
+        |SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(c, 4) AS cos
+        |FROM r WHERE rank <= 50""".stripMargin)),
   )
 }

@@ -154,6 +154,55 @@ object CorpusStreams {
   }
 
   /** Streaming APPLY side of
+    * [[graft.operators.GraftClassifier]]: classify arriving documents
+    * with a Naive Bayes model TRAINED IN BATCH (`nbTrain` on a labeled
+    * reference corpus) — the deployment split of a fastText-style
+    * language-ID / quality gate.
+    *
+    * Scale shape — the model is C×B longs (a few hundred KB), so it is
+    * collected ONCE at stream setup and folded into a CONSTANT
+    * bucket-indexed array-of-weight-vectors literal: scoring is then C
+    * array-fold sums over the document's own gram buckets in ONE
+    * stateless projection — no shuffle, no state, no watermark, no
+    * per-batch join. The argmax and every weight are the batch
+    * operator's integers, so stream ≡ batch predictions exactly
+    * (StreamingSpec pins the parity).
+    *
+    * Emits the input row plus `n_grams`, `pred_label`, `nb_score`;
+    * documents with zero non-empty whitespace tokens are dropped
+    * (unscoreable — identical to the batch operator's inner join).
+    */
+  def nbClassifyStream(docs: DataFrame,
+                       model: graft.operators.GraftClassifier.NbModel,
+                       textCol: String = "text"): DataFrame = {
+    import graft.operators.{GraftClassifier, GraftText}
+    val (labels, lps, w) = GraftClassifier.collectModel(model)
+    val warr = typedLit(w.map(_.toSeq).toSeq)
+    val scored = docs
+      .withColumn("__bk", transform(
+        filter(GraftText.whitespaceTokens(col(textCol)),
+               t => length(t) > lit(0)),
+        t => (pmod(xxhash64(t), lit(model.buckets.toLong)) + 1).cast("int")))
+      .filter(size(col("__bk")) >= 1)
+      .withColumn("n_grams", size(col("__bk")).cast("long"))
+    val withSums = labels.indices.foldLeft(scored) { (df, i) =>
+      df.withColumn(s"__s$i",
+        aggregate(col("__bk"), lit(0L),
+          (acc, b) => acc + element_at(element_at(warr, b), i + 1)))
+    }
+    val cand = array(labels.zipWithIndex.map { case (lab, i) =>
+      struct((-(col(s"__s$i") + lit(lps(i)))).as("ns"),
+             lit(lab).as("lab"))
+    }: _*)
+    withSums
+      .withColumn("__min", array_min(cand))
+      .withColumn("pred_label", col("__min.lab"))
+      .withColumn("nb_score", -col("__min.ns"))
+      .drop((Seq("__bk", "__min") ++
+             labels.indices.map(i => s"__s$i")): _*)
+  }
+
+  /** Streaming APPLY side of
     * [[graft.operators.CorpusCuration.contaminatedDocs]]: flag arriving
     * documents sharing any word-`n`-gram with a STATIC benchmark/test set
     * (the leakage audit, run at ingest instead of per-batch-job). The

@@ -375,4 +375,28 @@ class CurationOpsSpec extends GraftFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(again == out.view.mapValues(_._2).toMap)
   }
+
+  test("snapshotDiff: statuses exact on a hand-built pair of snapshots, " +
+       "null text compares as a value") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Some("same")), (2L, Some("old")), (3L, Some("gone")),
+      (4L, None: Option[String]), (5L, None: Option[String])).toDF("doc_id", "text")
+    val after = Seq(
+      (1L, Some("same")), (2L, Some("new")), (6L, Some("born")),
+      (4L, None: Option[String]), (5L, Some("filled"))).toDF("doc_id", "text")
+    val out = graft.operators.CorpusCuration.snapshotDiff(before, after)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+                      4L -> "unchanged", 5L -> "changed", 6L -> "added"),
+      out.toString)
+  }
+
+  test("snapshotDiff: identical snapshots are all unchanged; the work " +
+       "list is empty") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val out = graft.operators.CorpusCuration.snapshotDiff(docs, docs)
+    assert(out.filter(col("status") =!= "unchanged").count() == 0)
+    assert(out.count() == docs.count())
+  }
 }

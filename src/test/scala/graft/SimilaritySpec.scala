@@ -233,4 +233,39 @@ class SimilaritySpec extends GraftFunSuite {
       s"sized-only=${sized.diff(exact)} exact-only=${exact.diff(sized)}")
     assert(exact.nonEmpty)
   }
+
+  test("centroidSelect: deterministic across partitionings; rank 1 is " +
+       "the true cosine argmax against the seed centroid") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val seed = col("vec_id") % 10 === 0
+    val out = graft.operators.GraftSimilarity
+      .centroidSelect(e, seed, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val out2 = graft.operators.GraftSimilarity
+      .centroidSelect(e.repartition(7), seed, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 10 && out.sameElements(out2))
+    // brute-force the centroid + cosines in-test and check the argmax
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val dim = vecs.head._2.length
+    val cv = new Array[Double](dim)
+    for ((id, v) <- vecs if id % 10 == 0; i <- 0 until dim)
+      cv(i) += math.round(v(i) * 1048576.0).toDouble
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val best = vecs.map { case (id, v) => (id, cos(v, cv)) }
+      .toSeq.sortBy { case (id, c) => (-c, id) }.head
+    assert(out(0)._2 == best._1,
+      s"rank 1 ${out(0)._2} != brute argmax ${best._1}")
+    assert(math.abs(out(0)._3 - best._2) < 1e-3)
+    // ranks are 1..k and cosines non-increasing
+    assert(out.map(_._1).toSeq == (1L to 10L))
+    assert(out.sliding(2).forall(p => p(0)._3 >= p(1)._3))
+  }
 }
