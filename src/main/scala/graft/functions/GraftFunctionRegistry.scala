@@ -125,4 +125,8 @@ object GraftFunctionRegistry {
 
   def normalize(c: Column, form: String = "NFC"): Column =
     GraftSqlBridge.columnOf(GraftNormalize(GraftSqlBridge.expressionOf(c), form))
+
+  def cosine(a: Column, b: Column): Column =
+    GraftSqlBridge.columnOf(GraftCosine(
+      GraftSqlBridge.expressionOf(a), GraftSqlBridge.expressionOf(b)))
 }

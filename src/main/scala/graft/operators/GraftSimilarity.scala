@@ -60,6 +60,21 @@ object GraftSimilarity {
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 
+  /** The TRAINED HALF of [[centroidSelect]], exposed for train/apply
+    * splits: the 1-row grid-summed centroid frame `(__cv: array<double>)`
+    * of a seed corpus. Integer-exact in any merge order (each component
+    * is a sum of `round(x·2²⁰)` grid points); cosine scale-invariance
+    * means it needs no normalization. Broadcast it in batch, or collect
+    * its `dims` doubles into a constant for the streaming scorer
+    * ([[graft.streaming.CorpusStreams.centroidScoreStream]]).
+    */
+  def seedCentroid(seeds: DataFrame, vecCol: String = "v"): DataFrame = {
+    graft.GraftSession.ensureExtensions(seeds.sparkSession)
+    seeds.agg(expr(
+      s"graft_vec_sum(transform($vecCol, x -> round(x * ${KmeansGrid.toLong})))")
+      .as("__cv"))
+  }
+
   /** Embedding-proximity data selection (the SemDeDup / DCLM-style
     * "pick what sits near the curated region" gate): score every vector
     * by cosine to the CENTROID of a seed subset and return the global
@@ -85,10 +100,8 @@ object GraftSimilarity {
     graft.GraftSession.ensureExtensions(vecs.sparkSession)
     val e = vecs.select(col(idCol).as("n_id"), col(vecCol).as("v"),
                         isSeed.as("__seed"))
-    val centroid = e.filter(col("__seed"))
-      .agg(expr(
-        s"graft_vec_sum(transform(v, x -> round(x * ${KmeansGrid.toLong})))")
-        .as("__cv"))
+    val centroid = seedCentroid(
+      e.filter(col("__seed")), vecCol = "v")
     import org.apache.spark.sql.expressions.Window
     e.crossJoin(broadcast(centroid))
       .select(col("n_id"), cosine("v", "__cv").as("__c"))

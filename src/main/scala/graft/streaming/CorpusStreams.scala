@@ -154,6 +154,38 @@ object CorpusStreams {
   }
 
   /** Streaming APPLY side of
+    * [[graft.operators.GraftSimilarity.centroidSelect]]: score arriving
+    * vectors by cosine to a seed centroid TRAINED IN BATCH
+    * ([[graft.operators.GraftSimilarity.seedCentroid]] over the curated
+    * reference corpus). The centroid is `dims` doubles — collected ONCE
+    * at stream setup and folded into a constant array literal, so
+    * scoring is one native `graft_cosine` per row in a stateless
+    * projection: no shuffle, no state, no watermark, no join. The
+    * constant is the batch tier's integer-exact grid sum, so stream ≡
+    * batch scores exactly (and the kernel's strict dim contract throws
+    * on a drifted embedding width instead of mis-scoring).
+    *
+    * Emits the input row plus `centroid_cos` (rounded to 4 decimals,
+    * the batch operator's output convention). Gate downstream with a
+    * threshold filter, or feed a windowed top-k for the streaming
+    * analog of the batch top-k selection.
+    */
+  def centroidScoreStream(vecs: DataFrame, centroid: DataFrame,
+                          vecCol: String = "embedding"): DataFrame = {
+    val rows = centroid.select(col("__cv")).collect()
+    require(rows.length == 1,
+      s"centroidScoreStream: expected the 1-row seedCentroid frame, got " +
+      s"${rows.length} rows")
+    val cv = rows(0).getSeq[Double](0)
+    require(cv.nonEmpty, "centroidScoreStream: empty centroid vector")
+    graft.GraftSession.ensureExtensions(vecs.sparkSession)
+    vecs.withColumn("centroid_cos", round(
+      graft.functions.GraftFunctionRegistry.cosine(
+        expr(s"transform($vecCol, x -> cast(x AS double))"),
+        typedLit(cv)), 4))
+  }
+
+  /** Streaming APPLY side of
     * [[graft.operators.GraftClassifier]]: classify arriving documents
     * with a Naive Bayes model TRAINED IN BATCH (`nbTrain` on a labeled
     * reference corpus) — the deployment split of a fastText-style

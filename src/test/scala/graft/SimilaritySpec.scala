@@ -268,4 +268,51 @@ class SimilaritySpec extends GraftFunSuite {
     assert(out.map(_._1).toSeq == (1L to 10L))
     assert(out.sliding(2).forall(p => p(0)._3 >= p(1)._3))
   }
+
+  test("centroidScoreStream: stream scores equal the batch cosine to the " +
+       "trained seed centroid exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val cent = graft.operators.GraftSimilarity.seedCentroid(
+      e.filter(col("vec_id") % 10 === 0))
+    // batch truth: the same broadcast-cosine the batch selector ranks on
+    val batch = e.crossJoin(org.apache.spark.sql.functions.broadcast(cent))
+      .select(col("vec_id"), round(
+        graft.functions.GraftFunctionRegistry.cosine(col("v"), col("__cv")),
+        4).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val rows = e.collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toList)).toSeq
+    val input = MemoryStream[(Long, List[Double])]
+    val q = graft.streaming.CorpusStreams.centroidScoreStream(
+        input.toDF().toDF("vec_id", "embedding"), cent)
+      .select("vec_id", "centroid_cos")
+      .writeStream.format("memory").queryName("cent_par").outputMode("append")
+      .start()
+    try {
+      input.addData(rows.take(rows.size / 2)); q.processAllAvailable()
+      input.addData(rows.drop(rows.size / 2)); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("cent_par")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(streamed == batch,
+      "streaming centroid scores must equal the batch cosine exactly")
+    // the strict dim contract fires on width drift instead of mis-scoring
+    val bad = MemoryStream[(Long, List[Double])]
+    val q2 = graft.streaming.CorpusStreams.centroidScoreStream(
+        bad.toDF().toDF("vec_id", "embedding"), cent)
+      .writeStream.format("memory").queryName("cent_bad").outputMode("append")
+      .start()
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      bad.addData(Seq((1L, List(1.0, 2.0)))); q2.processAllAvailable()
+    }
+    q2.stop()
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(err).exists(_.contains("length")), chain(err).mkString(" | "))
+  }
 }
