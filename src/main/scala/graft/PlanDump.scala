@@ -33,7 +33,9 @@ object PlanDump {
                     "dedup_substring_keepfirst", "text_gopher_quality",
                     "pipeline_dsir_select", "text_normalize_nfc",
                     "dedup_source_overlap_exact", "mm_resize",
-                    "ann_ivf_stored_manifest")
+                    "ann_ivf_stored_manifest", "text_bpe_train",
+                    "text_bpe_segment", "pipeline_nb_classify",
+                    "pipeline_embed_select", "pipeline_corpus_diff")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -52,6 +52,8 @@ object StreamBench {
     // first floored from the idle round-8 refresh (medians 1167 / 4409)
     "sb_fuzzy_contamination" -> 583,
     "sb_dsir_score"          -> 2204,
+    // floored from the idle round-10 run (median 4193 rows/s, state 0)
+    "sb_nb_classify"         -> 2096,
     "sb_contamination"       -> 677,
     // re-baselined r9 (0.5× the idle medians 897 / 884) after the
     // stream-sized banding change cut state 4.7× and lifted throughput

@@ -354,6 +354,37 @@ object IvfObjectStore {
         "another writer created the store concurrently")
   }
 
+  /** All valid manifest versions still on disk, ascending — the store's
+    * TIME-TRAVEL window. Every version is an immutable complete snapshot
+    * (manifests reference only already-durable files and "deletion" is
+    * omission), so any listed version serves exactly as it did when it
+    * was current; [[vacuum]] bounds the window by deleting superseded
+    * manifests (and compacted-away data objects) older than its age
+    * bound — size retention to the history you want readable. Torn files
+    * fail their checksum and are excluded. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsOf(spark, dir)
+    val root = new Path(s"$dir/manifests")
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root)
+      .filter(f => f.isFile && f.getPath.getName.matches("v\\d{20}\\.manifest"))
+      .flatMap(f => parseManifest(readFully(fs, f.getPath)))
+      .map(_.version).toSeq.sorted
+  }
+
+  /** Time-travel read: serve the snapshot as of manifest `version`.
+    * Throws if that version is invalid or already vacuumed (see
+    * [[versions]] for what is still readable). */
+  def readAt(spark: SparkSession, dir: String, version: Long): IvfIndex = {
+    val fs = fsOf(spark, dir)
+    val p = new Path(f"$dir/manifests/v$version%020d.manifest")
+    val m = (if (fs.exists(p)) parseManifest(readFully(fs, p)) else None)
+      .getOrElse(throw new ManifestStoreException(
+        s"IvfObjectStore.readAt: no valid manifest v$version under $dir — " +
+        s"readable versions: ${versions(spark, dir).mkString(", ")}"))
+    loadIndex(spark, dir, m)
+  }
+
   /** Load the live snapshot. The assigned frame is read from the
     * manifest's EXPLICIT file list (basePath keeps the `c_id=` partition
     * column), so unreferenced/orphaned objects are invisible by
@@ -362,6 +393,11 @@ object IvfObjectStore {
     val fs = fsOf(spark, dir)
     val m = currentManifest(fs, dir).getOrElse(throw new ManifestStoreException(
       s"IvfObjectStore.read: no valid manifest under $dir"))
+    loadIndex(spark, dir, m)
+  }
+
+  private def loadIndex(spark: SparkSession, dir: String,
+                        m: Manifest): IvfIndex = {
     val cents = spark.read
       .parquet(m.centroids.map(r => s"$dir/$r"): _*)
       .withColumn("c_id", col("c_id").cast("long"))

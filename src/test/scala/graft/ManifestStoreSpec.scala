@@ -264,6 +264,40 @@ class ManifestStoreSpec extends GraftFunSuite {
     }
   }
 
+  test("time travel: every un-vacuumed manifest version serves exactly " +
+       "the snapshot it committed; vacuum bounds the window; readAt on a " +
+       "vacuumed version names the readable ones") {
+    withMockS3 { base =>
+      val e = vectors()
+      val idx = GraftSimilarity.buildIvfIndex(e.filter(col("vec_id") < 40))
+      val dir = s"s3a:$base/tt"
+      IvfObjectStore.create(spark, idx, dir)
+      IvfObjectStore.append(spark, dir,
+        e.filter(col("vec_id").between(40, 49)), batchTag = Some("b1"))
+      IvfObjectStore.append(spark, dir,
+        e.filter(col("vec_id").between(50, 59)), batchTag = Some("b2"))
+      assert(IvfObjectStore.versions(spark, dir) == Seq(1L, 2L, 3L))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      // v1 = create-time snapshot; v2 = +b1; v3 = +b1+b2 = current
+      assert(serve(IvfObjectStore.readAt(spark, dir, 1), q) == serve(idx, q))
+      assert(serve(IvfObjectStore.readAt(spark, dir, 2), q) ==
+               serve(GraftSimilarity.ivfAppend(idx,
+                 e.filter(col("vec_id").between(40, 49))), q))
+      assert(serve(IvfObjectStore.readAt(spark, dir, 3), q) ==
+               serve(IvfObjectStore.read(spark, dir), q))
+      // vacuum with a tiny age bound collects superseded manifests
+      Thread.sleep(10)
+      IvfObjectStore.vacuum(spark, dir, 1)
+      val left = IvfObjectStore.versions(spark, dir)
+      assert(left == Seq(3L), s"vacuum must keep only current: $left")
+      val err = intercept[IvfObjectStore.ManifestStoreException] {
+        IvfObjectStore.readAt(spark, dir, 1)
+      }
+      assert(err.getMessage.contains("readable versions: 3"))
+    }
+  }
+
   test("streaming ingest into the object store: micro-batches commit as " +
        "tagged manifest versions, serve parity with in-memory append") {
     withMockS3 { base =>
