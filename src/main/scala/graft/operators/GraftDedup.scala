@@ -191,6 +191,44 @@ object GraftDedup {
     * payload attach step at all, which is SimHash's advantage over MinHash
     * when items fit a similarity-preserving 64-bit sketch.
     */
+  /** Winnowed-fingerprint overlap mining (the MOSS pairing stage over
+    * [[GraftText.winnowFingerprints]]): pairs of documents sharing at
+    * least `minShared` winnowed fingerprints, with the shared count —
+    * LOCAL overlap detection (a long-enough shared passage always pairs,
+    * regardless of how different the rest of the documents are), the
+    * complement of the global-Jaccard tiers.
+    *
+    * Scale shape: fingerprinting is a pure map at ~2/(w+1) gram density;
+    * the only shuffle is the fingerprint-keyed self-join. `maxDocFreq`
+    * drops fingerprints present in more than that many documents BEFORE
+    * the join — a fingerprint in f docs contributes f² candidate pairs,
+    * so boilerplate shared by half the corpus must never reach the join
+    * (the stopword-run problem); dropping it loses only pairs whose
+    * every shared passage is corpus-common boilerplate, which is the
+    * intended semantics of overlap mining.
+    */
+  def winnowPairs(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text", k: Int = 3, w: Int = 4,
+                  minShared: Int = 2, maxDocFreq: Int = 100): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
+    val ex = docs
+      .select(col(idCol).as("__id"),
+              GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= k)
+      .select(col("__id"),
+              explode(GraftText.winnowFingerprints(col("__tk"), k, w))
+                .as("__f"))
+    val hot = ex.groupBy("__f").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq).select("__f")
+    val kept = ex.join(ScaleHints.gated(hot), Seq("__f"), "left_anti")
+    kept.as("a").join(kept.as("b"),
+        col("a.__f") === col("b.__f") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+  }
+
   def simHashPairs(df: DataFrame, idCol: String, itemsCol: String,
                    maxHamming: Int = 12, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, s"bands ($bands) must divide 64")

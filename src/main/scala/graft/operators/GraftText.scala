@@ -60,6 +60,37 @@ object GraftText {
               i => concat_ws(" ", (0 until n).map(j => element_at(
                 tk, (i + j + 1).cast("int"))): _*))
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    * MOSS local document fingerprinting algorithm): hash every word
+    * `k`-gram, slide a window of `w` consecutive gram hashes, select the
+    * MINIMUM hash of each window, return the sorted distinct selections.
+    * The winnowing guarantee: any shared token run of length >= `w+k-1`
+    * between two documents surfaces as at least one shared fingerprint,
+    * while only ~`2/(w+1)` of gram hashes are kept — the density/recall
+    * dial of plagiarism-and-overlap detection at corpus scale.
+    *
+    * Pure higher-order-function projection — no shuffle, no UDF; a
+    * downstream `explode` + equi-join on the fingerprint value is the
+    * overlap-mining stage (the [[CorpusCuration.contaminatedDocs]] join
+    * shape, at winnowed density instead of every-gram density). Gram
+    * hashes are `xxhash64` of the space-joined gram STRING (signed
+    * longs, so a SQL engine replays the selection after mapping its
+    * unsigned hash replay onto the signed order). Documents with fewer
+    * than `k` tokens yield NULL (no gram exists); with fewer than `w`
+    * grams the whole document is one window (the paper's convention).
+    */
+  def winnowFingerprints(tk: Column, k: Int = 3, w: Int = 4): Column = {
+    require(k >= 1 && w >= 1, s"winnowFingerprints: k=$k, w=$w must be >= 1")
+    val gh = transform(sequence(lit(1), size(tk) - (k - 1)),
+      i => xxhash64(concat_ws(" ", (0 until k).map(j =>
+        element_at(tk, i + j)): _*)))
+    val sel = when(size(gh) >= w,
+        transform(sequence(lit(1), size(gh) - (w - 1)),
+          j => array_min(slice(gh, j, lit(w)))))
+      .otherwise(array(array_min(gh)))
+    when(size(tk) >= k, array_sort(array_distinct(sel)))
+  }
+
   /** Overlapping token windows of width `window` every `stride` tokens —
     * the doc→chunk explode feeding embedding/retrieval pipelines. Chunk i
     * covers tokens [i·stride, i·stride + window); the last chunk may be

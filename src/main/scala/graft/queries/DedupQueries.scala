@@ -745,6 +745,55 @@ object DedupQueries extends QueryModule {
         |  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_dropped,
         |  md5(coalesce(kept_text, '')) AS kept_md5
         |FROM b LEFT JOIN s USING (doc_id)""".stripMargin)),
+
+    // Winnowed-fingerprint overlap mining (the MOSS pairing stage):
+    // documents sharing >= 5 winnowed fingerprints, LOCAL overlap
+    // semantics (a long shared passage always pairs regardless of the
+    // rest) — the complement of the global-Jaccard tiers. The
+    // doc-frequency cap (fingerprints in > 100 docs never join) is the
+    // f² candidate-blowup guard boilerplate demands at corpus scale.
+    // Oracle replays fingerprinting (gram-string xxhash64 chain mapped
+    // onto signed order), the df cap, and the pairing join.
+    GraftQuery(
+      "dedup_winnow_pairs",
+      (s, dir) => graft.operators.GraftDedup.winnowPairs(
+        t(s, dir, "documents"), minShared = 5, maxDocFreq = 100),
+      Some("""WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN octet_length(encode(text)) != length(text)
+        |         THEN error('dedup_winnow_pairs oracle: non-ASCII text '
+        |                    || 'for doc_id ' || doc_id)
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, unnest(range(1, len(w) - 1)) AS pos,
+        |    unnest([array_to_string(w[i:i+2], ' ')
+        |            FOR i IN range(1, len(w) - 1)]) AS g
+        |  FROM docs WHERE len(w) >= 3),
+        |wp_in AS (SELECT DISTINCT g AS t FROM gr),
+        |""".stripMargin +
+        XxHash64Sql.chain("wp_", "42", "dedup_winnow_pairs oracle") +
+        """gh AS (
+        |  SELECT doc_id, list(hs ORDER BY pos) AS gh FROM (
+        |    SELECT gr.doc_id, gr.pos,
+        |      CAST(CASE WHEN h >= 9223372036854775808
+        |                THEN h - 18446744073709551616 ELSE h END
+        |           AS BIGINT) AS hs
+        |    FROM gr JOIN wp_ht ON wp_ht.t = gr.g)
+        |  GROUP BY doc_id),
+        |fp AS (
+        |  SELECT doc_id, unnest(list_sort(list_distinct(
+        |      CASE WHEN len(gh) >= 4
+        |           THEN [list_min(gh[j:j+3]) FOR j IN range(1, len(gh) - 2)]
+        |           ELSE [list_min(gh)] END))) AS f
+        |  FROM gh),
+        |kept AS (
+        |  SELECT doc_id, f FROM fp
+        |  WHERE f IN (SELECT f FROM fp GROUP BY f HAVING count(*) <= 100))
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
   )
 }
 

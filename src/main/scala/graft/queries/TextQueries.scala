@@ -784,5 +784,66 @@ object TextQueries extends QueryModule {
         |    FOR w IN regexp_split_to_array(trim(text), '\s+')
         |    IF length(w) > 0]), '|')) AS seg_md5
         |FROM documents, b1 m1, b2 m2, b3 m3, b4 m4""".stripMargin)),
+
+    // Winnowing fingerprints (Schleimer et al. 2003, the MOSS local
+    // fingerprinting algorithm): word-3-gram xxhash64 stream, window-4
+    // minimum selection, sorted distinct fingerprints per document —
+    // every shared run of >= 6 tokens is GUARANTEED to surface as a
+    // shared fingerprint while keeping only ~2/(w+1) of the gram hashes.
+    // Pure projection (zero shuffle); the oracle replays the gram-string
+    // xxhash64 chain and maps its unsigned values onto Spark's signed
+    // order before taking window minima.
+    GraftQuery(
+      "text_winnow_fingerprint",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        docs
+          .select(col("doc_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("__tk"))
+          .filter(size(col("__tk")) >= 3)
+          .select(col("doc_id"),
+                  (size(col("__tk")) - 2).cast("long").as("n_grams"),
+                  graft.operators.GraftText.winnowFingerprints(
+                    col("__tk"), k = 3, w = 4).as("__fp"))
+          .select(col("doc_id"), col("n_grams"),
+                  size(col("__fp")).cast("long").as("n_fps"),
+                  md5(array_join(transform(col("__fp"),
+                    x => x.cast("string")), ",")).as("fp_md5"))
+      },
+      Some("""WITH docs AS (
+        |  SELECT doc_id,
+        |    CASE WHEN octet_length(encode(text)) != length(text)
+        |         THEN error('text_winnow_fingerprint oracle: non-ASCII '
+        |                    || 'text for doc_id ' || doc_id)
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |gr AS (
+        |  SELECT doc_id, unnest(range(1, len(w) - 1)) AS pos,
+        |    unnest([array_to_string(w[i:i+2], ' ')
+        |            FOR i IN range(1, len(w) - 1)]) AS g
+        |  FROM docs WHERE len(w) >= 3),
+        |wn_in AS (SELECT DISTINCT g AS t FROM gr),
+        |""".stripMargin +
+        XxHash64Sql.chain("wn_", "42", "text_winnow_fingerprint oracle") +
+        """gh AS (
+        |  SELECT doc_id, list(hs ORDER BY pos) AS gh FROM (
+        |    SELECT gr.doc_id, gr.pos,
+        |      CAST(CASE WHEN h >= 9223372036854775808
+        |                THEN h - 18446744073709551616 ELSE h END
+        |           AS BIGINT) AS hs
+        |    FROM gr JOIN wn_ht ON wn_ht.t = gr.g)
+        |  GROUP BY doc_id),
+        |fp AS (
+        |  SELECT doc_id, len(gh) AS n_grams,
+        |    list_sort(list_distinct(
+        |      CASE WHEN len(gh) >= 4
+        |           THEN [list_min(gh[j:j+3]) FOR j IN range(1, len(gh) - 2)]
+        |           ELSE [list_min(gh)] END)) AS fps
+        |  FROM gh)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  CAST(len(fps) AS BIGINT) AS n_fps,
+        |  md5(array_to_string(fps, ',')) AS fp_md5
+        |FROM fp""".stripMargin)),
   )
 }

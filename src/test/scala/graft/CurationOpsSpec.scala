@@ -399,4 +399,58 @@ class CurationOpsSpec extends GraftFunSuite {
     assert(out.filter(col("status") =!= "unchanged").count() == 0)
     assert(out.count() == docs.count())
   }
+
+  test("winnowFingerprints: the winnowing guarantee — any shared run of " +
+       "w+k-1 tokens yields a shared fingerprint; density ~ 2/(w+1); " +
+       "sub-window docs collapse to one fingerprint") {
+    import spark.implicits._
+    import graft.operators.GraftText
+    val rnd = new scala.util.Random(42)
+    def words(n: Int, pfx: String) =
+      (0 until n).map(_ => pfx + rnd.nextInt(100000)).mkString(" ")
+    // 40 pairs: disjoint-vocab bodies with ONE shared 6-token run
+    // (k=3, w=4 → guarantee threshold w+k-1 = 6) spliced at random spots
+    val pairs = (0 until 40).map { i =>
+      val shared = words(6, s"sh${i}_")
+      val a = words(rnd.nextInt(20) + 8, s"a${i}_") + " " + shared + " " +
+              words(rnd.nextInt(20) + 8, s"a${i}x_")
+      val b = words(rnd.nextInt(20) + 8, s"b${i}_") + " " + shared + " " +
+              words(rnd.nextInt(20) + 8, s"b${i}x_")
+      (i.toLong, a, b)
+    }
+    val docs = pairs.flatMap { case (i, a, b) =>
+      Seq((i * 2, i, a), (i * 2 + 1, i, b)) }
+      .toDF("doc_id", "pair", "text")
+    val fps = docs
+      .select(col("doc_id"), col("pair"),
+        GraftText.winnowFingerprints(
+          GraftText.whitespaceTokens(col("text"))).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Long](2).toSet))
+    pairs.foreach { case (i, _, _) =>
+      val two = fps.filter(_._2 == i).map(_._3)
+      assert(two.length == 2 && two(0).intersect(two(1)).nonEmpty,
+        s"pair $i: shared 6-token run MUST share a fingerprint " +
+        "(the winnowing guarantee)")
+    }
+    // density on the real corpus: distinct selections over grams stay in
+    // the winnowing band (theory 2/(w+1) = 0.4 before dedup)
+    val corpus = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(GraftText.whitespaceTokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 20)
+      .select((size(col("tk")) - 2).as("g"),
+              size(GraftText.winnowFingerprints(col("tk"))).as("f"))
+      .agg(sum("f").cast("double").as("fs"), sum("g").cast("double").as("gs"))
+      .collect()(0)
+    val density = corpus.getDouble(0) / corpus.getDouble(1)
+    assert(density > 0.2 && density < 0.55, s"density $density out of band")
+    // 3 tokens = 1 gram (< w) → exactly one fingerprint; 2 tokens → NULL
+    val tiny = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), GraftText.winnowFingerprints(
+        GraftText.whitespaceTokens(col("text"))).as("fp"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(tiny(1L).exists(_.asInstanceOf[scala.collection.Seq[_]].size == 1))
+    assert(tiny(2L).isEmpty, "docs below k tokens must yield NULL")
+  }
 }

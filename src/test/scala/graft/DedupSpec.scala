@@ -252,4 +252,34 @@ class DedupSpec extends GraftFunSuite {
       GraftSimilarity.cellBlockedPairs(aug, threshold = 0.9, nprobe = 0)
     }
   }
+
+  test("winnowPairs: a planted shared passage pairs its documents; the " +
+       "doc-frequency cap keeps corpus-wide boilerplate out of the join") {
+    import spark.implicits._
+    import graft.operators.GraftDedup
+    val rnd = new scala.util.Random(7)
+    def words(n: Int, pfx: String) =
+      (0 until n).map(_ => pfx + rnd.nextInt(100000)).mkString(" ")
+    val passage = words(30, "shared_")
+    val boiler = words(30, "footer_") // appears in EVERY doc
+    val docs = ((0 until 40).map { i =>
+      (i.toLong, words(40, s"u${i}_") + " " + boiler)
+    } ++ Seq(
+      (100L, words(25, "x_") + " " + passage + " " + boiler),
+      (101L, words(25, "y_") + " " + passage + " " + boiler)))
+      .toDF("doc_id", "text")
+    val pairs = GraftDedup.winnowPairs(docs, minShared = 5, maxDocFreq = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((100L, 101L)),
+      s"only the planted passage pair must survive the df cap " +
+      s"(the 42-doc boilerplate fingerprints are dropped): " +
+      pairs.mkString(", "))
+    assert(pairs.head._3 >= 5)
+    // without the cap, the 42-doc boilerplate would pair everything:
+    // the cap is what keeps the join linear in true overlap
+    val uncapped = GraftDedup.winnowPairs(docs, minShared = 5,
+                                          maxDocFreq = 1000)
+      .filter(col("a_id") < 100).count()
+    assert(uncapped > 100, s"boilerplate must explode uncapped: $uncapped")
+  }
 }
