@@ -35,7 +35,8 @@ object PlanDump {
                     "dedup_source_overlap_exact", "mm_resize",
                     "ann_ivf_stored_manifest", "text_bpe_train",
                     "text_bpe_segment", "pipeline_nb_classify",
-                    "pipeline_embed_select", "pipeline_corpus_diff")
+                    "pipeline_embed_select", "pipeline_corpus_diff",
+                    "text_winnow_fingerprint", "dedup_winnow_pairs")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

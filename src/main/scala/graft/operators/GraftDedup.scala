@@ -212,13 +212,18 @@ object GraftDedup {
                   minShared: Int = 2, maxDocFreq: Int = 100): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDocFreq >= 2, s"maxDocFreq must be >= 2, got $maxDocFreq")
-    val ex = docs
+    // the (id, fingerprint) sliver feeds the df-cap build AND both sides
+    // of the pairing self-join — persist it so the tokenize+hash+window
+    // projection runs once, not three times (it is skinny: one long per
+    // winnowed fingerprint, ~2/(w+1) of the gram count)
+    val ex = pin(docs
       .select(col(idCol).as("__id"),
               GraftText.whitespaceTokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) >= k)
       .select(col("__id"),
               explode(GraftText.winnowFingerprints(col("__tk"), k, w))
                 .as("__f"))
+      .persist())
     val hot = ex.groupBy("__f").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDocFreq).select("__f")
     val kept = ex.join(ScaleHints.gated(hot), Seq("__f"), "left_anti")

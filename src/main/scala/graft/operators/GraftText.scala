@@ -81,14 +81,29 @@ object GraftText {
     */
   def winnowFingerprints(tk: Column, k: Int = 3, w: Int = 4): Column = {
     require(k >= 1 && w >= 1, s"winnowFingerprints: k=$k, w=$w must be >= 1")
-    val gh = transform(sequence(lit(1), size(tk) - (k - 1)),
+    val ghExpr = transform(sequence(lit(1), size(tk) - (k - 1)),
       i => xxhash64(concat_ws(" ", (0 until k).map(j =>
         element_at(tk, i + j)): _*)))
-    val sel = when(size(gh) >= w,
-        transform(sequence(lit(1), size(gh) - (w - 1)),
-          j => array_min(slice(gh, j, lit(w)))))
-      .otherwise(array(array_min(gh)))
-    when(size(tk) >= k, array_sort(array_distinct(sel)))
+    // TWO cost traps this shape dodges, both measured at sf0.1:
+    //  - the gram-hash array is BOUND ONCE per row as a lambda variable
+    //    (transform over a 1-element array): referencing it as a plain
+    //    subexpression inside the window lambda makes Catalyst re-run
+    //    the whole gram transform per window position — O(n²·w) per doc,
+    //    35 s where this projection costs ~1 s;
+    //  - the window minimum is a w-ary least() of direct element
+    //    accesses, not slice()+array_min — a per-position w-element
+    //    array allocation the hot loop does not need.
+    val out = element_at(
+      transform(array(ghExpr), g => {
+        val sel =
+          if (w == 1) g
+          else when(size(g) >= w,
+              transform(sequence(lit(1), size(g) - (w - 1)),
+                j => least((0 until w).map(i => element_at(g, j + i)): _*)))
+            .otherwise(array(array_min(g)))
+        array_sort(array_distinct(sel))
+      }), 1)
+    when(size(tk) >= k, out)
   }
 
   /** Overlapping token windows of width `window` every `stride` tokens —

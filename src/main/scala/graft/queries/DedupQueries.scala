@@ -747,9 +747,14 @@ object DedupQueries extends QueryModule {
         |FROM b LEFT JOIN s USING (doc_id)""".stripMargin)),
 
     // Winnowed-fingerprint overlap mining (the MOSS pairing stage):
-    // documents sharing >= 5 winnowed fingerprints, LOCAL overlap
-    // semantics (a long shared passage always pairs regardless of the
-    // rest) — the complement of the global-Jaccard tiers. The
+    // documents sharing >= 3 winnowed 7-gram fingerprints, LOCAL overlap
+    // semantics (a shared run of >= w+k-1 = 10 tokens always pairs
+    // regardless of the rest) — the complement of the global-Jaccard
+    // tiers. k=7 makes a chance gram collision vanishingly rare, so the
+    // join output tracks TRUE shared passages, not vocabulary overlap
+    // (k=3 on this shared-vocabulary corpus paired thousands of
+    // unrelated docs — the catalog's fingerprint query keeps small-k
+    // density; the PAIRING tier needs collision-free grams). The
     // doc-frequency cap (fingerprints in > 100 docs never join) is the
     // f² candidate-blowup guard boilerplate demands at corpus scale.
     // Oracle replays fingerprinting (gram-string xxhash64 chain mapped
@@ -757,7 +762,7 @@ object DedupQueries extends QueryModule {
     GraftQuery(
       "dedup_winnow_pairs",
       (s, dir) => graft.operators.GraftDedup.winnowPairs(
-        t(s, dir, "documents"), minShared = 5, maxDocFreq = 100),
+        t(s, dir, "documents"), k = 7, minShared = 3, maxDocFreq = 100),
       Some("""WITH docs AS (
         |  SELECT doc_id,
         |    CASE WHEN octet_length(encode(text)) != length(text)
@@ -766,10 +771,10 @@ object DedupQueries extends QueryModule {
         |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
         |  FROM documents),
         |gr AS (
-        |  SELECT doc_id, unnest(range(1, len(w) - 1)) AS pos,
-        |    unnest([array_to_string(w[i:i+2], ' ')
-        |            FOR i IN range(1, len(w) - 1)]) AS g
-        |  FROM docs WHERE len(w) >= 3),
+        |  SELECT doc_id, unnest(range(1, len(w) - 5)) AS pos,
+        |    unnest([array_to_string(w[i:i+6], ' ')
+        |            FOR i IN range(1, len(w) - 5)]) AS g
+        |  FROM docs WHERE len(w) >= 7),
         |wp_in AS (SELECT DISTINCT g AS t FROM gr),
         |""".stripMargin +
         XxHash64Sql.chain("wp_", "42", "dedup_winnow_pairs oracle") +
@@ -793,7 +798,7 @@ object DedupQueries extends QueryModule {
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |  CAST(count(*) AS BIGINT) AS shared_fps
         |FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)),
+        |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin)),
   )
 }
 

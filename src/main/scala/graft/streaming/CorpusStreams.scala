@@ -176,6 +176,9 @@ object CorpusStreams {
     require(rows.length == 1,
       s"centroidScoreStream: expected the 1-row seedCentroid frame, got " +
       s"${rows.length} rows")
+    require(!rows(0).isNullAt(0),
+      "centroidScoreStream: NULL centroid — the seed set was empty " +
+      "(seedCentroid over zero rows); train on a non-empty seed corpus")
     val cv = rows(0).getSeq[Double](0)
     require(cv.nonEmpty, "centroidScoreStream: empty centroid vector")
     graft.GraftSession.ensureExtensions(vecs.sparkSession)

@@ -1251,4 +1251,38 @@ class StreamingSpec extends GraftFunSuite {
     }
     assert(drifted.getMessage.contains("outside"))
   }
+
+  test("winnowFingerprints on a stream: one stateless projection — " +
+       "fingerprints equal the batch operator row-for-row, zero state") {
+    import graft.operators.GraftText
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, size => asize, md5, array_join, transform => atransform}
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    def shaped(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), GraftText.whitespaceTokens(col("text")).as("tk"))
+      .filter(asize(col("tk")) >= 3)
+      .select(col("doc_id"),
+        md5(array_join(atransform(
+          GraftText.winnowFingerprints(col("tk")),
+          x => x.cast("string")), ",")).as("fp_md5"))
+    val batch = shaped(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = shaped(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("winnow_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(rows); q.processAllAvailable()
+      val streamed = spark.table("winnow_stream").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch)
+      val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+      assert(so.map(_.numRowsTotal).sum == 0,
+        "winnowing must carry zero streaming state")
+    } finally q.stop()
+  }
 }
