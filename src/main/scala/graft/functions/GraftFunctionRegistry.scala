@@ -94,6 +94,11 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_vec_sum(array<double|float>) — got ${other.size} args")
     },
+    "graft_vec_sum_long" -> {
+      case Seq(c) => GraftVecSumLongAgg(c).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"graft_vec_sum_long(array<long|int>) — got ${other.size} args")
+    },
     "graft_q8" -> {
       case Seq(c) => GraftQ8(c)
       case other => throw new IllegalArgumentException(

@@ -513,4 +513,36 @@ object GraftDedup {
                              bands = bands, rowsPerBand = r)
     verifyJaccard(cand, tbl, idCol, threshold, sf)
   }
+
+  /** The KEEP-SET of a near-duplicate dedup job — the decision table the
+    * whole pipeline exists to produce: for EVERY id in `ids`, its cluster
+    * id (the min id of its transitive near-dup cluster) and whether it is
+    * that cluster's canonical survivor. Feed it `ids` = the corpus id
+    * column and `pairs` = any verified pair list ([[nearDupPairs]],
+    * [[simHashPairs]], semantic pairs — the tiers compose), then
+    * `filter($"keep")` is the deduplicated corpus and `!keep` rows carry
+    * the id of the document that replaces them.
+    *
+    * Keep rule: the MIN id of each cluster survives. Singletons (ids in
+    * no pair) are their own cluster and always survive — LEFT join, not
+    * inner, so the output covers the full corpus, which is what a
+    * downstream anti-join or provenance audit needs.
+    *
+    * Scale shape: [[connectedComponents]] labels only the ids that appear
+    * in `pairs` — the dup-involved SLIVER, not the corpus — so the label
+    * table is near-dup-sized and attaches back through
+    * [[ScaleHints.gated]] (broadcast while small, SHUFFLE_HASH past the
+    * gate). The corpus itself crosses no exchange when the label table
+    * broadcasts: the keep flag is a pure map over the scan.
+    */
+  def keepSet(ids: DataFrame, pairs: DataFrame, idCol: String = "doc_id",
+              aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", idCol)
+    ids.select(col(idCol))
+      .join(ScaleHints.gated(labels), Seq(idCol), "left")
+      .select(col(idCol),
+              coalesce(col("component"), col(idCol)).as("cluster_id"))
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
 }

@@ -60,6 +60,50 @@ object GraftSimilarity {
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 
+  /** HARD-NEGATIVE MINING for contrastive/metric training: for each
+    * anchor, the top-k most-similar vectors with a DIFFERENT label whose
+    * cosine sits under `simHi` — the "confusable but wrong" examples a
+    * contrastive loss learns the most from. The `simHi` ceiling excludes
+    * the near-duplicate band (a different-label vector at cosine ≈ 1 is
+    * almost always a labeling error, and training on it as a negative
+    * poisons the embedding — the standard false-negative guard);
+    * `simLo` optionally floors the band so trivially-dissimilar
+    * negatives don't occupy heap slots.
+    *
+    * Scale shape: the anchor block is a training minibatch — small by
+    * construction — so it BROADCASTS into a pure map over the collection
+    * scan (label filter + band filter run map-side, before anything
+    * widens), and [[topK]]'s `graft_topk` heap moves only k rows per
+    * anchor per partition. Zero corpus shuffle at any collection size;
+    * cost is one linear scan per minibatch, the exact-mining baseline.
+    * At serving scale, mine from the IVF store instead: probe with
+    * [[ivfTopKWith]] at k·rerankFactor, then apply the same label/band
+    * cut — same output when the probed cells contain the band (recall
+    * follows the store's nprobe contract).
+    */
+  def hardNegatives(collection: DataFrame, anchors: DataFrame, k: Int,
+                    simHi: Double = 0.98, simLo: Double = -1.0,
+                    idCol: String = "vec_id", vecCol: String = "v",
+                    labelCol: String = "label",
+                    qIdCol: String = "q_id", qVecCol: String = "qv",
+                    qLabelCol: String = "q_label"): DataFrame = {
+    require(k >= 1, s"hardNegatives: k must be >= 1, got $k")
+    require(simLo < simHi,
+      s"hardNegatives: empty band [simLo=$simLo, simHi=$simHi)")
+    graft.GraftSession.ensureExtensions(collection.sparkSession)
+    val e = collection.select(col(idCol).as("n_id"), col(vecCol).as("v"),
+                              col(labelCol).as("__n_lab"))
+    val q = broadcast(anchors.select(
+      col(qIdCol).as("q_id"), col(qVecCol).as("qv"),
+      col(qLabelCol).as("__q_lab")))
+    val banded = e
+      .join(q, col("n_id") =!= col("q_id") &&
+               col("__n_lab") =!= col("__q_lab"))
+      .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c"))
+      .filter(col("c") < simHi && col("c") >= simLo)
+    topK(banded, k)
+  }
+
   /** The TRAINED HALF of [[centroidSelect]], exposed for train/apply
     * splits: the 1-row grid-summed centroid frame `(__cv: array<double>)`
     * of a seed corpus. Integer-exact in any merge order (each component
@@ -110,6 +154,63 @@ object GraftSimilarity {
         Window.orderBy(col("__c").desc, col("n_id"))).cast("long"))
       .select(col("rank"), col("n_id").as(idCol),
               round(col("__c"), 4).as("cos"))
+  }
+
+  /** EXACT second-moment (gram) matrix of an embedding column on a
+    * fixed-point grid — the distributed half of PCA/whitening over a
+    * 100-TB corpus: one pass, one exchange of O(d²) longs, zero corpus
+    * shuffle. Returns the upper triangle as rows
+    * `(i, j, sxy, sx, sy, n)` with `sxy = Σ q_i·q_j`,
+    * `sx/sy = Σ q_i / Σ q_j`, `q = round(x·grid)` — from which the
+    * centered covariance is `(n·sxy − sx·sy) / n²·grid²`, a client-side
+    * exact rational. A d×d eigen-solve is driver-trivial (d ≤ a few
+    * thousand); what needs the cluster is exactly this accumulation.
+    *
+    * Exactness: `grid` MUST be a power of two so `x·grid` is exact in
+    * double and `round` lands on the same integer in any engine; the
+    * accumulation then runs entirely in Int64 (`graft_vec_sum_long`,
+    * overflow-checked) — bit-identical in any partitioning or merge
+    * order, exact past 10^12 rows at the default 2^10 grid on unit-scale
+    * embeddings.
+    *
+    * Scale shape: the per-row outer product binds the quantized vector
+    * ONCE as a lambda variable (the 1-element-array `transform` — a bare
+    * subexpression inside the i/j lambdas would re-quantize per pair,
+    * the HOF rebinding cliff measured at 33× on winnowing), folds
+    * map-side into ONE dense d(d+1)/2 accumulator per partition, and
+    * only that accumulator crosses the wire.
+    */
+  def gramMatrix(vecs: DataFrame, vecCol: String = "v",
+                 grid: Long = 1024L): DataFrame = {
+    require(grid >= 2 && (grid & (grid - 1)) == 0,
+      s"gramMatrix: grid must be a power of two >= 2 for exact double " +
+      s"scaling, got $grid")
+    graft.GraftSession.ensureExtensions(vecs.sparkSession)
+    val qSql = s"transform($vecCol, x -> cast(round(x * $grid) AS long))"
+    val triSql =
+      s"""element_at(transform(array($qSql), q ->
+         |  flatten(transform(sequence(0, size(q) - 1), i ->
+         |    transform(sequence(i, size(q) - 1), j ->
+         |      element_at(q, i + 1) * element_at(q, j + 1))))), 1)""".stripMargin
+    val acc = vecs.agg(
+      expr(s"graft_vec_sum_long($triSql)").as("stri"),
+      expr(s"graft_vec_sum_long($qSql)").as("sq"),
+      count(lit(1)).as("n"))
+    // the (i, j) index array is built with the SAME flatten(transform)
+    // nesting as the triangle values, so posexplode positions line up by
+    // construction
+    acc.select(col("n"), col("sq"), col("stri"),
+        posexplode(expr(
+          """flatten(transform(sequence(0, size(sq) - 1), i ->
+            |  transform(sequence(i, size(sq) - 1), j ->
+            |    struct(i AS i, j AS j))))""".stripMargin))
+          .as(Seq("p", "ij")))
+      .select(col("ij.i").cast("long").as("i"),
+              col("ij.j").cast("long").as("j"),
+              element_at(col("stri"), col("p") + 1).as("sxy"),
+              element_at(col("sq"), col("ij.i") + 1).as("sx"),
+              element_at(col("sq"), col("ij.j") + 1).as("sy"),
+              col("n"))
   }
 
   /** IVF top-k: ≈√N deterministic centroids, vectors assigned to their

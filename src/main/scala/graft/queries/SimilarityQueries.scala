@@ -564,5 +564,72 @@ object SimilarityQueries extends QueryModule {
         |      FROM sc)
         |SELECT CAST(rank AS BIGINT) AS rank, vec_id, round(c, 4) AS cos
         |FROM r WHERE rank <= 50""".stripMargin)),
+
+    // Hard-negative mining for contrastive training: per anchor, the
+    // top-5 most-similar DIFFERENT-label vectors with cosine < 0.98 (the
+    // false-negative guard — a different-label vector at cosine ~1 is a
+    // labeling error, not a negative). The anchor minibatch broadcasts
+    // into a pure map over the collection scan; label and band filters
+    // run map-side; graft_topk moves k rows per anchor per partition —
+    // zero corpus shuffle at any collection size.
+    GraftQuery(
+      "pipeline_hard_negatives",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+                  expr("transform(embedding, x -> cast(x AS double))").as("v"),
+                  col("label"))
+        GraftSimilarity.hardNegatives(
+          e,
+          e.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("v").as("qv"),
+                    col("label").as("q_label")),
+          k = 5, simHi = 0.98)
+      },
+      Some("""WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] v, label FROM embeddings),
+        |q AS (SELECT vec_id q_id, v qv, label ql FROM e WHERE vec_id < 10),
+        |s AS (
+        |  SELECT q_id, e.vec_id n_id, list_cosine_similarity(qv, e.v) c
+        |  FROM q JOIN e ON e.vec_id != q_id AND e.label != q.ql),
+        |b AS (SELECT * FROM s WHERE c < 0.98),
+        |r AS (SELECT q_id, n_id, c,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+        |      FROM b)
+        |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, round(c, 4) AS cos
+        |FROM r WHERE rnk <= 5""".stripMargin)),
+
+    // Exact second-moment (gram) matrix of the embedding corpus on the
+    // 2^10 fixed-point grid — the distributed half of PCA/whitening:
+    // per-row outer products fold map-side into ONE d(d+1)/2 Int64
+    // accumulator (graft_vec_sum_long, overflow-checked), so the only
+    // exchange is O(d²) longs and the corpus never shuffles. The grid is
+    // a power of two, so quantization is exact in double and DuckDB
+    // replays every product bit-for-bit; centered covariance is the
+    // client-side exact rational (n·sxy − sx·sy)/n²·grid².
+    GraftQuery(
+      "embed_gram_matrix",
+      (s, dir) =>
+        GraftSimilarity.gramMatrix(
+          t(s, dir, "embeddings").select(
+            expr("transform(embedding, x -> cast(x AS double))").as("v")),
+          "v", grid = 1024L),
+      Some("""WITH e AS (
+        |  SELECT [CAST(round(x * 1024) AS BIGINT)
+        |          FOR x IN embedding::DOUBLE[]] q
+        |  FROM embeddings),
+        |d AS (SELECT unnest(range(0, len(q))) i FROM (SELECT q FROM e LIMIT 1)),
+        |sq AS (SELECT d.i i, CAST(sum(q[d.i + 1]) AS BIGINT) s
+        |       FROM e, d GROUP BY d.i),
+        |sxy AS (
+        |  SELECT a.i i, b.i j,
+        |    CAST(sum(e.q[a.i + 1] * e.q[b.i + 1]) AS BIGINT) sxy
+        |  FROM e, d a, d b WHERE b.i >= a.i GROUP BY a.i, b.i)
+        |SELECT CAST(sxy.i AS BIGINT) AS i, CAST(sxy.j AS BIGINT) AS j,
+        |  sxy.sxy AS sxy, sa.s AS sx, sb.s AS sy,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n
+        |FROM sxy
+        |JOIN sq sa ON sa.i = sxy.i
+        |JOIN sq sb ON sb.i = sxy.j""".stripMargin)),
   )
 }

@@ -282,4 +282,28 @@ class DedupSpec extends GraftFunSuite {
       .filter(col("a_id") < 100).count()
     assert(uncapped > 100, s"boilerplate must explode uncapped: $uncapped")
   }
+
+  test("keepSet: min-id member of each transitive cluster survives, " +
+       "singletons keep, and every corpus id appears exactly once") {
+    import spark.implicits._
+    import graft.operators.GraftDedup
+    val ids = (1L to 10L).toDF("doc_id")
+    // clusters {1,2,3} (chain: 1-2, 2-3) and {7,9}; 4,5,6,8,10 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
+    val out = GraftDedup.keepSet(ids, pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(out.map(_._1).toSeq == (1L to 10L),
+      "output must cover the full corpus exactly once")
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    assert(cluster(1L) == 1L && cluster(2L) == 1L && cluster(3L) == 1L,
+      "chained near-dups share the min id as cluster label")
+    assert(cluster(7L) == 7L && cluster(9L) == 7L)
+    assert(Seq(4L, 5L, 6L, 8L, 10L).forall(i => cluster(i) == i),
+      "singletons are their own cluster")
+    val keeps = out.filter(_._3).map(_._1).toSet
+    assert(keeps == Set(1L, 4L, 5L, 6L, 7L, 8L, 10L),
+      s"exactly the cluster minima survive: $keeps")
+    // the deduplicated corpus = filter(keep): every cluster keeps one
+    assert(out.count(_._3) == 7)
+  }
 }

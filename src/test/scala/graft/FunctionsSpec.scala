@@ -424,4 +424,54 @@ class FunctionsSpec extends GraftFunSuite {
       assert(viaDf == viaKernel, s0)
     }
   }
+
+  test("graft_vec_sum_long: exact Int64 sums across partitions, int input " +
+       "widens, nulls skip, overflow is loud") {
+    graft.GraftSession.ensureExtensions(spark)
+    val big = (1L << 61)
+    val rows = Seq(Some(Seq(1L, big)), None, Some(Seq(2L, big)),
+                   Some(Seq(3L, 0L)))
+    val out = rows.toDF("v").repartition(3)
+      .agg(expr("graft_vec_sum_long(v)")).as[Seq[Long]].head()
+    assert(out == Seq(6L, 2L * big), "exact past 2^53 where doubles round")
+    val ints = Seq(Seq(1, 2), Seq(3, 4)).toDF("v")
+      .agg(expr("graft_vec_sum_long(v)")).as[Seq[Long]].head()
+    assert(ints == Seq(4L, 6L))
+    val boom = intercept[org.apache.spark.SparkException] {
+      Seq(Seq(Long.MaxValue), Seq(1L)).toDF("v").repartition(1)
+        .agg(expr("graft_vec_sum_long(v)")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.toString +: chain(t.getCause)
+    assert(chain(boom).exists(_.contains("overflow")),
+      chain(boom).mkString(" | "))
+    // all-null group evals to NULL, matching SQL sum
+    val nul = Seq(Option.empty[Seq[Long]]).toDF("v")
+      .agg(expr("graft_vec_sum_long(v)")).collect()(0)
+    assert(nul.isNullAt(0))
+  }
+
+  test("gramMatrix: hand-computed triangle on a 3-vector corpus; " +
+       "centered covariance recovers exactly from (sxy, sx, sy, n)") {
+    import graft.operators.GraftSimilarity
+    // grid 4: q rows = (4,8), (8,4), (4,4)
+    val vecs = Seq(Seq(1.0, 2.0), Seq(2.0, 1.0), Seq(1.0, 1.0)).toDF("v")
+    val g = GraftSimilarity.gramMatrix(vecs, "v", grid = 4L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+                           (r.getLong(2), r.getLong(3), r.getLong(4),
+                            r.getLong(5)))).toMap
+    // sxy: (0,0)=16+64+16=96, (0,1)=32+32+16=80, (1,1)=64+16+16=96
+    // sx: s0=16, s1=16
+    assert(g((0L, 0L)) == ((96L, 16L, 16L, 3L)), g.toString)
+    assert(g((0L, 1L)) == ((80L, 16L, 16L, 3L)))
+    assert(g((1L, 1L)) == ((96L, 16L, 16L, 3L)))
+    assert(g.size == 3, "upper triangle of d=2 has 3 entries")
+    // centered covariance (n·sxy − sx·sy): var0 = 3·96−256 = 32,
+    // cov01 = 3·80−256 = −16 — the anti-correlation is visible exactly
+    val (sxy01, sx0, sy1, n) = g((0L, 1L))
+    assert(n * sxy01 - sx0 * sy1 == -16L)
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.gramMatrix(vecs, "v", grid = 1000L) // not a power of 2
+    }
+  }
 }

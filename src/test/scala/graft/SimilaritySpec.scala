@@ -315,4 +315,39 @@ class SimilaritySpec extends GraftFunSuite {
       if (t == null) Nil else t.toString +: chain(t.getCause)
     assert(chain(err).exists(_.contains("length")), chain(err).mkString(" | "))
   }
+
+  test("hardNegatives: same-label neighbors never mine, the simHi ceiling " +
+       "drops near-dup different-label vectors, band order is exact") {
+    import spark.implicits._
+    import graft.operators.GraftSimilarity
+    val coll = Seq(
+      (1L, Seq(1.0, 0.01), 0),  // same label as anchor -> excluded
+      (2L, Seq(1.0, 0.001), 1), // different label, cos ~0.9999995 >= 0.98
+                                // -> the false-negative guard drops it
+      (3L, Seq(0.9, 0.4), 1),   // cos ~0.9138 -> hardest kept negative
+      (4L, Seq(0.5, 0.8), 2),   // cos ~0.5300 -> second
+      (5L, Seq(0.9, 0.3), 0)    // same label -> excluded
+    ).toDF("vec_id", "v", "label")
+    val anchors = Seq((100L, Seq(1.0, 0.0), 0))
+      .toDF("q_id", "qv", "q_label")
+    val out = GraftSimilarity.hardNegatives(coll, anchors, k = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(3L, 4L),
+      s"exactly the in-band different-label vectors mine, hardest first: " +
+      out.mkString(", "))
+    assert(out(0)._3 > out(1)._3)
+    // simLo floors the band: only the cos ~0.91 negative survives
+    val floored = GraftSimilarity.hardNegatives(
+        coll, anchors, k = 3, simLo = 0.7)
+      .collect().map(_.getLong(1)).toSet
+    assert(floored == Set(3L))
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.hardNegatives(coll, anchors, k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.hardNegatives(coll, anchors, k = 3,
+                                    simLo = 0.99, simHi = 0.98)
+    }
+  }
 }
