@@ -545,4 +545,35 @@ object GraftDedup {
               coalesce(col("component"), col(idCol)).as("cluster_id"))
       .withColumn("keep", col(idCol) === col("cluster_id"))
   }
+
+  /** CLUSTER-disjoint train/test split: route each document by a hash of
+    * its near-dup CLUSTER id, not its own id — so a near-duplicate pair
+    * (or a whole transitive cluster) can never straddle the boundary and
+    * leak training text into the eval set. Routing is the same md5-hex
+    * cut as `splitByHexHash` (cross-engine reproducible); the cluster
+    * labels come from [[keepSet]] over any verified pair list.
+    *
+    * This is the split a benchmark-decontamination audit assumes: a
+    * per-id hash split is deterministic but still leaks whenever two ids
+    * hold near-identical text — routed by cluster, the leak is
+    * structurally impossible rather than just unlikely.
+    */
+  def clusterSafeSplit(ids: DataFrame, pairs: DataFrame,
+                       trainFraction: Double,
+                       idCol: String = "doc_id",
+                       aCol: String = "a_id", bCol: String = "b_id")
+      : DataFrame = {
+    require(trainFraction > 0.0 && trainFraction < 1.0,
+      s"clusterSafeSplit: train fraction must be in (0, 1), " +
+      s"got $trainFraction")
+    require((trainFraction * 65536).toInt >= 1,
+      s"clusterSafeSplit: train fraction below the 1/65536 routing " +
+      s"granularity: $trainFraction")
+    val cut = f"${(trainFraction * 65536).toInt min 65535}%04x"
+    keepSet(ids, pairs, idCol, aCol, bCol)
+      .select(col(idCol), col("cluster_id"),
+              when(substring(md5(col("cluster_id").cast("string")), 1, 4)
+                     < cut, "train")
+                .otherwise("test").as("split"))
+  }
 }

@@ -255,6 +255,54 @@ object DedupQueries extends QueryModule {
         |  d.doc_id = coalesce(c.component, d.doc_id) AS keep
         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin)),
 
+    // CLUSTER-disjoint train/test split: documents route by a hash of
+    // their near-dup CLUSTER id, so a near-duplicate pair can never
+    // straddle the train/eval boundary — the per-id hash split
+    // (pipeline_train_test_split) is deterministic but still leaks when
+    // two ids hold near-identical text; routed by cluster the leak is
+    // structurally impossible. Same md5-hex cut as splitByHexHash
+    // (floor(0.8*16^4) = 0xcccc), so DuckDB replays the routing exactly.
+    GraftQuery(
+      "pipeline_split_cluster_safe",
+      (s, dir) =>
+        graft.operators.GraftDedup.clusterSafeSplit(
+          t(s, dir, "documents"), minhashLshPairs(s, dir),
+          trainFraction = 0.8),
+      Some("""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                                FOR i IN range(1, len(tk) - 1)]) s
+        |  FROM toks WHERE len(tk) >= 3),
+        |e AS (SELECT doc_id, unnest(s) g FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM e GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |np AS (
+        |  SELECT a_id, b_id FROM pair
+        |  JOIN sz sa ON sa.doc_id = a_id
+        |  JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |ed AS (SELECT a_id s, b_id d FROM np
+        |       UNION SELECT b_id, a_id FROM np),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM ed
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s),
+        |comp AS (
+        |  SELECT s AS doc_id, least(s, min(d)) AS component
+        |  FROM reach GROUP BY s),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster_id
+        |  FROM documents d LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN substr(md5(cluster_id::VARCHAR), 1, 4) < 'cccc'
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM lab""".stripMargin)),
+
     // SimHash near-dup candidates: 64-bit signature, 4×16-bit bands,
     // Hamming-distance verify. ORACLE-UPGRADED in r8 (was rows-only
     // "DuckDB has no XXH64"): the oracle now replays Spark's XXH64 over

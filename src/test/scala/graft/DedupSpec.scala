@@ -306,4 +306,32 @@ class DedupSpec extends GraftFunSuite {
     // the deduplicated corpus = filter(keep): every cluster keeps one
     assert(out.count(_._3) == 7)
   }
+
+  test("clusterSafeSplit: a near-dup cluster can never straddle the " +
+       "train/test boundary; split covers the corpus and is deterministic") {
+    import spark.implicits._
+    import graft.operators.GraftDedup
+    val ids = (1L to 200L).toDF("doc_id")
+    // chains of 4: {1..4}, {5..8}, ... — 50 clusters of size 4
+    val pairs = (1L to 197L by 4).flatMap(s =>
+      Seq((s, s + 1), (s + 1, s + 2), (s + 2, s + 3))).toDF("a_id", "b_id")
+    val out = GraftDedup.clusterSafeSplit(ids, pairs, trainFraction = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 200 && out.map(_._1).distinct.length == 200)
+    // every cluster is entirely on one side — the leak is structural,
+    // not probabilistic
+    out.groupBy(_._2).foreach { case (cl, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cl straddles the split: $members")
+    }
+    val trainFrac = out.count(_._3 == "train") / 200.0
+    assert(trainFrac > 0.5 && trainFrac < 0.95,
+      s"hash routing should land near 0.8, got $trainFrac")
+    val again = GraftDedup.clusterSafeSplit(ids, pairs, trainFraction = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    intercept[IllegalArgumentException] {
+      GraftDedup.clusterSafeSplit(ids, pairs, trainFraction = 1.0)
+    }
+  }
 }
