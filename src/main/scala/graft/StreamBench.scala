@@ -263,6 +263,26 @@ object StreamBench {
       }
     }
 
+    // PCA projection (train/apply split: exact gram + driver eigensolve
+    // in batch, components folded into constant literals — the stream is
+    // one stateless zip_with/aggregate projection, zero joins/state)
+    locally {
+      val ref = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val gram = graft.operators.GraftSimilarity.gramMatrix(ref, "v", 1024L)
+      val (_, comps, mean) =
+        graft.operators.GraftPca.components(gram, grid = 1024L, k = 8)
+      rep {
+        val in = MemoryStream[(Long, Timestamp, List[Double])]
+        val q = sink(graft.operators.GraftPca.project(
+          in.toDF().toDF("vec_id", "ts", "v"), comps, mean, "v")
+          .select("vec_id", "ts", "pc"), "sb_pca_project")
+        val dvecs = vecs.map { case (id, t, v) => (id, t, v.map(_.toDouble)) }
+        drive("sb_pca_project", dvecs.size, q,
+              chunks(dvecs, 4).map(c => () => { in.addData(c); () }))
+      }
+    }
+
     // MinHash near-dup mining over 8-token shingles (the batch operators'
     // item shape — raw token SETS pair nearly everything in a synthetic
     // corpus with shared vocabulary, which measures the sink, not the op)

@@ -104,6 +104,35 @@ object GraftSimilarity {
     topK(banded, k)
   }
 
+  /** RECALL@k of the IVF index against brute-force ground truth — the
+    * measurement a production ANN deployment tunes `nprobe` with, as a
+    * first-class query instead of a notebook afterthought: per eval
+    * query, how many of the true top-k the probed cells actually
+    * returned. Returns `(q_id, n_hits, recall)`.
+    *
+    * Scale shape: ground truth costs ONE linear scan of the collection
+    * per eval block (the price of truth — the eval block is small by
+    * construction, so this is the brute broadcast-map shape, no corpus
+    * shuffle); the IVF side is the serving path being measured. Every
+    * stage is deterministic (hash-picked centroids, stated tie-breaks),
+    * so the recall numbers are reproducible across engines and runs —
+    * a regression in them is a real index regression, not noise.
+    */
+  def recallAtK(collection: DataFrame, queries: DataFrame, k: Int,
+                nprobe: Int, idCol: String = "vec_id",
+                vecCol: String = "v"): DataFrame = {
+    require(k >= 1, s"recallAtK: k must be >= 1, got $k")
+    val truth = bruteForceTopK(collection, queries, k, idCol, vecCol)
+      .select(col("q_id"), col("n_id"))
+    val served = ivfTopK(collection, queries, k, nprobe,
+                         idCol = idCol, vecCol = vecCol)
+      .select(col("q_id"), col("n_id"), lit(true).as("__hit"))
+    truth.join(served, Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(count(col("__hit")).as("n_hits"),
+           round(count(col("__hit")) / lit(k.toDouble), 4).as("recall"))
+  }
+
   /** The TRAINED HALF of [[centroidSelect]], exposed for train/apply
     * splits: the 1-row grid-summed centroid frame `(__cv: array<double>)`
     * of a seed corpus. Integer-exact in any merge order (each component

@@ -631,5 +631,60 @@ object SimilarityQueries extends QueryModule {
         |FROM sxy
         |JOIN sq sa ON sa.i = sxy.i
         |JOIN sq sb ON sb.i = sxy.j""".stripMargin)),
+
+    // Recall@k of the IVF serving path against brute-force ground truth —
+    // the nprobe-tuning measurement as a first-class query. Ground truth
+    // is one eval-block-sized linear scan (the price of truth); the IVF
+    // side is exactly the serving path. Deterministic end to end
+    // (hash-picked centroids, stated tie-breaks), so the oracle replays
+    // both pipelines and the recall numbers hash-match: a change in them
+    // is a real index regression, never noise.
+    GraftQuery(
+      "ann_recall_eval",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        GraftSimilarity.recallAtK(e, queryBlock(e), k = 5, nprobe = 2)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |bf AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, e.vec_id n_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id) rnk
+        |    FROM q JOIN e ON e.vec_id != q_id) WHERE rnk <= 5),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |probes AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.q_id, q.qv, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM q, c) WHERE prnk <= 2),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.vec_id != p.q_id),
+        |ivf AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+        |    FROM scored) WHERE rnk <= 5)
+        |SELECT b.q_id, CAST(count(i.n_id) AS BIGINT) AS n_hits,
+        |  round(count(i.n_id) / 5.0, 4) AS recall
+        |FROM bf b LEFT JOIN ivf i USING (q_id, n_id)
+        |GROUP BY b.q_id""".stripMargin)),
   )
 }

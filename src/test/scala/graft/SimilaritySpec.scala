@@ -350,4 +350,28 @@ class SimilaritySpec extends GraftFunSuite {
                                     simLo = 0.99, simHi = 0.98)
     }
   }
+
+  test("recallAtK: probing every cell recovers ground truth exactly; " +
+       "mean recall never falls as nprobe grows") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) v")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def mean(nprobe: Int): Double = {
+      val rows = GraftSimilarity.recallAtK(e, q, k = 5, nprobe = nprobe)
+        .collect().map(r => r.getDouble(2))
+      assert(rows.length == 8, "one recall row per eval query")
+      rows.sum / rows.length
+    }
+    // sqrt(500) ~ 23 centroids: probing all of them IS brute force
+    assert(mean(64) == 1.0,
+      "full probe must recover the exact top-k — recall 1.0 everywhere")
+    val (r1, r2, r4) = (mean(1), mean(2), mean(4))
+    assert(r1 <= r2 + 1e-9 && r2 <= r4 + 1e-9,
+      s"mean recall must be monotone in nprobe: $r1, $r2, $r4")
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.recallAtK(e, q, k = 0, nprobe = 1)
+    }
+  }
 }
