@@ -36,7 +36,10 @@ object PlanDump {
                     "ann_ivf_stored_manifest", "text_bpe_train",
                     "text_bpe_segment", "pipeline_nb_classify",
                     "pipeline_embed_select", "pipeline_corpus_diff",
-                    "text_winnow_fingerprint", "dedup_winnow_pairs")
+                    "text_winnow_fingerprint", "dedup_winnow_pairs",
+                    "dedup_neardup_clusters", "pipeline_hard_negatives",
+                    "embed_gram_matrix", "ann_recall_eval",
+                    "pipeline_split_cluster_safe")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

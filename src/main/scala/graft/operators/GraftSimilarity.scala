@@ -96,11 +96,19 @@ object GraftSimilarity {
     val q = broadcast(anchors.select(
       col(qIdCol).as("q_id"), col(qVecCol).as("qv"),
       col(qLabelCol).as("__q_lab")))
+    // the band gate lives INSIDE the single scoring projection (CASE →
+    // NULL, which graft_topk skips) rather than as a filter: a filter on
+    // the computed cosine gets pushed into the join condition, where the
+    // two band bounds plus the projection would each evaluate
+    // graft_cosine per pair — 3× the dominant cost; one projection gets
+    // codegen subexpression elimination, so cosine runs exactly once
     val banded = e
       .join(q, col("n_id") =!= col("q_id") &&
                col("__n_lab") =!= col("__q_lab"))
-      .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c"))
-      .filter(col("c") < simHi && col("c") >= simLo)
+      .select(col("q_id"), col("n_id"),
+              expr(s"""CASE WHEN graft_cosine(qv, v) < ${simHi}D
+                       AND graft_cosine(qv, v) >= ${simLo}D
+                       THEN graft_cosine(qv, v) END""").as("c"))
     topK(banded, k)
   }
 

@@ -686,5 +686,75 @@ object SimilarityQueries extends QueryModule {
         |  round(count(i.n_id) / 5.0, 4) AS recall
         |FROM bf b LEFT JOIN ivf i USING (q_id, n_id)
         |GROUP BY b.q_id""".stripMargin)),
+
+    // Hybrid lexical+semantic retrieval fused by reciprocal rank — the
+    // RAG serving recipe ([[graft.operators.HybridRetrieval.hybridTopK]];
+    // scale notes there: each leg is the already-audited retrieval
+    // kernel, fusion touches ≤ 2·kCand rows per query at any corpus
+    // size). Every output column is an integer or an integer-grid sum,
+    // so the oracle replays both legs and the fusion exactly.
+    GraftQuery(
+      "ann_hybrid_rrf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("q_terms"),
+                  col("v").as("qv"))
+        graft.operators.HybridRetrieval.hybridTopK(
+          docs, e, queries, k = 10, kCand = 30, rrfK = 60)
+      },
+      Some("""WITH q AS (
+        |  SELECT doc_id q_id,
+        |    regexp_split_to_array(trim(text), '\s+') qtk, embedding qe
+        |  FROM documents JOIN embeddings ON vec_id = doc_id
+        |  WHERE doc_id < 10),
+        |qt AS (SELECT q_id, unnest(list_distinct(qtk)) term FROM q),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |      FROM documents),
+        |stats AS (SELECT count(*) n, avg(len(tk)) avgdl FROM d),
+        |tr AS (
+        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM tr GROUP BY 1),
+        |ls AS (
+        |  SELECT qt.q_id, tr.doc_id,
+        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |          * 1000000.0) AS BIGINT)) score
+        |  FROM tr JOIN qt USING (term) JOIN df USING (term), stats
+        |  WHERE tr.doc_id != qt.q_id GROUP BY 1, 2),
+        |lrk AS (
+        |  SELECT q_id, doc_id, lex_rank FROM (
+        |    SELECT q_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+        |      lex_rank
+        |    FROM ls) WHERE lex_rank <= 30),
+        |ss AS (
+        |  SELECT q_id, e.vec_id doc_id,
+        |    list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[]) c
+        |  FROM q JOIN embeddings e ON e.vec_id != q_id),
+        |srk AS (
+        |  SELECT q_id, doc_id, sem_rank FROM (
+        |    SELECT q_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY c DESC, doc_id) AS BIGINT)
+        |      sem_rank
+        |    FROM ss) WHERE sem_rank <= 30),
+        |f AS (
+        |  SELECT q_id, doc_id, lex_rank, sem_rank,
+        |    coalesce(CAST(round(1000000000.0 / (60 + lex_rank)) AS BIGINT),
+        |             0)
+        |    + coalesce(CAST(round(1000000000.0 / (60 + sem_rank)) AS BIGINT),
+        |               0) rrf
+        |  FROM lrk FULL OUTER JOIN srk USING (q_id, doc_id))
+        |SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
+        |  SELECT q_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
+        |    rrf, lex_rank, sem_rank
+        |  FROM f) WHERE rank <= 10""".stripMargin)),
   )
 }

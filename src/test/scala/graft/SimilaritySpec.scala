@@ -374,4 +374,83 @@ class SimilaritySpec extends GraftFunSuite {
       GraftSimilarity.recallAtK(e, q, k = 0, nprobe = 1)
     }
   }
+
+  test("hybridTopK: hand-computed RRF fusion, leg exclusivity, " +
+       "self exclusion, candidate caps") {
+    import spark.implicits._
+    import graft.operators.{GraftText, HybridRetrieval}
+    // doc 1 is the query. 2 = strong on both legs, 3 = lexical only,
+    // 4 = semantic only, 5 = neither, 6 = weak on both.
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta delta"), (4L, "zeta eta theta"),
+      (5L, "iota kappa lambda"), (6L, "alpha mu nu")
+    ).toDF("doc_id", "text")
+    val vecs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)), (2L, Seq(0.9, 0.1, 0.0)),
+      (3L, Seq(0.0, 1.0, 0.0)), (4L, Seq(0.95, 0.05, 0.0)),
+      (5L, Seq(0.0, 0.0, 1.0)), (6L, Seq(0.5, 0.5, 0.0))
+    ).toDF("vec_id", "v")
+    val queries = docs.filter(col("doc_id") === 1L)
+      .join(vecs, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("q_id"),
+              GraftText.whitespaceTokens(col("text")).as("q_terms"),
+              col("v").as("qv"))
+    val out = HybridRetrieval
+      .hybridTopK(docs, vecs, queries, k = 5, kCand = 3, rrfK = 60)
+      .collect()
+    def f(r: org.apache.spark.sql.Row, c: String): Option[Long] = {
+      val i = r.fieldIndex(c)
+      if (r.isNullAt(i)) None else Some(r.getLong(i))
+    }
+    val byDoc = out.map(r => r.getLong(1) -> r).toMap
+    assert(!byDoc.contains(1L), "the query's own document must not appear")
+    assert(!byDoc.contains(5L), "a doc off both candidate lists can't fuse in")
+    // lexical ranks: 2 (3 shared terms) > 3 (2) > 6 (1); semantic ranks by
+    // cosine: 4 (0.9986) > 2 (0.9939) > 6 (0.7071) — 3 and 5 at cosine 0
+    // are outside kCand = 3
+    assert(f(byDoc(2L), "lex_rank").contains(1L) &&
+           f(byDoc(2L), "sem_rank").contains(2L))
+    assert(f(byDoc(3L), "lex_rank").contains(2L) &&
+           f(byDoc(3L), "sem_rank").isEmpty, "3 must be lexical-only")
+    assert(f(byDoc(4L), "lex_rank").isEmpty &&
+           f(byDoc(4L), "sem_rank").contains(1L), "4 must be semantic-only")
+    // RRF on the 1e-9 grid: round(1e9/61) = 16393443, /62 = 16129032,
+    // /63 = 15873016 — fused order 2 > 6 > 4 > 3
+    assert(f(byDoc(2L), "rrf").contains(16393443L + 16129032L))
+    assert(f(byDoc(6L), "rrf").contains(2L * 15873016L))
+    assert(f(byDoc(4L), "rrf").contains(16393443L))
+    assert(f(byDoc(3L), "rrf").contains(16129032L))
+    assert(out.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq ==
+           Seq(2L, 6L, 4L, 3L), "fused rank order")
+    // tightening kCand to 2 drops the doc that ranked 3rd on both legs
+    val tight = HybridRetrieval
+      .hybridTopK(docs, vecs, queries, k = 5, kCand = 2, rrfK = 60)
+      .collect().map(_.getLong(1)).toSet
+    assert(!tight.contains(6L) && tight == Set(2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      HybridRetrieval.hybridTopK(docs, vecs, queries, k = 5, kCand = 3,
+                                 rrfK = 0)
+    }
+    intercept[IllegalArgumentException] {
+      HybridRetrieval.hybridTopK(docs, vecs, queries, k = 5, kCand = 0)
+    }
+  }
+
+  test("ann_hybrid_rrf catalog query: contiguous ranks, both-leg evidence") {
+    val rows = SparkEntry.queries("ann_hybrid_rrf")(spark, sf0001).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10, "one fused list per eval query")
+    for ((q, rs) <- byQ) {
+      val ranks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.length).toSeq,
+        s"q=$q ranks not contiguous from 1: $ranks")
+      assert(!rs.map(_.getLong(1)).contains(q), "self excluded")
+    }
+    // at least one fused hit carries BOTH leg ranks somewhere in the eval
+    // block (word-soup corpus: lexical and semantic neighborhoods overlap)
+    assert(rows.exists(r =>
+      !r.isNullAt(r.fieldIndex("lex_rank")) &&
+      !r.isNullAt(r.fieldIndex("sem_rank"))))
+  }
 }
