@@ -39,16 +39,20 @@ object GraftPca {
     require(rows.length == d.toLong * (d + 1) / 2,
       s"GraftPca.components: expected full upper triangle of d=$d " +
       s"(${d * (d + 1) / 2} rows), got ${rows.length}")
-    val n = rows(0).getLong(5).toDouble
+    val nL = rows(0).getLong(5)
+    val n = nL.toDouble
     val g2 = grid.toDouble * grid.toDouble
     val cov = Array.ofDim[Double](d, d)
     val mean = new Array[Double](d)
     rows.foreach { r =>
       val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
       // centered covariance from exact sums: (n·Σxy − Σx·Σy) / n² — the
-      // numerator is exact Int64 arithmetic, divided once at the end
-      val c = (n * r.getLong(2) - r.getLong(3).toDouble * r.getLong(4)) /
-              (n * n * g2)
+      // numerator EXACT in BigInt (the products n·Σxy and Σx·Σy exceed
+      // the 2^53 double-exact range at modest n — ADVICE r10); rounding
+      // happens only in the final to-double conversion and division,
+      // both correctly rounded and run-order-free
+      val num = BigInt(nL) * r.getLong(2) - BigInt(r.getLong(3)) * r.getLong(4)
+      val c = num.toDouble / (n * n * g2)
       cov(i)(j) = c; cov(j)(i) = c
       if (i == j) mean(i) = r.getLong(3) / (n * grid)
     }

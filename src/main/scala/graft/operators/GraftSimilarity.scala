@@ -116,7 +116,11 @@ object GraftSimilarity {
     * measurement a production ANN deployment tunes `nprobe` with, as a
     * first-class query instead of a notebook afterthought: per eval
     * query, how many of the true top-k the probed cells actually
-    * returned. Returns `(q_id, n_hits, recall)`.
+    * returned. Returns `(q_id, n_hits, recall)`; `recall` divides by the
+    * PER-QUERY truth count — min(k, N−1) rows, since self-pairs are
+    * excluded — not by a flat k, so a tiny collection with fewer than k
+    * eligible neighbors reads 1.0 when the index returns everything
+    * there is, instead of masquerading as an index miss (ADVICE r10).
     *
     * Scale shape: ground truth costs ONE linear scan of the collection
     * per eval block (the price of truth — the eval block is small by
@@ -138,7 +142,8 @@ object GraftSimilarity {
     truth.join(served, Seq("q_id", "n_id"), "left")
       .groupBy("q_id")
       .agg(count(col("__hit")).as("n_hits"),
-           round(count(col("__hit")) / lit(k.toDouble), 4).as("recall"))
+           // denominator = truth rows in THIS group (min(k, N−1)), not k
+           round(count(col("__hit")) / count(lit(1)), 4).as("recall"))
   }
 
   /** The TRAINED HALF of [[centroidSelect]], exposed for train/apply

@@ -635,13 +635,19 @@ object PipelineQueries extends QueryModule {
     // unchanged — `changed ∪ added` is the incremental-reprocessing work
     // list. The "after" snapshot is manufactured deterministically from
     // the same table (drop %13, edit %7, add %17 under shifted ids) so
-    // both engines diff identical inputs. Scale: the join carries only
-    // (id, md5) — document bytes never shuffle.
+    // both engines diff identical inputs. The added-row id shift is the
+    // IN-PLAN max(doc_id)+1 (the twinAugmented convention, ADVICE r5/r10):
+    // a fixed offset would silently alias real ids once doc_id reaches it
+    // at larger scale factors, violating snapshotDiff's unique-id-per-
+    // snapshot precondition. Scale: the join carries only (id, md5) —
+    // document bytes never shuffle.
     GraftQuery(
       "pipeline_corpus_diff",
       (s, dir) => {
         import graft.operators.CorpusCuration
         val before = t(s, dir, "documents")
+        val off = broadcast(
+          before.agg((max("doc_id") + 1).cast("long").as("__off")))
         val after = before
           .filter(col("doc_id") % 13 =!= 0)
           .withColumn("text",
@@ -649,7 +655,8 @@ object PipelineQueries extends QueryModule {
               .otherwise(col("text")))
           .unionByName(
             before.filter(col("doc_id") % 17 === 0)
-              .select((col("doc_id") + 1000000L).as("doc_id"),
+              .crossJoin(off)
+              .select((col("doc_id") + col("__off")).as("doc_id"),
                       concat(lit("fresh crawl "), col("text")).as("text")),
             allowMissingColumns = true)
         CorpusCuration.snapshotDiff(before, after)
@@ -660,7 +667,8 @@ object PipelineQueries extends QueryModule {
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' rev2' ELSE text END AS text
         |  FROM before WHERE doc_id % 13 != 0
         |  UNION ALL
-        |  SELECT doc_id + 1000000, 'fresh crawl ' || text
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM before),
+        |         'fresh crawl ' || text
         |  FROM before WHERE doc_id % 17 = 0),
         |a AS (SELECT doc_id, md5(text) da FROM before),
         |b AS (SELECT doc_id, md5(text) db FROM after)

@@ -683,7 +683,7 @@ object SimilarityQueries extends QueryModule {
         |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
         |    FROM scored) WHERE rnk <= 5)
         |SELECT b.q_id, CAST(count(i.n_id) AS BIGINT) AS n_hits,
-        |  round(count(i.n_id) / 5.0, 4) AS recall
+        |  round(count(i.n_id) / count(*), 4) AS recall
         |FROM bf b LEFT JOIN ivf i USING (q_id, n_id)
         |GROUP BY b.q_id""".stripMargin)),
 
