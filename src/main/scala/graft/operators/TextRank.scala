@@ -18,27 +18,53 @@ import org.apache.spark.sql.functions._
   */
 object TextRank {
 
-  /** Top-`k` documents for `queryTerms` by BM25, as
-    * (rank, doc_id, n_terms_hit) ordered by score descending with doc id
-    * breaking ties deterministically. Only documents containing at least
-    * one query term are candidates (standard retrieval semantics). The
-    * fractional score stays internal — ranks are stable integers.
+  /** THE BM25 scoring kernel — single home of the formula and the
+    * integer-grid determinism stance, shared by [[bm25TopK]] (one query,
+    * literal terms) and [[graft.operators.HybridRetrieval]]'s lexical leg
+    * (a query minibatch): two copies of one formula drift, so there is
+    * exactly one (ADVICE/VERDICT r10). `qTerms` carries one row per
+    * (q_id, __term) — distinct per query by the callers' construction.
+    * Returns (q_id, doc_id, __score: long, n_terms_hit: long); only
+    * documents containing ≥ 1 of the query's terms appear (standard
+    * retrieval semantics). No self-exclusion here — groups are atomic in
+    * (q_id, doc_id), so callers filter the output when they need it.
+    *
+    * Scale shape: the corpus token stream filters to the distinct
+    * query-term set INSIDE the explode-select (a broadcast semi-join), so
+    * only matching-term rows ever shuffle; per-(doc, term) stats are
+    * computed ONCE and shared across queries hitting the term; df and
+    * corpus stats are skinny broadcast aggregates; the (q_id, term) fan-
+    * out join is bounded by the minibatch size.
+    *
+    * Determinism: each per-term score is quantized to an integer 1e6
+    * micro-grid BEFORE the per-(query, document) sum — a float Σ rounds
+    * differently under different addend orders, so two engines (or two
+    * partitionings) could break a near-tie in opposite directions, while
+    * an exact integer Σ is order-insensitive and rank-stable. Scores are
+    * positive, so HALF_UP (Spark) and half-away-from-zero (DuckDB) agree.
+    * Residual risk, accepted under the rank-only contract: each addend
+    * still passes through libm ln (not correctly rounded), so a last-ulp
+    * cross-engine difference landing exactly on a .5 grid boundary could
+    * flip one quantized long and with it a near-tie rank. A fully
+    * log-free monotone surrogate (as text_collocations uses) cannot
+    * express BM25's idf·tf saturation product, so the grid is the best
+    * available contract here.
     */
-  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
-               idCol: String = "doc_id", textCol: String = "text",
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
-    require(k > 0, s"k must be positive, got $k")
+  private[operators] def bm25Scores(docs: DataFrame, qTerms: DataFrame,
+                                    idCol: String, textCol: String,
+                                    k1: Double, b: Double): DataFrame = {
+    val qt = qTerms.select(col("q_id"), col("__term"))
+    val qTermSet = qt.select(col("__term")).distinct()
     val toks = docs.select(
-      col(idCol),
+      col(idCol).as("doc_id"),
       GraftText.whitespaceTokens(col(textCol)).as("__tk"))
     val base = toks.select(
-      col(idCol),
+      col("doc_id"),
       size(col("__tk")).cast("long").as("__dl"),
       explode(col("__tk")).as("__term"))
-      .filter(col("__term").isInCollection(queryTerms))
+      .join(broadcast(qTermSet), "__term")
     // per-(doc, term) term frequency, doc length riding along
-    val tf = base.groupBy(col(idCol), col("__term"))
+    val tf = base.groupBy(col("doc_id"), col("__term"))
       .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
     // per-term document frequency — one skinny agg, broadcast back
     val df = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
@@ -52,34 +78,40 @@ object TextRank {
     val termScore = idf * (col("__tf") * (lit(k1) + 1)) /
       (col("__tf") + lit(k1) *
         (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
-    // Quantize each per-term score to an integer micro-grid BEFORE the
-    // per-document sum: a float Σ rounds differently under different
-    // addend orders, so two engines (or two partitionings) can break a
-    // near-tie in opposite directions — an exact integer Σ is
-    // order-insensitive and rank-stable. 1e6 keeps ~6 significant
-    // decimals of ranking resolution; scores are positive, so HALF_UP
-    // (Spark) and half-away-from-zero (DuckDB et al.) agree.
-    // Residual risk, accepted under the rank-only contract: each addend
-    // still passes through libm ln (not correctly rounded), so a last-ulp
-    // cross-engine difference landing exactly on a .5 grid boundary could
-    // flip one quantized long and with it a near-tie rank. A fully
-    // log-free monotone surrogate (as text_collocations uses) cannot
-    // express BM25's idf·tf saturation product, so the grid is the best
-    // available contract here.
     val termScoreQ = round(termScore * lit(1e6), 0).cast("long")
-    val scored = tf
+    tf
       .join(broadcast(df), "__term")
       .crossJoin(broadcast(stats))
-      .groupBy(col(idCol))
+      .join(broadcast(qt), "__term")
+      .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(termScoreQ).as("__score"),
            count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** Top-`k` documents for `queryTerms` by BM25, as
+    * (rank, doc_id, n_terms_hit) ordered by score descending with doc id
+    * breaking ties deterministically. Only documents containing at least
+    * one query term are candidates (standard retrieval semantics). The
+    * fractional score stays internal — ranks are stable integers.
+    * A thin single-query wrapper over [[bm25Scores]]; top-k is
+    * TakeOrderedAndProject (never a global sort).
+    */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(k > 0, s"k must be positive, got $k")
+    val qt = docs.sparkSession.range(1).select(
+      lit(0L).as("q_id"),
+      explode(array(queryTerms.distinct.map(lit): _*)).as("__term"))
+    val scored = bm25Scores(docs, qt, idCol, textCol, k1, b)
     val top = scored
-      .orderBy(col("__score").desc, col(idCol).asc)
+      .orderBy(col("__score").desc, col("doc_id").asc)
       .limit(k)
     top
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("__score").desc, col(idCol).asc)).cast("long"))
-      .select(col("rank"), col(idCol), col("n_terms_hit"))
+        Window.orderBy(col("__score").desc, col("doc_id").asc)).cast("long"))
+      .select(col("rank"), col("doc_id").as(idCol), col("n_terms_hit"))
   }
 
   /** Top-`k` highest-perplexity documents per group under a bigram language
