@@ -132,18 +132,69 @@ object GraftSimilarity {
     */
   def recallAtK(collection: DataFrame, queries: DataFrame, k: Int,
                 nprobe: Int, idCol: String = "vec_id",
-                vecCol: String = "v"): DataFrame = {
-    require(k >= 1, s"recallAtK: k must be >= 1, got $k")
-    val truth = bruteForceTopK(collection, queries, k, idCol, vecCol)
+                vecCol: String = "v"): DataFrame =
+    recallAtKWith(buildIvfIndex(collection, idCol = idCol, vecCol = vecCol),
+                  queries, k, Seq(nprobe))
+      .select(col("q_id"), col("n_hits"), col("recall"))
+
+  /** [[recallAtK]] across an nprobe SWEEP over ONE built index — the
+    * shape the operator's use case actually has: tuning nprobe means
+    * evaluating the SAME index at many probe depths, and the one-shot
+    * form rebuilt it per value (VERDICT r10 #3). Returns
+    * `(nprobe, q_id, n_hits, recall)`, recall against the per-query
+    * truth count (see [[recallAtK]]).
+    *
+    * Cost shape: ONE probe pass at max(nprobes) — each candidate row
+    * carries `__prnk`, the rank of its cell in the query's probe order —
+    * and each (query, candidate) cosine is computed exactly once; the
+    * sweep then replays that single scored set per nprobe value, a row
+    * fanning out only into the sweep values that actually probe its cell
+    * (`filter(nprobes, np -> np >= __prnk)` — strictly-necessary
+    * replication, never |sweep|× the kernel). Ground truth is one linear
+    * scan of the index's population (`assigned` — what the index can
+    * possibly return), shared by every sweep value. Recall is therefore
+    * non-decreasing in nprobe BY CONSTRUCTION (a cell probed at np is
+    * probed at every np' > np); SimilaritySpec pins that and equality
+    * with the one-shot [[recallAtK]] at each swept value.
+    */
+  def recallAtKWith(index: IvfIndex, queries: DataFrame, k: Int,
+                    nprobes: Seq[Int],
+                    qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    require(k >= 1, s"recallAtKWith: k must be >= 1, got $k")
+    require(nprobes.nonEmpty, "recallAtKWith: empty nprobe sweep")
+    require(nprobes.forall(_ >= 1),
+      s"recallAtKWith: nprobe values must be >= 1, got $nprobes")
+    require(nprobes.distinct.length == nprobes.length,
+      s"recallAtKWith: duplicate nprobe values in $nprobes")
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    val npArr = nprobes.sorted.mkString("array(", ", ", ")")
+    val probes = probeCells(q, index.centroids, nprobes.max,
+                            Seq("q_id", "qv"), withRank = true)
+    val scored = broadcast(probes).join(index.assigned, "c_id")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("__prnk"), col("n_id"),
+              cosine("qv", "v").as("c"))
+    val served = scored
+      .select(col("q_id"), col("n_id"), col("c"),
+              explode(expr(s"filter($npArr, np -> np >= __prnk)")).as("np"))
+      .groupBy(col("np"), col("q_id"))
+      .agg(expr(s"graft_topk(c, n_id, $k)").as("tk"))
+      .select(col("np"), col("q_id"), explode(col("tk.id")).as("n_id"),
+              lit(true).as("__hit"))
+    val truth = bruteForceTopK(
+        index.assigned.select(col("n_id").as("vec_id"), col("v")), q, k)
       .select(col("q_id"), col("n_id"))
-    val served = ivfTopK(collection, queries, k, nprobe,
-                         idCol = idCol, vecCol = vecCol)
-      .select(col("q_id"), col("n_id"), lit(true).as("__hit"))
-    truth.join(served, Seq("q_id", "n_id"), "left")
-      .groupBy("q_id")
+    truth
+      .select(col("q_id"), col("n_id"), explode(expr(npArr)).as("np"))
+      .join(served, Seq("np", "q_id", "n_id"), "left")
+      .groupBy(col("np"), col("q_id"))
       .agg(count(col("__hit")).as("n_hits"),
            // denominator = truth rows in THIS group (min(k, N−1)), not k
            round(count(col("__hit")) / count(lit(1)), 4).as("recall"))
+      .select(col("np").cast("long").as("nprobe"), col("q_id"),
+              col("n_hits"), col("recall"))
   }
 
   /** The TRAINED HALF of [[centroidSelect]], exposed for train/apply
@@ -1023,7 +1074,8 @@ object GraftSimilarity {
     * Dropping the probe shuffle is also simply the better serving plan.
     */
   private[graft] def probeCells(q: DataFrame, centroids: DataFrame,
-                                nprobe: Int, keep: Seq[String]): DataFrame = {
+                                nprobe: Int, keep: Seq[String],
+                                withRank: Boolean = false): DataFrame = {
     val centsRow = broadcast(centroids.agg(
       collect_list(struct(col("c_id"), col("cv"))).as("__cents")))
     // Zero-norm guard (ADVICE r6): graft_cosine has no zero-norm special
@@ -1043,9 +1095,14 @@ object GraftSimilarity {
              "'probeCells: zero-norm query vector — cosine similarity is " +
              "undefined for it and it would serve zero results')").isNull,
            col("qv")))
+    // `withRank` adds `__prnk` — the cell's 1-based position in this
+    // query's probe order (the sweep axis of [[recallAtKWith]]). The
+    // degenerate-centroid filter below cannot perforate the ranking:
+    // NaN-scoring centroids sort LAST (nanvl → -9), so every filtered row
+    // ranks after every kept one and the kept ranks stay contiguous.
     qChecked.crossJoin(centsRow)
       .select(keep.map(col) :+
-        explode(expr(
+        posexplode(expr(
           s"""slice(
                 array_sort(
                   transform(__cents,
@@ -1055,11 +1112,13 @@ object GraftSimilarity {
                                  WHEN a.qc < b.qc THEN 1
                                  WHEN a.c_id < b.c_id THEN -1
                                  WHEN a.c_id > b.c_id THEN 1 ELSE 0 END),
-                1, $nprobe)""")).as("__p"): _*)
+                1, $nprobe)""")).as(Seq("__pp", "__p")): _*)
       .select(keep.map(col) :+ col("__p.c_id").as("c_id") :+
-              col("__p.qc").as("__qc"): _*)
+              col("__p.qc").as("__qc") :+
+              (col("__pp") + 1).cast("int").as("__prnk"): _*)
       .filter(col("__qc") >= lit(-2.0))
-      .select(keep.map(col) :+ col("c_id"): _*)
+      .select(keep.map(col) ++ Seq(col("c_id")) ++
+              (if (withRank) Seq(col("__prnk")) else Nil): _*)
   }
 
   /** Two-level (coarse-quantizer) probe structures for HIGH-DIM centroid

@@ -687,6 +687,70 @@ object SimilarityQueries extends QueryModule {
         |FROM bf b LEFT JOIN ivf i USING (q_id, n_id)
         |GROUP BY b.q_id""".stripMargin)),
 
+    // Recall@k across an nprobe SWEEP over ONE built index — the actual
+    // nprobe-tuning loop ([[GraftSimilarity.recallAtKWith]]): one probe
+    // pass at max(nprobes), every (query, candidate) cosine computed
+    // once, each row fanning out only into the sweep values that probe
+    // its cell; ground truth one linear scan shared by the whole sweep.
+    // The one-shot ann_recall_eval rebuilt the index per nprobe value —
+    // this is the fixed-index cost shape its use case needs (VERDICT
+    // r10). Deterministic end to end, so the oracle replays the build,
+    // the ranked probe list, and the per-nprobe rerank exactly.
+    GraftQuery(
+      "ann_recall_sweep",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        GraftSimilarity.recallAtKWith(
+          GraftSimilarity.buildIvfIndex(e), queryBlock(e), k = 5,
+          nprobes = Seq(1, 2, 4))
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |bf AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, e.vec_id n_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id) rnk
+        |    FROM q JOIN e ON e.vec_id != q_id) WHERE rnk <= 5),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |probes AS (
+        |  SELECT q_id, qv, c_id, prnk FROM (
+        |    SELECT q.q_id, q.qv, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM q, c) WHERE prnk <= 4),
+        |scored AS (
+        |  SELECT p.q_id, p.prnk, a.vec_id n_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.vec_id != p.q_id),
+        |nps AS (SELECT unnest([1, 2, 4]) AS np),
+        |ivf AS (
+        |  SELECT np, q_id, n_id FROM (
+        |    SELECT nps.np, s.q_id, s.n_id,
+        |      row_number() OVER (PARTITION BY nps.np, s.q_id
+        |        ORDER BY s.c DESC, s.n_id) rnk
+        |    FROM scored s JOIN nps ON s.prnk <= nps.np) WHERE rnk <= 5)
+        |SELECT CAST(t.np AS BIGINT) AS nprobe, t.q_id,
+        |  CAST(count(i.n_id) AS BIGINT) AS n_hits,
+        |  round(count(i.n_id) / count(*), 4) AS recall
+        |FROM (SELECT b.q_id, b.n_id, nps.np FROM bf b, nps) t
+        |LEFT JOIN ivf i ON i.np = t.np AND i.q_id = t.q_id
+        |              AND i.n_id = t.n_id
+        |GROUP BY t.np, t.q_id""".stripMargin)),
+
     // Hybrid lexical+semantic retrieval fused by reciprocal rank — the
     // RAG serving recipe ([[graft.operators.HybridRetrieval.hybridTopK]];
     // scale notes there: each leg is the already-audited retrieval
@@ -738,6 +802,102 @@ object SimilarityQueries extends QueryModule {
         |  SELECT q_id, e.vec_id doc_id,
         |    list_cosine_similarity(qe::DOUBLE[], e.embedding::DOUBLE[]) c
         |  FROM q JOIN embeddings e ON e.vec_id != q_id),
+        |srk AS (
+        |  SELECT q_id, doc_id, sem_rank FROM (
+        |    SELECT q_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY c DESC, doc_id) AS BIGINT)
+        |      sem_rank
+        |    FROM ss) WHERE sem_rank <= 30),
+        |f AS (
+        |  SELECT q_id, doc_id, lex_rank, sem_rank,
+        |    coalesce(CAST(round(1000000000.0 / (60 + lex_rank)) AS BIGINT),
+        |             0)
+        |    + coalesce(CAST(round(1000000000.0 / (60 + sem_rank)) AS BIGINT),
+        |               0) rrf
+        |  FROM lrk FULL OUTER JOIN srk USING (q_id, doc_id))
+        |SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
+        |  SELECT q_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
+        |    rrf, lex_rank, sem_rank
+        |  FROM f) WHERE rank <= 10""".stripMargin)),
+
+    // The SERVED hybrid tier ([[HybridRetrieval.hybridTopKWith]]): same
+    // BM25 + RRF contract as ann_hybrid_rrf, but the semantic leg probes
+    // a built IVF index through ivfTopKWith — against the at-rest store
+    // that is the DPP-pruned serve path, so a RAG deployment fuses BM25
+    // with the index it already serves instead of a corpus scan.
+    // Documents in unprobed cells can only surface via the lexical leg
+    // (the IVF recall trade, confined to one leg); with nprobe covering
+    // every cell the output equals ann_hybrid_rrf's (SimilaritySpec pins
+    // it). Deterministic end to end — integer rank/score grid fused over
+    // the hash-picked-centroid probe replay — so the oracle hash-matches.
+    GraftQuery(
+      "ann_hybrid_ivf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("q_terms"),
+                  col("v").as("qv"))
+        graft.operators.HybridRetrieval.hybridTopKWith(
+          GraftSimilarity.buildIvfIndex(e), docs, queries,
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4)
+      },
+      Some("""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (
+        |  SELECT doc_id q_id,
+        |    regexp_split_to_array(trim(text), '\s+') qtk, ev.v qv
+        |  FROM documents JOIN ev ON vec_id = doc_id
+        |  WHERE doc_id < 10),
+        |qt AS (SELECT q_id, unnest(list_distinct(qtk)) term FROM q),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |      FROM documents),
+        |stats AS (SELECT count(*) n, avg(len(tk)) avgdl FROM d),
+        |tr AS (
+        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM tr GROUP BY 1),
+        |ls AS (
+        |  SELECT qt.q_id, tr.doc_id,
+        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |          * 1000000.0) AS BIGINT)) score
+        |  FROM tr JOIN qt USING (term) JOIN df USING (term), stats
+        |  WHERE tr.doc_id != qt.q_id GROUP BY 1, 2),
+        |lrk AS (
+        |  SELECT q_id, doc_id, lex_rank FROM (
+        |    SELECT q_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+        |      lex_rank
+        |    FROM ls) WHERE lex_rank <= 30),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM ev),
+        |c AS (SELECT vec_id c_id, v cv FROM ev
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT ev.vec_id, ev.v, c.c_id,
+        |      row_number() OVER (PARTITION BY ev.vec_id
+        |        ORDER BY list_cosine_similarity(ev.v, c.cv) DESC, c.c_id) arnk
+        |    FROM ev, c) WHERE arnk = 1),
+        |probes AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.q_id, q.qv, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM q, c) WHERE prnk <= 4),
+        |ss AS (
+        |  SELECT p.q_id, a.vec_id doc_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.vec_id != p.q_id),
         |srk AS (
         |  SELECT q_id, doc_id, sem_rank FROM (
         |    SELECT q_id, doc_id, CAST(row_number() OVER (

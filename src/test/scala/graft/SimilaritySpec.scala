@@ -453,4 +453,71 @@ class SimilaritySpec extends GraftFunSuite {
       !r.isNullAt(r.fieldIndex("lex_rank")) &&
       !r.isNullAt(r.fieldIndex("sem_rank"))))
   }
+
+  test("hybridTopKWith: covering nprobe equals the brute tier exactly; " +
+       "the probe trade is confined to the semantic leg") {
+    import graft.operators.{GraftSimilarity, GraftText, HybridRetrieval}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val queries = docs.filter(col("doc_id") < 10)
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("q_id"),
+              GraftText.whitespaceTokens(col("text")).as("q_terms"),
+              col("v").as("qv"))
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    try {
+      val cells = idx.centroids.count().toInt
+      val brute = HybridRetrieval
+        .hybridTopK(docs, e, queries, k = 10, kCand = 30).collect().toSet
+      val covered = HybridRetrieval
+        .hybridTopKWith(idx, docs, queries, k = 10, kCand = 30,
+                        nprobe = cells).collect().toSet
+      assert(covered == brute,
+        "with every cell probed the served tier must equal the brute tier")
+      // a REAL probe cut (nprobe=1) may lose semantic-leg hits but can
+      // never lose lexically-surfaced documents: every lex_rank'd doc of
+      // the brute fusion still appears (possibly re-ranked). k = 2*kCand
+      // keeps the whole fusion output, so no rank cut can hide one.
+      val pruned = HybridRetrieval
+        .hybridTopKWith(idx, docs, queries, k = 60, kCand = 30, nprobe = 1)
+        .collect()
+      val lexDocs = brute.toSeq.filter(!_.isNullAt(4))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val prunedDocs = pruned.map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(lexDocs.subsetOf(prunedDocs),
+        "lexical-leg candidates must survive any semantic probe cut")
+    } finally { idx.unpersist(); () }
+  }
+
+  test("recallAtKWith: one index across the sweep — monotone in nprobe, " +
+       "equal to the one-shot recallAtK at every swept value") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    try {
+      val sweep = GraftSimilarity
+        .recallAtKWith(idx, q, k = 5, nprobes = Seq(1, 2, 4)).collect()
+      assert(sweep.length == 30, "3 sweep values x 10 queries")
+      val byQ = sweep.groupBy(_.getLong(1))
+      for ((qid, rows) <- byQ) {
+        val byNp = rows.sortBy(_.getLong(0)).map(_.getLong(2)).toSeq
+        assert(byNp.zip(byNp.tail).forall { case (a, b) => a <= b },
+          s"q=$qid hits not monotone in nprobe: $byNp")
+      }
+      // each swept value reproduces the one-shot operator bit-for-bit
+      // (same deterministic build, so the rebuilt index is identical)
+      for (np <- Seq(1, 4)) {
+        val one = GraftSimilarity.recallAtK(e, q, k = 5, nprobe = np)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+          .toSet
+        val slice = sweep.filter(_.getLong(0) == np)
+          .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        assert(slice == one, s"sweep slice nprobe=$np != one-shot recallAtK")
+      }
+    } finally { idx.unpersist(); () }
+  }
 }
