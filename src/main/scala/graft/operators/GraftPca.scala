@@ -119,24 +119,66 @@ object GraftPca {
     (values, vectors)
   }
 
+  /** Past this many k×d component doubles, [[project]] stops folding them
+    * into plan literals and attaches them by broadcast join instead: at
+    * testdata dims (d = 64) literals are elegant and stream-trivial, but
+    * at production dims (d = 4096, k = 256 → ~1M doubles) a megabyte-
+    * scale plan tree bloats every plan copy, codegen source, and event-
+    * log entry (VERDICT r10 #4). 64k doubles ≈ 512 KB of plan — the same
+    * order as [[graft.operators.ScaleHints]]' broadcast gating. */
+  val ProjectLiteralMaxDoubles: Int = 1 << 16
+
   /** Project `vecCol` onto `comps` (rows from [[components]]), centering
     * with `mean`: appends `pc: array<double>` with
-    * `pc[c] = (v − mean)·w_c = v·w_c − mean·w_c`. The components and the
-    * per-component mean offsets fold into CONSTANT array literals, so this
-    * is one stateless projection — broadcast-free, shuffle-free, and legal
-    * on a streaming DataFrame as-is.
+    * `pc[c] = (v − mean)·w_c = v·w_c − mean·w_c`.
+    *
+    * Below `maxLiteralDoubles` total component doubles, the components
+    * and per-component mean offsets fold into CONSTANT array literals —
+    * one stateless projection, broadcast-free, shuffle-free, legal on a
+    * streaming DataFrame as-is. Past the gate they ride a ONE-ROW
+    * broadcast side relation instead (a stream-static cross join — still
+    * streaming-legal, and the row ships through the broadcast machinery
+    * rather than the plan tree). Both paths evaluate the identical
+    * left-to-right `aggregate(zip_with(...))` fold per component, so
+    * projections are bit-identical across the gate (PcaSpec pins it).
     */
   def project(vecs: DataFrame, comps: Array[Array[Double]],
-              mean: Array[Double], vecCol: String = "v"): DataFrame = {
+              mean: Array[Double], vecCol: String = "v",
+              maxLiteralDoubles: Int = ProjectLiteralMaxDoubles)
+      : DataFrame = {
     require(comps.nonEmpty, "GraftPca.project: no components")
     require(comps.forall(_.length == mean.length),
       "GraftPca.project: component/mean dimension mismatch")
-    val exprs = comps.map { w =>
-      val lit = w.mkString("array(", "D, ", "D)")
-      val off = w.zip(mean).map { case (wi, mi) => wi * mi }.sum
-      s"""aggregate(zip_with($vecCol, $lit, (x, y) -> x * y),
-         |          0.0D, (acc, z) -> acc + z) - ${off}D""".stripMargin
+    val offs = comps.map(w =>
+      w.zip(mean).map { case (wi, mi) => wi * mi }.sum)
+    if (comps.length.toLong * mean.length <= maxLiteralDoubles) {
+      val exprs = comps.zip(offs).map { case (w, off) =>
+        val lit = w.mkString("array(", "D, ", "D)")
+        s"""aggregate(zip_with($vecCol, $lit, (x, y) -> x * y),
+           |          0.0D, (acc, z) -> acc + z) - ${off}D""".stripMargin
+      }
+      vecs.withColumn("pc", expr(exprs.mkString("array(", ", ", ")")))
+    } else {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val spark = vecs.sparkSession
+      val schema = StructType(Seq(
+        StructField("__pcomps",
+          ArrayType(ArrayType(DoubleType, containsNull = false),
+                    containsNull = false), nullable = false),
+        StructField("__poffs",
+          ArrayType(DoubleType, containsNull = false), nullable = false)))
+      val side = spark.createDataFrame(
+        java.util.Arrays.asList(
+          Row(comps.map(_.toSeq).toSeq, offs.toSeq)), schema)
+      // __pcomps/__poffs are plain attributes here, so the HOF lambdas
+      // bind them once per row — not the computed-array rebinding cliff
+      vecs.crossJoin(broadcast(side))
+        .withColumn("pc", expr(
+          s"""zip_with(__pcomps, __poffs, (w, o) ->
+             |  aggregate(zip_with($vecCol, w, (x, y) -> x * y),
+             |            0.0D, (acc, z) -> acc + z) - o)""".stripMargin))
+        .drop("__pcomps", "__poffs")
     }
-    vecs.withColumn("pc", expr(exprs.mkString("array(", ", ", ")")))
   }
 }

@@ -478,8 +478,14 @@ object GraftSimilarity {
     requireIntegralId(batch, idCol, "ivfAppend")
     val e = batch.select(col(idCol).cast("long").as("n_id"),
                          col(vecCol).as("v"))
-    IvfIndex(index.centroids,
-             index.assigned.unionByName(assignTo(index.centroids, e)))
+    val add0 = assignTo(index.centroids, e)
+    // a q8-carrying base (a read store) keeps its serving column whole:
+    // the appended rows quantize inline so the q8 tier stays servable
+    val add =
+      if (index.assigned.columns.contains("q8"))
+        add0.withColumn("q8", expr("graft_q8(v)"))
+      else add0
+    IvfIndex(index.centroids, index.assigned.unionByName(add))
   }
 
   /** Persist an [[IvfIndex]] at rest: centroids as plain parquet,
@@ -497,6 +503,14 @@ object GraftSimilarity {
     * sizes both stay manageable at any N (1e9 vectors ⇒ ~31k dirs); the
     * write shuffles once on cell id so each partition is one file, the
     * natural bucket for cell-local rerank.
+    *
+    * Data files carry (n_id, v, q8): `q8 = graft_q8(v)` is the scalar-
+    * quantized serving column ([[ivfTopKWithQ8]] scores candidates off
+    * it and touches `v` only for the rerank survivors — the candidate
+    * scan reads ~8× fewer vector bytes), and rows are SORTED by n_id
+    * within each cell file so the survivor fetch's `n_id IN (...)`
+    * pushdown prunes row groups on their min/max stats instead of
+    * rescanning the probed cells.
     */
   def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
     requireIntegralId(index.assigned, "c_id", "writeIvfIndex")
@@ -505,10 +519,22 @@ object GraftSimilarity {
     val p = new org.apache.hadoop.fs.Path(dir)
     requireStoreFsContract(p.getFileSystem(conf), p, conf, "writeIvfIndex")
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    index.assigned
-      .repartition(col("c_id"))
+    storedLayout(index.assigned)
       .write.mode("overwrite").partitionBy("c_id")
       .parquet(s"$dir/assigned")
+  }
+
+  /** The at-rest shape of an assigned frame, shared by every path that
+    * writes cell files (full write, directory append, object-store
+    * stage): the q8 serving column attached (unless the frame already
+    * carries one — a compaction rewrite must not re-quantize), one
+    * shuffle on cell id, rows n_id-sorted within each cell file for the
+    * rerank fetch's row-group pruning. */
+  private[operators] def storedLayout(assigned: DataFrame): DataFrame = {
+    val withQ8 =
+      if (assigned.columns.contains("q8")) assigned
+      else assigned.withColumn("q8", expr("graft_q8(v)"))
+    withQ8.repartition(col("c_id")).sortWithinPartitions("n_id")
   }
 
   /** Absorb a batch into an AT-REST index without rewriting the store:
@@ -597,10 +623,9 @@ object GraftSimilarity {
     // append writes must carry ONE n_id/c_id width regardless.
     lazy val cents = spark.read.parquet(s"$dir/centroids")
       .withColumn("c_id", col("c_id").cast("long"))
-    def assigned = assignTo(cents,
+    def assigned = storedLayout(assignTo(cents,
         batch.select(col(idCol).cast("long").as("n_id"),
-                     col(vecCol).as("v")))
-      .repartition(col("c_id"))
+                     col(vecCol).as("v"))))
     batchTag match {
       case None =>
         requireUnlocked("batch")
@@ -953,10 +978,25 @@ object GraftSimilarity {
           // EXPLICIT file list, never the directory: a file renamed in
           // after this listing must not be merged (it is restored, not
           // dropped, by the not-in-merge-list sweep below). Data files
-          // carry (n_id, v) only — c_id lives in the directory name — so
-          // the rewrite round-trips the layout.
-          spark.read.parquet(parquetFiles.map(_.toString): _*)
+          // carry (n_id, v, q8) — c_id lives in the directory name — so
+          // the rewrite round-trips the layout; sortWithinPartitions
+          // restores the n_id ordering the rerank fetch's row-group
+          // pruning keys on (merged inputs are each sorted, their concat
+          // is not). A pre-q8 store merges with null q8 — mergeSchema
+          // fills the column for old-generation files and the rewrite
+          // REPAIRS it (coalesce after graft_q8), so compaction is also
+          // the in-place migration path to the q8 serving tier.
+          val merged0 = spark.read.option("mergeSchema", "true")
+            .parquet(parquetFiles.map(_.toString): _*)
+          val merged =
+            if (merged0.columns.contains("q8"))
+              merged0.withColumn("q8",
+                when(col("q8").isNull, expr("graft_q8(v)"))
+                  .otherwise(col("q8")))
+            else merged0.withColumn("q8", expr("graft_q8(v)"))
+          merged
             .coalesce(1)
+            .sortWithinPartitions("n_id")
             .write.mode("overwrite").parquet(staged.toString)
           val part = fs.listStatus(staged)
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
@@ -1304,6 +1344,87 @@ object GraftSimilarity {
     // ≤ probed cells — the I/O fact, not just the plan shape.
     topK(broadcast(probes).join(index.assigned, "c_id")
            .filter(col("n_id") =!= col("q_id"))
+           .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
+  }
+
+  /** Attach the q8 serving column to an in-memory index (the stored
+    * layouts write it at rest — [[storedLayout]]); for parity tests and
+    * in-flight q8 serving where no store exists. */
+  def q8Augment(index: IvfIndex): IvfIndex =
+    IvfIndex(index.centroids,
+             index.assigned.withColumn("q8", expr("graft_q8(v)")))
+
+  /** [[ivfTopKWith]] through the QUANTIZED candidate tier — the serve
+    * path whose I/O is sized for a 100-TB store: candidates in the
+    * probed cells are scored with `graft_q8_cos` off the store's `q8`
+    * column (64 ints that parquet delta-packs vs 8·dim bytes of doubles
+    * — the candidate scan reads ~8× fewer vector bytes), the top
+    * k·`rerankFactor` per query are reranked with exact cosine, and only
+    * THOSE survivors' full vectors are fetched. Output contract matches
+    * [[ivfTopKWith]] (q_id, n_id, rnk, cos with exact cosines); the
+    * quantized stage is a recall trade bounded by `rerankFactor` — with
+    * it covering the probed population the result is exactly
+    * [[ivfTopKWith]]'s (SimilaritySpec pins it).
+    *
+    * The survivor fetch COLLECTS the candidate (q_id, n_id) pairs — a
+    * driver materialization bounded by |Q|·k·rerankFactor, the same
+    * serving-batch contract that lets the probe side broadcast — so the
+    * exact-vector read carries a LITERAL `n_id IN (...)` predicate that
+    * reaches the parquet scan (PushedFilters — spec-pinned): with the
+    * store's n_id-sorted cell files, row-group min/max stats prune the
+    * fetch to the pages actually holding survivors instead of re-reading
+    * the probed cells' vector column. (The standard candidates-then-gets
+    * shape of a quantized ANN store; without the literal pushdown the
+    * rerank would re-scan every probed cell's `v` and erase the q8
+    * saving.)
+    *
+    * Requires `q8` on `index.assigned` (stores written at r11+ carry it;
+    * [[q8Augment]] for in-memory indexes; [[compactIvfCells]] migrates
+    * pre-q8 stores in place). A mixed-generation cell read yields null
+    * q8 for old files — scored candidates FAIL LOUDLY on it rather than
+    * silently dropping from the heap.
+    */
+  def ivfTopKWithQ8(index: IvfIndex, queries: DataFrame, k: Int,
+                    nprobe: Int = 4, rerankFactor: Int = 4,
+                    qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    require(k >= 1, s"ivfTopKWithQ8: k must be >= 1, got $k")
+    require(rerankFactor >= 1,
+      s"ivfTopKWithQ8: rerankFactor must be >= 1, got $rerankFactor")
+    require(index.assigned.columns.contains("q8"),
+      "ivfTopKWithQ8: index has no q8 column — read a store written with " +
+      "the q8 layout (or compact a pre-q8 store to migrate it), or wrap " +
+      "an in-memory index with q8Augment")
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val spark = queries.sparkSession
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    val probes = probeCells(q, index.centroids, nprobe, Seq("q_id", "qv"))
+    val pq = broadcast(probes.withColumn("qq8", expr("graft_q8(qv)")))
+    val kk = k * rerankFactor
+    // stage 1: integer candidate scoring over (n_id, c_id, q8) — column
+    // pruning keeps the doubles out of this scan entirely
+    val cand = pq
+      .join(index.assigned.select(col("n_id"), col("c_id"), col("q8")),
+            "c_id")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"),
+              expr("""if(isnull(q8),
+                        cast(assert_true(false,
+                          'ivfTopKWithQ8: null q8 — mixed-generation cell
+                           files; compact the store to migrate') AS double),
+                        graft_q8_cos(qq8, q8))""").as("qc"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(qc, n_id, $kk)").as("tk"))
+      .select(col("q_id"), explode(col("tk.id")).as("n_id"))
+    // bounded driver materialization (|Q|·k·rerankFactor rows) buys the
+    // literal pushdown for stage 2
+    val candRows = cand.collect()
+    val pairs = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cand.schema))
+    val survivorIds = candRows.map(_.get(1)).distinct.toSeq
+    val fetched = index.assigned.select(col("n_id"), col("v"))
+      .filter(col("n_id").isin(survivorIds: _*))
+    topK(pairs.join(fetched, "n_id").join(broadcast(q), "q_id")
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 

@@ -328,8 +328,11 @@ object IvfObjectStore {
         "another protocol handled the write"))
   }
 
+  // same at-rest shape as the directory layout (GraftSimilarity
+  // .storedLayout): q8 serving column + n_id-sorted cell files, so
+  // ivfTopKWithQ8 serves either substrate identically
   private def stageAssigned(dir: String, assigned: DataFrame): Seq[String] =
-    writeVia(assigned.repartition(col("c_id")), s"$dir/data",
+    writeVia(GraftSimilarity.storedLayout(assigned), s"$dir/data",
              partitioned = true).map(r => s"data/$r")
 
   /** Create the store: stage centroid + assigned objects, publish

@@ -284,6 +284,80 @@ object SimilarityQueries extends QueryModule {
       },
       Some(ivfStoredOracleSql)),
 
+    // The QUANTIZED at-rest serve tier (ivfTopKWithQ8): the store's cell
+    // files carry q8 = graft_q8(v) next to the exact vectors; candidates
+    // in the probed cells are scored with the pure-integer graft_q8_cos
+    // off that column (~8× fewer vector bytes in the candidate scan),
+    // the top k·rerankFactor per query rerank with exact cosine, and
+    // only those survivors' full vectors are fetched (literal n_id
+    // pushdown onto the n_id-sorted cell files — row-group stats prune
+    // the read; spec pins PushedFilters). Both stages are cross-engine
+    // exact (the q8 estimate is integer arithmetic with one division, as
+    // ann_quantized_topk certifies in-flight), so the oracle replays
+    // build + probe + quantized cut + exact rerank and hash-matches.
+    GraftQuery(
+      "ann_ivf_stored_q8",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val out =
+          s"/tmp/graft_io/${new java.io.File(dir).getName}/ivf_index_q8"
+        GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), out)
+        GraftSimilarity.ivfTopKWithQ8(GraftSimilarity.readIvfIndex(s, out),
+                                      queryBlock(e), k = 5, nprobe = 4,
+                                      rerankFactor = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |mx AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) m FROM e),
+        |q8 AS (SELECT vec_id, v,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x * 127.0 / m)) END q
+        |       FROM mx),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |qq AS (SELECT vec_id q_id, v qv, q qq8 FROM q8 WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, qv, qq8, c_id FROM (
+        |    SELECT qq.q_id, qq.qv, qq.qq8, c.c_id,
+        |      row_number() OVER (PARTITION BY qq.q_id
+        |        ORDER BY list_cosine_similarity(qq.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM qq, c) WHERE prnk <= 4),
+        |ap AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    CASE WHEN list_dot_product(a8.q, a8.q) = 0
+        |           OR list_dot_product(p.qq8, p.qq8) = 0 THEN 0.0
+        |         ELSE list_dot_product(p.qq8, a8.q)
+        |              / sqrt(list_dot_product(a8.q, a8.q)
+        |                     * list_dot_product(p.qq8, p.qq8)) END ac
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  JOIN q8 a8 ON a8.vec_id = a.vec_id
+        |  WHERE a.vec_id != p.q_id),
+        |cand AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) r
+        |    FROM ap) WHERE r <= 20),
+        |scored AS (
+        |  SELECT cd.q_id, cd.n_id, list_cosine_similarity(qq.qv, e.v) cs
+        |  FROM cand cd
+        |  JOIN qq ON qq.q_id = cd.q_id
+        |  JOIN e ON e.vec_id = cd.n_id),
+        |r AS (SELECT q_id, n_id, cs,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, round(cs, 4) AS cos
+        |FROM r WHERE rnk <= 5""".stripMargin)),
+
     // IVF incremental-append flow as an ORACLED row: the index is built
     // on a seed split (centroids = md5-threshold pick over the SEED only,
     // √(N/4) of them), the remaining vectors arrive later via

@@ -81,4 +81,43 @@ class PcaSpec extends GraftFunSuite {
         "projection must carry zero streaming state")
     } finally q.stop()
   }
+
+  test("project: literal-fold and broadcast-side paths are bit-identical " +
+       "across the size gate") {
+    val data = (0 until 40).map(i =>
+      (i.toLong, Seq(i * 0.1, 1.0 - i * 0.02, math.sin(i.toDouble),
+                     math.cos(i * 0.3))))
+    val df = data.toDF("id", "v")
+    val gram = GraftSimilarity.gramMatrix(df, "v", grid = 1024L)
+    val (_, comps, mean) = GraftPca.components(gram, grid = 1024L, k = 3)
+    // k*d = 12 doubles: default gate folds literals; maxLiteralDoubles=1
+    // forces the broadcast-side path on the SAME components
+    val folded = GraftPca.project(df, comps, mean, "v")
+    val bcast = GraftPca.project(df, comps, mean, "v",
+                                 maxLiteralDoubles = 1)
+    assert(!folded.queryExecution.optimizedPlan.toString.contains("Join"))
+    assert(bcast.queryExecution.optimizedPlan.toString.contains("Join"),
+      "past the gate the components must ride a join, not the plan tree")
+    val f = folded.select(col("id"), col("pc")).as[(Long, Seq[Double])]
+      .collect().toMap
+    val g = bcast.select(col("id"), col("pc")).as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(f == g, "gate paths must project bit-identically")
+    // the gated path stays streaming-legal (stream-static cross join)
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val input = MemoryStream[(Long, Seq[Double])]
+    val q = GraftPca.project(input.toDF().toDF("id", "v"), comps, mean, "v",
+                             maxLiteralDoubles = 1)
+      .writeStream.format("memory").queryName("pca_stream_gated")
+      .outputMode("append").start()
+    try {
+      input.addData(data); q.processAllAvailable()
+      val streamed = spark.table("pca_stream_gated")
+        .select(col("id"), col("pc")).as[(Long, Seq[Double])]
+        .collect().toMap
+      assert(streamed == f,
+        "gated streaming projection must equal batch bit-for-bit")
+    } finally q.stop()
+  }
 }

@@ -490,6 +490,73 @@ class SimilaritySpec extends GraftFunSuite {
     } finally { idx.unpersist(); () }
   }
 
+  test("ivfTopKWithQ8: q8 store layout (column present, n_id-sorted cells); " +
+       "covering rerankFactor equals the exact serve; survivor fetch " +
+       "pushes a literal n_id filter into the store scan") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q8_store")
+      .toString
+    GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), dir)
+    // layout: every cell file carries the q8 column and is n_id-sorted
+    // (the two facts the survivor fetch's row-group pruning keys on)
+    val cellFiles = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("c_id="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+    assert(cellFiles.nonEmpty)
+    for (f <- cellFiles.take(3)) {
+      val part = spark.read.parquet(f.getPath)
+      assert(part.columns.contains("q8"), s"no q8 column in ${f.getName}")
+      val ids = part.select("n_id").collect().map(_.getLong(0)).toSeq
+      assert(ids == ids.sorted, s"cell file ${f.getName} not n_id-sorted")
+    }
+    val idx = GraftSimilarity.readIvfIndex(spark, dir)
+    val exact = GraftSimilarity.ivfTopKWith(idx, q, k = 5, nprobe = 4)
+      .collect().toSet
+    // rerankFactor covering the whole collection → the quantized cut
+    // cannot drop a true candidate → bit-equal to the exact serve
+    val covering = e.count().toInt
+    val q8cov = GraftSimilarity
+      .ivfTopKWithQ8(idx, q, k = 5, nprobe = 4, rerankFactor = covering)
+      .collect().toSet
+    assert(q8cov == exact,
+      "covering rerankFactor must reproduce the exact serve bit-for-bit")
+    // default factor: k exact-cosine rows per query, self excluded, and
+    // the rerank scan carries the literal In(n_id, ...) pushdown
+    val df = GraftSimilarity
+      .ivfTopKWithQ8(idx, q, k = 5, nprobe = 4, rerankFactor = 4)
+    val rows = df.collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    for ((qid, rs) <- byQ) {
+      assert(rs.length == 5, s"q=$qid got ${rs.length}")
+      assert(!rs.map(_.getLong(1)).contains(qid), "self excluded")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [In(n_id"),
+      s"survivor fetch must push the literal n_id set to parquet; plan:\n" +
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // the q8 cut at factor 4 stays a high-recall approximation of the
+    // exact serve (same probed cells, integer scoring)
+    val overlap = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      .intersect(exact.map(r => (r.getLong(0), r.getLong(1))).toSet).size
+    assert(overlap >= 40, s"q8 tier recall vs exact serve: $overlap/50")
+    // in-memory guard: an index without q8 is refused loudly, and
+    // q8Augment makes it servable
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.ivfTopKWithQ8(GraftSimilarity.buildIvfIndex(e), q,
+                                    k = 5)
+    }
+    val aug = GraftSimilarity
+      .ivfTopKWithQ8(GraftSimilarity.q8Augment(GraftSimilarity.buildIvfIndex(e)),
+                     q, k = 5, nprobe = 4, rerankFactor = covering)
+      .collect().toSet
+    assert(aug == exact)
+  }
+
   test("recallAtKWith: one index across the sweep — monotone in nprobe, " +
        "equal to the one-shot recallAtK at every swept value") {
     import graft.operators.GraftSimilarity
