@@ -109,6 +109,16 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_q8_cos(array<int>, array<int>) — got ${other.size} args")
     },
+    "graft_q8b" -> {
+      case Seq(c) => GraftQ8Bytes(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_q8b(array<double>) — got ${other.size} args")
+    },
+    "graft_q8b_cos" -> {
+      case Seq(a, b) => GraftQ8BytesCos(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_q8b_cos(binary, binary) — got ${other.size} args")
+    },
     "graft_normalize" -> {
       case Seq(c) => GraftNormalize(c, "NFC")
       case Seq(c, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>

@@ -163,3 +163,149 @@ case class GraftQ8Cos(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): GraftQ8Cos =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_q8b(array<double>)` → `binary`: [[GraftQ8]]'s quantization
+  * PACKED to one signed byte per component — the AT-REST form of the
+  * quantized vector. `array<int>` spends 4 B per component in parquet
+  * before compression (and ~3× less than the doubles after it, measured);
+  * a byte per component is the full 8× cut the quantization promises, and
+  * the dense byte run is what an object store actually ships. Values are
+  * identical to [[GraftQ8]]'s ints (same rounding, [-127, 127] fits the
+  * signed byte exactly), so [[GraftQ8BCos]] over packed bytes equals
+  * [[GraftQ8Cos]] over the int arrays bit-for-bit — one quantization
+  * contract, two physical encodings.
+  */
+case class GraftQ8Bytes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_q8b requires array<double>, got $other")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_q8b"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (maxAbs > 0.0) {
+      i = 0
+      while (i < n) {
+        val t = arr.getDouble(i) * 127.0 / maxAbs
+        out(i) = (if (t >= 0) Math.round(t).toInt
+                  else (-Math.round(-t)).toInt).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs")
+      val a = ctx.freshName("a")
+      val t = ctx.freshName("t")
+      val out = ctx.freshName("out")
+      s"""
+        |final int $n = $c.numElements();
+        |double $maxAbs = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double $a = java.lang.Math.abs($c.getDouble($i));
+        |  if ($a > $maxAbs) $maxAbs = $a;
+        |}
+        |byte[] $out = new byte[$n];
+        |if ($maxAbs > 0.0) {
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final double $t = $c.getDouble($i) * 127.0 / $maxAbs;
+        |    $out[$i] = (byte) ($t >= 0 ? (int) java.lang.Math.round($t)
+        |                               : (int) -java.lang.Math.round(-$t));
+        |  }
+        |}
+        |${ev.value} = $out;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GraftQ8Bytes =
+    copy(child = newChild)
+}
+
+/** `graft_q8b_cos(binary, binary)` → `double`: [[GraftQ8Cos]] over the
+  * byte-packed encoding — identical integer arithmetic (bytes widen to
+  * long exactly), identical zero-norm and length-mismatch contracts, so
+  * scores equal the int-array kernel bit-for-bit.
+  */
+case class GraftQ8BytesCos(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_q8b_cos requires (binary, binary), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_q8b_cos"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"graft_q8b_cos: vector lengths differ (${x.length} vs ${y.length})")
+    var ab = 0L
+    var aa = 0L
+    var bb = 0L
+    var i = 0
+    while (i < x.length) {
+      val xv = x(i).toLong
+      val yv = y(i).toLong
+      ab += xv * yv
+      aa += xv * xv
+      bb += yv * yv
+      i += 1
+    }
+    if (aa == 0L || bb == 0L) 0.0
+    else ab / math.sqrt((aa * bb).toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+        |if ($a.length != $b.length) {
+        |  throw new IllegalArgumentException(
+        |    "graft_q8b_cos: vector lengths differ (" + $a.length + " vs " +
+        |    $b.length + ")");
+        |}
+        |long $ab = 0L, $aa = 0L, $bb = 0L;
+        |for (int $i = 0; $i < $a.length; $i++) {
+        |  final long $xv = (long) $a[$i];
+        |  final long $yv = (long) $b[$i];
+        |  $ab += $xv * $yv;
+        |  $aa += $xv * $xv;
+        |  $bb += $yv * $yv;
+        |}
+        |${ev.value} = ($aa == 0L || $bb == 0L)
+        |  ? 0.0 : $ab / java.lang.Math.sqrt((double) ($aa * $bb));
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftQ8BytesCos =
+    copy(left = newLeft, right = newRight)
+}

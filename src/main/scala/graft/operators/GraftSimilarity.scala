@@ -483,7 +483,7 @@ object GraftSimilarity {
     // the appended rows quantize inline so the q8 tier stays servable
     val add =
       if (index.assigned.columns.contains("q8"))
-        add0.withColumn("q8", expr("graft_q8(v)"))
+        add0.withColumn("q8", expr("graft_q8b(v)"))
       else add0
     IvfIndex(index.centroids, index.assigned.unionByName(add))
   }
@@ -504,7 +504,7 @@ object GraftSimilarity {
     * write shuffles once on cell id so each partition is one file, the
     * natural bucket for cell-local rerank.
     *
-    * Data files carry (n_id, v, q8): `q8 = graft_q8(v)` is the scalar-
+    * Data files carry (n_id, v, q8): `q8 = graft_q8b(v)` is the scalar-
     * quantized serving column ([[ivfTopKWithQ8]] scores candidates off
     * it and touches `v` only for the rerank survivors — the candidate
     * scan reads ~8× fewer vector bytes), and rows are SORTED by n_id
@@ -533,7 +533,7 @@ object GraftSimilarity {
   private[operators] def storedLayout(assigned: DataFrame): DataFrame = {
     val withQ8 =
       if (assigned.columns.contains("q8")) assigned
-      else assigned.withColumn("q8", expr("graft_q8(v)"))
+      else assigned.withColumn("q8", expr("graft_q8b(v)"))
     withQ8.repartition(col("c_id")).sortWithinPartitions("n_id")
   }
 
@@ -984,16 +984,16 @@ object GraftSimilarity {
           // pruning keys on (merged inputs are each sorted, their concat
           // is not). A pre-q8 store merges with null q8 — mergeSchema
           // fills the column for old-generation files and the rewrite
-          // REPAIRS it (coalesce after graft_q8), so compaction is also
+          // REPAIRS it (quantize-null after graft_q8b), so compaction is also
           // the in-place migration path to the q8 serving tier.
           val merged0 = spark.read.option("mergeSchema", "true")
             .parquet(parquetFiles.map(_.toString): _*)
           val merged =
             if (merged0.columns.contains("q8"))
               merged0.withColumn("q8",
-                when(col("q8").isNull, expr("graft_q8(v)"))
+                when(col("q8").isNull, expr("graft_q8b(v)"))
                   .otherwise(col("q8")))
-            else merged0.withColumn("q8", expr("graft_q8(v)"))
+            else merged0.withColumn("q8", expr("graft_q8b(v)"))
           merged
             .coalesce(1)
             .sortWithinPartitions("n_id")
@@ -1352,13 +1352,14 @@ object GraftSimilarity {
     * in-flight q8 serving where no store exists. */
   def q8Augment(index: IvfIndex): IvfIndex =
     IvfIndex(index.centroids,
-             index.assigned.withColumn("q8", expr("graft_q8(v)")))
+             index.assigned.withColumn("q8", expr("graft_q8b(v)")))
 
   /** [[ivfTopKWith]] through the QUANTIZED candidate tier — the serve
     * path whose I/O is sized for a 100-TB store: candidates in the
-    * probed cells are scored with `graft_q8_cos` off the store's `q8`
-    * column (64 ints that parquet delta-packs vs 8·dim bytes of doubles
-    * — the candidate scan reads ~8× fewer vector bytes), the top
+    * probed cells are scored with `graft_q8b_cos` off the store's `q8`
+    * column (ONE signed byte per component, packed binary, vs 8·dim
+    * bytes of doubles — the full 8× cut, not the ~2× an `array<int>`
+    * encoding would leave on the table), the top
     * k·`rerankFactor` per query are reranked with exact cosine, and only
     * THOSE survivors' full vectors are fetched. Output contract matches
     * [[ivfTopKWith]] (q_id, n_id, rnk, cos with exact cosines); the
@@ -1399,7 +1400,7 @@ object GraftSimilarity {
     val spark = queries.sparkSession
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
     val probes = probeCells(q, index.centroids, nprobe, Seq("q_id", "qv"))
-    val pq = broadcast(probes.withColumn("qq8", expr("graft_q8(qv)")))
+    val pq = broadcast(probes.withColumn("qq8", expr("graft_q8b(qv)")))
     val kk = k * rerankFactor
     // stage 1: integer candidate scoring over (n_id, c_id, q8) — column
     // pruning keeps the doubles out of this scan entirely
@@ -1412,7 +1413,7 @@ object GraftSimilarity {
                         cast(assert_true(false,
                           'ivfTopKWithQ8: null q8 — mixed-generation cell
                            files; compact the store to migrate') AS double),
-                        graft_q8_cos(qq8, q8))""").as("qc"))
+                        graft_q8b_cos(qq8, q8))""").as("qc"))
       .groupBy("q_id")
       .agg(expr(s"graft_topk(qc, n_id, $kk)").as("tk"))
       .select(col("q_id"), explode(col("tk.id")).as("n_id"))

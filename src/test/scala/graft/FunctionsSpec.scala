@@ -342,6 +342,44 @@ class FunctionsSpec extends GraftFunSuite {
     assert(est < 0.02, s"max quantization error $est")
   }
 
+  test("graft_q8b / graft_q8b_cos: byte packing equals the int kernel " +
+       "bit-for-bit; one byte per component at rest") {
+    import spark.implicits._
+    // one quantization contract, two encodings: the packed bytes must
+    // hold exactly graft_q8's ints, and the byte-cos must score exactly
+    // like the int-cos, on real embeddings
+    val checked = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .limit(200)
+      .selectExpr("transform(embedding, x -> cast(x AS double)) AS v")
+      .selectExpr(
+        "graft_q8(v) AS qi",
+        "graft_q8b(v) AS qb",
+        "graft_q8_cos(graft_q8(v), graft_q8(reverse(v))) AS ci",
+        "graft_q8b_cos(graft_q8b(v), graft_q8b(reverse(v))) AS cb")
+      .collect()
+    for (r <- checked) {
+      val qi = r.getSeq[Int](0)
+      val qb = r.getAs[Array[Byte]](1)
+      assert(qb.length == qi.length, "one byte per component")
+      assert(qb.map(_.toInt).toSeq == qi, "packed bytes must equal the ints")
+      assert(r.getDouble(2) == r.getDouble(3),
+        "byte-cos must equal int-cos bitwise")
+    }
+    // contracts match the int kernel: zero vector → zero bytes → cos 0;
+    // length mismatch throws
+    val z = Seq((Array(0.0, 0.0), Array(1.0, 2.0))).toDF("a", "b")
+      .selectExpr("graft_q8b_cos(graft_q8b(a), graft_q8b(b)) AS c")
+      .as[Double].head()
+    assert(z == 0.0)
+    val e = intercept[Exception] {
+      Seq((Array(1.0, 2.0, 3.0), Array(1.0, 2.0))).toDF("a", "b")
+        .selectExpr("graft_q8b_cos(graft_q8b(a), graft_q8b(b)) AS c")
+        .as[Double].head()
+    }
+    assert(e.getMessage.contains("lengths differ") ||
+           Option(e.getCause).exists(_.getMessage.contains("lengths differ")))
+  }
+
   test("graft_vec_sum: element-wise sum across partitions, nulls, floats") {
     import spark.implicits._
     // 100 vectors of dim 3 scattered over 7 partitions — forces partial
