@@ -39,7 +39,9 @@ object PlanDump {
                     "text_winnow_fingerprint", "dedup_winnow_pairs",
                     "dedup_neardup_clusters", "pipeline_hard_negatives",
                     "embed_gram_matrix", "ann_recall_eval",
-                    "pipeline_split_cluster_safe")
+                    "pipeline_split_cluster_safe",
+                    "ann_hybrid_rrf", "ann_hybrid_ivf",
+                    "ann_recall_sweep", "ann_ivf_stored_q8")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

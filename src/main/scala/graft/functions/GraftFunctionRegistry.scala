@@ -119,6 +119,33 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_q8b_cos(binary, binary) — got ${other.size} args")
     },
+    "graft_freq_sketch" -> {
+      case Seq(c) => GraftFreqAgg(c, 1024).toAggregateExpression()
+      case Seq(c, Literal(m: Int, IntegerType)) =>
+        GraftFreqAgg(c, m).toAggregateExpression()
+      case other => throw new IllegalArgumentException(
+        s"graft_freq_sketch(string[, maxMapSize literal]) — got ${other.size} args")
+    },
+    "graft_freq_items" -> {
+      case Seq(c) => GraftFreqItems(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_freq_items(binary) — got ${other.size} args")
+    },
+    "graft_freq_is_exact" -> {
+      case Seq(c) => GraftFreqIsExact(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_freq_is_exact(binary) — got ${other.size} args")
+    },
+    "graft_pq_pack" -> {
+      case Seq(c) => GraftPqPack(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_pack(array<int>) — got ${other.size} args")
+    },
+    "graft_pq_adc" -> {
+      case Seq(a, b) => GraftPqAdc(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_adc(array<int>|binary, array<double>) — got ${other.size} args")
+    },
     "graft_normalize" -> {
       case Seq(c) => GraftNormalize(c, "NFC")
       case Seq(c, Literal(f: org.apache.spark.unsafe.types.UTF8String, StringType)) =>

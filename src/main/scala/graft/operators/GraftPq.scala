@@ -1,0 +1,251 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for the embedding store — the compression
+  * rung past the scalar q8 tier: each vector splits into `m` subspaces,
+  * each subspace learns `ksub` centroids by k-means, and the vector's
+  * at-rest form is `m` small codes (one byte each under
+  * `graft_pq_pack`). A 64-dim float64 vector is 512 B raw, 64 B as q8
+  * bytes, 8 B as an m=8 PQ code word — at 100 TB of raw vectors the PQ
+  * candidate tier reads ~1.6 TB.
+  *
+  * Serving is asymmetric distance computation (ADC): each query
+  * precomputes one `m·ksub` lookup table of subspace dot products, and
+  * every candidate costs `m` table lookups + adds (`graft_pq_adc`) —
+  * no per-candidate vector arithmetic at all. The approximate cosine
+  * uses the codeword norm Σ_s ‖c_s‖² as the candidate-norm surrogate
+  * (query norm is exact), then the top `k·rerankFactor` candidates
+  * rerank through their ORIGINAL vectors, the same two-stage contract
+  * as [[GraftSimilarity.quantizedTopK]].
+  *
+  * DETERMINISM BY CONSTRUCTION, the [[GraftSimilarity.kmeansRefine]]
+  * recipe extended to a full PQ train: members quantize to the 2²⁰
+  * fixed-point grid, per-(subspace, code) accumulation is the exact
+  * integer component sum, and the centroid is `round(sum / count)` —
+  * one correctly-rounded IEEE division and one half-away-from-zero
+  * round per component, identical in any engine. Assignment distances,
+  * LUT entries and ADC sums are then all integer-valued doubles, so
+  * `ann_pq_adc` is a DuckDB hash-checked row end to end (seed pick,
+  * both Lloyd rounds, encode, ADC, rerank).
+  *
+  * Scale shape of the train: the corpus never shuffles — subspace rows
+  * fold their code argmin in ONE projection against the broadcast
+  * codebook (the [[GraftSimilarity.assignTo]] pattern, per subspace),
+  * and the only exchange per Lloyd round is the `m·ksub·dsub`
+  * accumulator grid. Seeds are the `ksub` smallest (md5(id), id) rows —
+  * a TakeOrdered, not a global sort. Encode shuffles only skinny
+  * (n_id, sub_id, code) rows once to assemble code words.
+  */
+object GraftPq {
+
+  private val Grid = GraftSimilarity.KmeansGrid // 2^20 fixed-point grid
+
+  /** A trained codebook: `codebook` is (sub_id, code, cv) with cv on the
+    * integer grid — `m·ksub` rows, broadcastable at any corpus size.
+    */
+  final case class PqCodebook(codebook: DataFrame, m: Int, ksub: Int) {
+    def persist(): PqCodebook = { codebook.persist(); this }
+    def unpersist(blocking: Boolean = false): PqCodebook = {
+      codebook.unpersist(blocking); this
+    }
+  }
+
+  /** Grid-quantize and slice into `m` subspace rows (n_id, sub_id, sv).
+    * Dimension must divide evenly by `m` — enforced in-plan so a ragged
+    * collection fails loudly on first touch, not via silent truncation.
+    */
+  private def subRows(e: DataFrame, m: Int): DataFrame =
+    e.select(col("n_id"), expr(
+        s"""CASE WHEN size(v) % $m = 0 THEN transform(v, x -> round(x * $Grid))
+           |ELSE cast(assert_true(false, concat('pq: vector dim ',
+           |       cast(size(v) AS string), ' not divisible by m=$m'))
+           |     AS array<double>) END""".stripMargin).as("__g"))
+      .select(col("n_id"), posexplode(expr(
+        s"""transform(sequence(0, ${m - 1}),
+           |          s -> slice(__g, s * (size(__g) div $m) + 1,
+           |                     size(__g) div $m))""".stripMargin)))
+      .select(col("n_id"), col("pos").as("sub_id"), col("col").as("sv"))
+
+  /** Nearest code per (vector, subspace) — ties to the smallest code —
+    * folded EXCHANGE-FREE per row against the broadcast codebook
+    * grouped by sub_id; squared L2 on the integer grid, so comparisons
+    * are exact and replayable (`ORDER BY dist, code LIMIT 1` in SQL).
+    */
+  private def assignCodes(cb: DataFrame, subs: DataFrame): DataFrame = {
+    val cbRow = broadcast(cb.groupBy("sub_id")
+      .agg(collect_list(struct(col("code"), col("cv"))).as("__cb")))
+    subs.join(cbRow, "sub_id")
+      .select(col("n_id"), col("sub_id"), col("sv"), expr(
+        """aggregate(
+          |  transform(__cb, c -> struct(
+          |    aggregate(zip_with(sv, c.cv, (a, b) -> (a - b) * (a - b)),
+          |              0D, (acc, x) -> acc + x) AS d,
+          |    c.code AS code)),
+          |  CAST(NULL AS STRUCT<d: DOUBLE, code: INT>),
+          |  (acc, s) -> CASE
+          |    WHEN acc IS NULL THEN s
+          |    WHEN s.d < acc.d THEN s
+          |    WHEN acc.d < s.d THEN acc
+          |    WHEN s.code < acc.code THEN s
+          |    ELSE acc END).code""".stripMargin).as("code"))
+  }
+
+  /** Train an (m, ksub) codebook with `iters` Lloyd rounds over the
+    * hash-picked seeds. Codes that lose all members drop out (standard
+    * Lloyd); `ksub ≤ 256` keeps every code a single at-rest byte.
+    */
+  def trainPq(collection: DataFrame, m: Int, ksub: Int, iters: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "v"): PqCodebook = {
+    require(m >= 1, s"trainPq: m must be >= 1, got $m")
+    require(ksub >= 2 && ksub <= 256,
+      s"trainPq: ksub must be in [2, 256] (one at-rest byte), got $ksub")
+    require(iters >= 0, s"trainPq: iters must be >= 0, got $iters")
+    graft.GraftSession.ensureExtensions(collection.sparkSession)
+    val e = collection.select(col(idCol).cast("long").as("n_id"),
+                              col(vecCol).as("v"))
+    val subs = subRows(e, m)
+    // ksub smallest (md5(id), id) rows: a TakeOrdered cut, then codes
+    // 0..ksub-1 assigned by a window over just those ksub rows
+    val seedIds = e.select(col("n_id"),
+        md5(col("n_id").cast("string")).as("__h"))
+      .orderBy(col("__h"), col("n_id")).limit(ksub)
+    val sd = seedIds.withColumn("code",
+        (row_number().over(Window.orderBy(col("__h"), col("n_id"))) - 1)
+          .cast("int"))
+      .select(col("n_id"), col("code"))
+    val cb0 = subs.join(broadcast(sd), "n_id")
+      .select(col("sub_id"), col("code"), col("sv").as("cv"))
+    var cb = cb0
+    var i = 0
+    while (i < iters) {
+      // one skinny (m·ksub·dsub) accumulator exchange per round; the
+      // centroid is round(sum / count) — exact grid, see scaladoc
+      cb = assignCodes(cb, subs)
+        .groupBy("sub_id", "code")
+        .agg(expr("graft_vec_sum(sv)").as("__s"), count(lit(1)).as("__n"))
+        .select(col("sub_id"), col("code"),
+                expr("transform(__s, x -> round(x / __n))").as("cv"))
+      i += 1
+    }
+    PqCodebook(cb, m, ksub)
+  }
+
+  /** Encode the collection against a trained codebook: (n_id, codes)
+    * with `codes` the m-element `array<int>` code word (pack with
+    * `graft_pq_pack` for the at-rest byte form). One skinny shuffle of
+    * (n_id, sub_id, code) rows assembles the words.
+    */
+  def pqEncode(collection: DataFrame, cb: PqCodebook,
+               idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+    graft.GraftSession.ensureExtensions(collection.sparkSession)
+    val e = collection.select(col(idCol).cast("long").as("n_id"),
+                              col(vecCol).as("v"))
+    assignCodes(cb.codebook, subRows(e, cb.m))
+      .groupBy("n_id")
+      .agg(expr(
+        """transform(array_sort(collect_list(struct(sub_id, code))),
+          |          s -> s.code)""".stripMargin).as("codes"))
+  }
+
+  /** ADC serve over an encoded collection: per-query LUT build (one
+    * row-level fold against the broadcast codebook, bound ONCE via the
+    * single-element-array lambda so projection collapse can't rebind
+    * it per LUT slot — the r10 winnowing lesson), `graft_pq_adc`
+    * candidate scoring over PACKED code bytes, `graft_topk` cut at
+    * k·rerankFactor, exact rerank through the original vectors.
+    * `collection` supplies the rerank vectors and must carry the same
+    * ids the encoding was built from.
+    */
+  def pqTopKWith(cb: PqCodebook, encoded: DataFrame, collection: DataFrame,
+                 queries: DataFrame, k: Int, rerankFactor: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "v",
+                 qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    require(k >= 1, s"pqTopKWith: k must be >= 1, got $k")
+    require(rerankFactor >= 1,
+      s"pqTopKWith: rerankFactor must be >= 1, got $rerankFactor")
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val m = cb.m
+    val ksub = cb.ksub
+    val e = collection.select(col(idCol).cast("long").as("n_id"),
+                              col(vecCol).as("v"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    val lutLen = m * ksub
+
+    // scatter (sub_id, code) -> dense LUT position s·ksub + code; holes
+    // (codes Lloyd dropped) fill 0 and are unreachable — every stored
+    // code exists in the codebook it was assigned from
+    def scatter(entries: String): String =
+      s"""transform(array(map_from_entries($entries)), lm ->
+         |  transform(sequence(0, ${lutLen - 1}),
+         |            i -> coalesce(element_at(lm, i), 0D)))[0]""".stripMargin
+
+    val cbRow = broadcast(cb.codebook
+      .agg(collect_list(struct(col("sub_id"), col("code"), col("cv")))
+        .as("__cb")))
+    // query-independent codeword-norm LUT: ONE broadcast row
+    val normRow = broadcast(cb.codebook
+      .agg(collect_list(struct(col("sub_id"), col("code"),
+        expr("aggregate(cv, 0D, (acc, x) -> acc + x * x)").as("nn")))
+        .as("__cbn"))
+      .select(expr(scatter(
+        s"transform(__cbn, c -> struct(c.sub_id * $ksub + c.code, c.nn))"))
+        .as("__nlut")))
+    // per-query dot LUT + exact query grid norm
+    val qlut = q
+      .withColumn("__qg", expr(s"transform(qv, x -> round(x * $Grid))"))
+      .withColumn("__qn",
+        expr("aggregate(__qg, 0D, (acc, x) -> acc + x * x)"))
+      .crossJoin(cbRow)
+      .select(col("q_id"), col("__qn"), expr(scatter(
+        s"""transform(__cb, c -> struct(c.sub_id * $ksub + c.code,
+           |  aggregate(zip_with(slice(__qg,
+           |                           c.sub_id * (size(__qg) div $m) + 1,
+           |                           size(__qg) div $m),
+           |                     c.cv, (a, b) -> a * b),
+           |            0D, (acc, x) -> acc + x)))""".stripMargin))
+        .as("__lut"))
+
+    val kk = k * rerankFactor
+    // stage 1: m byte-lookups per candidate — the scan carries ONLY the
+    // m-byte packed codes; scores are exact integer sums so the SQL
+    // oracle replays them bit-for-bit
+    val cand = encoded
+      .select(col("n_id"), expr("graft_pq_pack(codes)").as("__cw"))
+      .crossJoin(broadcast(qlut))
+      .filter(col("n_id") =!= col("q_id"))
+      .crossJoin(normRow)
+      .select(col("q_id"), col("n_id"), expr(
+        """CASE WHEN __qn = 0D OR graft_pq_adc(__cw, __nlut) = 0D THEN 0D
+          |ELSE graft_pq_adc(__cw, __lut)
+          |     / sqrt(__qn * graft_pq_adc(__cw, __nlut)) END""".stripMargin)
+        .as("ac"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(ac, n_id, $kk)").as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("s"))
+      .select(col("q_id"), col("s.id").as("n_id"))
+    // stage 2: exact rerank of the survivors only
+    GraftSimilarity.topK(
+      cand.join(ScaleHints.gated(e), "n_id")
+          .join(ScaleHints.gated(q), "q_id")
+          .select(col("q_id"), col("n_id"),
+                  GraftSimilarity.cosine("qv", "v").as("c")), k)
+  }
+
+  /** One-shot train + encode + serve — the catalog/oracle entry point.
+    * Production builds once ([[trainPq]] + [[pqEncode]] persisted or
+    * written out) and serves every batch through [[pqTopKWith]].
+    */
+  def pqTopK(collection: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 8, ksub: Int = 16, iters: Int = 2,
+             rerankFactor: Int = 4,
+             idCol: String = "vec_id", vecCol: String = "v",
+             qIdCol: String = "q_id", qVecCol: String = "qv"): DataFrame = {
+    val cb = trainPq(collection, m, ksub, iters, idCol, vecCol)
+    pqTopKWith(cb, pqEncode(collection, cb, idCol, vecCol), collection,
+               queries, k, rerankFactor, idCol, vecCol, qIdCol, qVecCol)
+  }
+}

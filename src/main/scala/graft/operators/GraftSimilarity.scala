@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   */
 object GraftSimilarity {
 
-  private def cosine(a: String, b: String): Column =
+  private[operators] def cosine(a: String, b: String): Column =
     expr(s"graft_cosine($a, $b)")
 
   /** Per-query top-k cut via the mergeable `graft_topk` aggregate: each
@@ -34,7 +34,7 @@ object GraftSimilarity {
     * and sort EVERY candidate row of a query. Same output, including the
     * (score desc, id asc) tie rule.
     */
-  private def topK(scored: DataFrame, k: Int): DataFrame =
+  private[operators] def topK(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy("q_id")
       .agg(expr(s"graft_topk(c, n_id, $k)").as("tk"))

@@ -191,6 +191,18 @@ object IvfObjectStore {
   private val Header = "graft-ivf-manifest v1"
   private val PublishRetries = 5
 
+  /** Losing a publish is not always "the chain advanced": the winner may
+    * still be BETWEEN create and close, so the loser's immediate re-read
+    * sees a half-written (torn-looking) manifest, falls back to the
+    * previous version, and re-targets the same squatted slot. Without a
+    * pause, the whole retry budget can burn inside the winner's write
+    * window (microseconds of loser work vs a descheduled winner's
+    * milliseconds). Exponential backoff — 50·2^attempt ms, ~1.5 s total
+    * across the budget — outwaits any live writer's close; genuinely
+    * dead writers are [[healTorn]]'s job after the grace. */
+  private def publishBackoff(attempt: Int): Unit =
+    Thread.sleep(50L << attempt)
+
   private[graft] final case class Manifest(version: Long,
                                                centroids: Seq[String],
                                                data: Seq[String],
@@ -461,6 +473,7 @@ object IvfObjectStore {
                           m.tags ++ batchTag)
       if (publish(fs, dir, next)) return
       healTorn(fs, dir, m.version + 1)
+      publishBackoff(attempt)
       attempt += 1
     }
     throw new ManifestConflict(
@@ -518,6 +531,7 @@ object IvfObjectStore {
                   Manifest(m.version + 1, m.centroids, nextData, m.tags)))
         return oversized.size
       healTorn(fs, dir, m.version + 1)
+      publishBackoff(attempt)
       attempt += 1
     }
     throw new ManifestConflict(

@@ -990,5 +990,103 @@ object SimilarityQueries extends QueryModule {
         |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
         |    rrf, lex_rank, sem_rank
         |  FROM f) WHERE rank <= 10""".stripMargin)),
+
+    // Product-quantization ADC tier ([[graft.operators.GraftPq]]): m=8
+    // subspaces × ksub=16 codes trained with 2 Lloyd rounds on the 2^20
+    // fixed-point grid (centroid = round(sum/count) — one IEEE division
+    // + one half-away round per component, identical in DuckDB), codes
+    // packed to 8 at-rest bytes, candidates scored by graft_pq_adc
+    // lookups (exact integer sums), top-20 reranked exactly to top-5.
+    // The oracle replays seed pick, both Lloyd rounds, encode, ADC and
+    // rerank — hash-checked end to end like ann_ivf_kmeans.
+    GraftQuery(
+      "ann_pq_adc",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        graft.operators.GraftPq.pqTopK(e, queryBlock(e), k = 5,
+                                       m = 8, ksub = 16, iters = 2,
+                                       rerankFactor = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |g AS (SELECT vec_id, list_transform(v, x -> round(x * 1048576.0)) gv
+        |      FROM e),
+        |sx AS (SELECT unnest(range(0, 8)) s),
+        |di AS (SELECT unnest(range(1, 9)) i),
+        |subs AS (SELECT g.vec_id, sx.s sub_id,
+        |           g.gv[sx.s * 8 + 1 : sx.s * 8 + 8] sv
+        |         FROM g, sx),
+        |sd AS (SELECT vec_id, code FROM (
+        |         SELECT vec_id, row_number() OVER (
+        |           ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 code
+        |         FROM e) WHERE code < 16),
+        |cb0 AS (SELECT s.sub_id, sd.code, s.sv cv
+        |        FROM subs s JOIN sd USING (vec_id)),
+        |a1 AS (SELECT vec_id, sub_id, sv, code FROM (
+        |         SELECT s.vec_id, s.sub_id, s.sv, c.code,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+        |             ORDER BY list_sum(list_transform(range(1, 9),
+        |               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+        |             c.code) rnk
+        |         FROM subs s JOIN cb0 c ON c.sub_id = s.sub_id)
+        |       WHERE rnk = 1),
+        |c1 AS (SELECT sub_id, code, list(rc ORDER BY i) cv FROM (
+        |         SELECT sub_id, code, di.i i,
+        |           round(sum(sv[di.i]) / count(*)) rc
+        |         FROM a1, di GROUP BY sub_id, code, di.i)
+        |       GROUP BY sub_id, code),
+        |a2 AS (SELECT vec_id, sub_id, sv, code FROM (
+        |         SELECT s.vec_id, s.sub_id, s.sv, c.code,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+        |             ORDER BY list_sum(list_transform(range(1, 9),
+        |               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+        |             c.code) rnk
+        |         FROM subs s JOIN c1 c ON c.sub_id = s.sub_id)
+        |       WHERE rnk = 1),
+        |c2 AS (SELECT sub_id, code, list(rc ORDER BY i) cv FROM (
+        |         SELECT sub_id, code, di.i i,
+        |           round(sum(sv[di.i]) / count(*)) rc
+        |         FROM a2, di GROUP BY sub_id, code, di.i)
+        |       GROUP BY sub_id, code),
+        |enc AS (SELECT vec_id, sub_id, code FROM (
+        |         SELECT s.vec_id, s.sub_id, c.code,
+        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+        |             ORDER BY list_sum(list_transform(range(1, 9),
+        |               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+        |             c.code) rnk
+        |         FROM subs s JOIN c2 c ON c.sub_id = s.sub_id)
+        |       WHERE rnk = 1),
+        |q AS (SELECT vec_id q_id, gv qg,
+        |        list_sum(list_transform(gv, x -> x * x)) qn
+        |      FROM g WHERE vec_id < 10),
+        |lutd AS (SELECT q.q_id, c.sub_id, c.code,
+        |           list_sum(list_transform(range(1, 9),
+        |             i -> q.qg[c.sub_id * 8 + i] * c.cv[i])) d
+        |         FROM q, c2 c),
+        |lutn AS (SELECT sub_id, code,
+        |           list_sum(list_transform(cv, x -> x * x)) nn
+        |         FROM c2),
+        |sc AS (SELECT en.vec_id n_id, ld.q_id, sum(ld.d) ad, sum(ln.nn) an
+        |       FROM enc en
+        |       JOIN lutd ld ON ld.sub_id = en.sub_id AND ld.code = en.code
+        |       JOIN lutn ln ON ln.sub_id = en.sub_id AND ln.code = en.code
+        |       WHERE en.vec_id != ld.q_id
+        |       GROUP BY en.vec_id, ld.q_id),
+        |adc AS (SELECT q.q_id, sc.n_id,
+        |          CASE WHEN sc.an = 0 OR q.qn = 0 THEN 0.0
+        |               ELSE sc.ad / sqrt(q.qn * sc.an) END ac
+        |        FROM sc JOIN q ON q.q_id = sc.q_id),
+        |cand AS (SELECT q_id, n_id FROM (
+        |          SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |            ORDER BY ac DESC, n_id) r FROM adc) WHERE r <= 20),
+        |scored AS (SELECT c.q_id, c.n_id,
+        |             list_cosine_similarity(qe.v, ne.v) cs
+        |           FROM cand c JOIN e qe ON qe.vec_id = c.q_id
+        |                       JOIN e ne ON ne.vec_id = c.n_id),
+        |r AS (SELECT q_id, n_id, cs,
+        |        row_number() OVER (PARTITION BY q_id
+        |          ORDER BY cs DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, rnk, round(cs, 4) AS cos FROM r
+        |WHERE rnk <= 5""".stripMargin)),
   )
 }

@@ -845,5 +845,57 @@ object TextQueries extends QueryModule {
         |  CAST(len(fps) AS BIGINT) AS n_fps,
         |  md5(array_to_string(fps, ',')) AS fp_md5
         |FROM fp""".stripMargin)),
+
+    // N-gram heavy hitters via the mergeable frequent-items sketch
+    // ([[graft.functions.GraftFreqAgg]]): top word-bigrams of the corpus
+    // WITHOUT shuffling bigram cardinality — each partition folds its
+    // grams into one capacity-bounded counter map and only maxMapSize
+    // (term, count) pairs per partial cross the wire, vs groupBy(term)
+    // shipping every distinct n-gram (billions of keys at 100 TB).
+    // ORACLED in exact mode, the theta-sketch convention
+    // (`dedup_source_overlap_exact`): under the purge threshold every
+    // estimate is the exact count, the precondition is ENFORCED in-plan
+    // by graft_freq_is_exact, and DuckDB replays plain GROUP BY counts.
+    // The bounded (purging) tier's error contract is FreqSketchSpec's
+    // job, not a hash row.
+    GraftQuery(
+      "text_heavy_hitters",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        graft.GraftSession.ensureExtensions(s)
+        val grams = spread(t(s, dir, "documents"))
+          .select(GraftText.whitespaceTokens(col("text")).as("tk"))
+          .filter(size(col("tk")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(0, size(tk) - 2),
+               i -> concat(tk[i], ' ', tk[i + 1]))""")).as("term"))
+        val sk = grams.agg(expr("graft_freq_sketch(term, 32768)").as("sk"))
+        // one sketch row explodes to ≤ maxMapSize items — the
+        // unpartitioned window ranks that bounded set, never the corpus
+        sk.select(explode(expr(
+            """CASE WHEN graft_freq_is_exact(sk) THEN graft_freq_items(sk)
+              |ELSE cast(assert_true(false, concat('text_heavy_hitters: ',
+              |       'sketch left exact mode — raise maxMapSize or use ',
+              |       'the bounded tier')) AS
+              |     array<struct<term: string, est: bigint,
+              |                  lb: bigint, ub: bigint>>) END""".stripMargin))
+            .as("it"))
+          .select(col("it.term").as("term"), col("it.est").as("cnt"))
+          .withColumn("rnk", row_number().over(
+            Window.orderBy(col("cnt").desc, col("term"))).cast("long"))
+          .filter(col("rnk") <= 50)
+          .select(col("term"), col("cnt"), col("rnk"))
+      },
+      Some("""WITH d AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') tk FROM documents),
+        |bg AS (
+        |  SELECT unnest(tk[1:len(tk) - 1]) w1, unnest(tk[2:len(tk)]) w2
+        |  FROM d WHERE len(tk) >= 2),
+        |c AS (SELECT w1 || ' ' || w2 term, count(*) cnt FROM bg
+        |      GROUP BY 1),
+        |r AS (SELECT term, cnt,
+        |        row_number() OVER (ORDER BY cnt DESC, term) rnk
+        |      FROM c)
+        |SELECT term, cnt, rnk FROM r WHERE rnk <= 50""".stripMargin)),
   )
 }

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GraftPq, GraftSimilarity}
+
+class PqSpec extends GraftFunSuite {
+  import spark.implicits._
+
+  // deterministic planted clusters: 5 tight clusters of 20 vectors in
+  // 16 dims; within-cluster cosine ≈ 1, cross-cluster ≈ orthogonal
+  private def planted = {
+    val base = (0 until 5).map { c =>
+      Array.tabulate(16)(i => if (i % 5 == c) 10.0 else 0.5)
+    }
+    (0 until 100).map { id =>
+      val c = id % 5
+      val wiggle = (id * 7) % 3 - 1.0
+      (id.toLong,
+       base(c).zipWithIndex.map { case (x, i) =>
+         x + 0.01 * wiggle * ((i + id) % 3) }.toSeq)
+    }.toDF("vec_id", "v")
+  }
+
+  test("trainPq: codebook is bit-deterministic across trainings, " +
+       "bounded m·ksub rows, codes in range, centroids on the grid") {
+    val cb1 = GraftPq.trainPq(planted, m = 4, ksub = 8, iters = 2)
+    val cb2 = GraftPq.trainPq(planted, m = 4, ksub = 8, iters = 2)
+    val r1 = cb1.codebook.orderBy("sub_id", "code")
+      .as[(Int, Int, Seq[Double])].collect()
+    val r2 = cb2.codebook.orderBy("sub_id", "code")
+      .as[(Int, Int, Seq[Double])].collect()
+    assert(r1.sameElements(r2), "two trainings must agree bit-for-bit")
+    assert(r1.length <= 4 * 8 && r1.nonEmpty)
+    assert(r1.forall { case (s, c, cv) =>
+      s >= 0 && s < 4 && c >= 0 && c < 8 && cv.length == 4 &&
+      cv.forall(x => x == math.rint(x))
+    }, "codebook rows must be in-range with integer-grid centroids")
+  }
+
+  test("pqEncode: m codes per vector, every code exists in the codebook") {
+    val cb = GraftPq.trainPq(planted, m = 4, ksub = 8, iters = 2)
+    val enc = GraftPq.pqEncode(planted, cb)
+    assert(enc.count() === 100)
+    val inCb = cb.codebook.select("sub_id", "code")
+      .as[(Int, Int)].collect().toSet
+    enc.select("codes").as[Seq[Int]].collect().foreach { codes =>
+      assert(codes.length === 4)
+      codes.zipWithIndex.foreach { case (c, s) =>
+        assert(inCb((s, c)), s"code $c at sub $s not in codebook")
+      }
+    }
+  }
+
+  test("graft_pq_adc: packed bytes score identically to the int array, " +
+       "and a foreign code fails loudly") {
+    val df = Seq((Seq(0, 2, 1), Seq.tabulate(9)(i => i * 10.0))).toDF("c", "lut")
+    val r = df.select(
+      expr("graft_pq_adc(c, lut)").as("a"),
+      expr("graft_pq_adc(graft_pq_pack(c), lut)").as("b")).head
+    // 0 -> lut[0]=0, 2 -> lut[3+2]=50, 1 -> lut[6+1]=70 → 120
+    assert(r.getDouble(0) === 120.0 && r.getDouble(1) === 120.0)
+    val bad = Seq((Seq(0, 3, 1), Seq.tabulate(9)(i => i * 10.0))).toDF("c", "lut")
+    val ex = intercept[Exception] {
+      bad.select(expr("graft_pq_adc(c, lut)")).collect()
+    }
+    assert(ex.getMessage.contains("different trainings") ||
+           Option(ex.getCause).exists(_.getMessage.contains("different trainings")))
+    val packBad = Seq(Tuple1(Seq(256))).toDF("c")
+    val ex2 = intercept[Exception] {
+      packBad.select(expr("graft_pq_pack(c)")).collect()
+    }
+    assert(ex2.getMessage.contains("unsigned-byte") ||
+           Option(ex2.getCause).exists(_.getMessage.contains("unsigned-byte")))
+  }
+
+  test("pqTopK on planted clusters: every neighbor comes from the " +
+       "query's own cluster and the output shape matches the ANN tier") {
+    val q = planted.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val res = GraftPq.pqTopK(planted, q, k = 5, m = 4, ksub = 8,
+                             iters = 2, rerankFactor = 4)
+    assert(res.columns.toSeq === Seq("q_id", "n_id", "rnk", "cos"))
+    val rows = res.as[(Long, Long, Long, Double)].collect()
+    assert(rows.length === 25, "5 queries × k=5")
+    rows.foreach { case (qid, nid, _, cos) =>
+      assert(nid % 5 === qid % 5,
+        s"neighbor $nid of query $qid crosses clusters")
+      assert(cos > 0.99, s"within-cluster cosine must be ~1, got $cos")
+    }
+  }
+
+  test("pq serve ≡ brute force when the codebook is lossless " +
+       "(ksub ≥ distinct subvectors): exact tier recovered") {
+    // 8 distinct vectors, ksub=16 ≥ 8 → every subvector is its own
+    // centroid after Lloyd; ADC is then the exact dot on the grid and
+    // the rerank makes the equality exact
+    val tiny = (0 until 8).map { id =>
+      (id.toLong, Seq.tabulate(8)(i => math.sin(id * 8 + i) * 3.0))
+    }.toDF("vec_id", "v")
+    val q = tiny.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val pq = GraftPq.pqTopK(tiny, q, k = 3, m = 2, ksub = 16, iters = 2,
+                            rerankFactor = 2)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    val bf = GraftSimilarity.bruteForceTopK(tiny, q, k = 3)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(pq.sameElements(bf),
+      s"lossless PQ must equal brute force:\n${pq.mkString("\n")}\nvs\n${bf.mkString("\n")}")
+  }
+
+  test("ragged dimension fails loudly: dim not divisible by m") {
+    val ragged = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v")
+    val ex = intercept[Exception] {
+      GraftPq.trainPq(ragged, m = 2, ksub = 2, iters = 1)
+        .codebook.collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("not divisible")),
+      s"unexpected error: $ex")
+  }
+}
