@@ -141,6 +141,11 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_pq_pack(array<int>) — got ${other.size} args")
     },
+    "graft_pq_nearest" -> {
+      case Seq(a, b) => GraftPqNearest(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_pq_nearest(array<double>, array<double>) — got ${other.size} args")
+    },
     "graft_pq_adc" -> {
       case Seq(a, b) => GraftPqAdc(a, b)
       case other => throw new IllegalArgumentException(

@@ -77,6 +77,92 @@ case class GraftPqPack(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_pq_nearest(sv, cb)` → `int`: index of the nearest centroid to
+  * subvector `sv` in the FLATTENED codebook `cb` (centroids
+  * concatenated in code order, so `ksub = cb.length / sv.length`), by
+  * squared L2 with ties to the smaller code. On the integer grid every
+  * distance is an exact integer-valued double, so the argmin is
+  * bit-replayable as SQL's `ORDER BY dist, code LIMIT 1`. This is the
+  * train/encode hot loop — one tight codegen scan per (vector,
+  * subspace) row instead of a nested HOF fold allocating a struct per
+  * candidate code.
+  */
+case class GraftPqNearest(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_pq_nearest requires (array<double>, array<double>), got $other")
+    }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_pq_nearest"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sv = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val d = sv.numElements()
+    if (d == 0 || cb.numElements() % d != 0 || cb.numElements() == 0)
+      throw new IllegalArgumentException(
+        s"graft_pq_nearest: codebook length ${cb.numElements()} is not a " +
+        s"positive multiple of subvector length $d")
+    val ksub = cb.numElements() / d
+    var best = -1
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < ksub) {
+      var dist = 0.0
+      var i = 0
+      while (i < d) {
+        val diff = sv.getDouble(i) - cb.getDouble(c * d + i)
+        dist += diff * diff
+        i += 1
+      }
+      if (dist < bestD) { bestD = dist; best = c }
+      c += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("d")
+      val ksub = ctx.freshName("ksub")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val dist = ctx.freshName("dist")
+      val diff = ctx.freshName("diff")
+      s"""
+        |final int $d = $a.numElements();
+        |if ($d == 0 || $b.numElements() % $d != 0 || $b.numElements() == 0) {
+        |  throw new IllegalArgumentException(
+        |    "graft_pq_nearest: codebook length " + $b.numElements() +
+        |    " is not a positive multiple of subvector length " + $d);
+        |}
+        |final int $ksub = $b.numElements() / $d;
+        |int $best = -1;
+        |double $bestD = Double.POSITIVE_INFINITY;
+        |for (int $c = 0; $c < $ksub; $c++) {
+        |  double $dist = 0.0;
+        |  for (int $i = 0; $i < $d; $i++) {
+        |    final double $diff = $a.getDouble($i) - $b.getDouble($c * $d + $i);
+        |    $dist += $diff * $diff;
+        |  }
+        |  if ($dist < $bestD) { $bestD = $dist; $best = $c; }
+        |}
+        |${ev.value} = $best;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftPqNearest =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_pq_adc(codes, lut)` → `double`: Σ_s lut[s·ksub + codes[s]],
   * with `ksub = lut.length / codes.length` (lut length must be an exact
   * multiple). `codes` is `array<int>` (in-flight) or `binary` (at-rest

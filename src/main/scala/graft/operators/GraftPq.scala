@@ -75,22 +75,21 @@ object GraftPq {
     * are exact and replayable (`ORDER BY dist, code LIMIT 1` in SQL).
     */
   private def assignCodes(cb: DataFrame, subs: DataFrame): DataFrame = {
+    // flatten each subspace's surviving centroids in code order; the
+    // codegen kernel scans the flat array (first-wins tie = smallest
+    // code, SQL's ORDER BY dist, code), and the parallel id array maps
+    // the winning POSITION back to its code (Lloyd can drop codes, so
+    // position ≠ code in general)
     val cbRow = broadcast(cb.groupBy("sub_id")
-      .agg(collect_list(struct(col("code"), col("cv"))).as("__cb")))
+      .agg(sort_array(collect_list(struct(col("code"), col("cv"))))
+        .as("__e"))
+      .select(col("sub_id"),
+              expr("transform(__e, s -> s.code)").as("__codes"),
+              expr("flatten(transform(__e, s -> s.cv))").as("__flat")))
     subs.join(cbRow, "sub_id")
-      .select(col("n_id"), col("sub_id"), col("sv"), expr(
-        """aggregate(
-          |  transform(__cb, c -> struct(
-          |    aggregate(zip_with(sv, c.cv, (a, b) -> (a - b) * (a - b)),
-          |              0D, (acc, x) -> acc + x) AS d,
-          |    c.code AS code)),
-          |  CAST(NULL AS STRUCT<d: DOUBLE, code: INT>),
-          |  (acc, s) -> CASE
-          |    WHEN acc IS NULL THEN s
-          |    WHEN s.d < acc.d THEN s
-          |    WHEN acc.d < s.d THEN acc
-          |    WHEN s.code < acc.code THEN s
-          |    ELSE acc END).code""".stripMargin).as("code"))
+      .select(col("n_id"), col("sub_id"), col("sv"),
+              expr("element_at(__codes, graft_pq_nearest(sv, __flat) + 1)")
+                .as("code"))
   }
 
   /** Train an (m, ksub) codebook with `iters` Lloyd rounds over the
@@ -244,7 +243,10 @@ object GraftPq {
              rerankFactor: Int = 4,
              idCol: String = "vec_id", vecCol: String = "v",
              qIdCol: String = "q_id", qVecCol: String = "qv"): DataFrame = {
-    val cb = trainPq(collection, m, ksub, iters, idCol, vecCol)
+    // persist the m·ksub-row codebook: it feeds THREE consumers (encode
+    // assignment, dot LUT, norm LUT) and each would otherwise re-run the
+    // full iterated train chain — the IvfIndex.persist convention
+    val cb = trainPq(collection, m, ksub, iters, idCol, vecCol).persist()
     pqTopKWith(cb, pqEncode(collection, cb, idCol, vecCol), collection,
                queries, k, rerankFactor, idCol, vecCol, qIdCol, qVecCol)
   }
