@@ -285,6 +285,28 @@ object StreamBench {
       }
     }
 
+    // PQ encode (train/apply split: codebook trained in batch, folded
+    // into constant flat-centroid literals — the stream is m codegen
+    // argmin scans in one stateless projection, zero joins/state)
+    locally {
+      val ref = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+                expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val cb = graft.operators.GraftPq
+        .trainPq(ref, m = 8, ksub = 16, iters = 2).persist()
+      cb.codebook.count() // materialize the train outside the timed stream
+      rep {
+        val in = MemoryStream[(Long, Timestamp, List[Double])]
+        val q = sink(graft.streaming.CorpusStreams.pqEncodeStream(
+          in.toDF().toDF("vec_id", "ts", "embedding"), cb)
+          .select("vec_id", "ts", "cw"), "sb_pq_encode")
+        val dvecs = vecs.map { case (id, t, v) => (id, t, v.map(_.toDouble)) }
+        drive("sb_pq_encode", dvecs.size, q,
+              chunks(dvecs, 4).map(c => () => { in.addData(c); () }))
+      }
+      cb.unpersist()
+    }
+
     // MinHash near-dup mining over 8-token shingles (the batch operators'
     // item shape — raw token SETS pair nearly everything in a synthetic
     // corpus with shared vocabulary, which measures the sink, not the op)

@@ -176,4 +176,12 @@ object GraftFunctionRegistry {
   def cosine(a: Column, b: Column): Column =
     GraftSqlBridge.columnOf(GraftCosine(
       GraftSqlBridge.expressionOf(a), GraftSqlBridge.expressionOf(b)))
+
+  def pqNearest(sv: Column, flatCodebook: Column): Column =
+    GraftSqlBridge.columnOf(GraftPqNearest(
+      GraftSqlBridge.expressionOf(sv),
+      GraftSqlBridge.expressionOf(flatCodebook)))
+
+  def pqPack(codes: Column): Column =
+    GraftSqlBridge.columnOf(GraftPqPack(GraftSqlBridge.expressionOf(codes)))
 }

@@ -53,21 +53,24 @@ object GraftPq {
     }
   }
 
-  /** Grid-quantize and slice into `m` subspace rows (n_id, sub_id, sv).
-    * Dimension must divide evenly by `m` — enforced in-plan so a ragged
-    * collection fails loudly on first touch, not via silent truncation.
+  /** Grid-quantize and slice into `m` subspace rows (n_id, sub_id, sv,
+    * carry…). Dimension must divide evenly by `m` — enforced in-plan so
+    * a ragged collection fails loudly on first touch, not via silent
+    * truncation.
     */
-  private def subRows(e: DataFrame, m: Int): DataFrame =
-    e.select(col("n_id"), expr(
+  private def subRows(e: DataFrame, m: Int,
+                      carry: Seq[String] = Nil): DataFrame =
+    e.select(col("n_id") +: carry.map(col) :+ expr(
         s"""CASE WHEN size(v) % $m = 0 THEN transform(v, x -> round(x * $Grid))
            |ELSE cast(assert_true(false, concat('pq: vector dim ',
            |       cast(size(v) AS string), ' not divisible by m=$m'))
-           |     AS array<double>) END""".stripMargin).as("__g"))
-      .select(col("n_id"), posexplode(expr(
+           |     AS array<double>) END""".stripMargin).as("__g"): _*)
+      .select(col("n_id") +: carry.map(col) :+ posexplode(expr(
         s"""transform(sequence(0, ${m - 1}),
            |          s -> slice(__g, s * (size(__g) div $m) + 1,
-           |                     size(__g) div $m))""".stripMargin)))
-      .select(col("n_id"), col("pos").as("sub_id"), col("col").as("sv"))
+           |                     size(__g) div $m))""".stripMargin)): _*)
+      .select(col("n_id") +: carry.map(col) :+
+              col("pos").as("sub_id") :+ col("col").as("sv"): _*)
 
   /** Nearest code per (vector, subspace) — ties to the smallest code —
     * folded EXCHANGE-FREE per row against the broadcast codebook
@@ -87,9 +90,9 @@ object GraftPq {
               expr("transform(__e, s -> s.code)").as("__codes"),
               expr("flatten(transform(__e, s -> s.cv))").as("__flat")))
     subs.join(cbRow, "sub_id")
-      .select(col("n_id"), col("sub_id"), col("sv"),
+      .select(subs.columns.toSeq.map(col) :+
               expr("element_at(__codes, graft_pq_nearest(sv, __flat) + 1)")
-                .as("code"))
+                .as("code"): _*)
   }
 
   /** Train an (m, ksub) codebook with `iters` Lloyd rounds over the
@@ -132,21 +135,27 @@ object GraftPq {
     PqCodebook(cb, m, ksub)
   }
 
-  /** Encode the collection against a trained codebook: (n_id, codes)
-    * with `codes` the m-element `array<int>` code word (pack with
-    * `graft_pq_pack` for the at-rest byte form). One skinny shuffle of
-    * (n_id, sub_id, code) rows assembles the words.
+  /** Encode the collection against a trained codebook: (n_id, codes
+    * [, carryCols…]) with `codes` the m-element `array<int>` code word
+    * (pack with `graft_pq_pack` for the at-rest byte form). One skinny
+    * shuffle of (n_id, sub_id, code) rows assembles the words.
+    * `carryCols` ride through unchanged (e.g. the IVF cell id, so a
+    * store can hold (n_id, c_id, code word) in one table without a
+    * second corpus join).
     */
   def pqEncode(collection: DataFrame, cb: PqCodebook,
-               idCol: String = "vec_id", vecCol: String = "v"): DataFrame = {
+               idCol: String = "vec_id", vecCol: String = "v",
+               carryCols: Seq[String] = Nil): DataFrame = {
     graft.GraftSession.ensureExtensions(collection.sparkSession)
-    val e = collection.select(col(idCol).cast("long").as("n_id"),
-                              col(vecCol).as("v"))
-    assignCodes(cb.codebook, subRows(e, cb.m))
+    val e = collection.select(col(idCol).cast("long").as("n_id") +:
+                              col(vecCol).as("v") +:
+                              carryCols.map(col): _*)
+    assignCodes(cb.codebook, subRows(e, cb.m, carryCols))
       .groupBy("n_id")
       .agg(expr(
         """transform(array_sort(collect_list(struct(sub_id, code))),
-          |          s -> s.code)""".stripMargin).as("codes"))
+          |          s -> s.code)""".stripMargin).as("codes"),
+        carryCols.map(c => first(col(c)).as(c)): _*)
   }
 
   /** ADC serve over an encoded collection: per-query LUT build (one
@@ -158,65 +167,58 @@ object GraftPq {
     * `collection` supplies the rerank vectors and must carry the same
     * ids the encoding was built from.
     */
-  def pqTopKWith(cb: PqCodebook, encoded: DataFrame, collection: DataFrame,
-                 queries: DataFrame, k: Int, rerankFactor: Int = 4,
-                 idCol: String = "vec_id", vecCol: String = "v",
-                 qIdCol: String = "q_id", qVecCol: String = "qv")
-      : DataFrame = {
-    require(k >= 1, s"pqTopKWith: k must be >= 1, got $k")
-    require(rerankFactor >= 1,
-      s"pqTopKWith: rerankFactor must be >= 1, got $rerankFactor")
-    graft.GraftSession.ensureExtensions(queries.sparkSession)
-    val m = cb.m
-    val ksub = cb.ksub
-    val e = collection.select(col(idCol).cast("long").as("n_id"),
-                              col(vecCol).as("v"))
-    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
-    val lutLen = m * ksub
+  /** Scatter (sub_id, code) entries into a dense LUT array at position
+    * s·ksub + code (bind-once lambda — see [[pqTopKWith]]); holes (codes
+    * Lloyd dropped) fill 0 and are unreachable — every stored code
+    * exists in the codebook it was assigned from.
+    */
+  private def scatter(entries: String, lutLen: Int): String =
+    s"""transform(array(map_from_entries($entries)), lm ->
+       |  transform(sequence(0, ${lutLen - 1}),
+       |            i -> coalesce(element_at(lm, i), 0D)))[0]""".stripMargin
 
-    // scatter (sub_id, code) -> dense LUT position s·ksub + code; holes
-    // (codes Lloyd dropped) fill 0 and are unreachable — every stored
-    // code exists in the codebook it was assigned from
-    def scatter(entries: String): String =
-      s"""transform(array(map_from_entries($entries)), lm ->
-         |  transform(sequence(0, ${lutLen - 1}),
-         |            i -> coalesce(element_at(lm, i), 0D)))[0]""".stripMargin
-
-    val cbRow = broadcast(cb.codebook
-      .agg(collect_list(struct(col("sub_id"), col("code"), col("cv")))
-        .as("__cb")))
-    // query-independent codeword-norm LUT: ONE broadcast row
-    val normRow = broadcast(cb.codebook
+  /** ONE broadcast row holding the query-independent codeword-norm LUT
+    * (`__nlut`). */
+  private def normLutRow(cb: PqCodebook): DataFrame =
+    broadcast(cb.codebook
       .agg(collect_list(struct(col("sub_id"), col("code"),
         expr("aggregate(cv, 0D, (acc, x) -> acc + x * x)").as("nn")))
         .as("__cbn"))
       .select(expr(scatter(
-        s"transform(__cbn, c -> struct(c.sub_id * $ksub + c.code, c.nn))"))
-        .as("__nlut")))
-    // per-query dot LUT + exact query grid norm
-    val qlut = q
-      .withColumn("__qg", expr(s"transform(qv, x -> round(x * $Grid))"))
+        s"transform(__cbn, c -> struct(c.sub_id * ${cb.ksub} + c.code, c.nn))",
+        cb.m * cb.ksub)).as("__nlut")))
+
+  /** Per-query ADC state: (q_id, __qn exact grid norm, __lut dense dot
+    * LUT) — one row-level fold against the broadcast codebook. */
+  private def qlutFrame(cb: PqCodebook, q: DataFrame): DataFrame = {
+    val cbRow = broadcast(cb.codebook
+      .agg(collect_list(struct(col("sub_id"), col("code"), col("cv")))
+        .as("__cb")))
+    q.withColumn("__qg", expr(s"transform(qv, x -> round(x * $Grid))"))
       .withColumn("__qn",
         expr("aggregate(__qg, 0D, (acc, x) -> acc + x * x)"))
       .crossJoin(cbRow)
       .select(col("q_id"), col("__qn"), expr(scatter(
-        s"""transform(__cb, c -> struct(c.sub_id * $ksub + c.code,
+        s"""transform(__cb, c -> struct(c.sub_id * ${cb.ksub} + c.code,
            |  aggregate(zip_with(slice(__qg,
-           |                           c.sub_id * (size(__qg) div $m) + 1,
-           |                           size(__qg) div $m),
+           |                           c.sub_id * (size(__qg) div ${cb.m}) + 1,
+           |                           size(__qg) div ${cb.m}),
            |                     c.cv, (a, b) -> a * b),
-           |            0D, (acc, x) -> acc + x)))""".stripMargin))
-        .as("__lut"))
+           |            0D, (acc, x) -> acc + x)))""".stripMargin,
+        cb.m * cb.ksub)).as("__lut"))
+  }
 
-    val kk = k * rerankFactor
-    // stage 1: m byte-lookups per candidate — the scan carries ONLY the
-    // m-byte packed codes; scores are exact integer sums so the SQL
-    // oracle replays them bit-for-bit
-    val cand = encoded
-      .select(col("n_id"), expr("graft_pq_pack(codes)").as("__cw"))
-      .crossJoin(broadcast(qlut))
-      .filter(col("n_id") =!= col("q_id"))
-      .crossJoin(normRow)
+  /** Stage 1 + 2 of every PQ serve: ADC-score (q_id, n_id, __cw, __lut,
+    * __qn) candidate pairs (m byte-lookups each — exact integer sums,
+    * replayed bit-for-bit by the SQL oracles), cut to k·rerankFactor
+    * per query with the mergeable top-k heap, exact-rerank the
+    * survivors through their original vectors.
+    */
+  private def scoreAndRerank(pairs: DataFrame, cb: PqCodebook,
+                             e: DataFrame, q: DataFrame,
+                             k: Int, kk: Int): DataFrame = {
+    val cand = pairs
+      .crossJoin(normLutRow(cb))
       .select(col("q_id"), col("n_id"), expr(
         """CASE WHEN __qn = 0D OR graft_pq_adc(__cw, __nlut) = 0D THEN 0D
           |ELSE graft_pq_adc(__cw, __lut)
@@ -226,12 +228,97 @@ object GraftPq {
       .agg(expr(s"graft_topk(ac, n_id, $kk)").as("tk"))
       .select(col("q_id"), explode(col("tk")).as("s"))
       .select(col("q_id"), col("s.id").as("n_id"))
-    // stage 2: exact rerank of the survivors only
     GraftSimilarity.topK(
       cand.join(ScaleHints.gated(e), "n_id")
           .join(ScaleHints.gated(q), "q_id")
           .select(col("q_id"), col("n_id"),
                   GraftSimilarity.cosine("qv", "v").as("c")), k)
+  }
+
+  def pqTopKWith(cb: PqCodebook, encoded: DataFrame, collection: DataFrame,
+                 queries: DataFrame, k: Int, rerankFactor: Int = 4,
+                 idCol: String = "vec_id", vecCol: String = "v",
+                 qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    require(k >= 1, s"pqTopKWith: k must be >= 1, got $k")
+    require(rerankFactor >= 1,
+      s"pqTopKWith: rerankFactor must be >= 1, got $rerankFactor")
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val e = collection.select(col(idCol).cast("long").as("n_id"),
+                              col(vecCol).as("v"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    // the scan carries ONLY the m-byte packed codes
+    val pairs = encoded
+      .select(col("n_id"), expr("graft_pq_pack(codes)").as("__cw"))
+      .crossJoin(broadcast(qlutFrame(cb, q)))
+      .filter(col("n_id") =!= col("q_id"))
+    scoreAndRerank(pairs, cb, e, q, k, k * rerankFactor)
+  }
+
+  /** IVF × PQ serve — the FAISS-IVFPQ cost shape on the relational
+    * substrate: probe the query's `nprobe` nearest cells, ADC-score
+    * ONLY the probed cells' members (m byte-lookups each), exact-rerank
+    * k·rerankFactor survivors. Per-query candidate work drops from N
+    * (flat [[pqTopKWith]]) to nprobe·N/√N, and the scan ships only
+    * (n_id, c_id, m-byte code word) — at 100 TB the store materializes
+    * exactly that table once at build time (`pqEncode` with
+    * `carryCols = Seq("c_id")` over the index's assigned frame), the
+    * same cell-partitioned layout the q8 store serves DPP-pruned.
+    * Codebooks are trained on raw vectors (not residuals): one
+    * codebook serves every cell, the encode is cell-independent, and
+    * appends never retrain — the residual refinement is a recall/bytes
+    * trade this tier deliberately does not take.
+    *
+    * `encodedWithCells` must carry (n_id, codes, c_id) — the build-time
+    * join product. At covering nprobe the serve equals [[pqTopKWith]]
+    * exactly (PqSpec pins it).
+    */
+  def ivfPqTopKWith(index: GraftSimilarity.IvfIndex, cb: PqCodebook,
+                    encodedWithCells: DataFrame, collection: DataFrame,
+                    queries: DataFrame, k: Int, nprobe: Int = 4,
+                    rerankFactor: Int = 4,
+                    idCol: String = "vec_id", vecCol: String = "v",
+                    qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    require(k >= 1, s"ivfPqTopKWith: k must be >= 1, got $k")
+    require(nprobe >= 1, s"ivfPqTopKWith: nprobe must be >= 1, got $nprobe")
+    require(rerankFactor >= 1,
+      s"ivfPqTopKWith: rerankFactor must be >= 1, got $rerankFactor")
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val e = collection.select(col(idCol).cast("long").as("n_id"),
+                              col(vecCol).as("v"))
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    val probes = GraftSimilarity.probeCells(q, index.centroids, nprobe,
+                                            Seq("q_id", "qv"))
+    // (q_id, c_id, LUT) — |Q|·nprobe rows, broadcastable at any N
+    val probeLut = broadcast(probes.select(col("q_id"), col("c_id"))
+      .join(qlutFrame(cb, q), "q_id"))
+    val pairs = encodedWithCells
+      .select(col("n_id"), col("c_id"),
+              expr("graft_pq_pack(codes)").as("__cw"))
+      .join(probeLut, "c_id")
+      .filter(col("n_id") =!= col("q_id"))
+    scoreAndRerank(pairs, cb, e, q, k, k * rerankFactor)
+  }
+
+  /** One-shot IVF×PQ: build the IVF index, train the PQ codebook,
+    * encode with the cell id carried, serve — the catalog/oracle entry
+    * point. Production persists the index, codebook and encoded table
+    * and serves every batch through [[ivfPqTopKWith]].
+    */
+  def ivfPqTopK(collection: DataFrame, queries: DataFrame, k: Int,
+                nprobe: Int = 4, m: Int = 8, ksub: Int = 16,
+                iters: Int = 2, rerankFactor: Int = 4,
+                idCol: String = "vec_id", vecCol: String = "v",
+                qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    val index = GraftSimilarity.buildIvfIndex(collection, None, idCol, vecCol)
+    val cb = trainPq(collection, m, ksub, iters, idCol, vecCol).persist()
+    val enc = pqEncode(index.assigned.select(col("n_id").as("vec_id"),
+                                             col("v"), col("c_id")),
+                       cb, "vec_id", "v", carryCols = Seq("c_id"))
+    ivfPqTopKWith(index, cb, enc, collection, queries, k, nprobe,
+                  rerankFactor, idCol, vecCol, qIdCol, qVecCol)
   }
 
   /** One-shot train + encode + serve — the catalog/oracle entry point.

@@ -189,7 +189,7 @@ object IvfObjectStore {
       extends IllegalStateException(msg)
 
   private val Header = "graft-ivf-manifest v1"
-  private val PublishRetries = 5
+  private val PublishRetries = 8
 
   /** Losing a publish is not always "the chain advanced": the winner may
     * still be BETWEEN create and close, so the loser's immediate re-read
@@ -197,11 +197,14 @@ object IvfObjectStore {
     * previous version, and re-targets the same squatted slot. Without a
     * pause, the whole retry budget can burn inside the winner's write
     * window (microseconds of loser work vs a descheduled winner's
-    * milliseconds). Exponential backoff — 50·2^attempt ms, ~1.5 s total
-    * across the budget — outwaits any live writer's close; genuinely
-    * dead writers are [[healTorn]]'s job after the grace. */
+    * milliseconds). Exponential backoff capped at 800 ms —
+    * 50·2^min(attempt,4) ms, ~4 s total across the budget — outwaits a
+    * live writer's close even when that writer is descheduled for whole
+    * seconds on an oversubscribed host (a 5-attempt/1.5 s budget was
+    * observed losing to exactly that); genuinely dead writers are
+    * [[healTorn]]'s job after the grace. */
   private def publishBackoff(attempt: Int): Unit =
-    Thread.sleep(50L << attempt)
+    Thread.sleep(50L << math.min(attempt, 4))
 
   private[graft] final case class Manifest(version: Long,
                                                centroids: Seq[String],

@@ -71,6 +71,97 @@ object SimilarityQueries extends QueryModule {
        |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin
   }
 
+  /** PQ train + encode + LUT replay (m=8, ksub=16, 2 Lloyd rounds on
+    * the 2^20 grid, queries vec_id < 10), shared VERBATIM by
+    * `ann_pq_adc` (flat ADC over every code word) and `ann_ivf_pq`
+    * (ADC restricted to probed IVF cells): the coding pipeline is
+    * identical in both tiers, only the candidate set differs. Ends at
+    * the `lutd`/`lutn` CTEs; callers append their candidate join.
+    * Expects an `e AS (SELECT vec_id, v ...)` CTE upstream.
+    */
+  private val pqTrainCtes: String =
+    """g AS (SELECT vec_id, list_transform(v, x -> round(x * 1048576.0)) gv
+      |      FROM e),
+      |sx AS (SELECT unnest(range(0, 8)) s),
+      |di AS (SELECT unnest(range(1, 9)) i),
+      |subs AS (SELECT g.vec_id, sx.s sub_id,
+      |           g.gv[sx.s * 8 + 1 : sx.s * 8 + 8] sv
+      |         FROM g, sx),
+      |sd AS (SELECT vec_id, code FROM (
+      |         SELECT vec_id, row_number() OVER (
+      |           ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 code
+      |         FROM e) WHERE code < 16),
+      |cb0 AS (SELECT s.sub_id, sd.code, s.sv cv
+      |        FROM subs s JOIN sd USING (vec_id)),
+      |a1 AS (SELECT vec_id, sub_id, sv, code FROM (
+      |         SELECT s.vec_id, s.sub_id, s.sv, c.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+      |             ORDER BY list_sum(list_transform(range(1, 9),
+      |               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+      |             c.code) rnk
+      |         FROM subs s JOIN cb0 c ON c.sub_id = s.sub_id)
+      |       WHERE rnk = 1),
+      |c1 AS (SELECT sub_id, code, list(rc ORDER BY i) cv FROM (
+      |         SELECT sub_id, code, di.i i,
+      |           round(sum(sv[di.i]) / count(*)) rc
+      |         FROM a1, di GROUP BY sub_id, code, di.i)
+      |       GROUP BY sub_id, code),
+      |a2 AS (SELECT vec_id, sub_id, sv, code FROM (
+      |         SELECT s.vec_id, s.sub_id, s.sv, c.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+      |             ORDER BY list_sum(list_transform(range(1, 9),
+      |               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+      |             c.code) rnk
+      |         FROM subs s JOIN c1 c ON c.sub_id = s.sub_id)
+      |       WHERE rnk = 1),
+      |c2 AS (SELECT sub_id, code, list(rc ORDER BY i) cv FROM (
+      |         SELECT sub_id, code, di.i i,
+      |           round(sum(sv[di.i]) / count(*)) rc
+      |         FROM a2, di GROUP BY sub_id, code, di.i)
+      |       GROUP BY sub_id, code),
+      |enc AS (SELECT vec_id, sub_id, code FROM (
+      |         SELECT s.vec_id, s.sub_id, c.code,
+      |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
+      |             ORDER BY list_sum(list_transform(range(1, 9),
+      |               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
+      |             c.code) rnk
+      |         FROM subs s JOIN c2 c ON c.sub_id = s.sub_id)
+      |       WHERE rnk = 1),
+      |q AS (SELECT vec_id q_id, gv qg,
+      |        list_sum(list_transform(gv, x -> x * x)) qn
+      |      FROM g WHERE vec_id < 10),
+      |lutd AS (SELECT q.q_id, c.sub_id, c.code,
+      |           list_sum(list_transform(range(1, 9),
+      |             i -> q.qg[c.sub_id * 8 + i] * c.cv[i])) d
+      |         FROM q, c2 c),
+      |lutn AS (SELECT sub_id, code,
+      |           list_sum(list_transform(cv, x -> x * x)) nn
+      |         FROM c2)""".stripMargin
+
+  /** The shared ADC tail: scored candidates → top-20 quantized cut →
+    * exact rerank → top-5 rows. Expects an `sc(n_id, q_id, ad, an)`
+    * CTE upstream (the candidate policy — flat or probed — lives
+    * there).
+    */
+  private val pqServeTail: String =
+    """adc AS (SELECT q.q_id, sc.n_id,
+      |          CASE WHEN sc.an = 0 OR q.qn = 0 THEN 0.0
+      |               ELSE sc.ad / sqrt(q.qn * sc.an) END ac
+      |        FROM sc JOIN q ON q.q_id = sc.q_id),
+      |cand AS (SELECT q_id, n_id FROM (
+      |          SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+      |            ORDER BY ac DESC, n_id) r FROM adc) WHERE r <= 20),
+      |scored AS (SELECT c.q_id, c.n_id,
+      |             list_cosine_similarity(qe.v, ne.v) cs
+      |           FROM cand c JOIN e qe ON qe.vec_id = c.q_id
+      |                       JOIN e ne ON ne.vec_id = c.n_id),
+      |r AS (SELECT q_id, n_id, cs,
+      |        row_number() OVER (PARTITION BY q_id
+      |          ORDER BY cs DESC, n_id) rnk
+      |      FROM scored)
+      |SELECT q_id, n_id, rnk, round(cs, 4) AS cos FROM r
+      |WHERE rnk <= 5""".stripMargin
+
   /** The full-collection IVF build + serve replay, shared VERBATIM by
     * `ann_ivf_stored` (directory layout) and `ann_ivf_stored_manifest`
     * (object-store manifest layout): serving is layout-independent, so
@@ -1007,86 +1098,63 @@ object SimilarityQueries extends QueryModule {
                                        m = 8, ksub = 16, iters = 2,
                                        rerankFactor = 4)
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |g AS (SELECT vec_id, list_transform(v, x -> round(x * 1048576.0)) gv
-        |      FROM e),
-        |sx AS (SELECT unnest(range(0, 8)) s),
-        |di AS (SELECT unnest(range(1, 9)) i),
-        |subs AS (SELECT g.vec_id, sx.s sub_id,
-        |           g.gv[sx.s * 8 + 1 : sx.s * 8 + 8] sv
-        |         FROM g, sx),
-        |sd AS (SELECT vec_id, code FROM (
-        |         SELECT vec_id, row_number() OVER (
-        |           ORDER BY md5(vec_id::VARCHAR), vec_id) - 1 code
-        |         FROM e) WHERE code < 16),
-        |cb0 AS (SELECT s.sub_id, sd.code, s.sv cv
-        |        FROM subs s JOIN sd USING (vec_id)),
-        |a1 AS (SELECT vec_id, sub_id, sv, code FROM (
-        |         SELECT s.vec_id, s.sub_id, s.sv, c.code,
-        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
-        |             ORDER BY list_sum(list_transform(range(1, 9),
-        |               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
-        |             c.code) rnk
-        |         FROM subs s JOIN cb0 c ON c.sub_id = s.sub_id)
-        |       WHERE rnk = 1),
-        |c1 AS (SELECT sub_id, code, list(rc ORDER BY i) cv FROM (
-        |         SELECT sub_id, code, di.i i,
-        |           round(sum(sv[di.i]) / count(*)) rc
-        |         FROM a1, di GROUP BY sub_id, code, di.i)
-        |       GROUP BY sub_id, code),
-        |a2 AS (SELECT vec_id, sub_id, sv, code FROM (
-        |         SELECT s.vec_id, s.sub_id, s.sv, c.code,
-        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
-        |             ORDER BY list_sum(list_transform(range(1, 9),
-        |               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
-        |             c.code) rnk
-        |         FROM subs s JOIN c1 c ON c.sub_id = s.sub_id)
-        |       WHERE rnk = 1),
-        |c2 AS (SELECT sub_id, code, list(rc ORDER BY i) cv FROM (
-        |         SELECT sub_id, code, di.i i,
-        |           round(sum(sv[di.i]) / count(*)) rc
-        |         FROM a2, di GROUP BY sub_id, code, di.i)
-        |       GROUP BY sub_id, code),
-        |enc AS (SELECT vec_id, sub_id, code FROM (
-        |         SELECT s.vec_id, s.sub_id, c.code,
-        |           row_number() OVER (PARTITION BY s.vec_id, s.sub_id
-        |             ORDER BY list_sum(list_transform(range(1, 9),
-        |               i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))),
-        |             c.code) rnk
-        |         FROM subs s JOIN c2 c ON c.sub_id = s.sub_id)
-        |       WHERE rnk = 1),
-        |q AS (SELECT vec_id q_id, gv qg,
-        |        list_sum(list_transform(gv, x -> x * x)) qn
-        |      FROM g WHERE vec_id < 10),
-        |lutd AS (SELECT q.q_id, c.sub_id, c.code,
-        |           list_sum(list_transform(range(1, 9),
-        |             i -> q.qg[c.sub_id * 8 + i] * c.cv[i])) d
-        |         FROM q, c2 c),
-        |lutn AS (SELECT sub_id, code,
-        |           list_sum(list_transform(cv, x -> x * x)) nn
-        |         FROM c2),
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |$pqTrainCtes,
         |sc AS (SELECT en.vec_id n_id, ld.q_id, sum(ld.d) ad, sum(ln.nn) an
         |       FROM enc en
         |       JOIN lutd ld ON ld.sub_id = en.sub_id AND ld.code = en.code
         |       JOIN lutn ln ON ln.sub_id = en.sub_id AND ln.code = en.code
         |       WHERE en.vec_id != ld.q_id
         |       GROUP BY en.vec_id, ld.q_id),
-        |adc AS (SELECT q.q_id, sc.n_id,
-        |          CASE WHEN sc.an = 0 OR q.qn = 0 THEN 0.0
-        |               ELSE sc.ad / sqrt(q.qn * sc.an) END ac
-        |        FROM sc JOIN q ON q.q_id = sc.q_id),
-        |cand AS (SELECT q_id, n_id FROM (
-        |          SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
-        |            ORDER BY ac DESC, n_id) r FROM adc) WHERE r <= 20),
-        |scored AS (SELECT c.q_id, c.n_id,
-        |             list_cosine_similarity(qe.v, ne.v) cs
-        |           FROM cand c JOIN e qe ON qe.vec_id = c.q_id
-        |                       JOIN e ne ON ne.vec_id = c.n_id),
-        |r AS (SELECT q_id, n_id, cs,
-        |        row_number() OVER (PARTITION BY q_id
-        |          ORDER BY cs DESC, n_id) rnk
-        |      FROM scored)
-        |SELECT q_id, n_id, rnk, round(cs, 4) AS cos FROM r
-        |WHERE rnk <= 5""".stripMargin)),
+        |$pqServeTail""".stripMargin)),
+
+    // IVF × PQ — the FAISS-IVFPQ cost shape ([[GraftPq.ivfPqTopK]]):
+    // probe the 4 nearest cells per query, ADC-score only the probed
+    // cells' members, exact-rerank top-20 to top-5. One codebook (raw
+    // vectors, not residuals) serves every cell, so the encode is
+    // cell-independent and appends never retrain. The oracle composes
+    // the proven IVF CTEs (hash-cut centroids, argmax assign, ranked
+    // probes) with the shared PQ train/LUT CTEs; only the candidate
+    // join differs from ann_pq_adc.
+    GraftQuery(
+      "ann_ivf_pq",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        graft.operators.GraftPq.ivfPqTopK(e, queryBlock(e), k = 5,
+                                          nprobe = 4, m = 8, ksub = 16,
+                                          iters = 2, rerankFactor = 4)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |ic AS (SELECT vec_id c_id, v cv FROM e
+        |       WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |ia AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT e.vec_id, ic.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, ic.cv) DESC, ic.c_id) arnk
+        |    FROM e, ic) WHERE arnk = 1),
+        |q0 AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q0.q_id, ic.c_id,
+        |      row_number() OVER (PARTITION BY q0.q_id
+        |        ORDER BY list_cosine_similarity(q0.qv, ic.cv) DESC, ic.c_id) prnk
+        |    FROM q0, ic) WHERE prnk <= 4),
+        |$pqTrainCtes,
+        |sc AS (SELECT en.vec_id n_id, p.q_id, sum(ld.d) ad, sum(ln.nn) an
+        |       FROM ia a
+        |       JOIN probes p ON p.c_id = a.c_id
+        |       JOIN enc en ON en.vec_id = a.vec_id
+        |       JOIN lutd ld ON ld.q_id = p.q_id
+        |                   AND ld.sub_id = en.sub_id AND ld.code = en.code
+        |       JOIN lutn ln ON ln.sub_id = en.sub_id AND ln.code = en.code
+        |       WHERE a.vec_id != p.q_id
+        |       GROUP BY en.vec_id, p.q_id),
+        |$pqServeTail""".stripMargin)),
   )
 }

@@ -108,6 +108,61 @@ class PqSpec extends GraftFunSuite {
       s"lossless PQ must equal brute force:\n${pq.mkString("\n")}\nvs\n${bf.mkString("\n")}")
   }
 
+  test("pqEncodeStream: stateless, code words identical to batch " +
+       "pqEncode, packed form carried") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val batch = planted
+    val cb = graft.operators.GraftPq.trainPq(batch, m = 4, ksub = 8,
+                                             iters = 2).persist()
+    val expected = graft.operators.GraftPq.pqEncode(batch, cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    val data = (0 until 100).map { id =>
+      val c = id % 5
+      val base = Array.tabulate(16)(i => if (i % 5 == c) 10.0 else 0.5)
+      val wiggle = (id * 7) % 3 - 1.0
+      (id.toLong,
+       base.zipWithIndex.map { case (x, i) =>
+         x + 0.01 * wiggle * ((i + id) % 3) }.toSeq)
+    }
+    val in = MemoryStream[(Long, Seq[Double])]
+    val q = graft.streaming.CorpusStreams.pqEncodeStream(
+        in.toDF().toDF("vec_id", "embedding"), cb)
+      .select("vec_id", "codes", "cw")
+      .writeStream.format("memory").queryName("pq_enc_stream")
+      .outputMode("append").start()
+    try {
+      in.addData(data.take(60)); q.processAllAvailable()
+      in.addData(data.drop(60)); q.processAllAvailable()
+      val rows = spark.table("pq_enc_stream")
+        .select("vec_id", "codes", "cw")
+        .as[(Long, Seq[Int], Array[Byte])].collect()
+      assert(rows.length === 100)
+      rows.foreach { case (id, codes, cw) =>
+        assert(codes === expected(id), s"stream codes differ for $id")
+        assert(cw.toSeq === codes.map(_.toByte).toSeq,
+          "packed word must be the byte form of the codes")
+      }
+      val so = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+      assert(so.forall(_.numRowsTotal == 0),
+        "pqEncodeStream must keep zero state")
+    } finally { q.stop(); cb.unpersist() }
+  }
+
+  test("ivfPqTopK at covering nprobe equals the flat pqTopK serve") {
+    val q = planted.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // 100 vectors → ≈√100 = 10 cells; nprobe 64 covers every cell
+    val ivf = graft.operators.GraftPq.ivfPqTopK(planted, q, k = 5,
+        nprobe = 64, m = 4, ksub = 8, iters = 2, rerankFactor = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    val flat = graft.operators.GraftPq.pqTopK(planted, q, k = 5,
+        m = 4, ksub = 8, iters = 2, rerankFactor = 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._3))
+    assert(ivf.sameElements(flat),
+      s"covering probe must equal flat serve:\n${ivf.mkString("\n")}\nvs\n${flat.mkString("\n")}")
+  }
+
   test("ragged dimension fails loudly: dim not divisible by m") {
     val ragged = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v")
     val ex = intercept[Exception] {
