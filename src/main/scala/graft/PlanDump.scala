@@ -42,7 +42,8 @@ object PlanDump {
                     "pipeline_split_cluster_safe",
                     "ann_hybrid_rrf", "ann_hybrid_ivf",
                     "ann_recall_sweep", "ann_ivf_stored_q8",
-                    "ann_pq_adc", "ann_ivf_pq", "text_heavy_hitters")
+                    "ann_pq_adc", "ann_ivf_pq", "ann_ivf_stored_pq",
+                    "text_heavy_hitters")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -321,6 +321,201 @@ object GraftPq {
                   rerankFactor, idCol, vecCol, qIdCol, qVecCol)
   }
 
+  // ---------------------------------------------------------------------
+  // Folded (driver-collected) encode — the zero-shuffle code path shared
+  // by the streaming ingest twin and the at-rest store writers
+  // ---------------------------------------------------------------------
+
+  /** A codebook collected to the driver in encode-ready form: per
+    * subspace the CODE-ORDERED flat centroid array plus the parallel
+    * code-id array (codes Lloyd dropped leave holes, so position ≠ code
+    * in general). Bounded by construction — m·ksub·dsub doubles, a few
+    * hundred KB at production sizes — so folding it into plan literals
+    * is always legal. */
+  private[graft] final case class CollectedCodebook(
+      m: Int, dsub: Int,
+      flat: IndexedSeq[Seq[Double]], ids: IndexedSeq[Seq[Int]])
+
+  private[graft] def collectCodebook(cb: PqCodebook): CollectedCodebook = {
+    val rows = cb.codebook.select("sub_id", "code", "cv").collect()
+    require(rows.nonEmpty, "collectCodebook: empty codebook")
+    val bySub = rows.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
+    require(bySub.keySet == (0 until cb.m).toSet,
+      s"collectCodebook: codebook must cover subspaces 0..${cb.m - 1}, " +
+      s"got ${bySub.keySet.toSeq.sorted.mkString(",")}")
+    val dsub = bySub(0).head._2.length
+    require(bySub.values.forall(_.forall(_._2.length == dsub)),
+      "collectCodebook: ragged centroid dims in codebook")
+    CollectedCodebook(cb.m, dsub,
+      (0 until cb.m).map(s => bySub(s).flatMap(_._2).toSeq),
+      (0 until cb.m).map(s => bySub(s).map(_._1).toSeq))
+  }
+
+  /** Encode `vecCol` against a DRIVER-collected codebook in ONE
+    * stateless projection — the codebook rides as constant
+    * flat-centroid/code-id literals and each row runs m
+    * `graft_pq_nearest` codegen argmin scans; no shuffle, no join, so
+    * the corpus (or an arriving stream batch) never moves to be
+    * encoded. Grid quantization and argmin tie rule are [[pqEncode]]'s
+    * exactly — code words are bit-identical (PqSpec pins the parity).
+    * Appends `codes` (array<int>) and `cw` (the packed m-byte at-rest
+    * word). */
+  private[graft] def encodeFolded(df: DataFrame, cb: PqCodebook,
+                                  vecCol: String): DataFrame = {
+    import graft.functions.GraftFunctionRegistry.{pqNearest, pqPack}
+    graft.GraftSession.ensureExtensions(df.sparkSession)
+    val cc = collectCodebook(cb)
+    val d = cc.dsub * cc.m
+    val g = expr(
+      s"""CASE WHEN size($vecCol) = $d
+         |THEN transform($vecCol, x -> round(cast(x AS double) * $Grid))
+         |ELSE cast(assert_true(false, concat('pq encode: vector dim ',
+         |       cast(size($vecCol) AS string), ' != codebook dim $d'))
+         |     AS array<double>) END""".stripMargin)
+    val codeCols = (0 until cc.m).map { s =>
+      element_at(typedLit(cc.ids(s)),
+        pqNearest(slice(col("__g"), s * cc.dsub + 1, cc.dsub),
+                  typedLit(cc.flat(s))) + 1)
+    }
+    df.withColumn("__g", g)
+      .withColumn("codes", array(codeCols: _*))
+      .withColumn("cw", pqPack(col("codes")))
+      .drop("__g")
+  }
+
+  // ---------------------------------------------------------------------
+  // At-rest PQ store tier (directory layout) — code words persisted as a
+  // `cw` column in the store's cell files, the codebook beside the
+  // centroids
+  // ---------------------------------------------------------------------
+
+  /** Persist a trained codebook beside a directory-layout IVF store
+    * (`$dir/pq_codebook`): the m·ksub codebook rows plus constant
+    * (m, ksub) meta columns. The codebook is IMMUTABLE once written —
+    * appends never retrain (the [[ivfPqTopKWith]] contract), so there
+    * is no publish race to manage: retraining means rebuilding into a
+    * fresh store. `errorifexists` enforces exactly that. */
+  def writePqCodebook(cb: PqCodebook, dir: String): Unit =
+    cb.codebook
+      .withColumn("m", lit(cb.m)).withColumn("ksub", lit(cb.ksub))
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/pq_codebook")
+
+  /** Load the codebook persisted by [[writePqCodebook]]. */
+  def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
+                     dir: String): PqCodebook = {
+    val raw = spark.read.parquet(s"$dir/pq_codebook")
+    val meta = raw.select(col("m"), col("ksub")).limit(1).collect()
+    require(meta.nonEmpty, s"readPqCodebook: empty codebook at $dir")
+    PqCodebook(raw.select(col("sub_id"), col("code"), col("cv")),
+               meta(0).getInt(0), meta(0).getInt(1))
+  }
+
+  /** Attach the packed code-word column to an assigned frame via the
+    * zero-shuffle folded encode. */
+  private[operators] def withCw(cb: PqCodebook,
+                                assigned: DataFrame): DataFrame =
+    encodeFolded(assigned, cb, "v").drop("codes")
+
+  /** Write a directory-layout IVF store whose cell files ALSO carry the
+    * m-byte PQ code word (`cw`) beside (n_id, v, q8) — the 100-TB
+    * serving shape where the candidate scan reads ~64× fewer vector
+    * bytes than raw (~8× fewer than the q8 tier): column pruning keeps
+    * everything but (n_id, c_id, cw) out of [[ivfPqTopKStored]]'s
+    * stage-1 scan, and the n_id-sorted layout serves the survivor
+    * fetch's row-group-pruned rerank unchanged. The codebook persists
+    * at `$dir/pq_codebook` so appends encode inline without retraining.
+    */
+  def writeIvfPqStore(index: GraftSimilarity.IvfIndex, cb: PqCodebook,
+                      dir: String): Unit = {
+    val cbP = cb.persist()
+    GraftSimilarity.writeIvfIndex(
+      index.copy(assigned = withCw(cbP, index.assigned)), dir)
+    writePqCodebook(cbP, dir)
+    cbP.unpersist()
+  }
+
+  /** Append a batch to a PQ store: assignment against the stored
+    * centroids plus inline folded encode against the stored codebook —
+    * same tag/maintenance-lock semantics as
+    * [[GraftSimilarity.appendIvfStore]] (this IS that append, with the
+    * cw attach as its augment step). Appends never retrain. */
+  def appendIvfPqStore(spark: org.apache.spark.sql.SparkSession,
+                       dir: String, batch: DataFrame,
+                       idCol: String = "vec_id", vecCol: String = "v",
+                       batchTag: Option[String] = None): Unit = {
+    val cb = readPqCodebook(spark, dir).persist()
+    try GraftSimilarity.appendIvfStore(spark, dir, batch, idCol, vecCol,
+                                       batchTag, augment = withCw(cb, _))
+    finally cb.unpersist()
+  }
+
+  /** Serve top-k from an at-rest PQ store ([[writeIvfPqStore]]): probe
+    * the query's `nprobe` nearest cells, ADC-score the probed cells'
+    * members off the STORED `cw` column — the stage-1 scan ships
+    * (n_id, c_id, m bytes) and column pruning keeps the doubles (and
+    * the q8 bytes) out entirely — then exact-rerank the k·rerankFactor
+    * survivors, fetching ONLY their full vectors through the literal
+    * `n_id IN (...)` pushdown that prunes row groups on the n_id-sorted
+    * cell files (the [[GraftSimilarity.ivfTopKWithQ8]] stage-2 shape).
+    * A null `cw` (mixed-generation cells — files written before the PQ
+    * layout) FAILS LOUDLY; [[GraftSimilarity.compactIvfCells]] with the
+    * codebook present is the in-place migration path. */
+  def ivfPqTopKStored(spark: org.apache.spark.sql.SparkSession,
+                      dir: String, queries: DataFrame, k: Int,
+                      nprobe: Int = 4, rerankFactor: Int = 4,
+                      qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    require(k >= 1, s"ivfPqTopKStored: k must be >= 1, got $k")
+    require(nprobe >= 1,
+      s"ivfPqTopKStored: nprobe must be >= 1, got $nprobe")
+    require(rerankFactor >= 1,
+      s"ivfPqTopKStored: rerankFactor must be >= 1, got $rerankFactor")
+    graft.GraftSession.ensureExtensions(spark)
+    val index = GraftSimilarity.readIvfIndex(spark, dir)
+    require(index.assigned.columns.contains("cw"),
+      "ivfPqTopKStored: store has no cw column — write it with " +
+      "writeIvfPqStore, or compact a pre-PQ store with its codebook " +
+      "present to migrate in place")
+    val cb = readPqCodebook(spark, dir).persist()
+    val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    val probes = GraftSimilarity.probeCells(q, index.centroids, nprobe,
+                                            Seq("q_id", "qv"))
+    val probeLut = broadcast(probes.select(col("q_id"), col("c_id"))
+      .join(qlutFrame(cb, q), "q_id"))
+    val kk = k * rerankFactor
+    val cand = index.assigned.select(col("n_id"), col("c_id"), col("cw"))
+      .join(probeLut, "c_id")
+      .filter(col("n_id") =!= col("q_id"))
+      .crossJoin(normLutRow(cb))
+      .select(col("q_id"), col("n_id"), expr(
+        """CASE WHEN isnull(cw) THEN cast(assert_true(false,
+          |  'ivfPqTopKStored: null cw — mixed-generation cell files;
+          |   compact the store (codebook present) to migrate') AS double)
+          |WHEN __qn = 0D OR graft_pq_adc(cw, __nlut) = 0D THEN 0D
+          |ELSE graft_pq_adc(cw, __lut)
+          |     / sqrt(__qn * graft_pq_adc(cw, __nlut)) END""".stripMargin)
+        .as("ac"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(ac, n_id, $kk)").as("tk"))
+      .select(col("q_id"), explode(col("tk.id")).as("n_id"))
+    // bounded driver materialization (|Q|·k·rerankFactor rows) buys the
+    // literal pushdown for the rerank fetch
+    val candRows = cand.collect()
+    cb.unpersist()
+    val pairs = broadcast(spark.createDataFrame(
+      java.util.Arrays.asList(candRows: _*), cand.schema))
+    val survivorIds = candRows.map(_.get(1)).distinct.toSeq
+    val fetched = index.assigned.select(col("n_id"), col("v"))
+      .filter(col("n_id").isin(survivorIds: _*))
+    GraftSimilarity.topK(
+      pairs.join(fetched, "n_id").join(broadcast(q), "q_id")
+        .select(col("q_id"), col("n_id"),
+                GraftSimilarity.cosine("qv", "v").as("c")), k)
+  }
+
   /** One-shot train + encode + serve — the catalog/oracle entry point.
     * Production builds once ([[trainPq]] + [[pqEncode]] persisted or
     * written out) and serves every batch through [[pqTopKWith]].

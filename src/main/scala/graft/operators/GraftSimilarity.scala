@@ -604,7 +604,8 @@ object GraftSimilarity {
   def appendIvfStore(spark: org.apache.spark.sql.SparkSession, dir: String,
                      batch: DataFrame,
                      idCol: String = "vec_id", vecCol: String = "v",
-                     batchTag: Option[String] = None): Unit = {
+                     batchTag: Option[String] = None,
+                     augment: DataFrame => DataFrame = identity): Unit = {
     requireIntegralId(batch, idCol, "appendIvfStore")
     import org.apache.hadoop.fs.Path
     val lock = maintenanceLock(dir)
@@ -623,9 +624,13 @@ object GraftSimilarity {
     // append writes must carry ONE n_id/c_id width regardless.
     lazy val cents = spark.read.parquet(s"$dir/centroids")
       .withColumn("c_id", col("c_id").cast("long"))
-    def assigned = storedLayout(assignTo(cents,
+    // `augment` runs between assignment and the at-rest layout — the
+    // hook the PQ tier uses to attach its code-word column
+    // ([[GraftPq.appendIvfPqStore]]) without duplicating the tag /
+    // maintenance-lock machinery below
+    def assigned = storedLayout(augment(assignTo(cents,
         batch.select(col(idCol).cast("long").as("n_id"),
-                     col(vecCol).as("v"))))
+                     col(vecCol).as("v")))))
     batchTag match {
       case None =>
         requireUnlocked("batch")
@@ -954,6 +959,13 @@ object GraftSimilarity {
         }
       }
       val stagingRoot = new Path(s"$dir/compact_staging")
+      // PQ stores keep their codebook at a fixed immutable path
+      // ([[GraftPq.writePqCodebook]]); load it ONCE per pass — the cw
+      // repair below re-encodes null slivers against it
+      val pqCb: Option[GraftPq.PqCodebook] =
+        if (fs.exists(new Path(s"$dir/pq_codebook")))
+          Some(GraftPq.readPqCodebook(spark, dir).persist())
+        else None
       // one listing of the committed-tag namespace, not one exists() RPC
       // per (cell, tag) — the loop below is O(cells) round-trips already
       val committedTags: Set[String] = {
@@ -994,7 +1006,21 @@ object GraftSimilarity {
                 when(col("q8").isNull, expr("graft_q8b(v)"))
                   .otherwise(col("q8")))
             else merged0.withColumn("q8", expr("graft_q8b(v)"))
-          merged
+          // same repair for the PQ code word when the store carries a
+          // codebook: pre-PQ files merge with null cw and the rewrite
+          // re-encodes exactly that sliver (folded encode — no shuffle),
+          // so compaction is also the in-place migration path to the PQ
+          // serving tier; without a codebook the column passes through
+          val withPq = pqCb match {
+            case Some(cb) =>
+              val base =
+                if (merged.columns.contains("cw")) merged
+                else merged.withColumn("cw", lit(null).cast("binary"))
+              base.filter(col("cw").isNotNull).unionByName(
+                GraftPq.withCw(cb, base.filter(col("cw").isNull).drop("cw")))
+            case None => merged
+          }
+          withPq
             .coalesce(1)
             .sortWithinPartitions("n_id")
             .write.mode("overwrite").parquet(staged.toString)
@@ -1029,6 +1055,7 @@ object GraftSimilarity {
         }
       }
       fs.delete(stagingRoot, true)
+      pqCb.foreach(_.unpersist())
       compacted
     } finally fs.delete(lock, false)
   }

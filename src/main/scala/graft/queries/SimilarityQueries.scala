@@ -1115,7 +1115,9 @@ object SimilarityQueries extends QueryModule {
     // cell-independent and appends never retrain. The oracle composes
     // the proven IVF CTEs (hash-cut centroids, argmax assign, ranked
     // probes) with the shared PQ train/LUT CTEs; only the candidate
-    // join differs from ann_pq_adc.
+    // join differs from ann_pq_adc. The SAME oracle certifies the
+    // at-rest variant below — serving from the store is
+    // result-identical to the in-memory composition by construction.
     GraftQuery(
       "ann_ivf_pq",
       (s, dir) => {
@@ -1124,7 +1126,50 @@ object SimilarityQueries extends QueryModule {
                                           nprobe = 4, m = 8, ksub = 16,
                                           iters = 2, rerankFactor = 4)
       },
-      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      Some(ivfPqOracleSql)),
+
+    // The at-rest PQ serving tier ([[GraftPq.writeIvfPqStore]] /
+    // [[GraftPq.ivfPqTopKStored]]): the store's cell files carry the
+    // m-byte code word `cw` beside (n_id, v, q8) and the codebook
+    // persists at $dir/pq_codebook; candidates in the probed cells are
+    // ADC-scored off the stored bytes (the stage-1 scan column-prunes
+    // to (n_id, c_id, cw) — ~64× fewer vector bytes than raw, ~8× fewer
+    // than the q8 tier), and only the k·rerankFactor survivors' full
+    // vectors are fetched via the literal n_id pushdown onto the
+    // n_id-sorted cell files. Same parameters as ann_ivf_pq, so the
+    // SAME oracle hash-certifies the store write/read/serve roundtrip:
+    // folded at-rest encode ≡ in-flight encode, stored serve ≡ composed
+    // serve, bit for bit.
+    GraftQuery(
+      "ann_ivf_stored_pq",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val out =
+          s"/tmp/graft_io/${new java.io.File(dir).getName}/ivf_store_pq"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        val cb = graft.operators.GraftPq.trainPq(e, m = 8, ksub = 16,
+                                                 iters = 2)
+        graft.operators.GraftPq.writeIvfPqStore(
+          GraftSimilarity.buildIvfIndex(e), cb, out)
+        graft.operators.GraftPq.ivfPqTopKStored(s, out, queryBlock(e),
+                                                k = 5, nprobe = 4,
+                                                rerankFactor = 4)
+      },
+      Some(ivfPqOracleSql)),
+  )
+
+  /** The IVF×PQ oracle — hash-cut centroids, argmax assign, ranked
+    * probes (the proven IVF CTEs) composed with the shared PQ train/LUT
+    * CTEs; candidates restricted to probed cells. Shared VERBATIM by
+    * `ann_ivf_pq` (in-memory composition) and `ann_ivf_stored_pq`
+    * (at-rest store roundtrip): identical parameters, identical results
+    * by construction — that identity is exactly what the stored row
+    * certifies.
+    */
+  private lazy val ivfPqOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |cut AS (
         |  SELECT printf('%08x', CAST(least(
         |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
@@ -1155,6 +1200,5 @@ object SimilarityQueries extends QueryModule {
         |       JOIN lutn ln ON ln.sub_id = en.sub_id AND ln.code = en.code
         |       WHERE a.vec_id != p.q_id
         |       GROUP BY en.vec_id, p.q_id),
-        |$pqServeTail""".stripMargin)),
-  )
+        |$pqServeTail""".stripMargin
 }

@@ -258,39 +258,8 @@ object CorpusStreams {
     */
   def pqEncodeStream(vecs: DataFrame,
                      cb: graft.operators.GraftPq.PqCodebook,
-                     vecCol: String = "embedding"): DataFrame = {
-    import graft.functions.GraftFunctionRegistry.{pqNearest, pqPack}
-    graft.GraftSession.ensureExtensions(vecs.sparkSession)
-    val rows = cb.codebook.select("sub_id", "code", "cv").collect()
-    require(rows.nonEmpty, "pqEncodeStream: empty codebook")
-    val bySub = rows.map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-      .groupBy(_._1).view
-      .mapValues(_.map(t => (t._2, t._3)).sortBy(_._1).toSeq).toMap
-    require(bySub.keySet == (0 until cb.m).toSet,
-      s"pqEncodeStream: codebook must cover subspaces 0..${cb.m - 1}, " +
-      s"got ${bySub.keySet.toSeq.sorted.mkString(",")}")
-    val dsub = bySub(0).head._2.length
-    require(bySub.values.forall(_.forall(_._2.length == dsub)),
-      "pqEncodeStream: ragged centroid dims in codebook")
-    val grid = graft.operators.GraftSimilarity.KmeansGrid
-    val d = dsub * cb.m
-    val g = expr(
-      s"""CASE WHEN size($vecCol) = $d
-         |THEN transform($vecCol, x -> round(cast(x AS double) * $grid))
-         |ELSE cast(assert_true(false, concat('pqEncodeStream: vector dim ',
-         |       cast(size($vecCol) AS string), ' != codebook dim $d'))
-         |     AS array<double>) END""".stripMargin)
-    val codeCols = (0 until cb.m).map { s =>
-      val flat = typedLit(bySub(s).flatMap(_._2))
-      val ids = typedLit(bySub(s).map(_._1))
-      element_at(ids,
-        pqNearest(slice(col("__g"), s * dsub + 1, dsub), flat) + 1)
-    }
-    vecs.withColumn("__g", g)
-      .withColumn("codes", array(codeCols: _*))
-      .withColumn("cw", pqPack(col("codes")))
-      .drop("__g")
-  }
+                     vecCol: String = "embedding"): DataFrame =
+    graft.operators.GraftPq.encodeFolded(vecs, cb, vecCol)
 
   /** Streaming APPLY side of
     * [[graft.operators.CorpusCuration.contaminatedDocs]]: flag arriving

@@ -163,6 +163,132 @@ class PqSpec extends GraftFunSuite {
       s"covering probe must equal flat serve:\n${ivf.mkString("\n")}\nvs\n${flat.mkString("\n")}")
   }
 
+  test("at-rest PQ store: cw in n_id-sorted cell files the ADC scan can " +
+       "column-prune to, stored serve equals the in-memory IVF×PQ " +
+       "composition, survivor fetch pushes the literal n_id set") {
+    val e = planted
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_store")
+      .toString
+    val index = GraftSimilarity.buildIvfIndex(e)
+    val cb = GraftPq.trainPq(e, m = 4, ksub = 8, iters = 2).persist()
+    try {
+      GraftPq.writeIvfPqStore(index, cb, dir)
+      // layout: every cell file carries cw and stays n_id-sorted (the
+      // rerank fetch's row-group pruning keys on the sort)
+      val cellFiles = new java.io.File(s"$dir/assigned").listFiles()
+        .filter(_.getName.startsWith("c_id="))
+        .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+      assert(cellFiles.nonEmpty)
+      for (f <- cellFiles.take(3)) {
+        val part = spark.read.parquet(f.getPath)
+        assert(part.columns.contains("cw"), s"no cw column in ${f.getName}")
+        val ids = part.select("n_id").collect().map(_.getLong(0)).toSeq
+        assert(ids == ids.sorted, s"cell file ${f.getName} not n_id-sorted")
+      }
+      // the stage-1 scan shape: selecting only the code bytes prunes the
+      // doubles (and q8) out of the parquet read entirely
+      val rs = spark.read.parquet(s"$dir/assigned").select("n_id", "cw")
+        .queryExecution.executedPlan.toString
+      assert(rs.contains("cw:binary") && !rs.contains("v:array"),
+        s"ADC scan must column-prune to the code bytes; ReadSchema:\n" +
+        rs.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+      val served = GraftPq.ivfPqTopKStored(spark, dir, q, k = 5,
+                                           nprobe = 4, rerankFactor = 4)
+      val enc = GraftPq.pqEncode(
+        index.assigned.select(col("n_id").as("vec_id"), col("v"),
+                              col("c_id")),
+        cb, "vec_id", "v", carryCols = Seq("c_id"))
+      val inMem = GraftPq.ivfPqTopKWith(index, cb, enc, e, q, k = 5,
+                                        nprobe = 4, rerankFactor = 4)
+      assert(served.collect().toSet == inMem.collect().toSet,
+        "stored serve must equal the in-memory composition bit-for-bit")
+      val plan = served.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: [In(n_id"),
+        "survivor fetch must push the literal n_id set to parquet; " +
+        plan.linesIterator.filter(_.contains("PushedFilters"))
+          .mkString("\n"))
+    } finally { cb.unpersist(); () }
+  }
+
+  test("appendIvfPqStore: batches encode inline against the stored " +
+       "codebook (never retrain) and the appended store serves exactly " +
+       "the in-memory append composition") {
+    val e = planted
+    val seed = e.filter(col("vec_id") < 60)
+    val rest = e.filter(col("vec_id") >= 60)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_append")
+      .toString
+    val seedIdx = GraftSimilarity.buildIvfIndex(seed)
+    val cb = GraftPq.trainPq(seed, m = 4, ksub = 8, iters = 2).persist()
+    try {
+      GraftPq.writeIvfPqStore(seedIdx, cb, dir)
+      GraftPq.appendIvfPqStore(spark, dir, rest)
+      val served = GraftPq.ivfPqTopKStored(spark, dir, q, k = 5,
+                                           nprobe = 4, rerankFactor = 4)
+        .collect().toSet
+      val fullIdx = GraftSimilarity.ivfAppend(seedIdx, rest)
+      val enc = GraftPq.pqEncode(
+        fullIdx.assigned.select(col("n_id").as("vec_id"), col("v"),
+                                col("c_id")),
+        cb, "vec_id", "v", carryCols = Seq("c_id"))
+      val expected = GraftPq.ivfPqTopKWith(fullIdx, cb, enc, e, q, k = 5,
+                                           nprobe = 4, rerankFactor = 4)
+        .collect().toSet
+      assert(served == expected,
+        "appended store must serve the in-memory append composition")
+    } finally { cb.unpersist(); () }
+  }
+
+  test("pre-PQ store: refused without cw; compaction with the codebook " +
+       "present migrates in place and the migrated store serves") {
+    // uniform cluster members (no wiggle): every cluster collapses into
+    // ONE cell deterministically, so the even/odd split below gives every
+    // non-empty cell exactly two files — compact(maxFilesPerCell=1)
+    // rewrites ALL of them and the migration is total, not partial
+    val base = (0 until 5).map { c =>
+      Array.tabulate(16)(i => if (i % 5 == c) 10.0 else 0.5).toSeq
+    }
+    val e = (0 until 100).map(id => (id.toLong, base(id % 5)))
+      .toDF("vec_id", "v")
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq_migrate")
+      .toString
+    val index = GraftSimilarity.buildIvfIndex(e)
+    val evens = index.assigned.filter(col("n_id") % 2 === 0)
+    GraftSimilarity.writeIvfIndex(index.copy(assigned = evens), dir)
+    GraftSimilarity.appendIvfStore(spark, dir,
+      e.filter(col("vec_id") % 2 === 1))
+    val cb = GraftPq.trainPq(e, m = 4, ksub = 8, iters = 2).persist()
+    try {
+      // no codebook, no cw: the PQ serve refuses loudly
+      val ex = intercept[IllegalArgumentException] {
+        GraftPq.ivfPqTopKStored(spark, dir, q, k = 5)
+      }
+      assert(ex.getMessage.contains("no cw column"))
+      GraftPq.writePqCodebook(cb, dir)
+      val rewritten = GraftSimilarity.compactIvfCells(spark, dir,
+                                                      maxFilesPerCell = 1)
+      assert(rewritten >= 1, "compaction must rewrite the two-file cells")
+      val served = GraftPq.ivfPqTopKStored(spark, dir, q, k = 5,
+                                           nprobe = 4, rerankFactor = 4)
+        .collect().toSet
+      val enc = GraftPq.pqEncode(
+        index.assigned.select(col("n_id").as("vec_id"), col("v"),
+                              col("c_id")),
+        cb, "vec_id", "v", carryCols = Seq("c_id"))
+      val expected = GraftPq.ivfPqTopKWith(index, cb, enc, e, q, k = 5,
+                                           nprobe = 4, rerankFactor = 4)
+        .collect().toSet
+      assert(served == expected,
+        "migrated store must serve the in-memory composition")
+    } finally { cb.unpersist(); () }
+  }
+
   test("ragged dimension fails loudly: dim not divisible by m") {
     val ragged = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v")
     val ex = intercept[Exception] {
