@@ -419,6 +419,19 @@ object GraftPq {
                                 assigned: DataFrame): DataFrame =
     encodeFolded(assigned, cb, "v").drop("codes")
 
+  /** Repair a merged frame's `cw` column: the null sliver (files written
+    * before the PQ layout) re-encodes through the folded projection, the
+    * column is added when absent entirely — the compaction-as-migration
+    * step shared by BOTH store layouts' compact paths. */
+  private[operators] def repairCw(cb: PqCodebook,
+                                  merged: DataFrame): DataFrame = {
+    val base =
+      if (merged.columns.contains("cw")) merged
+      else merged.withColumn("cw", lit(null).cast("binary"))
+    base.filter(col("cw").isNotNull)
+      .unionByName(withCw(cb, base.filter(col("cw").isNull).drop("cw")))
+  }
+
   /** Write a directory-layout IVF store whose cell files ALSO carry the
     * m-byte PQ code word (`cw`) beside (n_id, v, q8) — the 100-TB
     * serving shape where the candidate scan reads ~64× fewer vector
@@ -467,19 +480,34 @@ object GraftPq {
                       dir: String, queries: DataFrame, k: Int,
                       nprobe: Int = 4, rerankFactor: Int = 4,
                       qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame =
+    ivfPqTopKWithCw(GraftSimilarity.readIvfIndex(spark, dir),
+                    readPqCodebook(spark, dir), queries, k, nprobe,
+                    rerankFactor, qIdCol, qVecCol)
+
+  /** The serve core over ANY cw-carrying index + codebook pair — the
+    * directory store ([[ivfPqTopKStored]]) and the manifest store
+    * ([[graft.operators.IvfObjectStore.read]] +
+    * [[readPqCodebook]]) both land here, so PQ serving is
+    * layout-independent exactly like the q8 tier. */
+  def ivfPqTopKWithCw(index: GraftSimilarity.IvfIndex, cb0: PqCodebook,
+                      queries: DataFrame, k: Int,
+                      nprobe: Int = 4, rerankFactor: Int = 4,
+                      qIdCol: String = "q_id", qVecCol: String = "qv")
       : DataFrame = {
-    require(k >= 1, s"ivfPqTopKStored: k must be >= 1, got $k")
+    require(k >= 1, s"ivfPqTopKWithCw: k must be >= 1, got $k")
     require(nprobe >= 1,
-      s"ivfPqTopKStored: nprobe must be >= 1, got $nprobe")
+      s"ivfPqTopKWithCw: nprobe must be >= 1, got $nprobe")
     require(rerankFactor >= 1,
-      s"ivfPqTopKStored: rerankFactor must be >= 1, got $rerankFactor")
+      s"ivfPqTopKWithCw: rerankFactor must be >= 1, got $rerankFactor")
+    val spark = queries.sparkSession
     graft.GraftSession.ensureExtensions(spark)
-    val index = GraftSimilarity.readIvfIndex(spark, dir)
     require(index.assigned.columns.contains("cw"),
-      "ivfPqTopKStored: store has no cw column — write it with " +
-      "writeIvfPqStore, or compact a pre-PQ store with its codebook " +
-      "present to migrate in place")
-    val cb = readPqCodebook(spark, dir).persist()
+      "ivfPqTopKWithCw: index has no cw column — write the store with " +
+      "writeIvfPqStore / IvfObjectStore.create(…, pq = Some(cb)), or " +
+      "compact a pre-PQ store with its codebook present to migrate in " +
+      "place")
+    val cb = cb0.persist()
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
     val probes = GraftSimilarity.probeCells(q, index.centroids, nprobe,
                                             Seq("q_id", "qv"))
@@ -492,7 +520,7 @@ object GraftPq {
       .crossJoin(normLutRow(cb))
       .select(col("q_id"), col("n_id"), expr(
         """CASE WHEN isnull(cw) THEN cast(assert_true(false,
-          |  'ivfPqTopKStored: null cw — mixed-generation cell files;
+          |  'ivfPqTopKWithCw: null cw — mixed-generation cell files;
           |   compact the store (codebook present) to migrate') AS double)
           |WHEN __qn = 0D OR graft_pq_adc(cw, __nlut) = 0D THEN 0D
           |ELSE graft_pq_adc(cw, __lut)

@@ -1011,15 +1011,7 @@ object GraftSimilarity {
           // re-encodes exactly that sliver (folded encode — no shuffle),
           // so compaction is also the in-place migration path to the PQ
           // serving tier; without a codebook the column passes through
-          val withPq = pqCb match {
-            case Some(cb) =>
-              val base =
-                if (merged.columns.contains("cw")) merged
-                else merged.withColumn("cw", lit(null).cast("binary"))
-              base.filter(col("cw").isNotNull).unionByName(
-                GraftPq.withCw(cb, base.filter(col("cw").isNull).drop("cw")))
-            case None => merged
-          }
+          val withPq = pqCb.map(GraftPq.repairCw(_, merged)).getOrElse(merged)
           withPq
             .coalesce(1)
             .sortWithinPartitions("n_id")

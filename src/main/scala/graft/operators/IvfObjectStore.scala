@@ -344,15 +344,35 @@ object IvfObjectStore {
   }
 
   // same at-rest shape as the directory layout (GraftSimilarity
-  // .storedLayout): q8 serving column + n_id-sorted cell files, so
-  // ivfTopKWithQ8 serves either substrate identically
-  private def stageAssigned(dir: String, assigned: DataFrame): Seq[String] =
-    writeVia(GraftSimilarity.storedLayout(assigned), s"$dir/data",
-             partitioned = true).map(r => s"data/$r")
+  // .storedLayout): q8 serving column + n_id-sorted cell files (plus the
+  // PQ code word when the store carries a codebook), so ivfTopKWithQ8 /
+  // ivfPqTopKWithCw serve either substrate identically
+  private def stageAssigned(dir: String, assigned: DataFrame,
+                            pq: Option[GraftPq.PqCodebook]): Seq[String] =
+    writeVia(GraftSimilarity.storedLayout(
+               pq.map(GraftPq.withCw(_, assigned)).getOrElse(assigned)),
+             s"$dir/data", partitioned = true).map(r => s"data/$r")
+
+  /** The store's PQ codebook, if one was attached at create — fixed
+    * immutable path OUTSIDE the manifest chain (it is written once and
+    * never superseded, so there is no version to track and vacuum never
+    * touches it). */
+  private[graft] def pqCodebookIfAny(spark: SparkSession,
+                                     dir: String): Option[GraftPq.PqCodebook] =
+    if (fsOf(spark, dir).exists(new Path(s"$dir/pq_codebook")))
+      Some(GraftPq.readPqCodebook(spark, dir))
+    else None
 
   /** Create the store: stage centroid + assigned objects, publish
-    * manifest v1. Refuses a dir that already has a manifest chain. */
-  def create(spark: SparkSession, index: IvfIndex, dir: String): Unit = {
+    * manifest v1. Refuses a dir that already has a manifest chain.
+    * With `pq` the staged cell files also carry the m-byte PQ code word
+    * (`cw` — the [[GraftPq.ivfPqTopKWithCw]] serving tier) and the
+    * codebook persists at `$dir/pq_codebook` AFTER the v1 publish wins
+    * (a lost create race must not leave a stray codebook that would
+    * poison the winner's appends); every later append encodes against
+    * it inline — appends never retrain. */
+  def create(spark: SparkSession, index: IvfIndex, dir: String,
+             pq: Option[GraftPq.PqCodebook] = None): Unit = {
     graft.GraftSession.ensureExtensions(spark)
     val fs = fsOf(spark, dir)
     currentManifest(fs, dir).foreach { m =>
@@ -365,11 +385,12 @@ object IvfObjectStore {
       s"$dir/centroids", partitioned = false).map(r => s"centroids/$r")
     val data = stageAssigned(dir, index.assigned.select(
       col("n_id").cast("long").as("n_id"), col("v"),
-      col("c_id").cast("long").as("c_id")))
+      col("c_id").cast("long").as("c_id")), pq)
     if (!publish(fs, dir, Manifest(1, cents, data, Set.empty)))
       throw new ManifestConflict(
         s"IvfObjectStore.create: lost the v1 publish race on $dir — " +
         "another writer created the store concurrently")
+    pq.foreach(GraftPq.writePqCodebook(_, dir))
   }
 
   /** All valid manifest versions still on disk, ascending — the store's
@@ -457,10 +478,13 @@ object IvfObjectStore {
     // graft_cosine inside assignTo
     graft.GraftSession.ensureExtensions(spark)
     val fs = fsOf(spark, dir)
+    // PQ stores auto-encode arriving batches against the stored codebook
+    // (fixed immutable path, checked once per append — never retrained)
+    val pq = pqCodebookIfAny(spark, dir).map(_.persist())
     var staged: Seq[String] = null
     var stagedAgainst: Seq[String] = null
     var attempt = 0
-    while (attempt < PublishRetries) {
+    try while (attempt < PublishRetries) {
       val m = currentManifest(fs, dir).getOrElse(
         throw new ManifestStoreException(
           s"IvfObjectStore.append: no valid manifest under $dir — create() first"))
@@ -469,7 +493,7 @@ object IvfObjectStore {
         val cents = loadCentroids(spark, dir, m)
         staged = stageAssigned(dir, GraftSimilarity.assignTo(
           cents, batch.select(col(idCol).cast("long").as("n_id"),
-                              col(vecCol).as("v"))))
+                              col(vecCol).as("v"))), pq)
         stagedAgainst = m.centroids
       }
       val next = Manifest(m.version + 1, m.centroids, m.data ++ staged,
@@ -478,7 +502,7 @@ object IvfObjectStore {
       healTorn(fs, dir, m.version + 1)
       publishBackoff(attempt)
       attempt += 1
-    }
+    } finally pq.foreach(_.unpersist())
     throw new ManifestConflict(
       s"IvfObjectStore.append: lost the publish race $PublishRetries " +
       s"times on $dir — serialize committers or raise retries")
@@ -498,10 +522,15 @@ object IvfObjectStore {
     require(maxFilesPerCell >= 1,
       s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
     val fs = fsOf(spark, dir)
+    // the rewrite repairs null code words when the store carries a
+    // codebook (mergeSchema surfaces the column across generations) —
+    // compaction doubles as the PQ migration path, as on the directory
+    // layout
+    val pq = pqCodebookIfAny(spark, dir).map(_.persist())
     // staged rewrites per cell, keyed by the exact live file set merged
     var stagedFor: Map[String, (Set[String], Seq[String])] = Map.empty
     var attempt = 0
-    while (attempt < PublishRetries) {
+    try while (attempt < PublishRetries) {
       val m = currentManifest(fs, dir).getOrElse(
         throw new ManifestStoreException(
           s"IvfObjectStore.compact: no valid manifest under $dir"))
@@ -512,11 +541,15 @@ object IvfObjectStore {
         !stagedFor.get(cell).exists(_._1 == files.toSet)
       }
       if (toStage.nonEmpty) {
-        val merged = spark.read.option("basePath", s"$dir/data")
+        val merged0 = spark.read.option("basePath", s"$dir/data")
+          .option("mergeSchema", "true")
           .parquet(toStage.values.flatten.map(r => s"$dir/$r").toSeq: _*)
           .withColumn("c_id", col("c_id").cast("long"))
           .withColumn("n_id", col("n_id").cast("long"))
-        val files = stageAssigned(dir, merged)
+        val merged = pq.map(GraftPq.repairCw(_, merged0)).getOrElse(merged0)
+        // pq = None here: cw (when present) was just repaired above and
+        // must not re-encode through the stage augment
+        val files = stageAssigned(dir, merged, None)
         val newByCell = files.groupBy(cellOf)
         stagedFor ++= toStage.map { case (cell, live) =>
           cell -> (live.toSet, newByCell.getOrElse(cell, Seq.empty))
@@ -536,7 +569,7 @@ object IvfObjectStore {
       healTorn(fs, dir, m.version + 1)
       publishBackoff(attempt)
       attempt += 1
-    }
+    } finally pq.foreach(_.unpersist())
     throw new ManifestConflict(
       s"IvfObjectStore.compact: lost the publish race $PublishRetries " +
       s"times on $dir — schedule compaction off the ingest path")

@@ -1158,6 +1158,33 @@ object SimilarityQueries extends QueryModule {
                                                 rerankFactor = 4)
       },
       Some(ivfPqOracleSql)),
+
+    // Same PQ serving tier on the MANIFEST (object-store) layout:
+    // IvfObjectStore.create(…, pq = Some(cb)) stages cell files carrying
+    // cw and persists the immutable codebook at $dir/pq_codebook; serve
+    // reads the manifest snapshot and lands in the layout-independent
+    // ivfPqTopKWithCw core. Identical parameters again, so the shared
+    // oracle hash-certifies the third roundtrip: rename-free staged
+    // write → manifest read → ADC serve ≡ the in-memory composition.
+    GraftQuery(
+      "ann_ivf_pq_manifest",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val out = s"/tmp/graft_io/${new java.io.File(dir).getName}" +
+          "/ivf_pq_manifest"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        val cb = graft.operators.GraftPq.trainPq(e, m = 8, ksub = 16,
+                                                 iters = 2)
+        graft.operators.IvfObjectStore.create(
+          s, GraftSimilarity.buildIvfIndex(e), out, pq = Some(cb))
+        graft.operators.GraftPq.ivfPqTopKWithCw(
+          graft.operators.IvfObjectStore.read(s, out),
+          graft.operators.GraftPq.readPqCodebook(s, out),
+          queryBlock(e), k = 5, nprobe = 4, rerankFactor = 4)
+      },
+      Some(ivfPqOracleSql)),
   )
 
   /** The IVF×PQ oracle — hash-cut centroids, argmax assign, ranked
