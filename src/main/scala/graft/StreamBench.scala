@@ -56,6 +56,8 @@ object StreamBench {
     "sb_nb_classify"         -> 2096,
     // floored from the idle round-10 run (median 2925 rows/s, state 0)
     "sb_pca_project"         -> 1462,
+    // floored from the idle round-11 run (median 2018 rows/s, state 0)
+    "sb_pq_encode"           -> 1009,
     "sb_contamination"       -> 677,
     // re-baselined r9 (0.5× the idle medians 897 / 884) after the
     // stream-sized banding change cut state 4.7× and lifted throughput

@@ -406,6 +406,12 @@ object GraftPq {
   /** Load the codebook persisted by [[writePqCodebook]]. */
   def readPqCodebook(spark: org.apache.spark.sql.SparkSession,
                      dir: String): PqCodebook = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/pq_codebook")
+    require(p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"readPqCodebook: no codebook at $dir/pq_codebook — not a PQ store " +
+      "(writeIvfPqStore / IvfObjectStore.create(…, pq = Some(cb)) writes " +
+      "one; writePqCodebook attaches one to an existing store for " +
+      "compaction migration)")
     val raw = spark.read.parquet(s"$dir/pq_codebook")
     val meta = raw.select(col("m"), col("ksub")).limit(1).collect()
     require(meta.nonEmpty, s"readPqCodebook: empty codebook at $dir")

@@ -265,12 +265,18 @@ class PqSpec extends GraftFunSuite {
       e.filter(col("vec_id") % 2 === 1))
     val cb = GraftPq.trainPq(e, m = 4, ksub = 8, iters = 2).persist()
     try {
-      // no codebook, no cw: the PQ serve refuses loudly
+      // no codebook at all: refused as "not a PQ store"
+      val ex0 = intercept[IllegalArgumentException] {
+        GraftPq.ivfPqTopKStored(spark, dir, q, k = 5)
+      }
+      assert(ex0.getMessage.contains("no codebook"))
+      GraftPq.writePqCodebook(cb, dir)
+      // codebook present but cell files still pre-PQ: refused on the
+      // missing cw column (the migration pointer)
       val ex = intercept[IllegalArgumentException] {
         GraftPq.ivfPqTopKStored(spark, dir, q, k = 5)
       }
       assert(ex.getMessage.contains("no cw column"))
-      GraftPq.writePqCodebook(cb, dir)
       val rewritten = GraftSimilarity.compactIvfCells(spark, dir,
                                                       maxFilesPerCell = 1)
       assert(rewritten >= 1, "compaction must rewrite the two-file cells")
