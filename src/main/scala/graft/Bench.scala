@@ -54,6 +54,15 @@ object Bench {
           // run 2/3 from silently reusing run 1's persisted frames, so the
           // spread measures the plan, not cache luck.
           spark.catalog.clearCache()
+          // clearCache does NOT free broadcast residue: torrent blocks
+          // release only after the ContextCleaner notices their weak refs
+          // die, which needs a GC. Without this, the sf1 sweep's heavy
+          // broadcast producers (the ann_* family, alphabetically first)
+          // pile dead blocks into the shared JVM until every
+          // late-alphabet query measures heap pressure instead of its
+          // plan — r11 observed q1_agg at 32.1 s in-suite vs 2.7 s in a
+          // fresh JVM before this collect was added.
+          System.gc()
           t
         }
         name -> (if (times.exists(_ < 0)) Seq.fill(runs)(-1.0) else times)

@@ -383,14 +383,20 @@ object IvfObjectStore {
     val cents = writeVia(index.centroids.select(
         col("c_id").cast("long").as("c_id"), col("cv")),
       s"$dir/centroids", partitioned = false).map(r => s"centroids/$r")
-    val data = stageAssigned(dir, index.assigned.select(
-      col("n_id").cast("long").as("n_id"), col("v"),
-      col("c_id").cast("long").as("c_id")), pq)
-    if (!publish(fs, dir, Manifest(1, cents, data, Set.empty)))
-      throw new ManifestConflict(
-        s"IvfObjectStore.create: lost the v1 publish race on $dir — " +
-        "another writer created the store concurrently")
-    pq.foreach(GraftPq.writePqCodebook(_, dir))
+    // persist the codebook across its two consumers here (folded-encode
+    // collect + the at-rest write) — it is typically a LAZY train chain
+    // that would otherwise run Lloyd twice
+    val pqP = pq.map(_.persist())
+    try {
+      val data = stageAssigned(dir, index.assigned.select(
+        col("n_id").cast("long").as("n_id"), col("v"),
+        col("c_id").cast("long").as("c_id")), pqP)
+      if (!publish(fs, dir, Manifest(1, cents, data, Set.empty)))
+        throw new ManifestConflict(
+          s"IvfObjectStore.create: lost the v1 publish race on $dir — " +
+          "another writer created the store concurrently")
+      pqP.foreach(GraftPq.writePqCodebook(_, dir))
+    } finally pqP.foreach(_.unpersist())
   }
 
   /** All valid manifest versions still on disk, ascending — the store's
