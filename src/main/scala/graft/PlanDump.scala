@@ -43,7 +43,8 @@ object PlanDump {
                     "ann_hybrid_rrf", "ann_hybrid_ivf",
                     "ann_recall_sweep", "ann_ivf_stored_q8",
                     "ann_pq_adc", "ann_ivf_pq", "ann_ivf_stored_pq",
-                    "ann_ivf_pq_manifest", "text_heavy_hitters")
+                    "ann_ivf_pq_manifest", "ann_tier_recall",
+                    "text_heavy_hitters")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

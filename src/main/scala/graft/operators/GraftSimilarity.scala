@@ -157,6 +157,57 @@ object GraftSimilarity {
     * probed at every np' > np); SimilaritySpec pins that and equality
     * with the one-shot [[recallAtK]] at each swept value.
     */
+  /** Recall@k of the COMPRESSED serving tiers against exact ground
+    * truth at ONE shared rerank budget — the deploy-time decision
+    * measurement for the vector-bytes ladder (q8 ≈ 5.7× fewer
+    * candidate-scan bytes at rest, PQ m=8 ≈ 36×; SCALE.md r11 table).
+    * Both tiers exact-rerank their top k·rerankFactor candidates, so
+    * any recall loss is precisely the quantized CUT dropping a true
+    * neighbor before the rerank sees it. Returns one row per
+    * (tier, q_id): `(tier, q_id, n_hits, recall)`, recall against the
+    * per-query truth count (the [[recallAtK]] convention).
+    *
+    * Scale shape: truth is one linear brute scan per eval block (the
+    * price of truth — eval blocks are small by construction); each tier
+    * side is EXACTLY its serving path ([[quantizedTopK]] /
+    * [[GraftPq.pqTopK]]), so the measurement can't drift from what
+    * deploys; truth and the per-query hit counts are |Q|·k rows —
+    * broadcast joins, no corpus shuffle beyond the tiers' own. Every
+    * stage is deterministic and cross-engine exact, so
+    * `ann_tier_recall` is a DuckDB hash-checked row.
+    */
+  def tierRecall(collection: DataFrame, queries: DataFrame, k: Int,
+                 rerankFactor: Int = 4, m: Int = 8, ksub: Int = 16,
+                 iters: Int = 2,
+                 idCol: String = "vec_id", vecCol: String = "v",
+                 qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    require(k >= 1, s"tierRecall: k must be >= 1, got $k")
+    graft.GraftSession.ensureExtensions(collection.sparkSession)
+    // |Q|·k rows, three consumers (count + two semi-joins) — persist,
+    // the one-shot catalog convention
+    val truth = bruteForceTopK(collection, queries, k, idCol, vecCol,
+                               qIdCol, qVecCol)
+      .select(col("q_id"), col("n_id")).persist()
+    val truthN = truth.groupBy("q_id").agg(count(lit(1)).as("__tn"))
+    def leg(served: DataFrame, tier: String): DataFrame =
+      broadcast(truthN).join(
+          served.select(col("q_id"), col("n_id"))
+            .join(broadcast(truth), Seq("q_id", "n_id"), "left_semi")
+            .groupBy("q_id").agg(count(lit(1)).as("__h")),
+          Seq("q_id"), "left")
+        .select(lit(tier).as("tier"), col("q_id"),
+                coalesce(col("__h"), lit(0L)).as("n_hits"),
+                round(coalesce(col("__h"), lit(0L)) / col("__tn"), 4)
+                  .as("recall"))
+    leg(quantizedTopK(collection, queries, k, rerankFactor, idCol, vecCol,
+                      qIdCol, qVecCol), "q8")
+      .unionByName(
+        leg(GraftPq.pqTopK(collection, queries, k, m, ksub, iters,
+                           rerankFactor, idCol, vecCol, qIdCol, qVecCol),
+            "pq"))
+  }
+
   def recallAtKWith(index: IvfIndex, queries: DataFrame, k: Int,
                     nprobes: Seq[Int],
                     qIdCol: String = "q_id", qVecCol: String = "qv")

@@ -143,7 +143,10 @@ object SimilarityQueries extends QueryModule {
     * CTE upstream (the candidate policy — flat or probed — lives
     * there).
     */
-  private val pqServeTail: String =
+  /** The ADC CTE chain only (quantized cut → exact rerank ranking):
+    * `ann_tier_recall` composes it with the q8 tier and the truth scan,
+    * consuming `r` directly instead of the final projection. */
+  private val pqServeCtes: String =
     """adc AS (SELECT q.q_id, sc.n_id,
       |          CASE WHEN sc.an = 0 OR q.qn = 0 THEN 0.0
       |               ELSE sc.ad / sqrt(q.qn * sc.an) END ac
@@ -158,7 +161,10 @@ object SimilarityQueries extends QueryModule {
       |r AS (SELECT q_id, n_id, cs,
       |        row_number() OVER (PARTITION BY q_id
       |          ORDER BY cs DESC, n_id) rnk
-      |      FROM scored)
+      |      FROM scored)""".stripMargin
+
+  private val pqServeTail: String =
+    s"""$pqServeCtes
       |SELECT q_id, n_id, rnk, round(cs, 4) AS cos FROM r
       |WHERE rnk <= 5""".stripMargin
 
@@ -1185,6 +1191,83 @@ object SimilarityQueries extends QueryModule {
           queryBlock(e), k = 5, nprobe = 4, rerankFactor = 4)
       },
       Some(ivfPqOracleSql)),
+
+    // Quantization-tier recall eval ([[GraftSimilarity.tierRecall]]):
+    // how much of the EXACT top-5 each compressed serving tier keeps at
+    // the shared rerank budget (k·rerankFactor = 20) — q8's scalar cut
+    // vs PQ's ADC cut, both exact-reranked, measured against the brute
+    // truth scan. The deploy-time decision row for the vector-bytes
+    // ladder (q8 ≈ 5.7× fewer candidate bytes at rest, PQ ≈ 36×): if
+    // this row's pq recall matches q8's on YOUR data, serve the 36×
+    // tier. The oracle replays truth + both full tier pipelines +
+    // per-query hit counting; recall divides by the per-query truth
+    // count (the recallAtK convention).
+    GraftQuery(
+      "ann_tier_recall",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        GraftSimilarity.tierRecall(e, queryBlock(e), k = 5,
+                                   rerankFactor = 4, m = 8, ksub = 16,
+                                   iters = 2)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q0 AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |tr AS (SELECT q_id, n_id FROM (
+        |         SELECT q0.q_id, e.vec_id n_id,
+        |           row_number() OVER (PARTITION BY q0.q_id
+        |             ORDER BY list_cosine_similarity(q0.qv, e.v) DESC,
+        |                      e.vec_id) rnk
+        |         FROM q0 JOIN e ON e.vec_id != q0.q_id) WHERE rnk <= 5),
+        |tn AS (SELECT q_id, count(*) t_n FROM tr GROUP BY q_id),
+        |mx AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) m FROM e),
+        |q8 AS (SELECT vec_id, v,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x * 127.0 / m)) END q
+        |       FROM mx),
+        |qq AS (SELECT vec_id q_id, v qv, q qq8 FROM q8 WHERE vec_id < 10),
+        |zap AS (
+        |  SELECT q_id, e8.vec_id n_id,
+        |    CASE WHEN list_dot_product(e8.q, e8.q) = 0
+        |           OR list_dot_product(qq.qq8, qq.qq8) = 0 THEN 0.0
+        |         ELSE list_dot_product(qq.qq8, e8.q)
+        |              / sqrt(list_dot_product(e8.q, e8.q)
+        |                     * list_dot_product(qq.qq8, qq.qq8)) END ac
+        |  FROM qq JOIN q8 e8 ON e8.vec_id != qq.q_id),
+        |zcand AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) rr
+        |    FROM zap) WHERE rr <= 20),
+        |zscored AS (
+        |  SELECT c.q_id, c.n_id, list_cosine_similarity(qq.qv, e.v) cs
+        |  FROM zcand c
+        |  JOIN qq ON qq.q_id = c.q_id
+        |  JOIN e ON e.vec_id = c.n_id),
+        |zr AS (SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cs DESC, n_id) rnk
+        |       FROM zscored),
+        |$pqTrainCtes,
+        |sc AS (SELECT en.vec_id n_id, ld.q_id, sum(ld.d) ad, sum(ln.nn) an
+        |       FROM enc en
+        |       JOIN lutd ld ON ld.sub_id = en.sub_id AND ld.code = en.code
+        |       JOIN lutn ln ON ln.sub_id = en.sub_id AND ln.code = en.code
+        |       WHERE en.vec_id != ld.q_id
+        |       GROUP BY en.vec_id, ld.q_id),
+        |$pqServeCtes,
+        |h8 AS (SELECT s.q_id, count(*) n_hits FROM zr s
+        |       JOIN tr ON tr.q_id = s.q_id AND tr.n_id = s.n_id
+        |       WHERE s.rnk <= 5 GROUP BY s.q_id),
+        |hpq AS (SELECT s.q_id, count(*) n_hits FROM r s
+        |        JOIN tr ON tr.q_id = s.q_id AND tr.n_id = s.n_id
+        |        WHERE s.rnk <= 5 GROUP BY s.q_id)
+        |SELECT 'q8' AS tier, tn.q_id, coalesce(h8.n_hits, 0) AS n_hits,
+        |       round(coalesce(h8.n_hits, 0) * 1.0 / tn.t_n, 4) AS recall
+        |FROM tn LEFT JOIN h8 USING (q_id)
+        |UNION ALL
+        |SELECT 'pq' AS tier, tn.q_id, coalesce(hpq.n_hits, 0) AS n_hits,
+        |       round(coalesce(hpq.n_hits, 0) * 1.0 / tn.t_n, 4) AS recall
+        |FROM tn LEFT JOIN hpq USING (q_id)""".stripMargin)),
   )
 
   /** The IVF×PQ oracle — hash-cut centroids, argmax assign, ranked

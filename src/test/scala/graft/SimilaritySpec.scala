@@ -557,6 +557,37 @@ class SimilaritySpec extends GraftFunSuite {
     assert(aug == exact)
   }
 
+  test("tierRecall: one row per (tier, query), recall in [0,1] against " +
+       "the per-query truth count, and a covering rerank budget drives " +
+       "BOTH tiers to recall 1.0 (the cut is the only loss source)") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val out = GraftSimilarity.tierRecall(e, q, k = 5, rerankFactor = 4)
+      .collect()
+    assert(out.length == 20, s"2 tiers x 10 queries, got ${out.length}")
+    assert(out.map(_.getString(0)).toSet == Set("q8", "pq"))
+    out.foreach { r =>
+      val (hits, rec) = (r.getLong(2), r.getDouble(3))
+      assert(hits >= 0 && hits <= 5 && rec >= 0.0 && rec <= 1.0,
+        s"row out of bounds: $r")
+      assert(math.abs(rec - hits / 5.0) < 1e-9,
+        s"recall must be n_hits over the truth count: $r")
+    }
+    // covering budget: the quantized/ADC cut keeps every candidate, the
+    // exact rerank then reproduces the exact top-k — recall 1.0 for both
+    // tiers by construction
+    val covering = e.count().toInt
+    val full = GraftSimilarity.tierRecall(e, q, k = 5,
+                                          rerankFactor = covering)
+      .collect()
+    assert(full.forall(_.getDouble(3) == 1.0),
+      s"covering rerank budget must give recall 1.0 everywhere:\n" +
+      full.filter(_.getDouble(3) < 1.0).mkString("\n"))
+  }
+
   test("recallAtKWith: one index across the sweep — monotone in nprobe, " +
        "equal to the one-shot recallAtK at every swept value") {
     import graft.operators.GraftSimilarity
