@@ -381,6 +381,29 @@ object StreamBench {
       } finally idx.unpersist(blocking = true)
     }
 
+    // PQ serve: static encoded collection + codebook, streamed query
+    // batches — the compressed-tier twin of sb_ivf_serve (quantized-cut
+    // and exact-rerank heaps are CHAINED stateful aggregations)
+    locally {
+      import graft.operators.GraftPq
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+                expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val cb = GraftPq.trainPq(e, m = 8, ksub = 16, iters = 2).persist()
+      val enc = GraftPq.pqEncode(e, cb).persist()
+      cb.codebook.count(); enc.count()
+      val queries = vecs.filter(_._1 % 10 == 3).sortBy(_._2.getTime)
+      try rep {
+        val in = MemoryStream[(Long, Timestamp, List[Float])]
+        val q = sink(CorpusStreams.pqServeStream(
+          cb, enc, e, in.toDF().toDF("q_id", "ts", "qv"), k = 5,
+          rerankFactor = 4, qVecCol = "qv"), "sb_pq_serve")
+        drive("sb_pq_serve", queries.size, q,
+              chunks(queries, 2).map(c => () => { in.addData(c); () }) :+
+              (() => { in.addData(Seq((-1L, ts(600), List(0.1f)))); () }))
+      } finally { cb.unpersist(); enc.unpersist(); () }
+    }
+
     // IVF streaming ingest into a fresh at-rest store (idempotent tags)
     rep {
       import graft.operators.GraftSimilarity

@@ -179,7 +179,7 @@ object GraftPq {
 
   /** ONE broadcast row holding the query-independent codeword-norm LUT
     * (`__nlut`). */
-  private def normLutRow(cb: PqCodebook): DataFrame =
+  private[graft] def normLutRow(cb: PqCodebook): DataFrame =
     broadcast(cb.codebook
       .agg(collect_list(struct(col("sub_id"), col("code"),
         expr("aggregate(cv, 0D, (acc, x) -> acc + x * x)").as("nn")))
@@ -188,9 +188,12 @@ object GraftPq {
         s"transform(__cbn, c -> struct(c.sub_id * ${cb.ksub} + c.code, c.nn))",
         cb.m * cb.ksub)).as("__nlut")))
 
-  /** Per-query ADC state: (q_id, __qn exact grid norm, __lut dense dot
-    * LUT) — one row-level fold against the broadcast codebook. */
-  private def qlutFrame(cb: PqCodebook, q: DataFrame): DataFrame = {
+  /** Per-query ADC state: (q_id [, carry…], __qn exact grid norm, __lut
+    * dense dot LUT) — one row-level fold against the broadcast codebook.
+    * `carry` columns ride through untouched (the streaming serve twin
+    * carries its event-time and raw query vector). */
+  private[graft] def qlutFrame(cb: PqCodebook, q: DataFrame,
+                               carry: Seq[String] = Nil): DataFrame = {
     val cbRow = broadcast(cb.codebook
       .agg(collect_list(struct(col("sub_id"), col("code"), col("cv")))
         .as("__cb")))
@@ -198,14 +201,14 @@ object GraftPq {
       .withColumn("__qn",
         expr("aggregate(__qg, 0D, (acc, x) -> acc + x * x)"))
       .crossJoin(cbRow)
-      .select(col("q_id"), col("__qn"), expr(scatter(
+      .select(col("q_id") +: carry.map(col) :+ col("__qn") :+ expr(scatter(
         s"""transform(__cb, c -> struct(c.sub_id * ${cb.ksub} + c.code,
            |  aggregate(zip_with(slice(__qg,
            |                           c.sub_id * (size(__qg) div ${cb.m}) + 1,
            |                           size(__qg) div ${cb.m}),
            |                     c.cv, (a, b) -> a * b),
            |            0D, (acc, x) -> acc + x)))""".stripMargin,
-        cb.m * cb.ksub)).as("__lut"))
+        cb.m * cb.ksub)).as("__lut"): _*)
   }
 
   /** Stage 1 + 2 of every PQ serve: ADC-score (q_id, n_id, __cw, __lut,

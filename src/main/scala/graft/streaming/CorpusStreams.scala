@@ -261,6 +261,85 @@ object CorpusStreams {
                      vecCol: String = "embedding"): DataFrame =
     graft.operators.GraftPq.encodeFolded(vecs, cb, vecCol)
 
+  /** Streaming serve twin of [[graft.operators.GraftPq.pqTopKWith]]: an
+    * unbounded stream of (q_id, ts, qv) queries answered against a
+    * STATIC PQ-encoded collection — the online half of the PQ store
+    * lifecycle, mirroring [[ivfServeStream]] for the compressed tier.
+    *
+    * Plan shape, all stream-static: the per-query ADC LUT is ONE
+    * stateless projection against the broadcast codebook row (the batch
+    * `qlutFrame`, event time and raw vector carried through); candidates
+    * attach via a per-batch stream-static cross join against the
+    * (n_id, packed-code) frame — the scan side ships m bytes per
+    * candidate exactly like batch — and the quantized cut runs
+    * `graft_topk` at k·rerankFactor as the FIRST streaming aggregation.
+    * The exact rerank is the SECOND chained stateful aggregation
+    * (Spark's multi-stateful-operator append mode): survivors explode,
+    * fetch their full vectors from the static collection by equi-join,
+    * score `graft_cosine` exactly, and the final `graft_topk` at k
+    * finalizes when the watermark clears the query's event time. Output
+    * rows are (q_id, ts, n_id, rnk, cos) — value-identical to the batch
+    * serve for the same query (PqSpec pins the parity). State is
+    * O(in-flight queries) in BOTH heaps, never O(stream).
+    *
+    * Malformed queries (zero-norm, or a dim that differs from the
+    * codebook's) are DROPPED pre-LUT, the [[ivfServeStream]] poison-pill
+    * rule: the batch serve fails loudly, a long-running serve must not.
+    */
+  def pqServeStream(cb: graft.operators.GraftPq.PqCodebook,
+                    encoded: DataFrame, collection: DataFrame,
+                    queries: DataFrame, k: Int, rerankFactor: Int = 4,
+                    latenessMinutes: Long = 10,
+                    idCol: String = "vec_id", vecCol: String = "v",
+                    qIdCol: String = "q_id", qVecCol: String = "qv",
+                    tsCol: String = "ts"): DataFrame = {
+    require(k >= 1, s"pqServeStream: k must be >= 1, got $k")
+    require(rerankFactor >= 1,
+      s"pqServeStream: rerankFactor must be >= 1, got $rerankFactor")
+    require(latenessMinutes > 0,
+      s"latenessMinutes must be positive, got $latenessMinutes")
+    import graft.operators.GraftPq
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val cc = GraftPq.collectCodebook(cb)
+    val d = cc.m * cc.dsub
+    val q = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(tsCol).as("ts"),
+              expr(s"transform($qVecCol, x -> cast(x AS double))").as("qv"))
+      .filter(expr("aggregate(qv, 0D, (a, x) -> a + x * x) > 0D") &&
+              expr(s"size(qv) = $d"))
+      .withWatermark("ts", s"$latenessMinutes minutes")
+    val qlut = GraftPq.qlutFrame(cb, q, carry = Seq("ts", "qv"))
+    val enc = encoded.select(col("n_id"),
+                             expr("graft_pq_pack(codes)").as("__cw"))
+    val e = collection.select(col(idCol).cast("long").as("n_id"),
+                              col(vecCol).as("v"))
+    val kk = k * rerankFactor
+    val cand = qlut
+      .crossJoin(enc)
+      .filter(col("n_id") =!= col("q_id"))
+      .crossJoin(GraftPq.normLutRow(cb))
+      .select(col("q_id"), col("ts"), col("qv"), col("n_id"), expr(
+        """CASE WHEN __qn = 0D OR graft_pq_adc(__cw, __nlut) = 0D THEN 0D
+          |ELSE graft_pq_adc(__cw, __lut)
+          |     / sqrt(__qn * graft_pq_adc(__cw, __nlut)) END""".stripMargin)
+        .as("ac"))
+      .groupBy(col("q_id"), col("ts"))
+      .agg(expr(s"graft_topk(ac, n_id, $kk)").as("tk"),
+           first(col("qv")).as("qv"))
+      .select(col("q_id"), col("ts"), col("qv"),
+              explode(col("tk.id")).as("n_id"))
+    cand.join(e, "n_id")
+      .select(col("q_id"), col("ts"), col("n_id"),
+              expr("graft_cosine(qv, v)").as("c"))
+      .groupBy(col("q_id"), col("ts"))
+      .agg(expr(s"graft_topk(c, n_id, $k)").as("tk"))
+      .select(col("q_id"), col("ts"),
+              posexplode(col("tk")).as(Seq("p", "s")))
+      .select(col("q_id"), col("ts"), col("s.id").as("n_id"),
+              (col("p") + 1).cast("long").as("rnk"),
+              round(col("s.score"), 4).as("cos"))
+  }
+
   /** Streaming APPLY side of
     * [[graft.operators.CorpusCuration.contaminatedDocs]]: flag arriving
     * documents sharing any word-`n`-gram with a STATIC benchmark/test set

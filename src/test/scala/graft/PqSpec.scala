@@ -149,6 +149,60 @@ class PqSpec extends GraftFunSuite {
     } finally { q.stop(); cb.unpersist() }
   }
 
+  test("pqServeStream: watermark-closed queries answered identically to " +
+       "the batch pqTopKWith serve across micro-batch boundaries " +
+       "(chained quantized-cut + exact-rerank stateful aggregations)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def tsAt(m: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2026, 1, 1, 0, 0).plusMinutes(m.toLong))
+    val e = planted
+    val cb = GraftPq.trainPq(e, m = 4, ksub = 8, iters = 2).persist()
+    val enc = GraftPq.pqEncode(e, cb).persist()
+    try {
+      val qBatch = e.filter(col("vec_id") % 20 === 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val batch = GraftPq.pqTopKWith(cb, enc, e, qBatch, k = 5,
+                                     rerankFactor = 4)
+        .collect().map(key).toSet
+      assert(batch.nonEmpty)
+      val rows = qBatch.collect()
+        .map(r => (r.getLong(0), tsAt(r.getLong(0).toInt % 8),
+                   r.getSeq[Double](1).toList))
+        .sortBy(_._1).toSeq
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      val input = MemoryStream[(Long, java.sql.Timestamp, List[Double])]
+      val q = graft.streaming.CorpusStreams
+        .pqServeStream(cb, enc, e, input.toDF().toDF("q_id", "ts", "qv"),
+                       k = 5, rerankFactor = 4)
+        .writeStream.format("memory").queryName("pq_serve")
+        .outputMode("append").start()
+      try {
+        input.addData(h1); q.processAllAvailable()
+        // malformed rows mid-stream: zero-norm and wrong-dim queries are
+        // dropped pre-LUT, never answered, never fail the stream
+        input.addData(Seq(
+          (888881L, tsAt(3), List.fill(16)(0.0)),
+          (888882L, tsAt(3), List(1.0, 2.0))))
+        q.processAllAvailable()
+        input.addData(h2); q.processAllAvailable()
+        input.addData(Seq((999999L, tsAt(600), rows.head._3)))
+        q.processAllAvailable()
+        val streamed = spark.table("pq_serve")
+          .filter(col("q_id") =!= 999999L)
+          .select("q_id", "n_id", "rnk", "cos")
+          .collect().map(key).toSet
+        assert(!streamed.exists(r => r._1 == 888881L || r._1 == 888882L),
+          "malformed queries must get no answer")
+        assert(streamed == batch,
+          s"stream-only=${streamed.diff(batch)} " +
+          s"batch-only=${batch.diff(streamed)}")
+      } finally q.stop()
+    } finally { cb.unpersist(); enc.unpersist(); () }
+  }
+
   test("ivfPqTopK at covering nprobe equals the flat pqTopK serve") {
     val q = planted.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
