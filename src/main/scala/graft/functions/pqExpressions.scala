@@ -42,6 +42,12 @@ case class GraftPqPack(child: Expression) extends UnaryExpression {
     val out = new Array[Byte](n)
     var i = 0
     while (i < n) {
+      // a null element would silently pack as code 0 through getInt —
+      // fail loudly like the out-of-range case (ADVICE r11)
+      if (arr.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"graft_pq_pack: null code at subspace $i — a code word must " +
+          "be fully populated")
       val c = arr.getInt(i)
       if (c < 0 || c > 255)
         throw new IllegalArgumentException(
@@ -62,6 +68,11 @@ case class GraftPqPack(child: Expression) extends UnaryExpression {
         |final int $n = $c.numElements();
         |byte[] $out = new byte[$n];
         |for (int $i = 0; $i < $n; $i++) {
+        |  if ($c.isNullAt($i)) {
+        |    throw new IllegalArgumentException(
+        |      "graft_pq_pack: null code at subspace " + $i +
+        |      " — a code word must be fully populated");
+        |  }
         |  final int $v = $c.getInt($i);
         |  if ($v < 0 || $v > 255) {
         |    throw new IllegalArgumentException(
@@ -196,7 +207,15 @@ case class GraftPqAdc(left: Expression, right: Expression)
         (x.length, i => x(i) & 0xFF)
       } else {
         val x = a.asInstanceOf[ArrayData]
-        (x.numElements(), i => x.getInt(i))
+        (x.numElements(), { i =>
+          // a null element would silently score as code 0 — fail loudly
+          // like the out-of-range case (ADVICE r11)
+          if (x.isNullAt(i))
+            throw new IllegalArgumentException(
+              s"graft_pq_adc: null code at subspace $i — a code word " +
+              "must be fully populated")
+          x.getInt(i)
+        })
       }
     if (m == 0 || lut.numElements() % m != 0)
       throw new IllegalArgumentException(
@@ -228,6 +247,14 @@ case class GraftPqAdc(left: Expression, right: Expression)
         if (packed) s"($a[$s] & 0xFF)"
         else s"$a.getInt($s)"
       val lenOf = if (packed) s"$a.length" else s"$a.numElements()"
+      val nullElemCheck =
+        if (packed) ""
+        else s"""
+          |  if ($a.isNullAt($s)) {
+          |    throw new IllegalArgumentException(
+          |      "graft_pq_adc: null code at subspace " + $s +
+          |      " — a code word must be fully populated");
+          |  }""".stripMargin
       s"""
         |final int $m = $lenOf;
         |if ($m == 0 || $b.numElements() % $m != 0) {
@@ -237,7 +264,7 @@ case class GraftPqAdc(left: Expression, right: Expression)
         |}
         |final int $ksub = $b.numElements() / $m;
         |double $acc = 0.0;
-        |for (int $s = 0; $s < $m; $s++) {
+        |for (int $s = 0; $s < $m; $s++) {$nullElemCheck
         |  final int $c = $codeOf;
         |  if ($c < 0 || $c >= $ksub) {
         |    throw new IllegalArgumentException(

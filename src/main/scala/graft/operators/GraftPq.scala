@@ -53,6 +53,23 @@ object GraftPq {
     }
   }
 
+  /** Driver-materialize a (typically lazy train-chain) codebook into a
+    * LOCAL relation: the m·ksub rows — bounded by construction, a few
+    * hundred KB at production sizes — collect once and every downstream
+    * consumer (encode assignment, dot LUT, norm LUT, at-rest write)
+    * reads the local rows. This replaces the persist-with-no-unpersist
+    * convention the one-shot serves used (ADVICE r11: cached codebooks
+    * accumulated across catalog invocations in a long-lived session):
+    * the train chain still runs exactly once, and there is nothing left
+    * behind to leak. */
+  def materialize(cb: PqCodebook): PqCodebook = {
+    val proj = cb.codebook.select(col("sub_id"), col("code"), col("cv"))
+    val rows = proj.collect()
+    require(rows.nonEmpty, "materialize: empty codebook")
+    PqCodebook(cb.codebook.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), proj.schema), cb.m, cb.ksub)
+  }
+
   /** Grid-quantize and slice into `m` subspace rows (n_id, sub_id, sv,
     * carry…). Dimension must divide evenly by `m` — enforced in-plan so
     * a ragged collection fails loudly on first touch, not via silent
@@ -197,10 +214,21 @@ object GraftPq {
     val cbRow = broadcast(cb.codebook
       .agg(collect_list(struct(col("sub_id"), col("code"), col("cv")))
         .as("__cb")))
-    q.withColumn("__qg", expr(s"transform(qv, x -> round(x * $Grid))"))
+    // dimension ENFORCED in-plan (the subRows/encodeFolded convention): a
+    // query whose size(qv) ≠ m·dsub would otherwise null-pad through
+    // zip_with, the null LUT slots would coalesce to 0, and the ADC cut
+    // would silently rank with a partially zeroed table (ADVICE r11) —
+    // fail loudly on first touch instead
+    q.crossJoin(cbRow)
+      .withColumn("__qg", expr(
+        s"""CASE WHEN size(qv) = ${cb.m} * size(element_at(__cb, 1).cv)
+           |THEN transform(qv, x -> round(x * $Grid))
+           |ELSE cast(assert_true(false, concat('pq serve: query dim ',
+           |       cast(size(qv) AS string), ' != codebook dim ',
+           |       cast(${cb.m} * size(element_at(__cb, 1).cv) AS string)))
+           |     AS array<double>) END""".stripMargin))
       .withColumn("__qn",
         expr("aggregate(__qg, 0D, (acc, x) -> acc + x * x)"))
-      .crossJoin(cbRow)
       .select(col("q_id") +: carry.map(col) :+ col("__qn") :+ expr(scatter(
         s"""transform(__cb, c -> struct(c.sub_id * ${cb.ksub} + c.code,
            |  aggregate(zip_with(slice(__qg,
@@ -316,7 +344,9 @@ object GraftPq {
                 qIdCol: String = "q_id", qVecCol: String = "qv")
       : DataFrame = {
     val index = GraftSimilarity.buildIvfIndex(collection, None, idCol, vecCol)
-    val cb = trainPq(collection, m, ksub, iters, idCol, vecCol).persist()
+    // materialize, not persist: the codebook feeds encode + both LUTs and
+    // a persisted frame would have no unpersist point (ADVICE r11)
+    val cb = materialize(trainPq(collection, m, ksub, iters, idCol, vecCol))
     val enc = pqEncode(index.assigned.select(col("n_id").as("vec_id"),
                                              col("v"), col("c_id")),
                        cb, "vec_id", "v", carryCols = Seq("c_id"))
@@ -516,7 +546,7 @@ object GraftPq {
       "writeIvfPqStore / IvfObjectStore.create(…, pq = Some(cb)), or " +
       "compact a pre-PQ store with its codebook present to migrate in " +
       "place")
-    val cb = cb0.persist()
+    val cb = materialize(cb0)
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
     val probes = GraftSimilarity.probeCells(q, index.centroids, nprobe,
                                             Seq("q_id", "qv"))
@@ -538,19 +568,12 @@ object GraftPq {
       .groupBy("q_id")
       .agg(expr(s"graft_topk(ac, n_id, $kk)").as("tk"))
       .select(col("q_id"), explode(col("tk.id")).as("n_id"))
-    // bounded driver materialization (|Q|·k·rerankFactor rows) buys the
-    // literal pushdown for the rerank fetch
-    val candRows = cand.collect()
-    cb.unpersist()
-    val pairs = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(candRows: _*), cand.schema))
-    val survivorIds = candRows.map(_.get(1)).distinct.toSeq
-    val fetched = index.assigned.select(col("n_id"), col("v"))
-      .filter(col("n_id").isin(survivorIds: _*))
-    GraftSimilarity.topK(
-      pairs.join(fetched, "n_id").join(broadcast(q), "q_id")
-        .select(col("q_id"), col("n_id"),
-                GraftSimilarity.cosine("qv", "v").as("c")), k)
+    // rerank fetch gated in |Q|·k·rerankFactor: literal `n_id IN (...)`
+    // row-group-pruned fetch below the gate, broadcast-join fetch past it
+    // (GraftSimilarity.survivorRerank — the q8 tier's exact stage-2)
+    GraftSimilarity.survivorRerank(
+      cand, index.assigned.select(col("n_id"), col("v")), q, k,
+      q.count() * kk)
   }
 
   /** One-shot train + encode + serve — the catalog/oracle entry point.
@@ -562,10 +585,12 @@ object GraftPq {
              rerankFactor: Int = 4,
              idCol: String = "vec_id", vecCol: String = "v",
              qIdCol: String = "q_id", qVecCol: String = "qv"): DataFrame = {
-    // persist the m·ksub-row codebook: it feeds THREE consumers (encode
-    // assignment, dot LUT, norm LUT) and each would otherwise re-run the
-    // full iterated train chain — the IvfIndex.persist convention
-    val cb = trainPq(collection, m, ksub, iters, idCol, vecCol).persist()
+    // materialize the m·ksub-row codebook: it feeds THREE consumers
+    // (encode assignment, dot LUT, norm LUT) and each would otherwise
+    // re-run the full iterated train chain; a local relation serves all
+    // three with nothing left behind to leak (ADVICE r11 — the previous
+    // persist had no unpersist point)
+    val cb = materialize(trainPq(collection, m, ksub, iters, idCol, vecCol))
     pqTopKWith(cb, pqEncode(collection, cb, idCol, vecCol), collection,
                queries, k, rerankFactor, idCol, vecCol, qIdCol, qVecCol)
   }

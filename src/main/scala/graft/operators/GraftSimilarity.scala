@@ -184,11 +184,16 @@ object GraftSimilarity {
       : DataFrame = {
     require(k >= 1, s"tierRecall: k must be >= 1, got $k")
     graft.GraftSession.ensureExtensions(collection.sparkSession)
-    // |Q|·k rows, three consumers (count + two semi-joins) — persist,
-    // the one-shot catalog convention
-    val truth = bruteForceTopK(collection, queries, k, idCol, vecCol,
-                               qIdCol, qVecCol)
-      .select(col("q_id"), col("n_id")).persist()
+    // |Q|·k rows (bounded by the eval-block contract), three consumers
+    // (count + two semi-joins) — materialize ONCE to a local relation
+    // instead of persist: a persisted frame with no unpersist point
+    // outlives the call and accumulates across catalog invocations in a
+    // long-lived session (ADVICE r11)
+    val truthDf = bruteForceTopK(collection, queries, k, idCol, vecCol,
+                                 qIdCol, qVecCol)
+      .select(col("q_id"), col("n_id"))
+    val truth = collection.sparkSession.createDataFrame(
+      java.util.Arrays.asList(truthDf.collect(): _*), truthDf.schema)
     val truthN = truth.groupBy("q_id").agg(count(lit(1)).as("__tn"))
     def leg(served: DataFrame, tier: String): DataFrame =
       broadcast(truthN).join(
@@ -1417,6 +1422,61 @@ object GraftSimilarity {
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 
+  /** Candidate-row gate below which the quantized serves' survivor fetch
+    * COLLECTS the (q_id, n_id) pairs and folds a literal `n_id IN (...)`
+    * predicate into the rerank scan — buying row-group pruning on the
+    * n_id-sorted cell files at the price of a driver materialization and
+    * a plan tree linear in the candidate count. PAST the gate the fetch
+    * must not grow with the batch (at |Q| = 50k, k·rf = 20 the literal
+    * form is a 1M-node plan tree and a 1M-row driver round-trip —
+    * VERDICT r11 #2), so the candidate frame stays DISTRIBUTED: it
+    * broadcasts into both the rerank pair join and a left-semi fetch
+    * filter — losing row-group pruning (the fetch re-reads the probed
+    * cells' vector column) but keeping the plan finite and the driver
+    * row-free; the two broadcasts are the same subtree, so ONE exchange
+    * computes and ships (ReuseExchange — SimilaritySpec pins the plan).
+    * Same convention as [[GraftPca.ProjectLiteralMaxDoubles]]; override
+    * per session with `spark.graft.survivorFetchMaxLiterals`. */
+  val SurvivorFetchMaxLiterals: Long = 1L << 16
+
+  private[operators] def survivorFetchGate(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.survivorFetchMaxLiterals")
+      .map(_.toLong).getOrElse(SurvivorFetchMaxLiterals)
+
+  /** Stage 2 of every quantized serve (q8 and PQ): exact-rerank the
+    * quantized cut's survivors `cand` (q_id, n_id) through the original
+    * vectors in `source` (n_id, v), cut to top-k per query. Gated in
+    * `boundRows` (the caller's |Q|·k·rerankFactor bound) between the
+    * literal-pushdown fetch and the broadcast-join fetch — the two paths
+    * are bit-identical (SimilaritySpec pins it); see
+    * [[SurvivorFetchMaxLiterals]] for the trade. */
+  private[operators] def survivorRerank(cand: DataFrame, source: DataFrame,
+                                        q: DataFrame, k: Int,
+                                        boundRows: Long): DataFrame = {
+    val spark = cand.sparkSession
+    if (boundRows <= survivorFetchGate(spark)) {
+      // bounded driver materialization buys the literal pushdown: with the
+      // store's n_id-sorted cell files, row-group min/max stats prune the
+      // exact-vector read to the pages actually holding survivors
+      val candRows = cand.collect()
+      val pairs = broadcast(spark.createDataFrame(
+        java.util.Arrays.asList(candRows: _*), cand.schema))
+      val survivorIds = candRows.map(_.get(1)).distinct.toSeq
+      val fetched = source.filter(col("n_id").isin(survivorIds: _*))
+      topK(pairs.join(fetched, "n_id").join(broadcast(q), "q_id")
+             .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
+    } else {
+      // distributed fetch: broadcast(cand) twice — identical subtrees, so
+      // ReuseExchange computes the quantized cut once and ships one
+      // broadcast; the semi join filters the vector read without any
+      // driver round-trip or plan-literal growth
+      val fetched = source.join(broadcast(cand), Seq("n_id"), "left_semi")
+      topK(broadcast(cand).join(fetched, "n_id").join(broadcast(q), "q_id")
+             .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
+    }
+  }
+
   /** Attach the q8 serving column to an in-memory index (the stored
     * layouts write it at rest — [[storedLayout]]); for parity tests and
     * in-flight q8 serving where no store exists. */
@@ -1467,7 +1527,6 @@ object GraftSimilarity {
       "the q8 layout (or compact a pre-q8 store to migrate it), or wrap " +
       "an in-memory index with q8Augment")
     graft.GraftSession.ensureExtensions(queries.sparkSession)
-    val spark = queries.sparkSession
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
     val probes = probeCells(q, index.centroids, nprobe, Seq("q_id", "qv"))
     val pq = broadcast(probes.withColumn("qq8", expr("graft_q8b(qv)")))
@@ -1487,16 +1546,12 @@ object GraftSimilarity {
       .groupBy("q_id")
       .agg(expr(s"graft_topk(qc, n_id, $kk)").as("tk"))
       .select(col("q_id"), explode(col("tk.id")).as("n_id"))
-    // bounded driver materialization (|Q|·k·rerankFactor rows) buys the
-    // literal pushdown for stage 2
-    val candRows = cand.collect()
-    val pairs = broadcast(spark.createDataFrame(
-      java.util.Arrays.asList(candRows: _*), cand.schema))
-    val survivorIds = candRows.map(_.get(1)).distinct.toSeq
-    val fetched = index.assigned.select(col("n_id"), col("v"))
-      .filter(col("n_id").isin(survivorIds: _*))
-    topK(pairs.join(fetched, "n_id").join(broadcast(q), "q_id")
-           .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
+    // stage 2, gated in |Q|·k·rerankFactor: literal `n_id IN (...)`
+    // row-group-pruned fetch below the gate, broadcast-join fetch past it
+    // (see survivorRerank / SurvivorFetchMaxLiterals). |Q| costs one count
+    // over the (bounded by the serving contract) query batch.
+    survivorRerank(cand, index.assigned.select(col("n_id"), col("v")),
+                   q, k, q.count() * kk)
   }
 
   /** Fixed-point grid for [[kmeansRefine]]'s centroid accumulation:

@@ -557,6 +557,50 @@ class SimilaritySpec extends GraftFunSuite {
     assert(aug == exact)
   }
 
+  test("survivorRerank |Q| gate: past the literal gate the q8 and PQ " +
+       "stored serves switch to the broadcast-join fetch — bit-identical " +
+       "results, one REUSED broadcast exchange instead of a driver " +
+       "collect and an In(n_id, ...) literal plan") {
+    import graft.operators.{GraftPq, GraftSimilarity}
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gate_store")
+      .toString
+    GraftPq.writeIvfPqStore(GraftSimilarity.buildIvfIndex(e),
+                            GraftPq.trainPq(e, m = 8, ksub = 16, iters = 2),
+                            dir)
+    val idx = GraftSimilarity.readIvfIndex(spark, dir)
+    def asSet(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                     r.getDouble(3))).toSet
+    val q8Lit = asSet(GraftSimilarity
+      .ivfTopKWithQ8(idx, q, k = 5, nprobe = 4, rerankFactor = 4).collect())
+    val pqLit = asSet(GraftPq
+      .ivfPqTopKStored(spark, dir, q, k = 5, nprobe = 4, rerankFactor = 4)
+      .collect())
+    spark.conf.set("spark.graft.survivorFetchMaxLiterals", "1")
+    try {
+      val q8Bc = GraftSimilarity
+        .ivfTopKWithQ8(idx, q, k = 5, nprobe = 4, rerankFactor = 4)
+      assert(asSet(q8Bc.collect()) == q8Lit,
+        "q8 serve must be bit-identical on both sides of the gate")
+      val q8Plan = q8Bc.queryExecution.executedPlan.toString
+      assert(q8Plan.contains("ReusedExchange"),
+        "the broadcast-path candidate frame must ship through ONE " +
+        s"reused exchange; plan:\n$q8Plan")
+      assert(!q8Plan.contains("PushedFilters: [In(n_id"),
+        "past the gate no literal n_id set may reach the scan")
+      val pqBc = GraftPq
+        .ivfPqTopKStored(spark, dir, q, k = 5, nprobe = 4, rerankFactor = 4)
+      assert(asSet(pqBc.collect()) == pqLit,
+        "PQ serve must be bit-identical on both sides of the gate")
+      assert(pqBc.queryExecution.executedPlan.toString
+               .contains("ReusedExchange"))
+    } finally spark.conf.unset("spark.graft.survivorFetchMaxLiterals")
+  }
+
   test("tierRecall: one row per (tier, query), recall in [0,1] against " +
        "the per-query truth count, and a covering rerank budget drives " +
        "BOTH tiers to recall 1.0 (the cut is the only loss source)") {
