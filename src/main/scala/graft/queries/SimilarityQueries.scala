@@ -205,6 +205,20 @@ object SimilarityQueries extends QueryModule {
       |      FROM scored)
       |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin
 
+  /** The delete-lifecycle oracle: [[ivfStoredOracleSql]] (build on the
+    * FULL collection — centroids and the query block are delete-invariant)
+    * with the candidate population filtered to the surviving ids. The
+    * anchored rewrite keeps the shared provenance explicit: any drift in
+    * the stored oracle flows into this one or fails loudly. */
+  private lazy val ivfDeleteOracleSql: String = {
+    val out = ivfStoredOracleSql.replace(
+      "WHERE a.vec_id != p.q_id)",
+      "WHERE a.vec_id != p.q_id AND a.vec_id % 7 != 3)")
+    require(out != ivfStoredOracleSql,
+      "ivfDeleteOracleSql: rewrite anchor moved in ivfStoredOracleSql")
+    out
+  }
+
   override def all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -380,6 +394,52 @@ object SimilarityQueries extends QueryModule {
                                     queryBlock(e), k = 5, nprobe = 4)
       },
       Some(ivfStoredOracleSql)),
+
+    // ROW DELETION from the at-rest stores — the takedown/opt-out path a
+    // production embedding store runs routinely (VERDICT r11 missing #1),
+    // certified on BOTH layouts against ONE oracle (delete semantics are
+    // layout-independent: serve-after-delete ≡ serve over the filtered
+    // population under the unchanged centroids — deletes never move
+    // cells). Directory layout: tombstone (reads mask immediately) then
+    // purge (tombstone-aware compaction physically rewrites exactly the
+    // touched cells and clears the applied tombstones) — the row runs
+    // BOTH phases, so the hash certifies mask ≡ purge ≡ filtered-serve.
+    GraftQuery(
+      "ann_ivf_delete",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val out =
+          s"/tmp/graft_io/${new java.io.File(dir).getName}/ivf_delete"
+        GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), out)
+        GraftSimilarity.deleteFromIvfStore(
+          s, out, e.filter(col("vec_id") % 7 === 3).select("vec_id"))
+        GraftSimilarity.purgeIvfTombstones(s, out)
+        GraftSimilarity.ivfTopKWith(GraftSimilarity.readIvfIndex(s, out),
+                                    queryBlock(e), k = 5, nprobe = 4)
+      },
+      Some(ivfDeleteOracleSql)),
+
+    // Manifest layout: delete publishes a version with the touched cell
+    // slivers rewritten (snapshot-scoped physical removal; time travel
+    // keeps pre-delete versions until vacuum — the compliance knob).
+    GraftQuery(
+      "ann_ivf_delete_manifest",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val out = s"/tmp/graft_io/${new java.io.File(dir).getName}" +
+          "/ivf_delete_manifest"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        graft.operators.IvfObjectStore.create(
+          s, GraftSimilarity.buildIvfIndex(e), out)
+        graft.operators.IvfObjectStore.delete(
+          s, out, e.filter(col("vec_id") % 7 === 3).select("vec_id"))
+        GraftSimilarity.ivfTopKWith(
+          graft.operators.IvfObjectStore.read(s, out),
+          queryBlock(e), k = 5, nprobe = 4)
+      },
+      Some(ivfDeleteOracleSql)),
 
     // The QUANTIZED at-rest serve tier (ivfTopKWithQ8): the store's cell
     // files carry q8 = graft_q8(v) next to the exact vectors; candidates

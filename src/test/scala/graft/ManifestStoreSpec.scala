@@ -382,4 +382,64 @@ class ManifestStoreSpec extends GraftFunSuite {
                serve(GraftSimilarity.ivfAppend(idx, rest), q))
     }
   }
+
+  test("delete: deleted ids never served at HEAD, serve-after-delete " +
+       "equals serve-over-filtered-population, readAt still serves the " +
+       "pre-delete snapshot, vacuum reclaims the rewritten slivers, a " +
+       "no-match delete publishes nothing, tags survive") {
+    withMockS3 { base =>
+      val e = vectors().filter(col("vec_id") < 120)
+      val seed = e.filter(col("vec_id") < 100)
+      val rest = e.filter(col("vec_id") >= 100)
+      val dir = s"s3a:$base/del"
+      IvfObjectStore.create(spark, GraftSimilarity.buildIvfIndex(seed), dir)
+      IvfObjectStore.append(spark, dir, rest, batchTag = Some("b1"))
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val preVersion = IvfObjectStore.versions(spark, dir).max
+      val preManifest = IvfObjectStore.currentManifest(fs, dir).get
+      val preServe = serve(IvfObjectStore.read(spark, dir), q)
+      // delete every vec_id % 7 == 3 (some are in the top-5 lists)
+      val delIds = e.filter(col("vec_id") % 7 === 3).select("vec_id")
+      assert(IvfObjectStore.delete(spark, dir, delIds) > 0)
+      val head = IvfObjectStore.read(spark, dir)
+      assert(head.assigned.filter(col("n_id") % 7 === 3).count() == 0,
+        "deleted ids must be gone from the HEAD snapshot")
+      // serve-after-delete ≡ serve over the filtered population under the
+      // SAME (pre-delete) centroids — deletes never move cells
+      val expected = GraftSimilarity.IvfIndex(
+        head.centroids,
+        GraftSimilarity.ivfAppend(GraftSimilarity.buildIvfIndex(seed), rest)
+          .assigned.filter(col("n_id") % 7 =!= 3))
+      assert(serve(head, q) == serve(expected, q),
+        "served HEAD must equal the filtered-population serve")
+      // time travel: the pre-delete version still serves what it did
+      assert(serve(IvfObjectStore.readAt(spark, dir, preVersion), q)
+               == preServe)
+      // tags ride the chain: the replayed tagged batch stays a no-op
+      val rows = head.assigned.count()
+      IvfObjectStore.append(spark, dir, rest, batchTag = Some("b1"))
+      assert(IvfObjectStore.read(spark, dir).assigned.count() == rows,
+        "a committed tag must no-op after a delete")
+      // no-match delete: nothing staged, nothing published
+      val vBefore = IvfObjectStore.versions(spark, dir).max
+      assert(IvfObjectStore.delete(spark, dir,
+        spark.range(9000000, 9000005).selectExpr("id AS vec_id")) == 0)
+      assert(IvfObjectStore.versions(spark, dir).max == vBefore,
+        "a delete matching no live row must not publish a version")
+      // vacuum reclaims the rewritten slivers (and the old manifests)
+      val headManifest = IvfObjectStore.currentManifest(fs, dir).get
+      val replaced = preManifest.data.toSet -- headManifest.data.toSet
+      assert(replaced.nonEmpty, "the delete must have rewritten slivers")
+      Thread.sleep(10)
+      assert(IvfObjectStore.vacuum(spark, dir, 1) >= replaced.size)
+      assert(replaced.forall(r =>
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$r"))),
+        "vacuum must reclaim the pre-delete slivers")
+      assert(serve(IvfObjectStore.read(spark, dir), q) == serve(expected, q),
+        "vacuum must never touch the live snapshot")
+    }
+  }
 }

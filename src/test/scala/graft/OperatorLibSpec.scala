@@ -1028,6 +1028,78 @@ class OperatorLibSpec extends GraftFunSuite {
     }
   }
 
+  test("directory-store deletes: tombstones mask ids on every read " +
+       "immediately, an appended re-add stays masked until purge, purge " +
+       "physically removes the rows and clears applied tombstones, and a " +
+       "full rewrite supersedes pending tombstones") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      .filter(col("vec_id") < 300)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_del").toString
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    def rawIds() = spark.read.parquet(s"$dir/assigned")
+      .select("n_id").collect().map(_.getLong(0)).toSet
+    try {
+      val full = GraftSimilarity.buildIvfIndex(e).persist()
+      GraftSimilarity.writeIvfIndex(full, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      GraftSimilarity.deleteFromIvfStore(
+        spark, dir, e.filter(col("vec_id") % 7 === 3).select("vec_id"))
+      // masked immediately on read, for the exact AND the q8 serve path
+      val masked = GraftSimilarity.readIvfIndex(spark, dir)
+      assert(masked.assigned.filter(col("n_id") % 7 === 3).count() == 0)
+      val expected = GraftSimilarity.IvfIndex(
+        full.centroids, full.assigned.filter(col("n_id") % 7 =!= 3))
+      val servedAfter = GraftSimilarity.ivfTopKWith(masked, q, k = 5)
+        .collect().map(key).toSet
+      assert(servedAfter ==
+        GraftSimilarity.ivfTopKWith(expected, q, k = 5)
+          .collect().map(key).toSet,
+        "serve-after-delete must equal serve-over-filtered-population")
+      assert(GraftSimilarity
+        .ivfTopKWithQ8(masked, q, k = 5, rerankFactor = 4).collect()
+        .forall(_.getLong(1) % 7 != 3),
+        "the q8 tier must mask tombstoned ids too")
+      // the bytes are still there (mask is logical until purge), and a
+      // re-added tombstoned id stays masked
+      assert(rawIds().exists(_ % 7 == 3), "tombstone is a mask, not a rewrite")
+      GraftSimilarity.appendIvfStore(
+        spark, dir, e.filter(col("vec_id") === 3), batchTag = Some("readd"))
+      assert(GraftSimilarity.readIvfIndex(spark, dir)
+        .assigned.filter(col("n_id") === 3).count() == 0,
+        "a tombstone masks its id until purged — re-add requires purge first")
+      // purge: physical removal, tombstone files cleared, serve unchanged
+      assert(GraftSimilarity.purgeIvfTombstones(spark, dir) > 0)
+      assert(!rawIds().exists(_ % 7 == 3), "purge must remove the bytes")
+      assert(new java.io.File(s"$dir/tombstones").listFiles() == null ||
+             !new java.io.File(s"$dir/tombstones").listFiles()
+               .exists(_.getName.endsWith(".parquet")),
+        "applied tombstone files must be cleared")
+      assert(GraftSimilarity
+        .ivfTopKWith(GraftSimilarity.readIvfIndex(spark, dir), q, k = 5)
+        .collect().map(key).toSet == servedAfter)
+      // after purge a re-add is visible again (purge-then-re-add)
+      GraftSimilarity.appendIvfStore(
+        spark, dir, e.filter(col("vec_id") === 3), batchTag = Some("readd2"))
+      assert(GraftSimilarity.readIvfIndex(spark, dir)
+        .assigned.filter(col("n_id") === 3).count() == 1)
+      // a FULL rewrite supersedes pending tombstones entirely
+      GraftSimilarity.deleteFromIvfStore(
+        spark, dir, e.filter(col("vec_id") % 5 === 1).select("vec_id"))
+      GraftSimilarity.writeIvfIndex(full, dir)
+      assert(GraftSimilarity.readIvfIndex(spark, dir)
+        .assigned.filter(col("n_id") % 5 === 1).count() > 0,
+        "writeIvfIndex must drop stale tombstones with the old population")
+      full.unpersist()
+      ()
+    } finally org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dir))
+  }
+
   test("IVF drift lifecycle: skewed appends trip ivfMaybeRebuild, the " +
        "rebuild caps the occupancy tail, serve parity holds; a healthy " +
        "index passes through untouched") {
