@@ -1328,6 +1328,187 @@ object SimilarityQueries extends QueryModule {
         |SELECT 'pq' AS tier, tn.q_id, coalesce(hpq.n_hits, 0) AS n_hits,
         |       round(coalesce(hpq.n_hits, 0) * 1.0 / tn.t_n, 4) AS recall
         |FROM tn LEFT JOIN hpq USING (q_id)""".stripMargin)),
+
+    // Rerank-budget SWEEP for the PQ tier ([[GraftPq.pqBudgetSweep]] —
+    // the measurement pqAutoBudget picks deployment budgets from): ONE
+    // train/encode/ADC pass at the largest budget, every smaller budget
+    // replays the single ranked candidate set as a prefix cut, recall
+    // against the exact truth aggregated over the eval block. The 64×
+    // tier's recall price as a function of the budget knob, as a query.
+    // The oracle replays seed pick, both Lloyd rounds, encode, ADC
+    // ranking, each budget's prefix rerank, and the truth join.
+    GraftQuery(
+      "ann_pq_budget_sweep",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        graft.operators.GraftPq.pqBudgetSweep(
+          e, queryBlock(e), k = 5, rerankFactors = Seq(1, 2, 4),
+          m = 8, ksub = 16, iters = 2)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |$pqTrainCtes,
+        |sc AS (SELECT en.vec_id n_id, ld.q_id, sum(ld.d) ad, sum(ln.nn) an
+        |       FROM enc en
+        |       JOIN lutd ld ON ld.sub_id = en.sub_id AND ld.code = en.code
+        |       JOIN lutn ln ON ln.sub_id = en.sub_id AND ln.code = en.code
+        |       WHERE en.vec_id != ld.q_id
+        |       GROUP BY en.vec_id, ld.q_id),
+        |adc AS (SELECT q.q_id, sc.n_id,
+        |          CASE WHEN sc.an = 0 OR q.qn = 0 THEN 0.0
+        |               ELSE sc.ad / sqrt(q.qn * sc.an) END ac
+        |        FROM sc JOIN q ON q.q_id = sc.q_id),
+        |ar AS (SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY ac DESC, n_id) arnk
+        |       FROM adc),
+        |rfs AS (SELECT unnest([1, 2, 4]) rf),
+        |pc AS (SELECT rfs.rf, ar.q_id, ar.n_id
+        |       FROM ar, rfs WHERE ar.arnk <= rfs.rf * 5),
+        |ps AS (SELECT c.rf, c.q_id, c.n_id,
+        |         list_cosine_similarity(qe.v, ne.v) cs
+        |       FROM pc c JOIN e qe ON qe.vec_id = c.q_id
+        |                 JOIN e ne ON ne.vec_id = c.n_id),
+        |srv AS (SELECT rf, q_id, n_id FROM (
+        |          SELECT rf, q_id, n_id,
+        |            row_number() OVER (PARTITION BY rf, q_id
+        |              ORDER BY cs DESC, n_id) rnk
+        |          FROM ps) WHERE rnk <= 5),
+        |tq AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |tru AS (SELECT q_id, n_id FROM (
+        |         SELECT t.q_id, e.vec_id n_id,
+        |           row_number() OVER (PARTITION BY t.q_id
+        |             ORDER BY list_cosine_similarity(t.qv, e.v) DESC,
+        |                      e.vec_id) rnk
+        |         FROM tq t JOIN e ON e.vec_id != t.q_id) WHERE rnk <= 5),
+        |tx AS (SELECT rfs.rf, tru.q_id, tru.n_id FROM tru CROSS JOIN rfs),
+        |h AS (SELECT tx.rf, srv.n_id IS NOT NULL hit
+        |      FROM tx LEFT JOIN srv ON srv.rf = tx.rf
+        |                           AND srv.q_id = tx.q_id
+        |                           AND srv.n_id = tx.n_id)
+        |SELECT CAST(rf AS BIGINT) AS rerank_factor,
+        |       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_hits,
+        |       CAST(count(*) AS BIGINT) AS n_truth,
+        |       round(sum(CASE WHEN hit THEN 1 ELSE 0 END) * 1.0
+        |             / count(*), 4) AS recall
+        |FROM h GROUP BY rf""".stripMargin)),
+
+    // Hybrid retrieval over the 64× PQ tier
+    // ([[HybridRetrieval.hybridTopKPqStored]]): BM25 fused (RRF) with the
+    // ADC leg served straight off an at-rest PQ store — write store,
+    // read, serve, fuse, one row. Same fusion contract as ann_hybrid_ivf;
+    // only the semantic leg's candidate tier differs (stored code words +
+    // exact rerank instead of raw vectors). The oracle composes the
+    // proven lexical CTEs, the IVF probe CTEs, the shared PQ train/LUT
+    // CTEs, the ADC cut at kCand·rerankFactor = 120, and the fusion.
+    GraftQuery(
+      "ann_hybrid_pq",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("q_terms"),
+                  col("v").as("qv"))
+        val out = s"/tmp/graft_io/${new java.io.File(dir).getName}" +
+          "/hybrid_pq_store"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        graft.operators.GraftPq.writeIvfPqStore(
+          GraftSimilarity.buildIvfIndex(e),
+          graft.operators.GraftPq.trainPq(e, m = 8, ksub = 16, iters = 2),
+          out)
+        graft.operators.HybridRetrieval.hybridTopKPqStored(
+          s, out, docs, queries, k = 10, kCand = 30, rrfK = 60,
+          nprobe = 4, rerankFactor = 4)
+      },
+      Some(s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |qd AS (
+        |  SELECT doc_id q_id, regexp_split_to_array(trim(text), '\\s+') qtk
+        |  FROM documents WHERE doc_id < 10),
+        |qt AS (SELECT q_id, unnest(list_distinct(qtk)) term FROM qd),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') tk
+        |      FROM documents),
+        |stats AS (SELECT count(*) n, avg(len(tk)) avgdl FROM d),
+        |trm AS (
+        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM trm GROUP BY 1),
+        |ls AS (
+        |  SELECT qt.q_id, trm.doc_id,
+        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |          * 1000000.0) AS BIGINT)) score
+        |  FROM trm JOIN qt USING (term) JOIN df USING (term), stats
+        |  WHERE trm.doc_id != qt.q_id GROUP BY 1, 2),
+        |lrk AS (
+        |  SELECT q_id, doc_id, lex_rank FROM (
+        |    SELECT q_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+        |      lex_rank
+        |    FROM ls) WHERE lex_rank <= 30),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |ic AS (SELECT vec_id c_id, v cv FROM e
+        |       WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |ia AS (
+        |  SELECT vec_id, c_id FROM (
+        |    SELECT e.vec_id, ic.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, ic.cv) DESC, ic.c_id) arnk
+        |    FROM e, ic) WHERE arnk = 1),
+        |q0 AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q0.q_id, ic.c_id,
+        |      row_number() OVER (PARTITION BY q0.q_id
+        |        ORDER BY list_cosine_similarity(q0.qv, ic.cv) DESC, ic.c_id) prnk
+        |    FROM q0, ic) WHERE prnk <= 4),
+        |$pqTrainCtes,
+        |sc AS (SELECT en.vec_id n_id, p.q_id, sum(ld.d) ad, sum(ln.nn) an
+        |       FROM ia a
+        |       JOIN probes p ON p.c_id = a.c_id
+        |       JOIN enc en ON en.vec_id = a.vec_id
+        |       JOIN lutd ld ON ld.q_id = p.q_id
+        |                   AND ld.sub_id = en.sub_id AND ld.code = en.code
+        |       JOIN lutn ln ON ln.sub_id = en.sub_id AND ln.code = en.code
+        |       WHERE a.vec_id != p.q_id
+        |       GROUP BY en.vec_id, p.q_id),
+        |adc AS (SELECT q.q_id, sc.n_id,
+        |          CASE WHEN sc.an = 0 OR q.qn = 0 THEN 0.0
+        |               ELSE sc.ad / sqrt(q.qn * sc.an) END ac
+        |        FROM sc JOIN q ON q.q_id = sc.q_id),
+        |pc AS (SELECT q_id, n_id FROM (
+        |         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |           ORDER BY ac DESC, n_id) r FROM adc) WHERE r <= 120),
+        |ps AS (SELECT c.q_id, c.n_id, list_cosine_similarity(qe.v, ne.v) cs
+        |       FROM pc c JOIN e qe ON qe.vec_id = c.q_id
+        |                 JOIN e ne ON ne.vec_id = c.n_id),
+        |srk AS (
+        |  SELECT q_id, doc_id, sem_rank FROM (
+        |    SELECT q_id, n_id doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cs DESC, n_id) AS BIGINT)
+        |      sem_rank
+        |    FROM ps) WHERE sem_rank <= 30),
+        |f AS (
+        |  SELECT q_id, doc_id, lex_rank, sem_rank,
+        |    coalesce(CAST(round(1000000000.0 / (60 + lex_rank)) AS BIGINT),
+        |             0)
+        |    + coalesce(CAST(round(1000000000.0 / (60 + sem_rank)) AS BIGINT),
+        |               0) rrf
+        |  FROM lrk FULL OUTER JOIN srk USING (q_id, doc_id))
+        |SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
+        |  SELECT q_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
+        |    rrf, lex_rank, sem_rank
+        |  FROM f) WHERE rank <= 10""".stripMargin)),
   )
 
   /** The IVF×PQ oracle — hash-cut centroids, argmax assign, ranked

@@ -349,6 +349,51 @@ class PqSpec extends GraftFunSuite {
     } finally { cb.unpersist(); () }
   }
 
+  test("pqBudgetSweep: recall non-decreasing in budget, each swept row " +
+       "equals the serving path at that budget, a covering budget reaches " +
+       "1.0; pqAutoBudget picks the smallest budget meeting the target") {
+    val e = planted
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val n = e.count().toInt
+    val rfs = Seq(1, 4, n) // n covers every candidate at k = 5
+    val sweep = GraftPq.pqBudgetSweep(e, q, k = 5, rerankFactors = rfs,
+                                      m = 4, ksub = 8, iters = 2)
+      .orderBy("rerank_factor").collect()
+    assert(sweep.length == 3)
+    assert(sweep.map(_.getLong(0)).toSeq == rfs.map(_.toLong))
+    val recalls = sweep.map(_.getDouble(3))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      s"recall must be non-decreasing in budget: ${recalls.toSeq}")
+    assert(recalls.last == 1.0,
+      "a covering budget leaves the exact rerank nothing to miss")
+    // serving-path consistency: the rf = 4 row counts exactly the hits
+    // the DEPLOYED serve (pqTopK at rf = 4) makes against the truth
+    val truth = GraftSimilarity.bruteForceTopK(e, q, k = 5)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = GraftPq.pqTopK(e, q, k = 5, m = 4, ksub = 8, iters = 2,
+                                rerankFactor = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row4 = sweep.find(_.getLong(0) == 4L).get
+    assert(row4.getLong(1) == served.intersect(truth).size.toLong &&
+           row4.getLong(2) == truth.size.toLong,
+      "the sweep row must count the serving path's own hits")
+    // auto budget: smallest swept budget meeting the target, met flag
+    val target = row4.getDouble(3)
+    val expectRf = sweep.find(_.getDouble(3) >= target).get.getLong(0).toInt
+    val pick = GraftPq.pqAutoBudget(e, q, k = 5, targetRecall = target,
+                                    candidates = rfs, m = 4, ksub = 8)
+    assert(pick.met && pick.rerankFactor == expectRf &&
+           pick.recall >= target)
+    if (recalls.head < 1.0) {
+      val miss = GraftPq.pqAutoBudget(e, q, k = 5, targetRecall = 1.0,
+                                      candidates = Seq(1), m = 4, ksub = 8)
+      assert(!miss.met && miss.rerankFactor == 1,
+        "an unmet target must come back flagged with the largest budget")
+    }
+  }
+
   test("ragged dimension fails loudly: dim not divisible by m") {
     val ragged = Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "v")
     val ex = intercept[Exception] {

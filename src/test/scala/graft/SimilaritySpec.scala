@@ -490,6 +490,47 @@ class SimilaritySpec extends GraftFunSuite {
     } finally { idx.unpersist(); () }
   }
 
+  test("hybridTopKWithPq: covering nprobe + covering rerank budget equals " +
+       "the brute hybrid tier bit-for-bit, served straight off the at-rest " +
+       "PQ store; lexical candidates survive any semantic cut") {
+    import graft.operators.{GraftPq, GraftSimilarity, GraftText,
+                            HybridRetrieval}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val queries = docs.filter(col("doc_id") < 10)
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("q_id"),
+              GraftText.whitespaceTokens(col("text")).as("q_terms"),
+              col("v").as("qv"))
+    val idx = GraftSimilarity.buildIvfIndex(e)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid_pq")
+      .toString
+    GraftPq.writeIvfPqStore(idx, GraftPq.trainPq(e, m = 4, ksub = 8,
+                                                 iters = 2), dir)
+    val cells = idx.centroids.count().toInt
+    val coveringRf = (e.count().toInt / 30) + 1 // kCand·rf ≥ N
+    val brute = HybridRetrieval
+      .hybridTopK(docs, e, queries, k = 10, kCand = 30).collect().toSet
+    val pqServed = HybridRetrieval
+      .hybridTopKPqStored(spark, dir, docs, queries, k = 10, kCand = 30,
+                          nprobe = cells, rerankFactor = coveringRf)
+      .collect().toSet
+    assert(pqServed == brute,
+      "covering probe + covering budget must reproduce the brute fusion")
+    // a REAL cut (default budget, nprobe 1): lexically-surfaced documents
+    // can never be lost — the PQ trade is confined to the semantic leg
+    val pruned = HybridRetrieval
+      .hybridTopKPqStored(spark, dir, docs, queries, k = 60, kCand = 30,
+                          nprobe = 1, rerankFactor = 4)
+      .collect()
+    val lexDocs = brute.toSeq.filter(!_.isNullAt(4))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lexDocs.subsetOf(
+      pruned.map(r => (r.getLong(0), r.getLong(1))).toSet),
+      "lexical-leg candidates must survive any semantic cut")
+  }
+
   test("ivfTopKWithQ8: q8 store layout (column present, n_id-sorted cells); " +
        "covering rerankFactor equals the exact serve; survivor fetch " +
        "pushes a literal n_id filter into the store scan") {
