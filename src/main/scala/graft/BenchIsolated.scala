@@ -26,14 +26,17 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchIsolated {
   /** Queries flagged for arbitration this round (SCALE.md cites the
-    * committed artifact these produce): the five unadjudicated >2×
-    * regressions of the r8 committed bench record (r8 verdict item 1 —
-    * untouched code, contaminated-machine signature) plus the two worst
-    * honest curation-tier 10× ratios kept in view (item 8). */
+    * committed artifact these produce). r12 set: the r11 verdict's one
+    * evidence-weak row (`pipeline_corpus_curation` — committed record
+    * and driver sweep diverged 2.8× on identical code; this fresh-JVM
+    * row is the arbiter), the rest of the r11 top-5 cost rows (none had
+    * an isolated record), and this round's four new oracled rows. */
   val DefaultFlagged: Seq[String] = Seq(
-    "dedup_semantic", "mm_embed_ann", "events_sessionize",
-    "events_asof_join", "dedup_exact",
-    "dedup_substring_keepfirst", "text_gopher_quality")
+    "pipeline_corpus_curation",
+    "ann_ivf_pq_manifest", "ann_ivf_stored_pq", "text_bpe_segment",
+    "ann_hybrid_ivf",
+    "ann_ivf_delete", "ann_ivf_delete_manifest",
+    "ann_pq_budget_sweep", "ann_hybrid_pq")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

@@ -44,7 +44,13 @@ object PlanDump {
                     "ann_recall_sweep", "ann_ivf_stored_q8",
                     "ann_pq_adc", "ann_ivf_pq", "ann_ivf_stored_pq",
                     "ann_ivf_pq_manifest", "ann_tier_recall",
-                    "text_heavy_hitters")
+                    "text_heavy_hitters",
+                    // r12: the most expensive bench row finally pinned
+                    // (r11 verdict #1), the delete lifecycle on both
+                    // layouts, the budget sweep, hybrid over PQ
+                    "pipeline_corpus_curation", "ann_ivf_delete",
+                    "ann_ivf_delete_manifest", "ann_pq_budget_sweep",
+                    "ann_hybrid_pq")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

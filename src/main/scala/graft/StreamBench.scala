@@ -49,6 +49,20 @@ object StreamBench {
     * auto-applies only when the run's SF dir is the baselined sf0.1
     * corpus; SPARK_GRAFT_STREAMBENCH_GATE=on|off forces it either way.
     * Re-baseline again when the medians legitimately move. */
+  /** Aggregate floor complementing the per-op floors (VERDICT r11 #6,
+    * ADVICE r11): the r11 re-baselining episode's own data showed per-op
+    * MEDIANS swinging up to 2× between same-code idle runs while the SUM
+    * of medians stayed within ~5% — so the total is the tighter signal.
+    * A single operator regressing 2–3× (10–30 s on this suite) moves the
+    * sum past this bound while the loosened per-op floors (structural-
+    * catastrophe detectors at 5–10× headroom) stay silent. Baseline =
+    * the committed r11 STREAMBENCH total over the 21 floored operators;
+    * the 1/0.7 bound absorbs the observed <5% total swing with wide
+    * margin. RE-BASELINE (like the per-op floors) when an operator is
+    * added to the suite or the medians legitimately move. */
+  val BaselineTotalSec: Double = 102.6
+  val AggregateBoundFactor: Double = 1.0 / 0.7
+
   val throughputFloors: Map[String, Double] = Map(
     "sb_dedup"               -> 293,
     "sb_media_embed"         -> 1774,
@@ -567,7 +581,7 @@ object StreamBench {
         val s = spread.sorted
         r.name -> (r.rowsIn / math.max(s(s.size / 2), 1e-9))
       }.toMap
-      val violations = throughputFloors.toSeq.sortBy(_._1).flatMap {
+      val perOpViolations = throughputFloors.toSeq.sortBy(_._1).flatMap {
         case (name, floor) =>
           medByName.get(name) match {
             case None =>
@@ -577,6 +591,25 @@ object StreamBench {
             case _ => None
           }
       }
+      // aggregate floor over the FLOORED set (see BaselineTotalSec): the
+      // sum of medians is stable where single medians swing, so it trips
+      // on a single-operator 2-3x regression the per-op floors now miss
+      val totalSec = collapsed
+        .filter { case (r, _) => throughputFloors.contains(r.name) }
+        .map { case (_, spread) =>
+          val s = spread.sorted; s(s.size / 2)
+        }.sum
+      val aggBound = BaselineTotalSec * AggregateBoundFactor
+      val aggViolation =
+        if (totalSec > aggBound)
+          Seq(f"TOTAL: sum of medians $totalSec%.1f s > $aggBound%.1f s " +
+              f"(baseline $BaselineTotalSec%.1f s x $AggregateBoundFactor%.2f)")
+        else {
+          println(f"[streambench] aggregate floor: $totalSec%.1f s <= " +
+                  f"$aggBound%.1f s")
+          Seq.empty
+        }
+      val violations = perOpViolations ++ aggViolation
       if (violations.nonEmpty) {
         System.err.println(
           s"[streambench] REGRESSION GATE FAILED (${violations.size}):")
@@ -584,7 +617,7 @@ object StreamBench {
         sys.exit(1)
       }
       println(s"[streambench] regression gate passed: " +
-              s"${throughputFloors.size} floors held")
+              s"${throughputFloors.size} per-op floors + aggregate held")
     } else println("[streambench] regression gate skipped " +
                    "(non-sf0.1 corpus or disabled via env)")
   }
