@@ -161,6 +161,40 @@ object HybridRetrieval {
     fuse(lexRanks(docs, q, kCand, idCol, textCol, k1, b), sem, k, rrfK)
   }
 
+  /** The fused top-`k` over the q8 (8×) tier: semantic leg through
+    * [[GraftSimilarity.ivfTopKWithQ8]] — integer candidate scoring off
+    * the store's byte-packed `q8` column in the probed cells, exact
+    * rerank of kCand·rerankFactor survivors — behind the same rank-only
+    * fusion contract. Completes the serving matrix (brute / IVF / q8 /
+    * PQ, each behind one fusion): at a covering budget the q8 cut loses
+    * nothing, so covering nprobe + covering rerankFactor equals
+    * [[hybridTopK]] exactly (spec-pinned). `index.assigned` must carry
+    * `q8` (stores written at r11+ do; [[GraftSimilarity.q8Augment]] for
+    * in-memory indexes).
+    */
+  def hybridTopKWithQ8(index: IvfIndex, docs: DataFrame, queries: DataFrame,
+                       k: Int = 10, kCand: Int = 30, rrfK: Int = 60,
+                       nprobe: Int = 4, rerankFactor: Int = 4,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       qIdCol: String = "q_id", qTermsCol: String = "q_terms",
+                       qVecCol: String = "qv",
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    requireParams(k, kCand, rrfK, "hybridTopKWithQ8")
+    require(nprobe >= 1, s"hybridTopKWithQ8: nprobe must be >= 1, got $nprobe")
+    require(rerankFactor >= 1,
+      s"hybridTopKWithQ8: rerankFactor must be >= 1, got $rerankFactor")
+    graft.GraftSession.ensureExtensions(docs.sparkSession)
+    val q = queries.select(col(qIdCol).as("q_id"),
+                           col(qTermsCol).as("__qtk"),
+                           col(qVecCol).as("__qv"))
+    val sem = GraftSimilarity.ivfTopKWithQ8(
+        index, q.select(col("q_id"), col("__qv").as("qv")), kCand,
+        nprobe, rerankFactor)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+              col("rnk").as("sem_rank"))
+    fuse(lexRanks(docs, q, kCand, idCol, textCol, k1, b), sem, k, rrfK)
+  }
+
   /** The fused top-`k` over the 64× PQ tier: semantic leg through
     * [[GraftPq.ivfPqTopKWithCw]] — ADC candidate scoring off the store's
     * m-byte code words in the probed cells, exact rerank of

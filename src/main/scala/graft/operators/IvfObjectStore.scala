@@ -598,9 +598,19 @@ object IvfObjectStore {
     * pass re-reads the chain and re-targets, keeping staged rewrites for
     * cells whose live file set did not change (the [[compact]] retry
     * shape). Returns cells rewritten (0 when no live row matches).
+    *
+    * `batchTag` gives replays idempotence exactly like [[append]]'s: a
+    * tag already in the manifest no-ops BEFORE any work (the tag is
+    * recorded only when the delete actually publishes — a no-match
+    * delete is naturally idempotent and records nothing).
+    * [[deleteStream]] is the streaming opt-out twin built on it.
     */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
-             idCol: String = "vec_id"): Int = {
+             idCol: String = "vec_id",
+             batchTag: Option[String] = None): Int = {
+    batchTag.foreach(t => require(t.matches("[A-Za-z0-9_]+"),
+      s"batchTag '$t' must match [A-Za-z0-9_]+ (same tag grammar as " +
+      "append: silent sanitization could collide two tags)"))
     graft.GraftSession.ensureExtensions(spark)
     val fs = fsOf(spark, dir)
     val del = ids.select(col(idCol).cast("long").as("n_id")).distinct()
@@ -612,6 +622,7 @@ object IvfObjectStore {
       val m = currentManifest(fs, dir).getOrElse(
         throw new ManifestStoreException(
           s"IvfObjectStore.delete: no valid manifest under $dir"))
+      if (batchTag.exists(m.tags.contains)) return 0 // committed replay
       if (m.data.isEmpty) return 0
       // locate touched cells: ONE (n_id, c_id)-pruned scan of the live
       // file set — deleted ids can sit anywhere, so a linear skinny scan
@@ -656,7 +667,8 @@ object IvfObjectStore {
           files.filterNot(stagedFor(cell)._1.contains)
         }
       if (publish(fs, dir,
-                  Manifest(m.version + 1, m.centroids, nextData, m.tags)))
+                  Manifest(m.version + 1, m.centroids, nextData,
+                           m.tags ++ batchTag)))
         return replaced.size
       healTorn(fs, dir, m.version + 1)
       publishBackoff(attempt)
@@ -665,6 +677,27 @@ object IvfObjectStore {
     throw new ManifestConflict(
       s"IvfObjectStore.delete: lost the publish race $PublishRetries " +
       s"times on $dir — serialize committers or raise retries")
+  }
+
+  /** Streaming opt-out/takedown ingest — the delete twin of
+    * [[ingestStream]]: every micro-batch of ids is one tagged [[delete]]
+    * (`<streamId>_d<batchId>` — a distinct tag namespace from append's
+    * `_b`, so one streamId can drive both directions), and a checkpoint
+    * replay no-ops on the manifest's tag set. The snapshot-log delete
+    * semantics apply per micro-batch: rows appended AFTER a batch's
+    * publish are later writes and win. */
+  def deleteStream(dir: String, ids: DataFrame, streamId: String,
+                   idCol: String = "vec_id")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.matches("[A-Za-z0-9_]+"),
+      s"streamId '$streamId' must match [A-Za-z0-9_]+ (it prefixes the " +
+      "store's idempotency tags)")
+    graft.GraftSession.ensureExtensions(ids.sparkSession)
+    ids.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      delete(batch.sparkSession, dir, batch.select(col(idCol)), idCol,
+             batchTag = Some(s"${streamId}_d$batchId"))
+      ()
+    }
   }
 
   private[graft] def cellOf(rel: String): String = {

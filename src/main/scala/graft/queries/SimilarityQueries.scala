@@ -1329,6 +1329,120 @@ object SimilarityQueries extends QueryModule {
         |       round(coalesce(hpq.n_hits, 0) * 1.0 / tn.t_n, 4) AS recall
         |FROM tn LEFT JOIN hpq USING (q_id)""".stripMargin)),
 
+    // Hybrid retrieval over the q8 tier ([[HybridRetrieval
+    // .hybridTopKWithQ8]]): BM25 fused with the integer-scored candidate
+    // tier served off the store's byte-packed q8 column — completes the
+    // serving matrix (brute / IVF / q8 / PQ, one fusion contract). The
+    // oracle composes the lexical CTEs with ann_ivf_stored_q8's quantized
+    // probe/cut/rerank replay at the hybrid's kCand·rerankFactor = 120.
+    GraftQuery(
+      "ann_hybrid_q8",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("q_terms"),
+                  col("v").as("qv"))
+        val out = s"/tmp/graft_io/${new java.io.File(dir).getName}" +
+          "/hybrid_q8_store"
+        GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), out)
+        graft.operators.HybridRetrieval.hybridTopKWithQ8(
+          GraftSimilarity.readIvfIndex(s, out), docs, queries,
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4, rerankFactor = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |qd AS (
+        |  SELECT doc_id q_id, regexp_split_to_array(trim(text), '\s+') qtk
+        |  FROM documents WHERE doc_id < 10),
+        |qt AS (SELECT q_id, unnest(list_distinct(qtk)) term FROM qd),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |      FROM documents),
+        |stats AS (SELECT count(*) n, avg(len(tk)) avgdl FROM d),
+        |trm AS (
+        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM trm GROUP BY 1),
+        |ls AS (
+        |  SELECT qt.q_id, trm.doc_id,
+        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |          * 1000000.0) AS BIGINT)) score
+        |  FROM trm JOIN qt USING (term) JOIN df USING (term), stats
+        |  WHERE trm.doc_id != qt.q_id GROUP BY 1, 2),
+        |lrk AS (
+        |  SELECT q_id, doc_id, lex_rank FROM (
+        |    SELECT q_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+        |      lex_rank
+        |    FROM ls) WHERE lex_rank <= 30),
+        |mx AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) m FROM e),
+        |q8 AS (SELECT vec_id, v,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x * 127.0 / m)) END q
+        |       FROM mx),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |qq AS (SELECT vec_id q_id, v qv, q qq8 FROM q8 WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, qv, qq8, c_id FROM (
+        |    SELECT qq.q_id, qq.qv, qq.qq8, c.c_id,
+        |      row_number() OVER (PARTITION BY qq.q_id
+        |        ORDER BY list_cosine_similarity(qq.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM qq, c) WHERE prnk <= 4),
+        |ap AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    CASE WHEN list_dot_product(a8.q, a8.q) = 0
+        |           OR list_dot_product(p.qq8, p.qq8) = 0 THEN 0.0
+        |         ELSE list_dot_product(p.qq8, a8.q)
+        |              / sqrt(list_dot_product(a8.q, a8.q)
+        |                     * list_dot_product(p.qq8, p.qq8)) END ac
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  JOIN q8 a8 ON a8.vec_id = a.vec_id
+        |  WHERE a.vec_id != p.q_id),
+        |qcand AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) r
+        |    FROM ap) WHERE r <= 120),
+        |qscored AS (
+        |  SELECT cd.q_id, cd.n_id, list_cosine_similarity(qq.qv, e.v) cs
+        |  FROM qcand cd
+        |  JOIN qq ON qq.q_id = cd.q_id
+        |  JOIN e ON e.vec_id = cd.n_id),
+        |srk AS (
+        |  SELECT q_id, doc_id, sem_rank FROM (
+        |    SELECT q_id, n_id doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cs DESC, n_id) AS BIGINT)
+        |      sem_rank
+        |    FROM qscored) WHERE sem_rank <= 30),
+        |f AS (
+        |  SELECT q_id, doc_id, lex_rank, sem_rank,
+        |    coalesce(CAST(round(1000000000.0 / (60 + lex_rank)) AS BIGINT),
+        |             0)
+        |    + coalesce(CAST(round(1000000000.0 / (60 + sem_rank)) AS BIGINT),
+        |               0) rrf
+        |  FROM lrk FULL OUTER JOIN srk USING (q_id, doc_id))
+        |SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
+        |  SELECT q_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
+        |    rrf, lex_rank, sem_rank
+        |  FROM f) WHERE rank <= 10""".stripMargin)),
+
     // Rerank-budget SWEEP for the PQ tier ([[GraftPq.pqBudgetSweep]] —
     // the measurement pqAutoBudget picks deployment budgets from): ONE
     // train/encode/ADC pass at the largest budget, every smaller budget

@@ -383,6 +383,50 @@ class ManifestStoreSpec extends GraftFunSuite {
     }
   }
 
+  test("tagged + streaming deletes: a committed delete tag no-ops on " +
+       "replay; deleteStream drains opt-out micro-batches exactly once") {
+    withMockS3 { base =>
+      val e = vectors().filter(col("vec_id") < 100)
+      val dir = s"s3a:$base/delstream"
+      IvfObjectStore.create(spark, GraftSimilarity.buildIvfIndex(e), dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // tagged delete: a replay with the committed tag no-ops BEFORE work
+      val ids1 = e.filter(col("vec_id") % 10 === 1).select("vec_id")
+      assert(IvfObjectStore.delete(spark, dir, ids1,
+                                   batchTag = Some("d1")) > 0)
+      val vAfter = IvfObjectStore.versions(spark, dir).max
+      assert(IvfObjectStore.delete(spark, dir, ids1,
+                                   batchTag = Some("d1")) == 0)
+      assert(IvfObjectStore.versions(spark, dir).max == vAfter,
+        "a committed delete tag must not publish again")
+      // streaming opt-out: micro-batches land as tagged delete versions
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val input = MemoryStream[Long]
+      val sq = IvfObjectStore
+        .deleteStream(dir, input.toDF().toDF("vec_id"), streamId = "opt1")
+        .option("checkpointLocation", s"$base/chk_del")
+        .start()
+      try {
+        input.addData(Seq(2L, 12L, 22L)); sq.processAllAvailable()
+        input.addData(Seq(32L, 42L)); sq.processAllAvailable()
+      } finally sq.stop()
+      val m = IvfObjectStore.currentManifest(fs, dir).get
+      assert(m.tags.contains("opt1_d0") && m.tags.contains("opt1_d1") &&
+             m.tags.contains("d1"), m.tags.toString)
+      val served = IvfObjectStore.read(spark, dir).assigned
+      assert(served.filter(col("n_id").isin(2L, 12L, 22L, 32L, 42L) ||
+                           col("n_id") % 10 === 1).count() == 0,
+        "every opted-out id must be gone from the HEAD snapshot")
+      assert(served.count() ==
+             e.filter(col("vec_id") % 10 =!= 1 &&
+                      !col("vec_id").isin(2L, 12L, 22L, 32L, 42L)).count(),
+        "nothing beyond the opted-out ids may be deleted")
+    }
+  }
+
   test("delete: deleted ids never served at HEAD, serve-after-delete " +
        "equals serve-over-filtered-population, readAt still serves the " +
        "pre-delete snapshot, vacuum reclaims the rewritten slivers, a " +

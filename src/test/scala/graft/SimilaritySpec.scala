@@ -518,6 +518,16 @@ class SimilaritySpec extends GraftFunSuite {
       .collect().toSet
     assert(pqServed == brute,
       "covering probe + covering budget must reproduce the brute fusion")
+    // the q8 leg behind the same fusion (the store carries q8 beside cw):
+    // covering probe + covering budget equals the brute fusion too
+    val q8Served = HybridRetrieval
+      .hybridTopKWithQ8(GraftSimilarity.readIvfIndex(spark, dir), docs,
+                        queries, k = 10, kCand = 30, nprobe = cells,
+                        rerankFactor = coveringRf)
+      .collect().toSet
+    assert(q8Served == brute,
+      "the q8 hybrid tier must also reproduce the brute fusion at " +
+      "covering settings")
     // a REAL cut (default budget, nprobe 1): lexically-surfaced documents
     // can never be lost — the PQ trade is confined to the semantic leg
     val pruned = HybridRetrieval
