@@ -36,7 +36,9 @@ object BenchIsolated {
     "ann_ivf_pq_manifest", "ann_ivf_stored_pq", "text_bpe_segment",
     "ann_hybrid_ivf",
     "ann_ivf_delete", "ann_ivf_delete_manifest",
-    "ann_pq_budget_sweep", "ann_hybrid_pq")
+    "ann_pq_budget_sweep", "ann_hybrid_pq",
+    // r12 second batch: the int4 rung and the centrality rows
+    "ann_ivf_stored_q4", "graph_pagerank", "graph_hits")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

@@ -50,7 +50,11 @@ object PlanDump {
                     // layouts, the budget sweep, hybrid over PQ
                     "pipeline_corpus_curation", "ann_ivf_delete",
                     "ann_ivf_delete_manifest", "ann_pq_budget_sweep",
-                    "ann_hybrid_pq")
+                    "ann_hybrid_pq",
+                    // r12: the int4 rung of the at-rest ladder; link
+                    // centrality (the final-round shape — earlier rounds
+                    // are localCheckpoint leaves)
+                    "ann_ivf_stored_q4", "graph_pagerank")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

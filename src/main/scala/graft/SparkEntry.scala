@@ -46,6 +46,7 @@ object SparkEntry {
     EventQueries,
     SourceQueries,
     PipelineQueries,
+    GraphQueries,
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

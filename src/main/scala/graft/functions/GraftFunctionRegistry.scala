@@ -119,6 +119,16 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_q8b_cos(binary, binary) — got ${other.size} args")
     },
+    "graft_q4b" -> {
+      case Seq(c) => GraftQ4Bytes(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_q4b(array<double>) — got ${other.size} args")
+    },
+    "graft_q4b_cos" -> {
+      case Seq(a, b) => GraftQ4BytesCos(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_q4b_cos(binary, binary) — got ${other.size} args")
+    },
     "graft_freq_sketch" -> {
       case Seq(c) => GraftFreqAgg(c, 1024).toAggregateExpression()
       case Seq(c, Literal(m: Int, IntegerType)) =>

@@ -239,6 +239,172 @@ case class GraftQ8Bytes(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `graft_q4b(array<double>)` → `binary`: int4 scalar quantization,
+  * NIBBLE-packed — the 16× rung of the at-rest vector-bytes ladder
+  * (raw 8 B/dim → q8 1 B/dim → q4 0.5 B/dim → PQ m/d B/dim). Each
+  * component maps to round(x·7/max|x|) ∈ [-7, 7] (same
+  * half-away-from-zero rounding as [[GraftQ8]], so a SQL oracle
+  * quantizes to identical codes); byte i packs component 2i in the
+  * HIGH nibble and 2i+1 in the LOW nibble, each as its 4-bit
+  * two's-complement pattern. An odd dimension pads the final low
+  * nibble with code 0 — a zero code contributes nothing to the dot
+  * product or either norm, so the pad is arithmetically invisible to
+  * [[GraftQ4BytesCos]] (spec-pinned).
+  *
+  * The [-7, 7] range (not [-8, 7]) keeps the quantization symmetric:
+  * x and −x always map to opposite codes, the property that makes the
+  * scale factors cancel in the normalized cosine estimate.
+  */
+case class GraftQ4Bytes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_q4b requires array<double>, got $other")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_q4b"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(arr.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val out = new Array[Byte]((n + 1) / 2)
+    if (maxAbs > 0.0) {
+      i = 0
+      while (i < n) {
+        val t = arr.getDouble(i) * 7.0 / maxAbs
+        val c = if (t >= 0) Math.round(t).toInt else (-Math.round(-t)).toInt
+        val b = out(i / 2).toInt
+        out(i / 2) =
+          (if ((i & 1) == 0) (b | ((c & 0xF) << 4)) else (b | (c & 0xF))).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val maxAbs = ctx.freshName("maxAbs")
+      val a = ctx.freshName("a")
+      val t = ctx.freshName("t")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      s"""
+        |final int $n = $c.numElements();
+        |double $maxAbs = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  final double $a = java.lang.Math.abs($c.getDouble($i));
+        |  if ($a > $maxAbs) $maxAbs = $a;
+        |}
+        |byte[] $out = new byte[($n + 1) / 2];
+        |if ($maxAbs > 0.0) {
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    final double $t = $c.getDouble($i) * 7.0 / $maxAbs;
+        |    final int $q = $t >= 0 ? (int) java.lang.Math.round($t)
+        |                           : (int) -java.lang.Math.round(-$t);
+        |    $out[$i / 2] = (byte) (($i & 1) == 0
+        |      ? ($out[$i / 2] | (($q & 0xF) << 4))
+        |      : ($out[$i / 2] | ($q & 0xF)));
+        |  }
+        |}
+        |${ev.value} = $out;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GraftQ4Bytes =
+    copy(child = newChild)
+}
+
+/** `graft_q4b_cos(binary, binary)` → `double`: cosine estimate over
+  * [[GraftQ4Bytes]] nibble packs — sign-extend each nibble
+  * (two's-complement, `(b << 28) >> 28` on the int-widened pattern),
+  * then the same exact-integer dot/norm arithmetic as [[GraftQ8Cos]]
+  * with one final division. Zero-norm input yields 0.0; byte-length
+  * mismatch is an error (same-dimension vectors always pack to equal
+  * byte counts, and the pad nibble is code 0 on both sides).
+  */
+case class GraftQ4BytesCos(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_q4b_cos requires (binary, binary), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_q4b_cos"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"graft_q4b_cos: packed lengths differ (${x.length} vs ${y.length})")
+    var ab = 0L
+    var aa = 0L
+    var bb = 0L
+    var i = 0
+    while (i < x.length) {
+      val xh = (x(i).toInt << 24) >> 28
+      val xl = (x(i).toInt << 28) >> 28
+      val yh = (y(i).toInt << 24) >> 28
+      val yl = (y(i).toInt << 28) >> 28
+      ab += xh.toLong * yh + xl.toLong * yl
+      aa += xh.toLong * xh + xl.toLong * xl
+      bb += yh.toLong * yh + yl.toLong * yl
+      i += 1
+    }
+    if (aa == 0L || bb == 0L) 0.0
+    else ab / math.sqrt((aa * bb).toDouble)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val ab = ctx.freshName("ab")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val xh = ctx.freshName("xh")
+      val xl = ctx.freshName("xl")
+      val yh = ctx.freshName("yh")
+      val yl = ctx.freshName("yl")
+      s"""
+        |if ($a.length != $b.length) {
+        |  throw new IllegalArgumentException(
+        |    "graft_q4b_cos: packed lengths differ (" + $a.length + " vs " +
+        |    $b.length + ")");
+        |}
+        |long $ab = 0L, $aa = 0L, $bb = 0L;
+        |for (int $i = 0; $i < $a.length; $i++) {
+        |  final long $xh = (((int) $a[$i]) << 24) >> 28;
+        |  final long $xl = (((int) $a[$i]) << 28) >> 28;
+        |  final long $yh = (((int) $b[$i]) << 24) >> 28;
+        |  final long $yl = (((int) $b[$i]) << 28) >> 28;
+        |  $ab += $xh * $yh + $xl * $yl;
+        |  $aa += $xh * $xh + $xl * $xl;
+        |  $bb += $yh * $yh + $yl * $yl;
+        |}
+        |${ev.value} = ($aa == 0L || $bb == 0L)
+        |  ? 0.0 : $ab / java.lang.Math.sqrt((double) ($aa * $bb));
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftQ4BytesCos =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `graft_q8b_cos(binary, binary)` → `double`: [[GraftQ8Cos]] over the
   * byte-packed encoding — identical integer arithmetic (bytes widen to
   * long exactly), identical zero-norm and length-mismatch contracts, so

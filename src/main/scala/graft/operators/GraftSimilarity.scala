@@ -160,12 +160,13 @@ object GraftSimilarity {
   /** Recall@k of the COMPRESSED serving tiers against exact ground
     * truth at ONE shared rerank budget — the deploy-time decision
     * measurement for the vector-bytes ladder (q8 ≈ 5.7× fewer
-    * candidate-scan bytes at rest, PQ m=8 ≈ 36×; SCALE.md r11 table).
-    * Both tiers exact-rerank their top k·rerankFactor candidates, so
-    * any recall loss is precisely the quantized CUT dropping a true
-    * neighbor before the rerank sees it. Returns one row per
-    * (tier, q_id): `(tier, q_id, n_hits, recall)`, recall against the
-    * per-query truth count (the [[recallAtK]] convention).
+    * candidate-scan bytes at rest, q4 ≈ 2× that again at 4-bit codes,
+    * PQ m=8 ≈ 36×; SCALE.md r11 table). Every tier exact-reranks its
+    * top k·rerankFactor candidates, so any recall loss is precisely
+    * the quantized CUT dropping a true neighbor before the rerank sees
+    * it. Returns one row per (tier ∈ q8|q4|pq, q_id):
+    * `(tier, q_id, n_hits, recall)`, recall against the per-query
+    * truth count (the [[recallAtK]] convention).
     *
     * Scale shape: truth is one linear brute scan per eval block (the
     * price of truth — eval blocks are small by construction); each tier
@@ -207,6 +208,9 @@ object GraftSimilarity {
                   .as("recall"))
     leg(quantizedTopK(collection, queries, k, rerankFactor, idCol, vecCol,
                       qIdCol, qVecCol), "q8")
+      .unionByName(
+        leg(quantizedTopKQ4(collection, queries, k, rerankFactor, idCol,
+                            vecCol, qIdCol, qVecCol), "q4"))
       .unionByName(
         leg(GraftPq.pqTopK(collection, queries, k, m, ksub, iters,
                            rerankFactor, idCol, vecCol, qIdCol, qVecCol),
@@ -535,12 +539,17 @@ object GraftSimilarity {
     val e = batch.select(col(idCol).cast("long").as("n_id"),
                          col(vecCol).as("v"))
     val add0 = assignTo(index.centroids, e)
-    // a q8-carrying base (a read store) keeps its serving column whole:
-    // the appended rows quantize inline so the q8 tier stays servable
-    val add =
+    // a quantized-carrying base (a read store) keeps its serving columns
+    // whole: the appended rows quantize inline so every tier stays
+    // servable
+    val add1 =
       if (index.assigned.columns.contains("q8"))
         add0.withColumn("q8", expr("graft_q8b(v)"))
       else add0
+    val add =
+      if (index.assigned.columns.contains("q4"))
+        add1.withColumn("q4", expr("graft_q4b(v)"))
+      else add1
     IvfIndex(index.centroids, index.assigned.unionByName(add))
   }
 
@@ -591,11 +600,29 @@ object GraftSimilarity {
     * carries one — a compaction rewrite must not re-quantize), one
     * shuffle on cell id, rows n_id-sorted within each cell file for the
     * rerank fetch's row-group pruning. */
+  /** Quantized-column repair for a compaction rewrite: attach `colName`
+    * if the merged frame lacks it, quantize-null where a pre-tier file
+    * merged the column in as null — so compaction is also the in-place
+    * migration path to each scalar-quantized serving tier. */
+  private def quantRepair(df: DataFrame, colName: String,
+                          fn: String): DataFrame =
+    if (df.columns.contains(colName))
+      df.withColumn(colName,
+        when(col(colName).isNull, expr(s"$fn(v)")).otherwise(col(colName)))
+    else df.withColumn(colName, expr(s"$fn(v)"))
+
   private[operators] def storedLayout(assigned: DataFrame): DataFrame = {
     val withQ8 =
       if (assigned.columns.contains("q8")) assigned
       else assigned.withColumn("q8", expr("graft_q8b(v)"))
-    withQ8.repartition(col("c_id")).sortWithinPartitions("n_id")
+    // the q4 rung rides beside q8: d/2 more bytes next to the 8·d of
+    // doubles (~6% of the file) buys a second serving tier whose
+    // candidate scan reads 16× less than raw — the tier choice becomes a
+    // query-time knob (ivfTopKWithQ8 vs ivfTopKWithQ4), not a rewrite
+    val withQ4 =
+      if (withQ8.columns.contains("q4")) withQ8
+      else withQ8.withColumn("q4", expr("graft_q4b(v)"))
+    withQ4.repartition(col("c_id")).sortWithinPartitions("n_id")
   }
 
   /** Absorb a batch into an AT-REST index without rewriting the store:
@@ -1097,12 +1124,8 @@ object GraftSimilarity {
           // the in-place migration path to the q8 serving tier.
           val merged0 = tombExclude(spark.read.option("mergeSchema", "true")
             .parquet(parquetFiles.map(_.toString): _*))
-          val merged =
-            if (merged0.columns.contains("q8"))
-              merged0.withColumn("q8",
-                when(col("q8").isNull, expr("graft_q8b(v)"))
-                  .otherwise(col("q8")))
-            else merged0.withColumn("q8", expr("graft_q8b(v)"))
+          val merged = quantRepair(quantRepair(merged0, "q8", "graft_q8b"),
+                                   "q4", "graft_q4b")
           // same repair for the PQ code word when the store carries a
           // codebook: pre-PQ files merge with null cw and the rewrite
           // re-encodes exactly that sliver (folded encode — no shuffle),
@@ -1619,6 +1642,12 @@ object GraftSimilarity {
     IvfIndex(index.centroids,
              index.assigned.withColumn("q8", expr("graft_q8b(v)")))
 
+  /** [[q8Augment]]'s int4 sibling — attach the nibble-packed q4 serving
+    * column for in-flight serving through [[ivfTopKWithQ4]]. */
+  def q4Augment(index: IvfIndex): IvfIndex =
+    IvfIndex(index.centroids,
+             index.assigned.withColumn("q4", expr("graft_q4b(v)")))
+
   /** [[ivfTopKWith]] through the QUANTIZED candidate tier — the serve
     * path whose I/O is sized for a 100-TB store: candidates in the
     * probed cells are scored with `graft_q8b_cos` off the store's `q8`
@@ -1653,31 +1682,67 @@ object GraftSimilarity {
   def ivfTopKWithQ8(index: IvfIndex, queries: DataFrame, k: Int,
                     nprobe: Int = 4, rerankFactor: Int = 4,
                     qIdCol: String = "q_id", qVecCol: String = "qv")
-      : DataFrame = {
-    require(k >= 1, s"ivfTopKWithQ8: k must be >= 1, got $k")
+      : DataFrame =
+    ivfTopKQuant(index, queries, k, nprobe, rerankFactor, qIdCol, qVecCol,
+                 quantCol = "q8", encodeFn = "graft_q8b",
+                 cosFn = "graft_q8b_cos", label = "ivfTopKWithQ8",
+                 augmentHint = "q8Augment")
+
+  /** [[ivfTopKWithQ8]] at the int4 rung: candidates in the probed cells
+    * are scored with `graft_q4b_cos` off the store's nibble-packed `q4`
+    * column — HALF a byte per component, a 16× cut vs the raw doubles in
+    * the candidate scan — then the top k·`rerankFactor` per query rerank
+    * with exact cosine through the same gated survivor fetch. The coarser
+    * 4-bit codes drop more true neighbors at a given budget than q8
+    * (that's the rung's price — measure it with [[tierRecall]] before
+    * deploying); with the budget covering the probed population the
+    * result is exactly [[ivfTopKWith]]'s (spec-pinned). Requires `q4` on
+    * `index.assigned` (stores written at r12+ carry it;
+    * [[compactIvfCells]] migrates older stores in place; [[q4Augment]]
+    * for in-memory indexes). */
+  def ivfTopKWithQ4(index: IvfIndex, queries: DataFrame, k: Int,
+                    nprobe: Int = 4, rerankFactor: Int = 4,
+                    qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame =
+    ivfTopKQuant(index, queries, k, nprobe, rerankFactor, qIdCol, qVecCol,
+                 quantCol = "q4", encodeFn = "graft_q4b",
+                 cosFn = "graft_q4b_cos", label = "ivfTopKWithQ4",
+                 augmentHint = "q4Augment")
+
+  /** Shared body of the scalar-quantized at-rest serves — one candidate
+    * kernel, two physical rungs (q8 / q4), identical two-stage shape:
+    * column-pruned integer candidate scoring over (n_id, c_id, quant),
+    * then the |Q|-gated exact rerank ([[survivorRerank]]). */
+  private def ivfTopKQuant(index: IvfIndex, queries: DataFrame, k: Int,
+                           nprobe: Int, rerankFactor: Int,
+                           qIdCol: String, qVecCol: String,
+                           quantCol: String, encodeFn: String,
+                           cosFn: String, label: String,
+                           augmentHint: String): DataFrame = {
+    require(k >= 1, s"$label: k must be >= 1, got $k")
     require(rerankFactor >= 1,
-      s"ivfTopKWithQ8: rerankFactor must be >= 1, got $rerankFactor")
-    require(index.assigned.columns.contains("q8"),
-      "ivfTopKWithQ8: index has no q8 column — read a store written with " +
-      "the q8 layout (or compact a pre-q8 store to migrate it), or wrap " +
-      "an in-memory index with q8Augment")
+      s"$label: rerankFactor must be >= 1, got $rerankFactor")
+    require(index.assigned.columns.contains(quantCol),
+      s"$label: index has no $quantCol column — read a store written with " +
+      s"the $quantCol layout (or compact an older store to migrate it), " +
+      s"or wrap an in-memory index with $augmentHint")
     graft.GraftSession.ensureExtensions(queries.sparkSession)
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
     val probes = probeCells(q, index.centroids, nprobe, Seq("q_id", "qv"))
-    val pq = broadcast(probes.withColumn("qq8", expr("graft_q8b(qv)")))
+    val pq = broadcast(probes.withColumn("__qq", expr(s"$encodeFn(qv)")))
     val kk = k * rerankFactor
-    // stage 1: integer candidate scoring over (n_id, c_id, q8) — column
+    // stage 1: integer candidate scoring over (n_id, c_id, quant) — column
     // pruning keeps the doubles out of this scan entirely
     val cand = pq
-      .join(index.assigned.select(col("n_id"), col("c_id"), col("q8")),
+      .join(index.assigned.select(col("n_id"), col("c_id"), col(quantCol)),
             "c_id")
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-              expr("""if(isnull(q8),
+              expr(s"""if(isnull($quantCol),
                         cast(assert_true(false,
-                          'ivfTopKWithQ8: null q8 — mixed-generation cell
+                          '$label: null $quantCol — mixed-generation cell
                            files; compact the store to migrate') AS double),
-                        graft_q8b_cos(qq8, q8))""").as("qc"))
+                        $cosFn(__qq, $quantCol))""").as("qc"))
       .groupBy("q_id")
       .agg(expr(s"graft_topk(qc, n_id, $kk)").as("tk"))
       .select(col("q_id"), explode(col("tk.id")).as("n_id"))
@@ -1858,17 +1923,40 @@ object GraftSimilarity {
                     rerankFactor: Int = 4,
                     idCol: String = "vec_id", vecCol: String = "v",
                     qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame =
+    quantizedTopKImpl(collection, queries, k, rerankFactor,
+                      idCol, vecCol, qIdCol, qVecCol,
+                      encodeFn = "graft_q8", cosFn = "graft_q8_cos")
+
+  /** [[quantizedTopK]] at the int4 rung — candidate scoring over the
+    * nibble-packed `graft_q4b` forms (16× less candidate data than the
+    * doubles, at a coarser cut whose recall price [[tierRecall]]
+    * measures); the exact rerank is identical. */
+  def quantizedTopKQ4(collection: DataFrame, queries: DataFrame, k: Int,
+                      rerankFactor: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "v",
+                      qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame =
+    quantizedTopKImpl(collection, queries, k, rerankFactor,
+                      idCol, vecCol, qIdCol, qVecCol,
+                      encodeFn = "graft_q4b", cosFn = "graft_q4b_cos")
+
+  private def quantizedTopKImpl(collection: DataFrame, queries: DataFrame,
+                                k: Int, rerankFactor: Int,
+                                idCol: String, vecCol: String,
+                                qIdCol: String, qVecCol: String,
+                                encodeFn: String, cosFn: String)
       : DataFrame = {
     require(rerankFactor >= 1, s"rerankFactor must be >= 1, got $rerankFactor")
     graft.GraftSession.ensureExtensions(collection.sparkSession)
     val e = collection.select(col(idCol).as("n_id"), col(vecCol).as("v"))
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
-    val e8 = e.select(col("n_id"), expr("graft_q8(v)").as("nv8"))
-    val q8 = broadcast(q.select(col("q_id"), expr("graft_q8(qv)").as("qv8")))
+    val eq = e.select(col("n_id"), expr(s"$encodeFn(v)").as("nvq"))
+    val qq = broadcast(q.select(col("q_id"), expr(s"$encodeFn(qv)").as("qvq")))
     val m = k * rerankFactor
-    val cand = e8.join(q8, col("n_id") =!= col("q_id"))
+    val cand = eq.join(qq, col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),
-              expr("graft_q8_cos(qv8, nv8)").as("ac"))
+              expr(s"$cosFn(qvq, nvq)").as("ac"))
       .groupBy("q_id")
       .agg(expr(s"graft_topk(ac, n_id, $m)").as("tk"))
       .select(col("q_id"), explode(col("tk")).as("s"))

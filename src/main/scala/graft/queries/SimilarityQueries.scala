@@ -515,6 +515,78 @@ object SimilarityQueries extends QueryModule {
         |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, round(cs, 4) AS cos
         |FROM r WHERE rnk <= 5""".stripMargin)),
 
+    // The int4 rung of the same at-rest serve (ivfTopKWithQ4): the
+    // store's cell files carry q4 = nibble-packed round(x·7/max|x|)
+    // beside q8 — HALF a byte per component, 16× less candidate I/O
+    // than the raw doubles — and the serve is the identical two-stage
+    // shape (integer nibble cut at k·rerankFactor, gated exact rerank).
+    // The coarser codes make this the recall-sensitive rung: ann_tier
+    // _recall measures the price, this row certifies the arithmetic —
+    // the oracle replays the 4-bit quantization (round(x·7/m)), the
+    // integer cosine cut, and the exact rerank, and hash-matches.
+    GraftQuery(
+      "ann_ivf_stored_q4",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val out =
+          s"/tmp/graft_io/${new java.io.File(dir).getName}/ivf_index_q4"
+        GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), out)
+        GraftSimilarity.ivfTopKWithQ4(GraftSimilarity.readIvfIndex(s, out),
+                                      queryBlock(e), k = 5, nprobe = 4,
+                                      rerankFactor = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |mx AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) m FROM e),
+        |q4 AS (SELECT vec_id, v,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x * 7.0 / m)) END q
+        |       FROM mx),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |qq AS (SELECT vec_id q_id, v qv, q qq4 FROM q4 WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, qv, qq4, c_id FROM (
+        |    SELECT qq.q_id, qq.qv, qq.qq4, c.c_id,
+        |      row_number() OVER (PARTITION BY qq.q_id
+        |        ORDER BY list_cosine_similarity(qq.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM qq, c) WHERE prnk <= 4),
+        |ap AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    CASE WHEN list_dot_product(a4.q, a4.q) = 0
+        |           OR list_dot_product(p.qq4, p.qq4) = 0 THEN 0.0
+        |         ELSE list_dot_product(p.qq4, a4.q)
+        |              / sqrt(list_dot_product(a4.q, a4.q)
+        |                     * list_dot_product(p.qq4, p.qq4)) END ac
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  JOIN q4 a4 ON a4.vec_id = a.vec_id
+        |  WHERE a.vec_id != p.q_id),
+        |cand AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) r
+        |    FROM ap) WHERE r <= 20),
+        |scored AS (
+        |  SELECT cd.q_id, cd.n_id, list_cosine_similarity(qq.qv, e.v) cs
+        |  FROM cand cd
+        |  JOIN qq ON qq.q_id = cd.q_id
+        |  JOIN e ON e.vec_id = cd.n_id),
+        |r AS (SELECT q_id, n_id, cs,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, round(cs, 4) AS cos
+        |FROM r WHERE rnk <= 5""".stripMargin)),
+
     // IVF incremental-append flow as an ORACLED row: the index is built
     // on a seed split (centroids = md5-threshold pick over the SEED only,
     // √(N/4) of them), the remaining vectors arrive later via
@@ -1254,14 +1326,14 @@ object SimilarityQueries extends QueryModule {
 
     // Quantization-tier recall eval ([[GraftSimilarity.tierRecall]]):
     // how much of the EXACT top-5 each compressed serving tier keeps at
-    // the shared rerank budget (k·rerankFactor = 20) — q8's scalar cut
-    // vs PQ's ADC cut, both exact-reranked, measured against the brute
-    // truth scan. The deploy-time decision row for the vector-bytes
-    // ladder (q8 ≈ 5.7× fewer candidate bytes at rest, PQ ≈ 36×): if
-    // this row's pq recall matches q8's on YOUR data, serve the 36×
-    // tier. The oracle replays truth + both full tier pipelines +
-    // per-query hit counting; recall divides by the per-query truth
-    // count (the recallAtK convention).
+    // the shared rerank budget (k·rerankFactor = 20) — q8's int8 cut vs
+    // q4's nibble cut vs PQ's ADC cut, all exact-reranked, measured
+    // against the brute truth scan. The deploy-time decision row for
+    // the vector-bytes ladder (q8 ≈ 5.7× fewer candidate bytes at
+    // rest, q4 ≈ 2× that again, PQ ≈ 36×): pick the deepest rung whose
+    // recall holds on YOUR data. The oracle replays truth + all three
+    // full tier pipelines + per-query hit counting; recall divides by
+    // the per-query truth count (the recallAtK convention).
     GraftQuery(
       "ann_tier_recall",
       (s, dir) => {
@@ -1307,6 +1379,32 @@ object SimilarityQueries extends QueryModule {
         |         row_number() OVER (PARTITION BY q_id
         |           ORDER BY cs DESC, n_id) rnk
         |       FROM zscored),
+        |q4 AS (SELECT vec_id, v,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x * 7.0 / m)) END q
+        |       FROM mx),
+        |qq4 AS (SELECT vec_id q_id, v qv, q qq4 FROM q4 WHERE vec_id < 10),
+        |wap AS (
+        |  SELECT q_id, e4.vec_id n_id,
+        |    CASE WHEN list_dot_product(e4.q, e4.q) = 0
+        |           OR list_dot_product(qq4.qq4, qq4.qq4) = 0 THEN 0.0
+        |         ELSE list_dot_product(qq4.qq4, e4.q)
+        |              / sqrt(list_dot_product(e4.q, e4.q)
+        |                     * list_dot_product(qq4.qq4, qq4.qq4)) END ac
+        |  FROM qq4 JOIN q4 e4 ON e4.vec_id != qq4.q_id),
+        |wcand AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) rr
+        |    FROM wap) WHERE rr <= 20),
+        |wscored AS (
+        |  SELECT c.q_id, c.n_id, list_cosine_similarity(qq4.qv, e.v) cs
+        |  FROM wcand c
+        |  JOIN qq4 ON qq4.q_id = c.q_id
+        |  JOIN e ON e.vec_id = c.n_id),
+        |wr AS (SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cs DESC, n_id) rnk
+        |       FROM wscored),
         |$pqTrainCtes,
         |sc AS (SELECT en.vec_id n_id, ld.q_id, sum(ld.d) ad, sum(ln.nn) an
         |       FROM enc en
@@ -1318,12 +1416,19 @@ object SimilarityQueries extends QueryModule {
         |h8 AS (SELECT s.q_id, count(*) n_hits FROM zr s
         |       JOIN tr ON tr.q_id = s.q_id AND tr.n_id = s.n_id
         |       WHERE s.rnk <= 5 GROUP BY s.q_id),
+        |h4 AS (SELECT s.q_id, count(*) n_hits FROM wr s
+        |       JOIN tr ON tr.q_id = s.q_id AND tr.n_id = s.n_id
+        |       WHERE s.rnk <= 5 GROUP BY s.q_id),
         |hpq AS (SELECT s.q_id, count(*) n_hits FROM r s
         |        JOIN tr ON tr.q_id = s.q_id AND tr.n_id = s.n_id
         |        WHERE s.rnk <= 5 GROUP BY s.q_id)
         |SELECT 'q8' AS tier, tn.q_id, coalesce(h8.n_hits, 0) AS n_hits,
         |       round(coalesce(h8.n_hits, 0) * 1.0 / tn.t_n, 4) AS recall
         |FROM tn LEFT JOIN h8 USING (q_id)
+        |UNION ALL
+        |SELECT 'q4' AS tier, tn.q_id, coalesce(h4.n_hits, 0) AS n_hits,
+        |       round(coalesce(h4.n_hits, 0) * 1.0 / tn.t_n, 4) AS recall
+        |FROM tn LEFT JOIN h4 USING (q_id)
         |UNION ALL
         |SELECT 'pq' AS tier, tn.q_id, coalesce(hpq.n_hits, 0) AS n_hits,
         |       round(coalesce(hpq.n_hits, 0) * 1.0 / tn.t_n, 4) AS recall

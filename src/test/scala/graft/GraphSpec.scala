@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.GraftGraph
+
+/** [[graft.operators.GraftGraph]] — integer-exact link centrality. */
+class GraphSpec extends GraftFunSuite {
+  import spark.implicits._
+
+  private def pr(edges: Seq[(Long, Long)], iters: Int,
+                 grid: Long = 100L): Map[Long, Long] =
+    GraftGraph.pageRank(edges.toDF("src", "dst"), iters = iters, grid = grid)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("pageRank: hand-computed integer fixpoint on a 3-chain") {
+    // 1→2→3, grid 100, damping 85: r1 = (15·100 + 85·Σ r div deg) div 100
+    assert(pr(Seq((1L, 2L), (2L, 3L)), iters = 1) ==
+      Map(1L -> 15L, 2L -> 100L, 3L -> 100L))
+    // second round: contrib to 2 is r1(1)=15, to 3 is r1(2)=100
+    // r2(2) = (1500 + 85·15) div 100 = 27 (exact integer floor, not 27.75)
+    assert(pr(Seq((1L, 2L), (2L, 3L)), iters = 2) ==
+      Map(1L -> 15L, 2L -> 27L, 3L -> 100L))
+  }
+
+  test("pageRank: in-link mass ranks hub targets above leaf targets, " +
+       "duplicate edges collapse, and the result is partitioning-" +
+       "independent") {
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L), (1L, 5L))
+    val m = pr(edges, iters = 3)
+    assert(m(4L) > m(5L), s"3 in-links must outrank 1: $m")
+    // simple-graph contract: edge multiplicity does not change ranks
+    assert(pr(edges ++ edges ++ edges, iters = 3) == m)
+    val base = GraftGraph.pageRank(edges.toDF("src", "dst"), iters = 3,
+                                   grid = 100L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val repart = GraftGraph.pageRank(
+        edges.toDF("src", "dst").repartition(7), iters = 3, grid = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(base == repart, "ranks must not depend on the partitioning")
+  }
+
+  test("hits: hand-computed max-renormalized round on a bipartite graph") {
+    // 1→10, 2→10, 2→11; grid 100. Round 1:
+    //   auth raw: 10 ↦ 200, 11 ↦ 100 → rescale by max 200: 100 / 50
+    //   hub  raw: 1 ↦ 100, 2 ↦ 150   → rescale by max 150: 66 / 100
+    val out = GraftGraph.hits(
+        Seq((1L, 10L), (2L, 10L), (2L, 11L)).toDF("src", "dst"),
+        iters = 1, grid = 100L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(1L -> ((66L, 0L)), 2L -> ((100L, 0L)),
+                      10L -> ((0L, 100L)), 11L -> ((0L, 50L))), s"got $out")
+  }
+
+  test("hits: partitioning-independent and argument validation") {
+    val edges = Seq((1L, 10L), (2L, 10L), (2L, 11L), (3L, 12L), (10L, 3L))
+    val a = GraftGraph.hits(edges.toDF("src", "dst"), iters = 3,
+                            grid = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val b = GraftGraph.hits(edges.toDF("src", "dst").repartition(5),
+                            iters = 3, grid = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      GraftGraph.pageRank(edges.toDF("src", "dst"), iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraftGraph.pageRank(edges.toDF("src", "dst"), dampingPct = 101)
+    }
+    intercept[IllegalArgumentException] {
+      GraftGraph.hits(edges.toDF("src", "dst"), iters = 0)
+    }
+  }
+}

@@ -561,6 +561,7 @@ class SimilaritySpec extends GraftFunSuite {
     for (f <- cellFiles.take(3)) {
       val part = spark.read.parquet(f.getPath)
       assert(part.columns.contains("q8"), s"no q8 column in ${f.getName}")
+      assert(part.columns.contains("q4"), s"no q4 column in ${f.getName}")
       val ids = part.select("n_id").collect().map(_.getLong(0)).toSeq
       assert(ids == ids.sorted, s"cell file ${f.getName} not n_id-sorted")
     }
@@ -606,6 +607,82 @@ class SimilaritySpec extends GraftFunSuite {
                      q, k = 5, nprobe = 4, rerankFactor = covering)
       .collect().toSet
     assert(aug == exact)
+  }
+
+  test("q4 rung: nibble pack is bit-exact vs the integer reference " +
+       "(incl. odd-dim pad neutrality), the stored serve matches the " +
+       "exact serve at a covering budget, and the at-rest bytes are " +
+       "ceil(d/2)") {
+    import graft.operators.GraftSimilarity
+    // kernel parity: graft_q4b_cos over packed nibbles ==
+    // the independently decoded integer arithmetic, including an ODD
+    // dimension whose pad nibble must contribute nothing
+    def q4codes(v: Seq[Double]): Seq[Int] = {
+      val m = v.map(math.abs).max
+      if (m == 0.0) v.map(_ => 0)
+      else v.map { x =>
+        val t = x * 7.0 / m
+        if (t >= 0) Math.round(t).toInt else -Math.round(-t).toInt
+      }
+    }
+    def refCos(a: Seq[Double], b: Seq[Double]): Double = {
+      val (ca, cb) = (q4codes(a), q4codes(b))
+      val ab = ca.zip(cb).map { case (x, y) => x.toLong * y }.sum
+      val aa = ca.map(x => x.toLong * x).sum
+      val bb = cb.map(x => x.toLong * x).sum
+      if (aa == 0L || bb == 0L) 0.0 else ab / math.sqrt((aa * bb).toDouble)
+    }
+    for (d <- Seq(3, 4, 64)) {
+      val a = (1 to d).map(i => math.sin(i * 0.7) * (if (i % 3 == 0) -1 else 1))
+      val b = (1 to d).map(i => math.cos(i * 1.3))
+      val al = a.map(x => s"${x}D").mkString(",")
+      val bl = b.map(x => s"${x}D").mkString(",")
+      val got = spark.sql(
+        s"""SELECT graft_q4b_cos(graft_q4b(array($al)),
+           |                     graft_q4b(array($bl))) c,
+           |       length(graft_q4b(array($al))) n
+           |""".stripMargin).collect().head
+      assert(got.getDouble(0) == refCos(a, b),
+        s"d=$d: packed kernel must equal the integer reference bit-for-bit")
+      assert(got.getInt(1) == (d + 1) / 2,
+        s"d=$d: q4 pack must be ceil(d/2) bytes, got ${got.getInt(1)}")
+    }
+    // stored serve: covering budget reproduces the exact serve; the
+    // default budget keeps the contract shape (5 rows/query, no self)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_q4_store")
+      .toString
+    GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), dir)
+    val idx = GraftSimilarity.readIvfIndex(spark, dir)
+    val exact = GraftSimilarity.ivfTopKWith(idx, q, k = 5, nprobe = 4)
+      .collect().toSet
+    val covering = e.count().toInt
+    assert(GraftSimilarity
+             .ivfTopKWithQ4(idx, q, k = 5, nprobe = 4,
+                            rerankFactor = covering).collect().toSet == exact,
+      "covering rerankFactor must reproduce the exact serve bit-for-bit")
+    val rows = GraftSimilarity
+      .ivfTopKWithQ4(idx, q, k = 5, nprobe = 4, rerankFactor = 4).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    for ((qid, rs) <- byQ) {
+      assert(rs.length == 5, s"q=$qid got ${rs.length}")
+      assert(!rs.map(_.getLong(1)).contains(qid), "self excluded")
+    }
+    // in-memory guard + augment, mirroring the q8 contract
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.ivfTopKWithQ4(
+        graft.operators.GraftSimilarity.IvfIndex(
+          idx.centroids, idx.assigned.drop("q4")), q, k = 5)
+    }
+    assert(GraftSimilarity
+             .ivfTopKWithQ4(GraftSimilarity.q4Augment(
+                              GraftSimilarity.buildIvfIndex(e)),
+                            q, k = 5, nprobe = 4, rerankFactor = covering)
+             .collect().toSet == exact)
   }
 
   test("survivorRerank |Q| gate: past the literal gate the q8 and PQ " +
@@ -654,7 +731,7 @@ class SimilaritySpec extends GraftFunSuite {
 
   test("tierRecall: one row per (tier, query), recall in [0,1] against " +
        "the per-query truth count, and a covering rerank budget drives " +
-       "BOTH tiers to recall 1.0 (the cut is the only loss source)") {
+       "ALL tiers to recall 1.0 (the cut is the only loss source)") {
     import graft.operators.GraftSimilarity
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
@@ -662,8 +739,8 @@ class SimilaritySpec extends GraftFunSuite {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val out = GraftSimilarity.tierRecall(e, q, k = 5, rerankFactor = 4)
       .collect()
-    assert(out.length == 20, s"2 tiers x 10 queries, got ${out.length}")
-    assert(out.map(_.getString(0)).toSet == Set("q8", "pq"))
+    assert(out.length == 30, s"3 tiers x 10 queries, got ${out.length}")
+    assert(out.map(_.getString(0)).toSet == Set("q8", "q4", "pq"))
     out.foreach { r =>
       val (hits, rec) = (r.getLong(2), r.getDouble(3))
       assert(hits >= 0 && hits <= 5 && rec >= 0.0 && rec <= 1.0,
