@@ -62,7 +62,39 @@ object GraftGraph {
     */
   def pageRank(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
                grid: Long = PageRankGrid,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+               srcCol: String = "src", dstCol: String = "dst"): DataFrame =
+    pageRankBody(edges, None, iters, dampingPct, grid, srcCol, dstCol)
+
+  /** Personalized (topic-sensitive) PageRank: the teleport term lands
+    * ONLY on the `seeds` node set — rank flows outward from trusted
+    * seeds through links, and a node scores high exactly when it is
+    * well-connected TO the seed neighborhood. The corpus-curation use:
+    * seed with editorially-vetted documents (or domains) and use the
+    * propagated score as a quality prior over the whole crawl — the
+    * "quality flows from trusted pages" heuristic as one query.
+    *
+    * Same integral arithmetic as [[pageRank]] with
+    * base(v) = (100−d)·grid·[v ∈ seeds]: seed ranks start at `grid`,
+    * non-seed at 0, and each round is the identical join+sum shape (the
+    * seed flag rides the skinny node frame — no extra join). Nodes
+    * unreachable from every seed stay exactly 0 — the integral
+    * arithmetic makes "outside the seed component" a crisp zero, not an
+    * epsilon. Seeds not appearing in the edge list are ignored (the
+    * rank universe is the graph's nodes).
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iters: Int = 3, dampingPct: Int = 85,
+                           grid: Long = PageRankGrid,
+                           srcCol: String = "src", dstCol: String = "dst",
+                           seedCol: String = "node_id"): DataFrame =
+    pageRankBody(edges,
+                 Some(seeds.select(col(seedCol).cast("long").as("node_id"))
+                           .distinct()),
+                 iters, dampingPct, grid, srcCol, dstCol)
+
+  private def pageRankBody(edges: DataFrame, seeds: Option[DataFrame],
+                           iters: Int, dampingPct: Int, grid: Long,
+                           srcCol: String, dstCol: String): DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"pageRank: dampingPct must be in [0, 100], got $dampingPct")
@@ -75,25 +107,39 @@ object GraftGraph {
     // blocks reclaimed by the ContextCleaner when the result frame
     // dies — no unpersist point to leak past, the r11 ADVICE lesson):
     // (src, dst, deg) is the per-iteration join side, nodes the
-    // per-iteration universe
+    // per-iteration universe. The personalized variant's per-node base
+    // term rides the node frame as `__base` (0 or (100−d)·grid), so the
+    // iteration shape is IDENTICAL for both variants.
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("__deg")), "src")
       .localCheckpoint()
-    val nodes = eDeg.select(col("src").as("node_id"))
+    val baseAll = (100L - dampingPct) * grid
+    val nodesPlain = eDeg.select(col("src").as("node_id"))
       .unionAll(eDeg.select(col("dst").as("node_id")))
       .distinct()
+    val nodes = (seeds match {
+      case None => nodesPlain.withColumn("__base", lit(baseAll))
+      case Some(sd) => nodesPlain
+        .join(sd.withColumn("__seed", lit(1)), Seq("node_id"), "left")
+        .select(col("node_id"),
+                when(col("__seed").isNotNull, lit(baseAll))
+                  .otherwise(lit(0L)).as("__base"))
+    }).localCheckpoint()
+    var ranks = nodes
+      .select(col("node_id"), col("__base"),
+              (if (seeds.isEmpty) lit(grid)
+               else when(col("__base") > 0L, lit(grid)).otherwise(lit(0L)))
+                .as("pr_micro"))
       .localCheckpoint()
-    val base = (100L - dampingPct) * grid
-    var ranks = nodes.withColumn("pr_micro", lit(grid)).localCheckpoint()
     var i = 0
     while (i < iters) {
       val contrib = eDeg
-        .join(ranks.withColumnRenamed("node_id", "src"), "src")
+        .join(ranks.select(col("node_id").as("src"), col("pr_micro")), "src")
         .groupBy(col("dst").as("node_id"))
         .agg(sum(expr("pr_micro div __deg")).as("__s"))
       ranks = nodes.join(contrib, Seq("node_id"), "left")
-        .select(col("node_id"),
-                expr(s"($base + $dampingPct * coalesce(__s, 0L)) div 100")
+        .select(col("node_id"), col("__base"),
+                expr(s"(__base + $dampingPct * coalesce(__s, 0L)) div 100")
                   .as("pr_micro"))
       // checkpoint INTERMEDIATE rounds (flat lineage, reclaimable
       // blocks); the final round stays a live plan so the returned
@@ -102,7 +148,7 @@ object GraftGraph {
       if (i < iters - 1) ranks = ranks.localCheckpoint()
       i += 1
     }
-    ranks
+    ranks.select(col("node_id"), col("pr_micro"))
   }
 
   /** HITS hubs-and-authorities over a directed edge list,

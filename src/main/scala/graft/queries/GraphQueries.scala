@@ -108,5 +108,102 @@ object GraphQueries extends QueryModule {
         |SELECT h2.node_id, CAST(h2.h AS BIGINT) AS hub_micro,
         |       CAST(a2.a AS BIGINT) AS auth_micro
         |FROM h2 JOIN a2 USING (node_id)""".stripMargin)),
+
+    // Personalized PageRank: teleport mass lands only on the SEED set
+    // (urgent-priority orders — the "editorially trusted" stand-in), so
+    // rank propagates outward from seeds through purchase links: a part
+    // scores high exactly when urgent orders buy it, an order when it
+    // shares parts with the urgent neighborhood. The curation recipe —
+    // quality flows from vetted documents — as one oracled query.
+    // 2 iterations: r0 = grid·[seed]; r' = (15·grid·[seed]
+    // + 85·Σ(r div deg)) div 100, all integral.
+    GraftQuery(
+      "graph_ppr",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_orderkey") * 2).as("src"),
+                              (col("l_partkey") * 2 + 1).as("dst"))
+        val seeds = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select((col("o_orderkey") * 2).as("node_id"))
+        GraftGraph.personalizedPageRank(edges, seeds, iters = 2)
+      },
+      Some(s"""WITH $edgeCte,
+        |sd AS (SELECT DISTINCT o_orderkey * 2 AS node_id FROM orders
+        |       WHERE o_orderpriority = '1-URGENT'),
+        |nb AS (SELECT n.node_id,
+        |         CASE WHEN sd.node_id IS NULL THEN 0
+        |              ELSE 15000000 END AS b
+        |       FROM nodes n LEFT JOIN sd USING (node_id)),
+        |r0 AS (SELECT node_id,
+        |         CASE WHEN b > 0 THEN 1000000::BIGINT ELSE 0 END AS r
+        |       FROM nb),
+        |c1 AS (SELECT e.dst AS node_id, sum(r0.r // d.dg) AS s
+        |       FROM e JOIN deg d ON d.src = e.src
+        |       JOIN r0 ON r0.node_id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node_id, (n.b + 85 * coalesce(c1.s, 0)) // 100 AS r
+        |       FROM nb n LEFT JOIN c1 USING (node_id)),
+        |c2 AS (SELECT e.dst AS node_id, sum(r1.r // d.dg) AS s
+        |       FROM e JOIN deg d ON d.src = e.src
+        |       JOIN r1 ON r1.node_id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node_id, (n.b + 85 * coalesce(c2.s, 0)) // 100 AS r
+        |       FROM nb n LEFT JOIN c2 USING (node_id))
+        |SELECT node_id, CAST(r AS BIGINT) AS pr_micro FROM r2""".stripMargin)),
+
+    // Cross-family composition: centrality over the SIMILARITY graph the
+    // near-dup miner produces — the template-page detector. A document
+    // whose boilerplate echoes through many others sits central in the
+    // near-dup graph (undirected: each mined pair contributes both
+    // directions), so its PageRank flags it for template-stripping
+    // review, a signal cluster size alone misses (a hub bridging many
+    // small clusters outranks a member of one big clique). 2 integer
+    // iterations over GraftDedup.nearDupPairs' word-3-shingle
+    // Jaccard ≥ 0.8 pairs; the oracle replays the exact pair mine (the
+    // dedup_minhash_lsh CTEs) then the exact arithmetic.
+    GraftQuery(
+      "graph_template_rank",
+      (s, dir) => {
+        val pairs = DedupQueries.minhashLshPairs(s, dir)
+        val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+          .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+        GraftGraph.pageRank(edges, iters = 2)
+          .withColumnRenamed("node_id", "doc_id")
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                                FOR i IN range(1, len(tk) - 1)]) s
+        |  FROM toks WHERE len(tk) >= 3),
+        |ee AS (SELECT doc_id, unnest(s) g FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM ee GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+        |  FROM ee a JOIN ee b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |np AS (
+        |  SELECT a_id, b_id FROM pair
+        |  JOIN sz sa ON sa.doc_id = a_id
+        |  JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM np
+        |      UNION SELECT b_id, a_id FROM np),
+        |nodes AS (SELECT DISTINCT src AS node_id FROM e
+        |          UNION SELECT DISTINCT dst FROM e),
+        |deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src),
+        |r0 AS (SELECT node_id, 1000000::BIGINT AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node_id, sum(r0.r // d.dg) AS s
+        |       FROM e JOIN deg d ON d.src = e.src
+        |       JOIN r0 ON r0.node_id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node_id, (15000000 + 85 * coalesce(c1.s, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c1 USING (node_id)),
+        |c2 AS (SELECT e.dst AS node_id, sum(r1.r // d.dg) AS s
+        |       FROM e JOIN deg d ON d.src = e.src
+        |       JOIN r1 ON r1.node_id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node_id, (15000000 + 85 * coalesce(c2.s, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c2 USING (node_id))
+        |SELECT node_id AS doc_id, CAST(r AS BIGINT) AS pr_micro
+        |FROM r2""".stripMargin)),
   )
 }

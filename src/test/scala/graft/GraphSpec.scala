@@ -73,4 +73,53 @@ class GraphSpec extends GraftFunSuite {
       GraftGraph.hits(edges.toDF("src", "dst"), iters = 0)
     }
   }
+
+  private def ppr(edges: Seq[(Long, Long)], seeds: Seq[Long], iters: Int,
+                  grid: Long = 100L): Map[Long, Long] =
+    GraftGraph.personalizedPageRank(
+        edges.toDF("src", "dst"), seeds.toDF("node_id"),
+        iters = iters, grid = grid)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("personalizedPageRank: hand-computed — teleport mass lands only " +
+       "on seeds and unreachable nodes stay exactly 0") {
+    // 1→2→3, 4→3; seed {1}, grid 100, damping 85.
+    // r0 = (100, 0, 0, 0). Round 1:
+    //   contrib: 2 ← r0(1)=100, 3 ← r0(2)+r0(4) = 0
+    //   r1(1) = 1500 div 100 = 15 (seed base, no in-links)
+    //   r1(2) = (0 + 85·100) div 100 = 85; r1(3) = 0; r1(4) = 0
+    assert(ppr(Seq((1L, 2L), (2L, 3L), (4L, 3L)), Seq(1L), iters = 1) ==
+      Map(1L -> 15L, 2L -> 85L, 3L -> 0L, 4L -> 0L))
+    // Round 2: r2(3) = 85·85 div 100 = 72 — two hops from the seed;
+    // node 4 (no in-links, not a seed) pinned at 0
+    assert(ppr(Seq((1L, 2L), (2L, 3L), (4L, 3L)), Seq(1L), iters = 2) ==
+      Map(1L -> 15L, 2L -> 12L, 3L -> 72L, 4L -> 0L))
+  }
+
+  test("personalizedPageRank: all-nodes seed set reproduces plain " +
+       "pageRank bit-for-bit; off-graph seeds are ignored") {
+    val edges = Seq((1L, 4L), (2L, 4L), (3L, 4L), (1L, 5L), (4L, 2L))
+    val plain = pr(edges, iters = 3)
+    assert(ppr(edges, Seq(1L, 2L, 3L, 4L, 5L), iters = 3) == plain)
+    // a seed absent from the edge list must not appear in the output
+    val withGhost = ppr(edges, Seq(1L, 2L, 3L, 4L, 5L, 99L), iters = 3)
+    assert(withGhost == plain && !withGhost.contains(99L))
+  }
+
+  test("personalizedPageRank: seed proximity ranks above raw in-degree " +
+       "and the result is partitioning-independent") {
+    // 4 has three in-links but none from the seed side; 5 has one
+    // in-link from the seed — proximity to seeds must dominate.
+    val edges = Seq((1L, 5L), (2L, 4L), (3L, 4L), (6L, 4L))
+    val m = ppr(edges, Seq(1L), iters = 2, grid = 1000L)
+    assert(m(5L) > m(4L), s"seed-adjacent must outrank popular: $m")
+    val a = GraftGraph.personalizedPageRank(
+        edges.toDF("src", "dst"), Seq(1L).toDF("node_id"), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = GraftGraph.personalizedPageRank(
+        edges.toDF("src", "dst").repartition(7),
+        Seq(1L).toDF("node_id").repartition(3), iters = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }
