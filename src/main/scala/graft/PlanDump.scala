@@ -54,7 +54,10 @@ object PlanDump {
                     // r12: the int4 rung of the at-rest ladder; link
                     // centrality (the final-round shape — earlier rounds
                     // are localCheckpoint leaves)
-                    "ann_ivf_stored_q4", "graph_pagerank")
+                    "ann_ivf_stored_q4", "graph_pagerank",
+                    // r12: metadata-filtered serve — the label predicate
+                    // must show in PushedFilters beside the DPP cell prune
+                    "ann_ivf_filtered")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -534,7 +534,8 @@ object GraftPq {
   def ivfPqTopKWithCw(index: GraftSimilarity.IvfIndex, cb0: PqCodebook,
                       queries: DataFrame, k: Int,
                       nprobe: Int = 4, rerankFactor: Int = 4,
-                      qIdCol: String = "q_id", qVecCol: String = "qv")
+                      qIdCol: String = "q_id", qVecCol: String = "qv",
+                      where: Option[Column] = None)
       : DataFrame = {
     require(k >= 1, s"ivfPqTopKWithCw: k must be >= 1, got $k")
     require(nprobe >= 1,
@@ -555,7 +556,12 @@ object GraftPq {
     val probeLut = broadcast(probes.select(col("q_id"), col("c_id"))
       .join(qlutFrame(cb, q), "q_id"))
     val kk = k * rerankFactor
-    val cand = index.assigned.select(col("n_id"), col("c_id"), col("cw"))
+    // metadata-filtered PQ serve: the predicate cuts the candidate scan
+    // BEFORE the ADC scoring — same placement/pushdown story as
+    // ivfTopKWith(where) (the filter makes the quantized stage cheaper,
+    // and the survivors inherit it, so stage 2 needs no re-filter)
+    val scan0 = where.fold(index.assigned)(index.assigned.filter(_))
+    val cand = scan0.select(col("n_id"), col("c_id"), col("cw"))
       .join(probeLut, "c_id")
       .filter(col("n_id") =!= col("q_id"))
       .crossJoin(normLutRow(cb))

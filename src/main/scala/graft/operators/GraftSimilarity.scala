@@ -445,11 +445,22 @@ object GraftSimilarity {
   def buildIvfIndex(collection: DataFrame,
                     centroidFraction: Option[Double] = None,
                     idCol: String = "vec_id", vecCol: String = "v",
-                    refineIters: Int = 0): IvfIndex = {
+                    refineIters: Int = 0,
+                    metaCols: Seq[String] = Nil): IvfIndex = {
     graft.GraftSession.ensureExtensions(collection.sparkSession)
     requireIntegralId(collection, idCol, "buildIvfIndex")
-    val e = collection.select(col(idCol).cast("long").as("n_id"),
-                              col(vecCol).as("v"))
+    require(metaCols.forall(collection.columns.contains),
+      s"buildIvfIndex: metaCols ${metaCols.mkString(", ")} must all " +
+      s"exist on the collection (has ${collection.columns.mkString(", ")})")
+    require(metaCols.forall(c => !LayoutCols.contains(c)),
+      s"buildIvfIndex: metaCols may not shadow layout columns " +
+      s"(${LayoutCols.mkString(", ")})")
+    // metadata rides beside the vectors from here on: through assignTo,
+    // into the cell files (storedLayout passes it through), and back out
+    // of readIvfIndex — the filter columns of a `where` serve
+    val e = collection.select(
+      col(idCol).cast("long").as("n_id") +: col(vecCol).as("v") +:
+        metaCols.map(col): _*)
     // threshold on the first 8 md5-hex chars: lowercase fixed-width hex
     // compares as the 32-bit value; cut = ceil(2³² · fraction), clamped
     val cut: Column = centroidFraction match {
@@ -498,7 +509,7 @@ object GraftSimilarity {
       collect_list(struct(col("c_id").cast("long").as("c_id"), col("cv")))
         .as("__cents")))
     e.crossJoin(centsRow)
-      .select(col("n_id"), col("v"),
+      .select(e.columns.map(col) :+
         expr(
           """aggregate(
                transform(__cents,
@@ -512,10 +523,36 @@ object GraftSimilarity {
                  WHEN acc.cc > s.cc
                       OR (isnan(acc.cc) AND NOT isnan(s.cc)) THEN acc
                  WHEN s.c_id < acc.c_id THEN s
-                 ELSE acc END).c_id""").as("c_id"))
+                 ELSE acc END).c_id""").as("c_id"): _*)
       // an empty centroid set folds to an empty array → null c_id; the
       // former join shape dropped every vector there, so match it
       .filter(col("c_id").isNotNull)
+  }
+
+  /** The serving/layout columns every store path owns; anything else on
+    * an assigned frame is caller METADATA riding beside the vectors
+    * (label, lang, source …) — the filter columns of
+    * [[ivfTopKWith]]'s `where` predicate. [[assignTo]] and
+    * [[storedLayout]] pass metadata through untouched, so it lands in
+    * the cell files and the predicate pushes down to the at-rest scan. */
+  private[operators] val LayoutCols: Set[String] =
+    Set("n_id", "v", "c_id", "q8", "q4", "cw")
+
+  /** Metadata columns a base index/store carries beyond the layout set —
+    * the columns an append batch MUST also provide (fail-loud: a batch
+    * silently missing them would null-pad the store and break every
+    * `where` serve over the column). */
+  private[operators] def metaColsOf(assignedCols: Seq[String]): Seq[String] =
+    assignedCols.filterNot(LayoutCols.contains)
+
+  private[operators] def requireMetaCols(
+      metaCols: Seq[String], batchCols: Seq[String], caller: String): Unit = {
+    val missing = metaCols.filterNot(batchCols.contains)
+    require(missing.isEmpty,
+      s"$caller: the index carries metadata column(s) " +
+      s"${metaCols.mkString(", ")} but the batch is missing " +
+      s"${missing.mkString(", ")} — appends must supply every metadata " +
+      "column (a null-padded store would break filtered serving)")
   }
 
   /** Append a batch to an existing index WITHOUT re-clustering: the new
@@ -536,8 +573,13 @@ object GraftSimilarity {
                 idCol: String = "vec_id", vecCol: String = "v"): IvfIndex = {
     graft.GraftSession.ensureExtensions(batch.sparkSession)
     requireIntegralId(batch, idCol, "ivfAppend")
-    val e = batch.select(col(idCol).cast("long").as("n_id"),
-                         col(vecCol).as("v"))
+    // a metadata-carrying base index appends metadata-carrying batches
+    // (fail-loud on a missing column — see requireMetaCols)
+    val meta = metaColsOf(index.assigned.columns.toSeq)
+    requireMetaCols(meta, batch.columns.toSeq, "ivfAppend")
+    val e = batch.select(
+      col(idCol).cast("long").as("n_id") +: col(vecCol).as("v") +:
+        meta.map(col): _*)
     val add0 = assignTo(index.centroids, e)
     // a quantized-carrying base (a read store) keeps its serving columns
     // whole: the appended rows quantize inline so every tier stays
@@ -716,9 +758,17 @@ object GraftSimilarity {
     // hook the PQ tier uses to attach its code-word column
     // ([[GraftPq.appendIvfPqStore]]) without duplicating the tag /
     // maintenance-lock machinery below
-    def assigned = storedLayout(augment(assignTo(cents,
-        batch.select(col(idCol).cast("long").as("n_id"),
-                     col(vecCol).as("v")))))
+    def assigned = storedLayout(augment(assignTo(cents, {
+        // a metadata-carrying store appends metadata-carrying batches:
+        // derive the store's metadata set from the at-rest schema (one
+        // footer read), fail-loud if the batch lacks any column
+        val meta = metaColsOf(
+          spark.read.parquet(s"$dir/assigned").columns.toSeq)
+        requireMetaCols(meta, batch.columns.toSeq, "appendIvfStore")
+        batch.select(
+          col(idCol).cast("long").as("n_id") +: col(vecCol).as("v") +:
+            meta.map(col): _*)
+      })))
     batchTag match {
       case None =>
         requireUnlocked("batch")
@@ -1558,11 +1608,23 @@ object GraftSimilarity {
     */
   def ivfTopKWith(index: IvfIndex, queries: DataFrame, k: Int,
                   nprobe: Int = 4,
-                  qIdCol: String = "q_id", qVecCol: String = "qv")
+                  qIdCol: String = "q_id", qVecCol: String = "qv",
+                  where: Option[Column] = None)
       : DataFrame = {
     graft.GraftSession.ensureExtensions(queries.sparkSession)
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
     val probes = probeCells(q, index.centroids, nprobe, Seq("q_id", "qv"))
+    // METADATA-FILTERED serve: the predicate lands on the assigned scan
+    // BEFORE the probe join, so on an at-rest store it pushes down to
+    // the parquet reader (PushedFilters on the metadata column — plan-
+    // pinned) and COMPOSES with the DPP cell pruning: files pruned to
+    // the probed cells, row groups pruned by the predicate's min/max
+    // stats. Semantics: top-k over the filtered population, same probe
+    // set as the unfiltered serve (cells are probed by query-centroid
+    // distance, which ignores the filter) — a highly selective filter
+    // can starve probed cells, so widen nprobe as selectivity grows
+    // (recallAtKWith measures the trade on your data).
+    val cand = where.fold(index.assigned)(index.assigned.filter(_))
     // The probe side is |Q|·nprobe skinny rows — broadcast-small by DESIGN
     // at any store size (the serving contract bounds the batch; split
     // oversized offline batches), exactly like [[bruteForceTopK]]'s query
@@ -1575,7 +1637,7 @@ object GraftSimilarity {
     // stats of the probe DAG can flip it to a shuffle join, which breaks
     // the broadcast-reuse DPP the same way. OperatorLibSpec pins numFiles
     // ≤ probed cells — the I/O fact, not just the plan shape.
-    topK(broadcast(probes).join(index.assigned, "c_id")
+    topK(broadcast(probes).join(cand, "c_id")
            .filter(col("n_id") =!= col("q_id"))
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
@@ -1681,12 +1743,13 @@ object GraftSimilarity {
     */
   def ivfTopKWithQ8(index: IvfIndex, queries: DataFrame, k: Int,
                     nprobe: Int = 4, rerankFactor: Int = 4,
-                    qIdCol: String = "q_id", qVecCol: String = "qv")
+                    qIdCol: String = "q_id", qVecCol: String = "qv",
+                    where: Option[Column] = None)
       : DataFrame =
     ivfTopKQuant(index, queries, k, nprobe, rerankFactor, qIdCol, qVecCol,
                  quantCol = "q8", encodeFn = "graft_q8b",
                  cosFn = "graft_q8b_cos", label = "ivfTopKWithQ8",
-                 augmentHint = "q8Augment")
+                 augmentHint = "q8Augment", where = where)
 
   /** [[ivfTopKWithQ8]] at the int4 rung: candidates in the probed cells
     * are scored with `graft_q4b_cos` off the store's nibble-packed `q4`
@@ -1702,12 +1765,13 @@ object GraftSimilarity {
     * for in-memory indexes). */
   def ivfTopKWithQ4(index: IvfIndex, queries: DataFrame, k: Int,
                     nprobe: Int = 4, rerankFactor: Int = 4,
-                    qIdCol: String = "q_id", qVecCol: String = "qv")
+                    qIdCol: String = "q_id", qVecCol: String = "qv",
+                    where: Option[Column] = None)
       : DataFrame =
     ivfTopKQuant(index, queries, k, nprobe, rerankFactor, qIdCol, qVecCol,
                  quantCol = "q4", encodeFn = "graft_q4b",
                  cosFn = "graft_q4b_cos", label = "ivfTopKWithQ4",
-                 augmentHint = "q4Augment")
+                 augmentHint = "q4Augment", where = where)
 
   /** Shared body of the scalar-quantized at-rest serves — one candidate
     * kernel, two physical rungs (q8 / q4), identical two-stage shape:
@@ -1718,7 +1782,8 @@ object GraftSimilarity {
                            qIdCol: String, qVecCol: String,
                            quantCol: String, encodeFn: String,
                            cosFn: String, label: String,
-                           augmentHint: String): DataFrame = {
+                           augmentHint: String,
+                           where: Option[Column] = None): DataFrame = {
     require(k >= 1, s"$label: k must be >= 1, got $k")
     require(rerankFactor >= 1,
       s"$label: rerankFactor must be >= 1, got $rerankFactor")
@@ -1733,8 +1798,13 @@ object GraftSimilarity {
     val kk = k * rerankFactor
     // stage 1: integer candidate scoring over (n_id, c_id, quant) — column
     // pruning keeps the doubles out of this scan entirely
+    // the metadata predicate filters the candidate scan BEFORE the
+    // quantized cut (same placement as ivfTopKWith's filtered serve:
+    // pushed to the at-rest reader, composing with DPP); the metadata
+    // column joins the pruned column set only when a filter needs it
+    val scan0 = where.fold(index.assigned)(index.assigned.filter(_))
     val cand = pq
-      .join(index.assigned.select(col("n_id"), col("c_id"), col(quantCol)),
+      .join(scan0.select(col("n_id"), col("c_id"), col(quantCol)),
             "c_id")
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"),

@@ -388,9 +388,13 @@ object IvfObjectStore {
     // that would otherwise run Lloyd twice
     val pqP = pq.map(_.persist())
     try {
+      // metadata columns (anything beyond the layout set, incl. an
+      // already-attached q8/q4) ride into the staged cell objects — the
+      // filter columns of ivfTopKWith(where = ...) over this substrate
+      val meta = GraftSimilarity.metaColsOf(index.assigned.columns.toSeq)
       val data = stageAssigned(dir, index.assigned.select(
-        col("n_id").cast("long").as("n_id"), col("v"),
-        col("c_id").cast("long").as("c_id")), pqP)
+        col("n_id").cast("long").as("n_id") +: col("v") +:
+          col("c_id").cast("long").as("c_id") +: meta.map(col): _*), pqP)
       if (!publish(fs, dir, Manifest(1, cents, data, Set.empty)))
         throw new ManifestConflict(
           s"IvfObjectStore.create: lost the v1 publish race on $dir — " +
@@ -497,9 +501,22 @@ object IvfObjectStore {
       if (batchTag.exists(m.tags.contains)) return // committed replay: no-op
       if (staged == null || stagedAgainst != m.centroids) {
         val cents = loadCentroids(spark, dir, m)
+        // a metadata-carrying store appends metadata-carrying batches —
+        // derive the store's metadata set from the snapshot's data
+        // schema, fail-loud if the batch lacks any column (the same
+        // contract as the directory layout's appendIvfStore)
+        val meta =
+          if (m.data.isEmpty) Nil
+          else GraftSimilarity.metaColsOf(
+            // one footer read — every data object shares the snapshot
+            // schema (create/compact/append all write storedLayout frames)
+            spark.read.parquet(s"$dir/${m.data.head}").columns.toSeq)
+        GraftSimilarity.requireMetaCols(meta, batch.columns.toSeq,
+                                        "IvfObjectStore.append")
         staged = stageAssigned(dir, GraftSimilarity.assignTo(
-          cents, batch.select(col(idCol).cast("long").as("n_id"),
-                              col(vecCol).as("v"))), pq)
+          cents, batch.select(
+            col(idCol).cast("long").as("n_id") +: col(vecCol).as("v") +:
+              meta.map(col): _*)), pq)
         stagedAgainst = m.centroids
       }
       val next = Manifest(m.version + 1, m.centroids, m.data ++ staged,

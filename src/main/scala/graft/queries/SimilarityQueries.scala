@@ -205,6 +205,22 @@ object SimilarityQueries extends QueryModule {
       |      FROM scored)
       |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin
 
+  /** The filtered-serve oracle: [[ivfStoredOracleSql]] with the
+    * candidate population restricted to the predicate's rows — the
+    * centroid build, the probe set, and the query block are all
+    * filter-INVARIANT (the filter applies to candidates, not to the
+    * index geometry), so the anchored rewrite is exactly the semantics
+    * of `ivfTopKWith(where = ...)`. */
+  private lazy val ivfFilteredOracleSql: String = {
+    val out = ivfStoredOracleSql.replace(
+      "WHERE a.vec_id != p.q_id)",
+      "WHERE a.vec_id != p.q_id AND a.vec_id IN " +
+        "(SELECT vec_id FROM embeddings WHERE label = 3))")
+    require(out != ivfStoredOracleSql,
+      "ivfFilteredOracleSql: rewrite anchor moved in ivfStoredOracleSql")
+    out
+  }
+
   /** The delete-lifecycle oracle: [[ivfStoredOracleSql]] (build on the
     * FULL collection — centroids and the query block are delete-invariant)
     * with the candidate population filtered to the surviving ids. The
@@ -368,6 +384,34 @@ object SimilarityQueries extends QueryModule {
                                     queryBlock(e), k = 5, nprobe = 4)
       },
       Some(ivfStoredOracleSql)),
+
+    // METADATA-FILTERED vector search over the at-rest store — the
+    // predicate ("label = 3" standing in for lang/source/license
+    // filters) rides INSIDE the index: buildIvfIndex(metaCols) lands the
+    // label beside each vector in the cell files, and the where-serve
+    // pushes the predicate down to the parquet scan (PushedFilters on
+    // label, spec-pinned) where it composes with the DPP cell pruning —
+    // the pre-filtered-ANN shape every production vector store serves
+    // (top-k over exactly the filter-satisfying population, never
+    // post-filtering a top-k that can come up short). The oracle is the
+    // stored-serve SQL with candidates restricted to the predicate.
+    GraftQuery(
+      "ann_ivf_filtered",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+                  expr("transform(embedding, x -> cast(x AS double))")
+                    .as("v"),
+                  col("label"))
+        val out =
+          s"/tmp/graft_io/${new java.io.File(dir).getName}/ivf_filtered"
+        GraftSimilarity.writeIvfIndex(
+          GraftSimilarity.buildIvfIndex(e, metaCols = Seq("label")), out)
+        GraftSimilarity.ivfTopKWith(
+          GraftSimilarity.readIvfIndex(s, out), queryBlock(vecs(s, dir)),
+          k = 5, nprobe = 4, where = Some(col("label") === 3))
+      },
+      Some(ivfFilteredOracleSql)),
 
     // The same store row on the MANIFEST (object-store) layout: build,
     // IvfObjectStore.create (direct-write commit protocol — no renames,

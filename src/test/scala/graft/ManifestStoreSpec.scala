@@ -486,4 +486,45 @@ class ManifestStoreSpec extends GraftFunSuite {
         "vacuum must never touch the live snapshot")
     }
   }
+
+  test("metadata on the manifest layout: create stages the metadata " +
+       "column, appends must carry it (fail-loud), filtered serve works") {
+    withMockS3 { base =>
+      val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id"),
+                expr("transform(embedding, x -> cast(x AS double))").as("v"),
+                col("label"))
+      val seed = e.filter(col("vec_id") < 60)
+      val batch = e.filter(col("vec_id").between(60, 79))
+      val dir = s"s3a:$base/meta_store"
+      IvfObjectStore.create(
+        spark, GraftSimilarity.buildIvfIndex(seed, metaCols = Seq("label")),
+        dir)
+      val rt = IvfObjectStore.read(spark, dir)
+      assert(rt.assigned.columns.contains("label"),
+        "create must stage the metadata column into the cell objects")
+      // fail-loud on a metadata-less batch, then a correct append
+      val err = intercept[IllegalArgumentException] {
+        IvfObjectStore.append(spark, dir, batch.drop("label"))
+      }
+      assert(err.getMessage.contains("label"), err.getMessage)
+      IvfObjectStore.append(spark, dir, batch)
+      val appended = IvfObjectStore.read(spark, dir)
+      assert(appended.assigned.filter(col("label").isNull).count() == 0,
+        "append must never null-pad metadata")
+      // filtered serve at covering nprobe ≡ brute force over the
+      // filtered population of the appended store
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val served = GraftSimilarity.ivfTopKWith(
+          appended, q, k = 3, nprobe = appended.centroids.count().toInt,
+          where = Some(col("label") === 3))
+        .select("q_id", "n_id", "rnk").collect().toSet
+      val brute = GraftSimilarity.bruteForceTopK(
+          e.filter(col("vec_id") < 80).filter(col("label") === 3), q, k = 3,
+          idCol = "vec_id")
+        .select("q_id", "n_id", "rnk").collect().toSet
+      assert(served == brute)
+    }
+  }
 }

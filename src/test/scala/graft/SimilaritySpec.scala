@@ -790,4 +790,126 @@ class SimilaritySpec extends GraftFunSuite {
       }
     } finally { idx.unpersist(); () }
   }
+
+  test("metadata-filtered serve: label rides the store, the predicate " +
+       "pushes to the parquet scan, covering nprobe equals brute force " +
+       "over the filtered population, and the quantized rungs agree") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v",
+                  "label")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta_store")
+      .toString
+    GraftSimilarity.writeIvfIndex(
+      GraftSimilarity.buildIvfIndex(e, metaCols = Seq("label")), dir)
+    // the metadata column lands in every cell file, beside the layout set
+    val cellFiles = new java.io.File(s"$dir/assigned").listFiles()
+      .filter(_.getName.startsWith("c_id="))
+      .flatMap(_.listFiles().filter(_.getName.endsWith(".parquet")))
+    assert(cellFiles.nonEmpty)
+    for (f <- cellFiles.take(3))
+      assert(spark.read.parquet(f.getPath).columns.contains("label"),
+        s"no label column in ${f.getName}")
+    val idx = GraftSimilarity.readIvfIndex(spark, dir)
+    val pred = col("label") === 3
+    val nCells = idx.centroids.count().toInt
+    val cov = GraftSimilarity.ivfTopKWith(idx, q, k = 5, nprobe = nCells,
+                                          where = Some(pred))
+      .select("q_id", "n_id", "rnk").collect().toSet
+    // covering nprobe ≡ brute force over exactly the filtered population
+    val brute = GraftSimilarity.bruteForceTopK(
+        e.filter(pred), q, k = 5, idCol = "vec_id")
+      .select("q_id", "n_id", "rnk").collect().toSet
+    assert(cov == brute,
+      "covering filtered serve must equal brute force over the filtered rows")
+    // every served row satisfies the predicate (pre-filter, not post-cut)
+    val labelOf = e.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val dflt = GraftSimilarity.ivfTopKWith(idx, q, k = 5, nprobe = 4,
+                                           where = Some(pred))
+    assert(dflt.collect().forall(r => labelOf(r.getLong(1)) == 3),
+      "a filtered serve must never emit a non-matching neighbor")
+    // the predicate reaches the at-rest scan as a data filter
+    val plan = dflt.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PushedFilters") && l.contains("EqualTo(label,3)")),
+      "label predicate must push down to the store scan; plan:\n" +
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString("\n"))
+    // quantized rungs under the same filter, covering budget → identical
+    // to the filtered exact serve
+    val exact4 = GraftSimilarity.ivfTopKWith(idx, q, k = 5, nprobe = 4,
+                                             where = Some(pred))
+      .collect().toSet
+    val covering = e.count().toInt
+    for ((nm, srv) <- Seq(
+        ("q8", GraftSimilarity.ivfTopKWithQ8(idx, q, k = 5, nprobe = 4,
+           rerankFactor = covering, where = Some(pred))),
+        ("q4", GraftSimilarity.ivfTopKWithQ4(idx, q, k = 5, nprobe = 4,
+           rerankFactor = covering, where = Some(pred)))))
+      assert(srv.collect().toSet == exact4,
+        s"covering-budget filtered $nm serve must equal the filtered exact serve")
+    // the PQ rung takes the same predicate: lossless codebook (ksub
+    // covering every distinct subvector is overkill here — instead use a
+    // covering rerank budget, which makes the ADC cut unable to drop a
+    // filtered candidate) → identical to the filtered exact serve
+    val cb = graft.operators.GraftPq.trainPq(
+      e.select(col("vec_id"), col("v")), m = 8, ksub = 16, iters = 1)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_meta_pq")
+      .toString
+    graft.operators.GraftPq.writeIvfPqStore(
+      GraftSimilarity.readIvfIndex(spark, dir), cb, pqDir)
+    val pqIdx = GraftSimilarity.readIvfIndex(spark, pqDir)
+    assert(pqIdx.assigned.columns.contains("label"),
+      "metadata must ride through the PQ store write")
+    val pqServed = graft.operators.GraftPq.ivfPqTopKWithCw(
+        pqIdx, graft.operators.GraftPq.readPqCodebook(spark, pqDir), q,
+        k = 5, nprobe = 4, rerankFactor = covering, where = Some(pred))
+      .collect().toSet
+    assert(pqServed == exact4,
+      "covering-budget filtered PQ serve must equal the filtered exact serve")
+  }
+
+  test("metadata append contract: appends carry the store's metadata " +
+       "columns or fail loudly; appended metadata serves") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v",
+                  "label")
+    val base = GraftSimilarity.buildIvfIndex(e.filter(col("vec_id") % 2 === 0),
+                                             metaCols = Seq("label"))
+    val batch = e.filter(col("vec_id") % 2 === 1)
+    // in-memory: metadata preserved through the append
+    val appended = GraftSimilarity.ivfAppend(base, batch)
+    assert(appended.assigned.columns.contains("label"))
+    assert(appended.assigned.filter(col("label").isNull).count() == 0,
+      "an append must never null-pad metadata")
+    // fail-loud: a batch missing the metadata column is refused
+    val err = intercept[IllegalArgumentException] {
+      GraftSimilarity.ivfAppend(base, batch.drop("label"))
+    }
+    assert(err.getMessage.contains("label"), err.getMessage)
+    // at-rest: appendIvfStore enforces the same contract
+    val dir = java.nio.file.Files.createTempDirectory("graft_meta_append")
+      .toString
+    GraftSimilarity.writeIvfIndex(base, dir)
+    val err2 = intercept[IllegalArgumentException] {
+      GraftSimilarity.appendIvfStore(spark, dir, batch.drop("label"))
+    }
+    assert(err2.getMessage.contains("label"), err2.getMessage)
+    GraftSimilarity.appendIvfStore(spark, dir, batch)
+    val rt = GraftSimilarity.readIvfIndex(spark, dir)
+    assert(rt.assigned.filter(col("label").isNull).count() == 0)
+    // a filtered serve over the appended store sees appended rows
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val served = GraftSimilarity.ivfTopKWith(rt, q, k = 5,
+        nprobe = rt.centroids.count().toInt, where = Some(col("label") === 3))
+      .select("q_id", "n_id", "rnk").collect().toSet
+    val brute = GraftSimilarity.bruteForceTopK(
+        e.filter(col("label") === 3), q, k = 5, idCol = "vec_id")
+      .select("q_id", "n_id", "rnk").collect().toSet
+    assert(served == brute)
+  }
 }
