@@ -147,15 +147,24 @@ object HybridRetrieval {
                      idCol: String = "doc_id", textCol: String = "text",
                      qIdCol: String = "q_id", qTermsCol: String = "q_terms",
                      qVecCol: String = "qv",
-                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                     k1: Double = 1.2, b: Double = 0.75,
+                     where: Option[Column] = None): DataFrame = {
     requireParams(k, kCand, rrfK, "hybridTopKWith")
     require(nprobe >= 1, s"hybridTopKWith: nprobe must be >= 1, got $nprobe")
     graft.GraftSession.ensureExtensions(docs.sparkSession)
     val q = queries.select(col(qIdCol).as("q_id"),
                            col(qTermsCol).as("__qtk"),
                            col(qVecCol).as("__qv"))
+    // METADATA-FILTERED fusion: `where` filters the SEMANTIC leg's
+    // candidate population (the predicate lives in the index — see
+    // ivfTopKWith). The LEXICAL leg's population is the `docs` frame the
+    // caller passes — pre-filter it to the same population (BM25's
+    // df/avgdl then describe exactly the filtered corpus, which is the
+    // correct pre-filter statistic; a post-hoc doc filter would keep the
+    // unfiltered corpus's term weights).
     val sem = GraftSimilarity.ivfTopKWith(
-        index, q.select(col("q_id"), col("__qv").as("qv")), kCand, nprobe)
+        index, q.select(col("q_id"), col("__qv").as("qv")), kCand, nprobe,
+        where = where)
       .select(col("q_id"), col("n_id").as("doc_id"),
               col("rnk").as("sem_rank"))
     fuse(lexRanks(docs, q, kCand, idCol, textCol, k1, b), sem, k, rrfK)
@@ -178,7 +187,8 @@ object HybridRetrieval {
                        idCol: String = "doc_id", textCol: String = "text",
                        qIdCol: String = "q_id", qTermsCol: String = "q_terms",
                        qVecCol: String = "qv",
-                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                       k1: Double = 1.2, b: Double = 0.75,
+                       where: Option[Column] = None): DataFrame = {
     requireParams(k, kCand, rrfK, "hybridTopKWithQ8")
     require(nprobe >= 1, s"hybridTopKWithQ8: nprobe must be >= 1, got $nprobe")
     require(rerankFactor >= 1,
@@ -189,7 +199,7 @@ object HybridRetrieval {
                            col(qVecCol).as("__qv"))
     val sem = GraftSimilarity.ivfTopKWithQ8(
         index, q.select(col("q_id"), col("__qv").as("qv")), kCand,
-        nprobe, rerankFactor)
+        nprobe, rerankFactor, where = where)
       .select(col("q_id"), col("n_id").as("doc_id"),
               col("rnk").as("sem_rank"))
     fuse(lexRanks(docs, q, kCand, idCol, textCol, k1, b), sem, k, rrfK)
@@ -214,7 +224,8 @@ object HybridRetrieval {
                        idCol: String = "doc_id", textCol: String = "text",
                        qIdCol: String = "q_id", qTermsCol: String = "q_terms",
                        qVecCol: String = "qv",
-                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                       k1: Double = 1.2, b: Double = 0.75,
+                       where: Option[Column] = None): DataFrame = {
     requireParams(k, kCand, rrfK, "hybridTopKWithPq")
     require(nprobe >= 1, s"hybridTopKWithPq: nprobe must be >= 1, got $nprobe")
     require(rerankFactor >= 1,
@@ -225,7 +236,7 @@ object HybridRetrieval {
                            col(qVecCol).as("__qv"))
     val sem = GraftPq.ivfPqTopKWithCw(
         index, cb, q.select(col("q_id"), col("__qv").as("qv")), kCand,
-        nprobe, rerankFactor)
+        nprobe, rerankFactor, where = where)
       .select(col("q_id"), col("n_id").as("doc_id"),
               col("rnk").as("sem_rank"))
     fuse(lexRanks(docs, q, kCand, idCol, textCol, k1, b), sem, k, rrfK)

@@ -205,6 +205,106 @@ object SimilarityQueries extends QueryModule {
       |      FROM scored)
       |SELECT q_id, n_id, rnk, round(c, 4) AS cos FROM r WHERE rnk <= 5""".stripMargin
 
+  /** The hybrid (BM25 ⊕ IVF-probe semantic, RRF-fused) serve replay —
+    * shared by `ann_hybrid_ivf` and, via anchored population rewrites,
+    * `ann_hybrid_filtered`. */
+  private val hybridIvfOracleSql: String =
+    """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (
+        |  SELECT doc_id q_id,
+        |    regexp_split_to_array(trim(text), '\s+') qtk, ev.v qv
+        |  FROM documents JOIN ev ON vec_id = doc_id
+        |  WHERE doc_id < 10),
+        |qt AS (SELECT q_id, unnest(list_distinct(qtk)) term FROM q),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |      FROM documents),
+        |stats AS (SELECT count(*) n, avg(len(tk)) avgdl FROM d),
+        |tr AS (
+        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM tr GROUP BY 1),
+        |ls AS (
+        |  SELECT qt.q_id, tr.doc_id,
+        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |          * 1000000.0) AS BIGINT)) score
+        |  FROM tr JOIN qt USING (term) JOIN df USING (term), stats
+        |  WHERE tr.doc_id != qt.q_id GROUP BY 1, 2),
+        |lrk AS (
+        |  SELECT q_id, doc_id, lex_rank FROM (
+        |    SELECT q_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+        |      lex_rank
+        |    FROM ls) WHERE lex_rank <= 30),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM ev),
+        |c AS (SELECT vec_id c_id, v cv FROM ev
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT ev.vec_id, ev.v, c.c_id,
+        |      row_number() OVER (PARTITION BY ev.vec_id
+        |        ORDER BY list_cosine_similarity(ev.v, c.cv) DESC, c.c_id) arnk
+        |    FROM ev, c) WHERE arnk = 1),
+        |probes AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.q_id, q.qv, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM q, c) WHERE prnk <= 4),
+        |ss AS (
+        |  SELECT p.q_id, a.vec_id doc_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.vec_id != p.q_id),
+        |srk AS (
+        |  SELECT q_id, doc_id, sem_rank FROM (
+        |    SELECT q_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY c DESC, doc_id) AS BIGINT)
+        |      sem_rank
+        |    FROM ss) WHERE sem_rank <= 30),
+        |f AS (
+        |  SELECT q_id, doc_id, lex_rank, sem_rank,
+        |    coalesce(CAST(round(1000000000.0 / (60 + lex_rank)) AS BIGINT),
+        |             0)
+        |    + coalesce(CAST(round(1000000000.0 / (60 + sem_rank)) AS BIGINT),
+        |               0) rrf
+        |  FROM lrk FULL OUTER JOIN srk USING (q_id, doc_id))
+        |SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
+        |  SELECT q_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
+        |    rrf, lex_rank, sem_rank
+        |  FROM f) WHERE rank <= 10""".stripMargin
+
+  /** The filtered-fusion oracle: [[hybridIvfOracleSql]] with BOTH leg
+    * populations restricted to lang = 'en' — the lexical corpus CTE
+    * gains the predicate (so BM25's n/avgdl/df describe exactly the
+    * filtered corpus: pre-filter statistics, the semantics of passing a
+    * filtered `docs`), and the semantic candidate set gains the same
+    * restriction (the `where` serve over the lang-carrying index). The
+    * query block and the index geometry stay UNfiltered, exactly like
+    * the Spark side. */
+  private lazy val hybridFilteredOracleSql: String = {
+    val s1 = hybridIvfOracleSql.replace(
+      """d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+      FROM documents),""",
+      """d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+      FROM documents WHERE lang = 'en'),""")
+    require(s1 != hybridIvfOracleSql,
+      "hybridFilteredOracleSql: lexical anchor moved in hybridIvfOracleSql")
+    val s2 = s1.replace(
+      "WHERE a.vec_id != p.q_id),",
+      "WHERE a.vec_id != p.q_id AND a.vec_id IN " +
+        "(SELECT doc_id FROM documents WHERE lang = 'en')),")
+    require(s2 != s1,
+      "hybridFilteredOracleSql: semantic anchor moved in hybridIvfOracleSql")
+    s2
+  }
+
   /** The filtered-serve oracle: [[ivfStoredOracleSql]] with the
     * candidate population restricted to the predicate's rows — the
     * centroid build, the probe set, and the query block are all
@@ -1193,76 +1293,39 @@ object SimilarityQueries extends QueryModule {
           GraftSimilarity.buildIvfIndex(e), docs, queries,
           k = 10, kCand = 30, rrfK = 60, nprobe = 4)
       },
-      Some("""WITH ev AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |q AS (
-        |  SELECT doc_id q_id,
-        |    regexp_split_to_array(trim(text), '\s+') qtk, ev.v qv
-        |  FROM documents JOIN ev ON vec_id = doc_id
-        |  WHERE doc_id < 10),
-        |qt AS (SELECT q_id, unnest(list_distinct(qtk)) term FROM q),
-        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
-        |      FROM documents),
-        |stats AS (SELECT count(*) n, avg(len(tk)) avgdl FROM d),
-        |tr AS (
-        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
-        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
-        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) df FROM tr GROUP BY 1),
-        |ls AS (
-        |  SELECT qt.q_id, tr.doc_id,
-        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
-        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |          * 1000000.0) AS BIGINT)) score
-        |  FROM tr JOIN qt USING (term) JOIN df USING (term), stats
-        |  WHERE tr.doc_id != qt.q_id GROUP BY 1, 2),
-        |lrk AS (
-        |  SELECT q_id, doc_id, lex_rank FROM (
-        |    SELECT q_id, doc_id, CAST(row_number() OVER (
-        |      PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
-        |      lex_rank
-        |    FROM ls) WHERE lex_rank <= 30),
-        |cut AS (
-        |  SELECT printf('%08x', CAST(least(
-        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
-        |           4294967295) AS BIGINT)) h
-        |  FROM ev),
-        |c AS (SELECT vec_id c_id, v cv FROM ev
-        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
-        |assign AS (
-        |  SELECT vec_id, v, c_id FROM (
-        |    SELECT ev.vec_id, ev.v, c.c_id,
-        |      row_number() OVER (PARTITION BY ev.vec_id
-        |        ORDER BY list_cosine_similarity(ev.v, c.cv) DESC, c.c_id) arnk
-        |    FROM ev, c) WHERE arnk = 1),
-        |probes AS (
-        |  SELECT q_id, qv, c_id FROM (
-        |    SELECT q.q_id, q.qv, c.c_id,
-        |      row_number() OVER (PARTITION BY q.q_id
-        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
-        |    FROM q, c) WHERE prnk <= 4),
-        |ss AS (
-        |  SELECT p.q_id, a.vec_id doc_id,
-        |    list_cosine_similarity(p.qv, a.v) c
-        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
-        |  WHERE a.vec_id != p.q_id),
-        |srk AS (
-        |  SELECT q_id, doc_id, sem_rank FROM (
-        |    SELECT q_id, doc_id, CAST(row_number() OVER (
-        |      PARTITION BY q_id ORDER BY c DESC, doc_id) AS BIGINT)
-        |      sem_rank
-        |    FROM ss) WHERE sem_rank <= 30),
-        |f AS (
-        |  SELECT q_id, doc_id, lex_rank, sem_rank,
-        |    coalesce(CAST(round(1000000000.0 / (60 + lex_rank)) AS BIGINT),
-        |             0)
-        |    + coalesce(CAST(round(1000000000.0 / (60 + sem_rank)) AS BIGINT),
-        |               0) rrf
-        |  FROM lrk FULL OUTER JOIN srk USING (q_id, doc_id))
-        |SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
-        |  SELECT q_id, doc_id, CAST(row_number() OVER (
-        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
-        |    rrf, lex_rank, sem_rank
-        |  FROM f) WHERE rank <= 10""".stripMargin)),
+      Some(hybridIvfOracleSql)),
+
+    // FILTERED FUSION: the hybrid serve restricted to one slice of the
+    // corpus (lang = 'en' standing in for any metadata predicate) — the
+    // RAG deployment shape "retrieve only from the allowed sources".
+    // The lexical leg gets the PRE-FILTERED docs frame (BM25's df/avgdl
+    // then describe exactly the filtered corpus — post-hoc filtering
+    // would keep the unfiltered corpus's term weights and rank wrong);
+    // the semantic leg filters through the lang-carrying index (`where`
+    // serve — buildIvfIndex(metaCols) with the lang column joined from
+    // documents). Queries and index geometry stay unfiltered.
+    GraftQuery(
+      "ann_hybrid_filtered",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val eMeta = e.join(
+          docs.select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+          .select(col("vec_id"), col("v"), col("lang"))
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("q_terms"),
+                  col("v").as("qv"))
+        graft.operators.HybridRetrieval.hybridTopKWith(
+          GraftSimilarity.buildIvfIndex(eMeta, metaCols = Seq("lang")),
+          docs.filter(col("lang") === "en"), queries,
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4,
+          where = Some(col("lang") === "en"))
+      },
+      Some(hybridFilteredOracleSql)),
 
     // Product-quantization ADC tier ([[graft.operators.GraftPq]]): m=8
     // subspaces × ksub=16 codes trained with 2 Lloyd rounds on the 2^20

@@ -490,6 +490,50 @@ class SimilaritySpec extends GraftFunSuite {
     } finally { idx.unpersist(); () }
   }
 
+  test("filtered fusion: hybridTopKWith(where) at covering nprobe equals " +
+       "the brute hybrid over the filtered populations, and every fused " +
+       "row respects the predicate on both legs") {
+    import graft.operators.{GraftSimilarity, GraftText, HybridRetrieval}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val eMeta = e.join(docs.select(col("doc_id"), col("lang")),
+                       col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("v"), col("lang"))
+    val queries = docs.filter(col("doc_id") < 10)
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("q_id"),
+              GraftText.whitespaceTokens(col("text")).as("q_terms"),
+              col("v").as("qv"))
+    val pred = col("lang") === "en"
+    val docsF = docs.filter(pred)
+    val idx = GraftSimilarity.buildIvfIndex(eMeta, metaCols = Seq("lang"))
+      .persist()
+    try {
+      val cells = idx.centroids.count().toInt
+      // brute reference: both populations pre-filtered outside the API
+      val brute = HybridRetrieval.hybridTopK(
+          docsF, eMeta.filter(pred).select(col("vec_id"), col("v")),
+          queries, k = 10, kCand = 30)
+        .collect().toSet
+      val covered = HybridRetrieval.hybridTopKWith(
+          idx, docsF, queries, k = 10, kCand = 30, nprobe = cells,
+          where = Some(pred))
+        .collect().toSet
+      assert(covered == brute,
+        "covering filtered fusion must equal brute fusion over the " +
+        "filtered populations")
+      // every served doc satisfies the predicate (both legs filtered)
+      val enDocs = docsF.select("doc_id").collect().map(_.getLong(0)).toSet
+      val dflt = HybridRetrieval.hybridTopKWith(
+          idx, docsF, queries, k = 10, kCand = 30, nprobe = 4,
+          where = Some(pred)).collect()
+      assert(dflt.nonEmpty &&
+             dflt.forall(r => enDocs.contains(r.getLong(1))),
+        "a filtered fusion must never emit an out-of-population doc")
+    } finally { idx.unpersist(); () }
+  }
+
   test("hybridTopKWithPq: covering nprobe + covering rerank budget equals " +
        "the brute hybrid tier bit-for-bit, served straight off the at-rest " +
        "PQ store; lexical candidates survive any semantic cut") {
