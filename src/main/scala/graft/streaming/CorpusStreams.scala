@@ -976,7 +976,9 @@ object CorpusStreams {
                      queries: DataFrame, k: Int, nprobe: Int = 4,
                      latenessMinutes: Long = 10,
                      qIdCol: String = "q_id", qVecCol: String = "qv",
-                     tsCol: String = "ts"): DataFrame = {
+                     tsCol: String = "ts",
+                     where: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(nprobe >= 1, s"nprobe must be >= 1, got $nprobe")
     require(latenessMinutes > 0,
@@ -1009,7 +1011,13 @@ object CorpusStreams {
       .withWatermark("ts", s"$latenessMinutes minutes")
     val probes = graft.operators.GraftSimilarity
       .probeCells(q, index.centroids, nprobe, Seq("q_id", "ts", "qv"))
-    probes.join(index.assigned, "c_id")
+    // metadata-filtered online serve: the same `where` contract as the
+    // batch ivfTopKWith — the predicate cuts the (static) candidate side
+    // before the probe join, so the stream-static join ships only
+    // filter-satisfying candidates; stream ≡ batch over the same filter
+    // (StreamingSpec pins it)
+    val cand = where.fold(index.assigned)(index.assigned.filter(_))
+    probes.join(cand, "c_id")
       .filter(col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("ts"), col("n_id"),
               expr("graft_cosine(qv, v)").as("c"))

@@ -910,6 +910,58 @@ class StreamingSpec extends GraftFunSuite {
     } finally idx.unpersist(blocking = true)
   }
 
+  test("ivfServeStream(where): the online filtered serve answers exactly " +
+       "like the filtered batch serve, and never emits an " +
+       "out-of-population neighbor") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.GraftSimilarity
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.ensureExtensions(spark)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"),
+              col("label"))
+    val idx = GraftSimilarity.buildIvfIndex(e, metaCols = Seq("label"))
+      .persist()
+    try {
+      val pred = col("label") === 3
+      val qBatch = e.filter(col("vec_id") % 25 === 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val batchServe = GraftSimilarity
+        .ivfTopKWith(idx, qBatch, k = 5, where = Some(pred))
+        .collect().map(key).toSet
+      assert(batchServe.nonEmpty)
+      val rows = qBatch.collect()
+        .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 8),
+                   r.getSeq[Double](1).toList))
+        .sortBy(_._1).toSeq
+      val input = MemoryStream[(Long, Timestamp, List[Double])]
+      val q = CorpusStreams
+        .ivfServeStream(idx, input.toDF().toDF("q_id", "ts", "qv"),
+                        k = 5, latenessMinutes = 10, where = Some(pred))
+        .writeStream.format("memory").queryName("ivf_serve_filtered")
+        .outputMode("append").start()
+      try {
+        input.addData(rows); q.processAllAvailable()
+        input.addData(Seq((999999L, ts(600), rows.head._3)))
+        q.processAllAvailable()
+        val streamed = spark.table("ivf_serve_filtered")
+          .filter(col("q_id") =!= 999999L)
+          .select("q_id", "n_id", "rnk", "cos")
+          .collect().map(key).toSet
+        assert(streamed == batchServe,
+          s"stream-only=${streamed.diff(batchServe)} " +
+          s"batch-only=${batchServe.diff(streamed)}")
+        val pop = e.filter(pred).select("vec_id").collect()
+          .map(_.getLong(0)).toSet
+        assert(streamed.forall(r => pop.contains(r._2)),
+          "the filtered stream must never emit an out-of-population id")
+      } finally q.stop()
+    } finally idx.unpersist(blocking = true)
+  }
+
   test("srpPairStream: vectors beyond the horizon never pair, and a pair " +
        "colliding in every band is emitted exactly once — both state " +
        "tiers (exact and quantized)") {
