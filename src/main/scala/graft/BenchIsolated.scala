@@ -39,7 +39,8 @@ object BenchIsolated {
     "ann_pq_budget_sweep", "ann_hybrid_pq",
     // r12 second batch: the int4 rung and the centrality rows
     "ann_ivf_stored_q4", "graph_pagerank", "graph_hits",
-    "graph_ppr", "graph_template_rank", "ann_ivf_filtered")
+    "graph_ppr", "graph_template_rank", "ann_ivf_filtered",
+    "ann_maxsim", "ann_hybrid_filtered")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

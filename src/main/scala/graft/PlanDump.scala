@@ -57,7 +57,10 @@ object PlanDump {
                     "ann_ivf_stored_q4", "graph_pagerank",
                     // r12: metadata-filtered serve — the label predicate
                     // must show in PushedFilters beside the DPP cell prune
-                    "ann_ivf_filtered")
+                    "ann_ivf_filtered",
+                    // r12: the MaxSim contraction (three partial-agg
+                    // stages, broadcast query-token side)
+                    "ann_maxsim")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

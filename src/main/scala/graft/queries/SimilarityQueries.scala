@@ -1327,6 +1327,51 @@ object SimilarityQueries extends QueryModule {
       },
       Some(hybridFilteredOracleSql)),
 
+    // LATE-INTERACTION (ColBERT-style MaxSim) retrieval
+    // ([[graft.operators.LateInteraction]]): documents and queries are
+    // BAGS of per-token vectors, score = Σ over query tokens of the max
+    // dot against the doc's tokens — token-granular matching that a
+    // single pooled vector averages away. Token vectors are ±1 md5-hash
+    // embeddings, so every dot/max/sum is an exact integer and the
+    // oracle replays the whole contraction (embed → pair dots → per-
+    // token max → sum → rank) hash-for-hash. This row is the labeled
+    // quadratic twin; maxSimTopKWith serves through the token-level IVF
+    // index (covering-probe parity spec-pinned).
+    GraftQuery(
+      "ann_maxsim",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dt = graft.operators.LateInteraction.hashTokenVectors(
+          docs, dim = 8, maxTokens = 16)
+        val qt = dt.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("q_id"), col("tok"), col("tv"))
+        graft.operators.LateInteraction.maxSimTopK(dt, qt, k = 10)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents),
+        |dt AS (
+        |  SELECT doc_id, tok,
+        |    [CASE WHEN substr(md5(tok || '_' || j), 1, 1) < '8'
+        |          THEN 1 ELSE -1 END FOR j IN range(0, 8)] tv
+        |  FROM (SELECT doc_id, unnest(list_distinct(tk[1:16])) tok
+        |        FROM toks)
+        |  WHERE len(tok) > 0),
+        |qt AS (SELECT doc_id q_id, tok qtok, tv qtv FROM dt
+        |       WHERE doc_id < 10),
+        |pair AS (
+        |  SELECT q_id, qtok, d.doc_id,
+        |    list_sum(list_transform(range(1, 9), i -> qtv[i] * d.tv[i])) dot
+        |  FROM qt, dt d WHERE d.doc_id != qt.q_id),
+        |mx AS (SELECT q_id, qtok, doc_id, max(dot) m FROM pair
+        |       GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_id, doc_id, sum(m) s FROM mx GROUP BY 1, 2),
+        |r AS (SELECT q_id, doc_id, s, row_number() OVER (
+        |        PARTITION BY q_id ORDER BY s DESC, doc_id) rnk FROM sc)
+        |SELECT q_id, doc_id, CAST(rnk AS BIGINT) rnk,
+        |       CAST(s AS BIGINT) score
+        |FROM r WHERE rnk <= 10""".stripMargin)),
+
     // Product-quantization ADC tier ([[graft.operators.GraftPq]]): m=8
     // subspaces × ksub=16 codes trained with 2 Lloyd rounds on the 2^20
     // fixed-point grid (centroid = round(sum/count) — one IEEE division
