@@ -60,7 +60,7 @@ object StreamBench {
     * the 1/0.7 bound absorbs the observed <5% total swing with wide
     * margin. RE-BASELINE (like the per-op floors) when an operator is
     * added to the suite or the medians legitimately move. */
-  val BaselineTotalSec: Double = 102.6
+  val BaselineTotalSec: Double = 132.7 // r12: +sb_maxsim_serve (83.5 s)
   val AggregateBoundFactor: Double = 1.0 / 0.7
 
   val throughputFloors: Map[String, Double] = Map(
@@ -79,6 +79,7 @@ object StreamBench {
     "sb_srp_pairs"           -> 135,
     "sb_srp_pairs_q8"        -> 153,
     "sb_ivf_serve"           -> 16,
+    "sb_maxsim_serve"        -> 3,
     "sb_ivf_ingest"          -> 184,
     "sb_ivf_ingest_manifest" -> 251,
     "sb_pack"                -> 691,
@@ -415,6 +416,32 @@ object StreamBench {
               chunks(queries, 2).map(c => () => { in.addData(c); () }) :+
               (() => { in.addData(Seq((-1L, ts(600), List(0.1f)))); () }))
       } finally { cb.unpersist(); enc.unpersist(); () }
+    }
+
+    // Late-interaction serve: static token-level IVF index, streamed
+    // (q_id, ts, text) queries — MaxSim as THREE chained stateful
+    // aggregations (per-token max, per-doc sum, top-k)
+    locally {
+      import graft.operators.LateInteraction
+      val sbDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val dt = LateInteraction.hashTokenVectors(sbDocs, dim = 8,
+                                                maxTokens = 16).persist()
+      val idx = LateInteraction.tokenIndex(dt).persist()
+      idx.centroids.count(); idx.assigned.count()
+      val qRows = sbDocs.filter(col("doc_id") % 10 === 3)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), ts((r.getLong(0) % 8).toInt),
+                   r.getString(1)))
+        .sortBy(_._2.getTime).toSeq
+      try rep {
+        val in = MemoryStream[(Long, Timestamp, String)]
+        val q = sink(CorpusStreams.maxSimServeStream(
+          idx, in.toDF().toDF("q_id", "ts", "text"), k = 5, nprobe = 4),
+          "sb_maxsim_serve")
+        drive("sb_maxsim_serve", qRows.size, q,
+              chunks(qRows, 2).map(c => () => { in.addData(c); () }) :+
+              (() => { in.addData(Seq((-1L, ts(600), "advance"))); () }))
+      } finally { idx.unpersist(); dt.unpersist(); () }
     }
 
     // IVF streaming ingest into a fresh at-rest store (idempotent tags)

@@ -1030,6 +1030,71 @@ object CorpusStreams {
               round(col("s.score"), 4).as("cos"))
   }
 
+  /** Streaming serve twin of
+    * [[graft.operators.LateInteraction.maxSimTopKWith]]: an unbounded
+    * stream of (q_id, ts, text) queries answered by ColBERT-style MaxSim
+    * against a STATIC token-level IVF index ([[graft.operators
+    * .LateInteraction.tokenIndex]]). Tokenize + ±1-hash-embed is ONE
+    * stateless projection (the batch [[graft.operators.LateInteraction
+    * .hashTokenVectors]] arithmetic inline, so stream and batch token
+    * vectors are bit-identical); each query token probes its cells
+    * against the broadcast centroid row (stateless, the
+    * [[ivfServeStream]] shape); then the MaxSim contraction runs as
+    * THREE chained stateful aggregations in append mode — max per
+    * (query, token, doc), sum per (query, doc), top-k per query — each
+    * keyed on the query's event time, finalizing together when the
+    * watermark clears it. State is O(in-flight queries · their candidate
+    * docs), never O(stream). Output (q_id, ts, doc_id, rnk, score) is
+    * value-identical to the batch serve at the same nprobe
+    * (LateInteractionSpec pins it). Empty/blank queries yield no tokens
+    * and therefore no answer — the poison-pill drop rule.
+    */
+  def maxSimServeStream(index: graft.operators.GraftSimilarity.IvfIndex,
+                        queries: DataFrame, k: Int, nprobe: Int = 4,
+                        dim: Int = 8, maxTokens: Int = 16,
+                        latenessMinutes: Long = 10,
+                        qIdCol: String = "q_id", textCol: String = "text",
+                        tsCol: String = "ts"): DataFrame = {
+    require(k >= 1, s"maxSimServeStream: k must be >= 1, got $k")
+    require(nprobe >= 1,
+      s"maxSimServeStream: nprobe must be >= 1, got $nprobe")
+    require(latenessMinutes > 0,
+      s"latenessMinutes must be positive, got $latenessMinutes")
+    import graft.operators.LateInteraction
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val qt = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(tsCol).as("ts"),
+              slice(graft.operators.GraftText.whitespaceTokens(col(textCol)),
+                    1, maxTokens).as("__toks"))
+      .withWatermark("ts", s"$latenessMinutes minutes")
+      .select(col("q_id"), col("ts"),
+              explode(array_distinct(col("__toks"))).as("qtok"))
+      .filter(length(col("qtok")) > 0)
+      .select(col("q_id"), col("ts"), col("qtok"),
+        expr(s"""transform(sequence(0, ${dim - 1}),
+                 j -> CASE WHEN substring(md5(concat(qtok, '_', j)), 1, 1)
+                             < '8' THEN 1 ELSE -1 END)""").as("qtv"))
+      .withColumn("qv", expr("transform(qtv, x -> cast(x AS double))"))
+    val probes = graft.operators.GraftSimilarity.probeCells(
+      qt, index.centroids, nprobe, Seq("q_id", "ts", "qtok", "qtv"))
+    probes.join(index.assigned, "c_id")
+      .select(col("q_id"), col("ts"), col("qtok"),
+              expr(s"n_id div ${LateInteraction.TokenIdBase}").as("doc_id"),
+              expr("aggregate(zip_with(qtv, tv, (x, y) -> x * y), 0L, " +
+                   "(s, x) -> s + x)").as("__dot"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("ts"), col("qtok"), col("doc_id"))
+      .agg(max(col("__dot")).as("__m"))
+      .groupBy(col("q_id"), col("ts"), col("doc_id"))
+      .agg(sum(col("__m")).as("__s"))
+      .groupBy(col("q_id"), col("ts"))
+      .agg(expr(s"graft_topk(cast(__s AS double), doc_id, $k)").as("tk"))
+      .select(col("q_id"), col("ts"), posexplode(col("tk")).as(Seq("p", "s")))
+      .select(col("q_id"), col("ts"), col("s.id").as("doc_id"),
+              (col("p") + 1).cast("long").as("rnk"),
+              col("s.score").cast("long").as("score"))
+  }
+
   /** Streaming ingest into the at-rest IVF store — the write-side
     * complement of [[ivfServeStream]]: each micro-batch of (id, vector)
     * rows is assigned against the STORED centroids and appended into the

@@ -103,4 +103,55 @@ class LateInteractionSpec extends GraftFunSuite {
       } finally { idx.unpersist(); () }
     } finally { dt.unpersist(); () }
   }
+
+  test("maxSimServeStream: the online MaxSim answers each watermark-" +
+       "closed query identically to the batch serve at the same nprobe, " +
+       "across micro-batch boundaries; blank queries get no answer") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.ensureExtensions(spark)
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dt = LateInteraction.hashTokenVectors(docs, dim = 8,
+                                              maxTokens = 16).persist()
+    val idx = LateInteraction.tokenIndex(dt).persist()
+    try {
+      val qt = dt.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("tok"), col("tv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val batch = LateInteraction.maxSimTopKWith(idx, qt, k = 5, nprobe = 4)
+        .collect().map(key).toSet
+      assert(batch.nonEmpty)
+      val rows = docs.filter(col("doc_id") < 10)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 8), r.getString(1)))
+        .sortBy(_._1).toSeq
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val q = graft.streaming.CorpusStreams
+        .maxSimServeStream(idx, input.toDF().toDF("q_id", "ts", "text"),
+                           k = 5, nprobe = 4)
+        .writeStream.format("memory").queryName("maxsim_serve")
+        .outputMode("append").start()
+      try {
+        input.addData(h1); q.processAllAvailable()
+        input.addData(h2 :+ ((888888L, ts(3), "   "))) // blank: dropped
+        q.processAllAvailable()
+        input.addData(Seq((999999L, ts(600), "advance the watermark")))
+        q.processAllAvailable()
+        val streamed = spark.table("maxsim_serve")
+          .filter(col("q_id") < 888888L)
+          .select("q_id", "doc_id", "rnk", "score")
+          .collect().map(key).toSet
+        assert(streamed == batch,
+          s"stream-only=${streamed.diff(batch).take(3)} " +
+          s"batch-only=${batch.diff(streamed).take(3)}")
+        assert(spark.table("maxsim_serve")
+                 .filter(col("q_id") === 888888L).count() == 0,
+          "a blank query must be dropped, not answered or fatal")
+      } finally q.stop()
+    } finally { idx.unpersist(); dt.unpersist(); () }
+  }
 }
