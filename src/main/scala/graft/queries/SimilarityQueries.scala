@@ -1372,6 +1372,80 @@ object SimilarityQueries extends QueryModule {
         |       CAST(s AS BIGINT) score
         |FROM r WHERE rnk <= 10""".stripMargin)),
 
+    // The MaxSim SERVING path as its own oracled row: token-level IVF
+    // (composite ids doc·2²⁰ + tok ordinal), each query token probing
+    // nprobe=4 cells, dots only inside probed cells, absent pairs = 0.
+    // The oracle replays the ENTIRE serving pipeline — tokenize, embed,
+    // ordinal/composite-id assembly, md5 centroid seed, token→centroid
+    // assignment (cosine ties → lowest c_id; on the equal-norm ±1 grid
+    // cosine order ≡ integer dot order), per-token probes, probed-cell
+    // dots, max/sum/rank — certifying the scale path end-to-end, not
+    // just its covering-probe degenerate case.
+    GraftQuery(
+      "ann_maxsim_ivf",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dt = graft.operators.LateInteraction.hashTokenVectors(
+          docs, dim = 8, maxTokens = 16)
+        val qt = dt.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("q_id"), col("tok"), col("tv"))
+        graft.operators.LateInteraction.maxSimTopKWith(
+          graft.operators.LateInteraction.tokenIndex(dt), qt,
+          k = 10, nprobe = 4)
+      },
+      Some("""WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents),
+        |dt AS (
+        |  SELECT doc_id, tok,
+        |    [CASE WHEN substr(md5(tok || '_' || j), 1, 1) < '8'
+        |          THEN 1 ELSE -1 END FOR j IN range(0, 8)] tv
+        |  FROM (SELECT doc_id, unnest(list_distinct(tk[1:16])) tok
+        |        FROM toks)
+        |  WHERE len(tok) > 0),
+        |tid AS (
+        |  SELECT doc_id * 1048576 +
+        |           (row_number() OVER (PARTITION BY doc_id ORDER BY tok)
+        |            - 1) tok_id,
+        |         doc_id, tok, tv
+        |  FROM dt),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM tid),
+        |c AS (SELECT tok_id c_id, tv cv FROM tid
+        |      WHERE substr(md5(tok_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT tok_id, doc_id, tv, c_id FROM (
+        |    SELECT t.tok_id, t.doc_id, t.tv, c.c_id,
+        |      row_number() OVER (PARTITION BY t.tok_id ORDER BY
+        |        list_sum(list_transform(range(1, 9), i -> t.tv[i] * c.cv[i]))
+        |          DESC, c.c_id) arnk
+        |    FROM tid t, c) WHERE arnk = 1),
+        |qt AS (SELECT doc_id q_id, tok qtok, tv qtv FROM dt
+        |       WHERE doc_id < 10),
+        |probes AS (
+        |  SELECT q_id, qtok, qtv, c_id FROM (
+        |    SELECT q.q_id, q.qtok, q.qtv, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id, q.qtok ORDER BY
+        |        list_sum(list_transform(range(1, 9), i -> q.qtv[i] * c.cv[i]))
+        |          DESC, c.c_id) prnk
+        |    FROM qt q, c) WHERE prnk <= 4),
+        |pair AS (
+        |  SELECT p.q_id, p.qtok, a.doc_id,
+        |    list_sum(list_transform(range(1, 9), i -> p.qtv[i] * a.tv[i])) dot
+        |  FROM probes p JOIN assign a ON a.c_id = p.c_id
+        |  WHERE a.doc_id != p.q_id),
+        |mx AS (SELECT q_id, qtok, doc_id, max(dot) m FROM pair
+        |       GROUP BY 1, 2, 3),
+        |sc AS (SELECT q_id, doc_id, sum(m) s FROM mx GROUP BY 1, 2),
+        |r AS (SELECT q_id, doc_id, s, row_number() OVER (
+        |        PARTITION BY q_id ORDER BY s DESC, doc_id) rnk FROM sc)
+        |SELECT q_id, doc_id, CAST(rnk AS BIGINT) rnk,
+        |       CAST(s AS BIGINT) score
+        |FROM r WHERE rnk <= 10""".stripMargin)),
+
     // Product-quantization ADC tier ([[graft.operators.GraftPq]]): m=8
     // subspaces × ksub=16 codes trained with 2 Lloyd rounds on the 2^20
     // fixed-point grid (centroid = round(sum/count) — one IEEE division
