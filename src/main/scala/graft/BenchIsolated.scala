@@ -40,7 +40,7 @@ object BenchIsolated {
     // r12 second batch: the int4 rung and the centrality rows
     "ann_ivf_stored_q4", "graph_pagerank", "graph_hits",
     "graph_ppr", "graph_template_rank", "ann_ivf_filtered",
-    "ann_maxsim", "ann_hybrid_filtered")
+    "ann_maxsim", "ann_hybrid_filtered", "ann_maxsim_ivf")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted
