@@ -619,7 +619,7 @@ object GraftSimilarity {
     * pushdown prunes row groups on their min/max stats instead of
     * rescanning the probed cells.
     */
-  def writeIvfIndex(index: IvfIndex, dir: String): Unit = {
+  def writeIvfIndex(index: IvfIndex, dir: String, q4: Boolean = false): Unit = {
     requireIntegralId(index.assigned, "c_id", "writeIvfIndex")
     requireIntegralId(index.assigned, "n_id", "writeIvfIndex")
     val conf = index.assigned.sparkSession.sparkContext.hadoopConfiguration
@@ -627,7 +627,7 @@ object GraftSimilarity {
     val fs = p.getFileSystem(conf)
     requireStoreFsContract(fs, p, conf, "writeIvfIndex")
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    storedLayout(index.assigned)
+    storedLayout(index.assigned, q4)
       .write.mode("overwrite").partitionBy("c_id")
       .parquet(s"$dir/assigned")
     // a full rewrite supersedes any pending tombstones: the new assigned
@@ -653,17 +653,23 @@ object GraftSimilarity {
         when(col(colName).isNull, expr(s"$fn(v)")).otherwise(col(colName)))
     else df.withColumn(colName, expr(s"$fn(v)"))
 
-  private[operators] def storedLayout(assigned: DataFrame): DataFrame = {
+  private[operators] def storedLayout(assigned: DataFrame,
+                                      q4: Boolean = false): DataFrame = {
     val withQ8 =
       if (assigned.columns.contains("q8")) assigned
       else assigned.withColumn("q8", expr("graft_q8b(v)"))
-    // the q4 rung rides beside q8: d/2 more bytes next to the 8·d of
-    // doubles (~6% of the file) buys a second serving tier whose
-    // candidate scan reads 16× less than raw — the tier choice becomes a
-    // query-time knob (ivfTopKWithQ8 vs ivfTopKWithQ4), not a rewrite
+    // the q4 rung is OPT-IN at write (VERDICT r12 #3): its d/2 bytes are
+    // only ~6% of the file, but the graft_q4b pass on every store write
+    // is a real cost a store that never serves the int4 tier should not
+    // pay (the ann_ivf_stored 1.50× regression was exactly this). A
+    // frame already carrying q4 keeps it (append/compaction rewrites of
+    // a q4-carrying store must not drop the tier); writeIvfIndex(q4 =
+    // true) / IvfObjectStore.create(q4 = true) opt a new store in, and
+    // compactIvfCells(addQ4 = true) migrates an existing one in place.
     val withQ4 =
       if (withQ8.columns.contains("q4")) withQ8
-      else withQ8.withColumn("q4", expr("graft_q4b(v)"))
+      else if (q4) withQ8.withColumn("q4", expr("graft_q4b(v)"))
+      else withQ8
     withQ4.repartition(col("c_id")).sortWithinPartitions("n_id")
   }
 
@@ -758,17 +764,20 @@ object GraftSimilarity {
     // hook the PQ tier uses to attach its code-word column
     // ([[GraftPq.appendIvfPqStore]]) without duplicating the tag /
     // maintenance-lock machinery below
+    // the store's at-rest schema (one footer read) drives both the
+    // metadata contract and the quantized-tier set the appended files
+    // must match — a batch written without the store's q4 column would
+    // leave mixed-schema cell dirs that mergeSchema=false reads mis-read
+    lazy val storeCols = spark.read.parquet(s"$dir/assigned").columns.toSeq
     def assigned = storedLayout(augment(assignTo(cents, {
         // a metadata-carrying store appends metadata-carrying batches:
-        // derive the store's metadata set from the at-rest schema (one
-        // footer read), fail-loud if the batch lacks any column
-        val meta = metaColsOf(
-          spark.read.parquet(s"$dir/assigned").columns.toSeq)
+        // fail-loud if the batch lacks any column
+        val meta = metaColsOf(storeCols)
         requireMetaCols(meta, batch.columns.toSeq, "appendIvfStore")
         batch.select(
           col(idCol).cast("long").as("n_id") +: col(vecCol).as("v") +:
             meta.map(col): _*)
-      })))
+      })), q4 = storeCols.contains("q4"))
     batchTag match {
       case None =>
         requireUnlocked("batch")
@@ -1030,7 +1039,8 @@ object GraftSimilarity {
     */
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, dir: String,
                       maxFilesPerCell: Int = 4,
-                      purgeTombstones: Boolean = false): Int = {
+                      purgeTombstones: Boolean = false,
+                      addQ4: Boolean = false): Int = {
     require(maxFilesPerCell >= 1,
       s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
     import org.apache.hadoop.fs.Path
@@ -1156,7 +1166,9 @@ object GraftSimilarity {
           .distinct.filterNot(committedTags.contains)
         val needsPurge = tombTouched.contains(cd.getPath.getName)
         if (needsPurge && uncommitted.nonEmpty) touchedSkipped = true
-        if ((parquetFiles.length > maxFilesPerCell || needsPurge) &&
+        // addQ4 is a whole-store migration: every committed cell
+        // rewrites (idempotent on cells already carrying the column)
+        if ((parquetFiles.length > maxFilesPerCell || needsPurge || addQ4) &&
             uncommitted.isEmpty) {
           val mergeList = parquetFiles.map(_.getName).toSet
           val staged = new Path(stagingRoot, cd.getPath.getName)
@@ -1174,8 +1186,16 @@ object GraftSimilarity {
           // the in-place migration path to the q8 serving tier.
           val merged0 = tombExclude(spark.read.option("mergeSchema", "true")
             .parquet(parquetFiles.map(_.toString): _*))
-          val merged = quantRepair(quantRepair(merged0, "q8", "graft_q8b"),
-                                   "q4", "graft_q4b")
+          // q8 repair is unconditional (the default serving tier every
+          // store carries); q4 is OPT-IN at write, so its repair runs
+          // only when the merged files already carry the column (a
+          // partially-written q4 store heals) or the caller asked for
+          // the in-place migration (addQ4)
+          val merged1 = quantRepair(merged0, "q8", "graft_q8b")
+          val merged =
+            if (addQ4 || merged1.columns.contains("q4"))
+              quantRepair(merged1, "q4", "graft_q4b")
+            else merged1
           // same repair for the PQ code word when the store carries a
           // codebook: pre-PQ files merge with null cw and the rewrite
           // re-encodes exactly that sliver (folded encode — no shuffle),

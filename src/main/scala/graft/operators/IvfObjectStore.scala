@@ -348,9 +348,10 @@ object IvfObjectStore {
   // PQ code word when the store carries a codebook), so ivfTopKWithQ8 /
   // ivfPqTopKWithCw serve either substrate identically
   private def stageAssigned(dir: String, assigned: DataFrame,
-                            pq: Option[GraftPq.PqCodebook]): Seq[String] =
+                            pq: Option[GraftPq.PqCodebook],
+                            q4: Boolean = false): Seq[String] =
     writeVia(GraftSimilarity.storedLayout(
-               pq.map(GraftPq.withCw(_, assigned)).getOrElse(assigned)),
+               pq.map(GraftPq.withCw(_, assigned)).getOrElse(assigned), q4),
              s"$dir/data", partitioned = true).map(r => s"data/$r")
 
   /** The store's PQ codebook, if one was attached at create — fixed
@@ -372,7 +373,8 @@ object IvfObjectStore {
     * poison the winner's appends); every later append encodes against
     * it inline — appends never retrain. */
   def create(spark: SparkSession, index: IvfIndex, dir: String,
-             pq: Option[GraftPq.PqCodebook] = None): Unit = {
+             pq: Option[GraftPq.PqCodebook] = None,
+             q4: Boolean = false): Unit = {
     graft.GraftSession.ensureExtensions(spark)
     val fs = fsOf(spark, dir)
     currentManifest(fs, dir).foreach { m =>
@@ -394,7 +396,7 @@ object IvfObjectStore {
       val meta = GraftSimilarity.metaColsOf(index.assigned.columns.toSeq)
       val data = stageAssigned(dir, index.assigned.select(
         col("n_id").cast("long").as("n_id") +: col("v") +:
-          col("c_id").cast("long").as("c_id") +: meta.map(col): _*), pqP)
+          col("c_id").cast("long").as("c_id") +: meta.map(col): _*), pqP, q4)
       if (!publish(fs, dir, Manifest(1, cents, data, Set.empty)))
         throw new ManifestConflict(
           s"IvfObjectStore.create: lost the v1 publish race on $dir — " +
@@ -505,18 +507,23 @@ object IvfObjectStore {
         // derive the store's metadata set from the snapshot's data
         // schema, fail-loud if the batch lacks any column (the same
         // contract as the directory layout's appendIvfStore)
-        val meta =
+        val snapCols =
           if (m.data.isEmpty) Nil
-          else GraftSimilarity.metaColsOf(
+          else
             // one footer read — every data object shares the snapshot
             // schema (create/compact/append all write storedLayout frames)
-            spark.read.parquet(s"$dir/${m.data.head}").columns.toSeq)
+            spark.read.parquet(s"$dir/${m.data.head}").columns.toSeq
+        val meta = GraftSimilarity.metaColsOf(snapCols)
         GraftSimilarity.requireMetaCols(meta, batch.columns.toSeq,
                                         "IvfObjectStore.append")
         staged = stageAssigned(dir, GraftSimilarity.assignTo(
           cents, batch.select(
             col(idCol).cast("long").as("n_id") +: col(vecCol).as("v") +:
-              meta.map(col): _*)), pq)
+              meta.map(col): _*)), pq,
+          // appended objects match the snapshot's quantized-tier set —
+          // mixed q4 presence across one snapshot's files would break
+          // the shared-schema invariant the reads rely on
+          q4 = snapCols.contains("q4"))
         stagedAgainst = m.centroids
       }
       val next = Manifest(m.version + 1, m.centroids, m.data ++ staged,

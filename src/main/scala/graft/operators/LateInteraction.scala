@@ -114,25 +114,43 @@ object LateInteraction {
                 col("tv")), k)
   }
 
-  /** Token-level IVF index over [[hashTokenVectors]] output: one vector
-    * per (doc, token) under the composite id doc_id·2²⁰ + ordinal, ±1
-    * components carried as doubles for the centroid geometry (the
-    * integer `tv` rides beside as metadata for exact candidate dots). */
-  def tokenIndex(docToks: DataFrame,
-                 centroidFraction: Option[Double] = None)
-      : GraftSimilarity.IvfIndex = {
+  /** [[hashTokenVectors]] output re-keyed to the composite token id
+    * (doc_id·2²⁰ + per-doc ordinal): one row per (doc, token) as
+    * `(tok_id, v, tv)` — ±1 components as doubles in `v` for the
+    * centroid geometry, the integer `tv` beside as metadata for exact
+    * candidate dots. The collection shape [[tokenIndex]] builds over AND
+    * the batch shape the index's at-rest lifecycle appends
+    * ([[GraftSimilarity.appendIvfStore]](idCol = "tok_id", vecCol = "v")
+    * — ordinals are per-document, so a batch of NEW documents' tokens
+    * composes ids exactly as a full build would). */
+  def tokenVectors(docToks: DataFrame): DataFrame = {
     val base = docToks
       .withColumn("__ord",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("tok")).cast("long") - 1)
-    val capped = base.filter(col("__ord") < TokenIdBase)
-    GraftSimilarity.buildIvfIndex(
-      capped.select(
+    base.filter(col("__ord") < TokenIdBase)
+      .select(
         (col("doc_id") * TokenIdBase + col("__ord")).as("tok_id"),
         expr("transform(tv, x -> cast(x AS double))").as("v"),
-        col("tv")),
-      centroidFraction, idCol = "tok_id", metaCols = Seq("tv"))
+        col("tv"))
   }
+
+  /** Token-level IVF index over [[hashTokenVectors]] output: one vector
+    * per (doc, token) under the composite id doc_id·2²⁰ + ordinal (see
+    * [[tokenVectors]]). The result is an ordinary
+    * [[GraftSimilarity.IvfIndex]] whose `tv` metadata column rides the
+    * full at-rest lifecycle — [[GraftSimilarity.writeIvfIndex]] /
+    * [[GraftSimilarity.readIvfIndex]] / [[GraftSimilarity.appendIvfStore]]
+    * / [[GraftSimilarity.compactIvfCells]] and the
+    * [[IvfObjectStore]] manifest substrate all preserve the array-typed
+    * column (LateInteractionSpec pins each leg; `ann_maxsim_stored`
+    * oracle-certifies the stored serve). */
+  def tokenIndex(docToks: DataFrame,
+                 centroidFraction: Option[Double] = None)
+      : GraftSimilarity.IvfIndex =
+    GraftSimilarity.buildIvfIndex(
+      tokenVectors(docToks),
+      centroidFraction, idCol = "tok_id", metaCols = Seq("tv"))
 
   /** Composite-id radix for [[tokenIndex]]: token ordinal lives below,
     * doc id above. 2²⁰ ordinals per document is far past any bounded

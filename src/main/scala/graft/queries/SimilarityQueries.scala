@@ -280,6 +280,178 @@ object SimilarityQueries extends QueryModule {
         |    rrf, lex_rank, sem_rank
         |  FROM f) WHERE rank <= 10""".stripMargin
 
+  /** The MaxSim SERVING-path replay (tokenize → ±1 hash embed → composite
+    * token ids → md5 centroid seed → token→centroid assignment → per-
+    * query-token probes → probed-cell dots → max/sum/rank), shared by
+    * `ann_maxsim_ivf` (index built in-memory per run) and
+    * `ann_maxsim_stored` (index written at rest, read back, served) —
+    * the store must preserve every value exactly, so ONE oracle certifies
+    * both rows (the `ann_ivf_stored` precedent). */
+  private val maxSimIvfOracleSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+      |  FROM documents),
+      |dt AS (
+      |  SELECT doc_id, tok,
+      |    [CASE WHEN substr(md5(tok || '_' || j), 1, 1) < '8'
+      |          THEN 1 ELSE -1 END FOR j IN range(0, 8)] tv
+      |  FROM (SELECT doc_id, unnest(list_distinct(tk[1:16])) tok
+      |        FROM toks)
+      |  WHERE len(tok) > 0),
+      |tid AS (
+      |  SELECT doc_id * 1048576 +
+      |           (row_number() OVER (PARTITION BY doc_id ORDER BY tok)
+      |            - 1) tok_id,
+      |         doc_id, tok, tv
+      |  FROM dt),
+      |cut AS (
+      |  SELECT printf('%08x', CAST(least(
+      |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+      |           4294967295) AS BIGINT)) h
+      |  FROM tid),
+      |c AS (SELECT tok_id c_id, tv cv FROM tid
+      |      WHERE substr(md5(tok_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+      |assign AS (
+      |  SELECT tok_id, doc_id, tv, c_id FROM (
+      |    SELECT t.tok_id, t.doc_id, t.tv, c.c_id,
+      |      row_number() OVER (PARTITION BY t.tok_id ORDER BY
+      |        list_sum(list_transform(range(1, 9), i -> t.tv[i] * c.cv[i]))
+      |          DESC, c.c_id) arnk
+      |    FROM tid t, c) WHERE arnk = 1),
+      |qt AS (SELECT doc_id q_id, tok qtok, tv qtv FROM dt
+      |       WHERE doc_id < 10),
+      |probes AS (
+      |  SELECT q_id, qtok, qtv, c_id FROM (
+      |    SELECT q.q_id, q.qtok, q.qtv, c.c_id,
+      |      row_number() OVER (PARTITION BY q.q_id, q.qtok ORDER BY
+      |        list_sum(list_transform(range(1, 9), i -> q.qtv[i] * c.cv[i]))
+      |          DESC, c.c_id) prnk
+      |    FROM qt q, c) WHERE prnk <= 4),
+      |pair AS (
+      |  SELECT p.q_id, p.qtok, a.doc_id,
+      |    list_sum(list_transform(range(1, 9), i -> p.qtv[i] * a.tv[i])) dot
+      |  FROM probes p JOIN assign a ON a.c_id = p.c_id
+      |  WHERE a.doc_id != p.q_id),
+      |mx AS (SELECT q_id, qtok, doc_id, max(dot) m FROM pair
+      |       GROUP BY 1, 2, 3),
+      |sc AS (SELECT q_id, doc_id, sum(m) s FROM mx GROUP BY 1, 2),
+      |r AS (SELECT q_id, doc_id, s, row_number() OVER (
+      |        PARTITION BY q_id ORDER BY s DESC, doc_id) rnk FROM sc)
+      |SELECT q_id, doc_id, CAST(rnk AS BIGINT) rnk,
+      |       CAST(s AS BIGINT) score
+      |FROM r WHERE rnk <= 10""".stripMargin
+
+  /** The q8-tier hybrid replay (lexical BM25 CTEs composed with
+    * ann_ivf_stored_q8's quantized probe/cut/rerank at the hybrid's
+    * kCand·rerankFactor = 120) — shared by `ann_hybrid_q8` and, via
+    * anchored population rewrites, `ann_hybrid_filtered_q8`. */
+  private val hybridQ8OracleSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |qd AS (
+        |  SELECT doc_id q_id, regexp_split_to_array(trim(text), '\s+') qtk
+        |  FROM documents WHERE doc_id < 10),
+        |qt AS (SELECT q_id, unnest(list_distinct(qtk)) term FROM qd),
+        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |      FROM documents),
+        |stats AS (SELECT count(*) n, avg(len(tk)) avgdl FROM d),
+        |trm AS (
+        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM trm GROUP BY 1),
+        |ls AS (
+        |  SELECT qt.q_id, trm.doc_id,
+        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |          * 1000000.0) AS BIGINT)) score
+        |  FROM trm JOIN qt USING (term) JOIN df USING (term), stats
+        |  WHERE trm.doc_id != qt.q_id GROUP BY 1, 2),
+        |lrk AS (
+        |  SELECT q_id, doc_id, lex_rank FROM (
+        |    SELECT q_id, doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+        |      lex_rank
+        |    FROM ls) WHERE lex_rank <= 30),
+        |mx AS (SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) m FROM e),
+        |q8 AS (SELECT vec_id, v,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x * 127.0 / m)) END q
+        |       FROM mx),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |qq AS (SELECT vec_id q_id, v qv, q qq8 FROM q8 WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, qv, qq8, c_id FROM (
+        |    SELECT qq.q_id, qq.qv, qq.qq8, c.c_id,
+        |      row_number() OVER (PARTITION BY qq.q_id
+        |        ORDER BY list_cosine_similarity(qq.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM qq, c) WHERE prnk <= 4),
+        |ap AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    CASE WHEN list_dot_product(a8.q, a8.q) = 0
+        |           OR list_dot_product(p.qq8, p.qq8) = 0 THEN 0.0
+        |         ELSE list_dot_product(p.qq8, a8.q)
+        |              / sqrt(list_dot_product(a8.q, a8.q)
+        |                     * list_dot_product(p.qq8, p.qq8)) END ac
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  JOIN q8 a8 ON a8.vec_id = a.vec_id
+        |  WHERE a.vec_id != p.q_id),
+        |qcand AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) r
+        |    FROM ap) WHERE r <= 120),
+        |qscored AS (
+        |  SELECT cd.q_id, cd.n_id, list_cosine_similarity(qq.qv, e.v) cs
+        |  FROM qcand cd
+        |  JOIN qq ON qq.q_id = cd.q_id
+        |  JOIN e ON e.vec_id = cd.n_id),
+        |srk AS (
+        |  SELECT q_id, doc_id, sem_rank FROM (
+        |    SELECT q_id, n_id doc_id, CAST(row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cs DESC, n_id) AS BIGINT)
+        |      sem_rank
+        |    FROM qscored) WHERE sem_rank <= 30),
+        |f AS (
+        |  SELECT q_id, doc_id, lex_rank, sem_rank,
+        |    coalesce(CAST(round(1000000000.0 / (60 + lex_rank)) AS BIGINT),
+        |             0)
+        |    + coalesce(CAST(round(1000000000.0 / (60 + sem_rank)) AS BIGINT),
+        |               0) rrf
+        |  FROM lrk FULL OUTER JOIN srk USING (q_id, doc_id))
+        |SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
+        |  SELECT q_id, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
+        |    rrf, lex_rank, sem_rank
+        |  FROM f) WHERE rank <= 10""".stripMargin
+
+  /** Rewrite exactly ONE occurrence of `anchor` in `base` (ADVICE r12:
+    * `String.replace` substitutes every occurrence and a changed-string
+    * check cannot see a second match — a future duplicate of the anchor
+    * text would silently corrupt the derived oracle). Fails loudly when
+    * the anchor is missing (moved) or ambiguous (duplicated). */
+  private def rewriteOnce(base: String, anchor: String, replacement: String,
+                          ctx: String): String = {
+    val first = base.indexOf(anchor)
+    require(first >= 0, s"$ctx: rewrite anchor moved in the base oracle")
+    require(base.indexOf(anchor, first + 1) < 0,
+      s"$ctx: rewrite anchor matches more than once in the base oracle — " +
+      "an all-occurrence substitution would corrupt it")
+    base.substring(0, first) + replacement +
+      base.substring(first + anchor.length)
+  }
+
   /** The filtered-fusion oracle: [[hybridIvfOracleSql]] with BOTH leg
     * populations restricted to lang = 'en' — the lexical corpus CTE
     * gains the predicate (so BM25's n/avgdl/df describe exactly the
@@ -289,20 +461,38 @@ object SimilarityQueries extends QueryModule {
     * query block and the index geometry stay UNfiltered, exactly like
     * the Spark side. */
   private lazy val hybridFilteredOracleSql: String = {
-    val s1 = hybridIvfOracleSql.replace(
+    val s1 = rewriteOnce(hybridIvfOracleSql,
       """d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
       FROM documents),""",
       """d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
-      FROM documents WHERE lang = 'en'),""")
-    require(s1 != hybridIvfOracleSql,
-      "hybridFilteredOracleSql: lexical anchor moved in hybridIvfOracleSql")
-    val s2 = s1.replace(
+      FROM documents WHERE lang = 'en'),""",
+      "hybridFilteredOracleSql(lexical)")
+    rewriteOnce(s1,
       "WHERE a.vec_id != p.q_id),",
       "WHERE a.vec_id != p.q_id AND a.vec_id IN " +
-        "(SELECT doc_id FROM documents WHERE lang = 'en')),")
-    require(s2 != s1,
-      "hybridFilteredOracleSql: semantic anchor moved in hybridIvfOracleSql")
-    s2
+        "(SELECT doc_id FROM documents WHERE lang = 'en')),",
+      "hybridFilteredOracleSql(semantic)")
+  }
+
+  /** The filtered fusion through the QUANTIZED rung (VERDICT r12 #8):
+    * [[hybridQ8OracleSql]] with the same two population rewrites as
+    * [[hybridFilteredOracleSql]] — the lexical corpus CTE gains the
+    * predicate (pre-filter BM25 statistics) and the q8 candidate scan
+    * gains the same restriction BEFORE the quantized cut (the cut ranks
+    * only filter-satisfying candidates — where a post-filter bug would
+    * hide, since a post-cut filter could come up short of kCand). */
+  private lazy val hybridFilteredQ8OracleSql: String = {
+    val s1 = rewriteOnce(hybridQ8OracleSql,
+      """d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+      FROM documents),""",
+      """d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+      FROM documents WHERE lang = 'en'),""",
+      "hybridFilteredQ8OracleSql(lexical)")
+    rewriteOnce(s1,
+      "WHERE a.vec_id != p.q_id),",
+      "WHERE a.vec_id != p.q_id AND a.vec_id IN " +
+        "(SELECT doc_id FROM documents WHERE lang = 'en')),",
+      "hybridFilteredQ8OracleSql(semantic)")
   }
 
   /** The filtered-serve oracle: [[ivfStoredOracleSql]] with the
@@ -311,29 +501,23 @@ object SimilarityQueries extends QueryModule {
     * filter-INVARIANT (the filter applies to candidates, not to the
     * index geometry), so the anchored rewrite is exactly the semantics
     * of `ivfTopKWith(where = ...)`. */
-  private lazy val ivfFilteredOracleSql: String = {
-    val out = ivfStoredOracleSql.replace(
+  private lazy val ivfFilteredOracleSql: String =
+    rewriteOnce(ivfStoredOracleSql,
       "WHERE a.vec_id != p.q_id)",
       "WHERE a.vec_id != p.q_id AND a.vec_id IN " +
-        "(SELECT vec_id FROM embeddings WHERE label = 3))")
-    require(out != ivfStoredOracleSql,
-      "ivfFilteredOracleSql: rewrite anchor moved in ivfStoredOracleSql")
-    out
-  }
+        "(SELECT vec_id FROM embeddings WHERE label = 3))",
+      "ivfFilteredOracleSql")
 
   /** The delete-lifecycle oracle: [[ivfStoredOracleSql]] (build on the
     * FULL collection — centroids and the query block are delete-invariant)
     * with the candidate population filtered to the surviving ids. The
     * anchored rewrite keeps the shared provenance explicit: any drift in
     * the stored oracle flows into this one or fails loudly. */
-  private lazy val ivfDeleteOracleSql: String = {
-    val out = ivfStoredOracleSql.replace(
+  private lazy val ivfDeleteOracleSql: String =
+    rewriteOnce(ivfStoredOracleSql,
       "WHERE a.vec_id != p.q_id)",
-      "WHERE a.vec_id != p.q_id AND a.vec_id % 7 != 3)")
-    require(out != ivfStoredOracleSql,
-      "ivfDeleteOracleSql: rewrite anchor moved in ivfStoredOracleSql")
-    out
-  }
+      "WHERE a.vec_id != p.q_id AND a.vec_id % 7 != 3)",
+      "ivfDeleteOracleSql")
 
   override def all: Seq[GraftQuery] = Seq(
 
@@ -674,7 +858,10 @@ object SimilarityQueries extends QueryModule {
         val e = vecs(s, dir)
         val out =
           s"/tmp/graft_io/${new java.io.File(dir).getName}/ivf_index_q4"
-        GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), out)
+        // the int4 tier is opt-in at write (stores that never serve it
+        // skip the second quantization pass — VERDICT r12 #3)
+        GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), out,
+                                      q4 = true)
         GraftSimilarity.ivfTopKWithQ4(GraftSimilarity.readIvfIndex(s, out),
                                       queryBlock(e), k = 5, nprobe = 4,
                                       rerankFactor = 4)
@@ -1327,6 +1514,41 @@ object SimilarityQueries extends QueryModule {
       },
       Some(hybridFilteredOracleSql)),
 
+    // The filtered fusion through the QUANTIZED rung: same pre-filter
+    // contract as ann_hybrid_filtered (BM25 stats over the filtered
+    // corpus, `where` serve through the lang-carrying index), but the
+    // semantic leg is ivfTopKWithQ8 — the integer q8 cut runs over the
+    // FILTERED candidate population before the exact rerank, certifying
+    // that the quantized cut composes with pre-filter semantics (a
+    // post-filter would rank with unfiltered candidates and could ship
+    // short lists). Store written q4-less (the tier served is q8).
+    GraftQuery(
+      "ann_hybrid_filtered_q8",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val eMeta = e.join(
+          docs.select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+          .select(col("vec_id"), col("v"), col("lang"))
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("q_terms"),
+                  col("v").as("qv"))
+        val out = s"/tmp/graft_io/${new java.io.File(dir).getName}" +
+          "/hybrid_filtered_q8_store"
+        GraftSimilarity.writeIvfIndex(
+          GraftSimilarity.buildIvfIndex(eMeta, metaCols = Seq("lang")), out)
+        graft.operators.HybridRetrieval.hybridTopKWithQ8(
+          GraftSimilarity.readIvfIndex(s, out),
+          docs.filter(col("lang") === "en"), queries,
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4, rerankFactor = 4,
+          where = Some(col("lang") === "en"))
+      },
+      Some(hybridFilteredQ8OracleSql)),
+
     // LATE-INTERACTION (ColBERT-style MaxSim) retrieval
     // ([[graft.operators.LateInteraction]]): documents and queries are
     // BAGS of per-token vectors, score = Σ over query tokens of the max
@@ -1393,58 +1615,39 @@ object SimilarityQueries extends QueryModule {
           graft.operators.LateInteraction.tokenIndex(dt), qt,
           k = 10, nprobe = 4)
       },
-      Some("""WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
-        |  FROM documents),
-        |dt AS (
-        |  SELECT doc_id, tok,
-        |    [CASE WHEN substr(md5(tok || '_' || j), 1, 1) < '8'
-        |          THEN 1 ELSE -1 END FOR j IN range(0, 8)] tv
-        |  FROM (SELECT doc_id, unnest(list_distinct(tk[1:16])) tok
-        |        FROM toks)
-        |  WHERE len(tok) > 0),
-        |tid AS (
-        |  SELECT doc_id * 1048576 +
-        |           (row_number() OVER (PARTITION BY doc_id ORDER BY tok)
-        |            - 1) tok_id,
-        |         doc_id, tok, tv
-        |  FROM dt),
-        |cut AS (
-        |  SELECT printf('%08x', CAST(least(
-        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
-        |           4294967295) AS BIGINT)) h
-        |  FROM tid),
-        |c AS (SELECT tok_id c_id, tv cv FROM tid
-        |      WHERE substr(md5(tok_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
-        |assign AS (
-        |  SELECT tok_id, doc_id, tv, c_id FROM (
-        |    SELECT t.tok_id, t.doc_id, t.tv, c.c_id,
-        |      row_number() OVER (PARTITION BY t.tok_id ORDER BY
-        |        list_sum(list_transform(range(1, 9), i -> t.tv[i] * c.cv[i]))
-        |          DESC, c.c_id) arnk
-        |    FROM tid t, c) WHERE arnk = 1),
-        |qt AS (SELECT doc_id q_id, tok qtok, tv qtv FROM dt
-        |       WHERE doc_id < 10),
-        |probes AS (
-        |  SELECT q_id, qtok, qtv, c_id FROM (
-        |    SELECT q.q_id, q.qtok, q.qtv, c.c_id,
-        |      row_number() OVER (PARTITION BY q.q_id, q.qtok ORDER BY
-        |        list_sum(list_transform(range(1, 9), i -> q.qtv[i] * c.cv[i]))
-        |          DESC, c.c_id) prnk
-        |    FROM qt q, c) WHERE prnk <= 4),
-        |pair AS (
-        |  SELECT p.q_id, p.qtok, a.doc_id,
-        |    list_sum(list_transform(range(1, 9), i -> p.qtv[i] * a.tv[i])) dot
-        |  FROM probes p JOIN assign a ON a.c_id = p.c_id
-        |  WHERE a.doc_id != p.q_id),
-        |mx AS (SELECT q_id, qtok, doc_id, max(dot) m FROM pair
-        |       GROUP BY 1, 2, 3),
-        |sc AS (SELECT q_id, doc_id, sum(m) s FROM mx GROUP BY 1, 2),
-        |r AS (SELECT q_id, doc_id, s, row_number() OVER (
-        |        PARTITION BY q_id ORDER BY s DESC, doc_id) rnk FROM sc)
-        |SELECT q_id, doc_id, CAST(rnk AS BIGINT) rnk,
-        |       CAST(s AS BIGINT) score
-        |FROM r WHERE rnk <= 10""".stripMargin)),
+      Some(maxSimIvfOracleSql)),
+
+    // The token-level index AT REST (VERDICT r12 top item): the MaxSim
+    // serving path over a writeIvfIndex/readIvfIndex store, certifying
+    // the array<int> `tv` metadata column through the cell-partitioned
+    // write and back — the lifecycle that converts the build-dominated
+    // ann_maxsim_ivf row into the build-once/serve-many shape the
+    // doc-level stores have. The store is REUSED across runs when its
+    // write already succeeded (_SUCCESS marker): run 1 pays the token-
+    // index build + write, later runs (and bench medians) measure the
+    // amortized serve — exactly the deployment shape. Values are
+    // store-invariant, so the oracle is shared VERBATIM with
+    // ann_maxsim_ivf.
+    GraftQuery(
+      "ann_maxsim_stored",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dt = graft.operators.LateInteraction.hashTokenVectors(
+          docs, dim = 8, maxTokens = 16)
+        val out = s"/tmp/graft_io/${new java.io.File(dir).getName}" +
+          "/maxsim_token_index"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (!fs.exists(
+              new org.apache.hadoop.fs.Path(s"$out/assigned/_SUCCESS")))
+          GraftSimilarity.writeIvfIndex(
+            graft.operators.LateInteraction.tokenIndex(dt), out)
+        val qt = dt.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("q_id"), col("tok"), col("tv"))
+        graft.operators.LateInteraction.maxSimTopKWith(
+          GraftSimilarity.readIvfIndex(s, out), qt, k = 10, nprobe = 4)
+      },
+      Some(maxSimIvfOracleSql)),
 
     // Product-quantization ADC tier ([[graft.operators.GraftPq]]): m=8
     // subspaces × ksub=16 codes trained with 2 Lloyd rounds on the 2^20
@@ -1684,95 +1887,7 @@ object SimilarityQueries extends QueryModule {
           GraftSimilarity.readIvfIndex(s, out), docs, queries,
           k = 10, kCand = 30, rrfK = 60, nprobe = 4, rerankFactor = 4)
       },
-      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-        |qd AS (
-        |  SELECT doc_id q_id, regexp_split_to_array(trim(text), '\s+') qtk
-        |  FROM documents WHERE doc_id < 10),
-        |qt AS (SELECT q_id, unnest(list_distinct(qtk)) term FROM qd),
-        |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
-        |      FROM documents),
-        |stats AS (SELECT count(*) n, avg(len(tk)) avgdl FROM d),
-        |trm AS (
-        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
-        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
-        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) df FROM trm GROUP BY 1),
-        |ls AS (
-        |  SELECT qt.q_id, trm.doc_id,
-        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
-        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |          * 1000000.0) AS BIGINT)) score
-        |  FROM trm JOIN qt USING (term) JOIN df USING (term), stats
-        |  WHERE trm.doc_id != qt.q_id GROUP BY 1, 2),
-        |lrk AS (
-        |  SELECT q_id, doc_id, lex_rank FROM (
-        |    SELECT q_id, doc_id, CAST(row_number() OVER (
-        |      PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
-        |      lex_rank
-        |    FROM ls) WHERE lex_rank <= 30),
-        |mx AS (SELECT vec_id, v,
-        |         list_max(list_transform(v, x -> abs(x))) m FROM e),
-        |q8 AS (SELECT vec_id, v,
-        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
-        |              ELSE list_transform(v, x -> round(x * 127.0 / m)) END q
-        |       FROM mx),
-        |cut AS (
-        |  SELECT printf('%08x', CAST(least(
-        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
-        |           4294967295) AS BIGINT)) h
-        |  FROM e),
-        |c AS (SELECT vec_id c_id, v cv FROM e
-        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
-        |assign AS (
-        |  SELECT vec_id, v, c_id FROM (
-        |    SELECT e.vec_id, e.v, c.c_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
-        |    FROM e, c) WHERE arnk = 1),
-        |qq AS (SELECT vec_id q_id, v qv, q qq8 FROM q8 WHERE vec_id < 10),
-        |probes AS (
-        |  SELECT q_id, qv, qq8, c_id FROM (
-        |    SELECT qq.q_id, qq.qv, qq.qq8, c.c_id,
-        |      row_number() OVER (PARTITION BY qq.q_id
-        |        ORDER BY list_cosine_similarity(qq.qv, c.cv) DESC, c.c_id) prnk
-        |    FROM qq, c) WHERE prnk <= 4),
-        |ap AS (
-        |  SELECT p.q_id, a.vec_id n_id,
-        |    CASE WHEN list_dot_product(a8.q, a8.q) = 0
-        |           OR list_dot_product(p.qq8, p.qq8) = 0 THEN 0.0
-        |         ELSE list_dot_product(p.qq8, a8.q)
-        |              / sqrt(list_dot_product(a8.q, a8.q)
-        |                     * list_dot_product(p.qq8, p.qq8)) END ac
-        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
-        |  JOIN q8 a8 ON a8.vec_id = a.vec_id
-        |  WHERE a.vec_id != p.q_id),
-        |qcand AS (SELECT q_id, n_id FROM (
-        |    SELECT q_id, n_id,
-        |      row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) r
-        |    FROM ap) WHERE r <= 120),
-        |qscored AS (
-        |  SELECT cd.q_id, cd.n_id, list_cosine_similarity(qq.qv, e.v) cs
-        |  FROM qcand cd
-        |  JOIN qq ON qq.q_id = cd.q_id
-        |  JOIN e ON e.vec_id = cd.n_id),
-        |srk AS (
-        |  SELECT q_id, doc_id, sem_rank FROM (
-        |    SELECT q_id, n_id doc_id, CAST(row_number() OVER (
-        |      PARTITION BY q_id ORDER BY cs DESC, n_id) AS BIGINT)
-        |      sem_rank
-        |    FROM qscored) WHERE sem_rank <= 30),
-        |f AS (
-        |  SELECT q_id, doc_id, lex_rank, sem_rank,
-        |    coalesce(CAST(round(1000000000.0 / (60 + lex_rank)) AS BIGINT),
-        |             0)
-        |    + coalesce(CAST(round(1000000000.0 / (60 + sem_rank)) AS BIGINT),
-        |               0) rrf
-        |  FROM lrk FULL OUTER JOIN srk USING (q_id, doc_id))
-        |SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
-        |  SELECT q_id, doc_id, CAST(row_number() OVER (
-        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
-        |    rrf, lex_rank, sem_rank
-        |  FROM f) WHERE rank <= 10""".stripMargin)),
+      Some(hybridQ8OracleSql)),
 
     // Rerank-budget SWEEP for the PQ tier ([[GraftPq.pqBudgetSweep]] —
     // the measurement pqAutoBudget picks deployment budgets from): ONE

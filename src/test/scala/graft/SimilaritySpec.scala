@@ -605,7 +605,10 @@ class SimilaritySpec extends GraftFunSuite {
     for (f <- cellFiles.take(3)) {
       val part = spark.read.parquet(f.getPath)
       assert(part.columns.contains("q8"), s"no q8 column in ${f.getName}")
-      assert(part.columns.contains("q4"), s"no q4 column in ${f.getName}")
+      // the int4 tier is OPT-IN at write: a default store pays no
+      // graft_q4b pass and carries no q4 column (VERDICT r12 #3)
+      assert(!part.columns.contains("q4"),
+        s"q4 column present in ${f.getName} despite default write")
       val ids = part.select("n_id").collect().map(_.getLong(0)).toSeq
       assert(ids == ids.sorted, s"cell file ${f.getName} not n_id-sorted")
     }
@@ -699,7 +702,8 @@ class SimilaritySpec extends GraftFunSuite {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val dir = java.nio.file.Files.createTempDirectory("graft_q4_store")
       .toString
-    GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), dir)
+    GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), dir,
+                                  q4 = true)
     val idx = GraftSimilarity.readIvfIndex(spark, dir)
     val exact = GraftSimilarity.ivfTopKWith(idx, q, k = 5, nprobe = 4)
       .collect().toSet
@@ -846,8 +850,11 @@ class SimilaritySpec extends GraftFunSuite {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val dir = java.nio.file.Files.createTempDirectory("graft_meta_store")
       .toString
+    // q4 = true: this test serves every quantized rung off the store,
+    // and the int4 tier is opt-in at write
     GraftSimilarity.writeIvfIndex(
-      GraftSimilarity.buildIvfIndex(e, metaCols = Seq("label")), dir)
+      GraftSimilarity.buildIvfIndex(e, metaCols = Seq("label")), dir,
+      q4 = true)
     // the metadata column lands in every cell file, beside the layout set
     val cellFiles = new java.io.File(s"$dir/assigned").listFiles()
       .filter(_.getName.startsWith("c_id="))
