@@ -32,60 +32,104 @@ object StreamBench {
   final case class Rec(name: String, rowsIn: Long, rowsOut: Long,
                        sec: Double, stateRows: Long, stateBytes: Long)
 
-  /** Regression floors (VERDICT r7 item 8): minimum acceptable MEDIAN
-    * throughput per operator, in rows/s. Re-baselined WHOLESALE in r11:
-    * the original floors were 0.5× single idle-run medians under the
-    * assumption that median-of-3 absorbs the host's single-shot swing
-    * (r7 median spreads stayed within ~25%), but r11 observed the
-    * MEDIANS themselves swinging up to 2× between same-code idle runs
-    * hours apart (sb_dedup 1 362 → 587 rows/s, sb_hourly 23 919 →
-    * 13 081 — SCALE.md r11 records the episode), tripping floors with
-    * zero code change. Floors are now 0.5× the WORST median across
-    * three full same-day runs at the r11 HEAD: still far above any
-    * genuine structural collapse (plan regression, state blow-up,
-    * accidental O(n²) — the failures this gate exists for land at 5–10×
-    * below), but insensitive to the shared host's mood. An operator
-    * missing from the run entirely still fails the gate. The gate
-    * auto-applies only when the run's SF dir is the baselined sf0.1
-    * corpus; SPARK_GRAFT_STREAMBENCH_GATE=on|off forces it either way.
-    * Re-baseline again when the medians legitimately move. */
-  /** Aggregate floor complementing the per-op floors (VERDICT r11 #6,
-    * ADVICE r11): the r11 re-baselining episode's own data showed per-op
-    * MEDIANS swinging up to 2× between same-code idle runs while the SUM
-    * of medians stayed within ~5% — so the total is the tighter signal.
-    * A single operator regressing 2–3× (10–30 s on this suite) moves the
-    * sum past this bound while the loosened per-op floors (structural-
-    * catastrophe detectors at 5–10× headroom) stay silent. Baseline =
-    * the committed r11 STREAMBENCH total over the 21 floored operators;
-    * the 1/0.7 bound absorbs the observed <5% total swing with wide
-    * margin. RE-BASELINE (like the per-op floors) when an operator is
-    * added to the suite or the medians legitimately move. */
-  val BaselineTotalSec: Double = 132.7 // r12: +sb_maxsim_serve (83.5 s)
+  /** The same-run calibration operator's name (see the calibration
+    * block in main): a fixed stateless md5-fold replay whose rows/s
+    * measures the host through the suite's own machinery. */
+  val CalibrationOp: String = "sb_calibration"
+
+  /** RELATIVE regression floors (VERDICT r12 #6, succeeding three
+    * generations of absolute floors): minimum acceptable ratio of an
+    * operator's median throughput to the SAME RUN's calibration
+    * throughput. History of why: r7 floored absolute rows/s at 0.5× an
+    * idle median; r11 found the medians themselves swing 2× with host
+    * mood and re-floored at 0.5× the worst of three same-day runs; r11
+    * ADVICE noted that loosening per-op floors to survive host swing
+    * surrenders per-op sensitivity, and the r12 aggregate floor only
+    * half-restored it. Dividing by a same-run calibration op cancels
+    * host speed (numerator and denominator shift together), so these
+    * floors are back at 0.5× a SINGLE baselining run's ratios — tighter
+    * per-op than the absolute floors could afford, yet host-invariant
+    * (StreamBenchGateSpec replays a uniformly-2×-slower host green and
+    * trips a single 3×-slowed op). Baselined at the r13 HEAD run;
+    * re-baseline when an operator's cost legitimately moves. An
+    * operator missing from the run still fails the gate. */
+  val relativeFloors: Map[String, Double] = Map(
+    "sb_dedup"               -> 0.032005,
+    "sb_media_embed"         -> 0.096194,
+    "sb_bpe_segment"         -> 0.043619,
+    "sb_fuzzy_contamination" -> 0.021297,
+    "sb_dsir_score"          -> 0.107474,
+    "sb_nb_classify"         -> 0.064253,
+    "sb_pca_project"         -> 0.056928,
+    "sb_pq_encode"           -> 0.044960,
+    "sb_pq_serve"            -> 0.000578,
+    "sb_contamination"       -> 0.014286,
+    "sb_neardup_pairs"       -> 0.021982,
+    "sb_neardup_pairs_cap64" -> 0.021396,
+    "sb_srp_pairs"           -> 0.009067,
+    "sb_srp_pairs_q8"        -> 0.009749,
+    "sb_ivf_serve"           -> 0.001064,
+    "sb_maxsim_serve"        -> 0.000065,
+    "sb_maxsim_serve_cut"    -> 0.000103,
+    "sb_ivf_ingest"          -> 0.009605,
+    "sb_ivf_ingest_manifest" -> 0.012619,
+    "sb_pack"                -> 0.038611,
+    "sb_sessionize"          -> 0.344984,
+    "sb_hourly"              -> 0.393582,
+    "sb_transitions"         -> 0.499700)
+
+  /** Aggregate bound complementing the per-op ratios: the sum of
+    * floored-op medians must stay under the baselined total scaled by
+    * THIS RUN's calibration time (host speed cancels here too — a
+    * uniformly slower host slows the calibration by the same factor).
+    * Catches a one-op 2–3× regression that per-op ratios at 0.5×
+    * headroom would let through. Baselined with the floors. */
+  val BaselineTotalSec: Double = 270.9
+  val BaselineCalibSec: Double = 3.336
   val AggregateBoundFactor: Double = 1.0 / 0.7
 
-  val throughputFloors: Map[String, Double] = Map(
-    "sb_dedup"               -> 293,
-    "sb_media_embed"         -> 1774,
-    "sb_bpe_segment"         -> 1456,
-    "sb_fuzzy_contamination" -> 411,
-    "sb_dsir_score"          -> 1985,
-    "sb_nb_classify"         -> 1536,
-    "sb_pca_project"         -> 1264,
-    "sb_pq_encode"           -> 1030,
-    "sb_pq_serve"            -> 5,
-    "sb_contamination"       -> 487,
-    "sb_neardup_pairs"       -> 370,
-    "sb_neardup_pairs_cap64" -> 370,
-    "sb_srp_pairs"           -> 135,
-    "sb_srp_pairs_q8"        -> 153,
-    "sb_ivf_serve"           -> 16,
-    "sb_maxsim_serve"        -> 3,
-    "sb_ivf_ingest"          -> 184,
-    "sb_ivf_ingest_manifest" -> 251,
-    "sb_pack"                -> 691,
-    "sb_sessionize"          -> 4114,
-    "sb_hourly"              -> 6540,
-    "sb_transitions"         -> 11751)
+  /** The gate, pure for testability (StreamBenchGateSpec feeds it
+    * synthetic runs): per-op relative floors + the calibration-scaled
+    * aggregate bound. `medSec`/`rowsIn` keyed by op name; the
+    * calibration op's own row must be present. */
+  private[graft] def gateViolations(medSec: Map[String, Double],
+                                    rowsIn: Map[String, Long])
+      : Seq[String] = {
+    val calibSec = medSec.getOrElse(CalibrationOp,
+      return Seq(s"$CalibrationOp: MISSING — the relative gate cannot run"))
+    val calibTput =
+      rowsIn.getOrElse(CalibrationOp, 0L) / math.max(calibSec, 1e-9)
+    if (calibTput <= 0)
+      return Seq(s"$CalibrationOp: zero throughput — gate cannot run")
+    val perOp = relativeFloors.toSeq.sortBy(_._1).flatMap {
+      case (name, floor) =>
+        (medSec.get(name), rowsIn.get(name)) match {
+          case (Some(sec), Some(rows)) =>
+            val tput = rows / math.max(sec, 1e-9)
+            val ratio = tput / calibTput
+            if (ratio < floor)
+              Some(f"$name: ratio $ratio%.6f < floor $floor%.6f " +
+                   f"($tput%.0f rows/s vs calibration $calibTput%.0f)")
+            else None
+          case _ =>
+            Some(s"$name: MISSING from this run (floor $floor)")
+        }
+    }
+    val totalSec = medSec.collect {
+      case (n, s) if relativeFloors.contains(n) => s
+    }.sum
+    val aggBound = BaselineTotalSec * AggregateBoundFactor *
+      (calibSec / BaselineCalibSec)
+    val agg =
+      if (perOp.exists(_.contains("MISSING"))) Seq.empty // already fatal
+      else if (totalSec > aggBound)
+        Seq(f"TOTAL: sum of floored medians $totalSec%.1f s > " +
+            f"$aggBound%.1f s (baseline $BaselineTotalSec%.1f s x " +
+            f"$AggregateBoundFactor%.2f x calib $calibSec%.2f/" +
+            f"$BaselineCalibSec%.2f)")
+      else Seq.empty
+    perOp ++ agg
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,6 +182,32 @@ object StreamBench {
     def chunks[T](rows: Seq[T], n: Int): Seq[Seq[T]] = {
       val sz = math.max(1, (rows.size + n - 1) / n)
       rows.grouped(sz).toSeq
+    }
+
+    // ---- calibration op (VERDICT r12 #6): a FIXED stateless replay —
+    // 100k synthetic rows through MemoryStream + watermark + an md5-fold
+    // projection (the arithmetic shape of the suite's hash-embed
+    // kernels) + memory sink. Its rows/s measures THIS RUN's host speed
+    // through exactly the replay machinery the operators use; every
+    // floored operator is then gated on the RATIO of its throughput to
+    // this one, so a slow/busy host shifts numerator and denominator
+    // together and cancels — the failure modes the gate exists for
+    // (plan regressions, state blow-ups, accidental O(n²)) shift only
+    // the numerator. Measured FIRST, before any operator warms anything.
+    rep {
+      val rows = (0L until 100000L).map(i => (i, ts((i % 30).toInt), i * 7L))
+      val in = MemoryStream[(Long, Timestamp, Long)]
+      val q = sink(in.toDF().toDF("id", "ts", "v")
+        .withWatermark("ts", "10 minutes")
+        .select(col("id"), col("ts"),
+                expr("""aggregate(transform(sequence(0, 31),
+                          j -> CASE WHEN substring(md5(concat(v, '_', j)),
+                                                   1, 1) < '8'
+                               THEN 1L ELSE -1L END),
+                        0L, (s, x) -> s + x)""").as("sig")),
+        CalibrationOp)
+      drive(CalibrationOp, rows.size, q,
+            chunks(rows, 4).map(c => () => { in.addData(c); () }))
     }
 
     // ---- corpus inputs --------------------------------------------------
@@ -420,7 +490,10 @@ object StreamBench {
 
     // Late-interaction serve: static token-level IVF index, streamed
     // (q_id, ts, text) queries — MaxSim as THREE chained stateful
-    // aggregations (per-token max, per-doc sum, top-k)
+    // aggregations (per-token max, per-doc sum, top-k). Two rows:
+    // candCut covering (the r12-comparable unbounded shape) and the
+    // DEFAULT bounded cut — the state_bytes delta between them IS the
+    // VERDICT r12 #5 measurement (state bounded by construction).
     locally {
       import graft.operators.LateInteraction
       val sbDocs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -434,13 +507,16 @@ object StreamBench {
                    r.getString(1)))
         .sortBy(_._2.getTime).toSeq
       try rep {
-        val in = MemoryStream[(Long, Timestamp, String)]
-        val q = sink(CorpusStreams.maxSimServeStream(
-          idx, in.toDF().toDF("q_id", "ts", "text"), k = 5, nprobe = 4),
-          "sb_maxsim_serve")
-        drive("sb_maxsim_serve", qRows.size, q,
-              chunks(qRows, 2).map(c => () => { in.addData(c); () }) :+
-              (() => { in.addData(Seq((-1L, ts(600), "advance"))); () }))
+        for ((name, cut) <- Seq(("sb_maxsim_serve", Int.MaxValue),
+                                ("sb_maxsim_serve_cut", 64))) {
+          val in = MemoryStream[(Long, Timestamp, String)]
+          val q = sink(CorpusStreams.maxSimServeStream(
+            idx, in.toDF().toDF("q_id", "ts", "text"), k = 5, nprobe = 4,
+            candCut = cut), name)
+          drive(name, qRows.size, q,
+                chunks(qRows, 2).map(c => () => { in.addData(c); () }) :+
+                (() => { in.addData(Seq((-1L, ts(600), "advance"))); () }))
+        }
       } finally { idx.unpersist(); dt.unpersist(); () }
     }
 
@@ -604,39 +680,12 @@ object StreamBench {
       case _ => sfDir.stripSuffix("/").endsWith("sf0.1")
     }
     if (gateOn) {
-      val medByName = collapsed.map { case (r, spread) =>
+      val medSec = collapsed.map { case (r, spread) =>
         val s = spread.sorted
-        r.name -> (r.rowsIn / math.max(s(s.size / 2), 1e-9))
+        r.name -> s(s.size / 2)
       }.toMap
-      val perOpViolations = throughputFloors.toSeq.sortBy(_._1).flatMap {
-        case (name, floor) =>
-          medByName.get(name) match {
-            case None =>
-              Some(s"$name: MISSING from this run (floor $floor rows/s)")
-            case Some(tput) if tput < floor =>
-              Some(f"$name: median $tput%.0f rows/s < floor $floor%.0f")
-            case _ => None
-          }
-      }
-      // aggregate floor over the FLOORED set (see BaselineTotalSec): the
-      // sum of medians is stable where single medians swing, so it trips
-      // on a single-operator 2-3x regression the per-op floors now miss
-      val totalSec = collapsed
-        .filter { case (r, _) => throughputFloors.contains(r.name) }
-        .map { case (_, spread) =>
-          val s = spread.sorted; s(s.size / 2)
-        }.sum
-      val aggBound = BaselineTotalSec * AggregateBoundFactor
-      val aggViolation =
-        if (totalSec > aggBound)
-          Seq(f"TOTAL: sum of medians $totalSec%.1f s > $aggBound%.1f s " +
-              f"(baseline $BaselineTotalSec%.1f s x $AggregateBoundFactor%.2f)")
-        else {
-          println(f"[streambench] aggregate floor: $totalSec%.1f s <= " +
-                  f"$aggBound%.1f s")
-          Seq.empty
-        }
-      val violations = perOpViolations ++ aggViolation
+      val rowsIn = collapsed.map { case (r, _) => r.name -> r.rowsIn }.toMap
+      val violations = gateViolations(medSec, rowsIn)
       if (violations.nonEmpty) {
         System.err.println(
           s"[streambench] REGRESSION GATE FAILED (${violations.size}):")
@@ -644,7 +693,8 @@ object StreamBench {
         sys.exit(1)
       }
       println(s"[streambench] regression gate passed: " +
-              s"${throughputFloors.size} per-op floors + aggregate held")
+              s"${relativeFloors.size} relative per-op floors + the " +
+              "calibration-scaled aggregate bound held")
     } else println("[streambench] regression gate skipped " +
                    "(non-sf0.1 corpus or disabled via env)")
   }

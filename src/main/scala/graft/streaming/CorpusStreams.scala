@@ -1043,16 +1043,40 @@ object CorpusStreams {
     * THREE chained stateful aggregations in append mode — max per
     * (query, token, doc), sum per (query, doc), top-k per query — each
     * keyed on the query's event time, finalizing together when the
-    * watermark clears it. State is O(in-flight queries · their candidate
-    * docs), never O(stream). Output (q_id, ts, doc_id, rnk, score) is
-    * value-identical to the batch serve at the same nprobe
-    * (LateInteractionSpec pins it). Empty/blank queries yield no tokens
-    * and therefore no answer — the poison-pill drop rule.
+    * watermark clears it.
+    *
+    * State is BOUNDED BY CONSTRUCTION (VERDICT r12 #5): the index is
+    * pre-grouped ONCE at stream construction into one row per cell
+    * (`collect_list` of the cell's (n_id, tv) members, localCheckpointed
+    * — the static side a 100-TB deployment would keep as a cell-bucketed
+    * table), so the probe join is one stream-static equi-join on c_id
+    * and the per-cell candidate dots are computed IN-ROW in the
+    * stateless projection, where a `candCut` top-`c` cut (dot desc, then
+    * doc_id, then n_id — fully deterministic) drops all but the best `c`
+    * token dots per (query token, probed cell) BEFORE anything reaches a
+    * state store. First-stage state is therefore ≤ nprobe·candCut rows
+    * per in-flight (query, token) instead of every probed cell's
+    * membership — and the stage-1 shuffle shrinks by the same factor.
+    * With `candCut` covering the largest cell the cut is a no-op and the
+    * output equals the batch serve at the same nprobe bit-for-bit
+    * (LateInteractionSpec pins it); at production cuts it is the
+    * standard late-interaction approximation — a (token, doc) pair whose
+    * best dot is cut everywhere reverts to the absent-pair convention 0
+    * (losing positive evidence; a negative per-token max reverts upward
+    * to 0, exactly as if its cells had not been probed).
+    *
+    * Output (q_id, ts, doc_id, rnk, score) is value-identical to the
+    * batch serve at the same nprobe when candCut covers (spec-pinned).
+    * Empty/blank queries yield no tokens and therefore no answer — the
+    * poison-pill drop rule. The query-token embedding dim is validated
+    * against the index's `tv` width at construction (ADVICE r12: a
+    * mismatch would null-pad `zip_with` and degrade scores silently).
     */
   def maxSimServeStream(index: graft.operators.GraftSimilarity.IvfIndex,
                         queries: DataFrame, k: Int, nprobe: Int = 4,
                         dim: Int = 8, maxTokens: Int = 16,
                         latenessMinutes: Long = 10,
+                        candCut: Int = 64,
                         qIdCol: String = "q_id", textCol: String = "text",
                         tsCol: String = "ts"): DataFrame = {
     require(k >= 1, s"maxSimServeStream: k must be >= 1, got $k")
@@ -1060,8 +1084,27 @@ object CorpusStreams {
       s"maxSimServeStream: nprobe must be >= 1, got $nprobe")
     require(latenessMinutes > 0,
       s"latenessMinutes must be positive, got $latenessMinutes")
+    require(candCut >= k,
+      s"maxSimServeStream: candCut must be >= k (got candCut=$candCut, " +
+      s"k=$k) — a cut below k could ship short lists")
     import graft.operators.LateInteraction
     graft.GraftSession.ensureExtensions(queries.sparkSession)
+    require(index.assigned.columns.contains("tv"),
+      "maxSimServeStream: the index must carry the integer `tv` token-" +
+      "vector metadata column (LateInteraction.tokenIndex builds it)")
+    // fail loudly on an embedding-dim mismatch (ADVICE r12): zip_with
+    // over unequal lengths null-pads, the dot aggregate goes null, and
+    // scores would degrade silently instead of erroring
+    val idxDim = index.assigned
+      .select(org.apache.spark.sql.functions.size(col("tv")).as("d"))
+      .limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalStateException(
+        "maxSimServeStream: index has no assigned token vectors")
+    }
+    require(idxDim == dim,
+      s"maxSimServeStream: dim=$dim but the token index carries " +
+      s"$idxDim-component vectors — build and serve must agree")
     val qt = queries
       .select(col(qIdCol).cast("long").as("q_id"), col(tsCol).as("ts"),
               slice(graft.operators.GraftText.whitespaceTokens(col(textCol)),
@@ -1077,12 +1120,40 @@ object CorpusStreams {
       .withColumn("qv", expr("transform(qtv, x -> cast(x AS double))"))
     val probes = graft.operators.GraftSimilarity.probeCells(
       qt, index.centroids, nprobe, Seq("q_id", "ts", "qtok", "qtv"))
-    probes.join(index.assigned, "c_id")
+    // the cell-packed static side: one row per cell, members as an
+    // array — materialized once (localCheckpoint), so micro-batches
+    // never re-shuffle the index
+    val packed = index.assigned
+      .groupBy(col("c_id"))
+      .agg(collect_list(struct(col("n_id"), col("tv"))).as("__cands"))
+      .localCheckpoint()
+    probes.join(packed, "c_id")
       .select(col("q_id"), col("ts"), col("qtok"),
-              expr(s"n_id div ${LateInteraction.TokenIdBase}").as("doc_id"),
-              expr("aggregate(zip_with(qtv, tv, (x, y) -> x * y), 0L, " +
-                   "(s, x) -> s + x)").as("__dot"))
-      .filter(col("doc_id") =!= col("q_id"))
+        // in-row per-cell contraction: self-pairs out, integer dots,
+        // deterministic top-candCut cut — all before any state store
+        expr(s"""slice(
+                   array_sort(
+                     transform(
+                       filter(__cands,
+                              c -> c.n_id div ${LateInteraction.TokenIdBase}
+                                   != q_id),
+                       c -> struct(
+                         aggregate(zip_with(qtv, c.tv, (x, y) -> x * y),
+                                   0L, (s, x) -> s + x) AS d,
+                         c.n_id div ${LateInteraction.TokenIdBase}
+                           AS doc_id,
+                         c.n_id AS n_id)),
+                     (a, b) -> CASE
+                       WHEN a.d > b.d THEN -1 WHEN a.d < b.d THEN 1
+                       WHEN a.doc_id < b.doc_id THEN -1
+                       WHEN a.doc_id > b.doc_id THEN 1
+                       WHEN a.n_id < b.n_id THEN -1
+                       WHEN a.n_id > b.n_id THEN 1 ELSE 0 END),
+                   1, $candCut)""").as("__top"))
+      .select(col("q_id"), col("ts"), col("qtok"),
+              explode(col("__top")).as("__t"))
+      .select(col("q_id"), col("ts"), col("qtok"),
+              col("__t.doc_id").as("doc_id"), col("__t.d").as("__dot"))
       .groupBy(col("q_id"), col("ts"), col("qtok"), col("doc_id"))
       .agg(max(col("__dot")).as("__m"))
       .groupBy(col("q_id"), col("ts"), col("doc_id"))

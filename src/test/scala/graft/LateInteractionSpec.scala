@@ -104,6 +104,89 @@ class LateInteractionSpec extends GraftFunSuite {
     } finally { dt.unpersist(); () }
   }
 
+  test("token index at rest: write/read, append, compaction and the " +
+       "manifest substrate all preserve the array<int> tv metadata; " +
+       "every stored serve is bit-identical to its in-memory twin") {
+    import org.apache.spark.sql.types.{ArrayType, IntegerType}
+    import graft.operators.{GraftSimilarity, IvfObjectStore}
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dt = LateInteraction.hashTokenVectors(docs, dim = 8,
+                                              maxTokens = 16).persist()
+    try {
+      val qt = dt.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("tok"), col("tv"))
+      val idx = LateInteraction.tokenIndex(dt).persist()
+      try {
+        val inMem = LateInteraction.maxSimTopKWith(idx, qt, k = 10,
+                                                   nprobe = 4)
+          .collect().map(key).toSet
+        assert(inMem.nonEmpty)
+        // ---- full write → read: the serve the oracled row certifies
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_tok_store").toString
+        GraftSimilarity.writeIvfIndex(idx, dir)
+        val rd = GraftSimilarity.readIvfIndex(spark, dir)
+        assert(rd.assigned.schema("tv").dataType
+                 .isInstanceOf[ArrayType] &&
+               rd.assigned.schema("tv").dataType.asInstanceOf[ArrayType]
+                 .elementType == IntegerType,
+          s"tv must round-trip as array<int>, got " +
+          s"${rd.assigned.schema("tv").dataType}")
+        assert(LateInteraction.maxSimTopKWith(rd, qt, k = 10, nprobe = 4)
+                 .collect().map(key).toSet == inMem,
+          "stored serve must equal the in-memory serve bit-for-bit")
+        // ---- append lifecycle: build on a corpus slice, append the
+        // rest's token vectors (array-typed metadata riding the batch),
+        // serve ≡ the in-memory ivfAppend of the same base + batch
+        val baseIdx = LateInteraction
+          .tokenIndex(dt.filter(col("doc_id") % 3 =!= 2)).persist()
+        try {
+          val batch = LateInteraction
+            .tokenVectors(dt.filter(col("doc_id") % 3 === 2))
+          val dir2 = java.nio.file.Files
+            .createTempDirectory("graft_tok_append").toString
+          GraftSimilarity.writeIvfIndex(baseIdx, dir2)
+          GraftSimilarity.appendIvfStore(spark, dir2, batch,
+                                         idCol = "tok_id", vecCol = "v")
+          val inMemApp = GraftSimilarity.ivfAppend(baseIdx, batch,
+                                                   idCol = "tok_id",
+                                                   vecCol = "v")
+          val appExpect = LateInteraction
+            .maxSimTopKWith(inMemApp, qt, k = 10, nprobe = 4)
+            .collect().map(key).toSet
+          assert(LateInteraction
+                   .maxSimTopKWith(GraftSimilarity.readIvfIndex(spark, dir2),
+                                   qt, k = 10, nprobe = 4)
+                   .collect().map(key).toSet == appExpect,
+            "append-then-read must serve exactly like the in-memory append")
+          // ---- compaction: the appended cells rewrite through the
+          // mergeSchema + quantRepair path WITH the array column aboard
+          assert(GraftSimilarity.compactIvfCells(spark, dir2,
+                                                 maxFilesPerCell = 1) > 0,
+            "the append must have left multi-file cells to compact")
+          val compacted = GraftSimilarity.readIvfIndex(spark, dir2)
+          assert(compacted.assigned.schema("tv").dataType
+                   .asInstanceOf[ArrayType].elementType == IntegerType)
+          assert(LateInteraction
+                   .maxSimTopKWith(compacted, qt, k = 10, nprobe = 4)
+                   .collect().map(key).toSet == appExpect,
+            "compaction must not perturb the token-level serve")
+        } finally { baseIdx.unpersist(); () }
+        // ---- manifest (object-store) substrate: same index, same serve
+        val dir3 = java.nio.file.Files
+          .createTempDirectory("graft_tok_manifest").toString
+        IvfObjectStore.create(spark, idx, dir3)
+        assert(LateInteraction
+                 .maxSimTopKWith(IvfObjectStore.read(spark, dir3), qt,
+                                 k = 10, nprobe = 4)
+                 .collect().map(key).toSet == inMem,
+          "the manifest substrate must serve the token index identically")
+      } finally { idx.unpersist(); () }
+    } finally { dt.unpersist(); () }
+  }
+
   test("maxSimServeStream: the online MaxSim answers each watermark-" +
        "closed query identically to the batch serve at the same nprobe, " +
        "across micro-batch boundaries; blank queries get no answer") {
@@ -130,9 +213,11 @@ class LateInteractionSpec extends GraftFunSuite {
         .sortBy(_._1).toSeq
       val (h1, h2) = rows.splitAt(rows.size / 2)
       val input = MemoryStream[(Long, Timestamp, String)]
+      // candCut COVERING (≥ the largest cell): the in-row per-cell cut
+      // is a no-op and the stream must equal the batch serve exactly
       val q = graft.streaming.CorpusStreams
         .maxSimServeStream(idx, input.toDF().toDF("q_id", "ts", "text"),
-                           k = 5, nprobe = 4)
+                           k = 5, nprobe = 4, candCut = Int.MaxValue)
         .writeStream.format("memory").queryName("maxsim_serve")
         .outputMode("append").start()
       try {
@@ -151,6 +236,60 @@ class LateInteractionSpec extends GraftFunSuite {
         assert(spark.table("maxsim_serve")
                  .filter(col("q_id") === 888888L).count() == 0,
           "a blank query must be dropped, not answered or fatal")
+      } finally q.stop()
+    } finally { idx.unpersist(); dt.unpersist(); () }
+  }
+
+  test("maxSimServeStream: the default candCut bounds state by " +
+       "construction — contract shape holds (≤ k rows per answered " +
+       "query, ranks contiguous), a covering cut is required ≥ k, and " +
+       "a dim mismatch with the index fails loudly at construction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.ensureExtensions(spark)
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dt = LateInteraction.hashTokenVectors(docs, dim = 8,
+                                              maxTokens = 16).persist()
+    val idx = LateInteraction.tokenIndex(dt).persist()
+    try {
+      // dim mismatch: fail at stream CONSTRUCTION, not with silently
+      // null-degraded scores mid-stream (ADVICE r12)
+      val dummy = MemoryStream[(Long, Timestamp, String)]
+      intercept[IllegalArgumentException] {
+        graft.streaming.CorpusStreams.maxSimServeStream(
+          idx, dummy.toDF().toDF("q_id", "ts", "text"), k = 5, dim = 16)
+      }
+      intercept[IllegalArgumentException] {
+        graft.streaming.CorpusStreams.maxSimServeStream(
+          idx, dummy.toDF().toDF("q_id", "ts", "text"), k = 5, candCut = 4)
+      }
+      val rows = docs.filter(col("doc_id") < 10)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 8), r.getString(1)))
+        .sortBy(_._1).toSeq
+      val input = MemoryStream[(Long, Timestamp, String)]
+      val q = graft.streaming.CorpusStreams
+        .maxSimServeStream(idx, input.toDF().toDF("q_id", "ts", "text"),
+                           k = 5, nprobe = 4) // default candCut = 64
+        .writeStream.format("memory").queryName("maxsim_serve_cut")
+        .outputMode("append").start()
+      try {
+        input.addData(rows); q.processAllAvailable()
+        input.addData(Seq((999999L, ts(600), "advance the watermark")))
+        q.processAllAvailable()
+        val out = spark.table("maxsim_serve_cut")
+          .filter(col("q_id") < 999999L).collect()
+        val byQ = out.groupBy(_.getLong(0))
+        assert(byQ.nonEmpty, "the cut serve must still answer queries")
+        for ((qid, rs) <- byQ) {
+          assert(rs.length <= 5, s"q=$qid got ${rs.length} rows")
+          assert(rs.map(_.getLong(3)).sorted.toSeq ==
+                   (1L to rs.length).toSeq,
+            s"q=$qid ranks must be contiguous from 1")
+          assert(!rs.map(_.getLong(2)).contains(qid), "self excluded")
+        }
       } finally q.stop()
     } finally { idx.unpersist(); dt.unpersist(); () }
   }
