@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph centrality — the web-graph quality signals a corpus
@@ -46,12 +46,23 @@ object GraftGraph {
     *
     * — integral division throughout (all quantities non-negative, so
     * floor = truncate in every engine). Mass from DANGLING nodes (no
-    * out-edges) is dropped, not redistributed: the classic simplified
-    * variant — ranks are a comparative signal, not a probability
-    * distribution, and dropping the global dangling-sum term keeps each
-    * iteration a pure local join+sum (no per-iteration global
-    * aggregate barrier). Returns `(node_id, pr_micro)` — the exact
-    * integer micro-rank; divide by `grid` for a float score.
+    * out-edges) is dropped by default, the classic simplified variant —
+    * ranks are a comparative signal, not a probability distribution,
+    * and dropping the global dangling-sum term keeps each iteration a
+    * pure local join+sum. Crawl graphs are SINK-HEAVY, though (every
+    * leaf page dangles), so `danglingRedistribute = true` adds the
+    * uniform redistribution term: each round computes the one scalar
+    * `ds = Σ_{dangling u} r(u)` on the skinny state (a map-side-combined
+    * sum — 8 bytes per partition to the driver-side broadcast, no extra
+    * shuffle of the state itself) and every node's update becomes
+    *
+    *   r'(v) = (base + dampingPct · (Σ contrib + ds div n)) div 100
+    *
+    * — still integer-exact (`div n` before the damped product), at the
+    * price of one global-aggregate barrier per round. On a sink-free
+    * graph both variants agree exactly (ds = 0; GraphSpec pins it).
+    * Returns `(node_id, pr_micro)` — the exact integer micro-rank;
+    * divide by `grid` for a float score.
     *
     * 100-TB shape: the rank state is 16 B/node; each iteration
     * shuffles partial contribution sums keyed by dst (map-side
@@ -62,8 +73,10 @@ object GraftGraph {
     */
   def pageRank(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
                grid: Long = PageRankGrid,
-               srcCol: String = "src", dstCol: String = "dst"): DataFrame =
-    pageRankBody(edges, None, iters, dampingPct, grid, srcCol, dstCol)
+               srcCol: String = "src", dstCol: String = "dst",
+               danglingRedistribute: Boolean = false): DataFrame =
+    pageRankBody(edges, None, iters, dampingPct, grid, srcCol, dstCol,
+                 danglingRedistribute)
 
   /** Personalized (topic-sensitive) PageRank: the teleport term lands
     * ONLY on the `seeds` node set — rank flows outward from trusted
@@ -76,7 +89,9 @@ object GraftGraph {
     * Same integral arithmetic as [[pageRank]] with
     * base(v) = (100−d)·grid·[v ∈ seeds]: seed ranks start at `grid`,
     * non-seed at 0, and each round is the identical join+sum shape (the
-    * seed flag rides the skinny node frame — no extra join). Nodes
+    * seed flag rides the skinny node frame — no extra join, and it is
+    * an explicit flag, so dampingPct = 100 — pure link propagation from
+    * the seeds, every base term 0 — works like any other damping). Nodes
     * unreachable from every seed stay exactly 0 — the integral
     * arithmetic makes "outside the seed component" a crisp zero, not an
     * epsilon. Seeds not appearing in the edge list are ignored (the
@@ -94,7 +109,9 @@ object GraftGraph {
 
   private def pageRankBody(edges: DataFrame, seeds: Option[DataFrame],
                            iters: Int, dampingPct: Int, grid: Long,
-                           srcCol: String, dstCol: String): DataFrame = {
+                           srcCol: String, dstCol: String,
+                           danglingRedistribute: Boolean = false)
+      : DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
       s"pageRank: dampingPct must be in [0, 100], got $dampingPct")
@@ -108,8 +125,11 @@ object GraftGraph {
     // dies — no unpersist point to leak past, the r11 ADVICE lesson):
     // (src, dst, deg) is the per-iteration join side, nodes the
     // per-iteration universe. The personalized variant's per-node base
-    // term rides the node frame as `__base` (0 or (100−d)·grid), so the
-    // iteration shape is IDENTICAL for both variants.
+    // term rides the node frame as `__base` (0 or (100−d)·grid) WITH an
+    // explicit `__seed` flag — seed membership is never inferred from
+    // __base > 0 (ADVICE r12: at dampingPct = 100 every base is 0 and
+    // that inference would zero the whole seeded state); the dangling
+    // variant's sink flag rides the same frame as `__dang`.
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("__deg")), "src")
       .localCheckpoint()
@@ -117,19 +137,37 @@ object GraftGraph {
     val nodesPlain = eDeg.select(col("src").as("node_id"))
       .unionAll(eDeg.select(col("dst").as("node_id")))
       .distinct()
-    val nodes = (seeds match {
+    val nodesSeeded = seeds match {
       case None => nodesPlain.withColumn("__base", lit(baseAll))
+        .withColumn("__seed", lit(1))
       case Some(sd) => nodesPlain
-        .join(sd.withColumn("__seed", lit(1)), Seq("node_id"), "left")
+        .join(sd.withColumn("__sd", lit(1)), Seq("node_id"), "left")
         .select(col("node_id"),
-                when(col("__seed").isNotNull, lit(baseAll))
-                  .otherwise(lit(0L)).as("__base"))
-    }).localCheckpoint()
+                when(col("__sd").isNotNull, lit(baseAll))
+                  .otherwise(lit(0L)).as("__base"),
+                when(col("__sd").isNotNull, lit(1))
+                  .otherwise(lit(0)).as("__seed"))
+    }
+    val nodes = (if (danglingRedistribute)
+        nodesSeeded
+          .join(eDeg.select(col("src").as("node_id")).distinct()
+                  .withColumn("__out", lit(1)), Seq("node_id"), "left")
+          .withColumn("__dang",
+                      when(col("__out").isNull, 1).otherwise(0))
+          .drop("__out")
+      else nodesSeeded).localCheckpoint()
+    // loop-invariant node count for the redistribution's `ds div n`
+    // (nodes is a checkpointed leaf, so this is one cheap count)
+    val n = if (danglingRedistribute) nodes.count().max(1L) else 1L
+    val stateCols: Seq[Column] =
+      if (danglingRedistribute)
+        Seq(col("node_id"), col("__base"), col("__dang"))
+      else Seq(col("node_id"), col("__base"))
     var ranks = nodes
-      .select(col("node_id"), col("__base"),
+      .select(stateCols :+
               (if (seeds.isEmpty) lit(grid)
-               else when(col("__base") > 0L, lit(grid)).otherwise(lit(0L)))
-                .as("pr_micro"))
+               else when(col("__seed") === 1, lit(grid)).otherwise(lit(0L)))
+                .as("pr_micro"): _*)
       .localCheckpoint()
     var i = 0
     while (i < iters) {
@@ -137,10 +175,22 @@ object GraftGraph {
         .join(ranks.select(col("node_id").as("src"), col("pr_micro")), "src")
         .groupBy(col("dst").as("node_id"))
         .agg(sum(expr("pr_micro div __deg")).as("__s"))
-      ranks = nodes.join(contrib, Seq("node_id"), "left")
-        .select(col("node_id"), col("__base"),
-                expr(s"(__base + $dampingPct * coalesce(__s, 0L)) div 100")
-                  .as("pr_micro"))
+      val joined = nodes.join(contrib, Seq("node_id"), "left")
+      ranks =
+        if (danglingRedistribute) {
+          // one scalar per round: the dangling mass, folded to a single
+          // broadcast row (map-side-combined sum over the skinny state)
+          val dangSum = ranks.filter(col("__dang") === 1)
+            .agg(coalesce(sum(col("pr_micro")), lit(0L)).as("__ds"))
+          joined.crossJoin(broadcast(dangSum))
+            .select(stateCols :+
+              expr(s"(__base + $dampingPct * " +
+                   s"(coalesce(__s, 0L) + __ds div $n)) div 100")
+                .as("pr_micro"): _*)
+        } else
+          joined.select(stateCols :+
+            expr(s"(__base + $dampingPct * coalesce(__s, 0L)) div 100")
+              .as("pr_micro"): _*)
       // checkpoint INTERMEDIATE rounds (flat lineage, reclaimable
       // blocks); the final round stays a live plan so the returned
       // frame explains as the iteration shape — one state×edges join +

@@ -62,6 +62,47 @@ object GraphQueries extends QueryModule {
         |       FROM nodes n LEFT JOIN c3 USING (node_id))
         |SELECT node_id, CAST(r AS BIGINT) AS pr_micro FROM r3""".stripMargin)),
 
+    // PageRank with DANGLING-MASS redistribution (VERDICT r12 #7): the
+    // bipartite purchase graph is maximally sink-heavy — every part
+    // node dangles — so this row exercises the variant where the
+    // drop-dangling simplification is least defensible (crawl graphs:
+    // every leaf page is a sink). Each round adds the one global scalar
+    // ds = Σ r(dangling) and every node receives ds div n inside the
+    // damped term — still integer-exact, and the oracle replays the
+    // identical arithmetic: r' = (15·grid + 85·(Σ(r div deg)
+    // + ds div n)) div 100 over 2 rounds.
+    GraftQuery(
+      "graph_pagerank_dangling",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_orderkey") * 2).as("src"),
+                              (col("l_partkey") * 2 + 1).as("dst"))
+        GraftGraph.pageRank(edges, iters = 2, danglingRedistribute = true)
+      },
+      Some(s"""WITH $edgeCte,
+        |cnt AS (SELECT count(*) AS n FROM nodes),
+        |srcs AS (SELECT DISTINCT src AS node_id FROM e),
+        |r0 AS (SELECT node_id, 1000000::BIGINT AS r FROM nodes),
+        |d0 AS (SELECT coalesce(sum(r), 0) AS ds FROM r0
+        |       WHERE node_id NOT IN (SELECT node_id FROM srcs)),
+        |c1 AS (SELECT e.dst AS node_id, sum(r0.r // d.dg) AS s
+        |       FROM e JOIN deg d ON d.src = e.src
+        |       JOIN r0 ON r0.node_id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node_id,
+        |         (15000000 + 85 * (coalesce(c1.s, 0)
+        |            + (SELECT ds FROM d0) // (SELECT n FROM cnt))) // 100 AS r
+        |       FROM nodes n LEFT JOIN c1 USING (node_id)),
+        |d1 AS (SELECT coalesce(sum(r), 0) AS ds FROM r1
+        |       WHERE node_id NOT IN (SELECT node_id FROM srcs)),
+        |c2 AS (SELECT e.dst AS node_id, sum(r1.r // d.dg) AS s
+        |       FROM e JOIN deg d ON d.src = e.src
+        |       JOIN r1 ON r1.node_id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node_id,
+        |         (15000000 + 85 * (coalesce(c2.s, 0)
+        |            + (SELECT ds FROM d1) // (SELECT n FROM cnt))) // 100 AS r
+        |       FROM nodes n LEFT JOIN c2 USING (node_id))
+        |SELECT node_id, CAST(r AS BIGINT) AS pr_micro FROM r2""".stripMargin)),
+
     // HITS, 2 rounds — authority = Σ hub(in-neighbors), hub =
     // Σ auth(out-neighbors), each side max-renormalized to the 10⁶
     // grid in integer arithmetic (x·grid div max). On the bipartite

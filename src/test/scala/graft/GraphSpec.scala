@@ -106,6 +106,52 @@ class GraphSpec extends GraftFunSuite {
     assert(withGhost == plain && !withGhost.contains(99L))
   }
 
+  test("personalizedPageRank: dampingPct = 100 is pure link propagation " +
+       "from the seeds — never an all-zero state (ADVICE r12: seed " +
+       "membership is an explicit flag, not inferred from __base > 0)") {
+    // 1→2→3, seed {1}, damping 100, grid 100: every base term is 0 and
+    // rank is pure propagation — r0 = (100, 0, 0),
+    // round 1: r(2) = 100, rest 0; round 2: r(3) = 100, rest 0
+    val edges = Seq((1L, 2L), (2L, 3L))
+    val r1 = GraftGraph.personalizedPageRank(
+        edges.toDF("src", "dst"), Seq(1L).toDF("node_id"),
+        iters = 1, dampingPct = 100, grid = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 == Map(1L -> 0L, 2L -> 100L, 3L -> 0L), s"got $r1")
+    val r2 = GraftGraph.personalizedPageRank(
+        edges.toDF("src", "dst"), Seq(1L).toDF("node_id"),
+        iters = 2, dampingPct = 100, grid = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r2 == Map(1L -> 0L, 2L -> 0L, 3L -> 100L), s"got $r2")
+  }
+
+  test("pageRank danglingRedistribute: hand-computed sink redistribution; " +
+       "agrees with the plain variant exactly on a sink-free graph") {
+    // 1→2, grid 100, damping 85, n = 2; node 2 dangles with r0 = 100:
+    //   ds div n = 50
+    //   r1(1) = (1500 + 85·(0 + 50))   div 100 = 57
+    //   r1(2) = (1500 + 85·(100 + 50)) div 100 = 142
+    val dang = GraftGraph.pageRank(Seq((1L, 2L)).toDF("src", "dst"),
+                                   iters = 1, grid = 100L,
+                                   danglingRedistribute = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dang == Map(1L -> 57L, 2L -> 142L), s"got $dang")
+    // the plain variant drops that mass (the documented simplification)
+    assert(pr(Seq((1L, 2L)), iters = 1) == Map(1L -> 15L, 2L -> 100L))
+    // sink-free graph (every node has an out-edge): ds = 0 every round,
+    // so the two variants are bit-identical
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val plain = GraftGraph.pageRank(cyc.toDF("src", "dst"), iters = 3,
+                                    grid = 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val redist = GraftGraph.pageRank(cyc.toDF("src", "dst"), iters = 3,
+                                     grid = 1000L,
+                                     danglingRedistribute = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(plain == redist,
+      "on a sink-free graph redistribution must be a no-op")
+  }
+
   test("personalizedPageRank: seed proximity ranks above raw in-degree " +
        "and the result is partitioning-independent") {
     // 4 has three in-links but none from the seed side; 5 has one
