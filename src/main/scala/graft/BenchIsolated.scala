@@ -26,21 +26,21 @@ import org.apache.spark.sql.SparkSession
   */
 object BenchIsolated {
   /** Queries flagged for arbitration this round (SCALE.md cites the
-    * committed artifact these produce). r12 set: the r11 verdict's one
-    * evidence-weak row (`pipeline_corpus_curation` — committed record
-    * and driver sweep diverged 2.8× on identical code; this fresh-JVM
-    * row is the arbiter), the rest of the r11 top-5 cost rows (none had
-    * an isolated record), and this round's four new oracled rows. */
+    * committed artifact these produce). r13 set: the four r12 in-suite
+    * regressions the verdict sent to arbitration (VERDICT r12 #3 —
+    * `ann_ivf_stored` 1.50×, `events_range_join` 1.73×,
+    * `src_bucketed_join` 1.47×, `text_bm25_topk` 1.50×, all with no
+    * touching code change except the q4-at-rest write, now opt-in),
+    * this round's new oracled rows, and the MaxSim family carried so the
+    * stored row's amortized serve reads against its build-per-run twins. */
   val DefaultFlagged: Seq[String] = Seq(
-    "pipeline_corpus_curation",
-    "ann_ivf_pq_manifest", "ann_ivf_stored_pq", "text_bpe_segment",
-    "ann_hybrid_ivf",
-    "ann_ivf_delete", "ann_ivf_delete_manifest",
-    "ann_pq_budget_sweep", "ann_hybrid_pq",
-    // r12 second batch: the int4 rung and the centrality rows
-    "ann_ivf_stored_q4", "graph_pagerank", "graph_hits",
-    "graph_ppr", "graph_template_rank", "ann_ivf_filtered",
-    "ann_maxsim", "ann_hybrid_filtered", "ann_maxsim_ivf")
+    "ann_ivf_stored", "events_range_join", "src_bucketed_join",
+    "text_bm25_topk",
+    // r13 new rows
+    "ann_maxsim_stored", "graph_pagerank_dangling",
+    "ann_hybrid_filtered_q8",
+    // carried MaxSim family (the stored row's baseline)
+    "ann_maxsim", "ann_maxsim_ivf")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

@@ -60,7 +60,18 @@ object PlanDump {
                     "ann_ivf_filtered",
                     // r12: the MaxSim contraction (three partial-agg
                     // stages, broadcast query-token side)
-                    "ann_maxsim")
+                    "ann_maxsim",
+                    // r13 (VERDICT r12 #4): the six uncovered rows — the
+                    // remaining centrality shapes, the filtered fusion's
+                    // PushedFilters+DPP composition on both rungs, the
+                    // hybrid q8 fusion, the MaxSim serving contraction
+                    "graph_hits", "graph_ppr", "graph_template_rank",
+                    "ann_hybrid_filtered", "ann_hybrid_q8",
+                    "ann_maxsim_ivf",
+                    // r13 new rows: the stored MaxSim serve (DPP over the
+                    // token cells), dangling-mass PageRank, filtered q8
+                    "ann_maxsim_stored", "graph_pagerank_dangling",
+                    "ann_hybrid_filtered_q8")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")
