@@ -71,7 +71,10 @@ object PlanDump {
                     // r13 new rows: the stored MaxSim serve (DPP over the
                     // token cells), dangling-mass PageRank, filtered q8
                     "ann_maxsim_stored", "graph_pagerank_dangling",
-                    "ann_hybrid_filtered_q8")
+                    "ann_hybrid_filtered_q8",
+                    // r13 second batch: the int4 fusion rung and the
+                    // filtered late-interaction serve
+                    "ann_hybrid_q4", "ann_maxsim_filtered")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -205,6 +205,41 @@ object HybridRetrieval {
     fuse(lexRanks(docs, q, kCand, idCol, textCol, k1, b), sem, k, rrfK)
   }
 
+  /** The fused top-`k` over the int4 (16×) tier: semantic leg through
+    * [[GraftSimilarity.ivfTopKWithQ4]] — integer candidate scoring off
+    * the store's nibble-packed `q4` column, exact rerank of
+    * kCand·rerankFactor survivors — completing the fusion matrix
+    * (brute / IVF / q8 / q4 / PQ behind ONE rank-only contract).
+    * `index.assigned` must carry `q4` (a store written with
+    * `writeIvfIndex(q4 = true)`, or [[GraftSimilarity.q4Augment]] for
+    * in-memory indexes — the tier is opt-in at write). At covering
+    * nprobe + covering rerankFactor the output equals [[hybridTopK]]
+    * exactly, the same parity contract as the q8/PQ rungs.
+    */
+  def hybridTopKWithQ4(index: IvfIndex, docs: DataFrame, queries: DataFrame,
+                       k: Int = 10, kCand: Int = 30, rrfK: Int = 60,
+                       nprobe: Int = 4, rerankFactor: Int = 4,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       qIdCol: String = "q_id", qTermsCol: String = "q_terms",
+                       qVecCol: String = "qv",
+                       k1: Double = 1.2, b: Double = 0.75,
+                       where: Option[Column] = None): DataFrame = {
+    requireParams(k, kCand, rrfK, "hybridTopKWithQ4")
+    require(nprobe >= 1, s"hybridTopKWithQ4: nprobe must be >= 1, got $nprobe")
+    require(rerankFactor >= 1,
+      s"hybridTopKWithQ4: rerankFactor must be >= 1, got $rerankFactor")
+    graft.GraftSession.ensureExtensions(docs.sparkSession)
+    val q = queries.select(col(qIdCol).as("q_id"),
+                           col(qTermsCol).as("__qtk"),
+                           col(qVecCol).as("__qv"))
+    val sem = GraftSimilarity.ivfTopKWithQ4(
+        index, q.select(col("q_id"), col("__qv").as("qv")), kCand,
+        nprobe, rerankFactor, where = where)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+              col("rnk").as("sem_rank"))
+    fuse(lexRanks(docs, q, kCand, idCol, textCol, k1, b), sem, k, rrfK)
+  }
+
   /** The fused top-`k` over the 64× PQ tier: semantic leg through
     * [[GraftPq.ivfPqTopKWithCw]] — ADC candidate scoring off the store's
     * m-byte code words in the probed cells, exact rerank of

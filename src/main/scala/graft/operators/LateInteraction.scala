@@ -96,7 +96,9 @@ object LateInteraction {
     * convention); with `nprobe` covering every cell no pair is absent
     * and the result equals [[maxSimTopK]] exactly (spec-pinned). */
   def maxSimTopKWith(index: GraftSimilarity.IvfIndex, qToks: DataFrame,
-                     k: Int, nprobe: Int = 4): DataFrame = {
+                     k: Int, nprobe: Int = 4,
+                     where: Option[org.apache.spark.sql.Column] = None)
+      : DataFrame = {
     require(k >= 1, s"maxSimTopKWith: k must be >= 1, got $k")
     require(nprobe >= 1, s"maxSimTopKWith: nprobe must be >= 1, got $nprobe")
     graft.GraftSession.ensureExtensions(qToks.sparkSession)
@@ -107,8 +109,15 @@ object LateInteraction {
                           col("tv").as("qtv"))
     val probes = GraftSimilarity.probeCells(
       qt, index.centroids, nprobe, Seq("q_id", "qtok", "qtv"))
+    // metadata-filtered late interaction (the `ivfTopKWith(where)`
+    // contract at token granularity): the predicate cuts the candidate
+    // token population BEFORE the probe join — per-token maxima are
+    // taken over exactly the filter-satisfying documents' tokens, and
+    // at rest it reaches the parquet reader beside the DPP cell prune.
+    // Probe geometry stays unfiltered (cells are filter-invariant).
+    val cand = where.fold(index.assigned)(index.assigned.filter(_))
     scoreAndRank(
-      broadcast(probes).join(index.assigned, "c_id")
+      broadcast(probes).join(cand, "c_id")
         .select(col("q_id"), col("qtok"), col("qtv"),
                 expr(s"n_id div ${TokenIdBase}").as("doc_id"),
                 col("tv")), k)
@@ -123,16 +132,17 @@ object LateInteraction {
     * ([[GraftSimilarity.appendIvfStore]](idCol = "tok_id", vecCol = "v")
     * — ordinals are per-document, so a batch of NEW documents' tokens
     * composes ids exactly as a full build would). */
-  def tokenVectors(docToks: DataFrame): DataFrame = {
+  def tokenVectors(docToks: DataFrame,
+                   metaCols: Seq[String] = Nil): DataFrame = {
     val base = docToks
       .withColumn("__ord",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("tok")).cast("long") - 1)
     base.filter(col("__ord") < TokenIdBase)
       .select(
-        (col("doc_id") * TokenIdBase + col("__ord")).as("tok_id"),
-        expr("transform(tv, x -> cast(x AS double))").as("v"),
-        col("tv"))
+        (col("doc_id") * TokenIdBase + col("__ord")).as("tok_id") +:
+          expr("transform(tv, x -> cast(x AS double))").as("v") +:
+          col("tv") +: metaCols.map(col): _*)
   }
 
   /** Token-level IVF index over [[hashTokenVectors]] output: one vector
@@ -146,11 +156,12 @@ object LateInteraction {
     * column (LateInteractionSpec pins each leg; `ann_maxsim_stored`
     * oracle-certifies the stored serve). */
   def tokenIndex(docToks: DataFrame,
-                 centroidFraction: Option[Double] = None)
+                 centroidFraction: Option[Double] = None,
+                 metaCols: Seq[String] = Nil)
       : GraftSimilarity.IvfIndex =
     GraftSimilarity.buildIvfIndex(
-      tokenVectors(docToks),
-      centroidFraction, idCol = "tok_id", metaCols = Seq("tv"))
+      tokenVectors(docToks, metaCols),
+      centroidFraction, idCol = "tok_id", metaCols = "tv" +: metaCols)
 
   /** Composite-id radix for [[tokenIndex]]: token ordinal lives below,
     * doc id above. 2²⁰ ordinals per document is far past any bounded

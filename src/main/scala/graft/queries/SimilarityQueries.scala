@@ -495,6 +495,32 @@ object SimilarityQueries extends QueryModule {
       "hybridFilteredQ8OracleSql(semantic)")
   }
 
+  /** The int4 fusion oracle: [[hybridQ8OracleSql]] with the ONE
+    * arithmetic difference between the rungs rewritten — the
+    * quantization constant (codes in [-127, 127] → [-7, 7]); the
+    * integer-cosine cut, rerank, and fusion replay identically. The
+    * nibble PACKING is an at-rest representation detail the serve's
+    * arithmetic is independent of (quantExpressions pins `graft_q4b_cos`
+    * ≡ the unpacked integer formula bit-for-bit). */
+  private lazy val hybridQ4OracleSql: String =
+    rewriteOnce(hybridQ8OracleSql,
+      "round(x * 127.0 / m)",
+      "round(x * 7.0 / m)",
+      "hybridQ4OracleSql")
+
+  /** The filtered late-interaction oracle: [[maxSimIvfOracleSql]] with
+    * the candidate TOKEN population restricted to the predicate's
+    * documents — probe geometry, centroid seed, and the query block are
+    * filter-invariant, exactly the `maxSimTopKWith(where)` semantics
+    * (per-token maxima over filter-satisfying documents' tokens only;
+    * everything else reverts to the absent-pair 0). */
+  private lazy val maxSimFilteredOracleSql: String =
+    rewriteOnce(maxSimIvfOracleSql,
+      "WHERE a.doc_id != p.q_id),",
+      "WHERE a.doc_id != p.q_id AND a.doc_id IN " +
+        "(SELECT doc_id FROM documents WHERE lang = 'en')),",
+      "maxSimFilteredOracleSql")
+
   /** The filtered-serve oracle: [[ivfStoredOracleSql]] with the
     * candidate population restricted to the predicate's rows — the
     * centroid build, the probe set, and the query block are all
@@ -1549,6 +1575,33 @@ object SimilarityQueries extends QueryModule {
       },
       Some(hybridFilteredQ8OracleSql)),
 
+    // The int4 rung of the fusion matrix (hybridTopKWithQ4): BM25 fused
+    // with candidates scored off the store's nibble-packed q4 column —
+    // the matrix is now brute / IVF / q8 / q4 / PQ behind ONE rank-only
+    // fusion contract. Store written with q4 = true (the tier is opt-in
+    // at write); the oracle is the q8 fusion replay with the one
+    // arithmetic difference — the quantization constant — rewritten.
+    GraftQuery(
+      "ann_hybrid_q4",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("q_terms"),
+                  col("v").as("qv"))
+        val out = s"/tmp/graft_io/${new java.io.File(dir).getName}" +
+          "/hybrid_q4_store"
+        GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), out,
+                                      q4 = true)
+        graft.operators.HybridRetrieval.hybridTopKWithQ4(
+          GraftSimilarity.readIvfIndex(s, out), docs, queries,
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4, rerankFactor = 4)
+      },
+      Some(hybridQ4OracleSql)),
+
     // LATE-INTERACTION (ColBERT-style MaxSim) retrieval
     // ([[graft.operators.LateInteraction]]): documents and queries are
     // BAGS of per-token vectors, score = Σ over query tokens of the max
@@ -1648,6 +1701,32 @@ object SimilarityQueries extends QueryModule {
           GraftSimilarity.readIvfIndex(s, out), qt, k = 10, nprobe = 4)
       },
       Some(maxSimIvfOracleSql)),
+
+    // METADATA-FILTERED late interaction — "retrieve only from the
+    // allowed sources" at TOKEN granularity: the lang column rides the
+    // token-level index beside `tv` (tokenIndex(metaCols)), the `where`
+    // serve cuts the candidate token population BEFORE the probe join
+    // (per-token maxima over exactly the filter-satisfying documents'
+    // tokens — pre-filter semantics; probe geometry filter-invariant),
+    // and at rest the predicate would reach the reader beside the DPP
+    // cell prune, the ann_ivf_filtered composition. Oracle = the MaxSim
+    // serving replay with the pair population restricted.
+    GraftQuery(
+      "ann_maxsim_filtered",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dt = graft.operators.LateInteraction.hashTokenVectors(
+          docs, dim = 8, maxTokens = 16)
+        val dtMeta = dt.join(docs.select(col("doc_id"), col("lang")),
+                             "doc_id")
+        val qt = dt.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("q_id"), col("tok"), col("tv"))
+        graft.operators.LateInteraction.maxSimTopKWith(
+          graft.operators.LateInteraction.tokenIndex(
+            dtMeta, metaCols = Seq("lang")),
+          qt, k = 10, nprobe = 4, where = Some(col("lang") === "en"))
+      },
+      Some(maxSimFilteredOracleSql)),
 
     // Product-quantization ADC tier ([[graft.operators.GraftPq]]): m=8
     // subspaces × ksub=16 codes trained with 2 Lloyd rounds on the 2^20

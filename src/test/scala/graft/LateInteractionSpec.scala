@@ -104,6 +104,49 @@ class LateInteractionSpec extends GraftFunSuite {
     } finally { dt.unpersist(); () }
   }
 
+  test("maxSimTopKWith(where): filtered late interaction — covering " +
+       "probes equal the exact MaxSim over the filtered token bag, and " +
+       "every served doc satisfies the predicate") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dt = LateInteraction.hashTokenVectors(docs, dim = 8,
+                                              maxTokens = 16).persist()
+    try {
+      val dtMeta = dt.join(docs.select(col("doc_id"), col("lang")),
+                           "doc_id")
+      val qt = dt.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("tok"), col("tv"))
+      val idx = LateInteraction.tokenIndex(dtMeta,
+                                           metaCols = Seq("lang")).persist()
+      try {
+        def key(r: org.apache.spark.sql.Row) =
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+        val cells = idx.centroids.count().toInt
+        // pre-filter semantics: covering filtered serve ≡ the exact
+        // contraction over ONLY the en documents' token bags
+        val exactFiltered = LateInteraction.maxSimTopK(
+            dt.join(docs.filter(col("lang") === "en").select("doc_id"),
+                    "doc_id"),
+            qt, k = 10).collect().map(key).toSet
+        val covered = LateInteraction.maxSimTopKWith(
+            idx, qt, k = 10, nprobe = cells,
+            where = Some(col("lang") === "en"))
+          .collect().map(key).toSet
+        assert(covered == exactFiltered,
+          "covering filtered MaxSim must equal the exact contraction " +
+          "over the filtered token population")
+        // every served doc satisfies the predicate at a real probe cut
+        val enDocs = docs.filter(col("lang") === "en")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        val cut = LateInteraction.maxSimTopKWith(
+            idx, qt, k = 10, nprobe = 4,
+            where = Some(col("lang") === "en")).collect()
+        assert(cut.nonEmpty &&
+               cut.forall(r => enDocs.contains(r.getLong(1))),
+          "a filtered MaxSim serve must never emit an out-of-population doc")
+      } finally { idx.unpersist(); () }
+    } finally { dt.unpersist(); () }
+  }
+
   test("token index at rest: write/read, append, compaction and the " +
        "manifest substrate all preserve the array<int> tv metadata; " +
        "every stored serve is bit-identical to its in-memory twin") {

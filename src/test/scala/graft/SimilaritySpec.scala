@@ -572,6 +572,17 @@ class SimilaritySpec extends GraftFunSuite {
     assert(q8Served == brute,
       "the q8 hybrid tier must also reproduce the brute fusion at " +
       "covering settings")
+    // the int4 leg completes the fusion matrix (brute/IVF/q8/q4/PQ
+    // behind one contract): same covering parity, in-memory q4Augment
+    // (the at-rest tier is opt-in at write)
+    val q4Served = HybridRetrieval
+      .hybridTopKWithQ4(GraftSimilarity.q4Augment(idx), docs,
+                        queries, k = 10, kCand = 30, nprobe = cells,
+                        rerankFactor = coveringRf)
+      .collect().toSet
+    assert(q4Served == brute,
+      "the q4 hybrid tier must also reproduce the brute fusion at " +
+      "covering settings")
     // a REAL cut (default budget, nprobe 1): lexically-surfaced documents
     // can never be lost — the PQ trade is confined to the semantic leg
     val pruned = HybridRetrieval
