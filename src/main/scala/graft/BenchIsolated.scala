@@ -38,7 +38,8 @@ object BenchIsolated {
     "text_bm25_topk",
     // r13 new rows
     "ann_maxsim_stored", "graph_pagerank_dangling",
-    "ann_hybrid_filtered_q8",
+    "ann_hybrid_filtered_q8", "ann_hybrid_q4", "ann_maxsim_filtered",
+    "ann_hybrid_maxsim",
     // carried MaxSim family (the stored row's baseline)
     "ann_maxsim", "ann_maxsim_ivf")
 

@@ -72,9 +72,11 @@ object PlanDump {
                     // token cells), dangling-mass PageRank, filtered q8
                     "ann_maxsim_stored", "graph_pagerank_dangling",
                     "ann_hybrid_filtered_q8",
-                    // r13 second batch: the int4 fusion rung and the
-                    // filtered late-interaction serve
-                    "ann_hybrid_q4", "ann_maxsim_filtered")
+                    // r13 second batch: the int4 fusion rung, the
+                    // filtered late-interaction serve, and the BM25 ⊕
+                    // MaxSim fusion
+                    "ann_hybrid_q4", "ann_maxsim_filtered",
+                    "ann_hybrid_maxsim")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

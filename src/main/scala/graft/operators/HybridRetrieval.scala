@@ -277,6 +277,49 @@ object HybridRetrieval {
     fuse(lexRanks(docs, q, kCand, idCol, textCol, k1, b), sem, k, rrfK)
   }
 
+  /** BM25 ⊕ late-interaction (MaxSim) fusion — the ColBERT deployment
+    * shape: the lexical leg is the same [[TextRank.bm25Scores]] kernel,
+    * the semantic leg is [[LateInteraction.maxSimTopKWith]] over a BUILT
+    * token-level index (each query token probes its cells; token-granular
+    * evidence a single pooled vector averages away), and the two
+    * top-`kCand` lists fuse under the SAME rank-only RRF contract as
+    * every other rung — so swapping pooled-vector retrieval for
+    * late-interaction retrieval is a one-call change, not a new stack.
+    * `queries` carries (qIdCol, qTextCol): BOTH legs derive from the
+    * query TEXT — BM25 terms via whitespace tokens, MaxSim token vectors
+    * via the same ±1 hash embedding the index was built with (`dim` /
+    * `maxTokens` must match the build, the
+    * [[graft.streaming.CorpusStreams.maxSimServeStream]] contract).
+    */
+  def hybridTopKWithMaxSim(index: IvfIndex, docs: DataFrame,
+                           queries: DataFrame,
+                           k: Int = 10, kCand: Int = 30, rrfK: Int = 60,
+                           nprobe: Int = 4,
+                           dim: Int = 8, maxTokens: Int = 16,
+                           idCol: String = "doc_id",
+                           textCol: String = "text",
+                           qIdCol: String = "q_id",
+                           qTextCol: String = "text",
+                           k1: Double = 1.2, b: Double = 0.75)
+      : DataFrame = {
+    requireParams(k, kCand, rrfK, "hybridTopKWithMaxSim")
+    require(nprobe >= 1,
+      s"hybridTopKWithMaxSim: nprobe must be >= 1, got $nprobe")
+    graft.GraftSession.ensureExtensions(docs.sparkSession)
+    val q = queries.select(col(qIdCol).cast("long").as("q_id"),
+                           col(qTextCol).as("__qtext"))
+    val lexQ = q.select(col("q_id"),
+                        GraftText.whitespaceTokens(col("__qtext"))
+                          .as("__qtk"))
+    val qToks = LateInteraction.hashTokenVectors(
+        q.select(col("q_id").as("doc_id"), col("__qtext").as("text")),
+        dim = dim, maxTokens = maxTokens)
+      .select(col("doc_id").as("q_id"), col("tok"), col("tv"))
+    val sem = LateInteraction.maxSimTopKWith(index, qToks, kCand, nprobe)
+      .select(col("q_id"), col("doc_id"), col("rnk").as("sem_rank"))
+    fuse(lexRanks(docs, lexQ, kCand, idCol, textCol, k1, b), sem, k, rrfK)
+  }
+
   /** [[hybridTopKWithPq]] straight off an at-rest PQ store
     * ([[GraftPq.writeIvfPqStore]] directory layout): one call from store
     * path to fused results — the RAG deployment shape where BM25 fuses

@@ -436,6 +436,99 @@ object SimilarityQueries extends QueryModule {
         |    rrf, lex_rank, sem_rank
         |  FROM f) WHERE rank <= 10""".stripMargin
 
+  /** The BM25 ⊕ MaxSim fusion replay: the lexical CTEs of the hybrid
+    * family composed with the MaxSim serving CTEs of
+    * [[maxSimIvfOracleSql]] (the late-interaction leg renamed `mdt`/`mqt`
+    * to keep the lexical `d`/`qt` names free) under the shared RRF tail —
+    * both legs cut at kCand = 30, fused top-10. */
+  private val hybridMaxSimOracleSql: String =
+    """WITH qd AS (
+      |  SELECT doc_id q_id, regexp_split_to_array(trim(text), '\s+') qtk
+      |  FROM documents WHERE doc_id < 10),
+      |qt AS (SELECT q_id, unnest(list_distinct(qtk)) term FROM qd),
+      |d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+      |      FROM documents),
+      |stats AS (SELECT count(*) n, avg(len(tk)) avgdl FROM d),
+      |trm AS (
+      |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+      |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
+      |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) df FROM trm GROUP BY 1),
+      |ls AS (
+      |  SELECT qt.q_id, trm.doc_id,
+      |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |          * 1000000.0) AS BIGINT)) score
+      |  FROM trm JOIN qt USING (term) JOIN df USING (term), stats
+      |  WHERE trm.doc_id != qt.q_id GROUP BY 1, 2),
+      |lrk AS (
+      |  SELECT q_id, doc_id, lex_rank FROM (
+      |    SELECT q_id, doc_id, CAST(row_number() OVER (
+      |      PARTITION BY q_id ORDER BY score DESC, doc_id) AS BIGINT)
+      |      lex_rank
+      |    FROM ls) WHERE lex_rank <= 30),
+      |mdt AS (
+      |  SELECT doc_id, tok,
+      |    [CASE WHEN substr(md5(tok || '_' || j), 1, 1) < '8'
+      |          THEN 1 ELSE -1 END FOR j IN range(0, 8)] tv
+      |  FROM (SELECT doc_id, unnest(list_distinct(tk[1:16])) tok FROM d)
+      |  WHERE len(tok) > 0),
+      |tid AS (
+      |  SELECT doc_id * 1048576 +
+      |           (row_number() OVER (PARTITION BY doc_id ORDER BY tok)
+      |            - 1) tok_id,
+      |         doc_id, tok, tv
+      |  FROM mdt),
+      |cut AS (
+      |  SELECT printf('%08x', CAST(least(
+      |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+      |           4294967295) AS BIGINT)) h
+      |  FROM tid),
+      |c AS (SELECT tok_id c_id, tv cv FROM tid
+      |      WHERE substr(md5(tok_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+      |assign AS (
+      |  SELECT tok_id, doc_id, tv, c_id FROM (
+      |    SELECT t.tok_id, t.doc_id, t.tv, c.c_id,
+      |      row_number() OVER (PARTITION BY t.tok_id ORDER BY
+      |        list_sum(list_transform(range(1, 9), i -> t.tv[i] * c.cv[i]))
+      |          DESC, c.c_id) arnk
+      |    FROM tid t, c) WHERE arnk = 1),
+      |mqt AS (SELECT doc_id q_id, tok qtok, tv qtv FROM mdt
+      |        WHERE doc_id < 10),
+      |probes AS (
+      |  SELECT q_id, qtok, qtv, c_id FROM (
+      |    SELECT q.q_id, q.qtok, q.qtv, c.c_id,
+      |      row_number() OVER (PARTITION BY q.q_id, q.qtok ORDER BY
+      |        list_sum(list_transform(range(1, 9), i -> q.qtv[i] * c.cv[i]))
+      |          DESC, c.c_id) prnk
+      |    FROM mqt q, c) WHERE prnk <= 4),
+      |pair AS (
+      |  SELECT p.q_id, p.qtok, a.doc_id,
+      |    list_sum(list_transform(range(1, 9), i -> p.qtv[i] * a.tv[i])) dot
+      |  FROM probes p JOIN assign a ON a.c_id = p.c_id
+      |  WHERE a.doc_id != p.q_id),
+      |mx AS (SELECT q_id, qtok, doc_id, max(dot) m FROM pair
+      |       GROUP BY 1, 2, 3),
+      |sc AS (SELECT q_id, doc_id, sum(m) s FROM mx GROUP BY 1, 2),
+      |srk AS (
+      |  SELECT q_id, doc_id, sem_rank FROM (
+      |    SELECT q_id, doc_id, CAST(row_number() OVER (
+      |      PARTITION BY q_id ORDER BY s DESC, doc_id) AS BIGINT)
+      |      sem_rank
+      |    FROM sc) WHERE sem_rank <= 30),
+      |f AS (
+      |  SELECT q_id, doc_id, lex_rank, sem_rank,
+      |    coalesce(CAST(round(1000000000.0 / (60 + lex_rank)) AS BIGINT),
+      |             0)
+      |    + coalesce(CAST(round(1000000000.0 / (60 + sem_rank)) AS BIGINT),
+      |               0) rrf
+      |  FROM lrk FULL OUTER JOIN srk USING (q_id, doc_id))
+      |SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
+      |  SELECT q_id, doc_id, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
+      |    rrf, lex_rank, sem_rank
+      |  FROM f) WHERE rank <= 10""".stripMargin
+
   /** Rewrite exactly ONE occurrence of `anchor` in `base` (ADVICE r12:
     * `String.replace` substitutes every occurrence and a changed-string
     * check cannot see a second match — a future duplicate of the anchor
@@ -1727,6 +1820,29 @@ object SimilarityQueries extends QueryModule {
           qt, k = 10, nprobe = 4, where = Some(col("lang") === "en"))
       },
       Some(maxSimFilteredOracleSql)),
+
+    // BM25 ⊕ MaxSim fusion — the ColBERT deployment shape (lexical
+    // recall + token-granular semantic evidence behind the ONE rank-only
+    // RRF contract every other rung uses): both legs derive from the
+    // query TEXT, the semantic leg serves through the token-level IVF
+    // index, and swapping pooled-vector retrieval for late interaction
+    // is a one-call change. The oracle composes the hybrid family's
+    // lexical CTEs with the MaxSim serving replay under the shared
+    // fusion tail.
+    GraftQuery(
+      "ann_hybrid_maxsim",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val dt = graft.operators.LateInteraction.hashTokenVectors(
+          docs, dim = 8, maxTokens = 16)
+        val queries = docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("q_id"), col("text"))
+        graft.operators.HybridRetrieval.hybridTopKWithMaxSim(
+          graft.operators.LateInteraction.tokenIndex(dt), docs, queries,
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4,
+          dim = 8, maxTokens = 16)
+      },
+      Some(hybridMaxSimOracleSql)),
 
     // Product-quantization ADC tier ([[graft.operators.GraftPq]]): m=8
     // subspaces × ksub=16 codes trained with 2 Lloyd rounds on the 2^20

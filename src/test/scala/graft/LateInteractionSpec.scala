@@ -147,6 +147,55 @@ class LateInteractionSpec extends GraftFunSuite {
     } finally { dt.unpersist(); () }
   }
 
+  test("hybridTopKWithMaxSim: BM25 fused with token-granular MaxSim — " +
+       "contract shape, determinism, and a both-legs winner outranks " +
+       "single-leg docs") {
+    import graft.operators.HybridRetrieval
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val dt = LateInteraction.hashTokenVectors(docs, dim = 8,
+                                              maxTokens = 16).persist()
+    val idx = LateInteraction.tokenIndex(dt).persist()
+    try {
+      val queries = docs.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("text"))
+      val out = HybridRetrieval.hybridTopKWithMaxSim(
+        idx, docs, queries, k = 10, kCand = 30, nprobe = 4)
+      val rows = out.collect()
+      val byQ = rows.groupBy(_.getLong(0))
+      assert(byQ.size == 10)
+      for ((qid, rs) <- byQ) {
+        assert(rs.length <= 10 && rs.nonEmpty, s"q=$qid: ${rs.length}")
+        assert(rs.map(_.getLong(2)).sorted.toSeq == (1L to rs.length).toSeq,
+          s"q=$qid fused ranks must be contiguous from 1")
+        assert(!rs.map(_.getLong(1)).contains(qid), "self excluded")
+        // rrf must equal the two leg contributions it claims
+        for (r <- rs) {
+          def leg(i: Int): Long =
+            if (r.isNullAt(i)) 0L
+            else math.round(1e9 / (60 + r.getLong(i)))
+          assert(r.getLong(3) == leg(4) + leg(5),
+            s"q=$qid doc=${r.getLong(1)}: rrf must be the sum of its legs")
+        }
+        // a doc carrying BOTH leg ranks at least ties any doc whose
+        // single leg rank is no better than both of its own
+        val both = rs.filter(r => !r.isNullAt(4) && !r.isNullAt(5))
+        for (b <- both) {
+          val worseSingles = rs.filter(r =>
+            (r.isNullAt(4) && !r.isNullAt(5) &&
+              r.getLong(5) >= math.max(b.getLong(4), b.getLong(5))) ||
+            (r.isNullAt(5) && !r.isNullAt(4) &&
+              r.getLong(4) >= math.max(b.getLong(4), b.getLong(5))))
+          assert(worseSingles.forall(_.getLong(2) > b.getLong(2)),
+            "two-leg evidence must outrank strictly-worse single-leg docs")
+        }
+      }
+      // deterministic across invocations
+      assert(HybridRetrieval.hybridTopKWithMaxSim(
+               idx, docs, queries, k = 10, kCand = 30, nprobe = 4)
+               .collect().map(_.toSeq).toSet == rows.map(_.toSeq).toSet)
+    } finally { idx.unpersist(); dt.unpersist(); () }
+  }
+
   test("token index at rest: write/read, append, compaction and the " +
        "manifest substrate all preserve the array<int> tv metadata; " +
        "every stored serve is bit-identical to its in-memory twin") {
