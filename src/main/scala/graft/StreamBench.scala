@@ -78,6 +78,35 @@ object StreamBench {
     "sb_hourly"              -> 0.393582,
     "sb_transitions"         -> 0.499700)
 
+  /** STATE-BYTES ceilings (r13): the throughput floors cannot see a
+    * state blow-up that the host absorbs in RAM — exactly the r12
+    * `maxSimServeStream` defect class (state grew with probed-cell
+    * membership; 3.04 GB at 500 queries, caught only by reading the
+    * artifact). State is HOST-INVARIANT (it is a function of the fixed
+    * replay feed and the operator's keying), so absolute ceilings work
+    * where absolute throughput floors did not: 3× the r13 baselining
+    * run's `memoryUsedBytes` per stateful op — slack for state-store
+    * estimation jitter, far below any structural keying regression
+    * (the r12 episode was 34×). `sb_maxsim_serve` keeps its honest
+    * unbounded-shape ceiling; the `_cut` row's ceiling is the one that
+    * guards the bounded-by-construction claim. */
+  val stateCeilings: Map[String, Long] = Map(
+    "sb_contamination"       -> 3L * 40104,
+    "sb_dedup"               -> 3L * 1258592,
+    "sb_fuzzy_contamination" -> 3L * 41056,
+    "sb_hourly"              -> 3L * 975664,
+    "sb_ivf_serve"           -> 3L * 37280,
+    "sb_maxsim_serve"        -> 3L * 3044412352L,
+    "sb_maxsim_serve_cut"    -> 3L * 88226592,
+    "sb_neardup_pairs"       -> 3L * 181921056,
+    "sb_neardup_pairs_cap64" -> 3L * 181921056,
+    "sb_pack"                -> 3L * 16432,
+    "sb_pq_serve"            -> 3L * 103712,
+    "sb_sessionize"          -> 3L * 392704,
+    "sb_srp_pairs"           -> 3L * 140343680,
+    "sb_srp_pairs_q8"        -> 3L * 80717824,
+    "sb_transitions"         -> 3L * 562656)
+
   /** Aggregate bound complementing the per-op ratios: the sum of
     * floored-op medians must stay under the baselined total scaled by
     * THIS RUN's calibration time (host speed cancels here too — a
@@ -93,7 +122,9 @@ object StreamBench {
     * aggregate bound. `medSec`/`rowsIn` keyed by op name; the
     * calibration op's own row must be present. */
   private[graft] def gateViolations(medSec: Map[String, Double],
-                                    rowsIn: Map[String, Long])
+                                    rowsIn: Map[String, Long],
+                                    stateBytes: Map[String, Long] =
+                                      Map.empty)
       : Seq[String] = {
     val calibSec = medSec.getOrElse(CalibrationOp,
       return Seq(s"$CalibrationOp: MISSING — the relative gate cannot run"))
@@ -115,6 +146,19 @@ object StreamBench {
             Some(s"$name: MISSING from this run (floor $floor)")
         }
     }
+    // state ceilings: only checked when the run reports state (the
+    // synthetic spec runs may omit it); a MISSING stateful op is
+    // already fatal via its throughput floor above
+    val state = stateCeilings.toSeq.sortBy(_._1).flatMap {
+      case (name, ceiling) =>
+        stateBytes.get(name) match {
+          case Some(bytes) if bytes > ceiling =>
+            Some(s"$name: state $bytes B > ceiling $ceiling B " +
+                 "(keying regression — state is host-invariant, so this " +
+                 "is structural, not noise)")
+          case _ => None
+        }
+    }
     val totalSec = medSec.collect {
       case (n, s) if relativeFloors.contains(n) => s
     }.sum
@@ -128,7 +172,7 @@ object StreamBench {
             f"$AggregateBoundFactor%.2f x calib $calibSec%.2f/" +
             f"$BaselineCalibSec%.2f)")
       else Seq.empty
-    perOp ++ agg
+    perOp ++ state ++ agg
   }
 
   def main(args: Array[String]): Unit = {
@@ -685,7 +729,10 @@ object StreamBench {
         r.name -> s(s.size / 2)
       }.toMap
       val rowsIn = collapsed.map { case (r, _) => r.name -> r.rowsIn }.toMap
-      val violations = gateViolations(medSec, rowsIn)
+      val state = collapsed.map { case (r, _) =>
+        r.name -> r.stateBytes
+      }.toMap
+      val violations = gateViolations(medSec, rowsIn, state)
       if (violations.nonEmpty) {
         System.err.println(
           s"[streambench] REGRESSION GATE FAILED (${violations.size}):")

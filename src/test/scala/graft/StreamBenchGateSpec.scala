@@ -72,6 +72,25 @@ class StreamBenchGateSpec extends AnyFunSuite {
     assert(v2.exists(_.contains(StreamBench.CalibrationOp)))
   }
 
+  test("state-bytes ceilings: at-baseline state passes, a 5x state " +
+       "blow-up trips and names its op, and a run without state " +
+       "reporting checks throughput only") {
+    val (med, rows) = run()
+    // baseline state = 1/3 of each ceiling (the ceilings carry 3x slack)
+    val state = StreamBench.stateCeilings.map { case (n, c) => n -> c / 3 }
+    assert(StreamBench.gateViolations(med, rows, state).isEmpty)
+    // a structural keying regression: 5x the recorded state on the
+    // bounded MaxSim row (the defect class the ceiling exists for)
+    val blown = state + ("sb_maxsim_serve_cut" ->
+      state("sb_maxsim_serve_cut") * 15)
+    val v = StreamBench.gateViolations(med, rows, blown)
+    assert(v.nonEmpty && v.forall(m =>
+             m.startsWith("sb_maxsim_serve_cut:") && m.contains("state")),
+      s"only the blown op's state ceiling may trip: $v")
+    // no state map (synthetic runs): throughput-only, still green
+    assert(StreamBench.gateViolations(med, rows).isEmpty)
+  }
+
   test("a broad sub-floor slowdown trips the calibration-scaled " +
        "aggregate bound even though every per-op ratio passes") {
     // every op at a uniform cost sized to land the TOTAL 20% past the
