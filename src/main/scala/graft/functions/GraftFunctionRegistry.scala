@@ -129,6 +129,16 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_q4b_cos(binary, binary) — got ${other.size} args")
     },
+    "graft_b1b" -> {
+      case Seq(c) => GraftB1Bytes(c)
+      case other => throw new IllegalArgumentException(
+        s"graft_b1b(array<double>) — got ${other.size} args")
+    },
+    "graft_b1_cos" -> {
+      case Seq(a, b) => GraftB1Cos(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_b1_cos(binary, binary) — got ${other.size} args")
+    },
     "graft_freq_sketch" -> {
       case Seq(c) => GraftFreqAgg(c, 1024).toAggregateExpression()
       case Seq(c, Literal(m: Int, IntegerType)) =>

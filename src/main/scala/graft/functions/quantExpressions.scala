@@ -475,3 +475,133 @@ case class GraftQ8BytesCos(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): GraftQ8BytesCos =
     copy(left = newLeft, right = newRight)
 }
+
+/** `graft_b1b(array<double>)` → `binary`: ONE-BIT (sign) quantization —
+  * the 64× rung at the bottom of the at-rest vector-bytes ladder
+  * (raw 8 B/dim → q8 1 B/dim → q4 0.5 B/dim → b1 1 bit/dim). Component
+  * j sets bit (j & 7) of byte j/8 (LSB-first) iff x > 0 — the SAME sign
+  * convention as the SRP signature kernel (`graft_srp_sig` scores a
+  * hyperplane dot `> 0`), so a SQL oracle reproduces the codes with a
+  * CASE on the raw component. A trailing partial byte pads with 0 bits;
+  * both sides of any same-dimension comparison pad identically, so the
+  * pad shifts [[GraftB1Cos]]'s estimate uniformly and never reorders a
+  * ranking (exact at any dim ≡ 0 (mod 8), e.g. the 64-dim corpus).
+  *
+  * Why the rung exists at 100 TB: the b1 candidate scan reads 8 bytes
+  * per 64-dim vector — a whole cell's codes fit in L2 — and scoring is
+  * XOR + POPCNT, the cheapest possible wire/compute tier. Its price is
+  * recall (1 bit keeps only the orthant); measure with `tierRecall`
+  * before deploying, rerank survivors exactly like the other rungs.
+  */
+case class GraftB1Bytes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"graft_b1b requires array<double>, got $other")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_b1b"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte]((n + 7) / 8)
+    var i = 0
+    while (i < n) {
+      if (arr.getDouble(i) > 0.0)
+        out(i / 8) = (out(i / 8) | (1 << (i & 7))).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val out = ctx.freshName("out")
+      s"""
+        |final int $n = $c.numElements();
+        |byte[] $out = new byte[($n + 7) / 8];
+        |for (int $i = 0; $i < $n; $i++) {
+        |  if ($c.getDouble($i) > 0.0) {
+        |    $out[$i / 8] = (byte) ($out[$i / 8] | (1 << ($i & 7)));
+        |  }
+        |}
+        |${ev.value} = $out;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): GraftB1Bytes =
+    copy(child = newChild)
+}
+
+/** `graft_b1_cos(binary, binary)` → `double`: the SRP cosine SURROGATE
+  * over [[GraftB1Bytes]] sign packs — (bits − 2·hamming) / bits, i.e.
+  * the {−1,+1} sign-vector dot product normalized by the padded bit
+  * count. Integer XOR/POPCNT plus ONE division by a power of two, so
+  * every value is an exact dyadic rational — bit-reproducible in any
+  * engine (a DuckDB oracle computes the identical double from the raw
+  * components: dot(sign(q), sign(v))/dim at dim ≡ 0 (mod 8)).
+  *
+  * This is a RANKING score, not a cosine: it is the monotone image of
+  * Hamming distance (65 distinct values at dim 64), so ties are common
+  * and every consumer breaks them by ascending id (the `graft_topk`
+  * contract). Length mismatch is an error — same-dim vectors always
+  * pack to equal byte counts.
+  */
+case class GraftB1Cos(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"graft_b1_cos requires (binary, binary), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_b1_cos"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length)
+      throw new IllegalArgumentException(
+        s"graft_b1_cos: packed lengths differ (${x.length} vs ${y.length})")
+    if (x.length == 0) return 0.0
+    var ham = 0
+    var i = 0
+    while (i < x.length) {
+      ham += java.lang.Integer.bitCount((x(i) ^ y(i)) & 0xFF)
+      i += 1
+    }
+    val bits = 8 * x.length
+    (bits - 2 * ham).toDouble / bits.toDouble
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val ham = ctx.freshName("ham")
+      val bits = ctx.freshName("bits")
+      s"""
+        |if ($a.length != $b.length) {
+        |  throw new IllegalArgumentException(
+        |    "graft_b1_cos: packed lengths differ (" + $a.length + " vs " +
+        |    $b.length + ")");
+        |}
+        |int $ham = 0;
+        |for (int $i = 0; $i < $a.length; $i++) {
+        |  $ham += java.lang.Integer.bitCount(($a[$i] ^ $b[$i]) & 0xFF);
+        |}
+        |final int $bits = 8 * $a.length;
+        |${ev.value} = $bits == 0
+        |  ? 0.0 : (double) ($bits - 2 * $ham) / (double) $bits;
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftB1Cos =
+    copy(left = newLeft, right = newRight)
+}

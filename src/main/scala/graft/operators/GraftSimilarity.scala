@@ -212,6 +212,9 @@ object GraftSimilarity {
         leg(quantizedTopKQ4(collection, queries, k, rerankFactor, idCol,
                             vecCol, qIdCol, qVecCol), "q4"))
       .unionByName(
+        leg(quantizedTopKB1(collection, queries, k, rerankFactor, idCol,
+                            vecCol, qIdCol, qVecCol), "b1"))
+      .unionByName(
         leg(GraftPq.pqTopK(collection, queries, k, m, ksub, iters,
                            rerankFactor, idCol, vecCol, qIdCol, qVecCol),
             "pq"))
@@ -536,7 +539,7 @@ object GraftSimilarity {
     * [[storedLayout]] pass metadata through untouched, so it lands in
     * the cell files and the predicate pushes down to the at-rest scan. */
   private[operators] val LayoutCols: Set[String] =
-    Set("n_id", "v", "c_id", "q8", "q4", "cw")
+    Set("n_id", "v", "c_id", "q8", "q4", "b1", "cw")
 
   /** Metadata columns a base index/store carries beyond the layout set —
     * the columns an append batch MUST also provide (fail-loud: a batch
@@ -588,10 +591,14 @@ object GraftSimilarity {
       if (index.assigned.columns.contains("q8"))
         add0.withColumn("q8", expr("graft_q8b(v)"))
       else add0
-    val add =
+    val add2 =
       if (index.assigned.columns.contains("q4"))
         add1.withColumn("q4", expr("graft_q4b(v)"))
       else add1
+    val add =
+      if (index.assigned.columns.contains("b1"))
+        add2.withColumn("b1", expr("graft_b1b(v)"))
+      else add2
     IvfIndex(index.centroids, index.assigned.unionByName(add))
   }
 
@@ -619,7 +626,8 @@ object GraftSimilarity {
     * pushdown prunes row groups on their min/max stats instead of
     * rescanning the probed cells.
     */
-  def writeIvfIndex(index: IvfIndex, dir: String, q4: Boolean = false): Unit = {
+  def writeIvfIndex(index: IvfIndex, dir: String, q4: Boolean = false,
+                    b1: Boolean = false): Unit = {
     requireIntegralId(index.assigned, "c_id", "writeIvfIndex")
     requireIntegralId(index.assigned, "n_id", "writeIvfIndex")
     val conf = index.assigned.sparkSession.sparkContext.hadoopConfiguration
@@ -627,7 +635,7 @@ object GraftSimilarity {
     val fs = p.getFileSystem(conf)
     requireStoreFsContract(fs, p, conf, "writeIvfIndex")
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
-    storedLayout(index.assigned, q4)
+    storedLayout(index.assigned, q4, b1)
       .write.mode("overwrite").partitionBy("c_id")
       .parquet(s"$dir/assigned")
     // a full rewrite supersedes any pending tombstones: the new assigned
@@ -654,7 +662,8 @@ object GraftSimilarity {
     else df.withColumn(colName, expr(s"$fn(v)"))
 
   private[operators] def storedLayout(assigned: DataFrame,
-                                      q4: Boolean = false): DataFrame = {
+                                      q4: Boolean = false,
+                                      b1: Boolean = false): DataFrame = {
     val withQ8 =
       if (assigned.columns.contains("q8")) assigned
       else assigned.withColumn("q8", expr("graft_q8b(v)"))
@@ -670,7 +679,14 @@ object GraftSimilarity {
       if (withQ8.columns.contains("q4")) withQ8
       else if (q4) withQ8.withColumn("q4", expr("graft_q4b(v)"))
       else withQ8
-    withQ4.repartition(col("c_id")).sortWithinPartitions("n_id")
+    // the 1-bit rung follows the same opt-in-at-write / keep-on-rewrite
+    // contract (serve via ivfTopKWithB1; migrate via
+    // compactIvfCells(addB1 = true))
+    val withB1 =
+      if (withQ4.columns.contains("b1")) withQ4
+      else if (b1) withQ4.withColumn("b1", expr("graft_b1b(v)"))
+      else withQ4
+    withB1.repartition(col("c_id")).sortWithinPartitions("n_id")
   }
 
   /** Absorb a batch into an AT-REST index without rewriting the store:
@@ -777,7 +793,7 @@ object GraftSimilarity {
         batch.select(
           col(idCol).cast("long").as("n_id") +: col(vecCol).as("v") +:
             meta.map(col): _*)
-      })), q4 = storeCols.contains("q4"))
+      })), q4 = storeCols.contains("q4"), b1 = storeCols.contains("b1"))
     batchTag match {
       case None =>
         requireUnlocked("batch")
@@ -1040,7 +1056,8 @@ object GraftSimilarity {
   def compactIvfCells(spark: org.apache.spark.sql.SparkSession, dir: String,
                       maxFilesPerCell: Int = 4,
                       purgeTombstones: Boolean = false,
-                      addQ4: Boolean = false): Int = {
+                      addQ4: Boolean = false,
+                      addB1: Boolean = false): Int = {
     require(maxFilesPerCell >= 1,
       s"maxFilesPerCell must be >= 1, got $maxFilesPerCell")
     import org.apache.hadoop.fs.Path
@@ -1168,7 +1185,8 @@ object GraftSimilarity {
         if (needsPurge && uncommitted.nonEmpty) touchedSkipped = true
         // addQ4 is a whole-store migration: every committed cell
         // rewrites (idempotent on cells already carrying the column)
-        if ((parquetFiles.length > maxFilesPerCell || needsPurge || addQ4) &&
+        if ((parquetFiles.length > maxFilesPerCell || needsPurge || addQ4 ||
+             addB1) &&
             uncommitted.isEmpty) {
           val mergeList = parquetFiles.map(_.getName).toSet
           val staged = new Path(stagingRoot, cd.getPath.getName)
@@ -1192,10 +1210,15 @@ object GraftSimilarity {
           // partially-written q4 store heals) or the caller asked for
           // the in-place migration (addQ4)
           val merged1 = quantRepair(merged0, "q8", "graft_q8b")
-          val merged =
+          val merged2 =
             if (addQ4 || merged1.columns.contains("q4"))
               quantRepair(merged1, "q4", "graft_q4b")
             else merged1
+          // the 1-bit rung heals / migrates under the same opt-in rule
+          val merged =
+            if (addB1 || merged2.columns.contains("b1"))
+              quantRepair(merged2, "b1", "graft_b1b")
+            else merged2
           // same repair for the PQ code word when the store carries a
           // codebook: pre-PQ files merge with null cw and the rewrite
           // re-encodes exactly that sliver (folded encode — no shuffle),
@@ -1730,6 +1753,12 @@ object GraftSimilarity {
     IvfIndex(index.centroids,
              index.assigned.withColumn("q4", expr("graft_q4b(v)")))
 
+  /** [[q8Augment]]'s 1-bit sibling — attach the sign-packed b1 serving
+    * column for in-flight serving through [[ivfTopKWithB1]]. */
+  def b1Augment(index: IvfIndex): IvfIndex =
+    IvfIndex(index.centroids,
+             index.assigned.withColumn("b1", expr("graft_b1b(v)")))
+
   /** [[ivfTopKWith]] through the QUANTIZED candidate tier — the serve
     * path whose I/O is sized for a 100-TB store: candidates in the
     * probed cells are scored with `graft_q8b_cos` off the store's `q8`
@@ -1792,6 +1821,36 @@ object GraftSimilarity {
                  quantCol = "q4", encodeFn = "graft_q4b",
                  cosFn = "graft_q4b_cos", label = "ivfTopKWithQ4",
                  augmentHint = "q4Augment", where = where)
+
+  /** [[ivfTopKWithQ8]] at the ONE-BIT rung — the bottom of the at-rest
+    * ladder (raw → q8 8× → q4 16× → b1 64× fewer candidate-scan vector
+    * bytes at dim 64). Candidates in the probed cells are scored with
+    * `graft_b1_cos` off the store's sign-packed `b1` column — XOR +
+    * POPCNT over dim/8 bytes, the cheapest candidate kernel this library
+    * has — then the top k·`rerankFactor` per query rerank with exact
+    * cosine through the same gated survivor fetch. One bit per component
+    * keeps only the orthant, so this rung drops the most true neighbors
+    * at a given budget (the binary-quantization trade every production
+    * vector store documents; measure with [[tierRecall]] and size
+    * `rerankFactor` accordingly — with the budget covering the probed
+    * population the result is exactly [[ivfTopKWith]]'s, spec-pinned).
+    * The b1 surrogate is a monotone image of Hamming distance (65
+    * distinct values at dim 64), so candidate ties are COMMON —
+    * `graft_topk`'s deterministic id-ascending tie-break is what keeps
+    * the cut reproducible across engines. Requires `b1` on
+    * `index.assigned` (opt-in at write: `writeIvfIndex(b1 = true)` /
+    * `IvfObjectStore.create(b1 = true)`; [[compactIvfCells]]`(addB1 =
+    * true)` migrates an existing store in place; [[b1Augment]] for
+    * in-memory indexes). */
+  def ivfTopKWithB1(index: IvfIndex, queries: DataFrame, k: Int,
+                    nprobe: Int = 4, rerankFactor: Int = 4,
+                    qIdCol: String = "q_id", qVecCol: String = "qv",
+                    where: Option[Column] = None)
+      : DataFrame =
+    ivfTopKQuant(index, queries, k, nprobe, rerankFactor, qIdCol, qVecCol,
+                 quantCol = "b1", encodeFn = "graft_b1b",
+                 cosFn = "graft_b1_cos", label = "ivfTopKWithB1",
+                 augmentHint = "b1Augment", where = where)
 
   /** Shared body of the scalar-quantized at-rest serves — one candidate
     * kernel, two physical rungs (q8 / q4), identical two-stage shape:
@@ -2030,6 +2089,24 @@ object GraftSimilarity {
     quantizedTopKImpl(collection, queries, k, rerankFactor,
                       idCol, vecCol, qIdCol, qVecCol,
                       encodeFn = "graft_q4b", cosFn = "graft_q4b_cos")
+
+  /** [[quantizedTopK]] at the ONE-BIT rung — candidate scoring over the
+    * sign-packed `graft_b1b` forms via Hamming distance (XOR + POPCNT
+    * over dim/8 bytes: 64× less candidate data than the doubles at dim
+    * 64, and the cheapest scoring kernel of the ladder); the exact
+    * rerank is identical. The coarsest cut of the family — one bit per
+    * component keeps only the orthant — so size `rerankFactor` by a
+    * [[tierRecall]] measurement, not hope. Scores are dyadic rationals
+    * ((bits−2·ham)/bits), bit-reproducible in any engine; ham ties are
+    * COMMON and resolve by ascending id (the `graft_topk` contract). */
+  def quantizedTopKB1(collection: DataFrame, queries: DataFrame, k: Int,
+                      rerankFactor: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "v",
+                      qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame =
+    quantizedTopKImpl(collection, queries, k, rerankFactor,
+                      idCol, vecCol, qIdCol, qVecCol,
+                      encodeFn = "graft_b1b", cosFn = "graft_b1_cos")
 
   private def quantizedTopKImpl(collection: DataFrame, queries: DataFrame,
                                 k: Int, rerankFactor: Int,

@@ -349,9 +349,11 @@ object IvfObjectStore {
   // ivfPqTopKWithCw serve either substrate identically
   private def stageAssigned(dir: String, assigned: DataFrame,
                             pq: Option[GraftPq.PqCodebook],
-                            q4: Boolean = false): Seq[String] =
+                            q4: Boolean = false,
+                            b1: Boolean = false): Seq[String] =
     writeVia(GraftSimilarity.storedLayout(
-               pq.map(GraftPq.withCw(_, assigned)).getOrElse(assigned), q4),
+               pq.map(GraftPq.withCw(_, assigned)).getOrElse(assigned),
+               q4, b1),
              s"$dir/data", partitioned = true).map(r => s"data/$r")
 
   /** The store's PQ codebook, if one was attached at create — fixed
@@ -374,7 +376,8 @@ object IvfObjectStore {
     * it inline — appends never retrain. */
   def create(spark: SparkSession, index: IvfIndex, dir: String,
              pq: Option[GraftPq.PqCodebook] = None,
-             q4: Boolean = false): Unit = {
+             q4: Boolean = false,
+             b1: Boolean = false): Unit = {
     graft.GraftSession.ensureExtensions(spark)
     val fs = fsOf(spark, dir)
     currentManifest(fs, dir).foreach { m =>
@@ -396,7 +399,8 @@ object IvfObjectStore {
       val meta = GraftSimilarity.metaColsOf(index.assigned.columns.toSeq)
       val data = stageAssigned(dir, index.assigned.select(
         col("n_id").cast("long").as("n_id") +: col("v") +:
-          col("c_id").cast("long").as("c_id") +: meta.map(col): _*), pqP, q4)
+          col("c_id").cast("long").as("c_id") +: meta.map(col): _*), pqP,
+        q4, b1)
       if (!publish(fs, dir, Manifest(1, cents, data, Set.empty)))
         throw new ManifestConflict(
           s"IvfObjectStore.create: lost the v1 publish race on $dir — " +
@@ -521,9 +525,9 @@ object IvfObjectStore {
             col(idCol).cast("long").as("n_id") +: col(vecCol).as("v") +:
               meta.map(col): _*)), pq,
           // appended objects match the snapshot's quantized-tier set —
-          // mixed q4 presence across one snapshot's files would break
+          // mixed q4/b1 presence across one snapshot's files would break
           // the shared-schema invariant the reads rely on
-          q4 = snapCols.contains("q4"))
+          q4 = snapCols.contains("q4"), b1 = snapCols.contains("b1"))
         stagedAgainst = m.centroids
       }
       val next = Manifest(m.version + 1, m.centroids, m.data ++ staged,

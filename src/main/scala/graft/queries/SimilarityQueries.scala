@@ -1058,6 +1058,112 @@ object SimilarityQueries extends QueryModule {
         |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, round(cs, 4) AS cos
         |FROM r WHERE rnk <= 5""".stripMargin)),
 
+    // The ONE-BIT rung of the at-rest serve (ivfTopKWithB1): the store's
+    // cell files carry b1 = sign-packed bits (opt-in at write, like q4)
+    // — 1 bit per component, 64× less candidate I/O than the raw doubles
+    // at dim 64 — and the serve is the identical two-stage shape
+    // (XOR+POPCNT Hamming cut at k·rerankFactor, gated exact rerank).
+    // The b1 surrogate (bits−2·ham)/bits is a dyadic rational, exact in
+    // any engine, and a monotone image of Hamming distance — ties are
+    // COMMON (65 distinct values at dim 64) and resolve by ascending id
+    // on both sides, which is what makes the cut reproducible. The
+    // oracle replays the sign quantization as a ±1 dot product over the
+    // raw components (dot(sign(q),sign(v)) = bits − 2·ham exactly), the
+    // probe walk, and the exact rerank, and hash-matches.
+    GraftQuery(
+      "ann_ivf_stored_b1",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val out =
+          s"/tmp/graft_io/${new java.io.File(dir).getName}/ivf_index_b1"
+        // the 1-bit tier is opt-in at write, same contract as q4
+        GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), out,
+                                      b1 = true)
+        GraftSimilarity.ivfTopKWithB1(GraftSimilarity.readIvfIndex(s, out),
+                                      queryBlock(e), k = 5, nprobe = 4,
+                                      rerankFactor = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |b1 AS (SELECT vec_id, v,
+        |         list_transform(v, x -> CASE WHEN x > 0 THEN 1.0
+        |                                     ELSE -1.0 END) s FROM e),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |qq AS (SELECT vec_id q_id, v qv, s qs FROM b1 WHERE vec_id < 10),
+        |probes AS (
+        |  SELECT q_id, qv, qs, c_id FROM (
+        |    SELECT qq.q_id, qq.qv, qq.qs, c.c_id,
+        |      row_number() OVER (PARTITION BY qq.q_id
+        |        ORDER BY list_cosine_similarity(qq.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM qq, c) WHERE prnk <= 4),
+        |ap AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    list_dot_product(p.qs, ab.s) / 64.0 ac
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  JOIN b1 ab ON ab.vec_id = a.vec_id
+        |  WHERE a.vec_id != p.q_id),
+        |cand AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) r
+        |    FROM ap) WHERE r <= 20),
+        |scored AS (
+        |  SELECT cd.q_id, cd.n_id, list_cosine_similarity(qq.qv, e.v) cs
+        |  FROM cand cd
+        |  JOIN qq ON qq.q_id = cd.q_id
+        |  JOIN e ON e.vec_id = cd.n_id),
+        |r AS (SELECT q_id, n_id, cs,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, round(cs, 4) AS cos
+        |FROM r WHERE rnk <= 5""".stripMargin)),
+
+    // The 1-bit rung IN FLIGHT (quantizedTopKB1, no store): sign-pack
+    // the whole corpus, Hamming-cut to k·rerankFactor per query, exact
+    // rerank — the brute twin that certifies the b1 arithmetic the same
+    // way ann_quantized_topk certifies q8's. At 100 TB this is the
+    // candidate kernel whose scan reads 8 bytes per 64-dim vector.
+    GraftQuery(
+      "ann_b1_hamming_topk",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        GraftSimilarity.quantizedTopKB1(e, queryBlock(e), k = 5,
+                                        rerankFactor = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |b1 AS (SELECT vec_id, v,
+        |         list_transform(v, x -> CASE WHEN x > 0 THEN 1.0
+        |                                     ELSE -1.0 END) s FROM e),
+        |qq AS (SELECT vec_id q_id, v qv, s qs FROM b1 WHERE vec_id < 10),
+        |ap AS (
+        |  SELECT q_id, eb.vec_id n_id,
+        |    list_dot_product(qq.qs, eb.s) / 64.0 ac
+        |  FROM qq JOIN b1 eb ON eb.vec_id != qq.q_id),
+        |cand AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) r
+        |    FROM ap) WHERE r <= 20),
+        |scored AS (
+        |  SELECT c.q_id, c.n_id, list_cosine_similarity(qq.qv, e.v) cs
+        |  FROM cand c
+        |  JOIN qq ON qq.q_id = c.q_id
+        |  JOIN e ON e.vec_id = c.n_id),
+        |r AS (SELECT q_id, n_id, cs,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, n_id) rnk
+        |      FROM scored)
+        |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, round(cs, 4) AS cos
+        |FROM r WHERE rnk <= 5""".stripMargin)),
+
     // IVF incremental-append flow as an ORACLED row: the index is built
     // on a seed split (centroids = md5-threshold pick over the SEED only,
     // √(N/4) of them), the remaining vectors arrive later via
@@ -2052,6 +2158,27 @@ object SimilarityQueries extends QueryModule {
         |         row_number() OVER (PARTITION BY q_id
         |           ORDER BY cs DESC, n_id) rnk
         |       FROM wscored),
+        |b1 AS (SELECT vec_id, v,
+        |         list_transform(v, x -> CASE WHEN x > 0 THEN 1.0
+        |                                     ELSE -1.0 END) s FROM e),
+        |qqb AS (SELECT vec_id q_id, v qv, s qs FROM b1 WHERE vec_id < 10),
+        |vap AS (
+        |  SELECT q_id, eb.vec_id n_id,
+        |    list_dot_product(qqb.qs, eb.s) / 64.0 ac
+        |  FROM qqb JOIN b1 eb ON eb.vec_id != qqb.q_id),
+        |vcand AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ac DESC, n_id) rr
+        |    FROM vap) WHERE rr <= 20),
+        |vscored AS (
+        |  SELECT c.q_id, c.n_id, list_cosine_similarity(qqb.qv, e.v) cs
+        |  FROM vcand c
+        |  JOIN qqb ON qqb.q_id = c.q_id
+        |  JOIN e ON e.vec_id = c.n_id),
+        |vr AS (SELECT q_id, n_id,
+        |         row_number() OVER (PARTITION BY q_id
+        |           ORDER BY cs DESC, n_id) rnk
+        |       FROM vscored),
         |$pqTrainCtes,
         |sc AS (SELECT en.vec_id n_id, ld.q_id, sum(ld.d) ad, sum(ln.nn) an
         |       FROM enc en
@@ -2066,6 +2193,9 @@ object SimilarityQueries extends QueryModule {
         |h4 AS (SELECT s.q_id, count(*) n_hits FROM wr s
         |       JOIN tr ON tr.q_id = s.q_id AND tr.n_id = s.n_id
         |       WHERE s.rnk <= 5 GROUP BY s.q_id),
+        |hb1 AS (SELECT s.q_id, count(*) n_hits FROM vr s
+        |        JOIN tr ON tr.q_id = s.q_id AND tr.n_id = s.n_id
+        |        WHERE s.rnk <= 5 GROUP BY s.q_id),
         |hpq AS (SELECT s.q_id, count(*) n_hits FROM r s
         |        JOIN tr ON tr.q_id = s.q_id AND tr.n_id = s.n_id
         |        WHERE s.rnk <= 5 GROUP BY s.q_id)
@@ -2076,6 +2206,10 @@ object SimilarityQueries extends QueryModule {
         |SELECT 'q4' AS tier, tn.q_id, coalesce(h4.n_hits, 0) AS n_hits,
         |       round(coalesce(h4.n_hits, 0) * 1.0 / tn.t_n, 4) AS recall
         |FROM tn LEFT JOIN h4 USING (q_id)
+        |UNION ALL
+        |SELECT 'b1' AS tier, tn.q_id, coalesce(hb1.n_hits, 0) AS n_hits,
+        |       round(coalesce(hb1.n_hits, 0) * 1.0 / tn.t_n, 4) AS recall
+        |FROM tn LEFT JOIN hb1 USING (q_id)
         |UNION ALL
         |SELECT 'pq' AS tier, tn.q_id, coalesce(hpq.n_hits, 0) AS n_hits,
         |       round(coalesce(hpq.n_hits, 0) * 1.0 / tn.t_n, 4) AS recall

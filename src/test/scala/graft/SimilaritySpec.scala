@@ -744,6 +744,91 @@ class SimilaritySpec extends GraftFunSuite {
              .collect().toSet == exact)
   }
 
+  test("b1 rung: sign pack is bit-exact vs the Hamming reference " +
+       "(incl. pad neutrality at non-multiple-of-8 dims), the stored " +
+       "serve matches the exact serve at a covering budget, the at-rest " +
+       "bytes are ceil(d/8), and the tier is opt-in at write") {
+    import graft.operators.GraftSimilarity
+    // kernel parity: graft_b1_cos over packed sign bits == the
+    // independently computed (bits − 2·ham)/bits on PADDED bits; pad
+    // bits agree on both sides so ham is dim-only
+    def refB1(a: Seq[Double], b: Seq[Double]): Double = {
+      val bits = 8 * ((a.length + 7) / 8)
+      val ham = a.zip(b).count { case (x, y) => (x > 0) != (y > 0) }
+      (bits - 2 * ham).toDouble / bits
+    }
+    for (d <- Seq(3, 8, 64)) {
+      val a = (1 to d).map(i => math.sin(i * 0.7) * (if (i % 3 == 0) -1 else 1))
+      val b = (1 to d).map(i => math.cos(i * 1.3))
+      val al = a.map(x => s"${x}D").mkString(",")
+      val bl = b.map(x => s"${x}D").mkString(",")
+      val got = spark.sql(
+        s"""SELECT graft_b1_cos(graft_b1b(array($al)),
+           |                    graft_b1b(array($bl))) c,
+           |       length(graft_b1b(array($al))) n
+           |""".stripMargin).collect().head
+      assert(got.getDouble(0) == refB1(a, b),
+        s"d=$d: packed kernel must equal the Hamming reference bit-for-bit")
+      assert(got.getInt(1) == (d + 7) / 8,
+        s"d=$d: b1 pack must be ceil(d/8) bytes, got ${got.getInt(1)}")
+    }
+    // stored serve: covering budget reproduces the exact serve; the
+    // default budget keeps the contract shape (5 rows/query, no self)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val defDir = java.nio.file.Files.createTempDirectory("graft_b1_def")
+      .toString
+    GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), defDir)
+    // the 1-bit tier is OPT-IN at write: a default store pays no
+    // graft_b1b pass and carries no b1 column (the q4 contract)
+    assert(!GraftSimilarity.readIvfIndex(spark, defDir)
+             .assigned.columns.contains("b1"),
+      "default write must not carry the b1 column")
+    val dir = java.nio.file.Files.createTempDirectory("graft_b1_store")
+      .toString
+    GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), dir,
+                                  b1 = true)
+    val idx = GraftSimilarity.readIvfIndex(spark, dir)
+    assert(idx.assigned.columns.contains("b1"))
+    val exact = GraftSimilarity.ivfTopKWith(idx, q, k = 5, nprobe = 4)
+      .collect().toSet
+    val covering = e.count().toInt
+    assert(GraftSimilarity
+             .ivfTopKWithB1(idx, q, k = 5, nprobe = 4,
+                            rerankFactor = covering).collect().toSet == exact,
+      "covering rerankFactor must reproduce the exact serve bit-for-bit")
+    val rows = GraftSimilarity
+      .ivfTopKWithB1(idx, q, k = 5, nprobe = 4, rerankFactor = 4).collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    for ((qid, rs) <- byQ) {
+      assert(rs.length == 5, s"q=$qid got ${rs.length}")
+      assert(!rs.map(_.getLong(1)).contains(qid), "self excluded")
+    }
+    // in-memory guard + augment, mirroring the q8/q4 contract
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.ivfTopKWithB1(GraftSimilarity.buildIvfIndex(e), q,
+                                    k = 5)
+    }
+    assert(GraftSimilarity
+             .ivfTopKWithB1(GraftSimilarity.b1Augment(
+                              GraftSimilarity.buildIvfIndex(e)),
+                            q, k = 5, nprobe = 4, rerankFactor = covering)
+             .collect().toSet == exact)
+    // compaction migrates a b1-less store in place (addB1)
+    GraftSimilarity.compactIvfCells(spark, defDir, maxFilesPerCell = 1,
+                                    addB1 = true)
+    val migrated = GraftSimilarity.readIvfIndex(spark, defDir)
+    assert(migrated.assigned.columns.contains("b1"),
+      "compactIvfCells(addB1) must attach the b1 column in place")
+    assert(GraftSimilarity
+             .ivfTopKWithB1(migrated, q, k = 5, nprobe = 4,
+                            rerankFactor = covering).collect().toSet == exact,
+      "migrated store must serve the b1 tier exactly")
+  }
+
   test("survivorRerank |Q| gate: past the literal gate the q8 and PQ " +
        "stored serves switch to the broadcast-join fetch — bit-identical " +
        "results, one REUSED broadcast exchange instead of a driver " +
@@ -798,8 +883,8 @@ class SimilaritySpec extends GraftFunSuite {
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     val out = GraftSimilarity.tierRecall(e, q, k = 5, rerankFactor = 4)
       .collect()
-    assert(out.length == 30, s"3 tiers x 10 queries, got ${out.length}")
-    assert(out.map(_.getString(0)).toSet == Set("q8", "q4", "pq"))
+    assert(out.length == 40, s"4 tiers x 10 queries, got ${out.length}")
+    assert(out.map(_.getString(0)).toSet == Set("q8", "q4", "b1", "pq"))
     out.foreach { r =>
       val (hits, rec) = (r.getLong(2), r.getDouble(3))
       assert(hits >= 0 && hits <= 5 && rec >= 0.0 && rec <= 1.0,
