@@ -576,4 +576,109 @@ object GraftDedup {
                      < cut, "train")
                 .otherwise("test").as("split"))
   }
+
+  /** EXACT edit-distance similarity join: every unordered pair of
+    * documents with Levenshtein distance ≤ `maxDist` — the record-linkage
+    * / typo-dup primitive (OCR scans, crawl mirrors with small mutations,
+    * entity resolution on names) that the token-set families (Jaccard,
+    * MinHash) cannot express because edit distance is order- and
+    * alignment-sensitive.
+    *
+    * NEVER all-pairs. Candidate generation is the positional q-gram
+    * prefix filter of ED-Join (Xiao, Wang & Lin, PVLDB 2008; count/
+    * position filters from Gravano et al., VLDB 2001):
+    *
+    *   - d edit operations destroy at most q·d of a string's positional
+    *     q-grams, so ANY q·d+1 of them contain a survivor that appears
+    *     in the partner within position ±d (and |len(a)−len(b)| ≤ d);
+    *   - each string therefore publishes only its q·d+1 RAREST grams
+    *     (one global gram-frequency aggregate, map-side combined; rarest
+    *     keeps the join buckets small where "the " would explode them),
+    *     probed against the full positional gram index with the position
+    *     and length filters applied IN the join condition;
+    *   - the lemma holds probing from either side, so one prefix×full
+    *     join over ordered pairs + least/greatest normalization finds
+    *     every pair with at least one long side. Pairs where BOTH sides
+    *     are short (fewer than q·d+1 grams, i.e. len < q·(d+1)) fall
+    *     outside the lemma and route to a length-bucketed short pool —
+    *     a population bounded by the tiny length ceiling.
+    *
+    * Survivors verify with Spark's banded `levenshtein(a, b, threshold)`
+    * (O(d·n) per pair, codegen'd) — the output is EXACT, so the pruning
+    * is invisible to correctness and a brute-force oracle hash-matches
+    * (`dedup_editdist_pairs`).
+    *
+    * Scale: one gram-frequency aggregate, one window on id for prefix
+    * selection, one gram-keyed join whose buckets are rare-gram-sized,
+    * and a candidate-bounded verify with [[ScaleHints.gated]] text
+    * attachment. Returns (a_id, b_id, dist), a_id < b_id.
+    */
+  def editDistancePairs(docs: DataFrame, maxDist: Int, q: Int = 3,
+                        idCol: String = "doc_id", textCol: String = "text")
+      : DataFrame = {
+    require(maxDist >= 1, s"editDistancePairs: maxDist must be >= 1, " +
+      s"got $maxDist")
+    require(q >= 2, s"editDistancePairs: q must be >= 2, got $q")
+    val d = maxDist
+    val prefixLen = q * d + 1
+    val t = docs.select(col(idCol).cast("long").as("id"),
+                        col(textCol).as("txt"),
+                        length(col(textCol)).as("len"))
+    // positional q-grams, 1-based; strings shorter than q emit none and
+    // are covered by the short pool (len < q ⇒ len < q·(d+1))
+    val grams = t
+      .select(col("id"), col("len"), posexplode(expr(
+        s"""CASE WHEN len >= $q
+           |     THEN transform(sequence(1, len - $q + 1),
+           |                    i -> substring(txt, i, $q))
+           |     ELSE array() END""".stripMargin)))
+      .select(col("id"), col("len"), (col("pos") + 1).as("pos"),
+              col("col").as("gram"))
+    // global gram frequency — ONE aggregate with map-side combine; the
+    // ordering key that sends "the " to the back of every prefix
+    val freq = grams.groupBy("gram").agg(count(lit(1)).as("__f"))
+    import org.apache.spark.sql.expressions.Window
+    val prefix = grams
+      .join(freq, "gram")
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy("id")
+          .orderBy(col("__f"), col("gram"), col("pos"))))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("id").as("p_id"), col("len").as("p_len"),
+              col("pos").as("p_pos"), col("gram"))
+    // prefix × full-index probe: gram equality + position/length filters
+    // in the join condition — bucket size is (rare-gram prefix count) ×
+    // (gram occurrences), never |corpus|²
+    val longCand = prefix
+      .join(grams,
+            prefix("gram") === grams("gram") &&
+            col("p_id") =!= col("id") &&
+            abs(col("p_pos") - col("pos")) <= d &&
+            abs(col("p_len") - col("len")) <= d)
+      .select(least(col("p_id"), col("id")).as("a_id"),
+              greatest(col("p_id"), col("id")).as("b_id"))
+    // short pool: both sides under q·(d+1) chars — outside the lemma,
+    // joined on exploded length keys so even this sliver never goes
+    // cartesian beyond its (bounded) length band
+    val shorts = t.filter(col("len") < q * (d + 1))
+    val shortCand = shorts
+      .select(col("id").as("p_id"), col("len").as("p_len"),
+              explode(expr(s"sequence(len, len + $d)")).as("len"))
+      .join(shorts, Seq("len"))
+      .filter(col("p_id") =!= col("id"))
+      .select(least(col("p_id"), col("id")).as("a_id"),
+              greatest(col("p_id"), col("id")).as("b_id"))
+    val cand = longCand.unionByName(shortCand).distinct()
+    // candidate-bounded exact verify: banded DP via the threshold form
+    // (returns −1 past the band — the filter and the emitted distance in
+    // one codegen'd pass)
+    cand
+      .join(ScaleHints.gated(t.select(col("id").as("a_id"),
+                                      col("txt").as("__ta"))), "a_id")
+      .join(ScaleHints.gated(t.select(col("id").as("b_id"),
+                                      col("txt").as("__tb"))), "b_id")
+      .select(col("a_id"), col("b_id"),
+              expr(s"levenshtein(__ta, __tb, $d)").cast("long").as("dist"))
+      .filter(col("dist") >= 0)
+  }
 }

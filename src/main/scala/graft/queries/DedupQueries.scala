@@ -892,6 +892,25 @@ object DedupQueries extends QueryModule {
         |  CAST(count(*) AS BIGINT) AS shared_fps
         |FROM kept a JOIN kept b ON a.f = b.f AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin)),
+
+    // EXACT edit-distance join (typo-dup / record-linkage tier): every
+    // pair at Levenshtein ≤ 8, found via ED-Join positional q-gram
+    // prefix filtering (q·d+1 rarest grams probe the full positional
+    // index under position ±d and length ±d filters — candidates are
+    // ~1% of the pair space here) and verified with the banded-DP
+    // levenshtein. The pruning is provably lossless, so the oracle is
+    // the BRUTE twin: DuckDB levenshtein over the length-filtered self
+    // join — any completeness bug in the prefix filter hash-fails.
+    GraftQuery(
+      "dedup_editdist_pairs",
+      (s, dir) => graft.operators.GraftDedup.editDistancePairs(
+        t(s, dir, "documents"), maxDist = 8, q = 3),
+      Some("""SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.doc_id < b.doc_id
+        | AND abs(length(a.text) - length(b.text)) <= 8
+        | AND levenshtein(a.text, b.text) <= 8""".stripMargin)),
   )
 }
 

@@ -334,4 +334,56 @@ class DedupSpec extends GraftFunSuite {
       GraftDedup.clusterSafeSplit(ids, pairs, trainFraction = 1.0)
     }
   }
+
+  test("editDistancePairs: exactly the brute-force Levenshtein pair set " +
+       "(prefix filter lossless, short pool covers the sub-lemma strings, " +
+       "distances exact, a_id < b_id)") {
+    import spark.implicits._
+    import graft.operators.GraftDedup
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+                           prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      dp(a.length)
+    }
+    // corpus mixing: long near-dups at various distances, exact dups,
+    // SHORT strings (below q·(d+1) = 9 chars at q=3, d=2 — the pool the
+    // prefix lemma cannot cover), the empty string, and far strings
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cog"),     // d=1
+      (3L, "the quick brown fox jumped over the lazy dogs"),   // small d
+      (4L, "a completely different sentence with other words"),
+      (5L, "the quick brown fox jumps over the lazy dog"),     // d=0 dup
+      (6L, "cat"), (7L, "cap"), (8L, "cart"),                  // shorts
+      (9L, ""), (10L, "ab"),                                   // tiny
+      (11L, "zzzzzzzzzzzzzzzzzzzzzzzzzzzzzz")
+    ).toDF("doc_id", "text")
+    for (d <- Seq(1, 2, 3)) {
+      val got = GraftDedup.editDistancePairs(docs, maxDist = d, q = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      val txt = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = (for {
+        a <- txt.keys; b <- txt.keys if a < b
+        dist = lev(txt(a), txt(b)) if dist <= d
+      } yield (a, b, dist.toLong)).toSet
+      assert(got == want,
+        s"maxDist=$d: got ${got.toSeq.sorted} want ${want.toSeq.sorted}")
+      assert(got.forall(p => p._1 < p._2))
+    }
+    intercept[IllegalArgumentException] {
+      GraftDedup.editDistancePairs(docs, maxDist = 0)
+    }
+    intercept[IllegalArgumentException] {
+      GraftDedup.editDistancePairs(docs, maxDist = 2, q = 1)
+    }
+  }
 }
