@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** SQL-reach registration for the graft expression library — the analog of
   * the reference registering its extension on every session
@@ -138,6 +138,13 @@ object GraftFunctionRegistry {
       case Seq(a, b) => GraftB1Cos(a, b)
       case other => throw new IllegalArgumentException(
         s"graft_b1_cos(binary, binary) — got ${other.size} args")
+    },
+    "graft_mmr" -> {
+      case Seq(c, Literal(k: Int, IntegerType), Literal(l: Double, DoubleType)) =>
+        GraftMmr(c, k, l)
+      case other => throw new IllegalArgumentException(
+        "graft_mmr(array<struct<id, rel, v>>, k literal, lambda literal) — " +
+        s"got ${other.size} args")
     },
     "graft_freq_sketch" -> {
       case Seq(c) => GraftFreqAgg(c, 1024).toAggregateExpression()

@@ -2134,6 +2134,94 @@ object GraftSimilarity {
            .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c")), k)
   }
 
+  /** DIVERSIFIED top-k: Maximal Marginal Relevance (Carbonell &
+    * Goldstein, SIGIR 1998) over a brute-force candidate pool — each
+    * query's top `kCand` by exact cosine re-rank greedily by
+    * `λ·rel − (1−λ)·max-sim-to-already-selected`, so the k results
+    * span the neighborhood instead of returning k near-copies (the
+    * dedup-adjacent serving concern: a corpus with duplicate clusters
+    * fills plain top-k with one cluster).
+    *
+    * Scale shape: candidate generation is [[bruteForceTopK]]'s
+    * broadcast-map (swap in an IVF tier via [[mmrTopKWith]] for an
+    * at-rest corpus); the greedy runs per QUERY on a kCand-bounded
+    * array inside one `graft_mmr` call — O(k·kCand·dim) per query,
+    * noise next to the candidate scan, and NO extra shuffle beyond the
+    * candidate cut's. Output: (q_id, n_id, rank, mmr) in selection
+    * order; `mmr` is the objective at selection time (rank 1 carries
+    * λ·rel — the no-penalty pick). All arithmetic is fixed-order IEEE
+    * doubles with lower-id tie-breaks, so a SQL oracle replays the
+    * greedy walk bit-for-bit (`ann_mmr_topk`).
+    */
+  def mmrTopK(collection: DataFrame, queries: DataFrame, k: Int,
+              kCand: Int = 20, lambda: Double = 0.5,
+              idCol: String = "vec_id", vecCol: String = "v",
+              qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    require(k >= 1, s"mmrTopK: k must be >= 1, got $k")
+    require(kCand >= k, s"mmrTopK: kCand ($kCand) must be >= k ($k)")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrTopK: lambda must be in [0, 1], got $lambda")
+    graft.GraftSession.ensureExtensions(collection.sparkSession)
+    val e = collection.select(col(idCol).cast("long").as("n_id"),
+                              col(vecCol).as("v"))
+    val q = broadcast(
+      queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv")))
+    val cand = e.join(q, col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"), cosine("qv", "v").as("c"))
+      .groupBy("q_id")
+      .agg(expr(s"graft_topk(c, n_id, $kCand)").as("tk"))
+      .select(col("q_id"), explode(col("tk")).as("s"))
+      .select(col("q_id"), col("s.id").as("n_id"), col("s.score").as("rel"))
+    mmrRerank(cand, e, k, lambda)
+  }
+
+  /** [[mmrTopK]] served from an at-rest IVF index: candidates come from
+    * [[ivfTopKWith]] at `kCand` (DPP-pruned probe scan, exact rerank),
+    * then the same per-query greedy diversification. The candidate
+    * tier's recall contract is IVF's (nprobe-bounded); the MMR stage
+    * adds no loss of its own — with a covering nprobe the output equals
+    * [[mmrTopK]]'s bit-for-bit (SimilaritySpec pins it). */
+  def mmrTopKWith(index: IvfIndex, queries: DataFrame, k: Int,
+                  kCand: Int = 20, lambda: Double = 0.5, nprobe: Int = 4,
+                  qIdCol: String = "q_id", qVecCol: String = "qv")
+      : DataFrame = {
+    require(kCand >= k, s"mmrTopKWith: kCand ($kCand) must be >= k ($k)")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrTopKWith: lambda must be in [0, 1], got $lambda")
+    val served = ivfTopKWith(index, queries, k = kCand, nprobe = nprobe,
+                             qIdCol = qIdCol, qVecCol = qVecCol)
+    // ivfTopKWith emits round(cos, 4) for display — re-attach the exact
+    // rel from the stored vectors so the greedy walk runs on the same
+    // doubles as the brute path (and as the SQL oracle)
+    val src = index.assigned.select(col("n_id"), col("v"))
+    val q = broadcast(queries.select(col(qIdCol).as("q_id"),
+                                     col(qVecCol).as("qv")))
+    val cand = served.select(col("q_id"), col("n_id"))
+      .join(ScaleHints.gated(src), "n_id")
+      .join(q, "q_id")
+      .select(col("q_id"), col("n_id"), cosine("qv", "v").as("rel"))
+    mmrRerank(cand, src, k, lambda)
+  }
+
+  /** Shared MMR tail: attach candidate vectors, fold each query's
+    * candidates to one bounded array, run the `graft_mmr` greedy, and
+    * explode back to (q_id, n_id, rank, mmr) rows. `collect_list` order
+    * is irrelevant — the greedy argmax scans the whole remaining set
+    * each round with a deterministic tie-break. */
+  private def mmrRerank(cand: DataFrame, source: DataFrame, k: Int,
+                        lambda: Double): DataFrame =
+    cand
+      .join(ScaleHints.gated(source), "n_id")
+      .groupBy("q_id")
+      .agg(expr(
+        s"graft_mmr(collect_list(struct(n_id, rel, v)), $k, ${lambda}D)")
+          .as("sel"))
+      .select(col("q_id"), posexplode(col("sel")).as(Seq("p", "s")))
+      .select(col("q_id"), col("s.id").as("n_id"),
+              (col("p") + 1).cast("long").as("rank"),
+              round(col("s.score"), 4).as("mmr"))
+
   /** SRP-LSH top-k: `nbits` sign-random-projection bits per vector (from
     * hash-derived hyperplanes — deterministic, no RNG state), split into
     * `bands` bucket keys; vectors sharing any (band, bucket) with a query

@@ -168,6 +168,87 @@ object SimilarityQueries extends QueryModule {
       |SELECT q_id, n_id, rnk, round(cs, 4) AS cos FROM r
       |WHERE rnk <= 5""".stripMargin
 
+  /** Candidate CTEs for the MMR oracles — both bind `cand` as
+    * (q_id, n_id, rel, v) at kCand = 20; the greedy tail is shared. */
+  private val mmrBruteCandCte: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+      |cand AS (
+      |  SELECT q_id, n_id, rel, v FROM (
+      |    SELECT q.q_id, e.vec_id n_id,
+      |      list_cosine_similarity(q.qv, e.v) rel, e.v,
+      |      row_number() OVER (PARTITION BY q.q_id
+      |        ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) rnk
+      |    FROM q JOIN e ON e.vec_id != q.q_id) WHERE rnk <= 20)""".stripMargin
+
+  private val mmrIvfCandCte: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+      |cut AS (
+      |  SELECT printf('%08x', CAST(least(
+      |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+      |           4294967295) AS BIGINT)) h
+      |  FROM e),
+      |c AS (SELECT vec_id c_id, v cv FROM e
+      |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+      |assign AS (
+      |  SELECT vec_id, v, c_id FROM (
+      |    SELECT e.vec_id, e.v, c.c_id,
+      |      row_number() OVER (PARTITION BY e.vec_id
+      |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+      |    FROM e, c) WHERE arnk = 1),
+      |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+      |probes AS (
+      |  SELECT q_id, qv, c_id FROM (
+      |    SELECT q.q_id, q.qv, c.c_id,
+      |      row_number() OVER (PARTITION BY q.q_id
+      |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+      |    FROM q, c) WHERE prnk <= 4),
+      |cand AS (
+      |  SELECT q_id, n_id, rel, v FROM (
+      |    SELECT p.q_id, a.vec_id n_id,
+      |      list_cosine_similarity(p.qv, a.v) rel, a.v,
+      |      row_number() OVER (PARTITION BY p.q_id
+      |        ORDER BY list_cosine_similarity(p.qv, a.v) DESC, a.vec_id) rnk
+      |    FROM probes p JOIN assign a ON p.c_id = a.c_id
+      |    WHERE a.vec_id != p.q_id) WHERE rnk <= 20)""".stripMargin
+
+  /** The MMR greedy walk as a recursive CTE over whichever candidate
+    * tier `candCte` binds: step 1 is the no-penalty argmax of λ·rel,
+    * each later step re-scores the remaining candidates with the TRUE
+    * max-sim-to-selected (unclamped — it can be negative) and picks the
+    * (score DESC, n_id ASC) winner, exactly the `graft_mmr` kernel's
+    * fixed-order IEEE arithmetic. λ = 0.5, k = 5 to match the catalog
+    * rows. */
+  private def mmrOracleSql(candCte: String): String =
+    s"""WITH RECURSIVE
+      |$candCte,
+      |sel AS (
+      |  SELECT q_id, 1 AS rank, n_id, 0.5 * rel - (1 - 0.5) * 0.0 AS score,
+      |         [n_id] AS sel_ids
+      |  FROM (SELECT q_id, n_id, rel,
+      |          row_number() OVER (PARTITION BY q_id
+      |            ORDER BY 0.5 * rel - (1 - 0.5) * 0.0 DESC, n_id) rn
+      |        FROM cand) WHERE rn = 1
+      |  UNION ALL
+      |  SELECT q_id, rank + 1, n_id, score, list_append(sel_ids, n_id)
+      |  FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY q_id
+      |               ORDER BY score DESC, n_id) rn
+      |    FROM (
+      |      SELECT p.q_id, p.rank, p.sel_ids, cd.n_id,
+      |        0.5 * cd.rel
+      |          - (1 - 0.5) * max(list_cosine_similarity(cd.v, sv.v)) AS score
+      |      FROM sel p
+      |      JOIN cand cd ON cd.q_id = p.q_id
+      |                  AND NOT list_contains(p.sel_ids, cd.n_id)
+      |      JOIN cand sv ON sv.q_id = p.q_id
+      |                  AND list_contains(p.sel_ids, sv.n_id)
+      |      GROUP BY p.q_id, p.rank, p.sel_ids, cd.n_id, cd.rel))
+      |  WHERE rn = 1 AND rank < 5)
+      |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
+      |       round(score, 4) AS mmr
+      |FROM sel""".stripMargin
+
   /** The full-collection IVF build + serve replay, shared VERBATIM by
     * `ann_ivf_stored` (directory layout) and `ann_ivf_stored_manifest`
     * (object-store manifest layout): serving is layout-independent, so
@@ -1415,6 +1496,40 @@ object SimilarityQueries extends QueryModule {
         |      FROM scored)
         |SELECT q_id, n_id, CAST(rnk AS BIGINT) AS rnk, round(cs, 4) AS cos
         |FROM r WHERE rnk <= 5""".stripMargin)),
+
+    // DIVERSIFIED serving: Maximal Marginal Relevance re-rank of the
+    // exact top-20 candidate pool (λ=0.5, k=5) — greedy
+    // λ·rel − (1−λ)·max-sim-to-selected with the true (unclamped) max
+    // and lower-id ties, per Carbonell & Goldstein 1998. Every score is
+    // a fixed-order IEEE expression over the same cosines both engines
+    // compute bit-identically, so the DuckDB oracle replays the greedy
+    // walk as a recursive CTE and hash-matches rank-for-rank.
+    GraftQuery(
+      "ann_mmr_topk",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        GraftSimilarity.mmrTopK(e, queryBlock(e), k = 5, kCand = 20,
+                                lambda = 0.5)
+      },
+      Some(mmrOracleSql(mmrBruteCandCte))),
+
+    // The same diversification served from the at-rest IVF store: the
+    // candidate pool is ivfTopKWith at kCand (DPP-pruned probe scan +
+    // exact rerank), the greedy stage is identical — the MMR serve a
+    // 100-TB corpus actually runs. Oracle = the IVF probe replay
+    // feeding the same recursive-CTE greedy.
+    GraftQuery(
+      "ann_mmr_ivf",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        val out =
+          s"/tmp/graft_io/${new java.io.File(dir).getName}/ivf_index_mmr"
+        GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), out)
+        GraftSimilarity.mmrTopKWith(GraftSimilarity.readIvfIndex(s, out),
+                                    queryBlock(e), k = 5, kCand = 20,
+                                    lambda = 0.5, nprobe = 4)
+      },
+      Some(mmrOracleSql(mmrIvfCandCte))),
 
     // Embedding-proximity data selection (SemDeDup / DCLM-style): score
     // every vector by cosine to the integer-exact centroid of the seed

@@ -904,6 +904,93 @@ class SimilaritySpec extends GraftFunSuite {
       full.filter(_.getDouble(3) < 1.0).mkString("\n"))
   }
 
+  test("mmrTopK: lambda=1 degenerates to exact top-k, rank 1 is the " +
+       "plain argmax at any lambda, diversity strictly caps pairwise " +
+       "similarity on a clustered corpus, and the IVF-served variant at " +
+       "covering nprobe equals the brute variant bit-for-bit") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // lambda = 1: no diversity penalty — selection order is exactly the
+    // relevance order, i.e. bruteForceTopK's ids rank-for-rank
+    val plain = GraftSimilarity.bruteForceTopK(e, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    val lam1 = GraftSimilarity.mmrTopK(e, q, k = 5, kCand = 20, lambda = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(1))).toSet
+    assert(lam1 == plain,
+      "lambda=1 MMR must equal plain top-k rank-for-rank")
+    // any lambda: rank 1 is the pure-relevance argmax (penalty 0)
+    val mmr = GraftSimilarity.mmrTopK(e, q, k = 5, kCand = 20, lambda = 0.5)
+      .collect()
+    val top1 = plain.filter(_._2 == 1L).map(t => (t._1, t._3)).toMap
+    mmr.filter(_.getLong(2) == 1L).foreach { r =>
+      assert(r.getLong(1) == top1(r.getLong(0)),
+        s"rank-1 must be the relevance argmax for q=${r.getLong(0)}")
+    }
+    // per query: 5 rows, selection ranks 1..5, no self, no repeats
+    val byQ = mmr.groupBy(_.getLong(0))
+    assert(byQ.size == 10)
+    for ((qid, rs) <- byQ) {
+      assert(rs.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+      val ids = rs.map(_.getLong(1))
+      assert(ids.distinct.length == 5 && !ids.contains(qid))
+    }
+    // clustered corpus: three tight clusters near the query — plain
+    // top-k drowns in the nearest cluster, MMR at lambda=0.5 must
+    // strictly reduce the max pairwise cosine among the selected
+    import spark.implicits._
+    val base = Array.fill(8)(0.0)
+    def mk(axis: Int, eps: Double): Seq[Double] = {
+      val v = base.clone(); v(axis) = 1.0; v((axis + 1) % 8) = eps; v.toSeq
+    }
+    val clustered = (
+      (1L to 6L).map(i => (i, mk(0, 0.001 * i))) ++   // cluster A (nearest)
+      (7L to 12L).map(i => (i, mk(1, 0.001 * i))) ++  // cluster B
+      (13L to 18L).map(i => (i, mk(2, 0.001 * i)))    // cluster C
+    ).toDF("vec_id", "v")
+    val qc = Seq((100L, mk(0, 0.3))).toDF("q_id", "qv")
+    def maxPairSim(ids: Seq[Long]): Double = {
+      val vs = clustered.filter(col("vec_id").isin(ids: _*))
+        .collect().map(r => r.getSeq[Double](1).toArray)
+      (for (i <- vs.indices; j <- vs.indices if i < j) yield {
+        val (a, b) = (vs(i), vs(j))
+        val dot = a.zip(b).map(p => p._1 * p._2).sum
+        dot / (math.sqrt(a.map(x => x * x).sum) *
+               math.sqrt(b.map(x => x * x).sum))
+      }).max
+    }
+    // k = 3 over 3 clusters: plain top-3 sits entirely in the nearest
+    // cluster (pairwise sim ≈ 1), MMR must spread to one per cluster
+    val plainIds = GraftSimilarity.bruteForceTopK(clustered, qc, k = 3)
+      .collect().map(_.getLong(1)).toSeq
+    val mmrIds = GraftSimilarity
+      .mmrTopK(clustered, qc, k = 3, kCand = 18, lambda = 0.5)
+      .collect().sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    assert(maxPairSim(mmrIds) < maxPairSim(plainIds),
+      s"MMR must cap pairwise similarity: plain=$plainIds mmr=$mmrIds")
+    // IVF-served variant: covering nprobe ⇒ same candidate pool ⇒ the
+    // greedy is identical
+    val idx = GraftSimilarity.buildIvfIndex(e)
+    val nCells = idx.centroids.count().toInt
+    val servedCov = GraftSimilarity
+      .mmrTopKWith(idx, q, k = 5, kCand = 20, lambda = 0.5,
+                   nprobe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                           r.getDouble(3))).toSet
+    val brute = mmr.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                              r.getDouble(3))).toSet
+    assert(servedCov == brute,
+      "covering-nprobe IVF MMR must equal brute MMR bit-for-bit")
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.mmrTopK(e, q, k = 5, kCand = 4)
+    }
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.mmrTopK(e, q, k = 5, lambda = 1.5)
+    }
+  }
+
   test("recallAtKWith: one index across the sweep — monotone in nprobe, " +
        "equal to the one-shot recallAtK at every swept value") {
     import graft.operators.GraftSimilarity
