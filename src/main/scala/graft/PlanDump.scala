@@ -76,7 +76,13 @@ object PlanDump {
                     // filtered late-interaction serve, and the BM25 ⊕
                     // MaxSim fusion
                     "ann_hybrid_q4", "ann_maxsim_filtered",
-                    "ann_hybrid_maxsim")
+                    "ann_hybrid_maxsim",
+                    // r13 third batch: the 1-bit rung (stored serve +
+                    // brute Hamming twin), the edit-distance prefix-
+                    // filter join, and the MMR diversification on both
+                    // candidate tiers
+                    "ann_ivf_stored_b1", "ann_b1_hamming_topk",
+                    "dedup_editdist_pairs", "ann_mmr_topk", "ann_mmr_ivf")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -349,4 +349,40 @@ class PlanSpec extends GraftFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"mixture must not sort-merge the corpus:\n$p")
   }
+
+  test("edit-distance join: prefix selection is a WindowGroupLimit " +
+       "(partial top-(qd+1) below the exchange), never a cartesian " +
+       "pair space; verify runs the banded levenshtein in the join") {
+    val p = planOf("dedup_editdist_pairs")
+    assert(!p.contains("CartesianProduct") &&
+           !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair space must come from the gram join, not a product:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rarest-gram prefix cut should push a partial group limit:\n$p")
+    assert(p.contains("levenshtein"),
+      s"verify must run the banded levenshtein in-plan:\n$p")
+  }
+
+  test("b1 stored serve: survivor fetch pushes the literal n_id set; " +
+       "MMR tiers keep the greedy out of the shuffle (one aggregate per " +
+       "query, no product joins on the served tier)") {
+    val b1 = planOf("ann_ivf_stored_b1")
+    assert(b1.contains("PushedFilters: [In(n_id"),
+      s"b1 survivor fetch must push the literal id set to parquet:\n$b1")
+    val mmrIvf = planOf("ann_mmr_ivf")
+    // the only nested-loop in the served tier is the folded-centroid
+    // probe attach (|Q| × one array row); the corpus side must come in
+    // through the DPP-pruned cell scan, never a product
+    assert(!mmrIvf.contains("CartesianProduct"),
+      s"the served MMR tier must never product-join the corpus:\n$mmrIvf")
+    assert(mmrIvf.contains("dynamicpruning"),
+      s"the candidate scan must carry the DPP cell prune:\n$mmrIvf")
+    // the greedy runs inside the per-query aggregate's result projection
+    // (graft_mmr over collect_list — not printed by the plan summary);
+    // what the structure must show is ONE bounded fold per query and the
+    // explode back to rows, with no post-aggregate shuffle
+    assert(mmrIvf.contains("ObjectHashAggregate") &&
+           mmrIvf.contains("posexplode"),
+      s"MMR must fold candidates per query and explode selections:\n$mmrIvf")
+  }
 }
