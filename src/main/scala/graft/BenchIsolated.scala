@@ -41,7 +41,11 @@ object BenchIsolated {
     "ann_hybrid_filtered_q8", "ann_hybrid_q4", "ann_maxsim_filtered",
     "ann_hybrid_maxsim",
     // carried MaxSim family (the stored row's baseline)
-    "ann_maxsim", "ann_maxsim_ivf")
+    "ann_maxsim", "ann_maxsim_ivf",
+    // r13 third batch: the 1-bit rung (stored + brute twin), the
+    // edit-distance prefix-filter join, MMR on both candidate tiers
+    "ann_ivf_stored_b1", "ann_b1_hamming_topk", "dedup_editdist_pairs",
+    "ann_mmr_topk", "ann_mmr_ivf")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

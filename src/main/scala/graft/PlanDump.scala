@@ -82,7 +82,8 @@ object PlanDump {
                     // filter join, and the MMR diversification on both
                     // candidate tiers
                     "ann_ivf_stored_b1", "ann_b1_hamming_topk",
-                    "dedup_editdist_pairs", "ann_mmr_topk", "ann_mmr_ivf")
+                    "dedup_editdist_pairs", "ann_mmr_topk", "ann_mmr_ivf",
+                    "text_jw_linkage")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

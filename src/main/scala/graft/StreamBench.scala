@@ -461,6 +461,19 @@ object StreamBench {
       }
     }
 
+    // Edit-distance typo-dup mining (r13): positional-prefix gram
+    // buckets + banded-DP verify — the alignment-sensitive tier of the
+    // streaming dedup matrix. State is (q·d+1) text payloads per long
+    // doc within the horizon.
+    rep {
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val q = sink(CorpusStreams.editDistPairStream(
+        in.toDF().toDF("doc_id", "ts", "text"), maxDist = 8, q = 3,
+        horizonMinutes = 60).toDF(), "sb_editdist")
+      drive("sb_editdist", docRows.size, q,
+            chunks(docRows, 4).map(c => () => { in.addData(c); () }))
+    }
+
     // SRP embedding near-dup mining — exact and quantized state tiers.
     // Twins planted for 10% of ids (the spec corpora's construction) so
     // the in-bucket verify path runs on real collisions, not only on

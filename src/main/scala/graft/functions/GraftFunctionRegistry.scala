@@ -139,6 +139,11 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_b1_cos(binary, binary) — got ${other.size} args")
     },
+    "graft_jaro_winkler" -> {
+      case Seq(a, b) => GraftJaroWinkler(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_jaro_winkler(string, string) — got ${other.size} args")
+    },
     "graft_mmr" -> {
       case Seq(c, Literal(k: Int, IntegerType), Literal(l: Double, DoubleType)) =>
         GraftMmr(c, k, l)

@@ -897,5 +897,32 @@ object TextQueries extends QueryModule {
         |        row_number() OVER (ORDER BY cnt DESC, term) rnk
         |      FROM c)
         |SELECT term, cnt, rnk FROM r WHERE rnk <= 50""".stripMargin)),
+
+    // Jaro–Winkler record linkage (entity resolution on names): distinct
+    // part names blocked by their first word, pairs at jw ≥ 0.85. The
+    // graft_jaro_winkler kernel is semantics-pinned to DuckDB's
+    // jaro_winkler_similarity (match window ⌊max/2⌋−1, half-counted
+    // transpositions, 0.1-scaled ≤4-char prefix boost above jaro 0.7),
+    // so the oracle replays blocking + scoring and hash-matches.
+    // Blocking is the documented recall contract — JW has no lossless
+    // prefix-filter lemma, so production linkage always scopes pairs
+    // with a blocking key; cost is Σ|block|² after one shuffle.
+    GraftQuery(
+      "text_jw_linkage",
+      (s, dir) => {
+        graft.GraftSession.ensureExtensions(s)
+        val names = t(s, dir, "part").select(col("p_name")).distinct()
+          .select(col("p_name").as("name"),
+                  expr("split_part(p_name, ' ', 1)").as("block"))
+        graft.operators.GraftDedup.jaroWinklerPairs(
+          names, threshold = 0.85, idCol = "name", nameCol = "name",
+          blockCol = "block")
+      },
+      Some("""WITH p AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, split_part(p_name, ' ', 1) w1 FROM p)
+        |SELECT a.p_name AS a_id, b.p_name AS b_id,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+        |FROM b a JOIN b b ON a.w1 = b.w1 AND a.p_name < b.p_name
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.85""".stripMargin)),
   )
 }

@@ -1279,4 +1279,197 @@ object CorpusStreams {
           out.iterator
       }
   }
+
+  final case class EditDistIn(id: Long, ts: java.sql.Timestamp, len: Int,
+                              txt: String, bucket: String)
+  final case class EditDistPairOut(a_id: Long, b_id: Long, dist: Long,
+                                   ts: java.sql.Timestamp)
+  final case class EdBucketEntry(id: Long, tsMs: Long, len: Int, txt: String)
+  final case class EdBucketState(entries: List[EdBucketEntry])
+
+  /** Streaming edit-distance near-dup mining — the incremental twin of
+    * [[graft.operators.GraftDedup.editDistancePairs]], completing the
+    * streaming dedup matrix with the typo-dup / record-linkage tier
+    * (exact: dedupStream; token near-dup: nearDupPairStream; embedding:
+    * srpPairStream; alignment-sensitive: this). Emits (a_id, b_id, dist,
+    * ts) with a_id < b_id and Levenshtein dist ≤ `maxDist`, as each
+    * pair's LATER document arrives.
+    *
+    * Shape (the batch lemma, re-cut for a stream): a LONG document
+    * (len ≥ q·(d+1)) enters state under its FIRST q·d+1 positional
+    * q-gram occurrences — any q·d+1 occurrences satisfy the ED-Join
+    * survival lemma, and first-by-position needs NO global frequency
+    * table (which a stream cannot have); the hot-bucket price of skipping the batch
+    * tier's rarest-first ordering is bounded by `maxBucketResidents`
+    * (deterministic oldest-first eviction with the impossible-as-a-pair
+    * overflow marker row, the nearDupPairStream contract). An arriving
+    * document probes the buckets of ALL its distinct grams — for any
+    * in-horizon pair within distance d with a long resident, the
+    * resident's prefix contains a gram surviving in the arrival at
+    * position ±d, so some probed bucket holds the pair. SHORT documents
+    * (below the lemma's floor) enter state under a length bucket
+    * instead; arrivals that could pair with a short resident
+    * (len < q·(d+1)+d) probe the length band [len−d, len+d] — each
+    * short-resident pair meets in EXACTLY one bucket (the resident's
+    * length), so the length path needs no ownership rule.
+    *
+    * EXACTLY-ONCE emission on the gram path: a pair can collide in many
+    * gram buckets; both sides' gram walks are deterministic functions of
+    * the stored text, so every colliding bucket computes the same match
+    * set M = {(g, px, py) : (g, px) ∈ prefix(resident), (g, py) ∈
+    * grams(arrival), |px − py| ≤ d} and only the bucket owning min M
+    * emits — recomputed from state, no second stateful operator (the
+    * first-colliding-band technique). Verification is the same banded
+    * DP as the batch tier (O(d·n) per candidate), char-exact with
+    * Spark's `levenshtein`, so stream pairs ≡ batch pairs bit-for-bit
+    * within the horizon (StreamingSpec pins it).
+    *
+    * State per resident is (id, tsMs, len, text) — the text IS the
+    * signature here (grams recompute from it deterministically), so
+    * state bytes ≈ (q·d+1) × text for long docs within the horizon.
+    */
+  def editDistPairStream(docs: DataFrame, maxDist: Int, q: Int = 3,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         tsCol: String = "ts",
+                         horizonMinutes: Long = 60,
+                         maxBucketResidents: Int = Int.MaxValue)
+      : Dataset[EditDistPairOut] = {
+    require(maxDist >= 1, s"editDistPairStream: maxDist must be >= 1, " +
+      s"got $maxDist")
+    require(q >= 2, s"editDistPairStream: q must be >= 2, got $q")
+    require(horizonMinutes > 0,
+      s"horizonMinutes must be positive, got $horizonMinutes")
+    require(maxBucketResidents >= 1,
+      s"maxBucketResidents must be >= 1, got $maxBucketResidents")
+    val d = maxDist
+    val prefixLen = q * d + 1
+    val shortFloor = q * (d + 1)
+    val horizonMs = horizonMinutes * 60000L
+    import docs.sparkSession.implicits._
+
+    // one probe row per DISTINCT gram of the arrival (long-resident path)
+    // plus the length band [len−d, len+d] when a short resident could
+    // pair; length keys live in a reserved " L:" namespace no q-gram
+    // can collide with
+    val keyed = docs
+      .withWatermark(tsCol, s"$horizonMinutes minutes")
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+              length(col(textCol)).as("len"), col(textCol).as("txt"))
+      .withColumn("bucket", explode(expr(
+        s"""array_union(
+           |  CASE WHEN len >= $q
+           |       THEN array_distinct(transform(sequence(1, len - $q + 1),
+           |                           i -> substring(txt, i, $q)))
+           |       ELSE array() END,
+           |  CASE WHEN len - $d < $shortFloor
+           |       THEN transform(sequence(greatest(0, len - $d), len + $d),
+           |                      l -> concat(' L:', cast(l AS string)))
+           |       ELSE array() END)""".stripMargin)))
+      .select(col("id"), col("ts"), col("len"), col("txt"), col("bucket"))
+      .as[EditDistIn]
+
+    // deterministic positional gram walks, recomputed from stored text
+    def gramsOf(s: String): Array[(String, Int)] =
+      Array.tabulate(math.max(0, s.length - q + 1))(i =>
+        (s.substring(i, i + q), i + 1))
+    // the first q·d+1 positional OCCURRENCES (duplicates included) — the
+    // canonical lemma form; first-N-distinct would under-count the
+    // occurrences d edits must fail to destroy
+    def prefixOf(s: String): Array[(String, Int)] =
+      gramsOf(s).take(prefixLen)
+    // banded Levenshtein — same value contract as Spark's levenshtein
+    // (char-based DP); returns -1 past the band like the 3-arg builtin
+    def lev(a: String, b: String, bound: Int): Int = {
+      if (math.abs(a.length - b.length) > bound) return -1
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      var j = 1
+      while (j <= b.length) {
+        var prev = dp(0); dp(0) = j
+        var rowMin = dp(0)
+        var i = 1
+        while (i <= a.length) {
+          val t = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+                           prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0
+                                   else 1))
+          if (dp(i) < rowMin) rowMin = dp(i)
+          prev = t
+          i += 1
+        }
+        if (rowMin > bound) return -1
+        j += 1
+      }
+      if (dp(a.length) <= bound) dp(a.length) else -1
+    }
+    // the owning bucket of a (long-resident, arrival) pair: min over the
+    // prefix×gram match set, compared as (gram, px, py)
+    def ownerGram(resTxt: String, arrTxt: String): String = {
+      var best: (String, Int, Int) = null
+      for ((g, px) <- prefixOf(resTxt); (g2, py) <- gramsOf(arrTxt))
+        if (g == g2 && math.abs(px - py) <= d) {
+          val c = (g, px, py)
+          if (best == null ||
+              Ordering.Tuple3[String, Int, Int].lt(c, best)) best = c
+        }
+      if (best == null) null else best._1
+    }
+
+    def update(bucket: String, it: Iterator[EditDistIn],
+               state: GroupState[EdBucketState]): Iterator[EditDistPairOut] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      var live = state.getOption.map(_.entries).getOrElse(Nil)
+        .filter(e => e.tsMs + horizonMs >= wmMs)
+      if (state.hasTimedOut) {
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(EdBucketState(live))
+          state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
+        }
+        return Iterator.empty
+      }
+      val isLenBucket = bucket.startsWith(" L:")
+      val out = List.newBuilder[EditDistPairOut]
+      for (e <- it.toIndexedSeq.sortBy(a => (a.ts.getTime, a.id))) {
+        val eMs = e.ts.getTime
+        for (s <- live) {
+          if (s.id != e.id && math.abs(eMs - s.tsMs) <= horizonMs &&
+              math.abs(s.len - e.len) <= d &&
+              (isLenBucket || ownerGram(s.txt, e.txt) == bucket)) {
+            val dist = lev(s.txt, e.txt, d)
+            if (dist >= 0) {
+              val (a, b) = if (e.id < s.id) (e.id, s.id) else (s.id, e.id)
+              out += EditDistPairOut(a, b, dist.toLong, e.ts)
+            }
+          }
+        }
+        // residency rule: long docs live under their prefix grams, short
+        // docs under their own length key — never both, so the two paths
+        // partition the pair space
+        val isResidentHere =
+          if (isLenBucket)
+            e.len < shortFloor && bucket == s" L:${e.len}"
+          else e.len >= shortFloor && prefixOf(e.txt).exists(_._1 == bucket)
+        if (isResidentHere) {
+          live ::= EdBucketEntry(e.id, eMs, e.len, e.txt)
+          if (maxBucketResidents != Int.MaxValue &&
+              live.length > maxBucketResidents) {
+            val (kept, victim) = evictOldest(live, (_: EdBucketEntry).tsMs,
+                                             (_: EdBucketEntry).id)
+            live = kept
+            out += EditDistPairOut(victim.id, -1L, -1L, e.ts)
+          }
+        }
+      }
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(EdBucketState(live))
+        state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
+      }
+      out.result().iterator
+    }
+
+    keyed.groupByKey(_.bucket)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

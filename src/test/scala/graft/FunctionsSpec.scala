@@ -512,4 +512,40 @@ class FunctionsSpec extends GraftFunSuite {
       GraftSimilarity.gramMatrix(vecs, "v", grid = 1000L) // not a power of 2
     }
   }
+
+  test("graft_jaro_winkler: kernel equals the DuckDB-pinned reference " +
+       "values bit-for-bit (window, half transpositions, 0.7-gated " +
+       "prefix boost, empty/no-match zeros)") {
+    // every expected value read off DuckDB jaro_winkler_similarity —
+    // the semantics contract the text_jw_linkage oracle relies on
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111111111),   // transpositions + boost
+      ("dixon", "dicksonx", 0.8133333333333332),  // unequal lengths
+      ("jellyfish", "smellyfish", 0.8962962962962964), // no common prefix
+      ("crate", "trace", 0.7333333333333334),     // boost gate: jaro > 0.7
+                                                  // but prefix 0
+      ("abcqqqqqq", "abczzzzzz", 0.5555555555555555), // jaro ≤ 0.7: NO boost
+                                                  // despite prefix 3
+      ("ab", "abcdefghijk", 0.7818181818181817),  // short vs long window
+      ("dwayne", "duane", 0.8400000000000001),
+      ("abcd", "acbd", 0.9249999999999999),       // single transposition
+      ("abcdefgh", "hgfedcba", 0.5),              // reversal
+      ("xy", "yx", 0.0),                          // window 0 ⇒ no matches
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("", "", 0.0), ("a", "b", 0.0))
+    for ((a, b, want) <- cases) {
+      val got = spark.sql(
+        s"SELECT graft_jaro_winkler('$a', '$b') j").collect().head.getDouble(0)
+      assert(got == want, s"jw('$a','$b') = $got, want $want")
+      // symmetry
+      val rev = spark.sql(
+        s"SELECT graft_jaro_winkler('$b', '$a') j").collect().head.getDouble(0)
+      assert(rev == want, s"jw must be symmetric: jw('$b','$a') = $rev")
+    }
+    // null-safety (typed null — an untyped NULL literal is a type error)
+    val n = spark.sql(
+      "SELECT graft_jaro_winkler(CAST(NULL AS string), 'x') j")
+      .collect().head
+    assert(n.isNullAt(0))
+  }
 }

@@ -675,6 +675,56 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("editDistPairStream: stream pairs equal batch editDistancePairs on " +
+       "real documents across micro-batch boundaries, incl. exact " +
+       "distances; short strings route through the length path; horizon " +
+       "and exactly-once hold") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+    val batch = graft.operators.GraftDedup
+      .editDistancePairs(docs, maxDist = 8, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    val rows = docs.collect()
+      .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 30), r.getString(1)))
+      .sortBy(_._1).toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusStreams
+      .editDistPairStream(df, maxDist = 8, q = 3, horizonMinutes = 60)
+      .writeStream.format("memory").queryName("editdist_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("editdist_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream-only=${streamed.diff(batch)} batch-only=${batch.diff(streamed)}")
+    } finally q.stop()
+    // short strings (below q·(d+1)), exact-once, and the horizon: "cat"/
+    // "cap" pair through the length path with dist 1; a third identical
+    // doc past the horizon never pairs
+    val in2 = MemoryStream[(Long, Timestamp, String)]
+    val df2 = in2.toDF().toDF("doc_id", "ts", "text")
+    val q2 = CorpusStreams
+      .editDistPairStream(df2, maxDist = 2, q = 3, horizonMinutes = 30)
+      .writeStream.format("memory").queryName("editdist_short")
+      .outputMode("append").start()
+    try {
+      in2.addData(Seq((1L, ts(0), "cat"), (2L, ts(10), "cap")))
+      q2.processAllAvailable()
+      in2.addData(Seq((3L, ts(110), "cat")))
+      q2.processAllAvailable()
+      val got = spark.table("editdist_short")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq == Seq((1L, 2L, 1L)), got.mkString(","))
+    } finally q2.stop()
+  }
+
   test("nearDupPairStream: docs farther apart than the horizon never pair, " +
        "and each pair is emitted exactly once") {
     import graft.streaming.CorpusStreams
