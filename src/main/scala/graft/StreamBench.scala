@@ -522,6 +522,28 @@ object StreamBench {
       } finally idx.unpersist(blocking = true)
     }
 
+    // Diversified serve (r13): the two-stage MMR chain — kCand heap cut,
+    // static vector re-attach, bounded per-query fold + greedy — over
+    // the same static index/feed shape as sb_ivf_serve
+    locally {
+      import graft.operators.GraftSimilarity
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+                expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val idx = GraftSimilarity.buildIvfIndex(e).persist()
+      idx.centroids.count(); idx.assigned.count()
+      val queries = vecs.filter(_._1 % 10 == 3).sortBy(_._2.getTime)
+      try rep {
+        val in = MemoryStream[(Long, Timestamp, List[Float])]
+        val q = sink(CorpusStreams.mmrServeStream(
+          idx, in.toDF().toDF("q_id", "ts", "qv"), k = 5, kCand = 20,
+          lambda = 0.5, qVecCol = "qv"), "sb_mmr_serve")
+        drive("sb_mmr_serve", queries.size, q,
+              chunks(queries, 2).map(c => () => { in.addData(c); () }) :+
+              (() => { in.addData(Seq((-1L, ts(600), List(0.1f)))); () }))
+      } finally idx.unpersist(blocking = true)
+    }
+
     // PQ serve: static encoded collection + codebook, streamed query
     // batches — the compressed-tier twin of sb_ivf_serve (quantized-cut
     // and exact-rerank heaps are CHAINED stateful aggregations)

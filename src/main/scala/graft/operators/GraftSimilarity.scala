@@ -2209,8 +2209,8 @@ object GraftSimilarity {
     * explode back to (q_id, n_id, rank, mmr) rows. `collect_list` order
     * is irrelevant — the greedy argmax scans the whole remaining set
     * each round with a deterministic tie-break. */
-  private def mmrRerank(cand: DataFrame, source: DataFrame, k: Int,
-                        lambda: Double): DataFrame =
+  private[operators] def mmrRerank(cand: DataFrame, source: DataFrame,
+                                   k: Int, lambda: Double): DataFrame =
     cand
       .join(ScaleHints.gated(source), "n_id")
       .groupBy("q_id")

@@ -320,6 +320,55 @@ object HybridRetrieval {
     fuse(lexRanks(docs, lexQ, kCand, idCol, textCol, k1, b), sem, k, rrfK)
   }
 
+  /** DIVERSIFIED fusion: the hybrid serve's fused top-`kCand` candidate
+    * list (lexical ∪ semantic, rank-fused — the CANDIDACY decision)
+    * re-ranked by [[GraftSimilarity.mmrTopK]]'s MMR greedy with
+    * relevance = exact cosine to the query embedding (the DIVERSITY
+    * decision runs in embedding space — RRF scores live on a rank grid
+    * too coarse and too small against cosine penalties to trade off
+    * directly). The RAG serving shape for duplicate-heavy corpora:
+    * hybrid retrieval decides what is RELEVANT, MMR stops the k slots
+    * all going to one near-dup cluster.
+    *
+    * Every fused candidate must carry a vector in `index.assigned`
+    * (lexical-only hits included — the corpus embedding side of the
+    * fusion contract); candidates without one would silently drop, so
+    * deploy over an embedding-covered corpus. Output (q_id, n_id, rank,
+    * mmr) in selection order, the [[GraftSimilarity.mmrTopK]] contract;
+    * cost beyond the fused serve is kCand cosines + the per-query
+    * bounded greedy — no extra shuffle.
+    */
+  def hybridTopKWithMmr(index: IvfIndex, docs: DataFrame,
+                        queries: DataFrame,
+                        k: Int = 10, kCand: Int = 30, rrfK: Int = 60,
+                        nprobe: Int = 4, lambda: Double = 0.5,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        qIdCol: String = "q_id",
+                        qTermsCol: String = "q_terms",
+                        qVecCol: String = "qv",
+                        k1: Double = 1.2, b: Double = 0.75,
+                        where: Option[Column] = None): DataFrame = {
+    requireParams(k, kCand, rrfK, "hybridTopKWithMmr")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"hybridTopKWithMmr: lambda must be in [0, 1], got $lambda")
+    require(kCand >= k, s"hybridTopKWithMmr: kCand ($kCand) must be >= k ($k)")
+    val fused = hybridTopKWith(index, docs, queries, k = kCand,
+                               kCand = kCand, rrfK = rrfK, nprobe = nprobe,
+                               idCol = idCol, textCol = textCol,
+                               qIdCol = qIdCol, qTermsCol = qTermsCol,
+                               qVecCol = qVecCol, k1 = k1, b = b,
+                               where = where)
+    val q = broadcast(queries.select(col(qIdCol).as("q_id"),
+                                     col(qVecCol).as("__qv")))
+    val src = index.assigned.select(col("n_id"), col("v"))
+    val cand = fused.select(col("q_id"), col("doc_id").as("n_id"))
+      .join(ScaleHints.gated(src), "n_id")
+      .join(q, "q_id")
+      .select(col("q_id"), col("n_id"),
+              expr("graft_cosine(__qv, v)").as("rel"))
+    GraftSimilarity.mmrRerank(cand, src, k, lambda)
+  }
+
   /** [[hybridTopKWithPq]] straight off an at-rest PQ store
     * ([[GraftPq.writeIvfPqStore]] directory layout): one call from store
     * path to fused results — the RAG deployment shape where BM25 fuses

@@ -217,9 +217,8 @@ object SimilarityQueries extends QueryModule {
     * each later step re-scores the remaining candidates with the TRUE
     * max-sim-to-selected (unclamped — it can be negative) and picks the
     * (score DESC, n_id ASC) winner, exactly the `graft_mmr` kernel's
-    * fixed-order IEEE arithmetic. λ = 0.5, k = 5 to match the catalog
-    * rows. */
-  private def mmrOracleSql(candCte: String): String =
+    * fixed-order IEEE arithmetic. λ = 0.5 to match the catalog rows. */
+  private def mmrOracleSql(candCte: String, k: Int = 5): String =
     s"""WITH RECURSIVE
       |$candCte,
       |sel AS (
@@ -244,7 +243,7 @@ object SimilarityQueries extends QueryModule {
       |      JOIN cand sv ON sv.q_id = p.q_id
       |                  AND list_contains(p.sel_ids, sv.n_id)
       |      GROUP BY p.q_id, p.rank, p.sel_ids, cd.n_id, cd.rel))
-      |  WHERE rn = 1 AND rank < 5)
+      |  WHERE rn = 1 AND rank < $k)
       |SELECT q_id, n_id, CAST(rank AS BIGINT) AS rank,
       |       round(score, 4) AS mmr
       |FROM sel""".stripMargin
@@ -289,8 +288,11 @@ object SimilarityQueries extends QueryModule {
   /** The hybrid (BM25 ⊕ IVF-probe semantic, RRF-fused) serve replay —
     * shared by `ann_hybrid_ivf` and, via anchored population rewrites,
     * `ann_hybrid_filtered`. */
-  private val hybridIvfOracleSql: String =
-    """WITH ev AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+  /** The fused-ranking CTE chain (both legs through the `f` RRF fold),
+    * shared by the plain fusion oracle and the MMR-diversified fusion
+    * oracle (which cuts `f` at kCand and re-ranks greedily). */
+  private val hybridIvfFusedCtes: String =
+    """ev AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
         |q AS (
         |  SELECT doc_id q_id,
         |    regexp_split_to_array(trim(text), '\s+') qtk, ev.v qv
@@ -354,12 +356,30 @@ object SimilarityQueries extends QueryModule {
         |             0)
         |    + coalesce(CAST(round(1000000000.0 / (60 + sem_rank)) AS BIGINT),
         |               0) rrf
-        |  FROM lrk FULL OUTER JOIN srk USING (q_id, doc_id))
-        |SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
-        |  SELECT q_id, doc_id, CAST(row_number() OVER (
-        |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
-        |    rrf, lex_rank, sem_rank
-        |  FROM f) WHERE rank <= 10""".stripMargin
+        |  FROM lrk FULL OUTER JOIN srk USING (q_id, doc_id))""".stripMargin
+
+  private val hybridIvfOracleSql: String =
+    "WITH " + hybridIvfFusedCtes + "\n" +
+    """SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM (
+      |  SELECT q_id, doc_id, CAST(row_number() OVER (
+      |    PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS BIGINT) rank,
+      |    rrf, lex_rank, sem_rank
+      |  FROM f) WHERE rank <= 10""".stripMargin
+
+  /** Candidate CTE for the MMR-diversified fusion oracle: the fused
+    * ranking cut at kCand = 30 (candidacy), relevance re-derived as the
+    * exact cosine to the query embedding (the diversity space). */
+  private val hybridMmrCandCte: String =
+    hybridIvfFusedCtes + ",\n" +
+    """hc AS (SELECT q_id, doc_id FROM (
+      |    SELECT q_id, doc_id, row_number() OVER (
+      |      PARTITION BY q_id ORDER BY rrf DESC, doc_id) hrank
+      |    FROM f) WHERE hrank <= 30),
+      |cand AS (
+      |  SELECT hc.q_id, hc.doc_id n_id,
+      |    list_cosine_similarity(q.qv, ev.v) rel, ev.v
+      |  FROM hc JOIN q ON q.q_id = hc.q_id
+      |          JOIN ev ON ev.vec_id = hc.doc_id)""".stripMargin
 
   /** The MaxSim SERVING-path replay (tokenize → ±1 hash embed → composite
     * token ids → md5 centroid seed → token→centroid assignment → per-
@@ -2087,6 +2107,31 @@ object SimilarityQueries extends QueryModule {
           dim = 8, maxTokens = 16)
       },
       Some(hybridMaxSimOracleSql)),
+
+    // DIVERSIFIED fusion (hybridTopKWithMmr): the fused lexical∪semantic
+    // top-30 (candidacy) re-ranked by the MMR greedy with relevance =
+    // exact cosine to the query embedding (diversity in embedding space
+    // — RRF's rank grid is too coarse and too small to trade against
+    // cosine penalties directly). The serving shape for duplicate-heavy
+    // RAG corpora: hybrid decides what is relevant, MMR stops the k
+    // slots all going to one near-dup cluster. Oracle = the shared fused
+    // CTE chain cut at kCand feeding the same recursive-CTE greedy.
+    GraftQuery(
+      "ann_hybrid_mmr",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("q_terms"),
+                  col("v").as("qv"))
+        graft.operators.HybridRetrieval.hybridTopKWithMmr(
+          GraftSimilarity.buildIvfIndex(e), docs, queries,
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4, lambda = 0.5)
+      },
+      Some(mmrOracleSql(hybridMmrCandCte, k = 10))),
 
     // Product-quantization ADC tier ([[graft.operators.GraftPq]]): m=8
     // subspaces × ksub=16 codes trained with 2 Lloyd rounds on the 2^20

@@ -1031,6 +1031,84 @@ object CorpusStreams {
   }
 
   /** Streaming serve twin of
+    * [[graft.operators.GraftSimilarity.mmrTopKWith]]: an unbounded query
+    * stream answered with DIVERSIFIED top-k against a static IVF index —
+    * the online form of the MMR stage, for serving paths where plain
+    * top-k would return k near-copies of one duplicate cluster.
+    *
+    * Shape: the [[ivfServeStream]] probe + candidate scoring (stateless,
+    * stream-static), then TWO chained stateful aggregations keyed on the
+    * query's event time — the kCand candidate cut (`graft_topk`: state
+    * is kCand heap slots per in-flight query, bounded by construction)
+    * finalizes at the watermark, survivors join the STATIC index for
+    * their vectors (a stateless stream-static equi-join, |survivors| =
+    * kCand rows per query), and the second aggregation folds them into
+    * one bounded array per query on which `graft_mmr` runs the greedy in
+    * the result projection. Second-stage state is ≤ kCand (n_id, rel, v)
+    * rows per in-flight query — dim·8·kCand bytes, the price of needing
+    * pairwise candidate sims that [[ivfServeStream]]'s (score, id) heap
+    * cannot carry.
+    *
+    * Output (q_id, ts, n_id, rank, mmr) equals the batch
+    * [[graft.operators.GraftSimilarity.mmrTopKWith]] at the same
+    * (k, kCand, lambda, nprobe) per in-flight query (StreamingSpec pins
+    * it). Malformed queries drop pre-probe under [[ivfServeStream]]'s
+    * poison-pill rule.
+    */
+  def mmrServeStream(index: graft.operators.GraftSimilarity.IvfIndex,
+                     queries: DataFrame, k: Int, kCand: Int = 20,
+                     lambda: Double = 0.5, nprobe: Int = 4,
+                     latenessMinutes: Long = 10,
+                     qIdCol: String = "q_id", qVecCol: String = "qv",
+                     tsCol: String = "ts")
+      : DataFrame = {
+    require(k >= 1, s"mmrServeStream: k must be >= 1, got $k")
+    require(kCand >= k, s"mmrServeStream: kCand ($kCand) must be >= k ($k)")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"mmrServeStream: lambda must be in [0, 1], got $lambda")
+    require(latenessMinutes > 0,
+      s"latenessMinutes must be positive, got $latenessMinutes")
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val indexDim = index.centroids
+      .select(org.apache.spark.sql.functions.size(col("cv")).as("d"))
+      .limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalStateException(
+        "mmrServeStream: index has no centroids")
+    }
+    val q = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(tsCol).as("ts"),
+              expr(s"transform($qVecCol, x -> cast(x AS double))").as("qv"))
+      .filter(expr("aggregate(qv, 0D, (a, x) -> a + x * x) > 0D") &&
+              expr(s"size(qv) = $indexDim"))
+      .withWatermark("ts", s"$latenessMinutes minutes")
+    val probes = graft.operators.GraftSimilarity
+      .probeCells(q, index.centroids, nprobe, Seq("q_id", "ts", "qv"))
+    // stage 1: kCand-bounded candidate cut (graft_topk heap state)
+    val cut = probes.join(index.assigned, "c_id")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("ts"), col("n_id"),
+              expr("graft_cosine(qv, v)").as("c"))
+      .groupBy(col("q_id"), col("ts"))
+      .agg(expr(s"graft_topk(c, n_id, $kCand)").as("tk"))
+      .select(col("q_id"), col("ts"), explode(col("tk")).as("s"))
+      .select(col("q_id"), col("ts"), col("s.id").as("n_id"),
+              col("s.score").as("rel"))
+    // survivor vectors off the static index (stateless equi-join), then
+    // stage 2: one bounded fold per query; the greedy runs in the result
+    // projection exactly as in the batch tail
+    cut.join(index.assigned.select(col("n_id"), col("v")), "n_id")
+      .groupBy(col("q_id"), col("ts"))
+      .agg(expr(
+        s"graft_mmr(collect_list(struct(n_id, rel, v)), $k, ${lambda}D)")
+          .as("sel"))
+      .select(col("q_id"), col("ts"), posexplode(col("sel")).as(Seq("p", "s")))
+      .select(col("q_id"), col("ts"), col("s.id").as("n_id"),
+              (col("p") + 1).cast("long").as("rank"),
+              round(col("s.score"), 4).as("mmr"))
+  }
+
+  /** Streaming serve twin of
     * [[graft.operators.LateInteraction.maxSimTopKWith]]: an unbounded
     * stream of (q_id, ts, text) queries answered by ColBERT-style MaxSim
     * against a STATIC token-level IVF index ([[graft.operators

@@ -991,6 +991,66 @@ class SimilaritySpec extends GraftFunSuite {
     }
   }
 
+  test("hybridTopKWithMmr: selections come from the fused top-kCand " +
+       "candidacy, lambda=1 degenerates to cosine order over it, and " +
+       "the output shape/determinism contract holds") {
+    import graft.operators.{GraftSimilarity, GraftText, HybridRetrieval}
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val queries = docs.filter(col("doc_id") < 10)
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("q_id"),
+              GraftText.whitespaceTokens(col("text")).as("q_terms"),
+              col("v").as("qv"))
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    try {
+      val fused = HybridRetrieval.hybridTopKWith(idx, docs, queries,
+        k = 20, kCand = 20, rrfK = 60, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val fusedByQ = fused.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      val out = HybridRetrieval.hybridTopKWithMmr(idx, docs, queries,
+        k = 5, kCand = 20, rrfK = 60, nprobe = 4, lambda = 0.5)
+        .collect()
+      val byQ = out.groupBy(_.getLong(0))
+      assert(byQ.size == 10)
+      for ((qid, rs) <- byQ) {
+        assert(rs.map(_.getLong(2)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+        val ids = rs.map(_.getLong(1))
+        assert(ids.distinct.length == 5 && !ids.contains(qid))
+        assert(ids.forall(fusedByQ(qid).contains),
+          s"q=$qid selected outside the fused candidacy")
+      }
+      // lambda = 1: pure cosine order over the fused candidate set
+      val qvs = queries.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](2).toArray).toMap
+      val evs = e.collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val lam1 = HybridRetrieval.hybridTopKWithMmr(idx, docs, queries,
+        k = 5, kCand = 20, rrfK = 60, nprobe = 4, lambda = 1.0)
+        .collect().groupBy(_.getLong(0))
+      for ((qid, rs) <- lam1) {
+        val want = fusedByQ(qid).toSeq
+          .sortBy(n => (-cos(qvs(qid), evs(n)), n)).take(5)
+        val got = rs.sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+        assert(got == want, s"q=$qid lambda=1 order: got $got want $want")
+      }
+      // determinism
+      val again = HybridRetrieval.hybridTopKWithMmr(idx, docs, queries,
+        k = 5, kCand = 20, rrfK = 60, nprobe = 4, lambda = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+                             r.getDouble(3))).toSet
+      assert(again == out.map(r => (r.getLong(0), r.getLong(1),
+                                    r.getLong(2), r.getDouble(3))).toSet)
+    } finally { idx.unpersist(); () }
+  }
+
   test("recallAtKWith: one index across the sweep — monotone in nprobe, " +
        "equal to the one-shot recallAtK at every swept value") {
     import graft.operators.GraftSimilarity

@@ -884,6 +884,54 @@ class StreamingSpec extends GraftFunSuite {
       s"exact=$exact quantized=$quant")
   }
 
+  test("mmrServeStream: diversified online serve answers each watermark-" +
+       "closed query identically to the batch mmrTopKWith at the same " +
+       "(k, kCand, lambda, nprobe), across micro-batch boundaries") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.GraftSimilarity
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.ensureExtensions(spark)
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS double))").as("v"))
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    try {
+      val qBatch = e.filter(col("vec_id") % 25 === 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val batchServe = GraftSimilarity
+        .mmrTopKWith(idx, qBatch, k = 5, kCand = 20, lambda = 0.5)
+        .collect().map(key).toSet
+      assert(batchServe.nonEmpty)
+      val rows = qBatch.collect()
+        .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 8),
+                   r.getSeq[Double](1).toList))
+        .sortBy(_._1).toSeq
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      val input = MemoryStream[(Long, Timestamp, List[Double])]
+      val df = input.toDF().toDF("q_id", "ts", "qv")
+      val q = CorpusStreams
+        .mmrServeStream(idx, df, k = 5, kCand = 20, lambda = 0.5,
+                        latenessMinutes = 10)
+        .writeStream.format("memory").queryName("mmr_serve")
+        .outputMode("append").start()
+      try {
+        input.addData(h1); q.processAllAvailable()
+        input.addData(h2); q.processAllAvailable()
+        input.addData(Seq((999999L, ts(600), rows.head._3)))
+        q.processAllAvailable()
+        val streamed = spark.table("mmr_serve")
+          .filter(col("q_id") =!= 999999L)
+          .select("q_id", "n_id", "rank", "mmr")
+          .collect().map(key).toSet
+        assert(streamed == batchServe,
+          s"stream-only=${streamed.diff(batchServe)} " +
+          s"batch-only=${batchServe.diff(streamed)}")
+      } finally q.stop()
+    } finally { idx.unpersist(); () }
+  }
+
   test("ivfServeStream: a query stream served against a static IVF index " +
        "answers each watermark-closed query identically to the batch " +
        "serve, across micro-batch boundaries") {
