@@ -240,6 +240,43 @@ object HybridRetrieval {
     fuse(lexRanks(docs, q, kCand, idCol, textCol, k1, b), sem, k, rrfK)
   }
 
+  /** The fused top-`k` over the ONE-BIT tier: semantic leg through
+    * [[GraftSimilarity.ivfTopKWithB1]] — XOR+POPCNT Hamming candidate
+    * scoring off the store's sign-packed `b1` column in the probed
+    * cells (the cheapest candidate kernel of the ladder), exact rerank
+    * of kCand·rerankFactor survivors — behind the same rank-only fusion
+    * contract. Completes the fusion matrix at the bottom of the
+    * vector-bytes ladder (brute / IVF / q8 / q4 / b1 / PQ / MaxSim).
+    * The coarsest rung drops the most true semantic candidates at a
+    * given budget (size `rerankFactor` from a [[GraftSimilarity
+    * .tierRecall]] measurement); lexical candidates survive any
+    * semantic cut, the fusion contract's usual guarantee. Requires `b1`
+    * on `index.assigned` (opt-in at write; [[GraftSimilarity.b1Augment]]
+    * for in-memory). */
+  def hybridTopKWithB1(index: IvfIndex, docs: DataFrame, queries: DataFrame,
+                       k: Int = 10, kCand: Int = 30, rrfK: Int = 60,
+                       nprobe: Int = 4, rerankFactor: Int = 4,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       qIdCol: String = "q_id", qTermsCol: String = "q_terms",
+                       qVecCol: String = "qv",
+                       k1: Double = 1.2, b: Double = 0.75,
+                       where: Option[Column] = None): DataFrame = {
+    requireParams(k, kCand, rrfK, "hybridTopKWithB1")
+    require(nprobe >= 1, s"hybridTopKWithB1: nprobe must be >= 1, got $nprobe")
+    require(rerankFactor >= 1,
+      s"hybridTopKWithB1: rerankFactor must be >= 1, got $rerankFactor")
+    graft.GraftSession.ensureExtensions(docs.sparkSession)
+    val q = queries.select(col(qIdCol).as("q_id"),
+                           col(qTermsCol).as("__qtk"),
+                           col(qVecCol).as("__qv"))
+    val sem = GraftSimilarity.ivfTopKWithB1(
+        index, q.select(col("q_id"), col("__qv").as("qv")), kCand,
+        nprobe, rerankFactor, where = where)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+              col("rnk").as("sem_rank"))
+    fuse(lexRanks(docs, q, kCand, idCol, textCol, k1, b), sem, k, rrfK)
+  }
+
   /** The fused top-`k` over the 64× PQ tier: semantic leg through
     * [[GraftPq.ivfPqTopKWithCw]] — ADC candidate scoring off the store's
     * m-byte code words in the probed cells, exact rerank of

@@ -723,6 +723,36 @@ object SimilarityQueries extends QueryModule {
       "round(x * 7.0 / m)",
       "hybridQ4OracleSql")
 
+  /** The 1-bit fusion oracle: [[hybridQ8OracleSql]] with the TWO
+    * arithmetic differences between the rungs rewritten — the quantize
+    * step becomes the ±1 sign transform and the candidate score becomes
+    * the sign-dot surrogate (dot(sign(q), sign(v))/64 = (bits−2·ham)/
+    * bits exactly at dim 64, a dyadic rational — see `graft_b1_cos`);
+    * the cut, exact rerank, and fusion replay identically. The bit
+    * PACKING is an at-rest representation detail the serve's arithmetic
+    * is independent of (quantExpressions pins `graft_b1_cos` ≡ the
+    * sign-vector formula bit-for-bit). */
+  private lazy val hybridB1OracleSql: String = {
+    val s1 = rewriteOnce(hybridQ8OracleSql,
+      """q8 AS (SELECT vec_id, v,
+        |         CASE WHEN m = 0 THEN list_transform(v, x -> 0.0)
+        |              ELSE list_transform(v, x -> round(x * 127.0 / m)) END q
+        |       FROM mx),""".stripMargin,
+      """q8 AS (SELECT vec_id, v,
+        |         list_transform(v, x -> CASE WHEN x > 0 THEN 1.0
+        |                                     ELSE -1.0 END) q
+        |       FROM mx),""".stripMargin,
+      "hybridB1OracleSql/quantize")
+    rewriteOnce(s1,
+      """CASE WHEN list_dot_product(a8.q, a8.q) = 0
+        |           OR list_dot_product(p.qq8, p.qq8) = 0 THEN 0.0
+        |         ELSE list_dot_product(p.qq8, a8.q)
+        |              / sqrt(list_dot_product(a8.q, a8.q)
+        |                     * list_dot_product(p.qq8, p.qq8)) END ac""".stripMargin,
+      "list_dot_product(p.qq8, a8.q) / 64.0 ac",
+      "hybridB1OracleSql/score")
+  }
+
   /** The filtered late-interaction oracle: [[maxSimIvfOracleSql]] with
     * the candidate TOKEN population restricted to the predicate's
     * documents — probe geometry, centroid seed, and the query block are
@@ -1956,6 +1986,35 @@ object SimilarityQueries extends QueryModule {
           k = 10, kCand = 30, rrfK = 60, nprobe = 4, rerankFactor = 4)
       },
       Some(hybridQ4OracleSql)),
+
+    // The ONE-BIT rung of the fusion matrix (hybridTopKWithB1): BM25
+    // fused with candidates scored by XOR+POPCNT Hamming off the
+    // store's sign-packed b1 column — the matrix bottoms out the
+    // vector-bytes ladder (brute / IVF / q8 / q4 / b1 / PQ / MaxSim)
+    // behind ONE rank-only fusion. The oracle rewrites exactly the two
+    // arithmetic differences from the q8 fusion replay (sign quantize,
+    // sign-dot surrogate score) — cut, rerank, and fusion replay
+    // identically, hash-green.
+    GraftQuery(
+      "ann_hybrid_b1",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("q_terms"),
+                  col("v").as("qv"))
+        val out = s"/tmp/graft_io/${new java.io.File(dir).getName}" +
+          "/hybrid_b1_store"
+        GraftSimilarity.writeIvfIndex(GraftSimilarity.buildIvfIndex(e), out,
+                                      b1 = true)
+        graft.operators.HybridRetrieval.hybridTopKWithB1(
+          GraftSimilarity.readIvfIndex(s, out), docs, queries,
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4, rerankFactor = 4)
+      },
+      Some(hybridB1OracleSql)),
 
     // LATE-INTERACTION (ColBERT-style MaxSim) retrieval
     // ([[graft.operators.LateInteraction]]): documents and queries are

@@ -583,6 +583,16 @@ class SimilaritySpec extends GraftFunSuite {
     assert(q4Served == brute,
       "the q4 hybrid tier must also reproduce the brute fusion at " +
       "covering settings")
+    // the one-bit leg bottoms out the ladder (brute/IVF/q8/q4/b1/PQ
+    // behind one contract): same covering parity, in-memory b1Augment
+    val b1Served = HybridRetrieval
+      .hybridTopKWithB1(GraftSimilarity.b1Augment(idx), docs,
+                        queries, k = 10, kCand = 30, nprobe = cells,
+                        rerankFactor = coveringRf)
+      .collect().toSet
+    assert(b1Served == brute,
+      "the b1 hybrid tier must also reproduce the brute fusion at " +
+      "covering settings")
     // a REAL cut (default budget, nprobe 1): lexically-surfaced documents
     // can never be lost — the PQ trade is confined to the semantic leg
     val pruned = HybridRetrieval
