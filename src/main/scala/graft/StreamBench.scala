@@ -76,7 +76,13 @@ object StreamBench {
     "sb_pack"                -> 0.038611,
     "sb_sessionize"          -> 0.344984,
     "sb_hourly"              -> 0.393582,
-    "sb_transitions"         -> 0.499700)
+    "sb_transitions"         -> 0.499700,
+    // r13 fourth batch, floored at 0.5x the same re-baselining run that
+    // reset the aggregate bound below (calibration 3.534 s / 28 300
+    // rows/s): the edit-distance typo-dup miner and the diversified
+    // online serve
+    "sb_editdist"            -> 0.008163,
+    "sb_mmr_serve"           -> 0.000724)
 
   /** STATE-BYTES ceilings (r13): the throughput floors cannot see a
     * state blow-up that the host absorbs in RAM — exactly the r12
@@ -105,7 +111,13 @@ object StreamBench {
     "sb_sessionize"          -> 3L * 392704,
     "sb_srp_pairs"           -> 3L * 140343680,
     "sb_srp_pairs_q8"        -> 3L * 80717824,
-    "sb_transitions"         -> 3L * 562656)
+    "sb_transitions"         -> 3L * 562656,
+    // r13 fourth batch (same baselining run as the floors): editdist
+    // state is (q·d+1) text payloads per long in-horizon doc; the MMR
+    // serve's two bounded aggregations hold kCand slots + kCand·dim
+    // doubles per in-flight query
+    "sb_editdist"            -> 3L * 72175176,
+    "sb_mmr_serve"           -> 3L * 67808)
 
   /** Aggregate bound complementing the per-op ratios: the sum of
     * floored-op medians must stay under the baselined total scaled by
@@ -113,8 +125,13 @@ object StreamBench {
     * uniformly slower host slows the calibration by the same factor).
     * Catches a one-op 2–3× regression that per-op ratios at 0.5×
     * headroom would let through. Baselined with the floors. */
-  val BaselineTotalSec: Double = 270.9
-  val BaselineCalibSec: Double = 3.336
+  // FULL re-baseline at the r13 fourth-batch baselining run (all 25
+  // floored ops re-measured in one run; the two new ops' floors and
+  // ceilings come from the same run, so the suite total, calibration,
+  // and per-op ratios are one consistent snapshot — the ADVICE r12
+  // convention for how this constant may move)
+  val BaselineTotalSec: Double = 285.3
+  val BaselineCalibSec: Double = 3.534
   val AggregateBoundFactor: Double = 1.0 / 0.7
 
   /** The gate, pure for testability (StreamBenchGateSpec feeds it
