@@ -83,7 +83,11 @@ object PlanDump {
                     // candidate tiers
                     "ann_ivf_stored_b1", "ann_b1_hamming_topk",
                     "dedup_editdist_pairs", "ann_mmr_topk", "ann_mmr_ivf",
-                    "text_jw_linkage", "ann_hybrid_mmr", "ann_hybrid_b1")
+                    "text_jw_linkage", "ann_hybrid_mmr", "ann_hybrid_b1",
+                    // r13 fifth batch: LPA communities, NDCG eval, the
+                    // filtered diversified serve
+                    "graph_lpa_communities", "ann_ndcg_eval",
+                    "ann_mmr_filtered")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

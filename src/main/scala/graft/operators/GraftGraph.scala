@@ -276,4 +276,65 @@ object GraftGraph {
     hub.join(auth, "node_id")
       .select(col("node_id"), col("hub_micro"), col("auth_micro"))
   }
+
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan,
+    * Albert & Kumara 2007) over the undirected view of the edge list —
+    * the cheap community signal a curation pipeline uses to group
+    * template families, link farms, or near-dup clusters beyond what
+    * connected components sees (components merge everything reachable;
+    * LPA splits a component along its dense cores).
+    *
+    * Semantics (every choice pinned for cross-engine exactness):
+    * edges are deduplicated and mirrored (undirected); every node
+    * starts labeled with its own id; each of the `iters` rounds
+    * relabels EVERY node simultaneously with the most frequent label
+    * among its neighbors, ties to the SMALLEST label. Synchronous
+    * updates rather than the faster-converging asynchronous sweep
+    * because async is visit-order-dependent — unreproducible across
+    * partitionings, let alone engines. Sync LPA can oscillate
+    * (2-colorable structures swap labels round-to-round), so
+    * communities are read at a FIXED iteration budget — the standard
+    * semi-synchronous practice; pick `iters` by corpus diameter, not
+    * by waiting for a convergence that may never come.
+    *
+    * Scale shape: state is one skinny (node, label) frame; each round
+    * is one state join against the mirrored edges, one map-side-
+    * combined count by (node, label), and one order-free max-struct
+    * argmax by node — no windows over corpus-sized partitions, rounds
+    * localCheckpoint ([[GraftDedup.connectedComponents]] convention).
+    * Output: (node_id, community) where community is the final label.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 4,
+                       srcCol: String = "src", dstCol: String = "dst")
+      : DataFrame = {
+    require(iters >= 1, s"labelPropagation: iters must be >= 1, got $iters")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+              col(dstCol).cast("long").as("dst"))
+      .distinct()
+    val und = e.unionAll(e.select(col("dst").as("src"),
+                                  col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var st = und.select(col("src").as("node_id"))
+      .distinct()
+      .withColumn("lbl", col("node_id"))
+      .localCheckpoint()
+    var i = 0
+    while (i < iters) {
+      // neighbors' labels → (node, label) counts → deterministic argmax:
+      // max over struct(cnt, -lbl) is (count desc, label asc), exact and
+      // merge-order-free
+      val next = und
+        .join(st.withColumnRenamed("node_id", "src"), "src")
+        .groupBy(col("dst").as("node_id"), col("lbl"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy("node_id")
+        .agg(max(struct(col("__c"), (-col("lbl")).as("__nl"))).as("__m"))
+        .select(col("node_id"), (-col("__m.__nl")).as("lbl"))
+      st = if (i < iters - 1) next.localCheckpoint() else next
+      i += 1
+    }
+    st.select(col("node_id"), col("lbl").as("community"))
+  }
 }

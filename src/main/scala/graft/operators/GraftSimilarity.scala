@@ -220,6 +220,55 @@ object GraftSimilarity {
             "pq"))
   }
 
+  /** Position-discounted gain table for [[ndcgAtK]]: `round(10⁶ /
+    * log₂(pos+1))` per position 1..k, computed ONCE in Scala and inlined
+    * as LITERALS into both the Spark plan and the DuckDB oracle (the
+    * SRP-plane technique) — after the inlining every DCG/IDCG quantity
+    * is an exact integer sum and the final `ndcg_micro = dcg·10⁶ div
+    * idcg` is bit-reproducible across engines despite the irrational
+    * discounts. */
+  private[graft] def ndcgDiscounts(k: Int): IndexedSeq[Long] =
+    (1 to k).map(i =>
+      Math.round(1e6 / (Math.log(i + 1.0) / Math.log(2.0))))
+
+  /** NDCG@k of the IVF serve against exact ground truth — the
+    * position-sensitive companion of [[recallAtK]] (recall says WHETHER
+    * the true neighbors surfaced; NDCG says whether they surfaced AT
+    * THE TOP, which is what a RAG context window actually consumes).
+    * Graded relevance is rank-derived: a served candidate at true rank
+    * t gains k−t+1, non-members gain 0 — the standard graded-by-truth-
+    * position scheme when no human labels exist. Output
+    * (q_id, ndcg_micro) on the 10⁶ grid; 10⁶ = perfect ordering.
+    *
+    * Scale shape: truth is [[bruteForceTopK]]'s broadcast-map (the eval
+    * block is small by contract), the serve is the DPP-pruned probe
+    * path, and the join/aggregation touch |Q|·k rows — evaluation never
+    * scans the corpus twice. */
+  def ndcgAtK(collection: DataFrame, queries: DataFrame, k: Int,
+              nprobe: Int, idCol: String = "vec_id",
+              vecCol: String = "v"): DataFrame = {
+    require(k >= 1 && k <= 1000, s"ndcgAtK: k must be in [1, 1000], got $k")
+    graft.GraftSession.ensureExtensions(collection.sparkSession)
+    val disc = ndcgDiscounts(k)
+    val idcg = (1 to k).map(i => (k - i + 1).toLong * disc(i - 1)).sum
+    val discCase = (1 to k)
+      .map(i => s"WHEN ${i}L THEN ${disc(i - 1)}L")
+      .mkString("CASE rnk ", " ", " ELSE 0L END")
+    val truth = bruteForceTopK(collection, queries, k, idCol, vecCol)
+      .select(col("q_id"), col("n_id"), col("rnk").as("__tr"))
+    val served = ivfTopKWith(
+        buildIvfIndex(collection, idCol = idCol, vecCol = vecCol),
+        queries, k, nprobe)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+    served
+      .join(truth, Seq("q_id", "n_id"), "left")
+      .select(col("q_id"),
+              (coalesce(lit((k + 1).toLong) - col("__tr"), lit(0L)) *
+                 expr(discCase)).as("__d"))
+      .groupBy("q_id")
+      .agg(expr(s"sum(__d) * 1000000L div ${idcg}L").as("ndcg_micro"))
+  }
+
   def recallAtKWith(index: IvfIndex, queries: DataFrame, k: Int,
                     nprobes: Seq[Int],
                     qIdCol: String = "q_id", qVecCol: String = "qv")
@@ -2184,13 +2233,19 @@ object GraftSimilarity {
     * [[mmrTopK]]'s bit-for-bit (SimilaritySpec pins it). */
   def mmrTopKWith(index: IvfIndex, queries: DataFrame, k: Int,
                   kCand: Int = 20, lambda: Double = 0.5, nprobe: Int = 4,
-                  qIdCol: String = "q_id", qVecCol: String = "qv")
+                  qIdCol: String = "q_id", qVecCol: String = "qv",
+                  where: Option[Column] = None)
       : DataFrame = {
     require(kCand >= k, s"mmrTopKWith: kCand ($kCand) must be >= k ($k)")
     require(lambda >= 0.0 && lambda <= 1.0,
       s"mmrTopKWith: lambda must be in [0, 1], got $lambda")
+    // metadata-filtered diversified serve: the predicate restricts the
+    // CANDIDATE population (ivfTopKWith's pre-filter contract — pushed
+    // to the at-rest reader, composing with DPP); the greedy then
+    // diversifies within the allowed slice
     val served = ivfTopKWith(index, queries, k = kCand, nprobe = nprobe,
-                             qIdCol = qIdCol, qVecCol = qVecCol)
+                             qIdCol = qIdCol, qVecCol = qVecCol,
+                             where = where)
     // ivfTopKWith emits round(cos, 4) for display — re-attach the exact
     // rel from the stored vectors so the greedy walk runs on the same
     // doubles as the brute path (and as the SQL oracle)

@@ -246,5 +246,51 @@ object GraphQueries extends QueryModule {
         |       FROM nodes n LEFT JOIN c2 USING (node_id))
         |SELECT node_id AS doc_id, CAST(r AS BIGINT) AS pr_micro
         |FROM r2""".stripMargin)),
+
+    // Community detection by synchronous label propagation (4 fixed
+    // rounds, min-label ties) over the undirected purchase graph —
+    // the community signal that splits a connected component along its
+    // dense cores (template families, link farms). Every round is
+    // integer-exact and order-free (count argmax with deterministic
+    // ties), so the oracle replays the rounds verbatim. Sync-LPA
+    // oscillation on 2-colorable structures is why the budget is FIXED
+    // (operator scaladoc) — the replay reads the same round.
+    GraftQuery(
+      "graph_lpa_communities",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_orderkey") * 2).as("src"),
+                              (col("l_partkey") * 2 + 1).as("dst"))
+        GraftGraph.labelPropagation(edges, iters = 4)
+      },
+      Some("""WITH e AS (SELECT DISTINCT l_orderkey * 2 AS src,
+        |                        l_partkey * 2 + 1 AS dst FROM lineitem),
+        |und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+        |l0 AS (SELECT DISTINCT src AS node_id, src AS lbl FROM und),
+        |l1 AS (SELECT node_id, lbl FROM (
+        |    SELECT u.dst AS node_id, l0.lbl,
+        |      row_number() OVER (PARTITION BY u.dst
+        |        ORDER BY count(*) DESC, l0.lbl) rn
+        |    FROM und u JOIN l0 ON l0.node_id = u.src
+        |    GROUP BY u.dst, l0.lbl) WHERE rn = 1),
+        |l2 AS (SELECT node_id, lbl FROM (
+        |    SELECT u.dst AS node_id, l1.lbl,
+        |      row_number() OVER (PARTITION BY u.dst
+        |        ORDER BY count(*) DESC, l1.lbl) rn
+        |    FROM und u JOIN l1 ON l1.node_id = u.src
+        |    GROUP BY u.dst, l1.lbl) WHERE rn = 1),
+        |l3 AS (SELECT node_id, lbl FROM (
+        |    SELECT u.dst AS node_id, l2.lbl,
+        |      row_number() OVER (PARTITION BY u.dst
+        |        ORDER BY count(*) DESC, l2.lbl) rn
+        |    FROM und u JOIN l2 ON l2.node_id = u.src
+        |    GROUP BY u.dst, l2.lbl) WHERE rn = 1),
+        |l4 AS (SELECT node_id, lbl FROM (
+        |    SELECT u.dst AS node_id, l3.lbl,
+        |      row_number() OVER (PARTITION BY u.dst
+        |        ORDER BY count(*) DESC, l3.lbl) rn
+        |    FROM und u JOIN l3 ON l3.node_id = u.src
+        |    GROUP BY u.dst, l3.lbl) WHERE rn = 1)
+        |SELECT node_id, CAST(lbl AS BIGINT) AS community FROM l4""".stripMargin)),
   )
 }

@@ -212,6 +212,18 @@ object SimilarityQueries extends QueryModule {
       |    FROM probes p JOIN assign a ON p.c_id = a.c_id
       |    WHERE a.vec_id != p.q_id) WHERE rnk <= 20)""".stripMargin
 
+  /** The filtered diversified-serve candidate CTE: [[mmrIvfCandCte]]
+    * with the candidate population restricted to the predicate's rows —
+    * probe geometry and the query block are filter-invariant, exactly
+    * `mmrTopKWith(where = ...)`'s pre-filter semantics; the greedy then
+    * diversifies within the allowed slice. */
+  private lazy val mmrIvfFilteredCandCte: String =
+    rewriteOnce(mmrIvfCandCte,
+      "WHERE a.vec_id != p.q_id)",
+      "WHERE a.vec_id != p.q_id AND a.vec_id IN " +
+        "(SELECT vec_id FROM embeddings WHERE label = 3))",
+      "mmrIvfFilteredCandCte")
+
   /** The MMR greedy walk as a recursive CTE over whichever candidate
     * tier `candCte` binds: step 1 is the no-penalty argmax of λ·rel,
     * each later step re-scores the remaining candidates with the TRUE
@@ -1580,6 +1592,98 @@ object SimilarityQueries extends QueryModule {
                                     lambda = 0.5, nprobe = 4)
       },
       Some(mmrOracleSql(mmrIvfCandCte))),
+
+    // METADATA-FILTERED diversified serve (mmrTopKWith(where)): the
+    // label predicate restricts the candidate population through the
+    // store's pre-filter contract (pushed to the reader, composing with
+    // DPP), the MMR greedy then diversifies WITHIN the allowed slice —
+    // "k varied results from the permitted sources", the filtered-RAG
+    // serving shape. Oracle = the filtered candidate CTE (anchored
+    // rewrite of the IVF MMR replay) into the same recursive greedy.
+    GraftQuery(
+      "ann_mmr_filtered",
+      (s, dir) => {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id"),
+                  expr("transform(embedding, x -> cast(x AS double))")
+                    .as("v"),
+                  col("label"))
+        val out =
+          s"/tmp/graft_io/${new java.io.File(dir).getName}/mmr_filtered"
+        GraftSimilarity.writeIvfIndex(
+          GraftSimilarity.buildIvfIndex(e, metaCols = Seq("label")), out)
+        GraftSimilarity.mmrTopKWith(
+          GraftSimilarity.readIvfIndex(s, out), queryBlock(vecs(s, dir)),
+          k = 5, kCand = 20, lambda = 0.5, nprobe = 4,
+          where = Some(col("label") === 3))
+      },
+      Some(mmrOracleSql(mmrIvfFilteredCandCte))),
+
+    // NDCG@5 of the IVF serve vs exact truth at nprobe=2 — the
+    // position-sensitive companion of ann_recall_eval (recall counts
+    // hits; NDCG weights them by where they landed, which is what a
+    // context window consumes). Gains are rank-derived (k−t+1), the
+    // irrational log₂ discounts are inlined as round(1e6/log₂(pos+1))
+    // LITERALS computed once in Scala and shared verbatim by the plan
+    // and this SQL (the SRP-plane technique) — every sum is an exact
+    // integer and ndcg_micro = dcg·1e6 div idcg hashes identically.
+    GraftQuery(
+      "ann_ndcg_eval",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        GraftSimilarity.ndcgAtK(e, queryBlock(e), k = 5, nprobe = 2)
+      },
+      Some {
+        val disc = GraftSimilarity.ndcgDiscounts(5)
+        val idcg = (1 to 5).map(i => (5 - i + 1).toLong * disc(i - 1)).sum
+        val discCase = (1 to 5)
+          .map(i => s"WHEN ${i} THEN ${disc(i - 1)}")
+          .mkString("CASE s.rnk ", " ", " ELSE 0 END")
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |bf AS (
+        |  SELECT q_id, n_id, rnk FROM (
+        |    SELECT q_id, e.vec_id n_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id) rnk
+        |    FROM q JOIN e ON e.vec_id != q_id) WHERE rnk <= 5),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |probes AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.q_id, q.qv, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM q, c) WHERE prnk <= 2),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.vec_id != p.q_id),
+        |ivf AS (
+        |  SELECT q_id, n_id, rnk FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+        |    FROM scored) WHERE rnk <= 5),
+        |g AS (
+        |  SELECT s.q_id, coalesce(6 - bf.rnk, 0) * ($discCase) AS d
+        |  FROM ivf s LEFT JOIN bf
+        |    ON bf.q_id = s.q_id AND bf.n_id = s.n_id)
+        |SELECT q_id,
+        |  CAST(sum(d) * 1000000 // $idcg AS BIGINT) AS ndcg_micro
+        |FROM g GROUP BY q_id""".stripMargin
+      }),
 
     // Embedding-proximity data selection (SemDeDup / DCLM-style): score
     // every vector by cosine to the integer-exact centroid of the seed

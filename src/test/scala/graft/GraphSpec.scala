@@ -168,4 +168,38 @@ class GraphSpec extends GraftFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
     assert(a == b)
   }
+
+  test("labelPropagation: splits one connected component along its dense " +
+       "cores (two cliques over a bridge → two communities where " +
+       "connectedComponents sees one), deterministic across " +
+       "partitionings, validation") {
+    import graft.operators.{GraftDedup, GraftGraph}
+    // two triangles bridged by a single edge — the canonical case where
+    // components over-merge and LPA separates
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+                    (10L, 11L), (11L, 12L), (10L, 12L),
+                    (3L, 10L)).toDF("src", "dst")
+    val lpa = GraftGraph.labelPropagation(edges, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(lpa.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // hand-derived fixed point of the synchronous min-tie rounds
+    assert(Set(1L, 2L, 3L).map(lpa) == Set(1L),
+      s"left clique should converge to label 1: $lpa")
+    assert(Set(10L, 11L, 12L).map(lpa) == Set(3L),
+      s"right clique should converge to the bridged label 3: $lpa")
+    assert(lpa.values.toSet.size == 2, s"two communities expected: $lpa")
+    // contrast: connected components merges everything reachable
+    val cc = GraftDedup.connectedComponents(
+      edges.toDF("a_id", "b_id"), "a_id", "b_id")
+      .collect().map(_.getLong(1)).toSet
+    assert(cc.size == 1, "components must see ONE reachable blob here")
+    // determinism across partitionings
+    val again = GraftGraph.labelPropagation(
+      edges.repartition(7), iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == lpa)
+    intercept[IllegalArgumentException] {
+      GraftGraph.labelPropagation(edges, iters = 0)
+    }
+  }
 }

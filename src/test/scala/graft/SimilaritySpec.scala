@@ -1061,6 +1061,32 @@ class SimilaritySpec extends GraftFunSuite {
     } finally { idx.unpersist(); () }
   }
 
+  test("ndcgAtK: covering nprobe scores a perfect 10^6 for every query, " +
+       "all values live on the [0, 10^6] grid, and a starved probe " +
+       "budget can only lower the per-query score") {
+    import graft.operators.GraftSimilarity
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cells = GraftSimilarity.buildIvfIndex(e).centroids.count().toInt
+    val perfect = GraftSimilarity.ndcgAtK(e, q, k = 5, nprobe = cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(perfect.size == 10)
+    assert(perfect.values.forall(_ == 1000000L),
+      s"covering probes must reproduce the exact ordering: $perfect")
+    val starved = GraftSimilarity.ndcgAtK(e, q, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(starved.keySet == perfect.keySet)
+    starved.foreach { case (qid, v) =>
+      assert(v >= 0L && v <= 1000000L, s"q=$qid off the grid: $v")
+      assert(v <= perfect(qid))
+    }
+    intercept[IllegalArgumentException] {
+      GraftSimilarity.ndcgAtK(e, q, k = 0, nprobe = 1)
+    }
+  }
+
   test("recallAtKWith: one index across the sweep — monotone in nprobe, " +
        "equal to the one-shot recallAtK at every swept value") {
     import graft.operators.GraftSimilarity
