@@ -539,6 +539,35 @@ object StreamBench {
       } finally idx.unpersist(blocking = true)
     }
 
+    // Fused hybrid serve (r13): static impact index + IVF index, one
+    // union, two bounded stateful aggregations, in-row RRF fusion —
+    // the production RAG serving stream
+    locally {
+      import graft.operators.GraftSimilarity
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"),
+                expr("transform(embedding, x -> cast(x AS double))").as("v"))
+      val idx = GraftSimilarity.buildIvfIndex(e).persist()
+      idx.centroids.count(); idx.assigned.count()
+      val docsStatic = spark.read.parquet(s"$sfDir/documents.parquet")
+      val textById = docRows.map(r => r._1 -> r._3).toMap
+      val queries = vecs.filter(_._1 % 10 == 3)
+        .flatMap { case (id, t, v) =>
+          textById.get(id).map(txt =>
+            (id, t, txt.trim.split("\\s+").toList, v.map(_.toDouble))) }
+        .sortBy(_._2.getTime)
+      try rep {
+        val in = MemoryStream[(Long, Timestamp, List[String], List[Double])]
+        val q = sink(CorpusStreams.hybridServeStream(
+          idx, docsStatic, in.toDF().toDF("q_id", "ts", "q_terms", "qv"),
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4), "sb_hybrid_serve")
+        drive("sb_hybrid_serve", queries.size, q,
+              chunks(queries, 2).map(c => () => { in.addData(c); () }) :+
+              (() => { in.addData(Seq((-1L, ts(600), List("the"),
+                                       List(0.1)))); () }))
+      } finally idx.unpersist(blocking = true)
+    }
+
     // Diversified serve (r13): the two-stage MMR chain — kCand heap cut,
     // static vector re-attach, bounded per-query fold + greedy — over
     // the same static index/feed shape as sb_ivf_serve

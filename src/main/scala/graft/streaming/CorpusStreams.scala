@@ -1031,6 +1031,163 @@ object CorpusStreams {
   }
 
   /** Streaming serve twin of
+    * [[graft.operators.HybridRetrieval.hybridTopKWith]]: an unbounded
+    * stream of (q_id, ts, q_terms, qv) queries answered with fused
+    * BM25 ⊕ cosine retrieval against a STATIC corpus + IVF index — the
+    * production RAG serving stream, completing the online serving
+    * matrix (ivf / PQ / MaxSim / MMR / hybrid).
+    *
+    * Shape — ONE union, TWO bounded stateful aggregations, fusion
+    * stateless:
+    *   - at stream construction the corpus folds ONCE into the static
+    *     IMPACT INDEX (term, doc_id, addend): the BM25 per-(term, doc)
+    *     addend depends only on corpus statistics, so it is
+    *     query-invariant — precomputing it is what makes the lexical
+    *     leg a stream-static inverted-index lookup instead of a
+    *     per-micro-batch corpus scan (addends on the same 10⁻⁶ grid as
+    *     the batch kernel, so scores are bit-equal to
+    *     [[graft.operators.TextRank.bm25Scores]]);
+    *   - lexical leg: query terms explode (distinct), join the impact
+    *     index, SUM addends per (query, doc) — stateful agg #1, state
+    *     = the query's term-matched docs inside the horizon;
+    *   - semantic leg: the [[ivfServeStream]] probe + candidate
+    *     scoring, stateless;
+    *   - both legs UNION into ONE aggregation computing BOTH per-leg
+    *     kCand cuts as two `graft_topk` heaps in the same state row
+    *     (null scores skip the other leg's heap) — stateful agg #2,
+    *     state = 2·kCand slots per in-flight query;
+    *   - fusion is IN-ROW on the two arrays (rank maps, RRF terms,
+    *     deterministic sort, slice k) — no stream-stream join, no third
+    *     stateful operator; the arithmetic replicates the batch `fuse`
+    *     exactly, so per-query output equals [[graft.operators
+    *     .HybridRetrieval.hybridTopKWith]] at the same parameters
+    *     (StreamingSpec pins it).
+    *
+    * Output (q_id, ts, doc_id, rank, rrf, lex_rank, sem_rank) finalizes
+    * at the watermark. Malformed query vectors drop pre-probe under
+    * [[ivfServeStream]]'s poison-pill rule (their lexical leg is
+    * dropped with them — a half-answered query would be worse than an
+    * unanswered one).
+    */
+  def hybridServeStream(index: graft.operators.GraftSimilarity.IvfIndex,
+                        docs: DataFrame, queries: DataFrame,
+                        k: Int = 10, kCand: Int = 30, rrfK: Int = 60,
+                        nprobe: Int = 4, latenessMinutes: Long = 10,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        qIdCol: String = "q_id",
+                        qTermsCol: String = "q_terms",
+                        qVecCol: String = "qv", tsCol: String = "ts",
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"hybridServeStream: k must be >= 1, got $k")
+    require(kCand >= k,
+      s"hybridServeStream: kCand ($kCand) must be >= k ($k)")
+    require(rrfK >= 1, s"hybridServeStream: rrfK must be >= 1, got $rrfK")
+    require(nprobe >= 1,
+      s"hybridServeStream: nprobe must be >= 1, got $nprobe")
+    require(latenessMinutes > 0,
+      s"latenessMinutes must be positive, got $latenessMinutes")
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    // ---- static impact index (built once; the 100-TB deployment keeps
+    // this as a term-bucketed table beside the IVF store)
+    val toks = docs.select(
+      col(idCol).cast("long").as("doc_id"),
+      graft.operators.GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+    val base = toks.select(
+      col("doc_id"), size(col("__tk")).cast("long").as("__dl"),
+      explode(col("__tk")).as("__term"))
+    val tf = base.groupBy(col("doc_id"), col("__term"))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val dfq = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
+    val stats = toks.agg(
+      count(lit(1)).as("__n"),
+      avg(size(col("__tk")).cast("long")).as("__avgdl"))
+    val idf = log(
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5))
+        + lit(1.0))
+    val termScore = idf * (col("__tf") * (lit(k1) + 1)) /
+      (col("__tf") + lit(k1) *
+        (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
+    val impact = tf
+      .join(broadcast(dfq), "__term")
+      .crossJoin(broadcast(stats))
+      .select(col("__term"), col("doc_id"),
+              round(termScore * lit(1e6), 0).cast("long").as("__a"))
+      .localCheckpoint()
+    // ---- validated, watermarked query stream (the ivfServeStream
+    // poison-pill contract)
+    val indexDim = index.centroids
+      .select(org.apache.spark.sql.functions.size(col("cv")).as("d"))
+      .limit(1).collect() match {
+      case Array(r) => r.getInt(0)
+      case _ => throw new IllegalStateException(
+        "hybridServeStream: index has no centroids")
+    }
+    val q = queries
+      .select(col(qIdCol).cast("long").as("q_id"), col(tsCol).as("ts"),
+              col(qTermsCol).as("__qtk"),
+              expr(s"transform($qVecCol, x -> cast(x AS double))").as("qv"))
+      .filter(expr("aggregate(qv, 0D, (a, x) -> a + x * x) > 0D") &&
+              expr(s"size(qv) = $indexDim"))
+      .withWatermark("ts", s"$latenessMinutes minutes")
+    // lexical leg: inverted-index lookup + per-(query, doc) addend sum
+    val lexScored = q
+      .select(col("q_id"), col("ts"),
+              explode(array_distinct(col("__qtk"))).as("__term"))
+      .join(impact, "__term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("ts"), col("doc_id"))
+      .agg(sum(col("__a")).as("__l"))
+      .select(col("q_id"), col("ts"), col("doc_id"),
+              col("__l").cast("double").as("__sc"), lit("lex").as("__leg"))
+    // semantic leg: stateless probe + candidate scoring
+    val probes = graft.operators.GraftSimilarity
+      .probeCells(q.select(col("q_id"), col("ts"), col("qv")),
+                  index.centroids, nprobe, Seq("q_id", "ts", "qv"))
+    val semScored = probes.join(index.assigned, "c_id")
+      .filter(col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("ts"), col("n_id").as("doc_id"),
+              expr("graft_cosine(qv, v)").as("__sc"),
+              lit("sem").as("__leg"))
+    // one aggregation, two bounded heaps; then the in-row fusion
+    val rrfTerm = (m: String) =>
+      s"""coalesce(CAST(round(1000000000.0 / ($rrfK +
+         |  element_at($m, d)), 0) AS BIGINT), 0L)""".stripMargin
+    lexScored.unionByName(semScored)
+      .groupBy(col("q_id"), col("ts"))
+      .agg(expr(s"""graft_topk(if(__leg = 'lex', __sc,
+                      cast(null AS double)), doc_id, $kCand)""").as("ltk"),
+           expr(s"""graft_topk(if(__leg = 'sem', __sc,
+                      cast(null AS double)), doc_id, $kCand)""").as("stk"))
+      .withColumn("__ml", expr(
+        """map_from_entries(transform(ltk,
+          |  (s, i) -> struct(s.id, CAST(i + 1 AS BIGINT))))""".stripMargin))
+      .withColumn("__ms", expr(
+        """map_from_entries(transform(stk,
+          |  (s, i) -> struct(s.id, CAST(i + 1 AS BIGINT))))""".stripMargin))
+      .withColumn("__fused", expr(
+        s"""slice(
+           |  array_sort(
+           |    transform(
+           |      array_distinct(concat(transform(ltk, s -> s.id),
+           |                            transform(stk, s -> s.id))),
+           |      d -> struct(${rrfTerm("__ml")} + ${rrfTerm("__ms")} AS rrf,
+           |                  d AS doc_id,
+           |                  element_at(__ml, d) AS lex_rank,
+           |                  element_at(__ms, d) AS sem_rank)),
+           |    (a, b) -> CASE
+           |      WHEN a.rrf > b.rrf THEN -1 WHEN a.rrf < b.rrf THEN 1
+           |      WHEN a.doc_id < b.doc_id THEN -1
+           |      WHEN a.doc_id > b.doc_id THEN 1 ELSE 0 END),
+           |  1, $k)""".stripMargin))
+      .select(col("q_id"), col("ts"),
+              posexplode(col("__fused")).as(Seq("p", "s")))
+      .select(col("q_id"), col("ts"), col("s.doc_id").as("doc_id"),
+              (col("p") + 1).cast("long").as("rank"),
+              col("s.rrf").as("rrf"), col("s.lex_rank").as("lex_rank"),
+              col("s.sem_rank").as("sem_rank"))
+  }
+
+  /** Streaming serve twin of
     * [[graft.operators.GraftSimilarity.mmrTopKWith]]: an unbounded query
     * stream answered with DIVERSIFIED top-k against a static IVF index —
     * the online form of the MMR stage, for serving paths where plain

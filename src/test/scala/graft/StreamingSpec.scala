@@ -884,6 +884,61 @@ class StreamingSpec extends GraftFunSuite {
       s"exact=$exact quantized=$quant")
   }
 
+  test("hybridServeStream: the fused online serve answers each watermark-" +
+       "closed query identically to the batch hybridTopKWith at the same " +
+       "(k, kCand, rrfK, nprobe), across micro-batch boundaries, incl. " +
+       "per-leg ranks and rrf values") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.{GraftSimilarity, GraftText, HybridRetrieval}
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.ensureExtensions(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    try {
+      val qBatch = docs.filter(col("doc_id") % 25 === 3)
+        .join(e, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("q_id"),
+                GraftText.whitespaceTokens(col("text")).as("q_terms"),
+                col("v").as("qv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+         if (r.isNullAt(4)) -1L else r.getLong(4),
+         if (r.isNullAt(5)) -1L else r.getLong(5))
+      val batchServe = HybridRetrieval.hybridTopKWith(
+          idx, docs, qBatch, k = 10, kCand = 30, rrfK = 60, nprobe = 4)
+        .collect().map(key).toSet
+      assert(batchServe.nonEmpty)
+      val rows = qBatch.collect()
+        .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 8),
+                   r.getSeq[String](1).toList, r.getSeq[Double](2).toList))
+        .sortBy(_._1).toSeq
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      val input = MemoryStream[(Long, Timestamp, List[String], List[Double])]
+      val df = input.toDF().toDF("q_id", "ts", "q_terms", "qv")
+      val q = CorpusStreams
+        .hybridServeStream(idx, docs, df, k = 10, kCand = 30, rrfK = 60,
+                           nprobe = 4, latenessMinutes = 10)
+        .writeStream.format("memory").queryName("hybrid_serve")
+        .outputMode("append").start()
+      try {
+        input.addData(h1); q.processAllAvailable()
+        input.addData(h2); q.processAllAvailable()
+        input.addData(Seq((999999L, ts(600), List("the"),
+                           rows.head._4)))
+        q.processAllAvailable()
+        val streamed = spark.table("hybrid_serve")
+          .filter(col("q_id") =!= 999999L)
+          .select("q_id", "doc_id", "rank", "rrf", "lex_rank", "sem_rank")
+          .collect().map(key).toSet
+        assert(streamed == batchServe,
+          s"stream-only=${streamed.diff(batchServe).take(5)} " +
+          s"batch-only=${batchServe.diff(streamed).take(5)}")
+      } finally q.stop()
+    } finally { idx.unpersist(); () }
+  }
+
   test("mmrServeStream: diversified online serve answers each watermark-" +
        "closed query identically to the batch mmrTopKWith at the same " +
        "(k, kCand, lambda, nprobe), across micro-batch boundaries") {
