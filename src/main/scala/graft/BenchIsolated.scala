@@ -47,7 +47,9 @@ object BenchIsolated {
     "ann_ivf_stored_b1", "ann_b1_hamming_topk", "dedup_editdist_pairs",
     "ann_mmr_topk", "ann_mmr_ivf",
     // r13 fourth batch: JW linkage, diversified fusion, 1-bit fusion
-    "text_jw_linkage", "ann_hybrid_mmr", "ann_hybrid_b1")
+    "text_jw_linkage", "ann_hybrid_mmr", "ann_hybrid_b1",
+    // r13 fifth batch: LPA communities, NDCG eval, filtered MMR
+    "graph_lpa_communities", "ann_ndcg_eval", "ann_mmr_filtered")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

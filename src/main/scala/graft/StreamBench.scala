@@ -82,7 +82,11 @@ object StreamBench {
     // rows/s): the edit-distance typo-dup miner and the diversified
     // online serve
     "sb_editdist"            -> 0.008163,
-    "sb_mmr_serve"           -> 0.000724)
+    "sb_mmr_serve"           -> 0.000724,
+    // r13 closing: the fused hybrid serve, floored at 0.5x the FINAL
+    // re-baselining run (calibration 3.265 s / 30 625 rows/s) that also
+    // reset the aggregate bound below
+    "sb_hybrid_serve"        -> 0.000310)
 
   /** STATE-BYTES ceilings (r13): the throughput floors cannot see a
     * state blow-up that the host absorbs in RAM — exactly the r12
@@ -117,7 +121,10 @@ object StreamBench {
     // serve's two bounded aggregations hold kCand slots + kCand·dim
     // doubles per in-flight query
     "sb_editdist"            -> 3L * 72175176,
-    "sb_mmr_serve"           -> 3L * 67808)
+    "sb_mmr_serve"           -> 3L * 67808,
+    // r13 closing (same run as the floor): dual kCand heaps + the
+    // lexical leg's per-(query, doc) partial sums within the horizon
+    "sb_hybrid_serve"        -> 3L * 124633568)
 
   /** Aggregate bound complementing the per-op ratios: the sum of
     * floored-op medians must stay under the baselined total scaled by
@@ -125,13 +132,14 @@ object StreamBench {
     * uniformly slower host slows the calibration by the same factor).
     * Catches a one-op 2–3× regression that per-op ratios at 0.5×
     * headroom would let through. Baselined with the floors. */
-  // FULL re-baseline at the r13 fourth-batch baselining run (all 25
-  // floored ops re-measured in one run; the two new ops' floors and
-  // ceilings come from the same run, so the suite total, calibration,
-  // and per-op ratios are one consistent snapshot — the ADVICE r12
-  // convention for how this constant may move)
-  val BaselineTotalSec: Double = 285.3
-  val BaselineCalibSec: Double = 3.534
+  // FULL re-baseline at the r13 CLOSING baselining run (all 26 floored
+  // ops re-measured in one run; sb_hybrid_serve's floor and ceiling come
+  // from the same run, so the suite total, calibration, and per-op
+  // ratios are one consistent snapshot — the ADVICE r12 convention for
+  // how this constant may move; every pre-existing floor re-verified
+  // green against this run before it became the baseline)
+  val BaselineTotalSec: Double = 305.1
+  val BaselineCalibSec: Double = 3.265
   val AggregateBoundFactor: Double = 1.0 / 0.7
 
   /** The gate, pure for testability (StreamBenchGateSpec feeds it
