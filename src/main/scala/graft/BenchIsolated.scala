@@ -49,7 +49,8 @@ object BenchIsolated {
     // r13 fourth batch: JW linkage, diversified fusion, 1-bit fusion
     "text_jw_linkage", "ann_hybrid_mmr", "ann_hybrid_b1",
     // r13 fifth batch: LPA communities, NDCG eval, filtered MMR
-    "graph_lpa_communities", "ann_ndcg_eval", "ann_mmr_filtered")
+    "graph_lpa_communities", "ann_ndcg_eval", "ann_mmr_filtered",
+    "ann_mrr_eval")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

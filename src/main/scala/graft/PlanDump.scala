@@ -87,7 +87,7 @@ object PlanDump {
                     // r13 fifth batch: LPA communities, NDCG eval, the
                     // filtered diversified serve
                     "graph_lpa_communities", "ann_ndcg_eval",
-                    "ann_mmr_filtered")
+                    "ann_mmr_filtered", "ann_mrr_eval")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

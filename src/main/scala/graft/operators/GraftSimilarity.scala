@@ -269,6 +269,33 @@ object GraftSimilarity {
       .agg(expr(s"sum(__d) * 1000000L div ${idcg}L").as("ndcg_micro"))
   }
 
+  /** MRR@k of the IVF serve against exact ground truth — the third leg
+    * of the standard retrieval-eval trio (recall: did the true
+    * neighbors surface; NDCG: did they surface near the top; MRR: how
+    * deep must a consumer read before the FIRST true neighbor). A
+    * query's score is 10⁶ div (served rank of its first true-top-k
+    * member), 0 when none surfaced — pure integer arithmetic, no
+    * inlined constants needed. Same |Q|·k eval-cost shape as
+    * [[ndcgAtK]]. */
+  def mrrAtK(collection: DataFrame, queries: DataFrame, k: Int,
+             nprobe: Int, idCol: String = "vec_id",
+             vecCol: String = "v"): DataFrame = {
+    require(k >= 1, s"mrrAtK: k must be >= 1, got $k")
+    graft.GraftSession.ensureExtensions(collection.sparkSession)
+    val truth = bruteForceTopK(collection, queries, k, idCol, vecCol)
+      .select(col("q_id"), col("n_id"))
+    val served = ivfTopKWith(
+        buildIvfIndex(collection, idCol = idCol, vecCol = vecCol),
+        queries, k, nprobe)
+      .select(col("q_id"), col("n_id"), col("rnk"))
+    served
+      .join(truth.withColumn("__hit", lit(1)), Seq("q_id", "n_id"), "left")
+      .groupBy("q_id")
+      .agg(min(when(col("__hit") === 1, col("rnk"))).as("__fr"))
+      .select(col("q_id"),
+              coalesce(expr("1000000L div __fr"), lit(0L)).as("mrr_micro"))
+  }
+
   def recallAtKWith(index: IvfIndex, queries: DataFrame, k: Int,
                     nprobes: Seq[Int],
                     qIdCol: String = "q_id", qVecCol: String = "qv")

@@ -1685,6 +1685,64 @@ object SimilarityQueries extends QueryModule {
         |FROM g GROUP BY q_id""".stripMargin
       }),
 
+    // MRR@5 of the IVF serve vs exact truth at nprobe=2 — the third leg
+    // of the eval trio (recall / NDCG / MRR): how deep a consumer reads
+    // before the first true neighbor. Pure integer arithmetic
+    // (10⁶ div first-hit rank, 0 when none surfaced), same replay CTEs
+    // as ann_ndcg_eval.
+    GraftQuery(
+      "ann_mrr_eval",
+      (s, dir) => {
+        val e = vecs(s, dir)
+        GraftSimilarity.mrrAtK(e, queryBlock(e), k = 5, nprobe = 2)
+      },
+      Some("""WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+        |q AS (SELECT vec_id q_id, v qv FROM e WHERE vec_id < 10),
+        |bf AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, e.vec_id n_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY list_cosine_similarity(qv, e.v) DESC, e.vec_id) rnk
+        |    FROM q JOIN e ON e.vec_id != q_id) WHERE rnk <= 5),
+        |cut AS (
+        |  SELECT printf('%08x', CAST(least(
+        |           ceil(4294967296 * ceil(sqrt(count(*))) / count(*)),
+        |           4294967295) AS BIGINT)) h
+        |  FROM e),
+        |c AS (SELECT vec_id c_id, v cv FROM e
+        |      WHERE substr(md5(vec_id::VARCHAR), 1, 8) < (SELECT h FROM cut)),
+        |assign AS (
+        |  SELECT vec_id, v, c_id FROM (
+        |    SELECT e.vec_id, e.v, c.c_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.c_id) arnk
+        |    FROM e, c) WHERE arnk = 1),
+        |probes AS (
+        |  SELECT q_id, qv, c_id FROM (
+        |    SELECT q.q_id, q.qv, c.c_id,
+        |      row_number() OVER (PARTITION BY q.q_id
+        |        ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.c_id) prnk
+        |    FROM q, c) WHERE prnk <= 2),
+        |scored AS (
+        |  SELECT p.q_id, a.vec_id n_id,
+        |    list_cosine_similarity(p.qv, a.v) c
+        |  FROM probes p JOIN assign a ON p.c_id = a.c_id
+        |  WHERE a.vec_id != p.q_id),
+        |ivf AS (
+        |  SELECT q_id, n_id, rnk FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY c DESC, n_id) rnk
+        |    FROM scored) WHERE rnk <= 5),
+        |fr AS (
+        |  SELECT s.q_id, min(CASE WHEN bf.n_id IS NOT NULL
+        |                          THEN s.rnk END) AS f
+        |  FROM ivf s LEFT JOIN bf
+        |    ON bf.q_id = s.q_id AND bf.n_id = s.n_id
+        |  GROUP BY s.q_id)
+        |SELECT q_id,
+        |  CAST(coalesce(1000000 // f, 0) AS BIGINT) AS mrr_micro
+        |FROM fr""".stripMargin)),
+
     // Embedding-proximity data selection (SemDeDup / DCLM-style): score
     // every vector by cosine to the integer-exact centroid of the seed
     // subset (vec_id % 10 == 0 — the "curated reference" stand-in) and

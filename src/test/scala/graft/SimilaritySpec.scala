@@ -1085,6 +1085,18 @@ class SimilaritySpec extends GraftFunSuite {
     intercept[IllegalArgumentException] {
       GraftSimilarity.ndcgAtK(e, q, k = 0, nprobe = 1)
     }
+    // MRR, the trio's third leg: same covering-perfection and
+    // starved-monotonicity contracts on the same serve
+    val mrrPerfect = GraftSimilarity.mrrAtK(e, q, k = 5, nprobe = cells)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(mrrPerfect.values.forall(_ == 1000000L),
+      s"covering probes: first served hit must be rank 1: $mrrPerfect")
+    val mrrStarved = GraftSimilarity.mrrAtK(e, q, k = 5, nprobe = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    mrrStarved.foreach { case (qid, v) =>
+      assert(v >= 0L && v <= 1000000L && v <= mrrPerfect(qid),
+        s"q=$qid mrr off contract: $v")
+    }
   }
 
   test("recallAtKWith: one index across the sweep — monotone in nprobe, " +
