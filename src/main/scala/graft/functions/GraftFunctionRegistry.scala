@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{Decimal, DecimalType, DoubleType, IntegerType, LongType, StringType}
 
 /** SQL-reach registration for the graft expression library — the analog of
   * the reference registering its extension on every session
@@ -145,7 +145,26 @@ object GraftFunctionRegistry {
         s"graft_jaro_winkler(string, string) — got ${other.size} args")
     },
     "graft_mmr" -> {
-      case Seq(c, Literal(k: Int, IntegerType), Literal(l: Double, DoubleType)) =>
+      // lambda accepts any NUMERIC literal: Spark SQL parses a plain
+      // fractional literal like 0.5 as DecimalType, so matching only
+      // Literal(Double) rejected the natural SQL call `graft_mmr(a, 5,
+      // 0.5)` — and the arity-shaped fallthrough misreported the problem
+      // as "got 3 args" (ADVICE r13). Wrong literal TYPES now get their
+      // own message distinct from wrong arity.
+      case Seq(c, kE, lE) =>
+        val k = kE match {
+          case Literal(k: Int, IntegerType) => k
+          case other => throw new IllegalArgumentException(
+            s"graft_mmr: k must be an integer literal, got $other")
+        }
+        val l = lE match {
+          case Literal(l: Double, DoubleType) => l
+          case Literal(d: Decimal, _: DecimalType) => d.toDouble
+          case Literal(i: Int, IntegerType) => i.toDouble
+          case other => throw new IllegalArgumentException(
+            s"graft_mmr: lambda must be a numeric literal in [0, 1], " +
+            s"got $other")
+        }
         GraftMmr(c, k, l)
       case other => throw new IllegalArgumentException(
         "graft_mmr(array<struct<id, rel, v>>, k literal, lambda literal) — " +

@@ -76,6 +76,21 @@ case class GraftMmr(child: Expression, k: Int, lambda: Double)
       ids(i) = row.getLong(0)
       rels(i) = row.getDouble(1)
       vecs(i) = row.getArray(2).toDoubleArray()
+      // zero-norm refusal (ADVICE r13): cos() against a zero-norm vector
+      // is NaN, NaN comparisons never update maxSim, and a candidate whose
+      // penalty stays -Infinity scores +Infinity from the second pick on —
+      // force-selected regardless of relevance. Mirror probeCells' stance
+      // on zero-norm queries: fail loudly up front, deterministically,
+      // instead of silently corrupting the greedy.
+      var nn = 0.0
+      var j = 0
+      while (j < vecs(i).length) { nn += vecs(i)(j) * vecs(i)(j); j += 1 }
+      if (nn == 0.0)
+        throw new IllegalArgumentException(
+          s"graft_mmr: candidate ${ids(i)} has a zero-norm vector — the " +
+          "cosine diversity penalty is undefined; filter zero-norm rows " +
+          "before the MMR stage (the probeCells refusal, applied to " +
+          "candidates)")
       i += 1
     }
     // greedy MMR: maxSim(c) is updated incrementally after each pick —

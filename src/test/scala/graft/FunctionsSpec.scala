@@ -548,4 +548,45 @@ class FunctionsSpec extends GraftFunSuite {
       .collect().head
     assert(n.isNullAt(0))
   }
+
+  test("graft_mmr SQL form: decimal / double / int lambda literals all " +
+       "parse (0.5 is DecimalType in Spark SQL — ADVICE r13), wrong " +
+       "literal types report a TYPE error (not 'got 3 args'), and a " +
+       "zero-norm candidate is refused loudly") {
+    GraftSession.ensureExtensions(spark)
+    def ids(lam: String): Seq[Long] = spark.sql(
+      s"""SELECT graft_mmr(array(
+         |  struct(1L, 0.9D, array(1D, 0D, 0D)),
+         |  struct(2L, 0.8D, array(0D, 1D, 0D)),
+         |  struct(3L, 0.7D, array(0D, 0D, 1D))), 2, $lam) AS m""".stripMargin)
+      .selectExpr("transform(m, s -> s.id) AS ids")
+      .head().getSeq[Long](0).toSeq
+    // orthogonal candidates: every diversity penalty is 0, so selection
+    // is relevance order at any positive lambda — (1, 2) for all three
+    // literal spellings of the same value
+    assert(ids("0.5") == Seq(1L, 2L))   // DecimalType literal (the fix)
+    assert(ids("0.5D") == Seq(1L, 2L))  // DoubleType literal (always worked)
+    assert(ids("1") == Seq(1L, 2L))     // IntegerType literal → 1.0
+    def failMsg(body: => Any): String = {
+      val t = intercept[Throwable](body)
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    }
+    // wrong literal TYPE names the offending argument...
+    assert(failMsg(ids("'x'")).contains("lambda must be a numeric literal"),
+      failMsg(ids("'x'")))
+    // ...and wrong ARITY still reports arity
+    assert(failMsg(spark.sql(
+        "SELECT graft_mmr(array(struct(1L, 0.9D, array(1D))), 2)")
+        .collect()).contains("got 2 args"))
+    // zero-norm candidate: cos() would be NaN and the NaN-frozen penalty
+    // would force-select the candidate from pick 2 on — refused instead
+    // (the probeCells stance, applied to candidates; ADVICE r13)
+    val z = failMsg(spark.sql(
+      """SELECT graft_mmr(array(
+        |  struct(1L, 0.9D, array(1D, 0D)),
+        |  struct(2L, 0.1D, array(0D, 0D))), 2, 0.5D)""".stripMargin)
+      .collect())
+    assert(z.contains("zero-norm"), z)
+  }
 }
