@@ -406,6 +406,67 @@ object HybridRetrieval {
     GraftSimilarity.mmrRerank(cand, src, k, lambda)
   }
 
+  /** The served fused top-`k` with the LEXICAL leg off an at-rest
+    * [[ImpactIndex]] store (VERDICT r13 #1c): BM25 scores are sums of
+    * the store's precomputed per-(term, doc) addends — bit-equal to
+    * [[TextRank.bm25Scores]] by the shared-kernel construction — so the
+    * output equals [[hybridTopKWith]] exactly at the same parameters
+    * (the `ann_hybrid_ivf` oracle certifies this row verbatim) while
+    * the corpus text is never re-tokenized at serve time. The scan
+    * reads only the query terms' buckets: the minibatch's distinct term
+    * set is collected once (model-sized, the survivor-fetch precedent)
+    * and becomes literal partition predicates through
+    * [[ImpactIndex.StoredImpacts.impactsFor]].
+    *
+    * The impact store must describe the same corpus the IVF index
+    * serves and be built at the same (k1, b) — both live beside the
+    * vector store in the deployment layout.
+    */
+  def hybridTopKWithImpacts(index: IvfIndex,
+                            impacts: ImpactIndex.StoredImpacts,
+                            queries: DataFrame,
+                            k: Int = 10, kCand: Int = 30, rrfK: Int = 60,
+                            nprobe: Int = 4,
+                            qIdCol: String = "q_id",
+                            qTermsCol: String = "q_terms",
+                            qVecCol: String = "qv",
+                            where: Option[Column] = None): DataFrame = {
+    requireParams(k, kCand, rrfK, "hybridTopKWithImpacts")
+    require(nprobe >= 1,
+      s"hybridTopKWithImpacts: nprobe must be >= 1, got $nprobe")
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val q = queries.select(col(qIdCol).as("q_id"),
+                           col(qTermsCol).as("__qtk"),
+                           col(qVecCol).as("__qv"))
+    val qt = q.select(col("q_id"),
+                      explode(array_distinct(col("__qtk"))).as("__term"))
+    val termList = qt.select(col("__term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val lex =
+      if (termList.isEmpty)
+        // no query terms at all: the lexical leg is empty, fusion
+        // degrades to the semantic leg (the full-outer fuse contract)
+        q.limit(0).select(col("q_id"), col("q_id").as("doc_id"),
+                          lit(0L).as("lex_rank"))
+      else impacts.impactsFor(termList)
+        .join(broadcast(qt), "__term")
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("__a")).as("__score"))
+        .groupBy("q_id")
+        .agg(expr(s"graft_topk(cast(__score AS double), doc_id, $kCand)")
+               .as("tk"))
+        .select(col("q_id"), posexplode(col("tk")).as(Seq("p", "s")))
+        .select(col("q_id"), col("s.id").as("doc_id"),
+                (col("p") + 1).cast("long").as("lex_rank"))
+    val sem = GraftSimilarity.ivfTopKWith(
+        index, q.select(col("q_id"), col("__qv").as("qv")), kCand, nprobe,
+        where = where)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+              col("rnk").as("sem_rank"))
+    fuse(lex, sem, k, rrfK)
+  }
+
   /** [[hybridTopKWithPq]] straight off an at-rest PQ store
     * ([[GraftPq.writeIvfPqStore]] directory layout): one call from store
     * path to fused results — the RAG deployment shape where BM25 fuses

@@ -55,20 +55,52 @@ object TextRank {
                                     k1: Double, b: Double): DataFrame = {
     val qt = qTerms.select(col("q_id"), col("__term"))
     val qTermSet = qt.select(col("__term")).distinct()
+    bm25Impacts(docs, idCol, textCol, k1, b, termGate = Some(qTermSet))
+      .join(broadcast(qt), "__term")
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("__a")).as("__score"),
+           count(lit(1)).as("n_terms_hit"))
+  }
+
+  /** The per-(term, document) BM25 impact ADDENDS — the one home of the
+    * formula and the 10⁻⁶ integer grid, now factored below [[bm25Scores]]
+    * so the query-gated scorer and the query-invariant IMPACT-INDEX build
+    * ([[graft.streaming.CorpusStreams.hybridServeStream]],
+    * [[ImpactIndex]]) share one kernel instead of restating it
+    * (VERDICT r13 #1: the r11 dual-kernel drift class). Returns
+    * (__term, doc_id, __a: long) where `__a` is the quantized addend;
+    * a (query, doc) BM25 score is exactly Σ __a over the query's matched
+    * terms, so every consumer is bit-equal by construction.
+    *
+    * `termGate`: with a (query-bounded, distinct) term set, the corpus
+    * token stream filters INSIDE the explode-select via a broadcast
+    * semi-join and the df table is query-bounded → broadcast attach.
+    * WITHOUT a gate (the impact-index build — query-invariant, so it
+    * CANNOT gate), df spans the whole VOCABULARY: at 100 TB that is
+    * 10⁸–10⁹ distinct terms, a multi-GB broadcast OOM — and `tf` is
+    * already hash-partitioned by `__term` from its own aggregation, so
+    * the plain shuffle join co-partitions for free. The gate therefore
+    * also selects the df attach strategy. `stats` is one row either way.
+    */
+  private[graft] def bm25Impacts(docs: DataFrame, idCol: String,
+                                 textCol: String, k1: Double, b: Double,
+                                 termGate: Option[DataFrame]): DataFrame = {
     val toks = docs.select(
       col(idCol).as("doc_id"),
       GraftText.whitespaceTokens(col(textCol)).as("__tk"))
-    val base = toks.select(
+    val base0 = toks.select(
       col("doc_id"),
       size(col("__tk")).cast("long").as("__dl"),
       explode(col("__tk")).as("__term"))
-      .join(broadcast(qTermSet), "__term")
+    val base = termGate.fold(base0)(g => base0.join(broadcast(g), "__term"))
     // per-(doc, term) term frequency, doc length riding along
     val tf = base.groupBy(col("doc_id"), col("__term"))
       .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
-    // per-term document frequency — one skinny agg, broadcast back
+    // per-term document frequency — derived from tf, so the ungated join
+    // back is ALREADY co-partitioned on __term
     val df = tf.groupBy(col("__term")).agg(count(lit(1)).as("__df"))
-    // corpus stats: N docs, mean doc length (exact long sum / count)
+    // corpus stats: N docs, mean doc length (exact long sum / count) —
+    // computed over the FULL corpus in both modes (query-invariant)
     val stats = toks.agg(
       count(lit(1)).as("__n"),
       avg(size(col("__tk")).cast("long")).as("__avgdl"))
@@ -78,14 +110,12 @@ object TextRank {
     val termScore = idf * (col("__tf") * (lit(k1) + 1)) /
       (col("__tf") + lit(k1) *
         (lit(1 - b) + lit(b) * col("__dl") / col("__avgdl")))
-    val termScoreQ = round(termScore * lit(1e6), 0).cast("long")
+    val dfSide = if (termGate.isDefined) broadcast(df) else df
     tf
-      .join(broadcast(df), "__term")
+      .join(dfSide, "__term")
       .crossJoin(broadcast(stats))
-      .join(broadcast(qt), "__term")
-      .groupBy(col("q_id"), col("doc_id"))
-      .agg(sum(termScoreQ).as("__score"),
-           count(lit(1)).as("n_terms_hit"))
+      .select(col("__term"), col("doc_id"),
+              round(termScore * lit(1e6), 0).cast("long").as("__a"))
   }
 
   /** Top-`k` documents for `queryTerms` by BM25, as

@@ -2055,6 +2055,34 @@ object SimilarityQueries extends QueryModule {
       },
       Some(hybridIvfOracleSql)),
 
+    // The SAME fused serve with the LEXICAL leg off the AT-REST impact
+    // index (VERDICT r13 #1c — build-once/serve-many for BM25, beside
+    // the vector store): hybridTopKWithImpacts sums the store's
+    // precomputed per-(term, doc) addends instead of re-tokenizing the
+    // corpus, reading only the query terms' buckets (literal partition
+    // predicates from the collected minibatch term set). Addends are the
+    // shared kernel's — bit-equal by construction — so the
+    // ann_hybrid_ivf oracle certifies this row VERBATIM: the store
+    // preserved every value, and the fused output is rank-for-rank the
+    // corpus-fold serve.
+    GraftQuery(
+      "ann_hybrid_impact_stored",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("q_terms"),
+                  col("v").as("qv"))
+        graft.operators.HybridRetrieval.hybridTopKWithImpacts(
+          GraftSimilarity.buildIvfIndex(e),
+          TextQueries.storedImpactIndex(s, dir), queries,
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4)
+      },
+      Some(hybridIvfOracleSql)),
+
     // FILTERED FUSION: the hybrid serve restricted to one slice of the
     // corpus (lang = 'en' standing in for any metadata predicate) — the
     // RAG deployment shape "retrieve only from the allowed sources".

@@ -14,6 +14,52 @@ import graft.operators.GraftText
   */
 object TextQueries extends QueryModule {
 
+  /** The exact-BM25 replay shared by `text_bm25_topk` (from text),
+    * `text_bm25_stored` (from the at-rest impact index) and
+    * `text_bm25_pruned` (MaxScore essential-list pruning): all three
+    * must produce the identical ranking — the store must preserve every
+    * addend exactly, and the pruning must be invisible to correctness —
+    * so ONE oracle certifies the whole ladder (the `ann_ivf_stored` /
+    * `dedup_editdist_pairs` precedents). */
+  private val bm25TopKOracleSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+      |  FROM documents),
+      |stats AS (
+      |  SELECT count(*) n, avg(len(tk)) avgdl FROM d),
+      |tf AS (
+      |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+      |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
+      |  WHERE term IN ('spark', 'vector', 'join') GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+      |s AS (
+      |  SELECT doc_id,
+      |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+      |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+      |          * 1000000.0) AS BIGINT)) score,
+      |    count(*) n_terms_hit
+      |  FROM tf JOIN df USING (term), stats GROUP BY doc_id)
+      |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+      |  doc_id, n_terms_hit
+      |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** Build-or-reuse the at-rest BM25 impact index under `/tmp/graft_io`
+    * (the storedTokenIndex convention): the first caller pays the
+    * corpus fold + term-bucketed write, every later run — and every
+    * other row sharing the store — serves the amortized bucket-pruned
+    * read. Store contents are deterministic in (corpus, code); values
+    * are store-invariant, so shared oracles stay verbatim. */
+  private[queries] def storedImpactIndex(s: org.apache.spark.sql.SparkSession,
+                                         dir: String)
+      : graft.operators.ImpactIndex.StoredImpacts = {
+    val out = s"/tmp/graft_io/${new java.io.File(dir).getName}/impact_index"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/meta/_SUCCESS")))
+      graft.operators.ImpactIndex.write(t(s, dir, "documents"), out)
+    graft.operators.ImpactIndex.read(s, out)
+  }
+
   override def all: Seq[GraftQuery] = Seq(
 
     // Per-document quality statistics: token counts, mean token length,
@@ -391,26 +437,42 @@ object TextQueries extends QueryModule {
         graft.operators.TextRank.bm25TopK(
           t(s, dir, "documents"),
           queryTerms = Seq("spark", "vector", "join"), k = 20),
-      Some("""WITH d AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
-        |  FROM documents),
-        |stats AS (
-        |  SELECT count(*) n, avg(len(tk)) avgdl FROM d),
-        |tf AS (
-        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
-        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
-        |  WHERE term IN ('spark', 'vector', 'join') GROUP BY 1, 2),
-        |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
-        |s AS (
-        |  SELECT doc_id,
-        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
-        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
-        |          * 1000000.0) AS BIGINT)) score,
-        |    count(*) n_terms_hit
-        |  FROM tf JOIN df USING (term), stats GROUP BY doc_id)
-        |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
-        |  doc_id, n_terms_hit
-        |FROM s ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+      Some(bm25TopKOracleSql)),
+
+    // The SAME BM25 top-20 served from the AT-REST impact index
+    // ([[graft.operators.ImpactIndex.bm25TopKStored]]): the store
+    // persists the shared kernel's per-(term, doc) addends term-bucketed
+    // (build once, serve many — the lexical analog of ann_ivf_stored),
+    // and the serve reads ONLY the query terms' buckets (literal __bkt
+    // partition predicates + __term row-group residual). Addends at rest
+    // are bit-identical to the from-text kernel, so the text_bm25_topk
+    // oracle certifies this row VERBATIM — the store preserved every
+    // value exactly (the ann_maxsim_stored precedent).
+    GraftQuery(
+      "text_bm25_stored",
+      (s, dir) =>
+        graft.operators.ImpactIndex.bm25TopKStored(
+          storedImpactIndex(s, dir),
+          queryTerms = Seq("spark", "vector", "join"), k = 20),
+      Some(bm25TopKOracleSql)),
+
+    // IMPACT-ORDERED pruned BM25 (MaxScore essential-list pruning —
+    // VERDICT r13 #2, the lexical analog of the IVF probe cut): only the
+    // 2 highest-max-impact query terms' postings generate candidates;
+    // candidates score exactly over all their query-term postings, and
+    // the in-plan covering guard PROVES the skipped term's upper bound
+    // sits strictly below the 20th candidate score (assert_true refusal
+    // otherwise — exact by refusal, the minhashBanding stance). The
+    // UNCHANGED exact oracle hash-matching IS the pruning-completeness
+    // proof, the dedup_editdist_pairs pattern.
+    GraftQuery(
+      "text_bm25_pruned",
+      (s, dir) =>
+        graft.operators.ImpactIndex.bm25TopKPruned(
+          storedImpactIndex(s, dir),
+          queryTerms = Seq("spark", "vector", "join"), k = 20,
+          essential = 2),
+      Some(bm25TopKOracleSql)),
 
     // Perplexity-based quality filter (CCNet-style) — the 10 most
     // surprising documents per language under a corpus-trained bigram LM

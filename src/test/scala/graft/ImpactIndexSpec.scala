@@ -1,0 +1,165 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The at-rest BM25 impact index ([[graft.operators.ImpactIndex]]) and
+  * the shared addend kernel ([[graft.operators.TextRank.bm25Impacts]]):
+  * kernel parity (gated ≡ ungated on the gated subset), store roundtrip
+  * exactness, the de-broadcast plan shape (VERDICT r13 #1a), and the
+  * MaxScore pruned serve's exact-by-refusal contract (r13 #2).
+  */
+class ImpactIndexSpec extends GraftFunSuite {
+  import graft.operators.{ImpactIndex, TextRank}
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+
+  private lazy val storeDir: String = {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_impact_spec").toString
+    ImpactIndex.write(docs, dir, buckets = 16)
+    dir
+  }
+
+  test("shared kernel: the gated scorer's addends equal the ungated " +
+       "(impact-build) addends on the gated term subset, bit-for-bit — " +
+       "one formula, one grid, no dual-kernel drift") {
+    import spark.implicits._
+    val terms = Seq("spark", "vector", "join")
+    val gate = terms.toDF("__term")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val gated = rows(TextRank.bm25Impacts(
+      docs, "doc_id", "text", 1.2, 0.75, Some(gate)))
+    val ungated = rows(TextRank.bm25Impacts(
+        docs, "doc_id", "text", 1.2, 0.75, None)
+      .filter(col("__term").isin(terms: _*)))
+    assert(gated.nonEmpty && gated == ungated,
+      s"gated-only=${gated.diff(ungated).take(3)} " +
+      s"ungated-only=${ungated.diff(gated).take(3)}")
+  }
+
+  test("de-broadcast (VERDICT r13 #1a): the ungated impact build carries " +
+       "NO broadcast HINT on the vocabulary-wide df attach — with stat-" +
+       "based auto-broadcast off, it plans as a co-partitioned shuffle " +
+       "join (a hinted broadcast, like the one r13 flagged, would " +
+       "survive) — while the gated scorer's query-bounded hints persist") {
+    // threshold -1 kills STAT-based broadcasts (which are legitimate on
+    // this tiny corpus and impossible on a 100-TB vocabulary) but not
+    // HINTED ones — exactly the discriminator for the r13 defect, whose
+    // broadcast(dfq) hint forced the OOM shape at any scale
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val ungatedPlan = TextRank.bm25Impacts(
+        docs, "doc_id", "text", 1.2, 0.75, None)
+        .queryExecution.sparkPlan.toString
+      assert(!ungatedPlan.contains("BroadcastHashJoin"),
+        s"hinted vocabulary-sized broadcast found in the impact build:\n" +
+        ungatedPlan.linesIterator.filter(_.contains("Broadcast"))
+          .mkString("\n"))
+      assert(ungatedPlan.contains("BroadcastNestedLoopJoin"),
+        "the one-row stats attach should still broadcast (hinted)")
+      import spark.implicits._
+      val gatedPlan = TextRank.bm25Impacts(
+        docs, "doc_id", "text", 1.2, 0.75,
+        Some(Seq("spark").toDF("__term")))
+        .queryExecution.sparkPlan.toString
+      assert(gatedPlan.contains("BroadcastHashJoin"),
+        "the gated scorer's query-bounded gate/df attaches are hinted " +
+        "broadcasts and must persist")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("store roundtrip: impacts and the per-term bound table read back " +
+       "exactly what the kernel computed; the bucket layout agrees with " +
+       "the driver-side bucketOf; a term's serve scan partition-prunes " +
+       "to its buckets") {
+    val idx = ImpactIndex.read(spark, storeDir)
+    assert(idx.buckets == 16 && idx.k1 == 1.2 && idx.b == 0.75)
+    val mem = TextRank.bm25Impacts(docs, "doc_id", "text", 1.2, 0.75, None)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val atRest = idx.impacts
+      .select(col("__term"), col("doc_id"), col("__a"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(atRest == mem, "at-rest addends must be bit-identical")
+    // bound table = exact per-term aggregate of the impacts
+    val boundMem = mem.groupBy(_._1).map { case (t, rs) =>
+      (t, rs.size.toLong, rs.map(_._3).max) }.toSet
+    val boundRest = idx.terms.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(boundRest == boundMem)
+    // physical layout: every row of a term sits in bucketOf(term)
+    val misplaced = idx.impacts
+      .filter(pmod(xxhash64(col("__term")), lit(16L)).cast("int")
+                =!= col("__bkt"))
+      .count()
+    assert(misplaced == 0L, s"$misplaced rows in the wrong bucket")
+    // the serve scan carries the bucket literals as PARTITION filters —
+    // the pruned-read contract of impactsFor
+    val plan = idx.impactsFor(Seq("spark", "vector"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("__bkt"),
+      s"impactsFor must partition-prune on __bkt:\n$plan")
+  }
+
+  test("bm25TopKStored equals bm25TopK rank-for-rank; bm25TopKPruned is " +
+       "EXACT at every covering essential (monotonicity: more essential " +
+       "terms never change the answer) and REFUSES when the skipped " +
+       "upper bound could reach the top-k") {
+    val idx = ImpactIndex.read(spark, storeDir)
+    val terms = Seq("spark", "vector", "join")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(_._1)
+    val exact = key(TextRank.bm25TopK(docs, terms, k = 5))
+    assert(exact.nonEmpty)
+    assert(key(ImpactIndex.bm25TopKStored(idx, terms, k = 5)) == exact,
+      "stored serve must equal the from-text serve")
+    // every essential level either refuses (assert_true surfaces as a
+    // runtime SparkException chain) or returns EXACTLY the exact answer —
+    // never a silently degraded one; at essential = |terms| the guard is
+    // trivially covered (nothing skipped)
+    var covered = 0
+    for (ess <- 1 to terms.length) {
+      try {
+        assert(key(ImpactIndex.bm25TopKPruned(idx, terms, k = 5,
+                                              essential = ess)) == exact,
+          s"covering essential=$ess must reproduce the exact top-k")
+        covered += 1
+      } catch {
+        case e: Throwable =>
+          val msgs = Iterator.iterate(e)(_.getCause)
+            .takeWhile(_ != null)
+            .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+          assert(msgs.contains("does not cover"), msgs)
+      }
+    }
+    assert(covered >= 1, "at least essential=|terms| must cover")
+    // guaranteed refusals on a constructed corpus: two disjoint
+    // singleton-term docs — essential=1 surfaces only one doc, so
+    // k=2 under-fills (cnt < k) and k=1 ties the skipped bound (not
+    // strictly below θ); both must throw, not silently prune
+    import spark.implicits._
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft_impact_refuse").toString
+    ImpactIndex.write(Seq((1L, "x"), (2L, "y")).toDF("doc_id", "text"),
+                      dir2, buckets = 4)
+    val idx2 = ImpactIndex.read(spark, dir2)
+    for (k <- Seq(1, 2)) {
+      val e = intercept[Throwable] {
+        ImpactIndex.bm25TopKPruned(idx2, Seq("x", "y"), k = k,
+                                   essential = 1).collect()
+      }
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("does not cover"), s"k=$k: $msgs")
+    }
+    // essential = 2 skips nothing → exact both docs at k = 2
+    assert(ImpactIndex.bm25TopKPruned(idx2, Seq("x", "y"), k = 2,
+                                      essential = 2).count() == 2L)
+    // absent-everywhere query terms: exact answer is empty, no refusal
+    assert(ImpactIndex.bm25TopKPruned(idx2, Seq("zz"), k = 3,
+                                      essential = 1).count() == 0L)
+  }
+}
