@@ -725,6 +725,110 @@ class StreamingSpec extends GraftFunSuite {
     } finally q2.stop()
   }
 
+  test("editDistPairStream: supplementary-plane (non-BMP) text gets " +
+       "codepoint distances — stream equals batch off the BMP") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    // MATHEMATICAL DOUBLE-STRUCK letters are supplementary-plane (two
+    // UTF-16 units each): a UTF-16 kernel both mis-grams (surrogate-half
+    // substrings) and double-counts substitutions (a 2-codepoint edit
+    // looks like 4 unit edits), silently dropping the long pair past
+    // maxDist — the ADVICE r13 divergence this pins against the batch
+    // tier, whose Spark length/substring/levenshtein all count codepoints
+    val s1 = "𝕒𝕓𝕔𝕕𝕖𝕗𝕘𝕙𝕚𝕛𝕜𝕝" // 12 codepoints (24 UTF-16 units)
+    val s2 = "𝕒𝕓𝕔𝕕𝕖𝕗𝕘𝕙𝕚𝕛𝕏𝕐" // two tail substitutions → dist 2
+    val s3 = "𝕒𝕓𝕔"             // short path (3 < q·(d+1) = 9)
+    val s4 = "𝕒𝕏𝕔"             // one substitution → dist 1
+    val rows = Seq((1L, s1), (2L, s2), (3L, s3), (4L, s4))
+    val batch = graft.operators.GraftDedup.editDistancePairs(
+        rows.toDF("doc_id", "text"), maxDist = 2, q = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch == Set((1L, 2L, 2L), (3L, 4L, 1L)), batch.toString)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val df = input.toDF().toDF("doc_id", "ts", "text")
+    val q = CorpusStreams
+      .editDistPairStream(df, maxDist = 2, q = 3, horizonMinutes = 60)
+      .writeStream.format("memory").queryName("editdist_nonbmp")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.map { case (id, txt) => (id, ts(id.toInt), txt) })
+      q.processAllAvailable()
+      val streamed = spark.table("editdist_nonbmp")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream-only=${streamed.diff(batch)} batch-only=${batch.diff(streamed)}")
+    } finally q.stop()
+  }
+
+  test("componentStream: min-per-id over the emitted deltas equals batch " +
+       "connectedComponents over the in-horizon pairs; cross-batch chain " +
+       "merges TIGHTEN labels; the horizon separates; overflow evicts a " +
+       "whole component with the marker row") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, Timestamp)]
+    val df = input.toDF().toDF("a_id", "b_id", "ts")
+    val q = CorpusStreams.componentStream(df, horizonMinutes = 60)
+      .writeStream.format("memory").queryName("comp_stream")
+      .outputMode("append").start()
+    try {
+      // three micro-batches: two islands, then a chain extension and a
+      // new min, then one bridge folding everything into component 0
+      input.addData(Seq((1L, 2L, ts(0)), (5L, 6L, ts(5))))
+      q.processAllAvailable()
+      input.addData(Seq((2L, 3L, ts(10)), (0L, 6L, ts(12))))
+      q.processAllAvailable()
+      input.addData(Seq((3L, 5L, ts(15))))
+      q.processAllAvailable()
+      val emitted = spark.table("comp_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val finalLbl = emitted.groupBy(_._1)
+        .map { case (id, rs) => id -> rs.map(_._2).min }
+      val batch = graft.operators.GraftDedup.connectedComponents(
+          Seq((1L, 2L), (5L, 6L), (2L, 3L), (0L, 6L), (3L, 5L))
+            .toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(finalLbl == batch,
+        s"stream=$finalLbl batch=$batch")
+      // tightening is visible: 5 was first labeled 5, then 0 after the
+      // bridge — both deltas are in the append stream
+      assert(emitted.contains((5L, 5L)) && emitted.contains((5L, 0L)))
+    } finally q.stop()
+    // horizon: a component whose every pair is stale evicts whole; the
+    // late pair starts a FRESH component instead of merging with it
+    val in2 = MemoryStream[(Long, Long, Timestamp)]
+    val q2 = CorpusStreams
+      .componentStream(in2.toDF().toDF("a_id", "b_id", "ts"),
+                       horizonMinutes = 30)
+      .writeStream.format("memory").queryName("comp_horizon")
+      .outputMode("append").start()
+    try {
+      in2.addData(Seq((1L, 2L, ts(0)))); q2.processAllAvailable()
+      in2.addData(Seq((2L, 3L, ts(200)))); q2.processAllAvailable()
+      val got = spark.table("comp_horizon")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == Seq((1L, 1L), (2L, 1L), (2L, 2L), (3L, 2L)),
+        got.mkString(","))
+    } finally q2.stop()
+    // overflow: maxResidents 2 — the second pair evicts the OLDEST
+    // whole component and emits the (root, -1) marker
+    val in3 = MemoryStream[(Long, Long, Timestamp)]
+    val q3 = CorpusStreams
+      .componentStream(in3.toDF().toDF("a_id", "b_id", "ts"),
+                       horizonMinutes = 60, maxResidents = 2)
+      .writeStream.format("memory").queryName("comp_overflow")
+      .outputMode("append").start()
+    try {
+      in3.addData(Seq((1L, 2L, ts(0)), (10L, 11L, ts(1))))
+      q3.processAllAvailable()
+      val got = spark.table("comp_overflow")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got == Seq((1L, -1L), (10L, 10L), (11L, 10L)),
+        got.mkString(","))
+    } finally q3.stop()
+  }
+
   test("nearDupPairStream: docs farther apart than the horizon never pair, " +
        "and each pair is emitted exactly once") {
     import graft.streaming.CorpusStreams
@@ -936,6 +1040,40 @@ class StreamingSpec extends GraftFunSuite {
           s"stream-only=${streamed.diff(batchServe).take(5)} " +
           s"batch-only=${batchServe.diff(streamed).take(5)}")
       } finally q.stop()
+      // STORED-impact serve (VERDICT r13 #1c): the same stream off an
+      // at-rest ImpactIndex — addends at rest are the shared kernel's,
+      // so stored-serve ≡ in-memory-serve ≡ batch, bit-for-bit; and the
+      // batch hybridTopKWithImpacts off the same store matches too
+      val storeDir = java.nio.file.Files
+        .createTempDirectory("graft_impact_store").toString
+      graft.operators.ImpactIndex.write(docs, storeDir, buckets = 16)
+      val stored = graft.operators.ImpactIndex.read(spark, storeDir)
+      val batchStored = HybridRetrieval.hybridTopKWithImpacts(
+          idx, stored, qBatch, k = 10, kCand = 30, rrfK = 60, nprobe = 4)
+        .collect().map(key).toSet
+      assert(batchStored == batchServe,
+        "batch serve off the stored impacts must equal the corpus-fold serve")
+      val input2 = MemoryStream[(Long, Timestamp, List[String], List[Double])]
+      val df2 = input2.toDF().toDF("q_id", "ts", "q_terms", "qv")
+      val q2 = CorpusStreams
+        .hybridServeStreamStored(idx, stored.impacts, df2,
+                                 k = 10, kCand = 30, rrfK = 60,
+                                 nprobe = 4, latenessMinutes = 10)
+        .writeStream.format("memory").queryName("hybrid_serve_stored")
+        .outputMode("append").start()
+      try {
+        input2.addData(h1); q2.processAllAvailable()
+        input2.addData(h2); q2.processAllAvailable()
+        input2.addData(Seq((999999L, ts(600), List("the"), rows.head._4)))
+        q2.processAllAvailable()
+        val streamed2 = spark.table("hybrid_serve_stored")
+          .filter(col("q_id") =!= 999999L)
+          .select("q_id", "doc_id", "rank", "rrf", "lex_rank", "sem_rank")
+          .collect().map(key).toSet
+        assert(streamed2 == batchServe,
+          s"stored-stream-only=${streamed2.diff(batchServe).take(5)} " +
+          s"batch-only=${batchServe.diff(streamed2).take(5)}")
+      } finally q2.stop()
     } finally { idx.unpersist(); () }
   }
 
