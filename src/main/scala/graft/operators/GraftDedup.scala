@@ -546,6 +546,75 @@ object GraftDedup {
       .withColumn("keep", col(idCol) === col("cluster_id"))
   }
 
+  /** INCREMENTAL keep-set maintenance (VERDICT r13 #3): fold a batch of
+    * NEW documents and NEW verified pairs into an existing [[keepSet]]
+    * table WITHOUT recomputing the corpus-wide transitive closure — the
+    * daily-increment shape at 100 TB, where the stored (id, cluster_id,
+    * keep) table is corpus-sized but the increment touches a sliver.
+    *
+    * Inputs: `prev` = a [[keepSet]] output over the existing corpus
+    * (its pair set already folded in — cluster_id is each old
+    * component's min id); `newIds` = the increment's ids (disjoint from
+    * `prev`'s); `newPairs` = any verified pairs involving the increment
+    * AND/OR newly discovered old–old links (endpoints must lie in
+    * prev ∪ newIds). Output: the [[keepSet]] table of the UNION —
+    * bit-identical to `keepSet(allIds, oldPairs ∪ newPairs)` recomputed
+    * from scratch (DedupSpec pins it; the `dedup_keepset_incremental`
+    * oracle replays the from-scratch closure).
+    *
+    * Why it is exact: `prev`'s labels are a CONTRACTION of the old
+    * pair-graph — every old component is one supernode named by its min
+    * member id. Components of (old pairs ∪ new pairs) therefore equal
+    * components of (contracted edges), where each new pair's endpoints
+    * map through their old labels (new ids name themselves). And the min
+    * LABEL of a merged component IS the min member id (each label is
+    * already its component's min), so the from-scratch "cluster = min
+    * id" convention survives contraction.
+    *
+    * Scale shape: the contracted graph is NEW-PAIR-sized —
+    * [[connectedComponents]] runs on the sliver, never the corpus; the
+    * label remap attaches back to `prev` through [[ScaleHints.gated]]
+    * (a pure map over the stored table's scan while the affected-
+    * cluster set is small — no corpus shuffle); untouched clusters'
+    * rows pass through byte-identical.
+    */
+  def keepSetIncremental(prev: DataFrame, newIds: DataFrame,
+                         newPairs: DataFrame, idCol: String = "doc_id",
+                         aCol: String = "a_id", bCol: String = "b_id")
+      : DataFrame = {
+    val prevLbl = prev.select(col(idCol), col("cluster_id"))
+    // contract each new pair's endpoints through the stored labels —
+    // endpoints outside prev (the new ids) name themselves
+    val contracted = newPairs
+      .select(col(aCol).as("__pa"), col(bCol).as("__pb"))
+      .join(ScaleHints.gated(prevLbl.select(col(idCol).as("__pa"),
+                                            col("cluster_id").as("__la"))),
+            Seq("__pa"), "left")
+      .join(ScaleHints.gated(prevLbl.select(col(idCol).as("__pb"),
+                                            col("cluster_id").as("__lb"))),
+            Seq("__pb"), "left")
+      .select(coalesce(col("__la"), col("__pa")).as("a_id"),
+              coalesce(col("__lb"), col("__pb")).as("b_id"))
+    // closure of the contracted sliver only — (old label | new id) →
+    // merged component's min id
+    val remap = connectedComponents(contracted)
+      .select(col("id").as("__node"), col("component"))
+    val oldRows = prev.select(col(idCol), col("cluster_id"))
+      .join(ScaleHints.gated(remap.select(col("__node").as("cluster_id"),
+                                          col("component"))),
+            Seq("cluster_id"), "left")
+      .select(col(idCol),
+              coalesce(col("component"), col("cluster_id")).as("cluster_id"))
+    val newRows = newIds.select(col(idCol))
+      .join(ScaleHints.gated(remap.select(col("__node").as(idCol),
+                                          col("component"))),
+            Seq(idCol), "left")
+      .select(col(idCol),
+              coalesce(col("component"), col(idCol)).as("cluster_id"))
+    oldRows.unionByName(newRows)
+      .withColumn("keep", col(idCol) === col("cluster_id"))
+  }
+
   /** CLUSTER-disjoint train/test split: route each document by a hash of
     * its near-dup CLUSTER id, not its own id — so a near-duplicate pair
     * (or a whole transitive cluster) can never straddle the boundary and

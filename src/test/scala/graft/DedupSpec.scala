@@ -386,4 +386,47 @@ class DedupSpec extends GraftFunSuite {
       GraftDedup.editDistancePairs(docs, maxDist = 2, q = 1)
     }
   }
+
+  test("keepSetIncremental equals from-scratch keepSet over the union: " +
+       "joins, BRIDGES between two old clusters, late-discovered old-old " +
+       "links, new-new pairs, new singletons, and untouched clusters all " +
+       "land bit-identically") {
+    import spark.implicits._
+    import graft.operators.GraftDedup
+    // old corpus: clusters {1,2}, {5,6}, {10,11}; singletons 20, 21
+    val oldIds = Seq(1L, 2L, 5L, 6L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val oldPairs = Seq((1L, 2L), (5L, 6L), (10L, 11L)).toDF("a_id", "b_id")
+    val prev = GraftDedup.keepSet(oldIds, oldPairs)
+    // increment: 30 joins {1,2}; 40 BRIDGES {5,6} and {10,11}; 0 joins
+    // the bridged cluster and is the new global min; (60, 61) is a
+    // new-new pair; 50 arrives pairless; (20, 2) is a late-discovered
+    // old-old link folding singleton 20 into {1,2}; 21 stays untouched
+    val newIds = Seq(30L, 40L, 50L, 60L, 61L, 0L).toDF("doc_id")
+    val newPairs = Seq((2L, 30L), (6L, 40L), (10L, 40L), (0L, 11L),
+                       (60L, 61L), (20L, 2L)).toDF("a_id", "b_id")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val incremental = rows(
+      GraftDedup.keepSetIncremental(prev, newIds, newPairs))
+    val scratch = rows(GraftDedup.keepSet(
+      oldIds.unionByName(newIds),
+      oldPairs.unionByName(newPairs)))
+    assert(incremental == scratch,
+      s"inc-only=${incremental.diff(scratch)} " +
+      s"scratch-only=${scratch.diff(incremental)}")
+    // the bridged cluster's min is the NEW id 0 (label-min propagation
+    // through the contraction), old 21 is untouched, 50 keeps alone
+    val byId = incremental.map(t => t._1 -> t).toMap
+    assert(byId(0L) == ((0L, 0L, true)))
+    assert(byId(5L) == ((5L, 0L, false)) && byId(40L) == ((40L, 0L, false)))
+    assert(byId(20L) == ((20L, 1L, false)))
+    assert(byId(21L) == ((21L, 21L, true)))
+    assert(byId(50L) == ((50L, 50L, true)))
+    assert(byId(60L) == ((60L, 60L, true)) && byId(61L) == ((61L, 60L, false)))
+    // empty increment: the stored table passes through byte-identical
+    val noop = rows(GraftDedup.keepSetIncremental(
+      prev, newIds.limit(0), newPairs.limit(0)))
+    assert(noop == rows(prev))
+  }
 }
