@@ -64,6 +64,13 @@ object GraftGraph {
     * Returns `(node_id, pr_micro)` — the exact integer micro-rank;
     * divide by `grid` for a float score.
     *
+    * `initialRanks`: WARM-START from a previous snapshot's
+    * (node_id, pr_micro) — the crawl-refresh path. New nodes take the
+    * cold default; on an unchanged graph warm(n, seed = cold(m)) equals
+    * cold(m + n) exactly (each round is a pure function of the prior
+    * state), so a refresh pays only the marginal iterations to
+    * re-converge instead of the full budget from uniform.
+    *
     * 100-TB shape: the rank state is 16 B/node; each iteration
     * shuffles partial contribution sums keyed by dst (map-side
     * combine) and joins state to edges on src — both keyed by node id,
@@ -74,9 +81,10 @@ object GraftGraph {
   def pageRank(edges: DataFrame, iters: Int = 3, dampingPct: Int = 85,
                grid: Long = PageRankGrid,
                srcCol: String = "src", dstCol: String = "dst",
-               danglingRedistribute: Boolean = false): DataFrame =
+               danglingRedistribute: Boolean = false,
+               initialRanks: Option[DataFrame] = None): DataFrame =
     pageRankBody(edges, None, iters, dampingPct, grid, srcCol, dstCol,
-                 danglingRedistribute)
+                 danglingRedistribute, initialRanks)
 
   /** Personalized (topic-sensitive) PageRank: the teleport term lands
     * ONLY on the `seeds` node set — rank flows outward from trusted
@@ -110,7 +118,8 @@ object GraftGraph {
   private def pageRankBody(edges: DataFrame, seeds: Option[DataFrame],
                            iters: Int, dampingPct: Int, grid: Long,
                            srcCol: String, dstCol: String,
-                           danglingRedistribute: Boolean = false)
+                           danglingRedistribute: Boolean = false,
+                           initialRanks: Option[DataFrame] = None)
       : DataFrame = {
     require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
     require(dampingPct >= 0 && dampingPct <= 100,
@@ -163,11 +172,31 @@ object GraftGraph {
       if (danglingRedistribute)
         Seq(col("node_id"), col("__base"), col("__dang"))
       else Seq(col("node_id"), col("__base"))
-    var ranks = nodes
-      .select(stateCols :+
-              (if (seeds.isEmpty) lit(grid)
-               else when(col("__seed") === 1, lit(grid)).otherwise(lit(0L)))
-                .as("pr_micro"): _*)
+    // WARM START (VERDICT r13 #5): seed the state from a previous
+    // snapshot's (node_id, pr_micro) — the crawl-refresh shape, where a
+    // rerun should CONTINUE from yesterday's fixpoint instead of
+    // restarting at uniform. Nodes absent from the snapshot (new pages)
+    // take the cold default. Because each round is a pure function of
+    // the previous state, warm(n, seed = cold(m)) ≡ cold(m + n)
+    // bit-for-bit on an unchanged graph — the property the
+    // graph_pagerank_warm oracle certifies — and seeding from a
+    // fixpoint is stable (GraphSpec pins both).
+    val coldStart =
+      if (seeds.isEmpty) lit(grid)
+      else when(col("__seed") === 1, lit(grid)).otherwise(lit(0L))
+    val startExpr = initialRanks match {
+      case None => coldStart
+      case Some(_) => coalesce(col("__pr0"), coldStart)
+    }
+    val nodesStart = initialRanks match {
+      case None => nodes
+      case Some(ir) => nodes.join(
+        ir.select(col("node_id").cast("long").as("node_id"),
+                  col("pr_micro").cast("long").as("__pr0")),
+        Seq("node_id"), "left")
+    }
+    var ranks = nodesStart
+      .select(stateCols :+ startExpr.as("pr_micro"): _*)
       .localCheckpoint()
     var i = 0
     while (i < iters) {

@@ -62,6 +62,59 @@ object GraphQueries extends QueryModule {
         |       FROM nodes n LEFT JOIN c3 USING (node_id))
         |SELECT node_id, CAST(r AS BIGINT) AS pr_micro FROM r3""".stripMargin)),
 
+    // WARM-START PageRank (VERDICT r13 #5 — the crawl-refresh path):
+    // run 3 cold rounds, snapshot, then CONTINUE 2 more rounds seeded
+    // from the snapshot via initialRanks. Because each round is a pure
+    // function of the previous state, warm(2, seed = cold(3)) must equal
+    // cold(5) EXACTLY — and that is what the oracle replays: five
+    // integer-exact rounds from uniform. Hash-equality certifies the
+    // warm continuation is bit-faithful to never having stopped, which
+    // is precisely the property a refresh pipeline needs to trust
+    // yesterday's ranks as today's starting state.
+    GraftQuery(
+      "graph_pagerank_warm",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val edges = li.select((col("l_orderkey") * 2).as("src"),
+                              (col("l_partkey") * 2 + 1).as("dst"))
+        val snapshot = GraftGraph.pageRank(edges, iters = 3)
+        GraftGraph.pageRank(edges, iters = 2,
+                            initialRanks = Some(snapshot))
+      },
+      Some(s"""WITH $edgeCte,
+        |r0 AS (SELECT node_id, 1000000::BIGINT AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node_id, sum(r0.r // d.dg) AS s
+        |       FROM e JOIN deg d ON d.src = e.src
+        |       JOIN r0 ON r0.node_id = e.src GROUP BY e.dst),
+        |r1 AS (SELECT n.node_id,
+        |         (15000000 + 85 * coalesce(c1.s, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c1 USING (node_id)),
+        |c2 AS (SELECT e.dst AS node_id, sum(r1.r // d.dg) AS s
+        |       FROM e JOIN deg d ON d.src = e.src
+        |       JOIN r1 ON r1.node_id = e.src GROUP BY e.dst),
+        |r2 AS (SELECT n.node_id,
+        |         (15000000 + 85 * coalesce(c2.s, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c2 USING (node_id)),
+        |c3 AS (SELECT e.dst AS node_id, sum(r2.r // d.dg) AS s
+        |       FROM e JOIN deg d ON d.src = e.src
+        |       JOIN r2 ON r2.node_id = e.src GROUP BY e.dst),
+        |r3 AS (SELECT n.node_id,
+        |         (15000000 + 85 * coalesce(c3.s, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c3 USING (node_id)),
+        |c4 AS (SELECT e.dst AS node_id, sum(r3.r // d.dg) AS s
+        |       FROM e JOIN deg d ON d.src = e.src
+        |       JOIN r3 ON r3.node_id = e.src GROUP BY e.dst),
+        |r4 AS (SELECT n.node_id,
+        |         (15000000 + 85 * coalesce(c4.s, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c4 USING (node_id)),
+        |c5 AS (SELECT e.dst AS node_id, sum(r4.r // d.dg) AS s
+        |       FROM e JOIN deg d ON d.src = e.src
+        |       JOIN r4 ON r4.node_id = e.src GROUP BY e.dst),
+        |r5 AS (SELECT n.node_id,
+        |         (15000000 + 85 * coalesce(c5.s, 0)) // 100 AS r
+        |       FROM nodes n LEFT JOIN c5 USING (node_id))
+        |SELECT node_id, CAST(r AS BIGINT) AS pr_micro FROM r5""".stripMargin)),
+
     // PageRank with DANGLING-MASS redistribution (VERDICT r12 #7): the
     // bipartite purchase graph is maximally sink-heavy — every part
     // node dangles — so this row exercises the variant where the

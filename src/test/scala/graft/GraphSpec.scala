@@ -202,4 +202,48 @@ class GraphSpec extends GraftFunSuite {
       GraftGraph.labelPropagation(edges, iters = 0)
     }
   }
+
+  test("pageRank warm start: warm(n, seed = cold(m)) equals cold(m + n) " +
+       "bit-for-bit; seeding from a fixpoint is stable; new nodes take " +
+       "the cold default; an empty seed degrades to the cold start") {
+    def ranks(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // asymmetric graph (ranks move every round): 1→2, 1→3, 2→3, 3→1
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L))
+      .toDF("src", "dst")
+    val cold3 = GraftGraph.pageRank(edges, iters = 3)
+    val warm = ranks(GraftGraph.pageRank(edges, iters = 2,
+                                         initialRanks = Some(cold3)))
+    val cold5 = ranks(GraftGraph.pageRank(edges, iters = 5))
+    assert(warm == cold5,
+      s"warm continuation must equal never having stopped: " +
+      s"warm=$warm cold5=$cold5")
+    assert(ranks(cold3) != cold5,
+      "sanity: the graph must not already be at a fixpoint at round 3")
+    // fixpoint stability: a 2-cycle is 1-regular, so uniform grid is the
+    // exact integer fixpoint at damping 85 — warm-starting from it stays
+    // put for any budget
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val fix = GraftGraph.pageRank(cyc, iters = 1)
+    assert(ranks(fix).values.toSet == Set(GraftGraph.PageRankGrid))
+    assert(ranks(GraftGraph.pageRank(cyc, iters = 4,
+                                     initialRanks = Some(fix)))
+             == ranks(fix),
+      "warm-from-fixpoint must be stable")
+    // new node: seed covers only {1, 2}; node 3 (new page) starts at
+    // grid — one warm round over 1→2, 3→2 gives 2 the contributions of
+    // BOTH the seeded 1 and the cold-defaulted 3
+    val g2 = Seq((1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val seed = Seq((1L, 200L), (2L, 999L)).toDF("node_id", "pr_micro")
+    val w1 = ranks(GraftGraph.pageRank(g2, iters = 1, grid = 100L,
+                                       initialRanks = Some(seed)))
+    // r(2) = (15·100 + 85·(200 + 100)) div 100 = (1500 + 25500) div 100
+    assert(w1(2L) == 270L, s"got $w1")
+    assert(w1(1L) == 15L && w1(3L) == 15L)
+    // empty seed: every node cold-defaults — warm ≡ cold at any iters
+    val empty = seed.limit(0)
+    assert(ranks(GraftGraph.pageRank(edges, iters = 3,
+                                     initialRanks = Some(empty)))
+             == ranks(cold3))
+  }
 }
