@@ -33,6 +33,13 @@ import org.apache.spark.sql.functions._
   *   - the `terms` summary is one row per DISTINCT term (vocabulary-
   *     sized at rest, but probed by `__term IN (<query terms>)` — a
   *     model-sized read per query);
+  *   - deliberately NO append path (unlike the vector stores): a BM25
+  *     addend bakes in GLOBAL corpus statistics (df, N, avgdl), so any
+  *     corpus change invalidates every stored addend — an "append"
+  *     could only offer silently-stale scoring (the drift real
+  *     per-segment engines accept implicitly). This store's contract is
+  *     the honest one: rebuild on corpus change ([[write]] overwrites),
+  *     refresh cadence = however stale the deployment tolerates its idf;
   *   - [[bm25TopKPruned]] cuts posting traversal below even that: only
   *     the ESSENTIAL (highest-max-impact) terms' postings generate
   *     candidates, with the threshold-vs-upper-bound test verifying
