@@ -50,7 +50,15 @@ object BenchIsolated {
     "text_jw_linkage", "ann_hybrid_mmr", "ann_hybrid_b1",
     // r13 fifth batch: LPA communities, NDCG eval, filtered MMR
     "graph_lpa_communities", "ann_ndcg_eval", "ann_mmr_filtered",
-    "ann_mrr_eval")
+    "ann_mrr_eval",
+    // r14: the impact-index family (stored BM25 serve + MaxScore pruned
+    // serve + stored-lexical fusion — text_bm25_topk above is their
+    // rebuild-per-run baseline), incremental keep-set (vs the
+    // from-scratch dedup_neardup_clusters), warm-start PageRank (vs the
+    // cold graph_pagerank)
+    "text_bm25_stored", "text_bm25_pruned", "ann_hybrid_impact_stored",
+    "dedup_keepset_incremental", "graph_pagerank_warm", "graph_pagerank",
+    "dedup_neardup_clusters")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

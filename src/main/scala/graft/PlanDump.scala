@@ -87,7 +87,16 @@ object PlanDump {
                     // r13 fifth batch: LPA communities, NDCG eval, the
                     // filtered diversified serve
                     "graph_lpa_communities", "ann_ndcg_eval",
-                    "ann_mmr_filtered", "ann_mrr_eval")
+                    "ann_mmr_filtered", "ann_mrr_eval",
+                    // r14: the at-rest impact index family (the stored
+                    // serve must show __bkt PartitionFilters; the pruned
+                    // serve adds the candidate semi-join + covering
+                    // guard), stored-lexical fusion, incremental
+                    // keep-set (contracted-sliver closure + gated
+                    // remap), warm-start PageRank (seeded state join)
+                    "text_bm25_stored", "text_bm25_pruned",
+                    "ann_hybrid_impact_stored",
+                    "dedup_keepset_incremental", "graph_pagerank_warm")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")
