@@ -173,8 +173,16 @@ object ImpactIndex {
     * under-pruning is an error, never a silently-degraded result (the
     * minhashBanding / rerank-budget contract). At 100 TB this is the
     * serve path for queries carrying stopword-adjacent terms: the
-    * stopword's corpus-sized posting list is consulted only for
-    * candidates the rare terms already surfaced, never traversed.
+    * stopword's corpus-sized posting list never enters the
+    * per-document aggregation — the candidate semi-join drops its
+    * non-candidate rows before any shuffle, so the grouped/shuffled
+    * volume is candidates × query terms, not Σ posting lengths
+    * (ImpactIndexSpec pins the reduction on a skewed corpus). The
+    * skipped term's bucket is still SCANNED once (columnar I/O, no
+    * shuffle) — cutting that too would take doc-ordered postings with
+    * candidate-range row-group stats, a layout trade this store does
+    * not make (term-sorted files buy the serve-path term pruning
+    * instead).
     *
     * Monotonicity (spec-pinned): any `essential` that passes the test
     * yields the identical output; larger `essential` only widens the

@@ -1787,6 +1787,83 @@ object CorpusStreams {
                               GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class SampleRowIn(stratum: String, id: Long)
+  final case class SampleDelta(stratum: String, id: Long, event: String)
+  final case class SampleState(entries: List[(String, Long)])
+
+  /** Streaming fixed-SIZE uniform sample — the online twin of the
+    * `sample_fixed_size` / `sample_stratified` batch rows: maintain,
+    * per stratum, the `n` rows with the smallest `md5(id)` priorities
+    * seen so far on an unbounded stream. Same derandomized rule as the
+    * batch tier (n smallest md5-hex strings, ties to the lower id), so
+    * the maintained set over any prefix of the stream EQUALS the batch
+    * bottom-n over the same rows — regardless of arrival order or
+    * micro-batch boundaries (StreamingSpec pins it).
+    *
+    * Emission contract (append mode): `(stratum, id, "in")` when a row
+    * enters the sample, `(stratum, id, "out")` when a later, smaller
+    * priority evicts it. The admission threshold (the n-th smallest
+    * priority) only ever TIGHTENS, so an evicted id can never re-enter
+    * and a re-delivered id no-ops — `entered \ evicted` per stratum
+    * reconstructs the exact current sample with no ordering or
+    * timestamp bookkeeping.
+    *
+    * Scale shape: state is EXACTLY n (md5, id) slots per stratum — O(n)
+    * by construction, no watermark needed (a reservoir summarizes the
+    * whole history; there is nothing to expire). Strata shard the state
+    * store like any keyed aggregation; the single-stratum default is
+    * one n-slot group, the honest cost of a global sample.
+    */
+  def fixedSampleStream(rows: DataFrame, n: Int,
+                        idCol: String = "doc_id",
+                        strataCol: Option[String] = None)
+      : Dataset[SampleDelta] = {
+    require(n >= 1, s"fixedSampleStream: n must be >= 1, got $n")
+    import rows.sparkSession.implicits._
+    val keyed = rows
+      .select(strataCol.map(col).getOrElse(lit("")).cast("string")
+                .as("stratum"),
+              col(idCol).cast("long").as("id"))
+      .as[SampleRowIn]
+    def update(stratum: String, it: Iterator[SampleRowIn],
+               state: GroupState[SampleState]): Iterator[SampleDelta] = {
+      // entries sorted ascending by (md5, id) — head = best, last = the
+      // admission threshold
+      var entries = state.getOption.map(_.entries).getOrElse(Nil)
+      val out = List.newBuilder[SampleDelta]
+      val present = scala.collection.mutable.HashSet[Long](
+        entries.map(_._2): _*)
+      // same md5-hex priority as Spark's md5(cast(id AS string)) — the
+      // batch rule, computed with the JDK digest (no codec dependency)
+      def md5Hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          .map(b => f"$b%02x").mkString
+      for (r <- it.toIndexedSeq.sortBy(_.id) if !present(r.id)) {
+        val pri = md5Hex(r.id.toString)
+        val key = (pri, r.id)
+        val admit = entries.lengthCompare(n) < 0 ||
+          implicitly[Ordering[(String, Long)]].lt(key, entries.last)
+        if (admit) {
+          entries = (key :: entries).sorted
+          present += r.id
+          out += SampleDelta(stratum, r.id, "in")
+          if (entries.lengthCompare(n) > 0) {
+            val evict = entries.last
+            entries = entries.init
+            present -= evict._2
+            out += SampleDelta(stratum, evict._2, "out")
+          }
+        }
+      }
+      state.update(SampleState(entries))
+      out.result().iterator
+    }
+    keyed.groupByKey(_.stratum)
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.NoTimeout)(update)
+  }
+
   final case class CompPairIn(a_id: Long, b_id: Long,
                               ts: java.sql.Timestamp)
   final case class CompLabelOut(id: Long, component: Long)

@@ -162,4 +162,38 @@ class ImpactIndexSpec extends GraftFunSuite {
     assert(ImpactIndex.bm25TopKPruned(idx2, Seq("zz"), k = 3,
                                       essential = 1).count() == 0L)
   }
+
+  test("MaxScore payoff on a skewed corpus: a stopword-class term's " +
+       "postings never enter the per-document aggregation — the pruned " +
+       "serve groups candidates x query-terms rows, not the posting-list " +
+       "sum — while the answer stays exactly the exact one") {
+    import spark.implicits._
+    // 50 docs all contain the stopword; only 3 carry the rare term —
+    // maxa(rare) >> maxa(stopword), so essential = 1 selects the rare
+    // term and the stopword list is pruned from the aggregation
+    val corpus = (1L to 50L)
+      .map(i => (i, if (i <= 3) "the zebra" else "the"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_impact_skew").toString
+    ImpactIndex.write(corpus, dir, buckets = 8)
+    val idx = ImpactIndex.read(spark, dir)
+    val terms = Seq("the", "zebra")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sortBy(_._1)
+    val exact = key(ImpactIndex.bm25TopKStored(idx, terms, k = 2))
+    val pruned = key(ImpactIndex.bm25TopKPruned(idx, terms, k = 2,
+                                                essential = 1))
+    assert(pruned == exact && exact.nonEmpty)
+    // the volume claim, counted the way the operator builds its frames:
+    // exact aggregates every posting of both terms (50 + 3), pruned
+    // only the 3 candidates' postings (3 x 2)
+    val allPostings = idx.impactsFor(terms).count()
+    val cand = idx.impactsFor(Seq("zebra")).select(col("doc_id")).distinct()
+    val prunedPostings = idx.impactsFor(terms)
+      .join(cand, Seq("doc_id"), "left_semi").count()
+    assert(allPostings == 53L && prunedPostings == 6L,
+      s"all=$allPostings pruned=$prunedPostings")
+  }
 }

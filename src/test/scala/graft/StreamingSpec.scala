@@ -760,6 +760,54 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("fixedSampleStream: entered minus evicted equals the batch " +
+       "bottom-n-by-md5 per stratum, across scrambled arrival and " +
+       "micro-batch boundaries; re-delivery no-ops; each id enters and " +
+       "evicts at most once") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // adversarial arrival order: scrambled by a DIFFERENT hash than the
+    // sampling priority, split across two micro-batches
+    val feed = docs.sortBy { case (_, id) => md5hex(s"scramble-$id") }.toSeq
+    val (h1, h2) = feed.splitAt(feed.size / 2)
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("lang", "doc_id")
+    val q = CorpusStreams
+      .fixedSampleStream(df, n = 7, strataCol = Some("lang"))
+      .writeStream.format("memory").queryName("sample_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val afterAll = spark.table("sample_stream").count()
+      input.addData(h1) // full re-delivery of half the corpus: no-op
+      q.processAllAvailable()
+      assert(spark.table("sample_stream").count() == afterAll,
+        "re-delivered rows must not change the sample")
+      val deltas = spark.table("sample_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      // at most one "in" and one "out" per (stratum, id)
+      assert(deltas.groupBy(identity).values.forall(_.length == 1))
+      val entered = deltas.filter(_._3 == "in").map(d => (d._1, d._2)).toSet
+      val evicted = deltas.filter(_._3 == "out").map(d => (d._1, d._2)).toSet
+      assert(evicted.subsetOf(entered))
+      val current = entered -- evicted
+      val want = docs.groupBy(_._1).toSeq.flatMap { case (l, rs) =>
+        rs.map(_._2).sorted.distinct
+          .sortBy(id => (md5hex(id.toString), id)).take(7).map(l -> _)
+      }.toSet
+      assert(current == want,
+        s"stream-only=${current.diff(want)} batch-only=${want.diff(current)}")
+    } finally q.stop()
+  }
+
   test("componentStream: min-per-id over the emitted deltas equals batch " +
        "connectedComponents over the in-horizon pairs; cross-batch chain " +
        "merges TIGHTEN labels; the horizon separates; overflow evicts a " +
