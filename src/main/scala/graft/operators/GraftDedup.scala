@@ -236,18 +236,39 @@ object GraftDedup {
 
   def simHashPairs(df: DataFrame, idCol: String, itemsCol: String,
                    maxHamming: Int = 12, bands: Int = 4): DataFrame = {
+    graft.GraftSession.ensureExtensions(df.sparkSession)
+    hammingPairs64(
+      df.select(col(idCol), expr(s"graft_simhash($itemsCol)").as("__h64")),
+      idCol, "__h64", maxHamming, bands)
+  }
+
+  /** Banded Hamming pairing over ANY precomputed 64-bit signature
+    * column — the LSH core of [[simHashPairs]], factored out so other
+    * 64-bit perceptual signatures ([[GraftMedia.meanHash64]] image
+    * hashes, any future audio fingerprint) reuse one join shape:
+    * signatures split into `bands` equal bit-slices, rows colliding in
+    * ANY band become candidates (one shuffle on (band, slice) — never
+    * all-pairs), verified by exact Hamming ≤ `maxHamming` via
+    * XOR+POPCNT on the already-joined 8-byte values. Candidate recall
+    * is the banded contract: a pair is FOUND iff some band matches
+    * exactly, i.e. its ≤ maxHamming differing bits avoid one whole
+    * slice — guaranteed when maxHamming < bands (pigeonhole), and the
+    * documented LSH trade above it. Returns (a_id, b_id, hamming),
+    * a_id < b_id.
+    */
+  def hammingPairs64(sig: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int, bands: Int = 4): DataFrame = {
     require(64 % bands == 0, s"bands ($bands) must divide 64")
     require(maxHamming >= 0 && maxHamming < 64,
       s"maxHamming should be in [0, 64), got: $maxHamming")
-    graft.GraftSession.ensureExtensions(df.sparkSession)
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val sig = df.select(col(idCol), expr(s"graft_simhash($itemsCol)").as("sh"))
-    val banded = sig.select(col(idCol), col("sh"),
-      explode(expr(
-        s"""transform(sequence(0, ${bands - 1}),
-           b -> struct(b AS band_id,
-                       shiftright(sh, $bits * b) & $mask AS band_hash))""")).as("bh"))
+    val banded = sig
+      .select(col(idCol), col(hashCol).as("sh"),
+        explode(expr(
+          s"""transform(sequence(0, ${bands - 1}),
+             b -> struct(b AS band_id,
+                         shiftright($hashCol, $bits * b) & $mask AS band_hash))""")).as("bh"))
       .select(col(idCol), col("sh"), col("bh.band_id"), col("bh.band_hash"))
     banded.as("x")
       .join(banded.as("y"),

@@ -381,6 +381,47 @@ object GraftMedia {
     if (norm == 0) h else h.map(_ / norm)
   }
 
+  /** PERCEPTUAL mean-hash of a raster (the aHash family — the standard
+    * cheap image near-dup signature): the raster is pooled onto an 8×8
+    * block grid (cell (i, j) covers pixel rows [i·h div 8, (i+1)·h div 8)
+    * × the analogous columns — floor boundaries, cells may be empty on
+    * rasters narrower/shorter than 8), and bit (i, j) of the 64-bit hash
+    * is set iff the CELL mean exceeds the GLOBAL pixel mean. Both means
+    * compare as exact integer cross-products (s_cell · nPix >
+    * sumTotal · a_cell — no division, no floats), so the hash is
+    * bit-deterministic and SQL-replayable; empty cells (a_cell = 0)
+    * compare false. Small luminance perturbations flip few block-vs-
+    * global comparisons, so near-duplicate images land within a small
+    * Hamming distance — pair with [[GraftDedup.hammingPairs64]].
+    */
+  def meanHash64(r: Raster): Long = {
+    val st = stats(r)
+    var hash = 0L
+    var i = 0
+    while (i < 8) {
+      val r0 = i * r.height / 8
+      val r1 = (i + 1) * r.height / 8
+      var j = 0
+      while (j < 8) {
+        val c0 = j * r.width / 8
+        val c1 = (j + 1) * r.width / 8
+        var s = 0L
+        var a = 0L
+        var y = r0
+        while (y < r1) {
+          var x = c0
+          while (x < c1) { s += r.pixels(y * r.width + x); a += 1; x += 1 }
+          y += 1
+        }
+        if (s * st.nPix > st.sumPix * a)
+          hash |= 1L << (i * 8 + j)
+        j += 1
+      }
+      i += 1
+    }
+    hash
+  }
+
   /** Exact integer summary of a raster (the oracle-friendly feature
     * set: sums and extrema, never engine-rounded means). */
   final case class RasterStats(width: Int, height: Int, nPix: Int,

@@ -93,6 +93,15 @@ object ImpactIndex {
     require(buckets >= 1, s"ImpactIndex.write: buckets must be >= 1, " +
       s"got $buckets")
     val spark = docs.sparkSession
+    // the rebuild lifecycle is a rename-committed overwrite — the same
+    // filesystem contract the directory-layout IVF store gates on
+    // (atomic rename; a torn overwrite on an object store could serve
+    // half-old half-new buckets). Publish snapshots to object stores
+    // for read-only serving, as with writeIvfIndex.
+    val hConf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir)
+    GraftSimilarity.requireStoreFsContract(
+      p.getFileSystem(hConf), p, hConf, "ImpactIndex.write")
     val imp = TextRank.bm25Impacts(
         docs.select(col(idCol).cast("long").as("doc_id"), col(textCol)),
         "doc_id", textCol, k1, b, termGate = None)

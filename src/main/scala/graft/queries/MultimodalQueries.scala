@@ -30,6 +30,98 @@ object MultimodalQueries extends QueryModule {
 
   override def all: Seq[GraftQuery] = Seq(
 
+    // PERCEPTUAL image near-dup pairs (r14 — the image analog of
+    // dedup_simhash, completing the multimodal family with the dedup
+    // primitive an image corpus actually runs): every payload decodes
+    // through the REAL codec, hashes to the 64-bit block-mean signature
+    // ([[GraftMedia.meanHash64]] — 8x8 block grid, bit = cell mean >
+    // global mean as an exact integer cross-product), and pairs through
+    // the SHARED banded-Hamming join ([[GraftDedup.hammingPairs64]], the
+    // simHashPairs core factored for any 64-bit perceptual signature) —
+    // one shuffle on (band, slice), never all-pairs. The oracle replays
+    // the whole chain from code points: block sums, the cross-product
+    // threshold, the four 16-bit bands, the any-band-collides candidacy,
+    // and XOR+popcount verification.
+    // The raw corpus has no same-geometry image near-dups (text near-dups
+    // differ in LENGTH, and the raster width is a function of length), so
+    // — the dedup_embedding_cosine precedent — the corpus is augmented
+    // with deterministic twins: an EXACT re-upload (hamming 0, the
+    // guaranteed-pair case every image dedup must catch) and a
+    // same-length 4-character corruption (small pixel perturbation;
+    // whether it stays within maxHamming is data-dependent, and both
+    // engines decide identically).
+    GraftQuery(
+      "mm_ahash_pairs",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val exactTwins = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val perturbed = docs
+          .filter(col("doc_id") % 10 === 5 && length(col("text")) >= 5)
+          .select((col("doc_id") + 200000).as("doc_id"),
+                  concat(lit("ZZZZ"), expr("substring(text, 5)")).as("text"))
+        val hashes = docs.unionAll(exactTwins).unionAll(perturbed)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val r = GraftMedia.decodeGray(
+                GraftMedia.encodeBmp(GraftMedia.payloadRaster(bytes)))
+              (id, GraftMedia.meanHash64(r))
+            }
+          }.toDF("doc_id", "h64")
+        graft.operators.GraftDedup.hammingPairs64(
+          hashes, "doc_id", "h64", maxHamming = 6, bands = 4)
+      },
+      Some("""WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'ZZZZ' || substr(text, 5)
+        |  FROM documents WHERE doc_id % 10 = 5 AND length(text) >= 5),
+        |b AS (
+        |  SELECT doc_id, length(text) n,
+        |    [unicode(x) FOR x IN string_split(text, '')] cs
+        |  FROM aug),
+        |d AS (SELECT doc_id, n, cs, 8 + n % 9 AS w,
+        |        greatest(1, (n + (8 + n % 9) - 1) // (8 + n % 9)) AS h
+        |      FROM b),
+        |tot AS (SELECT doc_id, n, cs, w, h, w * h AS np,
+        |          coalesce(list_sum(cs), 0) AS ts FROM d),
+        |cells AS (
+        |  SELECT doc_id, np, ts, ii.i, jj.j,
+        |    coalesce(list_sum(flatten(
+        |      [[CASE WHEN y * w + x < n THEN cs[y * w + x + 1] ELSE 0 END
+        |        FOR x IN range(j * w // 8, (j + 1) * w // 8)]
+        |       FOR y IN range(i * h // 8, (i + 1) * h // 8)])), 0) AS s,
+        |    ((i + 1) * h // 8 - i * h // 8)
+        |      * ((j + 1) * w // 8 - j * w // 8) AS a
+        |  FROM tot, range(0, 8) ii(i), range(0, 8) jj(j)),
+        |bits AS (
+        |  SELECT doc_id, i, j,
+        |    CASE WHEN s * np > ts * a THEN 1 ELSE 0 END AS bit
+        |  FROM cells),
+        |bands AS (
+        |  SELECT doc_id, (i * 8 + j) // 16 AS band,
+        |    sum(bit * (1 << ((i * 8 + j) % 16))) AS bh
+        |  FROM bits GROUP BY 1, 2),
+        |hb AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN band = 0 THEN bh END) b0,
+        |    max(CASE WHEN band = 1 THEN bh END) b1,
+        |    max(CASE WHEN band = 2 THEN bh END) b2,
+        |    max(CASE WHEN band = 3 THEN bh END) b3
+        |  FROM bands GROUP BY doc_id)
+        |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming FROM (
+        |  SELECT a.doc_id a_id, b.doc_id b_id,
+        |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+        |  FROM hb a JOIN hb b ON a.doc_id < b.doc_id AND
+        |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        |WHERE hamming <= 6""".stripMargin)),
+
     // Binary ingestion + metadata: payload bytes, digest, raster geometry
     // (the same deterministic geometry the decode queries encode with).
     // Pure arithmetic on octet_length => ANSI-expressible => oracled.

@@ -244,4 +244,38 @@ class MultimodalSpec extends GraftFunSuite {
     val again = SparkEntry.queries("mm_embed_ann")(spark, sf0001).collect()
     assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
   }
+
+  test("meanHash64: hand-computed block-vs-global bits on an 8x8 raster; " +
+       "one flipped pixel flips exactly its block's bit; hammingPairs64 " +
+       "pairs the exact re-upload at hamming 0 and the near-dup at 1") {
+    import spark.implicits._
+    // 8x8: left half 0, right half 255 — cells are single pixels, global
+    // sum 32*255 = 8160; bit(i,j) = px*64 > 8160 ⇔ px = 255 ⇔ j >= 4
+    val half = GraftMedia.Raster(8, 8, Array.tabulate(64)(k =>
+      if (k % 8 >= 4) 255 else 0))
+    assert(GraftMedia.meanHash64(half) == 0xF0F0F0F0F0F0F0F0L)
+    // flip pixel (0, 3) to 255: its own bit turns on (255*64 > 8415),
+    // every other comparison keeps its side — hamming exactly 1
+    val near = GraftMedia.Raster(8, 8, half.pixels.updated(3, 255))
+    val hNear = GraftMedia.meanHash64(near)
+    assert(java.lang.Long.bitCount(
+      GraftMedia.meanHash64(half) ^ hNear) == 1)
+    // empty / uniform raster: no cell exceeds the global mean → hash 0
+    assert(GraftMedia.meanHash64(
+      GraftMedia.Raster(4, 2, Array.fill(8)(7))) == 0L)
+    // the shared banded pairer over precomputed hashes: exact twin at
+    // hamming 0, near-dup at 1, both found (1 diff bit leaves 3 of 4
+    // bands colliding); an unrelated all-dark raster pairs with nothing
+    val far = GraftMedia.Raster(8, 8, Array.tabulate(64)(k =>
+      if (k % 8 < 4) 255 else 0)) // mirrored: hamming 64 from `half`
+    val hashes = Seq(
+      (1L, GraftMedia.meanHash64(half)),
+      (2L, GraftMedia.meanHash64(half)),
+      (3L, hNear),
+      (4L, GraftMedia.meanHash64(far))).toDF("doc_id", "h64")
+    val pairs = graft.operators.GraftDedup
+      .hammingPairs64(hashes, "doc_id", "h64", maxHamming = 2, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)), pairs)
+  }
 }
