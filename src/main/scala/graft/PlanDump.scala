@@ -97,9 +97,9 @@ object PlanDump {
                     "text_bm25_stored", "text_bm25_pruned",
                     "ann_hybrid_impact_stored",
                     "dedup_keepset_incremental", "graph_pagerank_warm",
-                    // r14: perceptual image near-dup (banded-Hamming
-                    // join over the real-codec mean-hash)
-                    "mm_ahash_pairs")
+                    // r14: perceptual image/audio near-dup (banded-
+                    // Hamming join over real-codec signatures)
+                    "mm_ahash_pairs", "mm_audio_dedup")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

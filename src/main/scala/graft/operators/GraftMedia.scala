@@ -422,6 +422,38 @@ object GraftMedia {
     hash
   }
 
+  /** PERCEPTUAL audio fingerprint — the delta-energy signature (the
+    * cheap Shazam-family shape, minus the spectral transform the
+    * container lacks a dependency for): the sample stream splits into
+    * 65 equal frames (floor boundaries; short clips leave empty frames
+    * with energy 0), frame energy is the exact integer Σ|sample|, and
+    * bit k of the 64-bit hash is set iff energy(k+1) > energy(k). A
+    * comparison-of-sums signature is invariant under positive amplitude
+    * scaling and robust to local noise (a perturbed frame flips at most
+    * its two adjacent comparisons), integer-exact, and SQL-replayable —
+    * pair with [[GraftDedup.hammingPairs64]] like the image hash.
+    */
+  def audioHash64(samples: Array[Int]): Long = {
+    val n = samples.length
+    val e = new Array[Long](65)
+    var f = 0
+    while (f < 65) {
+      var i = f * n / 65
+      val end = (f + 1) * n / 65
+      var s = 0L
+      while (i < end) { s += math.abs(samples(i)); i += 1 }
+      e(f) = s
+      f += 1
+    }
+    var hash = 0L
+    var k = 0
+    while (k < 64) {
+      if (e(k + 1) > e(k)) hash |= 1L << k
+      k += 1
+    }
+    hash
+  }
+
   /** Exact integer summary of a raster (the oracle-friendly feature
     * set: sums and extrema, never engine-rounded means). */
   final case class RasterStats(width: Int, height: Int, nPix: Int,

@@ -490,5 +490,78 @@ object MultimodalQueries extends QueryModule {
         |    [CASE WHEN cs[i] * cs[i + 1] < 0 THEN 1 ELSE 0 END
         |     FOR i IN range(1, n)]), 0) AS BIGINT) AS zero_crossings
         |FROM b""".stripMargin)),
+
+    // PERCEPTUAL audio near-dup pairs (r14 — the audio twin of
+    // mm_ahash_pairs, same factored banded-Hamming core): the real WAV
+    // decode feeds the delta-energy fingerprint
+    // ([[GraftMedia.audioHash64]] — 65 frames, bit = energy rises),
+    // which is invariant under amplitude scaling (a comparison of
+    // sums), so the decoded ·128 PCM and the oracle's raw code-point
+    // sums take identical bits. Twins: an exact re-encode (hamming 0)
+    // and a same-length 4-sample corruption (touches frame 0's energy —
+    // at most the first adjacent comparisons flip).
+    GraftQuery(
+      "mm_audio_dedup",
+      (s, dir) => {
+        import s.implicits._
+        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        val exactTwins = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+        val perturbed = docs
+          .filter(col("doc_id") % 10 === 5 && length(col("text")) >= 5)
+          .select((col("doc_id") + 200000).as("doc_id"),
+                  concat(lit("ZZZZ"), expr("substring(text, 5)")).as("text"))
+        val hashes = docs.unionAll(exactTwins).unionAll(perturbed)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { it =>
+            it.map { case (id, bytes) =>
+              val wav = GraftMedia.encodeWav(GraftMedia.payloadSamples(bytes))
+              val (_, samples) = GraftMedia.decodeWav(wav)
+              (id, GraftMedia.audioHash64(samples))
+            }
+          }.toDF("doc_id", "h64")
+        graft.operators.GraftDedup.hammingPairs64(
+          hashes, "doc_id", "h64", maxHamming = 4, bands = 4)
+      },
+      Some("""WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'ZZZZ' || substr(text, 5)
+        |  FROM documents WHERE doc_id % 10 = 5 AND length(text) >= 5),
+        |b AS (
+        |  SELECT doc_id, length(text) n,
+        |    [abs(unicode(x) - 96) FOR x IN string_split(text, '')] cs
+        |  FROM aug),
+        |e AS (
+        |  SELECT doc_id, ff.f,
+        |    coalesce(list_sum([cs[i + 1]
+        |      FOR i IN range(f * n // 65, (f + 1) * n // 65)]), 0) AS en
+        |  FROM b, range(0, 65) ff(f)),
+        |bits AS (
+        |  SELECT a.doc_id, a.f AS k,
+        |    CASE WHEN b2.en > a.en THEN 1 ELSE 0 END AS bit
+        |  FROM e a JOIN e b2 ON b2.doc_id = a.doc_id AND b2.f = a.f + 1
+        |  WHERE a.f < 64),
+        |bands AS (
+        |  SELECT doc_id, k // 16 AS band,
+        |    sum(bit * (1 << (k % 16))) AS bh
+        |  FROM bits GROUP BY 1, 2),
+        |hb AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN band = 0 THEN bh END) b0,
+        |    max(CASE WHEN band = 1 THEN bh END) b1,
+        |    max(CASE WHEN band = 2 THEN bh END) b2,
+        |    max(CASE WHEN band = 3 THEN bh END) b3
+        |  FROM bands GROUP BY doc_id)
+        |SELECT a_id, b_id, CAST(hamming AS BIGINT) AS hamming FROM (
+        |  SELECT a.doc_id a_id, b.doc_id b_id,
+        |    bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1)) +
+        |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
+        |  FROM hb a JOIN hb b ON a.doc_id < b.doc_id AND
+        |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
+        |WHERE hamming <= 4""".stripMargin)),
   )
 }

@@ -278,4 +278,28 @@ class MultimodalSpec extends GraftFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(pairs == Set((1L, 2L, 0L), (1L, 3L, 1L), (2L, 3L, 1L)), pairs)
   }
+
+  test("audioHash64: monotone energies set every bit, reversed clear " +
+       "them; the hash is invariant under amplitude scaling; a local " +
+       "perturbation flips at most its two adjacent comparisons") {
+    // 130 samples, |s| = frame index (2 samples per frame): energies
+    // strictly rise frame to frame → all 64 comparisons true
+    val rising = Array.tabulate(130)(i => i / 2)
+    assert(GraftMedia.audioHash64(rising) == -1L) // all 64 bits
+    assert(GraftMedia.audioHash64(rising.reverse) == 0L)
+    // comparison-of-sums: positive scaling cannot change any bit
+    val text = Array.tabulate(130)(i => (i * 37 % 61) - 30)
+    val h = GraftMedia.audioHash64(text)
+    assert(GraftMedia.audioHash64(text.map(_ * 3)) == h)
+    // a one-frame perturbation flips at most the two comparisons that
+    // read that frame's energy
+    val bumped = text.clone(); bumped(10) = bumped(10) + 500 // frame 5
+    val flipped = java.lang.Long.bitCount(
+      GraftMedia.audioHash64(bumped) ^ h)
+    assert(flipped <= 2, s"flipped=$flipped")
+    // degenerate inputs: empty and shorter-than-frame-count streams are
+    // deterministic (empty frames carry energy 0)
+    assert(GraftMedia.audioHash64(Array.empty[Int]) == 0L)
+    GraftMedia.audioHash64(Array(5, -3)) // no throw
+  }
 }
