@@ -539,6 +539,30 @@ object StreamBench {
             chunks(pairRows, 4).map(c => () => { in.addData(c); () }))
     }
 
+    // Online perceptual image dedup (r14): real-codec decode → mean
+    // hash → banded-Hamming pairing, over the twin-augmented corpus
+    // (the mm_ahash_pairs construction — exact re-uploads + same-length
+    // perturbations give the stream true pairs to find)
+    rep {
+      import graft.operators.GraftMedia
+      val payloadRows = docRows.flatMap { case (id, t, text) =>
+        val base = Seq((id, t,
+          GraftMedia.encodeBmp(GraftMedia.payloadRaster(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))))
+        if (id % 10 == 0)
+          base :+ ((id + 1000000L, t, base.head._3))
+        else base
+      }.sortBy(r => (r._2.getTime, r._1))
+      val in = MemoryStream[(Long, Timestamp, Array[Byte])]
+      val q = sink(CorpusStreams.hammingPairStream(
+        CorpusStreams.imageHashStream(
+          in.toDF().toDF("doc_id", "ts", "payload")),
+        maxHamming = 6, bands = 4, horizonMinutes = 60).toDF(),
+        "sb_hamming")
+      drive("sb_hamming", payloadRows.size, q,
+            chunks(payloadRows, 4).map(c => () => { in.addData(c); () }))
+    }
+
     // Edit-distance typo-dup mining (r13): positional-prefix gram
     // buckets + banded-DP verify — the alignment-sensitive tier of the
     // streaming dedup matrix. State is (q·d+1) text payloads per long

@@ -1787,6 +1787,167 @@ object CorpusStreams {
                               GroupStateTimeout.EventTimeTimeout)(update)
   }
 
+  final case class HammingIn(id: Long, ts: java.sql.Timestamp, h64: Long,
+                             bandId: Int, bandHash: Long)
+  final case class HammingPairOut(a_id: Long, b_id: Long, hamming: Long,
+                                  ts: java.sql.Timestamp)
+  final case class HamBucketEntry(id: Long, tsMs: Long, h64: Long)
+  final case class HamBucketState(entries: List[HamBucketEntry])
+
+  /** Streaming banded-Hamming near-dup mining over ANY 64-bit perceptual
+    * signature stream — the online twin of
+    * [[graft.operators.GraftDedup.hammingPairs64]], pairing arriving
+    * image hashes ([[imageHashStream]]), audio fingerprints
+    * ([[audioHashStream]]), or SimHash signatures as they land. Emits
+    * (a_id, b_id, hamming, ts) with a_id < b_id and Hamming ≤
+    * `maxHamming`, as each pair's LATER item arrives.
+    *
+    * Shape is the [[nearDupPairStream]] machinery with the cheapest
+    * possible payload: signatures split into `bands` equal bit-slices,
+    * per-(band, slice) buckets hold (id, ts, h64) residents within the
+    * watermark horizon — 8-byte signatures, so state per resident is a
+    * few dozen bytes × bands. Exactly-once emission via the
+    * first-colliding-band ownership rule (recomputed from the two
+    * in-state signatures — no second stateful operator); the |Δts| ≤
+    * horizon check makes results trigger-independent;
+    * `maxBucketResidents` caps degenerate buckets (a constant-signature
+    * flood) with the oldest-first eviction + impossible-as-a-pair
+    * marker row (victim, -1, -1) of the other miners. Candidate recall
+    * is the banded contract ([[graft.operators.GraftDedup
+    * .hammingPairs64]]): guaranteed when maxHamming < bands, the
+    * documented LSH trade above it — stream and batch take the same
+    * trade, so stream ≡ batch within the horizon (StreamingSpec pins
+    * it on the twin-augmented image corpus).
+    */
+  def hammingPairStream(hashes: DataFrame, maxHamming: Int,
+                        bands: Int = 4, idCol: String = "doc_id",
+                        hashCol: String = "h64", tsCol: String = "ts",
+                        horizonMinutes: Long = 60,
+                        maxBucketResidents: Int = Int.MaxValue)
+      : Dataset[HammingPairOut] = {
+    require(64 % bands == 0, s"bands ($bands) must divide 64")
+    require(maxHamming >= 0 && maxHamming < 64,
+      s"maxHamming should be in [0, 64), got: $maxHamming")
+    require(horizonMinutes > 0,
+      s"horizonMinutes must be positive, got $horizonMinutes")
+    require(maxBucketResidents >= 1,
+      s"maxBucketResidents must be >= 1, got $maxBucketResidents")
+    val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
+    val horizonMs = horizonMinutes * 60000L
+    import hashes.sparkSession.implicits._
+    val keyed = hashes
+      .withWatermark(tsCol, s"$horizonMinutes minutes")
+      .select(col(idCol).cast("long").as("id"), col(tsCol).as("ts"),
+              col(hashCol).cast("long").as("h64"),
+              explode(expr(
+                s"""transform(sequence(0, ${bands - 1}),
+                   b -> struct(CAST(b AS int) AS bandId,
+                               shiftright($hashCol, $bits * b) & $mask
+                                 AS bandHash))""")).as("bh"))
+      .select(col("id"), col("ts"), col("h64"),
+              col("bh.bandId"), col("bh.bandHash"))
+      .as[HammingIn]
+    def sliceOf(h: Long, b: Int): Long = (h >> (bits * b)) & mask
+    def firstCollidingBand(a: Long, b: Long): Int = {
+      var band = 0
+      while (band < bands) {
+        if (sliceOf(a, band) == sliceOf(b, band)) return band
+        band += 1
+      }
+      -1
+    }
+    def update(key: (Int, Long), it: Iterator[HammingIn],
+               state: GroupState[HamBucketState])
+        : Iterator[HammingPairOut] = {
+      val wmMs = state.getCurrentWatermarkMs()
+      var live = state.getOption.map(_.entries).getOrElse(Nil)
+        .filter(e => e.tsMs + horizonMs >= wmMs)
+      if (state.hasTimedOut) {
+        if (live.isEmpty) state.remove()
+        else {
+          state.update(HamBucketState(live))
+          state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
+        }
+        return Iterator.empty
+      }
+      val out = List.newBuilder[HammingPairOut]
+      for (e <- it.toIndexedSeq.sortBy(d => (d.ts.getTime, d.id))) {
+        val eMs = e.ts.getTime
+        for (s <- live) {
+          if (s.id != e.id && math.abs(eMs - s.tsMs) <= horizonMs &&
+              firstCollidingBand(e.h64, s.h64) == key._1) {
+            val ham = java.lang.Long.bitCount(e.h64 ^ s.h64)
+            if (ham <= maxHamming) {
+              val (a, b) = if (e.id < s.id) (e.id, s.id) else (s.id, e.id)
+              out += HammingPairOut(a, b, ham.toLong, e.ts)
+            }
+          }
+        }
+        live ::= HamBucketEntry(e.id, eMs, e.h64)
+        if (maxBucketResidents != Int.MaxValue &&
+            live.length > maxBucketResidents) {
+          val (kept, victim) = evictOldest(live, (_: HamBucketEntry).tsMs,
+                                           (_: HamBucketEntry).id)
+          live = kept
+          out += HammingPairOut(victim.id, -1L, -1L, e.ts)
+        }
+      }
+      if (live.isEmpty) state.remove()
+      else {
+        state.update(HamBucketState(live))
+        state.setTimeoutTimestamp(live.map(_.tsMs).max + horizonMs + 1)
+      }
+      out.result().iterator
+    }
+    keyed.groupByKey(d => (d.bandId, d.bandHash))
+      .flatMapGroupsWithState(OutputMode.Append,
+                              GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** Stateless perceptual-hash map for an arriving image-payload
+    * stream: real codec decode → [[graft.operators.GraftMedia
+    * .meanHash64]], one `mapPartitions`, no shuffle — feed
+    * [[hammingPairStream]] for online image dedup. */
+  def imageHashStream(docs: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload",
+                      tsCol: String = "ts"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(tsCol).cast("timestamp"),
+              col(payloadCol).cast("binary"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, ts, bytes) =>
+          (id, ts,
+           graft.operators.GraftMedia.meanHash64(
+             graft.operators.GraftMedia.decodeGray(bytes)))
+        }
+      }.toDF(idCol, tsCol, "h64")
+  }
+
+  /** Stateless fingerprint map for an arriving audio-payload stream:
+    * real WAV decode → [[graft.operators.GraftMedia.audioHash64]] —
+    * the audio leg of online perceptual dedup. */
+  def audioHashStream(docs: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload",
+                      tsCol: String = "ts"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(tsCol).cast("timestamp"),
+              col(payloadCol).cast("binary"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, ts, bytes) =>
+          (id, ts,
+           graft.operators.GraftMedia.audioHash64(
+             graft.operators.GraftMedia.decodeWav(bytes)._2))
+        }
+      }.toDF(idCol, tsCol, "h64")
+  }
+
   final case class SampleRowIn(stratum: String, id: Long)
   final case class SampleDelta(stratum: String, id: Long, event: String)
   final case class SampleState(entries: List[(String, Long)])

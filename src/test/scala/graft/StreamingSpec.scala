@@ -760,6 +760,98 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("hammingPairStream: online perceptual image dedup equals batch " +
+       "hammingPairs64 over the twin-augmented corpus across micro-batch " +
+       "boundaries; horizon and exactly-once hold; overflow evicts with " +
+       "the marker row") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.{GraftDedup, GraftMedia}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // the mm_ahash_pairs corpus: documents + exact and same-length
+    // perturbed twins, hashed through the real decode path
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val aug = docs
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionAll(docs.filter(col("doc_id") % 10 === 5 &&
+                            length(col("text")) >= 5)
+        .select((col("doc_id") + 200000).as("doc_id"),
+                concat(lit("ZZZZ"), expr("substring(text, 5)")).as("text")))
+    val payloads = aug.select(col("doc_id"),
+                              col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, b) =>
+        (id, GraftMedia.encodeBmp(GraftMedia.payloadRaster(b))) }
+    val hashesBatch = payloads.map { case (id, bmp) =>
+      (id, GraftMedia.meanHash64(GraftMedia.decodeGray(bmp))) }
+      .toSeq.toDF("doc_id", "h64")
+    val batch = GraftDedup
+      .hammingPairs64(hashesBatch, "doc_id", "h64",
+                      maxHamming = 6, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty)
+    val rows = payloads
+      .map { case (id, bmp) => (id, ts((id % 30).toInt), bmp) }
+      .sortBy(_._1).toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val df = input.toDF().toDF("doc_id", "ts", "payload")
+    val q = CorpusStreams.hammingPairStream(
+        CorpusStreams.imageHashStream(df),
+        maxHamming = 6, bands = 4, horizonMinutes = 60)
+      .writeStream.format("memory").queryName("hamming_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("hamming_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream-only=${streamed.diff(batch).take(5)} " +
+        s"batch-only=${batch.diff(streamed).take(5)}")
+    } finally q.stop()
+    // horizon + exactly-once on synthetic hashes: identical signatures
+    // collide in EVERY band yet emit ONE pair row (first-colliding-band
+    // ownership); a copy beyond the horizon never pairs
+    val in2 = MemoryStream[(Long, Timestamp, Long)]
+    val q2 = CorpusStreams.hammingPairStream(
+        in2.toDF().toDF("doc_id", "ts", "h64"),
+        maxHamming = 2, bands = 4, horizonMinutes = 30)
+      .writeStream.format("memory").queryName("hamming_horizon")
+      .outputMode("append").start()
+    try {
+      in2.addData(Seq((1L, ts(0), 0x1234L), (2L, ts(10), 0x1234L)))
+      q2.processAllAvailable()
+      in2.addData(Seq((3L, ts(110), 0x1234L))) // past both horizons
+      q2.processAllAvailable()
+      val got = spark.table("hamming_horizon")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq.sorted
+      assert(got == Seq((1L, 2L, 0L)), got.mkString(","))
+    } finally q2.stop()
+    // overflow: cap 1 — the second identical arrival pairs, then evicts
+    // the oldest resident from EVERY band bucket it occupies (markers
+    // are per-bucket observations, one per band here)
+    val in3 = MemoryStream[(Long, Timestamp, Long)]
+    val q3 = CorpusStreams.hammingPairStream(
+        in3.toDF().toDF("doc_id", "ts", "h64"),
+        maxHamming = 2, bands = 4, horizonMinutes = 30,
+        maxBucketResidents = 1)
+      .writeStream.format("memory").queryName("hamming_overflow")
+      .outputMode("append").start()
+    try {
+      in3.addData(Seq((1L, ts(0), 0x1234L), (2L, ts(10), 0x1234L)))
+      q3.processAllAvailable()
+      val got3 = spark.table("hamming_overflow")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got3.count(_ == ((1L, 2L, 0L))) == 1 &&
+             got3.count(_ == ((1L, -1L, -1L))) == 4 && got3.length == 5,
+        got3.mkString(","))
+    } finally q3.stop()
+  }
+
   test("fixedSampleStream: entered minus evicted equals the batch " +
        "bottom-n-by-md5 per stratum, across scrambled arrival and " +
        "micro-batch boundaries; re-delivery no-ops; each id enters and " +
