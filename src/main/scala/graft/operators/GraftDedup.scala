@@ -304,26 +304,63 @@ object GraftDedup {
     * misses when the truncation is aggressive. Adds `is_prefix_dup` to
     * every row.
     *
-    * The test is one lexicographic window: sort by text; a text A
-    * prefixes SOME other text iff it prefixes its immediate successor
-    * (any A-prefixed string sorts after A and before every non-A-prefixed
+    * The test is lexicographic adjacency: sort by text; a text A prefixes
+    * SOME other text iff it prefixes its immediate successor (any
+    * A-prefixed string sorts after A and before every non-A-prefixed
     * string above A, so the smallest one is adjacent). Exact duplicates
     * are prefix-dups of each other except the last in (text, id) order —
     * run after exact dedup to flag truncations only.
     *
-    * Scale shape: ONE range-partitioned sort on the text key, zero joins,
-    * no pair blowup. At 100 TB, sort on a fixed-width prefix key
-    * (`substring(text, 1, k)`) and verify within equal-key groups so the
-    * shuffle ships k bytes per row instead of documents; the catalog form
-    * keeps whole-text ordering for cross-engine oracle parity.
+    * Scale shape — DISTRIBUTED global sort, never a single task:
+    * `repartitionByRange` on (text, id) gives a global order as the
+    * concatenation of partitions in partition-id order (Spark's range
+    * partitioner samples boundaries; no SinglePartition exchange), the
+    * within-partition successor comes from a window partitioned by
+    * `spark_partition_id()`, and the only cross-partition fact each
+    * partition needs — the FIRST text of the next non-empty partition,
+    * for its own last row — is an O(numPartitions) boundary table
+    * (min-struct per pid, lead over pid) broadcast back. Both branches
+    * read the same range exchange (ReuseExchange), so the corpus is
+    * shuffled by range once and by pid once — embarrassingly parallel at
+    * any scale. Nulls sort first under both the range partitioner and
+    * the window, so null-text rows land in partition 0 and never
+    * straddle a boundary with a non-null successor check.
     */
   def prefixDups(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
+    val pid = "__pfx_pid"
+    // explicit partition count: pid must be IDENTICAL across the window
+    // branch and the boundary branch even if the optimizer re-plans one
+    // of them, so AQE must not be free to coalesce the range exchange
+    // (boundary sampling itself is deterministic — fixed per-partition
+    // sketch seeds)
+    val nParts =
+      df.sparkSession.sessionState.conf.numShufflePartitions
+    val ranged = df
+      .repartitionByRange(nParts, col(textCol).asc, col(idCol).asc)
+      .withColumn(pid, spark_partition_id())
     val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col(textCol).asc, col(idCol).asc)
-    df.withColumn("is_prefix_dup",
-      coalesce(lead(col(textCol), 1).over(w).startsWith(col(textCol)),
-               lit(false)))
+      .partitionBy(col(pid)).orderBy(col(textCol).asc, col(idCol).asc)
+    val withNext = ranged
+      .withColumn("__pfx_next", lead(col(textCol), 1).over(w))
+    // O(numPartitions) boundary table: the first (text, id) of each
+    // non-empty partition (min over the struct = lexicographic head),
+    // then each pid's successor-first via lead over pid order. The tiny
+    // window over ≤ numPartitions rows is the only SinglePartition sort.
+    val bw = org.apache.spark.sql.expressions.Window.orderBy(col(pid).asc)
+    val nexts = ranged
+      .groupBy(col(pid))
+      .agg(min(struct(col(textCol), col(idCol)))
+        .getField(textCol).as("__pfx_first"))
+      .select(col(pid),
+              lead(col("__pfx_first"), 1).over(bw).as("__pfx_nextfirst"))
+    withNext
+      .join(broadcast(nexts), Seq(pid), "left")
+      .withColumn("is_prefix_dup",
+        coalesce(col("__pfx_next").startsWith(col(textCol)),
+                 col("__pfx_nextfirst").startsWith(col(textCol)),
+                 lit(false)))
+      .drop(pid, "__pfx_next", "__pfx_nextfirst")
   }
 
   def cdcChunkPairs(df: DataFrame, idCol: String, textCol: String,

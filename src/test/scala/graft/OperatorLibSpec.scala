@@ -516,6 +516,78 @@ class OperatorLibSpec extends GraftFunSuite {
                       3L -> false, 4L -> false, 6L -> false), got)
   }
 
+  test("prefixDups is distributed: boundary-straddling pairs exact, the only " +
+       "SinglePartition exchange is the O(partitions) boundary table") {
+    import graft.operators.GraftDedup
+    // Dense prefix relations across a corpus big enough that the 32-way
+    // range partitioner cuts the sorted order 31 times: every 3rd text is
+    // a strict prefix of its extended twin, so (prefix, extension)
+    // adjacencies straddle partition boundaries. Ground truth is the
+    // single-window rule computed locally in Scala.
+    val rows = (0 until 4000).flatMap { i =>
+      val base = f"doc$i%05d"
+      if (i % 3 == 0)
+        Seq((i.toLong * 2, base), (i.toLong * 2 + 1, base + " extended tail"))
+      else Seq((i.toLong * 2, base + " solo"))
+    }
+    val df = rows.toDF("doc_id", "text").repartition(16) // scattered input
+    val out = GraftDedup.prefixDups(df, "doc_id", "text")
+    val got = out.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    val sorted = rows.sortBy { case (id, t) => (t, id) }
+    val exp = sorted.indices.map { i =>
+      sorted(i)._1 ->
+        (i + 1 < sorted.length && sorted(i + 1)._2.startsWith(sorted(i)._2))
+    }.toMap
+    assert(got == exp)
+    assert(exp.values.count(identity) > 1000) // plenty of true positives
+
+    // certify a TRUE pair actually straddled a range-partition boundary
+    // (range sampling is deterministic, so this is a stable property,
+    // not a flake): re-derive the operator's pid assignment and find an
+    // adjacent successor-startsWith pair split across pids
+    val pids = df.repartitionByRange(32, col("text").asc, col("doc_id").asc)
+      .withColumn("__pid", org.apache.spark.sql.functions.spark_partition_id())
+      .select("doc_id", "__pid").as[(Long, Int)].collect().toMap
+    val straddling = sorted.indices.dropRight(1).filter { i =>
+      sorted(i + 1)._2.startsWith(sorted(i)._2) &&
+        pids(sorted(i)._1) != pids(sorted(i + 1)._1)
+    }
+    assert(straddling.nonEmpty, "no boundary-straddling prefix pair — " +
+      "corpus too small for the partition count?")
+    straddling.foreach(i => assert(got(sorted(i)._1)))
+
+    // plan pin: every SinglePartition exchange sits above an aggregate
+    // (the O(numPartitions) boundary-firsts table) — the corpus itself is
+    // range- and hash-exchanged, never funneled into one task
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+      case s: QueryStageExec => nodes(s.plan)
+      case other => other +: (other.children.flatMap(nodes) ++
+        other.subqueries.flatMap(nodes))
+    }
+    val all = nodes(
+      org.apache.spark.sql.GraftSqlBridge.queryExecution(out).executedPlan)
+    val singles = all.collect {
+      case e: ShuffleExchangeExec if e.outputPartitioning == SinglePartition => e
+    }
+    assert(singles.nonEmpty) // the boundary branch exists
+    singles.foreach { e =>
+      assert(nodes(e).exists( // SortAggregate: struct-min isn't hash-aggregable
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+        s"corpus-sized SinglePartition exchange:\n$e")
+    }
+    assert(all.exists {
+      case e: ShuffleExchangeExec =>
+        e.outputPartitioning.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.physical.RangePartitioning]
+      case _ => false
+    })
+  }
+
   test("incrementalNew classifies NULL-text rows instead of dropping them") {
     // md5(null) is null — before the sentinel fix a null-text incoming row
     // satisfied neither bloom branch and vanished from the output
