@@ -1625,7 +1625,7 @@ object CorpusStreams {
 
     // one probe row per DISTINCT gram of the arrival (long-resident path)
     // plus the length band [len−d, len+d] when a short resident could
-    // pair; length keys live in a reserved " L:" namespace no q-gram
+    // pair; length keys live in a reserved "\u0000L:" namespace no q-gram
     // can collide with
     val keyed = docs
       .withWatermark(tsCol, s"$horizonMinutes minutes")
@@ -1639,7 +1639,7 @@ object CorpusStreams {
            |       ELSE array() END,
            |  CASE WHEN len - $d < $shortFloor
            |       THEN transform(sequence(greatest(0, len - $d), len + $d),
-           |                      l -> concat(' L:', cast(l AS string)))
+           |                      l -> concat('\u0000L:', cast(l AS string)))
            |       ELSE array() END)""".stripMargin)))
       .select(col("id"), col("ts"), col("len"), col("txt"), col("bucket"))
       .as[EditDistIn]
@@ -1722,7 +1722,7 @@ object CorpusStreams {
         }
         return Iterator.empty
       }
-      val isLenBucket = bucket.startsWith(" L:")
+      val isLenBucket = bucket.startsWith("\u0000L:")
       val out = List.newBuilder[EditDistPairOut]
       // per-call caches: a resident's prefix walk and an arrival's
       // gram-position map are computed ONCE per update() call, not per
@@ -1761,7 +1761,7 @@ object CorpusStreams {
         // partition the pair space
         val isResidentHere =
           if (isLenBucket)
-            e.len < shortFloor && bucket == s" L:${e.len}"
+            e.len < shortFloor && bucket == s"\u0000L:${e.len}"
           else e.len >= shortFloor && prefixOf(e.txt).exists(_._1 == bucket)
         if (isResidentHere) {
           live ::= EdBucketEntry(e.id, eMs, e.len, e.txt)
