@@ -631,24 +631,37 @@ object GraftDedup {
     *
     * Scale shape: the contracted graph is NEW-PAIR-sized —
     * [[connectedComponents]] runs on the sliver, never the corpus; the
-    * label remap attaches back to `prev` through [[ScaleHints.gated]]
-    * (a pure map over the stored table's scan while the affected-
-    * cluster set is small — no corpus shuffle); untouched clusters'
-    * rows pass through byte-identical.
+    * endpoint label LOOKUP semi-prunes the corpus-sized stored table by
+    * the broadcast endpoint-id set first (sliver-sized by construction),
+    * so `prev` is scanned-and-filtered once, never corpus-shuffled —
+    * an ungated probe of the full table would degrade to SHUFFLE_HASH
+    * past the broadcast gate and pay a corpus shuffle per increment
+    * (ADVICE r14). The label remap then attaches back to `prev` through
+    * [[ScaleHints.gated]] (a pure map over the stored table's scan while
+    * the affected-cluster set is small — no corpus shuffle); untouched
+    * clusters' rows pass through byte-identical.
     */
   def keepSetIncremental(prev: DataFrame, newIds: DataFrame,
                          newPairs: DataFrame, idCol: String = "doc_id",
                          aCol: String = "a_id", bCol: String = "b_id")
       : DataFrame = {
     val prevLbl = prev.select(col(idCol), col("cluster_id"))
+    // the increment's touched ids — pair-sliver-sized, so it broadcasts
+    // unconditionally; prevLbl shrinks to exactly the rows the lookups
+    // can hit before any join strategy is chosen
+    val endpoints = newPairs.select(col(aCol).as(idCol))
+      .unionAll(newPairs.select(col(bCol).as(idCol)))
+      .distinct()
+    val touched = pin(
+      prevLbl.join(broadcast(endpoints), Seq(idCol), "left_semi").persist())
     // contract each new pair's endpoints through the stored labels —
     // endpoints outside prev (the new ids) name themselves
     val contracted = newPairs
       .select(col(aCol).as("__pa"), col(bCol).as("__pb"))
-      .join(ScaleHints.gated(prevLbl.select(col(idCol).as("__pa"),
+      .join(ScaleHints.gated(touched.select(col(idCol).as("__pa"),
                                             col("cluster_id").as("__la"))),
             Seq("__pa"), "left")
-      .join(ScaleHints.gated(prevLbl.select(col(idCol).as("__pb"),
+      .join(ScaleHints.gated(touched.select(col(idCol).as("__pb"),
                                             col("cluster_id").as("__lb"))),
             Seq("__pb"), "left")
       .select(coalesce(col("__la"), col("__pa")).as("a_id"),

@@ -429,4 +429,56 @@ class DedupSpec extends GraftFunSuite {
       prev, newIds.limit(0), newPairs.limit(0)))
     assert(noop == rows(prev))
   }
+
+  test("keepSetIncremental past the broadcast gate: the corpus-sized stored " +
+       "table never crosses a shuffle — endpoint lookups probe the " +
+       "semi-pruned sliver (execution metrics, not plan strings)") {
+    import spark.implicits._
+    import graft.operators.GraftDedup
+    // corpus-sized prev (50k singletons, ~MBs of stats estimate) with a
+    // 10-pair increment; gate forced to 4 KB so ANY corpus-sized gated()
+    // side goes SHUFFLE_HASH — before the semi-prune fix the two endpoint
+    // lookups each shuffled all 50k stored rows per increment
+    val n = 50000L
+    val prev = spark.range(n).select(col("id").as("doc_id"),
+        col("id").as("cluster_id"), lit(true).as("keep"))
+    val newIds = Seq(100000L, 100001L).toDF("doc_id")
+    val newPairs = (0 until 10).map(i => (i.toLong * 7, i.toLong * 7 + 3))
+      .toDF("a_id", "b_id")
+      .unionByName(Seq((100000L, 5L), (100000L, 100001L)).toDF("a_id", "b_id"))
+    val conf = spark.conf
+    val prevGate = conf.getOption("spark.graft.broadcastGateBytes")
+    try {
+      conf.set("spark.graft.broadcastGateBytes", (4L << 10).toString)
+      val out = GraftDedup.keepSetIncremental(prev, newIds, newPairs)
+      val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // exactness on the handful of touched rows; everything else self
+      assert(got(3L) == 0L && got(10L) == 7L && got(5L) == 5L)
+      assert(got(100000L) == 5L && got(100001L) == 5L)
+      assert(got.size == n.toInt + 2 &&
+             got.count { case (id, c) => id != c } == 12)
+      // execution-metric pin: total records crossing ANY exchange is
+      // sliver-sized (endpoints, contracted pairs, remap — never the
+      // 50k-row stored table)
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+      def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+        case s: QueryStageExec => nodes(s.plan)
+        case other => other +: (other.children.flatMap(nodes) ++
+          other.subqueries.flatMap(nodes))
+      }
+      val shuffled = nodes(
+          org.apache.spark.sql.GraftSqlBridge.queryExecution(out).executedPlan)
+        .collect { case e: ShuffleExchangeExec =>
+          e.metrics.get("shuffleRecordsWritten").map(_.value).getOrElse(0L) }
+      assert(shuffled.sum < 1000L,
+        s"corpus-sized shuffle: per-exchange records = $shuffled")
+    } finally {
+      prevGate.fold(conf.unset("spark.graft.broadcastGateBytes"))(
+        conf.set("spark.graft.broadcastGateBytes", _))
+      GraftDedup.unpersistAll()
+    }
+  }
 }
