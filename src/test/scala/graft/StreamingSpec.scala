@@ -935,8 +935,11 @@ class StreamingSpec extends GraftFunSuite {
       // bridge — both deltas are in the append stream
       assert(emitted.contains((5L, 5L)) && emitted.contains((5L, 0L)))
     } finally q.stop()
-    // horizon: a component whose every pair is stale evicts whole; the
-    // late pair starts a FRESH component instead of merging with it
+    // horizon: a component whose every pair is stale evicts whole WITH a
+    // per-member retraction row; the late pair starts a FRESH component
+    // instead of merging with it — and the delete-then-upsert replay
+    // across the eviction reconstructs the live table exactly (a global
+    // min-per-id would resurrect 2→1 here; ADVICE r14)
     val in2 = MemoryStream[(Long, Long, Timestamp)]
     val q2 = CorpusStreams
       .componentStream(in2.toDF().toDF("a_id", "b_id", "ts"),
@@ -944,15 +947,27 @@ class StreamingSpec extends GraftFunSuite {
       .writeStream.format("memory").queryName("comp_horizon")
       .outputMode("append").start()
     try {
+      val serving = scala.collection.mutable.HashMap[Long, Long]()
+      def apply(batch: Seq[(Long, Long)]): Unit = {
+        batch.collect { case (id, -1L) => id }.foreach(serving.remove)
+        batch.collect { case (id, c) if c >= 0 => serving(id) = c }
+      }
       in2.addData(Seq((1L, 2L, ts(0)))); q2.processAllAvailable()
+      val b1 = spark.table("comp_horizon")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      apply(b1)
+      assert(serving == Map(1L -> 1L, 2L -> 1L), serving)
       in2.addData(Seq((2L, 3L, ts(200)))); q2.processAllAvailable()
-      val got = spark.table("comp_horizon")
-        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-      assert(got == Seq((1L, 1L), (2L, 1L), (2L, 2L), (3L, 2L)),
-        got.mkString(","))
+      val all = spark.table("comp_horizon")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      apply(all.diff(b1))
+      // live table after expiry = batch components over in-horizon pairs
+      assert(serving == Map(2L -> 2L, 3L -> 2L), serving)
+      assert(all.sorted == Seq((1L, -1L), (1L, 1L), (2L, -1L), (2L, 1L),
+                               (2L, 2L), (3L, 2L)), all.mkString(","))
     } finally q2.stop()
     // overflow: maxResidents 2 — the second pair evicts the OLDEST
-    // whole component and emits the (root, -1) marker
+    // whole component with per-member retraction rows
     val in3 = MemoryStream[(Long, Long, Timestamp)]
     val q3 = CorpusStreams
       .componentStream(in3.toDF().toDF("a_id", "b_id", "ts"),
@@ -964,9 +979,63 @@ class StreamingSpec extends GraftFunSuite {
       q3.processAllAvailable()
       val got = spark.table("comp_overflow")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
-      assert(got == Seq((1L, -1L), (10L, 10L), (11L, 10L)),
+      assert(got == Seq((1L, -1L), (2L, -1L), (10L, 10L), (11L, 10L)),
         got.mkString(","))
     } finally q3.stop()
+  }
+
+  test("componentStream warm start: seeded from a stored snapshot, the " +
+       "delta replay over new pairs equals from-scratch components over " +
+       "(snapshot ∪ new pairs); unchanged seeded labels stay silent") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    // yesterday's clusters: {1,2}, {5,6,7}, {10,11} (component = min id)
+    val oldPairs = Seq((1L, 2L), (5L, 6L), (6L, 7L), (10L, 11L))
+    val snapshot = graft.operators.GraftDedup.connectedComponents(
+      oldPairs.toDF("a_id", "b_id"))
+    val snapMap = snapshot.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(snapMap == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L,
+                          7L -> 5L, 10L -> 10L, 11L -> 10L))
+    val in = MemoryStream[(Long, Long, Timestamp)]
+    val q = CorpusStreams.componentStream(
+        in.toDF().toDF("a_id", "b_id", "ts"), horizonMinutes = 600,
+        initialLabels = Some(snapshot), initialTs = Some(ts(0)))
+      .writeStream.format("memory").queryName("comp_warm")
+      .outputMode("append").start()
+    try {
+      // new pairs: 0 bridges {1,2} and {5,6,7} (new global min); 20–21
+      // is a brand-new pair; {10,11} is untouched — NO delta may emit
+      // for it (the serving layer already holds the snapshot)
+      in.addData(Seq((0L, 2L, ts(1)), (0L, 6L, ts(2)), (20L, 21L, ts(3))))
+      q.processAllAvailable()
+      val deltas = spark.table("comp_warm")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(!deltas.exists(d => d._1 == 10L || d._1 == 11L),
+        s"untouched cluster re-emitted: $deltas")
+      // replay: snapshot + delete-then-upsert per batch
+      val serving = scala.collection.mutable.HashMap[Long, Long](
+        snapMap.toSeq: _*)
+      deltas.collect { case (id, -1L) => id }.foreach(serving.remove)
+      deltas.collect { case (id, c) if c >= 0 => serving(id) = c }
+      val scratch = graft.operators.GraftDedup.connectedComponents(
+          (oldPairs ++ Seq((0L, 2L), (0L, 6L), (20L, 21L)))
+            .toDF("a_id", "b_id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(serving == scratch,
+        s"serving-only=${serving.toSet.diff(scratch.toSet)} " +
+        s"scratch-only=${scratch.toSet.diff(serving.toSet)}")
+      // the warm state ages from initialTs: a pair far past the horizon
+      // expires the SEEDED clusters with retraction rows
+      in.addData(Seq((30L, 31L, ts(100000)))); q.processAllAvailable()
+      val all2 = spark.table("comp_warm")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val late = all2.diff(deltas)
+      late.collect { case (id, -1L) => id }.foreach(serving.remove)
+      late.collect { case (id, c) if c >= 0 => serving(id) = c }
+      assert(serving == Map(30L -> 30L, 31L -> 30L), serving)
+    } finally q.stop()
   }
 
   test("nearDupPairStream: docs farther apart than the horizon never pair, " +
