@@ -107,7 +107,14 @@ object StreamBench {
     // floors against THESE constants). Adding this op to the floored
     // set without moving BaselineTotalSec only TIGHTENS the aggregate
     // bound by the op's ~2.8 s — conservative.
-    "sb_sample"              -> 0.722562)
+    "sb_sample"              -> 0.722562,
+    // r15: the perceptual-hash pair miner (driven since r14 but ungated —
+    // ADVICE r14 #2) and the warm-start component maintainer, floored at
+    // 0.5x the r15 baselining run (calibration 6.400 s / 15 626 rows/s;
+    // ratios cancel the slower host). Same sb_sample convention: added
+    // without moving BaselineTotalSec — conservative tightening.
+    "sb_hamming"             -> 0.029920,
+    "sb_components_warm"     -> 0.073305)
 
   /** STATE-BYTES ceilings (r13): the throughput floors cannot see a
     * state blow-up that the host absorbs in RAM — exactly the r12
@@ -156,7 +163,13 @@ object StreamBench {
     // r14 (late): EXACTLY n slots per stratum by construction — the
     // ceiling is the claim's enforcement (identical bytes in both
     // measuring runs: 10 strata x 100 (md5, id) slots)
-    "sb_sample"              -> 3L * 145552)
+    "sb_sample"              -> 3L * 145552,
+    // r15 (same baselining run as the new floors): hamming state is one
+    // 8-byte signature per (band, in-horizon doc); the warm maintainer
+    // carries the identical single union-find group as sb_components —
+    // seeding changes WHERE the state comes from, not its shape
+    "sb_hamming"             -> 3L * 4937168,
+    "sb_components_warm"     -> 3L * 979600)
 
   /** Aggregate bound complementing the per-op ratios: the sum of
     * floored-op medians must stay under the baselined total scaled by

@@ -189,7 +189,7 @@ object IvfObjectStore {
       extends IllegalStateException(msg)
 
   private val Header = "graft-ivf-manifest v1"
-  private val PublishRetries = 8
+  private[operators] val PublishRetries = 8
 
   /** Losing a publish is not always "the chain advanced": the winner may
     * still be BETWEEN create and close, so the loser's immediate re-read
@@ -203,7 +203,7 @@ object IvfObjectStore {
     * seconds on an oversubscribed host (a 5-attempt/1.5 s budget was
     * observed losing to exactly that); genuinely dead writers are
     * [[healTorn]]'s job after the grace. */
-  private def publishBackoff(attempt: Int): Unit =
+  private[operators] def publishBackoff(attempt: Int): Unit =
     Thread.sleep(50L << math.min(attempt, 4))
 
   private[graft] final case class Manifest(version: Long,
@@ -224,7 +224,7 @@ object IvfObjectStore {
     }
   }
 
-  private def sha256(s: String): String =
+  private[operators] def sha256(s: String): String =
     MessageDigest.getInstance("SHA-256")
       .digest(s.getBytes(StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
@@ -253,10 +253,10 @@ object IvfObjectStore {
     Some(Manifest(version, cents.result(), data.result(), tags.result()))
   }
 
-  private def fsOf(spark: SparkSession, dir: String): FileSystem =
+  private[operators] def fsOf(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readFully(fs: FileSystem, p: Path): String = {
+  private[operators] def readFully(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try {
       val bos = new java.io.ByteArrayOutputStream()
@@ -326,8 +326,8 @@ object IvfObjectStore {
     * semantics — and the handoff is claimed by a per-write UUID token
     * riding the writer options, so concurrent store writers never race
     * each other's file lists. */
-  private def writeVia(df: DataFrame, outPath: String,
-                       partitioned: Boolean): Seq[String] = {
+  private[graft] def writeVia(df: DataFrame, outPath: String,
+                                  partitionCols: Seq[String]): Seq[String] = {
     import org.apache.spark.sql.GraftSqlBridge
     val isolated = GraftSqlBridge.forkSession(df.sparkSession)
     isolated.conf.set("spark.sql.sources.commitProtocolClass",
@@ -336,7 +336,8 @@ object IvfObjectStore {
     val token = java.util.UUID.randomUUID().toString
     val w = frame.write.mode("append")
       .option(ManifestCommitProtocol.TokenKey, token)
-    (if (partitioned) w.partitionBy("c_id") else w).parquet(outPath)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(outPath)
     ManifestCommitProtocol.take(token).getOrElse(
       throw new ManifestStoreException(
         s"ManifestCommitProtocol recorded no commit for $outPath — " +
@@ -354,7 +355,7 @@ object IvfObjectStore {
     writeVia(GraftSimilarity.storedLayout(
                pq.map(GraftPq.withCw(_, assigned)).getOrElse(assigned),
                q4, b1),
-             s"$dir/data", partitioned = true).map(r => s"data/$r")
+             s"$dir/data", Seq("c_id")).map(r => s"data/$r")
 
   /** The store's PQ codebook, if one was attached at create — fixed
     * immutable path OUTSIDE the manifest chain (it is written once and
@@ -387,7 +388,7 @@ object IvfObjectStore {
     }
     val cents = writeVia(index.centroids.select(
         col("c_id").cast("long").as("c_id"), col("cv")),
-      s"$dir/centroids", partitioned = false).map(r => s"centroids/$r")
+      s"$dir/centroids", Nil).map(r => s"centroids/$r")
     // persist the codebook across its two consumers here (folded-encode
     // collect + the at-rest write) — it is typically a LAZY train chain
     // that would otherwise run Lloyd twice
