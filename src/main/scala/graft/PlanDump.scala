@@ -95,7 +95,7 @@ object PlanDump {
                     // keep-set (contracted-sliver closure + gated
                     // remap), warm-start PageRank (seeded state join)
                     "text_bm25_stored", "text_bm25_pruned",
-                    "text_bm25_stored_manifest",
+                    "text_bm25_stored_manifest", "text_bm25_pruned_skew",
                     "ann_hybrid_impact_stored",
                     "dedup_keepset_incremental", "graph_pagerank_warm",
                     // r14: perceptual image/audio near-dup (banded-

@@ -73,6 +73,38 @@ object TextQueries extends QueryModule {
     graft.operators.ImpactObjectStore.read(s, out)
   }
 
+  /** The ZIPF-HEAD corpus for the MaxScore payoff rows (VERDICT r14
+    * missing #3): the synthetic documents table has a nearly FLAT df
+    * distribution (every vocabulary term sits in ~78% of docs — no
+    * stopword head, no rare tail), so essential-list pruning has nothing
+    * to prune on the raw fixture. Deterministic augmentation gives it
+    * the realistic shape: EVERY doc gains the stopword ' the'
+    * (vocabulary head, df = N, idf ≈ 0) and every 50th doc gains the
+    * rare discriminative term ' uncommonmark' (df = N/50, the head of
+    * the impact ordering). Both engines compute the same augmentation —
+    * the dedup_prefix planted-truncation convention.
+    */
+  private[graft] def skewDocs(s: org.apache.spark.sql.SparkSession,
+                                dir: String)
+      : org.apache.spark.sql.DataFrame =
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      concat(col("text"), lit(" the"),
+             when(col("doc_id") % 50 === 0, lit(" uncommonmark"))
+               .otherwise(lit(""))).as("text"))
+
+  private[graft] def skewImpactIndex(s: org.apache.spark.sql.SparkSession,
+                                       dir: String)
+      : graft.operators.ImpactIndex.StoredImpacts = {
+    val out =
+      s"/tmp/graft_io/${new java.io.File(dir).getName}/impact_index_skew"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(s"$out/meta/_SUCCESS")))
+      graft.operators.ImpactIndex.write(skewDocs(s, dir), out)
+    graft.operators.ImpactIndex.read(s, out)
+  }
+
   override def all: Seq[GraftQuery] = Seq(
 
     // Per-document quality statistics: token counts, mean token length,
@@ -502,6 +534,48 @@ object TextQueries extends QueryModule {
           queryTerms = Seq("spark", "vector", "join"), k = 20,
           essential = 2),
       Some(bm25TopKOracleSql)),
+
+    // MaxScore pruning ON ITS PAYOFF SHAPE (VERDICT r14 missing #3): the
+    // [[skewDocs]] Zipf-head corpus — a df=N stopword in every doc, a
+    // df=N/50 discriminative term — queried with the stopword IN the
+    // query. essential = 1 selects the rare term (highest max-impact);
+    // the stopword's corpus-sized posting list never enters the
+    // aggregation (candidates x terms rows group, not Σ posting
+    // lengths — ~30x fewer rows at sf0.1, measured in ProbeMaxScore /
+    // SCALE.md), and the in-plan covering guard PROVES the skipped lists
+    // could not reach the top-k. The oracle replays exact BM25 over the
+    // same augmented corpus — hash-equality is the pruning-completeness
+    // proof at the realistic query shape, not just the overhead floor.
+    GraftQuery(
+      "text_bm25_pruned_skew",
+      (s, dir) =>
+        graft.operators.ImpactIndex.bm25TopKPruned(
+          skewImpactIndex(s, dir),
+          queryTerms = Seq("uncommonmark", "spark", "the"), k = 5,
+          essential = 1),
+      Some("""WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(
+        |    trim(text) || ' the' ||
+        |    CASE WHEN doc_id % 50 = 0 THEN ' uncommonmark' ELSE '' END,
+        |    '\s+') tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) n, avg(len(tk)) avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
+        |  WHERE term IN ('uncommonmark', 'spark', 'the') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id,
+        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |          * 1000000.0) AS BIGINT)) score,
+        |    count(*) n_terms_hit
+        |  FROM tf JOIN df USING (term), stats GROUP BY doc_id)
+        |SELECT row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        |  doc_id, n_terms_hit
+        |FROM s ORDER BY score DESC, doc_id LIMIT 5""".stripMargin)),
 
     // Perplexity-based quality filter (CCNet-style) — the 10 most
     // surprising documents per language under a corpus-trained bigram LM
