@@ -100,7 +100,7 @@ object PlanDump {
                     "dedup_keepset_incremental", "graph_pagerank_warm",
                     // r14: perceptual image/audio near-dup (banded-
                     // Hamming join over real-codec signatures)
-                    "mm_ahash_pairs", "mm_audio_dedup")
+                    "mm_ahash_pairs", "mm_audio_dedup", "mm_video_dedup")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -454,6 +454,29 @@ object GraftMedia {
     hash
   }
 
+  /** PERCEPTUAL video fingerprint (VERDICT r14 #8 — composing the mm
+    * family's rungs): the [[audioHash64]] delta-energy construction
+    * applied to the TIME-ORDERED pixel stream of the video's SAMPLED
+    * frames — decode the container, keep every k-th frame
+    * ([[decodeSampledFrames]]), concatenate their raster scans, split
+    * into 65 equal segments, and set bit k iff segment k+1's exact
+    * integer pixel sum exceeds segment k's. Pixel (not frame) granularity
+    * matters: short clips have 1–3 frames, so frame-level rise bits would
+    * be occupancy-determined (every same-length clip identical — a
+    * quadratic false-pair class), while one frame already gives ≥ 256
+    * stream positions, keeping all 64 comparisons content-driven.
+    * Invariant under positive brightness scaling (comparison of sums),
+    * local to edits (a corrupted run of pixels flips only its segments'
+    * adjacent comparisons), integer-exact and SQL-replayable — pair with
+    * [[GraftDedup.hammingPairs64]] like the image and audio rungs.
+    * Pixels are nonnegative, so this IS the audio construction verbatim
+    * (|x| = x) — one factored kernel, MultimodalSpec pins the identity.
+    */
+  def videoHash64(sampledFrames: Seq[Raster]): Long = {
+    require(sampledFrames.nonEmpty, "videoHash64: at least one frame")
+    audioHash64(sampledFrames.iterator.flatMap(_.pixels.iterator).toArray)
+  }
+
   /** Exact integer summary of a raster (the oracle-friendly feature
     * set: sums and extrema, never engine-rounded means). */
   final case class RasterStats(width: Int, height: Int, nPix: Int,

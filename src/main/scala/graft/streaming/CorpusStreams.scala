@@ -1948,6 +1948,32 @@ object CorpusStreams {
       }.toDF(idCol, tsCol, "h64")
   }
 
+  /** Stateless fingerprint map for an arriving video-payload stream:
+    * real container parse, every `sampleEvery`-th frame decoded,
+    * [[graft.operators.GraftMedia.videoHash64]] over the sampled pixel
+    * stream — the video leg of online perceptual dedup; feed the output
+    * to [[hammingPairStream]] like the image and audio legs. */
+  def videoHashStream(docs: DataFrame, idCol: String = "doc_id",
+                      payloadCol: String = "payload",
+                      tsCol: String = "ts",
+                      sampleEvery: Int = 2): DataFrame = {
+    require(sampleEvery >= 1, s"sampleEvery must be >= 1, got $sampleEvery")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long"), col(tsCol).cast("timestamp"),
+              col(payloadCol).cast("binary"))
+      .as[(Long, java.sql.Timestamp, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, ts, bytes) =>
+          (id, ts,
+           graft.operators.GraftMedia.videoHash64(
+             graft.operators.GraftMedia
+               .decodeSampledFrames(bytes, sampleEvery)._2))
+        }
+      }.toDF(idCol, tsCol, "h64")
+  }
+
   final case class SampleRowIn(stratum: String, id: Long)
   final case class SampleDelta(stratum: String, id: Long, event: String)
   final case class SampleState(entries: List[(String, Long)])

@@ -302,4 +302,53 @@ class MultimodalSpec extends GraftFunSuite {
     assert(GraftMedia.audioHash64(Array.empty[Int]) == 0L)
     GraftMedia.audioHash64(Array(5, -3)) // no throw
   }
+
+  test("videoHash64: the factored delta-energy kernel over the sampled " +
+       "frames' pixel stream — brightness-scaling invariant, local edits " +
+       "flip only adjacent comparisons, unsampled frames never matter") {
+    // deterministic 3-frame clip (256 bytes per frame, values 0..127)
+    def frame(seed: Int): GraftMedia.Raster =
+      GraftMedia.Raster(16, 16,
+        Array.tabulate(256)(i => (i * 7 + seed * 31) % 128))
+    val clip = Seq(frame(1), frame(2), frame(3))
+    val h = GraftMedia.videoHash64(clip)
+    // the factored-kernel identity: videoHash64 IS audioHash64 of the
+    // concatenated raster scans (pixels nonnegative, |x| = x)
+    assert(h == GraftMedia.audioHash64(
+      clip.flatMap(_.pixels).toArray))
+    // comparison-of-sums: uniform brightness scaling flips nothing
+    val brighter = clip.map(r => r.copy(pixels = r.pixels.map(_ * 2)))
+    assert(GraftMedia.videoHash64(brighter) == h)
+    // a 4-pixel local edit sits in at most 2 adjacent segments of the
+    // 768-pixel stream → at most 2 comparisons flip (the perturbed-twin
+    // bound the mm_video_dedup augmentation relies on)
+    val edited = clip.head.pixels.clone()
+    (0 until 4).foreach(i => edited(i) = 127 - edited(i))
+    val h2 = GraftMedia.videoHash64(
+      clip.head.copy(pixels = edited) +: clip.tail)
+    assert(java.lang.Long.bitCount(h ^ h2) <= 2,
+      s"flipped=${java.lang.Long.bitCount(h ^ h2)}")
+    // FRAME SAMPLING composition: through the real GIF container with
+    // sampleEvery = 2, corrupting an UNSAMPLED (odd) frame leaves the
+    // hash untouched; corrupting a sampled frame moves it
+    val bytes = Array.tabulate(768)(i => ((i * 13) % 96 + 32).toByte)
+    def hashOf(b: Array[Byte]): Long = {
+      val gif = GraftMedia.encodeGif(GraftMedia.payloadFrames(b))
+      val (n, sampled) = GraftMedia.decodeSampledFrames(gif, sampleEvery = 2)
+      assert(n == 3 && sampled.length == 2)
+      GraftMedia.videoHash64(sampled)
+    }
+    val base = hashOf(bytes)
+    val oddCorrupt = bytes.clone()
+    (256 until 320).foreach(i => oddCorrupt(i) = 127)   // frame 1: unsampled
+    assert(hashOf(oddCorrupt) == base,
+      "an unsampled frame's bytes must not reach the signature")
+    val evenCorrupt = bytes.clone()
+    (512 until 576).foreach(i => evenCorrupt(i) = 127)  // frame 2: sampled
+    assert(hashOf(evenCorrupt) != base)
+    // geometry guard: at least one frame
+    intercept[IllegalArgumentException] {
+      GraftMedia.videoHash64(Nil)
+    }
+  }
 }

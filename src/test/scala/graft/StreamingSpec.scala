@@ -852,6 +852,55 @@ class StreamingSpec extends GraftFunSuite {
     } finally q3.stop()
   }
 
+  test("videoHashStream: online perceptual video dedup equals batch " +
+       "hammingPairs64 over videoHash64 of the sampled frames, across " +
+       "micro-batch boundaries — the GIF container parse and the frame " +
+       "sampling run inside the stream's decode map") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.{GraftDedup, GraftMedia}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val aug = docs
+      .unionAll(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val payloads = aug.select(col("doc_id"),
+                              col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, b) =>
+        (id, GraftMedia.encodeGif(GraftMedia.payloadFrames(b))) }
+    val hashesBatch = payloads.map { case (id, gif) =>
+      (id, GraftMedia.videoHash64(
+        GraftMedia.decodeSampledFrames(gif, sampleEvery = 2)._2)) }
+      .toSeq.toDF("doc_id", "h64")
+    val batch = GraftDedup
+      .hammingPairs64(hashesBatch, "doc_id", "h64",
+                      maxHamming = 4, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty) // the exact twins pair at hamming 0
+    val rows = payloads
+      .map { case (id, gif) => (id, ts((id % 30).toInt), gif) }
+      .sortBy(_._1).toSeq
+    val (h1, h2) = rows.splitAt(rows.size / 2)
+    val input = MemoryStream[(Long, Timestamp, Array[Byte])]
+    val df = input.toDF().toDF("doc_id", "ts", "payload")
+    val q = CorpusStreams.hammingPairStream(
+        CorpusStreams.videoHashStream(df, sampleEvery = 2),
+        maxHamming = 4, bands = 4, horizonMinutes = 60)
+      .writeStream.format("memory").queryName("video_hamming_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val streamed = spark.table("video_hamming_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"stream-only=${streamed.diff(batch).take(5)} " +
+        s"batch-only=${batch.diff(streamed).take(5)}")
+    } finally q.stop()
+  }
+
   test("fixedSampleStream: entered minus evicted equals the batch " +
        "bottom-n-by-md5 per stratum, across scrambled arrival and " +
        "micro-batch boundaries; re-delivery no-ops; each id enters and " +
