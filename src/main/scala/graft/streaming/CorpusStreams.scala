@@ -2003,7 +2003,8 @@ object CorpusStreams {
     */
   def fixedSampleStream(rows: DataFrame, n: Int,
                         idCol: String = "doc_id",
-                        strataCol: Option[String] = None)
+                        strataCol: Option[String] = None,
+                        initialSample: Option[DataFrame] = None)
       : Dataset[SampleDelta] = {
     require(n >= 1, s"fixedSampleStream: n must be >= 1, got $n")
     import rows.sparkSession.implicits._
@@ -2046,9 +2047,45 @@ object CorpusStreams {
       state.update(SampleState(entries))
       out.result().iterator
     }
-    keyed.groupByKey(_.stratum)
-      .flatMapGroupsWithState(OutputMode.Append,
-                              GroupStateTimeout.NoTimeout)(update)
+    initialSample match {
+      case None =>
+        keyed.groupByKey(_.stratum)
+          .flatMapGroupsWithState(OutputMode.Append,
+                                  GroupStateTimeout.NoTimeout)(update)
+      case Some(snapshot) =>
+        // WARM START (r15, the componentStream pattern): seed each
+        // stratum's reservoir from a STORED sample — (stratum?, id) rows,
+        // e.g. yesterday's `entered \ evicted` replay or the batch
+        // bottom-n output. Priorities are a pure function of the id
+        // (md5), so the snapshot needs no extra columns; seeded members
+        // are already "in" at the serving layer and emit no delta —
+        // only later admissions/evictions stream out. A stratum with
+        // more than n snapshot rows is refused (it cannot be a valid
+        // n-reservoir), fail-loud over silent trimming.
+        val init = snapshot
+          .select(strataCol.map(col).getOrElse(lit("")).cast("string")
+                    .as("stratum"),
+                  col(idCol).cast("long").as("id"))
+          .as[SampleRowIn]
+          .groupByKey(_.stratum)
+          .mapGroups { (stratum, it) =>
+            def md5Hex(s: String): String =
+              java.security.MessageDigest.getInstance("MD5")
+                .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .map(b => f"$b%02x").mkString
+            val entries = it.map(_.id).toSeq.distinct
+              .map(id => (md5Hex(id.toString), id)).sorted.toList
+            require(entries.lengthCompare(n) <= 0,
+              s"fixedSampleStream: initialSample stratum '$stratum' has " +
+              s"${entries.length} rows > n=$n — not a valid n-reservoir")
+            (stratum, SampleState(entries))
+          }
+          .groupByKey(_._1)
+          .mapValues(_._2)
+        keyed.groupByKey(_.stratum)
+          .flatMapGroupsWithState(OutputMode.Append,
+                                  GroupStateTimeout.NoTimeout, init)(update)
+    }
   }
 
   final case class CompPairIn(a_id: Long, b_id: Long,

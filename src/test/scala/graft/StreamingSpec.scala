@@ -949,6 +949,82 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("fixedSampleStream warm start: seeded from a stored sample, the " +
+       "delta replay over new arrivals equals the batch bottom-n over " +
+       "(snapshot ∪ new); unchanged seeded members stay silent; an " +
+       "over-full snapshot stratum is refused") {
+    import graft.streaming.CorpusStreams
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // yesterday: the batch bottom-7 per stratum over the first half of
+    // ids; today: stream the second half into the seeded reservoir
+    val (oldRows, newRows) = docs.partition(_._2 % 2 == 0)
+    val snapTuples = oldRows.groupBy(_._1).toSeq.flatMap { case (l, rs) =>
+      rs.map(_._2).distinct.sortBy(id => (md5hex(id.toString), id))
+        .take(7).map(l -> _)
+    }
+    val snapshot = snapTuples.toDF("lang", "doc_id")
+    val input = MemoryStream[(String, Long)]
+    val q = CorpusStreams
+      .fixedSampleStream(input.toDF().toDF("lang", "doc_id"), n = 7,
+                         strataCol = Some("lang"),
+                         initialSample = Some(snapshot))
+      .writeStream.format("memory").queryName("sample_warm")
+      .outputMode("append").start()
+    try {
+      val feed = newRows.sortBy { case (_, id) => md5hex(s"sc-$id") }.toSeq
+      val (h1, h2) = feed.splitAt(feed.size / 2)
+      input.addData(h1); q.processAllAvailable()
+      input.addData(h2); q.processAllAvailable()
+      val deltas = spark.table("sample_warm").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      // replay from the snapshot: in adds, out removes
+      val serving = scala.collection.mutable.Set[(String, Long)](
+        snapTuples: _*)
+      deltas.foreach {
+        case (l, id, "in") => serving += (l -> id)
+        case (l, id, "out") => serving -= (l -> id)
+        case other => fail(s"unexpected delta $other")
+      }
+      val want = (snapTuples ++ newRows).groupBy(_._1).toSeq
+        .flatMap { case (l, rs) =>
+          rs.map(_._2).distinct.sortBy(id => (md5hex(id.toString), id))
+            .take(7).map(l -> _)
+        }.toSet
+      assert(serving.toSet == want,
+        s"serving-only=${serving.toSet.diff(want)} " +
+        s"want-only=${want.diff(serving.toSet)}")
+      // a seeded member that SURVIVES never re-emits "in"
+      val survivors = snapTuples.toSet.intersect(want)
+      assert(!deltas.exists(d => d._3 == "in" &&
+        survivors.contains((d._1, d._2))),
+        "surviving seeded members must stay silent")
+    } finally q.stop()
+    // an over-full snapshot stratum cannot be a valid n-reservoir
+    val bad = (1L to 9L).map(("en", _)).toDF("lang", "doc_id")
+    val in2 = MemoryStream[(String, Long)]
+    val q2 = CorpusStreams
+      .fixedSampleStream(in2.toDF().toDF("lang", "doc_id"), n = 7,
+                         strataCol = Some("lang"),
+                         initialSample = Some(bad))
+      .writeStream.format("memory").queryName("sample_warm_bad")
+      .outputMode("append").start()
+    try {
+      in2.addData(Seq(("en", 100L)))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+      assert(e.getMessage != null)
+    } finally q2.stop()
+  }
+
   test("componentStream: min-per-id over the emitted deltas equals batch " +
        "connectedComponents over the in-horizon pairs; cross-batch chain " +
        "merges TIGHTEN labels; the horizon separates; overflow evicts a " +
@@ -1332,6 +1408,37 @@ class StreamingSpec extends GraftFunSuite {
           s"stored-stream-only=${streamed2.diff(batchServe).take(5)} " +
           s"batch-only=${batchServe.diff(streamed2).take(5)}")
       } finally q2.stop()
+      // MANIFEST substrate (r15): the same stream off the object-store
+      // layout — ImpactObjectStore.read returns the same StoredImpacts
+      // surface with bit-identical addends, so the S3-class deployment
+      // serves streaming RAG too, not just batch
+      val manifestDir = java.nio.file.Files
+        .createTempDirectory("graft_impact_manifest_stream").toString
+      graft.operators.ImpactObjectStore.rebuild(docs, manifestDir,
+                                                buckets = 16)
+      val manifestIdx =
+        graft.operators.ImpactObjectStore.read(spark, manifestDir)
+      val input3 = MemoryStream[(Long, Timestamp, List[String], List[Double])]
+      val df3 = input3.toDF().toDF("q_id", "ts", "q_terms", "qv")
+      val q3 = CorpusStreams
+        .hybridServeStreamStored(idx, manifestIdx.impacts, df3,
+                                 k = 10, kCand = 30, rrfK = 60,
+                                 nprobe = 4, latenessMinutes = 10)
+        .writeStream.format("memory").queryName("hybrid_serve_manifest")
+        .outputMode("append").start()
+      try {
+        input3.addData(h1); q3.processAllAvailable()
+        input3.addData(h2); q3.processAllAvailable()
+        input3.addData(Seq((999999L, ts(600), List("the"), rows.head._4)))
+        q3.processAllAvailable()
+        val streamed3 = spark.table("hybrid_serve_manifest")
+          .filter(col("q_id") =!= 999999L)
+          .select("q_id", "doc_id", "rank", "rrf", "lex_rank", "sem_rank")
+          .collect().map(key).toSet
+        assert(streamed3 == batchServe,
+          s"manifest-stream-only=${streamed3.diff(batchServe).take(5)} " +
+          s"batch-only=${batchServe.diff(streamed3).take(5)}")
+      } finally q3.stop()
     } finally { idx.unpersist(); () }
   }
 
