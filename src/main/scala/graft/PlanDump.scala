@@ -110,8 +110,13 @@ object PlanDump {
       val df = SparkEntry.queries(name)(spark, dir)
       val qe = org.apache.spark.sql.GraftSqlBridge.queryExecution(df)
       sb.append(s"\n## $name\n\n```\n")
+      // render control bytes visibly: the null-text/null-key sentinel
+      // literals (NUL + "null-text") otherwise make PLANS.md read as
+      // BINARY to grep/diff — the audit-hiding class VERDICT r14 #3
+      // flagged for source files applies to committed records too
       sb.append(qe.explainString(
-        org.apache.spark.sql.execution.SimpleMode).trim)
+          org.apache.spark.sql.execution.SimpleMode).trim
+        .replace("\u0000", "\\u0000"))
       sb.append("\n```\n")
     }
     java.nio.file.Files.writeString(
