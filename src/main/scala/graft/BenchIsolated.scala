@@ -66,7 +66,10 @@ object BenchIsolated {
     // single-task window), and the manifest-layout BM25 serve (vs its
     // directory-layout twin text_bm25_stored above)
     "text_scrub_repeats", "events_asof_join", "q_window_rank",
-    "dedup_prefix", "text_bm25_stored_manifest")
+    "dedup_prefix", "text_bm25_stored_manifest",
+    // r15 second batch: the versioned at-rest keep-set (create +
+    // sliver increment + last-wins read) and the MaxScore payoff query
+    "dedup_keepset_stored", "text_bm25_pruned_skew", "mm_video_dedup")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

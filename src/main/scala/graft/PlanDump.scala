@@ -97,7 +97,8 @@ object PlanDump {
                     "text_bm25_stored", "text_bm25_pruned",
                     "text_bm25_stored_manifest", "text_bm25_pruned_skew",
                     "ann_hybrid_impact_stored",
-                    "dedup_keepset_incremental", "graph_pagerank_warm",
+                    "dedup_keepset_incremental", "dedup_keepset_stored",
+                    "graph_pagerank_warm",
                     // r14: perceptual image/audio near-dup (banded-
                     // Hamming join over real-codec signatures)
                     "mm_ahash_pairs", "mm_audio_dedup", "mm_video_dedup")

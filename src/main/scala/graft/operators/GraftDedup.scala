@@ -641,11 +641,16 @@ object GraftDedup {
     * the affected-cluster set is small — no corpus shuffle); untouched
     * clusters' rows pass through byte-identical.
     */
-  def keepSetIncremental(prev: DataFrame, newIds: DataFrame,
-                         newPairs: DataFrame, idCol: String = "doc_id",
-                         aCol: String = "a_id", bCol: String = "b_id")
+  /** The CONTRACTION closure of an increment — the sliver-sized
+    * (old label | new id) → merged-component-min-id table both
+    * [[keepSetIncremental]] and [[KeepSetStore.increment]] fold through
+    * (one kernel, two materializations: the in-memory full table and
+    * the at-rest delta). See [[keepSetIncremental]] for why it is exact.
+    */
+  private[operators] def keepSetRemap(prevLbl: DataFrame,
+                                      newPairs: DataFrame, idCol: String,
+                                      aCol: String, bCol: String)
       : DataFrame = {
-    val prevLbl = prev.select(col(idCol), col("cluster_id"))
     // the increment's touched ids — pair-sliver-sized, so it broadcasts
     // unconditionally; prevLbl shrinks to exactly the rows the lookups
     // can hit before any join strategy is chosen
@@ -668,8 +673,16 @@ object GraftDedup {
               coalesce(col("__lb"), col("__pb")).as("b_id"))
     // closure of the contracted sliver only — (old label | new id) →
     // merged component's min id
-    val remap = connectedComponents(contracted)
+    connectedComponents(contracted)
       .select(col("id").as("__node"), col("component"))
+  }
+
+  def keepSetIncremental(prev: DataFrame, newIds: DataFrame,
+                         newPairs: DataFrame, idCol: String = "doc_id",
+                         aCol: String = "a_id", bCol: String = "b_id")
+      : DataFrame = {
+    val prevLbl = prev.select(col(idCol), col("cluster_id"))
+    val remap = keepSetRemap(prevLbl, newPairs, idCol, aCol, bCol)
     val oldRows = prev.select(col(idCol), col("cluster_id"))
       .join(ScaleHints.gated(remap.select(col("__node").as("cluster_id"),
                                           col("component"))),

@@ -313,6 +313,70 @@ object DedupQueries extends QueryModule {
         |  d.doc_id = coalesce(c.component, d.doc_id) AS keep
         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin)),
 
+    // The VERSIONED AT-REST keep-set (r15 — [[KeepSetStore]]): the same
+    // day-0/day-1 split persisted through the manifest-committed store —
+    // create(v1) from the old half's keep-set, increment(v2) staging
+    // ONLY the changed sliver (new ids + remapped old rows; the
+    // contraction kernel shared with keepSetIncremental), read resolving
+    // per-id last-wins. The oracle is the SAME from-scratch recursive-CTE
+    // keep-set over the union — hash-equality proves the store's
+    // base ⊕ delta resolution reconstructs the full decision table
+    // exactly (the text_bm25_stored precedent, applied to the dedup
+    // decision table).
+    GraftQuery(
+      "dedup_keepset_stored",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = minhashLshPairs(s, dir)
+        def isOld(c: org.apache.spark.sql.Column) =
+          substring(md5(c.cast("string")), 1, 1) < "8"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_keepset_store").toString
+        graft.operators.KeepSetStore.create(
+          graft.operators.GraftDedup.keepSet(
+            docs.filter(isOld(col("doc_id"))),
+            pairs.filter(isOld(col("a_id")) && isOld(col("b_id")))),
+          out)
+        graft.operators.KeepSetStore.increment(
+          s, out,
+          newIds = docs.filter(!isOld(col("doc_id"))),
+          newPairs = pairs.filter(!(isOld(col("a_id")) &&
+                                    isOld(col("b_id")))),
+          batchTag = Some("increment1"))
+        graft.operators.KeepSetStore.read(s, out)
+      },
+      Some("""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                                FOR i IN range(1, len(tk) - 1)]) s
+        |  FROM toks WHERE len(tk) >= 3),
+        |e AS (SELECT doc_id, unnest(s) g FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM e GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |np AS (
+        |  SELECT a_id, b_id FROM pair
+        |  JOIN sz sa ON sa.doc_id = a_id
+        |  JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |ed AS (SELECT a_id s, b_id d FROM np
+        |       UNION SELECT b_id, a_id FROM np),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM ed
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s),
+        |comp AS (
+        |  SELECT s AS doc_id, least(s, min(d)) AS component
+        |  FROM reach GROUP BY s)
+        |SELECT d.doc_id,
+        |  coalesce(c.component, d.doc_id) AS cluster_id,
+        |  d.doc_id = coalesce(c.component, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin)),
+
     // CLUSTER-disjoint train/test split: documents route by a hash of
     // their near-dup CLUSTER id, so a near-duplicate pair can never
     // straddle the train/eval boundary — the per-id hash split
