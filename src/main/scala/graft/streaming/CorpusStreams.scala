@@ -1481,6 +1481,50 @@ object CorpusStreams {
     * already-committed batches no-op on their markers, the refused batch
     * replays). Any non-lock failure surfaces immediately, untouched.
     */
+  /** Streaming increments into the VERSIONED at-rest keep-set — the
+    * closing arc of online dedup (r15): the pair miners
+    * ([[nearDupPairStream]], [[srpPairStream]], [[editDistPairStream]],
+    * [[hammingPairStream]]) emit verified pairs online; every
+    * micro-batch folds into [[graft.operators.KeepSetStore]] as ONE
+    * tagged [[graft.operators.KeepSetStore.increment]]
+    * (`<streamId>_b<batchId>`), so a checkpoint replay no-ops on the
+    * manifest's tag set and the stored decision table is always a
+    * published, time-travelable version. The increment kernel needs the
+    * batch's NEW ids (those not yet stored): they are derived per batch
+    * by broadcasting the batch's endpoint set (sliver-sized) against an
+    * id-only column-pruned scan of the stored table — the already-stored
+    * endpoints come back (one scan, no corpus shuffle) and the rest are
+    * new. Run [[graft.operators.KeepSetStore.compact]] on a maintenance
+    * cadence so the per-batch resolve stays a pure scan.
+    */
+  def keepSetIncrementStream(dir: String, pairs: DataFrame,
+                             streamId: String,
+                             idCol: String = "doc_id",
+                             aCol: String = "a_id", bCol: String = "b_id")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(streamId.matches("[A-Za-z0-9_]+"),
+      s"streamId '$streamId' must match [A-Za-z0-9_]+ (it prefixes the " +
+      "store's idempotency tags)")
+    pairs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val p = batch.select(col(aCol).cast("long").as(aCol),
+                           col(bCol).cast("long").as(bCol))
+      val endpoints = p.select(col(aCol).as(idCol))
+        .unionAll(p.select(col(bCol).as(idCol)))
+        .distinct()
+      val stored = graft.operators.KeepSetStore.read(spark, dir, idCol)
+        .select(col(idCol))
+      val known = stored
+        .join(org.apache.spark.sql.functions.broadcast(endpoints),
+              Seq(idCol), "left_semi")
+      val newIds = endpoints.exceptAll(known)
+      graft.operators.KeepSetStore.increment(
+        spark, dir, newIds, p, idCol, aCol, bCol,
+        batchTag = Some(s"${streamId}_b$batchId"))
+      ()
+    }
+  }
+
   def ivfIngestStream(dir: String, vecs: DataFrame, streamId: String,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",

@@ -1109,6 +1109,75 @@ class StreamingSpec extends GraftFunSuite {
     } finally q3.stop()
   }
 
+  test("keepSetIncrementStream: micro-batched pair mining folds into the " +
+       "versioned at-rest keep-set — store ≡ from-scratch keepSet over " +
+       "everything seen, checkpoint replays no-op on tags, and the " +
+       "stored table warm-starts componentStream") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.{GraftDedup, KeepSetStore}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("keepset_stream").toString
+    // day 0 at rest: clusters {1,2}, {10,11}; singleton 20
+    val d0Ids = Seq(1L, 2L, 10L, 11L, 20L).toDF("doc_id")
+    val d0Pairs = Seq((1L, 2L), (10L, 11L)).toDF("a_id", "b_id")
+    KeepSetStore.create(GraftDedup.keepSet(d0Ids, d0Pairs), dir)
+    // the miners' output arrives in two micro-batches: 0 bridges the
+    // stored clusters; 30-31 is brand new; (20, 2) is a late old-old link
+    val in = MemoryStream[(Long, Long)]
+    val q = CorpusStreams.keepSetIncrementStream(
+        dir, in.toDF().toDF("a_id", "b_id"), streamId = "miner")
+      .start()
+    try {
+      in.addData(Seq((0L, 2L), (0L, 11L))); q.processAllAvailable()
+      in.addData(Seq((30L, 31L), (20L, 2L))); q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet
+    val allIds = Seq(0L, 1L, 2L, 10L, 11L, 20L, 30L, 31L).toDF("doc_id")
+    val allPairs = Seq((1L, 2L), (10L, 11L), (0L, 2L), (0L, 11L),
+                       (30L, 31L), (20L, 2L)).toDF("a_id", "b_id")
+    val want = rows(GraftDedup.keepSet(allIds, allPairs))
+    assert(rows(KeepSetStore.read(spark, dir)) == want)
+    // checkpoint replay: re-running a committed batch's increment no-ops
+    val vBefore = KeepSetStore.versions(spark, dir).max
+    KeepSetStore.increment(spark, dir,
+      Seq(30L, 31L).toDF("doc_id"), Seq((30L, 31L)).toDF("a_id", "b_id"),
+      batchTag = Some("miner_b1"))
+    assert(KeepSetStore.versions(spark, dir).max == vBefore)
+    // the stored table seeds the ONLINE maintainer: warm componentStream
+    // over tomorrow's first pairs ≡ from-scratch components over
+    // (stored pairs ∪ new) — the store and the stream compose
+    // every stored id is pair-involved in this corpus (no singletons),
+    // so the whole table is the dup sliver the maintainer seeds from
+    val snapshot = KeepSetStore.read(spark, dir)
+      .select(col("doc_id").as("id"), col("cluster_id").as("component"))
+    val in2 = MemoryStream[(Long, Long, Timestamp)]
+    val q2 = CorpusStreams.componentStream(
+        in2.toDF().toDF("a_id", "b_id", "ts"), horizonMinutes = 600,
+        initialLabels = Some(snapshot), initialTs = Some(ts(0)))
+      .writeStream.format("memory").queryName("ks_warm_comp")
+      .outputMode("append").start()
+    try {
+      in2.addData(Seq((40L, 31L, ts(1)))); q2.processAllAvailable()
+      val serving = scala.collection.mutable.HashMap[Long, Long](
+        snapshot.collect().map(r => r.getLong(0) -> r.getLong(1)): _*)
+      val deltas = spark.table("ks_warm_comp")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      deltas.collect { case (id, -1L) => id }.foreach(serving.remove)
+      deltas.collect { case (id, c) if c >= 0 => serving(id) = c }
+      val scratch = GraftDedup.connectedComponents(
+          allPairs.unionByName(Seq((40L, 31L)).toDF("a_id", "b_id")))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(serving.toSet == scratch.toSet,
+        s"serving-only=${serving.toSet.diff(scratch.toSet)} " +
+        s"scratch-only=${scratch.toSet.diff(serving.toSet)}")
+    } finally q2.stop()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("componentStream warm start: seeded from a stored snapshot, the " +
        "delta replay over new pairs equals from-scratch components over " +
        "(snapshot ∪ new pairs); unchanged seeded labels stay silent") {
