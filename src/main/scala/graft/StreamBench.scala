@@ -851,6 +851,47 @@ object StreamBench {
         .deleteDirectory(new java.io.File(dir))
     }
 
+    // streaming increments into the versioned keep-set store (r15):
+    // day-0 table at rest, then micro-batches of mined pairs fold in as
+    // tagged manifest increments — the per-batch cost is the resolve
+    // scan + the sliver stage + one publish, the store-maintenance leg
+    // of online dedup (compact cadence keeps the resolve a pure scan;
+    // here deltas accumulate across batches, the honest worst case)
+    rep {
+      import graft.operators.{GraftDedup, KeepSetStore}
+      val dir = java.nio.file.Files
+        .createTempDirectory("sb_keepset_ingest").toString
+      try {
+        // day 0: every 3rd doc stored as singletons; the stream then
+        // clusters the rest onto them
+        val d0 = docRows.map(_._1).filter(_ % 3 == 0)
+        KeepSetStore.create(
+          GraftDedup.keepSet(
+            d0.toDF("doc_id"),
+            Seq.empty[(Long, Long)].toDF("a_id", "b_id")),
+          dir)
+        // mined pairs: link each non-stored doc to a stored neighbor
+        // (constant churn against the stored labels)
+        val pairRows = docRows.map(_._1).filter(_ % 3 != 0)
+          .map(id => (id, id - id % 3))
+        val in = MemoryStream[(Long, Long)]
+        val q = CorpusStreams.keepSetIncrementStream(
+            dir, in.toDF().toDF("a_id", "b_id"), streamId = "sb")
+          .option("checkpointLocation", s"$dir/_chk").start()
+        try {
+          val t0 = System.nanoTime()
+          chunks(pairRows, 2).foreach { c =>
+            in.addData(c); q.processAllAvailable()
+          }
+          val sec = (System.nanoTime() - t0) / 1e9
+          out += Rec("sb_keepset_ingest", pairRows.size,
+                     KeepSetStore.read(spark, dir).count(), sec, 0L, 0L)
+          println(s"[streambench] sb_keepset_ingest done: ${out.last}")
+        } finally q.stop()
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+
     // sequence packing: shard by a stable 8-way key, stream in doc order
     rep {
       val rows = docs.map { case (id, text) =>
