@@ -114,7 +114,12 @@ object StreamBench {
     // ratios cancel the slower host). Same sb_sample convention: added
     // without moving BaselineTotalSec — conservative tightening.
     "sb_hamming"             -> 0.029920,
-    "sb_components_warm"     -> 0.073305)
+    "sb_components_warm"     -> 0.073305,
+    // r15 (second baselining run, calibration 7.129 s / 14 027 rows/s):
+    // the streaming keep-set ingest — foreachBatch store increments, so
+    // throughput-floored only (no stream state to ceiling, the
+    // sb_ivf_ingest convention)
+    "sb_keepset_ingest"      -> 0.029620)
 
   /** STATE-BYTES ceilings (r13): the throughput floors cannot see a
     * state blow-up that the host absorbs in RAM — exactly the r12
