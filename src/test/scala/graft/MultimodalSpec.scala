@@ -319,6 +319,16 @@ class MultimodalSpec extends GraftFunSuite {
     // comparison-of-sums: uniform brightness scaling flips nothing
     val brighter = clip.map(r => r.copy(pixels = r.pixels.map(_ * 2)))
     assert(GraftMedia.videoHash64(brighter) == h)
+    // …and a uniform brightness SHIFT is NEAR-invariant: segment counts
+    // differ by at most one pixel (768 px over 65 segments), so a +k
+    // offset nudges adjacent-sum differences by at most ±k — only
+    // near-tie comparisons can flip. This is the robustness that makes
+    // ScaleUp's rotation cipher produce signature-clones across copies
+    // (the sf1 clone-flood adjudication in SCALE.md: by design, not a
+    // defect)
+    val shifted = clip.map(r => r.copy(pixels = r.pixels.map(_ + 7)))
+    assert(java.lang.Long.bitCount(GraftMedia.videoHash64(shifted) ^ h) <= 2,
+      "a uniform shift must stay within near-tie flips")
     // a 4-pixel local edit sits in at most 2 adjacent segments of the
     // 768-pixel stream → at most 2 comparisons flip (the perturbed-twin
     // bound the mm_video_dedup augmentation relies on)
