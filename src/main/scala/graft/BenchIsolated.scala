@@ -69,7 +69,8 @@ object BenchIsolated {
     "dedup_prefix", "text_bm25_stored_manifest",
     // r15 second batch: the versioned at-rest keep-set (create +
     // sliver increment + last-wins read) and the MaxScore payoff query
-    "dedup_keepset_stored", "text_bm25_pruned_skew", "mm_video_dedup")
+    "dedup_keepset_stored", "text_bm25_pruned_skew", "mm_video_dedup",
+    "ann_hybrid_impact_manifest")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

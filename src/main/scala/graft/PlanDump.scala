@@ -96,7 +96,7 @@ object PlanDump {
                     // remap), warm-start PageRank (seeded state join)
                     "text_bm25_stored", "text_bm25_pruned",
                     "text_bm25_stored_manifest", "text_bm25_pruned_skew",
-                    "ann_hybrid_impact_stored",
+                    "ann_hybrid_impact_stored", "ann_hybrid_impact_manifest",
                     "dedup_keepset_incremental", "dedup_keepset_stored",
                     "graph_pagerank_warm",
                     // r14: perceptual image/audio near-dup (banded-

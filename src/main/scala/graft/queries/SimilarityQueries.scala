@@ -2083,6 +2083,31 @@ object SimilarityQueries extends QueryModule {
       },
       Some(hybridIvfOracleSql)),
 
+    // The SAME stored-lexical fusion off the MANIFEST impact layout
+    // (r15 — [[graft.operators.ImpactObjectStore]]): the handle is the
+    // same StoredImpacts surface with bit-identical addends, so the
+    // rename-free S3-class substrate serves the batch RAG fusion too —
+    // the UNCHANGED oracle hash-matching proves the substrate swap
+    // end-to-end through the fused rank (the text_bm25_stored_manifest
+    // precedent lifted to the serving matrix).
+    GraftQuery(
+      "ann_hybrid_impact_manifest",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val e = vecs(s, dir)
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  graft.operators.GraftText.whitespaceTokens(col("text"))
+                    .as("q_terms"),
+                  col("v").as("qv"))
+        graft.operators.HybridRetrieval.hybridTopKWithImpacts(
+          GraftSimilarity.buildIvfIndex(e),
+          TextQueries.manifestImpactIndex(s, dir), queries,
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4)
+      },
+      Some(hybridIvfOracleSql)),
+
     // FILTERED FUSION: the hybrid serve restricted to one slice of the
     // corpus (lang = 'en' standing in for any metadata predicate) — the
     // RAG deployment shape "retrieve only from the allowed sources".

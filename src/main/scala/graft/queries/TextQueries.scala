@@ -60,7 +60,7 @@ object TextQueries extends QueryModule {
     graft.operators.ImpactIndex.read(s, out)
   }
 
-  private[queries] def manifestImpactIndex(
+  private[graft] def manifestImpactIndex(
       s: org.apache.spark.sql.SparkSession, dir: String)
       : graft.operators.ImpactIndex.StoredImpacts = {
     val out =
