@@ -315,34 +315,52 @@ object GraftDedup {
     * `repartitionByRange` on (text, id) gives a global order as the
     * concatenation of partitions in partition-id order (Spark's range
     * partitioner samples boundaries; no SinglePartition exchange), the
-    * within-partition successor comes from a window partitioned by
-    * `spark_partition_id()`, and the only cross-partition fact each
+    * sorted+pid frame is PERSISTED once before the two consumers fork
+    * (pid is computed by exactly one exchange instance — ADVICE r15: two
+    * independent range exchanges under a nondeterministic upstream
+    * shuffle could sample different boundaries and silently disagree on
+    * pid; cache eviction is safe because a recomputed cache partition
+    * re-fetches the SAME exchange instance's shuffle blocks — boundaries
+    * are fixed per instance, never re-sampled), the within-partition
+    * successor comes from ONE narrow per-partition pass over the sorted
+    * cache (no second corpus shuffle — r15 hash-exchanged the corpus
+    * again for a window by pid), and the only cross-partition fact each
     * partition needs — the FIRST text of the next non-empty partition,
     * for its own last row — is an O(numPartitions) boundary table
-    * (min-struct per pid, lead over pid) broadcast back. Both branches
-    * read the same range exchange (ReuseExchange), so the corpus is
-    * shuffled by range once and by pid once — embarrassingly parallel at
-    * any scale. Nulls sort first under both the range partitioner and
-    * the window, so null-text rows land in partition 0 and never
-    * straddle a boundary with a non-null successor check.
+    * (min-struct per pid, lead over pid) broadcast back. Nulls sort
+    * first under the range partitioner and the within-partition sort, so
+    * null-text rows land in partition 0 and never straddle a boundary
+    * with a non-null successor check.
     */
   def prefixDups(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
     val pid = "__pfx_pid"
-    // explicit partition count: pid must be IDENTICAL across the window
-    // branch and the boundary branch even if the optimizer re-plans one
-    // of them, so AQE must not be free to coalesce the range exchange
-    // (boundary sampling itself is deterministic — fixed per-partition
-    // sketch seeds)
+    // explicit partition count: AQE must not be free to coalesce the
+    // range exchange after the fact (pid values are baked into the cache)
     val nParts =
       df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df
+    val ranged = pin(df
       .repartitionByRange(nParts, col(textCol).asc, col(idCol).asc)
+      .sortWithinPartitions(col(textCol).asc, col(idCol).asc)
       .withColumn(pid, spark_partition_id())
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(pid)).orderBy(col(textCol).asc, col(idCol).asc)
-    val withNext = ranged
-      .withColumn("__pfx_next", lead(col(textCol), 1).over(w))
+      .persist())
+    val tIdx = ranged.schema.fieldIndex(textCol)
+    val outSchema = ranged.schema
+      .add("__pfx_next", org.apache.spark.sql.types.StringType)
+    val withNext = ranged.mapPartitions { it =>
+      // one-row lookahead over the partition's sorted rows: emits each
+      // row with its successor's text (null for the partition's last row
+      // — the boundary join below supplies the cross-partition successor)
+      val buf = it.buffered
+      new Iterator[org.apache.spark.sql.Row] {
+        def hasNext: Boolean = buf.hasNext
+        def next(): org.apache.spark.sql.Row = {
+          val r = buf.next()
+          val nxt = if (buf.hasNext) buf.head.getString(tIdx) else null
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ nxt)
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
     // O(numPartitions) boundary table: the first (text, id) of each
     // non-empty partition (min over the struct = lexicographic head),
     // then each pid's successor-first via lead over pid order. The tiny

@@ -566,6 +566,10 @@ class OperatorLibSpec extends GraftFunSuite {
     def nodes(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
       case s: QueryStageExec => nodes(s.plan)
+      // the ranged+pid frame is persisted (one exchange instance for both
+      // branches - ADVICE r15); the range exchange lives in its cached plan
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        m +: nodes(m.relation.cachedPlan)
       case other => other +: (other.children.flatMap(nodes) ++
         other.subqueries.flatMap(nodes))
     }
