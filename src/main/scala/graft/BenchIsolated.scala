@@ -70,7 +70,13 @@ object BenchIsolated {
     // r15 second batch: the versioned at-rest keep-set (create +
     // sliver increment + last-wins read) and the MaxScore payoff query
     "dedup_keepset_stored", "text_bm25_pruned_skew", "mm_video_dedup",
-    "ann_hybrid_impact_manifest")
+    "ann_hybrid_impact_manifest",
+    // r16: the in-suite movers VERDICT r15 sent to arbitration (What's
+    // wrong #1: pipeline_contamination 1.75x with no touching change;
+    // pipeline_corpus_curation / dedup_minhash_lsh co-arbitrated), the
+    // lexical takedown lifecycle, and the everything-at-rest RAG serve
+    "pipeline_contamination", "pipeline_corpus_curation",
+    "dedup_minhash_lsh", "text_bm25_delete_manifest")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

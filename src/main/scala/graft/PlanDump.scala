@@ -101,7 +101,10 @@ object PlanDump {
                     "graph_pagerank_warm",
                     // r14: perceptual image/audio near-dup (banded-
                     // Hamming join over real-codec signatures)
-                    "mm_ahash_pairs", "mm_audio_dedup", "mm_video_dedup")
+                    "mm_ahash_pairs", "mm_audio_dedup", "mm_video_dedup",
+                    // r16: lexical takedown (tombstone-masked serve must
+                    // keep __bkt PartitionFilters under the anti join)
+                    "text_bm25_delete_manifest")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

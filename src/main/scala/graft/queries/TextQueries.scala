@@ -517,6 +517,91 @@ object TextQueries extends QueryModule {
           queryTerms = Seq("spark", "vector", "join"), k = 20),
       Some(bm25TopKOracleSql)),
 
+    // ROW DELETION from the lexical store (VERDICT r15 missing #1 — the
+    // ann_ivf_delete contract applied to the BM25 index): the row runs
+    // the full takedown lifecycle and certifies BOTH phases in one hash.
+    // Stage 'masked': ImpactObjectStore.delete publishes an O(ids)
+    // doc-tombstone sliver the serve masks immediately — deleted docs'
+    // postings drop, surviving docs' scores stay bit-identical (df/N
+    // intentionally stale, the IVF mask-until-purge stance), so the
+    // oracle is full-corpus BM25 restricted to surviving docs. Stage
+    // 'rebuilt': rebuild over the reduced corpus is the purge restoring
+    // exact statistics — the oracle recomputes df/N/avgdl on the reduced
+    // corpus. Time travel (pre-delete versions), vacuum reclamation and
+    // tag idempotence are ImpactStoreSpec pins.
+    GraftQuery(
+      "text_bm25_delete_manifest",
+      (s, dir) => {
+        import graft.operators.{ImpactIndex, ImpactObjectStore}
+        val docs = t(s, dir, "documents")
+        val out =
+          s"/tmp/graft_io/${new java.io.File(dir).getName}/impact_delete"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        ImpactObjectStore.rebuild(docs, out)
+        ImpactObjectStore.delete(s, out,
+          docs.filter(col("doc_id") % 7 === 3).select("doc_id"),
+          batchTag = Some("takedown7"))
+        val masked = ImpactIndex.bm25TopKStored(
+            ImpactObjectStore.read(s, out),
+            queryTerms = Seq("spark", "vector", "join"), k = 20)
+          .withColumn("stage", lit("masked"))
+        ImpactObjectStore.rebuild(docs.filter(col("doc_id") % 7 =!= 3), out)
+        val rebuilt = ImpactIndex.bm25TopKStored(
+            ImpactObjectStore.read(s, out),
+            queryTerms = Seq("spark", "vector", "join"), k = 20)
+          .withColumn("stage", lit("rebuilt"))
+        masked.unionAll(rebuilt)
+          .select("stage", "rank", "doc_id", "n_terms_hit")
+      },
+      Some("""WITH d AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) n, avg(len(tk)) avgdl FROM d),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d)
+        |  WHERE term IN ('spark', 'vector', 'join') GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id,
+        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |          * 1000000.0) AS BIGINT)) score,
+        |    count(*) n_terms_hit
+        |  FROM tf JOIN df USING (term), stats GROUP BY doc_id),
+        |masked AS (
+        |  SELECT 'masked' AS stage,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        |    doc_id, n_terms_hit
+        |  FROM s WHERE doc_id % 7 <> 3
+        |  ORDER BY score DESC, doc_id LIMIT 20),
+        |d2 AS (SELECT * FROM d WHERE doc_id % 7 <> 3),
+        |stats2 AS (
+        |  SELECT count(*) n, avg(len(tk)) avgdl FROM d2),
+        |tf2 AS (
+        |  SELECT doc_id, term, count(*) tf, max(dl) dl FROM (
+        |    SELECT doc_id, len(tk) dl, unnest(tk) term FROM d2)
+        |  WHERE term IN ('spark', 'vector', 'join') GROUP BY 1, 2),
+        |df2 AS (SELECT term, count(*) df FROM tf2 GROUP BY 1),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    sum(CAST(round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+        |          (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+        |          * 1000000.0) AS BIGINT)) score,
+        |    count(*) n_terms_hit
+        |  FROM tf2 JOIN df2 USING (term), stats2 GROUP BY doc_id),
+        |rebuilt AS (
+        |  SELECT 'rebuilt' AS stage,
+        |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+        |    doc_id, n_terms_hit
+        |  FROM s2 ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT stage, rank, doc_id, n_terms_hit FROM masked
+        |UNION ALL
+        |SELECT stage, rank, doc_id, n_terms_hit FROM rebuilt""".stripMargin)),
+
     // IMPACT-ORDERED pruned BM25 (MaxScore essential-list pruning —
     // VERDICT r13 #2, the lexical analog of the IVF probe cut): only the
     // 2 highest-max-impact query terms' postings generate candidates;

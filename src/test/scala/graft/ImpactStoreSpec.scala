@@ -142,6 +142,89 @@ class ImpactStoreSpec extends GraftFunSuite {
     }
   }
 
+  test("delete lifecycle: tombstone mask serves immediately and equals the " +
+       "unpruned serve minus deleted rows; pruned serve stays covered off " +
+       "stale bounds; tag replay no-ops; time travel intact; rebuild " +
+       "purges; vacuum keeps files any retained manifest references") {
+    withMockS3 { base =>
+      val d = docs()
+      val dir = s"s3a:$base/del"
+      assert(ImpactObjectStore.rebuild(d, dir, buckets = 8) == 1L)
+      val full = serve(ImpactObjectStore.read(spark, dir), k = 1 << 20)
+      val delIds = d.filter(col("doc_id") % 7 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ImpactObjectStore.delete(spark, dir,
+        d.filter(col("doc_id") % 7 === 3).select("doc_id"),
+        batchTag = Some("t7")) == 2L)
+      // layout-independent delete semantics (the ann_ivf_delete pin):
+      // masked serve == the unpruned serve minus deleted docs' rows,
+      // ranks recomputed — surviving scores bit-identical (stale df/N)
+      val expect = full.filterNot(r => delIds(r._2)).zipWithIndex
+        .map { case ((_, id, hits), i) => (i + 1L, id, hits) }.take(10)
+      val masked = serve(ImpactObjectStore.read(spark, dir))
+      assert(masked == expect && masked.nonEmpty)
+      assert(full.exists(r => delIds(r._2)),
+        "fixture must actually delete docs that scored") // not vacuous
+      // MaxScore pruning over the masked store: the intentionally-stale
+      // __maxa is still a VALID upper bound — covered, identical answer
+      val pruned = ImpactIndex.bm25TopKPruned(
+          ImpactObjectStore.read(spark, dir), terms, k = 10, essential = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(pruned == masked)
+      // committed-tag replay no-ops before any work
+      assert(ImpactObjectStore.delete(spark, dir, d.limit(0),
+        batchTag = Some("t7")) == 2L)
+      assert(ImpactObjectStore.versions(spark, dir) == Seq(1L, 2L))
+      // pre-delete snapshot still time-travels verbatim
+      assert(serve(ImpactObjectStore.readAt(spark, dir, 1L),
+                   k = 1 << 20) == full)
+      // rebuild over the reduced corpus IS the purge: tombstones cleared,
+      // statistics exact (equals the directory layout on the same corpus)
+      val reduced = d.filter(col("doc_id") % 7 =!= 3)
+      assert(ImpactObjectStore.rebuild(reduced, dir, buckets = 8) == 3L)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(ImpactObjectStore.currentManifest(fs, dir).get.tombs.isEmpty)
+      val dirStore = java.nio.file.Files
+        .createTempDirectory("impact_red").toString
+      try {
+        ImpactIndex.write(reduced, dirStore, buckets = 8)
+        assert(serve(ImpactObjectStore.read(spark, dir)) ==
+               serve(ImpactIndex.read(spark, dirStore)))
+      } finally org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dirStore))
+      // ADVICE r15 vacuum pin: age every DATA object far past the cutoff
+      // while all manifests stay retained — nothing may be reclaimed,
+      // because the live set is the union over RETAINED manifests, not
+      // the current one (staging time precedes publish time)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/del"))
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+                     !p.toString.contains("/manifests/"))
+        .forEach(p => assert(p.toFile.setLastModified(
+          System.currentTimeMillis() - 3600000)))
+      assert(ImpactObjectStore.vacuum(spark, dir,
+        olderThanMs = 1800000) == 0)
+      assert(serve(ImpactObjectStore.readAt(spark, dir, 1L),
+                   k = 1 << 20) == full,
+        "a time-travel version inside the retention window must keep " +
+        "its data files")
+      assert(serve(ImpactObjectStore.readAt(spark, dir, 2L)) == masked)
+      // now age the superseded manifests too: vacuum reclaims v1/v2 and
+      // every file (incl. the applied tombstone sliver) only they used
+      java.nio.file.Files.walk(
+          java.nio.file.Paths.get(s"$base/del/manifests"))
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .forEach(p => assert(p.toFile.setLastModified(
+          System.currentTimeMillis() - 3600000)))
+      assert(ImpactObjectStore.vacuum(spark, dir, olderThanMs = 1800000) > 0)
+      assert(ImpactObjectStore.versions(spark, dir) == Seq(3L))
+      val tombs = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      assert(!fs.exists(tombs) || fs.listStatus(tombs).isEmpty,
+        "applied tombstone slivers must be reclaimed")
+      assert(serve(ImpactObjectStore.read(spark, dir)).nonEmpty)
+    }
+  }
+
   test("crash window between staging and publish: staged-but-unpublished " +
        "files are invisible to readers and vacuumed later") {
     withMockS3 { base =>
