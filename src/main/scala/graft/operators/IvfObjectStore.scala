@@ -751,12 +751,30 @@ object IvfObjectStore {
   def vacuum(spark: SparkSession, dir: String, olderThanMs: Long): Int = {
     require(olderThanMs > 0, s"olderThanMs must be positive: $olderThanMs")
     val fs = fsOf(spark, dir)
-    val m = currentManifest(fs, dir).getOrElse(
+    val cur = currentManifest(fs, dir).getOrElse(
       throw new ManifestStoreException(
         s"IvfObjectStore.vacuum: no valid manifest under $dir"))
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val live: Set[String] = (m.centroids ++ m.data).toSet
     var deleted = 0
+    // superseded manifests past the bound go FIRST, so the live set
+    // below is the union over the manifests that remain readable — a
+    // data object is orphaned only when NO surviving version references
+    // it (ADVICE r15: sweeping data by the current manifest alone could
+    // delete a file a RETAINED older manifest still serves, because
+    // staging time precedes publish time)
+    val mRoot = new Path(s"$dir/manifests")
+    for (st <- fs.listStatus(mRoot)
+           if st.isFile && st.getModificationTime < cutoff &&
+              st.getPath.getName.matches("v\\d{20}\\.manifest") &&
+              st.getPath.getName < f"v${cur.version}%020d.manifest") {
+      fs.delete(st.getPath, false); deleted += 1
+    }
+    val live: Set[String] = fs.listStatus(mRoot)
+      .filter(f => f.isFile &&
+                   f.getPath.getName.matches("v\\d{20}\\.manifest"))
+      .flatMap(f => parseManifest(readFully(fs, f.getPath)))
+      .flatMap(m => m.centroids ++ m.data)
+      .toSet
     val root = new Path(dir)
     def sweep(sub: String): Unit = {
       val p = new Path(root, sub)
@@ -770,14 +788,6 @@ object IvfObjectStore {
       }
     }
     sweep("centroids"); sweep("data")
-    val mRoot = new Path(s"$dir/manifests")
-    if (fs.exists(mRoot))
-      for (st <- fs.listStatus(mRoot)
-             if st.isFile && st.getModificationTime < cutoff &&
-                st.getPath.getName.matches("v\\d{20}\\.manifest") &&
-                st.getPath.getName < f"v${m.version}%020d.manifest") {
-        fs.delete(st.getPath, false); deleted += 1
-      }
     deleted
   }
 

@@ -222,6 +222,16 @@ object KeepSetStore {
     * On a publish conflict the pass re-reads the chain and RE-STAGES —
     * the delta depends on the stored labels, which the winner may have
     * moved. Returns the published version.
+    *
+    * `newIds` are CANDIDATE new ids: ids already stored under the SAME
+    * manifest snapshot the stage resolves from are filtered out
+    * in-place (one id-pruned scan, sliver-broadcast semi-join), and the
+    * filter re-derives on every retry — so the contraction kernel's
+    * new-ids-disjoint-from-stored precondition holds by construction
+    * even when a concurrent committer lands between the caller's read
+    * and this publish (ADVICE r15: a caller-side disjointness check
+    * reads a DIFFERENT manifest than the stage and can pass a stored id
+    * as 'new', staging a duplicate row in the same delta version).
     */
   def increment(spark: SparkSession, dir: String, newIds: DataFrame,
                 newPairs: DataFrame, idCol: String = "doc_id",
@@ -256,7 +266,15 @@ object KeepSetStore {
                                        col("component"))),
                 Seq("cluster_id"), "inner")
           .select(col(idCol), col("component").as("cluster_id"))
-        val newRows = newIds.select(col(idCol))
+        // genuinely-new ids under THIS snapshot: already-stored ids come
+        // back from an id-pruned scan semi-joined with the sliver-sized
+        // candidate set, and are excepted — re-derived on every retry so
+        // the disjointness precondition survives concurrent committers
+        val cand = newIds.select(col(idCol)).distinct()
+        val genuinelyNew = cand.exceptAll(
+          prevLbl.select(col(idCol))
+            .join(broadcast(cand), Seq(idCol), "left_semi"))
+        val newRows = genuinelyNew
           .join(ScaleHints.gated(remap.select(col("__node").as(idCol),
                                               col("component"))),
                 Seq(idCol), "left")
@@ -313,31 +331,39 @@ object KeepSetStore {
       "compaction off the increment path")
   }
 
-  /** Delete data objects the current manifest does not reference and
-    * superseded manifests, both older than `olderThanMs` — the
-    * time-travel retention knob, same contract as the sibling stores. */
+  /** Delete data objects NO surviving manifest references and superseded
+    * manifests, both older than `olderThanMs` — the time-travel
+    * retention knob, same contract as the sibling stores. The manifest
+    * sweep runs FIRST and the live set is the union over every manifest
+    * that remains readable (ADVICE r15: sweeping data by the current
+    * manifest alone could delete a file a retained older manifest still
+    * serves — staging time precedes publish time). */
   def vacuum(spark: SparkSession, dir: String, olderThanMs: Long): Int = {
     require(olderThanMs > 0, s"olderThanMs must be positive: $olderThanMs")
     val fs = IvfObjectStore.fsOf(spark, dir)
-    val m = currentManifest(fs, dir).getOrElse(
+    val cur = currentManifest(fs, dir).getOrElse(
       throw new ManifestStoreException(
         s"KeepSetStore.vacuum: no valid manifest under $dir"))
     val cutoff = System.currentTimeMillis() - olderThanMs
-    val live: Set[String] = (m.base ++ m.deltas).toSet
     var deleted = 0
+    val mRoot = new Path(s"$dir/manifests")
+    for (st <- fs.listStatus(mRoot)
+           if st.isFile && st.getModificationTime < cutoff &&
+              st.getPath.getName.matches("v\\d{20}\\.manifest") &&
+              st.getPath.getName < f"v${cur.version}%020d.manifest") {
+      fs.delete(st.getPath, false); deleted += 1
+    }
+    val live: Set[String] = fs.listStatus(mRoot)
+      .filter(f => f.isFile &&
+                   f.getPath.getName.matches("v\\d{20}\\.manifest"))
+      .flatMap(f => parseManifest(IvfObjectStore.readFully(fs, f.getPath)))
+      .flatMap(m => m.base ++ m.deltas)
+      .toSet
     val p = new Path(s"$dir/data")
     if (fs.exists(p))
       for (st <- fs.listStatus(p)
            if st.isFile && st.getModificationTime < cutoff &&
               !live.contains(s"data/${st.getPath.getName}")) {
-        fs.delete(st.getPath, false); deleted += 1
-      }
-    val mRoot = new Path(s"$dir/manifests")
-    if (fs.exists(mRoot))
-      for (st <- fs.listStatus(mRoot)
-             if st.isFile && st.getModificationTime < cutoff &&
-                st.getPath.getName.matches("v\\d{20}\\.manifest") &&
-                st.getPath.getName < f"v${m.version}%020d.manifest") {
         fs.delete(st.getPath, false); deleted += 1
       }
     deleted

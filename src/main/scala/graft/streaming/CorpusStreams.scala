@@ -1489,13 +1489,14 @@ object CorpusStreams {
     * tagged [[graft.operators.KeepSetStore.increment]]
     * (`<streamId>_b<batchId>`), so a checkpoint replay no-ops on the
     * manifest's tag set and the stored decision table is always a
-    * published, time-travelable version. The increment kernel needs the
-    * batch's NEW ids (those not yet stored): they are derived per batch
-    * by broadcasting the batch's endpoint set (sliver-sized) against an
-    * id-only column-pruned scan of the stored table — the already-stored
-    * endpoints come back (one scan, no corpus shuffle) and the rest are
-    * new. Run [[graft.operators.KeepSetStore.compact]] on a maintenance
-    * cadence so the per-batch resolve stays a pure scan.
+    * published, time-travelable version. The batch's endpoint set rides
+    * into the increment as CANDIDATE new ids — the store itself filters
+    * out the already-stored ones against the very manifest snapshot its
+    * stage resolves from, re-deriving on each publish retry (ADVICE r15:
+    * a stream-side disjointness check read a DIFFERENT manifest than
+    * the stage, so a concurrent committer could make a stored id pass
+    * as 'new'). Run [[graft.operators.KeepSetStore.compact]] on a
+    * maintenance cadence so the per-batch resolve stays a pure scan.
     */
   def keepSetIncrementStream(dir: String, pairs: DataFrame,
                              streamId: String,
@@ -1512,14 +1513,8 @@ object CorpusStreams {
       val endpoints = p.select(col(aCol).as(idCol))
         .unionAll(p.select(col(bCol).as(idCol)))
         .distinct()
-      val stored = graft.operators.KeepSetStore.read(spark, dir, idCol)
-        .select(col(idCol))
-      val known = stored
-        .join(org.apache.spark.sql.functions.broadcast(endpoints),
-              Seq(idCol), "left_semi")
-      val newIds = endpoints.exceptAll(known)
       graft.operators.KeepSetStore.increment(
-        spark, dir, newIds, p, idCol, aCol, bCol,
+        spark, dir, endpoints, p, idCol, aCol, bCol,
         batchTag = Some(s"${streamId}_b$batchId"))
       ()
     }

@@ -105,6 +105,48 @@ class KeepSetStoreSpec extends GraftFunSuite {
     }
   }
 
+  test("increment filters candidate ids against its OWN snapshot: " +
+       "already-stored endpoints passed as 'new' stage no duplicate row " +
+       "(ADVICE r15 — the stream passes raw endpoint sets); vacuum keeps " +
+       "data files any retained manifest references") {
+    withMockS3 { base =>
+      val dir = s"s3a:$base/ks2"
+      val d0Ids = Seq(1L, 2L, 5L).toDF("doc_id")
+      val d0Pairs = Seq((1L, 2L)).toDF("a_id", "b_id")
+      assert(KeepSetStore.create(
+        GraftDedup.keepSet(d0Ids, d0Pairs), dir) == 1L)
+      // the streaming shape: the whole endpoint set (stored 2 and 5,
+      // new 9) rides in as candidate new ids
+      val cand = Seq(2L, 5L, 9L).toDF("doc_id")
+      val pairs = Seq((2L, 9L), (5L, 9L)).toDF("a_id", "b_id")
+      assert(KeepSetStore.increment(spark, dir, cand, pairs,
+                                    batchTag = Some("b0")) == 2L)
+      val want = rows(GraftDedup.keepSet(
+        d0Ids.unionByName(Seq(9L).toDF("doc_id")),
+        d0Pairs.unionByName(pairs)))
+      assert(rows(KeepSetStore.read(spark, dir)) == want)
+      // the delta carries each touched id EXACTLY once — a stored id
+      // that leaked through as 'new' would appear twice in one version
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m2 = KeepSetStore.currentManifest(fs, dir).get
+      val delta = spark.read.parquet(m2.deltas.map(r => s"$dir/$r"): _*)
+      assert(delta.count() == delta.select("doc_id").distinct().count(),
+        "duplicate per-id rows in one delta version")
+      // ADVICE r15 vacuum pin: age the DATA far past the cutoff while
+      // all manifests stay retained — the union live set keeps every
+      // file a readable version references, so time travel still serves
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/ks2/data"))
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .forEach(p => assert(p.toFile.setLastModified(
+          System.currentTimeMillis() - 3600000)))
+      assert(KeepSetStore.vacuum(spark, dir, olderThanMs = 1800000) == 0)
+      assert(rows(KeepSetStore.readAt(spark, dir, 1L)) ==
+             rows(GraftDedup.keepSet(d0Ids, d0Pairs)))
+      assert(rows(KeepSetStore.read(spark, dir)) == want)
+    }
+  }
+
   test("create refuses an existing chain; increment without a store " +
        "fails loud; a squatted version slot is absorbed by the retry") {
     withMockS3 { base =>
