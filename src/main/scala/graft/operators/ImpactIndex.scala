@@ -233,11 +233,19 @@ object ImpactIndex {
     if (neUpper == 0L) return ranked(scored, k, idCol) // nothing skipped
     // covering guard, in-plan: θ = k-th candidate score; need a FULL
     // top-k (cnt = k) and neUpper STRICTLY below θ (a skipped doc tying
-    // θ with a smaller id would displace the k-th row)
+    // θ with a smaller id would displace the k-th row). The guard stats
+    // come from ONE unbounded window over the k-row limit output (already
+    // SinglePartition after TakeOrderedAndProject, so no exchange and no
+    // second computation of the candidate subtree — r15 cross-joined a
+    // broadcast aggregate of a DUPLICATED top-k subtree, a ~2× fixed
+    // cost on the serve path)
     val top = scored.orderBy(col("__score").desc, col("doc_id").asc).limit(k)
-    val guard = top.agg(count(lit(1)).as("__cnt"),
-                        min(col("__score")).as("__th"))
-    val checked = top.crossJoin(broadcast(guard))
+    val gw = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+                   org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val checked = top
+      .withColumn("__cnt", count(lit(1)).over(gw))
+      .withColumn("__th", min(col("__score")).over(gw))
       .filter(assert_true(
         col("__cnt") >= k && lit(neUpper) < col("__th"),
         concat(lit(s"bm25TopKPruned: essential=$essential does not cover " +
