@@ -119,7 +119,17 @@ object StreamBench {
     // the streaming keep-set ingest — foreachBatch store increments, so
     // throughput-floored only (no stream state to ceiling, the
     // sb_ivf_ingest convention)
-    "sb_keepset_ingest"      -> 0.029620)
+    "sb_keepset_ingest"      -> 0.029620,
+    // r16: the MaxScore-pruned hybrid serve (VERDICT r15 missing #3),
+    // floored at 0.5x its r16 baselining run (calibration 8.914 s /
+    // 11 218 rows/s). Wall-clock sits near the stored twin (the third
+    // chained stateful stage adds per-batch latency) — the win is
+    // STATE: 332 rows / 2.3 MB vs the stored serve's 330k rows /
+    // 124.6 MB in the same run, a 54x cut because non-candidate
+    // posting mass dies in the per-(query, doc) stage instead of
+    // residing in it. Added without moving BaselineTotalSec — the
+    // conservative sb_sample convention.
+    "sb_hybrid_serve_pruned" -> 0.000545)
 
   /** STATE-BYTES ceilings (r13): the throughput floors cannot see a
     * state blow-up that the host absorbs in RAM — exactly the r12
@@ -174,7 +184,14 @@ object StreamBench {
     // carries the identical single union-find group as sb_components —
     // seeding changes WHERE the state comes from, not its shape
     "sb_hamming"             -> 3L * 4937168,
-    "sb_components_warm"     -> 3L * 979600)
+    "sb_components_warm"     -> 3L * 979600,
+    // r16 (same baselining run as the floor): the MaxScore-pruned serve's
+    // ceiling IS the claim — three bounded stages (per-query bound
+    // sliver, candidate-only partial sums, dual kCand heaps) measured
+    // 2.3 MB where the unpruned stored serve holds 124.6 MB; a
+    // regression to unpruned-shape state (candidates not cut before
+    // residence) blows this ceiling by ~18x
+    "sb_hybrid_serve_pruned" -> 3L * 2303632)
 
   /** Aggregate bound complementing the per-op ratios: the sum of
     * floored-op medians must stay under the baselined total scaled by
@@ -708,6 +725,41 @@ object StreamBench {
             "sb_hybrid_serve_stored")
           drive("sb_hybrid_serve_stored", queries.size, q,
                 chunks(queries, 2).map(c => () => { in.addData(c); () }) :+
+                (() => { in.addData(Seq((-1L, ts(600), List("the"),
+                                         List(0.1)))); () }))
+        }
+        // MaxScore-pruned twin (r16, VERDICT r15 missing #3): the same
+        // serve with the lexical leg routed through the essential-list
+        // cut, on the Zipf-head corpus (the text_bm25_pruned_skew
+        // augmentation) with the payoff query shape [rare term,
+        // stopword] — candidates come off the rare term's postings
+        // only, the stopword's corpus-wide posting mass dies in the
+        // per-(query, doc) stage instead of flooding the kCand heap,
+        // and the covering guard proves exactness in-stream. The skewed
+        // store build is paid once outside the reps, like the stored
+        // twin's.
+        val skewDir = java.nio.file.Files
+          .createTempDirectory("sb_impact_skew").toString
+        graft.operators.ImpactIndex.write(
+          docsStatic.select(
+            col("doc_id"),
+            concat(col("text"), lit(" the"),
+                   when(col("doc_id") % 5 === 0, lit(" uncommonmark"))
+                     .otherwise(lit(""))).as("text")),
+          skewDir)
+        val skewStored = graft.operators.ImpactIndex.read(spark, skewDir)
+        val prunedQueries = queries.map { case (id, t, _, v) =>
+          (id, t, List("uncommonmark", "the"), v) }
+        rep {
+          val in = MemoryStream[(Long, Timestamp, List[String], List[Double])]
+          val q = sink(CorpusStreams.hybridServeStreamPruned(
+            idx, skewStored,
+            in.toDF().toDF("q_id", "ts", "q_terms", "qv"),
+            essential = 1, k = 10, kCand = 30, rrfK = 60, nprobe = 4),
+            "sb_hybrid_serve_pruned")
+          drive("sb_hybrid_serve_pruned", prunedQueries.size, q,
+                chunks(prunedQueries, 2)
+                  .map(c => () => { in.addData(c); () }) :+
                 (() => { in.addData(Seq((-1L, ts(600), List("the"),
                                          List(0.1)))); () }))
         }

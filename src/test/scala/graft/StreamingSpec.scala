@@ -675,6 +675,198 @@ class StreamingSpec extends GraftFunSuite {
     } finally q.stop()
   }
 
+  test("warm-started LSH miners (VERDICT r15 #7): nearDupPairStream / " +
+       "srpPairStream / hammingPairStream seeded from an at-rest sliver " +
+       "find every pair STRADDLING the restart (cold provably misses " +
+       "them), never re-emit snapshot-internal pairs, keep exactly-once; " +
+       "an over-cap seed bucket is refused") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.{GraftDedup, GraftMedia, GraftSimilarity}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    // ---- nearDup: originals are the pre-restart horizon (the snapshot
+    // sliver), exact-copy twins arrive after the restart — every
+    // (orig, twin) pair straddles by construction
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id").cast("long").as("doc_id"),
+              expr("split(trim(text), '\\\\s+')").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(col("doc_id"),
+              expr("""array_distinct(transform(sequence(0, size(tk) - 3),
+                     i -> concat_ws(' ', tk[i], tk[i + 1], tk[i + 2])))""")
+                .as("items"))
+    val twins = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("items"))
+    val union = docs.unionAll(twins)
+    val batchAll = GraftDedup
+      .nearDupPairs(union, "doc_id", "items", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val newIds = twins.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expectWarm = batchAll.filter(p => newIds(p._1) || newIds(p._2))
+    val straddling = expectWarm.filter(p => newIds(p._1) != newIds(p._2))
+    assert(straddling.nonEmpty, "fixture must plant restart-straddling pairs")
+    val seedRows = docs.collect()
+      .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 15),
+                 r.getSeq[String](1).toList)).toSeq
+    val newRows = twins.collect()
+      .map(r => (r.getLong(0), ts(20 + r.getLong(0).toInt % 10),
+                 r.getSeq[String](1).toList))
+      .sortBy(_._1).toSeq
+    val (n1, n2) = newRows.splitAt(newRows.size / 2)
+    // cold restart: the checkpointless re-deploy — new rows only
+    val inCold = MemoryStream[(Long, Timestamp, List[String])]
+    val qCold = CorpusStreams
+      .nearDupPairStream(inCold.toDF().toDF("doc_id", "ts", "items"),
+                         threshold = 0.8, horizonMinutes = 60)
+      .writeStream.format("memory").queryName("neardup_cold")
+      .outputMode("append").start()
+    try {
+      inCold.addData(n1); qCold.processAllAvailable()
+      inCold.addData(n2); qCold.processAllAvailable()
+      val cold = spark.table("neardup_cold")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(cold.intersect(straddling).isEmpty &&
+             cold.subsetOf(expectWarm),
+        "cold restart must lose exactly the straddling pairs")
+    } finally qCold.stop()
+    // warm restart: the same feed, bucket residents seeded from the sliver
+    val inWarm = MemoryStream[(Long, Timestamp, List[String])]
+    val seedDf = seedRows.toDF("doc_id", "ts", "items")
+    val qWarm = CorpusStreams
+      .nearDupPairStream(inWarm.toDF().toDF("doc_id", "ts", "items"),
+                         threshold = 0.8, horizonMinutes = 60,
+                         initialDocs = Some(seedDf))
+      .writeStream.format("memory").queryName("neardup_warm")
+      .outputMode("append").start()
+    try {
+      inWarm.addData(n1); qWarm.processAllAvailable()
+      inWarm.addData(n2); qWarm.processAllAvailable()
+      val warmRows = spark.table("neardup_warm")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(warmRows.length == warmRows.toSet.size, "exactly-once broken")
+      assert(warmRows.toSet == expectWarm,
+        s"warm-only=${warmRows.toSet.diff(expectWarm).take(5)} " +
+        s"missing=${expectWarm.diff(warmRows.toSet).take(5)}")
+    } finally qWarm.stop()
+    // over-cap seed bucket refused at build, not silently trimmed
+    val bomb = (1 to 5).map(i => (i.toLong, ts(0),
+                                  List("x y z"))).toDF("doc_id", "ts", "items")
+    val inBomb = MemoryStream[(Long, Timestamp, List[String])]
+    val qBomb = CorpusStreams
+      .nearDupPairStream(inBomb.toDF().toDF("doc_id", "ts", "items"),
+                         threshold = 0.8, horizonMinutes = 60,
+                         maxBucketResidents = 2,
+                         initialDocs = Some(bomb))
+      .writeStream.format("memory").queryName("neardup_bomb")
+      .outputMode("append").start()
+    val err = intercept[Exception] {
+      try {
+        // the first micro-batch materializes the seed state and trips
+        // the over-cap refusal
+        inBomb.addData(Seq((99L, ts(1), List("a b c"))))
+        qBomb.processAllAvailable()
+      } finally qBomb.stop()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("seed bucket")), s"got: $err")
+
+    // ---- srp: same restart split on the scaled-half twin construction
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val vTwins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+              concat(slice(col("embedding"), 1, 32),
+                     transform(slice(col("embedding"), 33, 32),
+                               x => x * lit(2))).as("embedding"))
+    val vBatch = GraftSimilarity
+      .srpPairs(base.unionAll(vTwins), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val vNewIds = vTwins.select("vec_id").collect().map(_.getLong(0)).toSet
+    val vExpect = vBatch.filter(p => vNewIds(p._1) || vNewIds(p._2))
+    assert(vExpect.exists(p => vNewIds(p._1) != vNewIds(p._2)))
+    val vSeed = base
+      .select(col("vec_id"), expr("pmod(vec_id, 15)").cast("int").as("m"),
+              col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), ts(r.getInt(1)),
+                 r.getSeq[Float](2).toList)).toSeq
+      .toDF("vec_id", "ts", "embedding")
+    val vNew = vTwins
+      .select(col("vec_id"),
+              expr("transform(embedding, x -> cast(x AS float))")
+                .as("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), ts(20 + r.getLong(0).toInt % 10),
+                 r.getSeq[Float](1).toList))
+      .sortBy(_._1).toSeq
+    val (v1, v2) = vNew.splitAt(vNew.size / 2)
+    val inSrp = MemoryStream[(Long, Timestamp, List[Float])]
+    val qSrp = CorpusStreams
+      .srpPairStream(inSrp.toDF().toDF("vec_id", "ts", "embedding"),
+                     threshold = 0.9, horizonMinutes = 60,
+                     initialVecs = Some(vSeed))
+      .writeStream.format("memory").queryName("srp_warm")
+      .outputMode("append").start()
+    try {
+      inSrp.addData(v1); qSrp.processAllAvailable()
+      inSrp.addData(v2); qSrp.processAllAvailable()
+      val got = spark.table("srp_warm")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.length == got.toSet.size, "exactly-once broken")
+      assert(got.toSet == vExpect,
+        s"warm-only=${got.toSet.diff(vExpect).take(5)} " +
+        s"missing=${vExpect.diff(got.toSet).take(5)}")
+    } finally qSrp.stop()
+
+    // ---- hamming: the sliver is the cheapest of the three — (id, ts,
+    // h64) straight off a stored perceptual-hash table
+    val hDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    def hashOf(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])].collect()
+      .map { case (id, b) =>
+        (id, GraftMedia.meanHash64(GraftMedia.decodeGray(
+               GraftMedia.encodeBmp(GraftMedia.payloadRaster(b))))) }
+    val hSeedPairs = hashOf(hDocs)
+    val hNewPairs = hashOf(
+      hDocs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+    val hBatch = GraftDedup
+      .hammingPairs64((hSeedPairs ++ hNewPairs).toSeq.toDF("doc_id", "h64"),
+                      "doc_id", "h64", maxHamming = 6, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val hNewIds = hNewPairs.map(_._1).toSet
+    val hExpect = hBatch.filter(p => hNewIds(p._1) || hNewIds(p._2))
+    assert(hExpect.exists(p => hNewIds(p._1) != hNewIds(p._2)))
+    val hSeed = hSeedPairs
+      .map { case (id, h) => (id, ts((id % 15).toInt), h) }.toSeq
+      .toDF("doc_id", "ts", "h64")
+    val hNew = hNewPairs
+      .map { case (id, h) => (id, ts(20 + (id % 10).toInt), h) }
+      .sortBy(_._1).toSeq
+    val (hm1, hm2) = hNew.splitAt(hNew.size / 2)
+    val inHam = MemoryStream[(Long, Timestamp, Long)]
+    val qHam = CorpusStreams
+      .hammingPairStream(inHam.toDF().toDF("doc_id", "ts", "h64"),
+                         maxHamming = 6, bands = 4, horizonMinutes = 60,
+                         initialHashes = Some(hSeed))
+      .writeStream.format("memory").queryName("hamming_warm")
+      .outputMode("append").start()
+    try {
+      inHam.addData(hm1); qHam.processAllAvailable()
+      inHam.addData(hm2); qHam.processAllAvailable()
+      val got = spark.table("hamming_warm")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == got.toSet.size, "exactly-once broken")
+      assert(got.toSet == hExpect,
+        s"warm-only=${got.toSet.diff(hExpect).take(5)} " +
+        s"missing=${hExpect.diff(got.toSet).take(5)}")
+    } finally qHam.stop()
+  }
+
   test("editDistPairStream: stream pairs equal batch editDistancePairs on " +
        "real documents across micro-batch boundaries, incl. exact " +
        "distances; short strings route through the length path; horizon " +
@@ -1508,6 +1700,100 @@ class StreamingSpec extends GraftFunSuite {
           s"manifest-stream-only=${streamed3.diff(batchServe).take(5)} " +
           s"batch-only=${batchServe.diff(streamed3).take(5)}")
       } finally q3.stop()
+    } finally { idx.unpersist(); () }
+  }
+
+  test("hybridServeStreamPruned: the MaxScore essential-list cut on the " +
+       "streaming lexical leg — covered queries answer identically to the " +
+       "batch unpruned serve (pruning is exact by refusal), and an " +
+       "uncovered query REFUSES in-stream instead of silently degrading") {
+    import graft.streaming.CorpusStreams
+    import graft.operators.{GraftSimilarity, HybridRetrieval, ImpactIndex}
+    implicit val sqlCtx = spark.sqlContext
+    GraftSession.ensureExtensions(spark)
+    // Zipf-head corpus (the text_bm25_pruned_skew convention): ' the' in
+    // every doc (df = N, bound ~0) and the rare discriminative
+    // ' uncommonmark' in every 5th — queries [uncommonmark, the] at
+    // essential = 1 generate candidates from the rare term's postings
+    // only, with the stopword's corpus-wide posting mass skippable
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select(col("doc_id"),
+              concat(col("text"), lit(" the"),
+                     when(col("doc_id") % 5 === 0, lit(" uncommonmark"))
+                       .otherwise(lit(""))).as("text"))
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val idx = GraftSimilarity.buildIvfIndex(e).persist()
+    val storeDir = java.nio.file.Files
+      .createTempDirectory("graft_impact_pruned_stream").toString
+    ImpactIndex.write(docs, storeDir, buckets = 16)
+    val stored = ImpactIndex.read(spark, storeDir)
+    try {
+      val qBatch = docs.filter(col("doc_id") % 25 === 3)
+        .join(e, col("doc_id") === col("vec_id"))
+        .select(col("doc_id").as("q_id"),
+                expr("array('uncommonmark', 'the')").as("q_terms"),
+                col("v").as("qv"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+         if (r.isNullAt(4)) -1L else r.getLong(4),
+         if (r.isNullAt(5)) -1L else r.getLong(5))
+      val batchServe = HybridRetrieval.hybridTopKWithImpacts(
+          idx, stored, qBatch, k = 5, kCand = 8, rrfK = 60, nprobe = 4)
+        .collect().map(key).toSet
+      assert(batchServe.nonEmpty)
+      val rows = qBatch.collect()
+        .map(r => (r.getLong(0), ts(r.getLong(0).toInt % 8),
+                   r.getSeq[String](1).toList, r.getSeq[Double](2).toList))
+        .sortBy(_._1).toSeq
+      val (h1, h2) = rows.splitAt(rows.size / 2)
+      val input = MemoryStream[(Long, Timestamp, List[String], List[Double])]
+      val df = input.toDF().toDF("q_id", "ts", "q_terms", "qv")
+      val q = CorpusStreams
+        .hybridServeStreamPruned(idx, stored, df, essential = 1,
+                                 k = 5, kCand = 8, rrfK = 60,
+                                 nprobe = 4, latenessMinutes = 10)
+        .writeStream.format("memory").queryName("hybrid_serve_pruned")
+        .outputMode("append").start()
+      try {
+        input.addData(h1); q.processAllAvailable()
+        input.addData(h2); q.processAllAvailable()
+        // the flush row is itself a 1-term query: nothing skipped
+        // (__ne = 0), so it passes the guard while closing the watermark
+        input.addData(Seq((999999L, ts(600), List("the"), rows.head._4)))
+        q.processAllAvailable()
+        val streamed = spark.table("hybrid_serve_pruned")
+          .filter(col("q_id") =!= 999999L)
+          .select("q_id", "doc_id", "rank", "rrf", "lex_rank", "sem_rank")
+          .collect().map(key).toSet
+        assert(streamed == batchServe,
+          s"pruned-stream-only=${streamed.diff(batchServe).take(5)} " +
+          s"batch-only=${batchServe.diff(streamed).take(5)}")
+      } finally q.stop()
+      // REFUSAL: kCand larger than the essential term's candidate pool
+      // (100 docs carry 'uncommonmark') — a full heap is impossible, the
+      // skipped mass is nonzero, so the guard must kill the query loudly
+      val input2 = MemoryStream[(Long, Timestamp, List[String], List[Double])]
+      val df2 = input2.toDF().toDF("q_id", "ts", "q_terms", "qv")
+      val q2 = CorpusStreams
+        .hybridServeStreamPruned(idx, stored, df2, essential = 1,
+                                 k = 5, kCand = 150, rrfK = 60,
+                                 nprobe = 4, latenessMinutes = 10)
+        .writeStream.format("memory").queryName("hybrid_serve_refuse")
+        .outputMode("append").start()
+      try {
+        val thrown = intercept[Exception] {
+          input2.addData(Seq(rows.head)); q2.processAllAvailable()
+          input2.addData(Seq((999999L, ts(600), List("the"), rows.head._4)))
+          q2.processAllAvailable()
+        }
+        def msgs(t: Throwable): Seq[String] =
+          if (t == null) Nil
+          else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+        assert((msgs(thrown) ++ q2.exception.toSeq.flatMap(msgs))
+                 .exists(_.contains("does not cover")),
+          s"expected the covering refusal, got: $thrown")
+      } finally q2.stop()
     } finally { idx.unpersist(); () }
   }
 
