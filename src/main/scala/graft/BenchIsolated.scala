@@ -76,7 +76,8 @@ object BenchIsolated {
     // pipeline_corpus_curation / dedup_minhash_lsh co-arbitrated), the
     // lexical takedown lifecycle, and the everything-at-rest RAG serve
     "pipeline_contamination", "pipeline_corpus_curation",
-    "dedup_minhash_lsh", "text_bm25_delete_manifest")
+    "dedup_minhash_lsh", "text_bm25_delete_manifest",
+    "ann_serve_production")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

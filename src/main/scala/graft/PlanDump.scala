@@ -104,7 +104,11 @@ object PlanDump {
                     "mm_ahash_pairs", "mm_audio_dedup", "mm_video_dedup",
                     // r16: lexical takedown (tombstone-masked serve must
                     // keep __bkt PartitionFilters under the anti join)
-                    "text_bm25_delete_manifest")
+                    // and the everything-at-rest RAG serve (one plan:
+                    // __bkt bucket pruning on the impact scan + the
+                    // filtered q8 cut off the manifest cells + the
+                    // fold/explode MMR tail)
+                    "text_bm25_delete_manifest", "ann_serve_production")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

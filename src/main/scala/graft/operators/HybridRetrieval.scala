@@ -467,6 +467,138 @@ object HybridRetrieval {
     fuse(lex, sem, k, rrfK)
   }
 
+  /** THE PRODUCTION SERVE (VERDICT r15 stretch #9): everything-at-rest
+    * RAG retrieval in one composed plan — metadata filter + MaxScore-
+    * PRUNED lexical leg off an at-rest impact store + quantized (q8)
+    * IVF semantic leg off an at-rest vector store + RRF fusion + MMR
+    * diversification. Every stage is a component certified elsewhere;
+    * this method is the deployment composition: what a serving node
+    * actually runs per query minibatch when both stores live beside
+    * each other on an object store.
+    *
+    * The lexical leg is the MINIBATCH form of
+    * [[ImpactIndex.bm25TopKPruned]] — per-QUERY essential splits in one
+    * plan (a rank window over the broadcast query×bounds sliver instead
+    * of a driver-side sort, since each query carries its own term set):
+    * only each query's `essential` highest-max-impact terms' postings
+    * generate candidates, candidates score exactly over all their
+    * query-term postings, and the covering guard (skipped upper bound
+    * strictly below the kCand-th candidate score, full heap required)
+    * REFUSES per the batch operator's contract — a guard row per query
+    * rides the output plan, so a zero-candidate query with skipped mass
+    * refuses too instead of silently serving the semantic leg alone.
+    * Postings scan stays bucket-pruned via [[ImpactIndex.StoredImpacts
+    * .impactsFor]]'s literal predicates (minibatch term collect, the
+    * survivor-fetch precedent).
+    *
+    * The semantic leg is [[GraftSimilarity.ivfTopKWithQ8]] off the
+    * at-rest q8 column with `where` filtering the candidate scan BEFORE
+    * the quantized cut (pre-filter semantics; predicate reaches the
+    * reader beside the DPP cell prune). The two legs fuse at `kCand`
+    * under the family RRF contract, and the fused candidacy re-ranks
+    * through [[GraftSimilarity.mmrRerank]]'s bounded fold/explode
+    * greedy with relevance = exact cosine to the query embedding
+    * ([[hybridTopKWithMmr]]'s diversity contract).
+    *
+    * The impact store must describe the SAME (filtered) corpus the
+    * `where` predicate selects — BM25's df/N/avgdl are pre-filter
+    * statistics, so the store is built per allowed-source slice (the
+    * `ann_hybrid_filtered` stance); pruning is exact by refusal, so the
+    * unpruned-serve oracle certifies the whole composition verbatim.
+    * Output (q_id, n_id, rank, mmr) in MMR selection order.
+    */
+  def serveProduction(index: IvfIndex,
+                      impacts: ImpactIndex.StoredImpacts,
+                      queries: DataFrame,
+                      essential: Int = 1,
+                      k: Int = 10, kCand: Int = 30, rrfK: Int = 60,
+                      nprobe: Int = 4, rerankFactor: Int = 4,
+                      lambda: Double = 0.5,
+                      qIdCol: String = "q_id",
+                      qTermsCol: String = "q_terms",
+                      qVecCol: String = "qv",
+                      where: Option[Column] = None): DataFrame = {
+    requireParams(k, kCand, rrfK, "serveProduction")
+    require(kCand >= k, s"serveProduction: kCand ($kCand) must be >= k ($k)")
+    require(essential >= 1,
+      s"serveProduction: essential must be >= 1, got $essential")
+    require(nprobe >= 1,
+      s"serveProduction: nprobe must be >= 1, got $nprobe")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"serveProduction: lambda must be in [0, 1], got $lambda")
+    graft.GraftSession.ensureExtensions(queries.sparkSession)
+    val q = queries.select(col(qIdCol).cast("long").as("q_id"),
+                           col(qTermsCol).as("__qtk"),
+                           col(qVecCol).as("__qv"))
+    val qt = q.select(col("q_id"),
+                      explode(array_distinct(col("__qtk"))).as("__term"))
+    val termList = qt.select(col("__term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val lex =
+      if (termList.isEmpty)
+        q.limit(0).select(col("q_id"), col("q_id").as("doc_id"),
+                          lit(0L).as("lex_rank"))
+      else {
+        // per-query impact ordering: terms absent from the store have no
+        // postings and drop from the split (the bm25TopKPruned rule)
+        val bounds = impacts.terms
+          .filter(col("__term").isin(termList: _*))
+          .select(col("__term"), col("__maxa"))
+        val tagged = qt.join(broadcast(bounds), Seq("__term"))
+          .withColumn("__e", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("__maxa").desc, col("__term").asc))
+            <= essential)
+        val ne = tagged.filter(!col("__e"))
+          .groupBy(col("q_id")).agg(sum(col("__maxa")).as("__ne"))
+        val top = impacts.impactsFor(termList)
+          .join(broadcast(tagged.select(col("q_id"), col("__term"),
+                                        col("__e"))), "__term")
+          .filter(col("doc_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(sum(col("__a")).as("__l"), max(col("__e")).as("__c"))
+          .filter(col("__c"))
+          .withColumn("lex_rank", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("__l").desc, col("doc_id").asc)).cast("long"))
+          .filter(col("lex_rank") <= kCand)
+        // the covering guard evaluates for EVERY query row — including
+        // zero-candidate queries, which never reach `top`
+        val stats = top.groupBy(col("q_id"))
+          .agg(count(lit(1)).as("__cnt"), min(col("__l")).as("__th"))
+        val guard = q.select(col("q_id"))
+          .join(ne, Seq("q_id"), "left")
+          .join(stats, Seq("q_id"), "left")
+          .filter(assert_true(
+            coalesce(col("__ne"), lit(0L)) === 0L ||
+            (coalesce(col("__cnt"), lit(0L)) >= kCand &&
+             col("__ne") < col("__th")),
+            concat(lit(s"serveProduction: essential=$essential does not " +
+                       s"cover kCand=$kCand for q_id="), col("q_id"),
+                   lit(" — skipped-term upper bound is not strictly " +
+                       "below the kCand-th candidate score; raise " +
+                       "essential — a silently non-exact lexical leg " +
+                       "is refused"))).isNull)
+          .select(col("q_id"))
+        top.join(guard, "q_id")
+          .select(col("q_id"), col("doc_id"), col("lex_rank"))
+      }
+    val sem = GraftSimilarity.ivfTopKWithQ8(
+        index, q.select(col("q_id"), col("__qv").as("qv")), kCand,
+        nprobe, rerankFactor, where = where)
+      .select(col("q_id"), col("n_id").as("doc_id"),
+              col("rnk").as("sem_rank"))
+    val fused = fuse(lex, sem, kCand, rrfK)
+    val qv = broadcast(q.select(col("q_id"), col("__qv")))
+    val src = index.assigned.select(col("n_id"), col("v"))
+    val cand = fused.select(col("q_id"), col("doc_id").as("n_id"))
+      .join(ScaleHints.gated(src), "n_id")
+      .join(qv, "q_id")
+      .select(col("q_id"), col("n_id"),
+              expr("graft_cosine(__qv, v)").as("rel"))
+    GraftSimilarity.mmrRerank(cand, src, k, lambda)
+  }
+
   /** [[hybridTopKWithPq]] straight off an at-rest PQ store
     * ([[GraftPq.writeIvfPqStore]] directory layout): one call from store
     * path to fused results — the RAG deployment shape where BM25 fuses

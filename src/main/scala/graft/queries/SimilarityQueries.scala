@@ -722,6 +722,54 @@ object SimilarityQueries extends QueryModule {
       "hybridFilteredQ8OracleSql(semantic)")
   }
 
+  /** THE PRODUCTION SERVE oracle (VERDICT r15 stretch #9): the
+    * everything-at-rest composition replayed end to end — derived from
+    * [[hybridFilteredQ8OracleSql]] (pre-filter BM25 statistics + the
+    * filtered q8 probe/cut/rerank + RRF) by three anchored rewrites:
+    * the lexical corpus gains the Zipf-head augmentation (' the' in
+    * every doc, ' uncommonmark' in every 5th — the text_bm25_pruned_skew
+    * convention at the density that keeps the FILTERED candidate pool
+    * above kCand), the queries carry the payoff term shape
+    * [uncommonmark, the] instead of their doc tokens, and the fused
+    * ranking is cut at kCand = 30 into the [[mmrOracleSql]] recursive
+    * greedy. The oracle serve is UNPRUNED — hash-equality is the
+    * pruning-completeness proof for the Spark side's per-query MaxScore
+    * cut, exactly the text_bm25_pruned stance lifted through fusion and
+    * diversification. */
+  private lazy val serveProductionOracleSql: String = {
+    val s1 = rewriteOnce(hybridFilteredQ8OracleSql,
+      """d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+      FROM documents WHERE lang = 'en'),""",
+      """d AS (SELECT doc_id, regexp_split_to_array(
+        trim(text) || ' the' ||
+        CASE WHEN doc_id % 5 = 0 THEN ' uncommonmark' ELSE '' END,
+        '\s+') tk
+      FROM documents WHERE lang = 'en'),""",
+      "serveProductionOracleSql(corpus)")
+    val s2 = rewriteOnce(s1,
+      """SELECT doc_id q_id, regexp_split_to_array(trim(text), '\s+') qtk""",
+      """SELECT doc_id q_id, ['uncommonmark', 'the'] qtk""",
+      "serveProductionOracleSql(queries)")
+    val tail = "SELECT q_id, doc_id, rank, rrf, lex_rank, sem_rank FROM ("
+    val cut = s2.indexOf(tail)
+    require(cut >= 0 && s2.indexOf(tail, cut + 1) < 0,
+      "serveProductionOracleSql: fused tail anchor moved or duplicated")
+    require(s2.startsWith("WITH "),
+      "serveProductionOracleSql: base oracle no longer starts with WITH")
+    val ctes = s2.substring("WITH ".length, cut).trim
+    mmrOracleSql(ctes + ",\n" +
+      """hc AS (SELECT q_id, doc_id FROM (
+        |    SELECT q_id, doc_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY rrf DESC, doc_id) hrank
+        |    FROM f) WHERE hrank <= 30),
+        |cand AS (
+        |  SELECT hc.q_id, hc.doc_id n_id,
+        |    list_cosine_similarity(qq.qv, e.v) rel, e.v
+        |  FROM hc JOIN qq ON qq.q_id = hc.q_id
+        |          JOIN e ON e.vec_id = hc.doc_id)""".stripMargin,
+      k = 10)
+  }
+
   /** The int4 fusion oracle: [[hybridQ8OracleSql]] with the ONE
     * arithmetic difference between the rungs rewritten — the
     * quantization constant (codes in [-127, 127] → [-7, 7]); the
@@ -2406,6 +2454,67 @@ object SimilarityQueries extends QueryModule {
           k = 10, kCand = 30, rrfK = 60, nprobe = 4, lambda = 0.5)
       },
       Some(mmrOracleSql(hybridMmrCandCte, k = 10))),
+
+    // THE PRODUCTION SERVE (VERDICT r15 stretch #9): everything r15
+    // completed, composed as ONE oracled row — metadata filter (lang =
+    // 'en', pre-filter statistics on both legs) + MaxScore-PRUNED
+    // lexical leg off the MANIFEST impact store (per-query essential
+    // split, covering guard in-plan) + q8 IVF leg off the MANIFEST
+    // vector store (integer cut before the gated exact rerank, the
+    // predicate on the candidate scan beside the DPP cell prune) + RRF
+    // fusion at kCand + the bounded fold/explode MMR greedy. Corpus is
+    // the Zipf-head augmentation at %5 (the filtered candidate pool
+    // must cover kCand = 30: 36-41 en docs carry the rare term at the
+    // bench SFs) and queries carry the payoff shape [rare term,
+    // stopword] — essential = 1 makes the stopword's corpus-wide
+    // posting mass skippable, PROVEN skippable by the unpruned oracle
+    // hash-matching. Both stores build-or-reuse under /tmp/graft_io
+    // (the storedTokenIndex convention), so the row measures the
+    // amortized serve — what a RAG node runs per minibatch when both
+    // stores live beside each other on an object store.
+    GraftQuery(
+      "ann_serve_production",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val aug = docs.select(
+          col("doc_id"), col("lang"),
+          concat(col("text"), lit(" the"),
+                 when(col("doc_id") % 5 === 0, lit(" uncommonmark"))
+                   .otherwise(lit(""))).as("text"))
+        val e = vecs(s, dir)
+        val root = s"/tmp/graft_io/${new java.io.File(dir).getName}"
+        val impDir = s"$root/impact_manifest_prod"
+        val impFs = new org.apache.hadoop.fs.Path(impDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (graft.operators.ImpactObjectStore
+              .currentManifest(impFs, impDir).isEmpty)
+          graft.operators.ImpactObjectStore.rebuild(
+            aug.filter(col("lang") === "en"), impDir)
+        val ivfDir = s"$root/ivf_manifest_lang"
+        val ivfFs = new org.apache.hadoop.fs.Path(ivfDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (graft.operators.IvfObjectStore
+              .currentManifest(ivfFs, ivfDir).isEmpty)
+          graft.operators.IvfObjectStore.create(
+            s, GraftSimilarity.buildIvfIndex(
+                 e.join(docs.select(col("doc_id"), col("lang")),
+                        col("vec_id") === col("doc_id"))
+                   .select(col("vec_id"), col("v"), col("lang")),
+                 metaCols = Seq("lang")),
+            ivfDir)
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  expr("array('uncommonmark', 'the')").as("q_terms"),
+                  col("v").as("qv"))
+        graft.operators.HybridRetrieval.serveProduction(
+          graft.operators.IvfObjectStore.read(s, ivfDir),
+          graft.operators.ImpactObjectStore.read(s, impDir),
+          queries, essential = 1,
+          k = 10, kCand = 30, rrfK = 60, nprobe = 4, rerankFactor = 4,
+          lambda = 0.5, where = Some(col("lang") === "en"))
+      },
+      Some(serveProductionOracleSql)),
 
     // Product-quantization ADC tier ([[graft.operators.GraftPq]]): m=8
     // subspaces × ksub=16 codes trained with 2 Lloyd rounds on the 2^20

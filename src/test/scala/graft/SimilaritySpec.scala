@@ -1061,6 +1061,72 @@ class SimilaritySpec extends GraftFunSuite {
     } finally { idx.unpersist(); () }
   }
 
+  test("serveProduction: the everything-at-rest composition — pruned " +
+       "lexical leg invisible vs essential=|terms| (exactness through " +
+       "fusion + MMR), covering refusal when kCand exceeds the filtered " +
+       "candidate pool, bucket pruning visible in the one plan") {
+    import graft.operators.{GraftSimilarity, HybridRetrieval,
+                            ImpactObjectStore, IvfObjectStore}
+    GraftSession.ensureExtensions(spark)
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val aug = docs.select(
+      col("doc_id"), col("lang"),
+      concat(col("text"), lit(" the"),
+             when(col("doc_id") % 5 === 0, lit(" uncommonmark"))
+               .otherwise(lit(""))).as("text"))
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .selectExpr("vec_id", "transform(embedding, x -> cast(x AS double)) AS v")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_serve_prod").toString
+    ImpactObjectStore.rebuild(aug.filter(col("lang") === "en"),
+                              s"$root/impact")
+    IvfObjectStore.create(
+      spark,
+      GraftSimilarity.buildIvfIndex(
+        e.join(docs.select(col("doc_id"), col("lang")),
+               col("vec_id") === col("doc_id"))
+          .select(col("vec_id"), col("v"), col("lang")),
+        metaCols = Seq("lang")),
+      s"$root/ivf")
+    val idx = IvfObjectStore.read(spark, s"$root/ivf")
+    val imp = ImpactObjectStore.read(spark, s"$root/impact")
+    val queries = docs.filter(col("doc_id") < 10)
+      .join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id").as("q_id"),
+              expr("array('uncommonmark', 'the')").as("q_terms"),
+              col("v").as("qv"))
+    def run(essential: Int, kCand: Int) = HybridRetrieval.serveProduction(
+      idx, imp, queries, essential = essential, k = 5, kCand = kCand,
+      rrfK = 60, nprobe = 4, rerankFactor = 4, lambda = 0.5,
+      where = Some(col("lang") === "en"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+    val pruned = run(essential = 1, kCand = 30)
+    val prunedRows = pruned.collect().map(key).toSet
+    // the ONE composed plan (finalized by the collect above): the
+    // bucket-pruned impact scan and the fold/explode MMR tail both live
+    // in it — PLANS.md pins the full formatted shape
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("__bkt"),
+      "expected the impact scan's bucket pruning in the composed plan")
+    assert(plan.contains("posexplode(sel") && plan.contains("collect_list"),
+      "expected the fold/explode MMR tail in the composed plan")
+    // essential = |terms|: nothing skipped, guard vacuous — the
+    // UNPRUNED composition; MaxScore must be invisible through fusion
+    // and diversification
+    val unpruned = run(essential = 2, kCand = 30).collect().map(key).toSet
+    assert(prunedRows == unpruned && prunedRows.size == 50,
+      s"pruned-only=${prunedRows.diff(unpruned).take(5)} " +
+      s"unpruned-only=${unpruned.diff(prunedRows).take(5)}")
+    // kCand above the filtered candidate pool (36 en docs carry the
+    // rare term at sf0.001): a full heap is impossible, skipped mass is
+    // nonzero — the composition must refuse, not degrade
+    val err = intercept[Exception] { run(essential = 1, kCand = 50).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("does not cover")), s"got: $err")
+  }
+
   test("ndcgAtK: covering nprobe scores a perfect 10^6 for every query, " +
        "all values live on the [0, 10^6] grid, and a starved probe " +
        "budget can only lower the per-query score") {
