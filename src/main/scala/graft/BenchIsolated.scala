@@ -77,7 +77,7 @@ object BenchIsolated {
     // lexical takedown lifecycle, and the everything-at-rest RAG serve
     "pipeline_contamination", "pipeline_corpus_curation",
     "dedup_minhash_lsh", "text_bm25_delete_manifest",
-    "ann_serve_production")
+    "ann_serve_production", "dedup_keepset_delete")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted

@@ -108,7 +108,10 @@ object PlanDump {
                     // __bkt bucket pruning on the impact scan + the
                     // filtered q8 cut off the manifest cells + the
                     // fold/explode MMR tail)
-                    "text_bm25_delete_manifest", "ann_serve_production")
+                    "text_bm25_delete_manifest", "ann_serve_production",
+                    // r16: keep-set takedown (tombstone anti join must
+                    // stay an O(ids) broadcast below the resolution)
+                    "dedup_keepset_delete")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans of headline queries\n\n")
     sb.append("Regenerate with `sbt \"runMain graft.PlanDump\"` (sf0.001 inputs).\n")

@@ -22,8 +22,9 @@ import IvfObjectStore.{ManifestConflict, ManifestStoreException}
   *
   * Layout under `dir`:
   * {{{
-  *   manifests/v<20-digit>.manifest    base/delta file lists + tags
-  *   data/<file>.parquet               (doc_id, cluster_id, __v) rows
+  *   manifests/v<20-digit>.manifest    base/delta/tomb file lists + tags
+  *   data/<file>.parquet               (doc_id, cluster_id, __v) rows,
+  *                                     or (doc_id) tombstone slivers
   * }}}
   *
   * Versioning model — base ⊕ deltas, LAST-WINS per id:
@@ -66,7 +67,8 @@ object KeepSetStore {
   private[graft] final case class KeepSetManifest(version: Long,
                                                   base: Seq[String],
                                                   deltas: Seq[String],
-                                                  tags: Set[String]) {
+                                                  tags: Set[String],
+                                                  tombs: Seq[String] = Nil) {
     def render: String = {
       val body = new StringBuilder
       body.append(Header).append('\n')
@@ -74,6 +76,7 @@ object KeepSetStore {
       tags.toSeq.sorted.foreach(t => body.append("tag ").append(t).append('\n'))
       base.sorted.foreach(f => body.append("base ").append(f).append('\n'))
       deltas.sorted.foreach(f => body.append("delta ").append(f).append('\n'))
+      tombs.sorted.foreach(f => body.append("tomb ").append(f).append('\n'))
       val digest = IvfObjectStore.sha256(body.toString)
       body.append("end ").append(digest).append('\n')
       body.toString
@@ -91,17 +94,19 @@ object KeepSetStore {
     if (IvfObjectStore.sha256(payload) != expected) return None
     var version = -1L
     val base = Seq.newBuilder[String]; val deltas = Seq.newBuilder[String]
+    val tombs = Seq.newBuilder[String]
     val tags = Set.newBuilder[String]
     for (l <- lines.slice(1, endIdx)) l.split(" ", 2) match {
       case Array("version", v) => version = v.toLong
       case Array("tag", t) => tags += t
       case Array("base", f) => base += f
       case Array("delta", f) => deltas += f
+      case Array("tomb", f) => tombs += f
       case _ => return None
     }
     if (version < 1) return None
     Some(KeepSetManifest(version, base.result(), deltas.result(),
-                         tags.result()))
+                         tags.result(), tombs.result()))
   }
 
   private[graft] def currentManifest(fs: FileSystem,
@@ -175,7 +180,16 @@ object KeepSetStore {
         .groupBy(col(idCol))
         .agg(max(struct(col("__v"), col("cluster_id")))
           .getField("cluster_id").as("cluster_id"))
-    lbl.withColumn("keep", col(idCol) === col("cluster_id"))
+    // takedown mask ([[delete]]): tombstoned ids' ROWS drop at serve —
+    // an O(ids) broadcast anti join; survivors' rows are bit-unchanged
+    // (their cluster label is an opaque identity, not a liveness claim)
+    val masked =
+      if (m.tombs.isEmpty) lbl
+      else lbl.join(
+        broadcast(spark.read.parquet(m.tombs.map(r => s"$dir/$r"): _*)
+          .select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti")
+    masked.withColumn("keep", col(idCol) === col("cluster_id"))
   }
 
   /** The resolved live table (idCol, cluster_id, keep) — a pure scan
@@ -250,7 +264,7 @@ object KeepSetStore {
           s"KeepSetStore.increment: no valid manifest under $dir — " +
           "create() first"))
       if (batchTag.exists(m.tags.contains)) return m.version // replay
-      val liveFiles = m.base ++ m.deltas
+      val liveFiles = m.base ++ m.deltas ++ m.tombs
       if (staged == null || stagedAgainst != liveFiles) {
         val prevLbl = resolveFrom(spark, dir, m, idCol)
           .select(col(idCol), col("cluster_id"))
@@ -285,7 +299,7 @@ object KeepSetStore {
         stagedAgainst = liveFiles
       }
       val next = KeepSetManifest(m.version + 1, m.base, m.deltas ++ staged,
-                                 m.tags ++ batchTag)
+                                 m.tags ++ batchTag, m.tombs)
       if (publish(fs, dir, next)) return next.version
       healTorn(fs, dir, m.version + 1)
       IvfObjectStore.publishBackoff(attempt)
@@ -299,8 +313,14 @@ object KeepSetStore {
 
   /** Fold base ⊕ deltas into a new single-generation base (one corpus
     * rewrite, off the increment path) so [[read]] and the next
-    * [[increment]]'s resolve are pure scans again. No-op (returns the
-    * current version) when no deltas are outstanding. */
+    * [[increment]]'s resolve are pure scans again. Doubles as the
+    * takedown PURGE: the fold reads through the tombstone mask, so the
+    * new base physically omits every [[delete]]d id's rows and the new
+    * manifest clears its tombstones (deleted bytes leave disk once
+    * [[vacuum]] ages out the pre-compact versions — the compliance
+    * eraser; a formerly-deleted id can be re-added by [[increment]]
+    * afterwards). No-op (returns the current version) when no deltas
+    * and no tombstones are outstanding. */
   def compact(spark: SparkSession, dir: String,
               idCol: String = "doc_id"): Long = {
     val fs = IvfObjectStore.fsOf(spark, dir)
@@ -311,8 +331,8 @@ object KeepSetStore {
       val m = currentManifest(fs, dir).getOrElse(
         throw new ManifestStoreException(
           s"KeepSetStore.compact: no valid manifest under $dir"))
-      if (m.deltas.isEmpty) return m.version
-      val liveFiles = m.base ++ m.deltas
+      if (m.deltas.isEmpty && m.tombs.isEmpty) return m.version
+      val liveFiles = m.base ++ m.deltas ++ m.tombs
       if (staged == null || stagedAgainst != liveFiles) {
         staged = stage(resolveFrom(spark, dir, m, idCol), dir,
                        m.version + 1, idCol)
@@ -329,6 +349,59 @@ object KeepSetStore {
       s"KeepSetStore.compact: lost the publish race " +
       s"${IvfObjectStore.PublishRetries} times on $dir — schedule " +
       "compaction off the increment path")
+  }
+
+  /** TAKEDOWN from the dedup decision table (r16 — completing the
+    * tri-store compliance story: `IvfObjectStore.delete` rewrites cell
+    * slivers, `ImpactObjectStore.delete` masks postings, and this masks
+    * decisions): publish v+1 whose manifest carries an O(ids) tombstone
+    * sliver that every [[read]]/[[readAt]]-of-this-version masks
+    * IMMEDIATELY — deleted ids' rows drop from the served table;
+    * survivors' rows are BIT-UNCHANGED. Stated consequences, plainly:
+    * a survivor's `cluster_id` may reference a deleted id (the label is
+    * an opaque cluster identity), and a cluster whose KEEPER was taken
+    * down serves with NO kept member until an upstream rebuild —
+    * deliberately conservative for training-data selection (the one
+    * copy you were going to train on is gone by request; electing a
+    * different member requires re-running dedup without the deleted
+    * doc's pairs, which no store can derive from the decision table
+    * alone). [[compact]] is the physical purge and clears the mask; a
+    * deleted id stays masked even if a later [[increment]] re-adds it,
+    * until that purge runs (takedown outranks re-crawl). `batchTag`
+    * gives replays idempotence; ids absent from the store tombstone
+    * harmlessly. Returns the published version. */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+             idCol: String = "doc_id",
+             batchTag: Option[String] = None): Long = {
+    batchTag.foreach(t => require(t.matches("[A-Za-z0-9_]+"),
+      s"batchTag '$t' must match [A-Za-z0-9_]+ (same tag grammar as the " +
+      "sibling stores)"))
+    val fs = IvfObjectStore.fsOf(spark, dir)
+    // the tombstone sliver is snapshot-independent (just the id set) —
+    // stage once, retry only the publish
+    var staged: Seq[String] = null
+    var attempt = 0
+    while (attempt < IvfObjectStore.PublishRetries) {
+      val m = currentManifest(fs, dir).getOrElse(
+        throw new ManifestStoreException(
+          s"KeepSetStore.delete: no valid manifest under $dir — " +
+          "create() first"))
+      if (batchTag.exists(m.tags.contains)) return m.version // replay
+      if (staged == null)
+        staged = IvfObjectStore.writeVia(
+          ids.select(col(idCol).cast("long").as(idCol)).distinct(),
+          s"$dir/data", Nil).map(r => s"data/$r")
+      val next = KeepSetManifest(m.version + 1, m.base, m.deltas,
+                                 m.tags ++ batchTag, m.tombs ++ staged)
+      if (publish(fs, dir, next)) return next.version
+      healTorn(fs, dir, m.version + 1)
+      IvfObjectStore.publishBackoff(attempt)
+      attempt += 1
+    }
+    throw new ManifestConflict(
+      s"KeepSetStore.delete: lost the publish race " +
+      s"${IvfObjectStore.PublishRetries} times on $dir — serialize " +
+      "committers or raise retries")
   }
 
   /** Delete data objects NO surviving manifest references and superseded
@@ -357,7 +430,7 @@ object KeepSetStore {
       .filter(f => f.isFile &&
                    f.getPath.getName.matches("v\\d{20}\\.manifest"))
       .flatMap(f => parseManifest(IvfObjectStore.readFully(fs, f.getPath)))
-      .flatMap(m => m.base ++ m.deltas)
+      .flatMap(m => m.base ++ m.deltas ++ m.tombs)
       .toSet
     val p = new Path(s"$dir/data")
     if (fs.exists(p))

@@ -377,6 +377,77 @@ object DedupQueries extends QueryModule {
         |  d.doc_id = coalesce(c.component, d.doc_id) AS keep
         |FROM documents d LEFT JOIN comp c USING (doc_id)""".stripMargin)),
 
+    // TAKEDOWN from the versioned keep-set (r16 — the tri-store
+    // compliance story's third leg: vector cells, BM25 postings, and
+    // now dedup DECISIONS all carry the mask-until-purge contract):
+    // create + increment as dedup_keepset_stored, then delete a
+    // deterministic id slice — the manifest gains an O(ids) tombstone
+    // sliver every read masks immediately; survivors serve
+    // BIT-UNCHANGED (labels are opaque cluster identities — a cluster
+    // whose keeper was taken down serves with no kept member until the
+    // upstream rebuild, the conservative training-data stance). The
+    // oracle is the from-scratch recursive-CTE keep-set over the FULL
+    // corpus (components computed with the deleted ids' pairs — exactly
+    // the stale-label semantics) restricted to survivors: hash-equality
+    // proves the mask drops precisely the deleted rows and nothing else.
+    GraftQuery(
+      "dedup_keepset_delete",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val pairs = minhashLshPairs(s, dir)
+        def isOld(c: org.apache.spark.sql.Column) =
+          substring(md5(c.cast("string")), 1, 1) < "8"
+        val out = java.nio.file.Files
+          .createTempDirectory("graft_keepset_delete").toString
+        graft.operators.KeepSetStore.create(
+          graft.operators.GraftDedup.keepSet(
+            docs.filter(isOld(col("doc_id"))),
+            pairs.filter(isOld(col("a_id")) && isOld(col("b_id")))),
+          out)
+        graft.operators.KeepSetStore.increment(
+          s, out,
+          newIds = docs.filter(!isOld(col("doc_id"))),
+          newPairs = pairs.filter(!(isOld(col("a_id")) &&
+                                    isOld(col("b_id")))),
+          batchTag = Some("increment1"))
+        graft.operators.KeepSetStore.delete(
+          s, out, docs.filter(col("doc_id") % 7 === 3).select("doc_id"),
+          batchTag = Some("takedown1"))
+        graft.operators.KeepSetStore.read(s, out)
+      },
+      Some("""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                                FOR i IN range(1, len(tk) - 1)]) s
+        |  FROM toks WHERE len(tk) >= 3),
+        |e AS (SELECT doc_id, unnest(s) g FROM sh),
+        |sz AS (SELECT doc_id, count(*) n FROM e GROUP BY doc_id),
+        |pair AS (
+        |  SELECT a.doc_id a_id, b.doc_id b_id, count(*) i
+        |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |np AS (
+        |  SELECT a_id, b_id FROM pair
+        |  JOIN sz sa ON sa.doc_id = a_id
+        |  JOIN sz sb ON sb.doc_id = b_id
+        |  WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.8),
+        |ed AS (SELECT a_id s, b_id d FROM np
+        |       UNION SELECT b_id, a_id FROM np),
+        |reach(s, d) AS (
+        |  SELECT s, d FROM ed
+        |  UNION
+        |  SELECT r.s, e2.d FROM reach r JOIN ed e2 ON r.d = e2.s),
+        |comp AS (
+        |  SELECT s AS doc_id, least(s, min(d)) AS component
+        |  FROM reach GROUP BY s)
+        |SELECT d.doc_id,
+        |  coalesce(c.component, d.doc_id) AS cluster_id,
+        |  d.doc_id = coalesce(c.component, d.doc_id) AS keep
+        |FROM documents d LEFT JOIN comp c USING (doc_id)
+        |WHERE d.doc_id % 7 != 3""".stripMargin)),
+
     // CLUSTER-disjoint train/test split: documents route by a hash of
     // their near-dup CLUSTER id, so a near-duplicate pair can never
     // straddle the train/eval boundary — the per-id hash split

@@ -147,6 +147,67 @@ class KeepSetStoreSpec extends GraftFunSuite {
     }
   }
 
+  test("takedown (r16): delete masks ids immediately with survivors " +
+       "bit-unchanged (an orphaned keeper's cluster serves with no kept " +
+       "member), time travel intact, tag replay no-ops, a pre-purge " +
+       "re-add stays masked, compact purges physically and re-opens " +
+       "re-adds, vacuum keeps tomb slivers for retained versions") {
+    withMockS3 { base =>
+      val dir = s"s3a:$base/ks3"
+      // cluster {1,2} with keeper 1; singleton 5
+      val ids0 = Seq(1L, 2L, 5L).toDF("doc_id")
+      val pairs0 = Seq((1L, 2L)).toDF("a_id", "b_id")
+      assert(KeepSetStore.create(GraftDedup.keepSet(ids0, pairs0), dir) == 1L)
+      assert(KeepSetStore.delete(spark, dir, Seq(1L).toDF("doc_id"),
+                                 batchTag = Some("td0")) == 2L)
+      // keeper 1 gone; survivor 2 still labels cluster 1 (opaque
+      // identity) and serves with keep = false — the conservative
+      // no-kept-member consequence, stated in the scaladoc
+      assert(rows(KeepSetStore.read(spark, dir)) ==
+             Set((2L, 1L, false), (5L, 5L, true)))
+      assert(rows(KeepSetStore.readAt(spark, dir, 1L)) ==
+             rows(GraftDedup.keepSet(ids0, pairs0)))
+      assert(KeepSetStore.delete(spark, dir, Seq(1L).toDF("doc_id"),
+                                 batchTag = Some("td0")) == 2L) // replay
+      // increment resolves against the MASKED table; the re-add of the
+      // deleted id 1 stages but STAYS masked (takedown outranks re-crawl)
+      assert(KeepSetStore.increment(spark, dir,
+               Seq(9L, 1L).toDF("doc_id"),
+               Seq((5L, 9L)).toDF("a_id", "b_id"),
+               batchTag = Some("b1")) == 3L)
+      assert(rows(KeepSetStore.read(spark, dir)) ==
+             Set((2L, 1L, false), (5L, 5L, true), (9L, 5L, false)))
+      // vacuum with every manifest retained: tomb slivers survive (v2/v3
+      // still serve masked), nothing deleted
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$base/ks3/data"))
+        .filter(p => java.nio.file.Files.isRegularFile(p))
+        .forEach(p => assert(p.toFile.setLastModified(
+          System.currentTimeMillis() - 3600000)))
+      assert(KeepSetStore.vacuum(spark, dir, olderThanMs = 1800000) == 0)
+      assert(rows(KeepSetStore.readAt(spark, dir, 2L)) ==
+             Set((2L, 1L, false), (5L, 5L, true)))
+      // compact = the purge: same served table, but the new base
+      // physically omits the deleted id, tombstones clear, and the
+      // masked pre-purge re-add is dropped with them
+      assert(KeepSetStore.compact(spark, dir) == 4L)
+      assert(rows(KeepSetStore.read(spark, dir)) ==
+             Set((2L, 1L, false), (5L, 5L, true), (9L, 5L, false)))
+      val m4 = KeepSetStore.currentManifest(fs, dir).get
+      assert(m4.tombs.isEmpty && m4.deltas.isEmpty)
+      assert(spark.read.parquet(m4.base.map(r => s"$dir/$r"): _*)
+        .filter(col("doc_id") === 1L).count() == 0L)
+      // post-purge re-add surfaces normally
+      assert(KeepSetStore.increment(spark, dir, Seq(1L).toDF("doc_id"),
+               Seq.empty[(Long, Long)].toDF("a_id", "b_id"),
+               batchTag = Some("b2")) == 5L)
+      assert(rows(KeepSetStore.read(spark, dir)) ==
+             Set((1L, 1L, true), (2L, 1L, false), (5L, 5L, true),
+                 (9L, 5L, false)))
+    }
+  }
+
   test("create refuses an existing chain; increment without a store " +
        "fails loud; a squatted version slot is absorbed by the retry") {
     withMockS3 { base =>
