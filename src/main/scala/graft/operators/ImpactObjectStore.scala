@@ -298,6 +298,30 @@ object ImpactObjectStore {
     load(spark, dir, m)
   }
 
+  /** Streaming opt-out twin of [[delete]] (r16 — the
+    * [[IvfObjectStore.deleteStream]] contract on the lexical store): an
+    * unbounded stream of doc ids drains into tagged tombstone-mask
+    * versions, one per micro-batch (`<streamId>_d<batchId>`), so a
+    * checkpoint replay no-ops on the manifest's tag set and every
+    * opted-out doc's postings stop serving at the NEXT read after its
+    * batch commits — takedown latency is one micro-batch, the purge
+    * remains [[rebuild]] on its own cadence. */
+  def deleteStream(dir: String, ids: org.apache.spark.sql.DataFrame,
+                   streamId: String, idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    require(streamId.matches("[A-Za-z0-9_]+"),
+      s"streamId '$streamId' must match [A-Za-z0-9_]+ (it prefixes the " +
+      "store's idempotency tags)")
+    graft.GraftSession.ensureExtensions(ids.sparkSession)
+    ids.writeStream.foreachBatch {
+      (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        delete(batch.sparkSession, dir, batch.select(col(idCol)), idCol,
+               batchTag = Some(s"${streamId}_d$batchId"))
+        ()
+    }
+  }
+
   /** Load the live snapshot as a [[ImpactIndex.StoredImpacts]] handle —
     * the SAME serve surface as the directory layout, so
     * `bm25TopKStored` / `bm25TopKPruned` / `impactsFor` run verbatim. */

@@ -404,6 +404,29 @@ object KeepSetStore {
       "committers or raise retries")
   }
 
+  /** Streaming opt-out twin of [[delete]] (r16 — the
+    * [[IvfObjectStore.deleteStream]] contract on the decision table):
+    * an unbounded stream of doc ids drains into tagged tombstone
+    * versions, one per micro-batch (`<streamId>_d<batchId>`), so a
+    * checkpoint replay no-ops on the manifest's tag set and every
+    * opted-out id's row leaves the served keep-set at the NEXT read
+    * after its batch commits; [[compact]] remains the physical purge on
+    * its own cadence. */
+  def deleteStream(dir: String, ids: DataFrame, streamId: String,
+                   idCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row] = {
+    require(streamId.matches("[A-Za-z0-9_]+"),
+      s"streamId '$streamId' must match [A-Za-z0-9_]+ (it prefixes the " +
+      "store's idempotency tags)")
+    ids.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        delete(batch.sparkSession, dir, batch.select(col(idCol)), idCol,
+               batchTag = Some(s"${streamId}_d$batchId"))
+        ()
+    }
+  }
+
   /** Delete data objects NO surviving manifest references and superseded
     * manifests, both older than `olderThanMs` — the time-travel
     * retention knob, same contract as the sibling stores. The manifest

@@ -142,6 +142,38 @@ class ImpactStoreSpec extends GraftFunSuite {
     }
   }
 
+  test("deleteStream (r16): opt-out micro-batches drain into tagged " +
+       "tombstone versions exactly once; every opted-out doc's postings " +
+       "stop serving at the next read") {
+    withMockS3 { base =>
+      val d = docs()
+      val dir = s"s3a:$base/delstream"
+      assert(ImpactObjectStore.rebuild(d, dir, buckets = 8) == 1L)
+      val full = serve(ImpactObjectStore.read(spark, dir), k = 1 << 20)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val optOut = full.take(3).map(_._2) // docs that demonstrably score
+      val input = MemoryStream[Long]
+      val sq = graft.operators.ImpactObjectStore
+        .deleteStream(dir, input.toDF().toDF("doc_id"), streamId = "opt1")
+        .option("checkpointLocation", s"$base/chk_del")
+        .start()
+      try {
+        input.addData(optOut.take(2)); sq.processAllAvailable()
+        input.addData(optOut.drop(2)); sq.processAllAvailable()
+      } finally sq.stop()
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m = ImpactObjectStore.currentManifest(fs, dir).get
+      assert(m.tags.contains("opt1_d0") && m.tags.contains("opt1_d1"),
+        m.tags.toString)
+      val expect = full.filterNot(r => optOut.contains(r._2)).zipWithIndex
+        .map { case ((_, id, hits), i) => (i + 1L, id, hits) }.take(10)
+      assert(serve(ImpactObjectStore.read(spark, dir)) == expect)
+    }
+  }
+
   test("delete lifecycle: tombstone mask serves immediately and equals the " +
        "unpruned serve minus deleted rows; pruned serve stays covered off " +
        "stale bounds; tag replay no-ops; time travel intact; rebuild " +

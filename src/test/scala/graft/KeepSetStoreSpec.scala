@@ -208,6 +208,35 @@ class KeepSetStoreSpec extends GraftFunSuite {
     }
   }
 
+  test("deleteStream (r16): opt-out micro-batches drain into tagged " +
+       "tombstone versions exactly once; each opted-out id leaves the " +
+       "served keep-set at the next read") {
+    withMockS3 { base =>
+      val dir = s"s3a:$base/ks4"
+      val ids0 = Seq(1L, 2L, 5L, 9L).toDF("doc_id")
+      val pairs0 = Seq((1L, 2L)).toDF("a_id", "b_id")
+      assert(KeepSetStore.create(GraftDedup.keepSet(ids0, pairs0), dir) == 1L)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[Long]
+      val sq = KeepSetStore
+        .deleteStream(dir, input.toDF().toDF("doc_id"), streamId = "opt1")
+        .option("checkpointLocation", s"$base/chk_ks")
+        .start()
+      try {
+        input.addData(Seq(5L)); sq.processAllAvailable()
+        input.addData(Seq(2L)); sq.processAllAvailable()
+      } finally sq.stop()
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val m = KeepSetStore.currentManifest(fs, dir).get
+      assert(m.tags.contains("opt1_d0") && m.tags.contains("opt1_d1"),
+        m.tags.toString)
+      assert(rows(KeepSetStore.read(spark, dir)) ==
+             Set((1L, 1L, true), (9L, 9L, true)))
+    }
+  }
+
   test("create refuses an existing chain; increment without a store " +
        "fails loud; a squatted version slot is absorbed by the retry") {
     withMockS3 { base =>
