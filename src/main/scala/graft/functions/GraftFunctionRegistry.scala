@@ -40,6 +40,17 @@ object GraftFunctionRegistry {
       case other => throw new IllegalArgumentException(
         s"graft_cosine(array<double>, array<double>) — got ${other.size} args")
     },
+    "graft_argmax_cos" -> {
+      case Seq(v, cents) => GraftArgmaxCos(v, cents)
+      case other => throw new IllegalArgumentException(
+        s"graft_argmax_cos(array<double>, array<struct<long, " +
+        s"array<double>>>) — got ${other.size} args")
+    },
+    "graft_idot" -> {
+      case Seq(a, b) => GraftIntDot(a, b)
+      case other => throw new IllegalArgumentException(
+        s"graft_idot(array<int>, array<int>) — got ${other.size} args")
+    },
     "graft_srp_sig" -> {
       case Seq(v, nb) => GraftSrpSig(v, nb, Literal(42L, LongType))
       case Seq(v, nb, seed) => GraftSrpSig(v, nb, seed)

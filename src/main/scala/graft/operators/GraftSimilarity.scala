@@ -588,21 +588,14 @@ object GraftSimilarity {
       collect_list(struct(col("c_id").cast("long").as("c_id"), col("cv")))
         .as("__cents")))
     e.crossJoin(centsRow)
+      // graft_argmax_cos is the codegen form of the former
+      // aggregate(transform(...)) comparator fold — bit-identical
+      // semantics (NaN ranks greatest, ties → lowest c_id, empty set →
+      // null), one tight loop per row instead of an interpreted lambda
+      // materializing √N structs per vector (guide §1.2 step 2; the fold
+      // was the single biggest task of the r16 bench probe)
       .select(e.columns.map(col) :+
-        expr(
-          """aggregate(
-               transform(__cents,
-                         c -> struct(graft_cosine(v, c.cv) AS cc,
-                                     c.c_id AS c_id)),
-               CAST(NULL AS STRUCT<cc: DOUBLE, c_id: BIGINT>),
-               (acc, s) -> CASE
-                 WHEN acc IS NULL THEN s
-                 WHEN s.cc > acc.cc
-                      OR (isnan(s.cc) AND NOT isnan(acc.cc)) THEN s
-                 WHEN acc.cc > s.cc
-                      OR (isnan(acc.cc) AND NOT isnan(s.cc)) THEN acc
-                 WHEN s.c_id < acc.c_id THEN s
-                 ELSE acc END).c_id""").as("c_id"): _*)
+        expr("graft_argmax_cos(v, __cents)").as("c_id"): _*)
       // an empty centroid set folds to an empty array → null c_id; the
       // former join shape dropped every vector there, so match it
       .filter(col("c_id").isNotNull)
@@ -1216,7 +1209,6 @@ object GraftSimilarity {
           fs.listStatus(root).filter(_.isFile).map(_.getPath.getName).toSet
         else Set.empty
       }
-      var compacted = 0
       val cellDirs = fs.listStatus(assignedRoot)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("c_id="))
       // ---- tombstone awareness (deleteFromIvfStore's physical half) ----
@@ -1251,7 +1243,13 @@ object GraftSimilarity {
         case _ => Set.empty
       }
       var touchedSkipped = false
-      for (cd <- cellDirs) {
+      // ---- decide the rewrite set first (EXPLICIT file list per cell,
+      // never the directory — a file renamed in after this listing must
+      // not be merged: it is restored, not dropped, by the
+      // not-in-merge-list sweep below) ----------------------------------
+      // addQ4 is a whole-store migration: every committed cell rewrites
+      // (idempotent on cells already carrying the column)
+      val rewrites = cellDirs.toSeq.flatMap { cd =>
         val parquetFiles = fs.listStatus(cd.getPath)
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
           .map(_.getPath)
@@ -1259,81 +1257,111 @@ object GraftSimilarity {
           .distinct.filterNot(committedTags.contains)
         val needsPurge = tombTouched.contains(cd.getPath.getName)
         if (needsPurge && uncommitted.nonEmpty) touchedSkipped = true
-        // addQ4 is a whole-store migration: every committed cell
-        // rewrites (idempotent on cells already carrying the column)
         if ((parquetFiles.length > maxFilesPerCell || needsPurge || addQ4 ||
              addB1) &&
-            uncommitted.isEmpty) {
-          val mergeList = parquetFiles.map(_.getName).toSet
-          val staged = new Path(stagingRoot, cd.getPath.getName)
-          fs.delete(staged, true)
-          // EXPLICIT file list, never the directory: a file renamed in
-          // after this listing must not be merged (it is restored, not
-          // dropped, by the not-in-merge-list sweep below). Data files
-          // carry (n_id, v, q8) — c_id lives in the directory name — so
-          // the rewrite round-trips the layout; sortWithinPartitions
-          // restores the n_id ordering the rerank fetch's row-group
-          // pruning keys on (merged inputs are each sorted, their concat
-          // is not). A pre-q8 store merges with null q8 — mergeSchema
-          // fills the column for old-generation files and the rewrite
-          // REPAIRS it (quantize-null after graft_q8b), so compaction is also
-          // the in-place migration path to the q8 serving tier.
-          val merged0 = tombExclude(spark.read.option("mergeSchema", "true")
-            .parquet(parquetFiles.map(_.toString): _*))
-          // q8 repair is unconditional (the default serving tier every
-          // store carries); q4 is OPT-IN at write, so its repair runs
-          // only when the merged files already carry the column (a
-          // partially-written q4 store heals) or the caller asked for
-          // the in-place migration (addQ4)
-          val merged1 = quantRepair(merged0, "q8", "graft_q8b")
-          val merged2 =
-            if (addQ4 || merged1.columns.contains("q4"))
-              quantRepair(merged1, "q4", "graft_q4b")
-            else merged1
-          // the 1-bit rung heals / migrates under the same opt-in rule
-          val merged =
-            if (addB1 || merged2.columns.contains("b1"))
-              quantRepair(merged2, "b1", "graft_b1b")
-            else merged2
-          // same repair for the PQ code word when the store carries a
-          // codebook: pre-PQ files merge with null cw and the rewrite
-          // re-encodes exactly that sliver (folded encode — no shuffle),
-          // so compaction is also the in-place migration path to the PQ
-          // serving tier; without a codebook the column passes through
-          val withPq = pqCb.map(GraftPq.repairCw(_, merged)).getOrElse(merged)
-          withPq
+            uncommitted.isEmpty)
+          Some((cd.getPath, parquetFiles.map(_.getName).toSet,
+                parquetFiles.toSeq))
+        else None
+      }
+      // ---- stage EVERY rewrite cell's merge in ONE partitioned Spark
+      // job. The former cell-at-a-time read+sort+write paid one full
+      // job's fixed cost PER CELL, making purge wall-clock ∝ cell count
+      // (~45 sequential jobs on the sf0.1 store — the bulk of
+      // ann_ivf_delete's bench seconds); the batched stage writes the
+      // same per-cell single n_id-sorted file through one shuffle on
+      // c_id (guide §1.2 step 1: fewer passes, same bytes). Data files
+      // carry (n_id, v, q8…) — c_id lives in the directory name — so the
+      // read re-derives it via basePath and the partitioned write puts
+      // it back in the path. A pre-q8 store merges with null q8 —
+      // mergeSchema fills the column for old-generation files and the
+      // rewrite REPAIRS it (quantize-null after graft_q8b), so compaction
+      // is also the in-place migration path to the q8 serving tier.
+      val repaired: DataFrame => DataFrame = { merged0 =>
+        // q8 repair is unconditional (the default serving tier every
+        // store carries); q4 is OPT-IN at write, so its repair runs
+        // only when the merged files already carry the column (a
+        // partially-written q4 store heals) or the caller asked for
+        // the in-place migration (addQ4)
+        val merged1 = quantRepair(merged0, "q8", "graft_q8b")
+        val merged2 =
+          if (addQ4 || merged1.columns.contains("q4"))
+            quantRepair(merged1, "q4", "graft_q4b")
+          else merged1
+        // the 1-bit rung heals / migrates under the same opt-in rule
+        val merged =
+          if (addB1 || merged2.columns.contains("b1"))
+            quantRepair(merged2, "b1", "graft_b1b")
+          else merged2
+        // same repair for the PQ code word when the store carries a
+        // codebook: pre-PQ files merge with null cw and the rewrite
+        // re-encodes exactly that sliver (folded encode — no shuffle),
+        // so compaction is also the in-place migration path to the PQ
+        // serving tier; without a codebook the column passes through
+        pqCb.map(GraftPq.repairCw(_, merged)).getOrElse(merged)
+      }
+      if (rewrites.nonEmpty) {
+        fs.delete(stagingRoot, true)
+        val allFiles = rewrites.flatMap(_._3).map(_.toString)
+        val withPq = repaired(tombExclude(
+          spark.read.option("mergeSchema", "true")
+            .option("basePath", assignedRoot.toString)
+            .parquet(allFiles: _*)))
+        // the writeIvfIndex at-rest shape: every cell hashes wholly into
+        // one task, the partitioned writer splits one file per cell, and
+        // the (c_id, n_id) sort satisfies the writer's partition-column
+        // ordering requirement while restoring the n_id ordering the
+        // rerank fetch's row-group pruning keys on (merged inputs are
+        // each sorted, their concat is not)
+        withPq
+          .repartition(col("c_id"))
+          .sortWithinPartitions("c_id", "n_id")
+          .write.mode("overwrite").partitionBy("c_id")
+          .parquet(stagingRoot.toString)
+        fs.delete(new Path(stagingRoot, "_SUCCESS"), false)
+      }
+      var compacted = 0
+      for ((cellPath, mergeList, files) <- rewrites) {
+        val staged = new Path(stagingRoot, cellPath.getName)
+        if (!fs.exists(staged)) {
+          // a cell whose every surviving row was tombstoned stages no
+          // output from the partitioned write; keep the landed shape
+          // identical to the pre-batch contract (one — here empty —
+          // merged file) with a single tiny job for this rare cell
+          repaired(tombExclude(spark.read.option("mergeSchema", "true")
+              .parquet(files.map(_.toString): _*)))
             .coalesce(1)
             .sortWithinPartitions("n_id")
             .write.mode("overwrite").parquet(staged.toString)
-          val part = fs.listStatus(staged)
-            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          require(part.length == 1, s"staged merge not a single file: $staged")
-          require(fs.rename(part.head.getPath, new Path(staged, Merged)),
-            s"compactIvfCells: could not fix the merged name in $staged")
-          fs.delete(new Path(staged, "_SUCCESS"), false)
-          val old = new Path(assignedRoot, s".compact-old-${cd.getPath.getName}")
-          fs.delete(old, true)
-          require(fs.rename(cd.getPath, old),
-            s"compactIvfCells: could not retire ${cd.getPath}")
-          if (!fs.rename(staged, cd.getPath)) {
-            // land failed: roll the retire back so the store is whole
-            // when the lock releases, then surface the error
-            require(fs.rename(old, cd.getPath),
-              s"compactIvfCells: land AND rollback failed for ${cd.getPath}" +
-              s" — live data is in $old; next pass auto-recovers it")
-            throw new IllegalStateException(
-              s"compactIvfCells: could not land $staged; swap rolled back")
-          }
-          // restore late arrivals: anything in the retired dir that was
-          // not part of the merge landed during the pass — move it in
-          for (f <- fs.listStatus(old)
-                 if f.isFile && !mergeList.contains(f.getPath.getName))
-            require(fs.rename(f.getPath,
-                              new Path(cd.getPath, f.getPath.getName)),
-              s"compactIvfCells: late-arrival restore ${f.getPath} failed")
-          fs.delete(old, true)
-          compacted += 1
         }
+        val part = fs.listStatus(staged)
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        require(part.length == 1, s"staged merge not a single file: $staged")
+        require(fs.rename(part.head.getPath, new Path(staged, Merged)),
+          s"compactIvfCells: could not fix the merged name in $staged")
+        fs.delete(new Path(staged, "_SUCCESS"), false)
+        val old = new Path(assignedRoot, s".compact-old-${cellPath.getName}")
+        fs.delete(old, true)
+        require(fs.rename(cellPath, old),
+          s"compactIvfCells: could not retire $cellPath")
+        if (!fs.rename(staged, cellPath)) {
+          // land failed: roll the retire back so the store is whole
+          // when the lock releases, then surface the error
+          require(fs.rename(old, cellPath),
+            s"compactIvfCells: land AND rollback failed for $cellPath" +
+            s" — live data is in $old; next pass auto-recovers it")
+          throw new IllegalStateException(
+            s"compactIvfCells: could not land $staged; swap rolled back")
+        }
+        // restore late arrivals: anything in the retired dir that was
+        // not part of the merge landed during the pass — move it in
+        for (f <- fs.listStatus(old)
+               if f.isFile && !mergeList.contains(f.getPath.getName))
+          require(fs.rename(f.getPath,
+                            new Path(cellPath, f.getPath.getName)),
+            s"compactIvfCells: late-arrival restore ${f.getPath} failed")
+        fs.delete(old, true)
+        compacted += 1
       }
       fs.delete(stagingRoot, true)
       pqCb.foreach(_.unpersist())

@@ -65,10 +65,11 @@ object LateInteraction {
   }
 
   // integer dot product of two equal-length integral vectors — the only
-  // similarity the ±1 grid needs; bind-once fold (the HOF-rebinding
-  // lesson: zip_with binds each side exactly once)
-  private val dotExpr: String =
-    "aggregate(zip_with(qtv, tv, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+  // similarity the ±1 grid needs; graft_idot is the codegen form of the
+  // former aggregate(zip_with(...)) fold (bit-identical sums), one tight
+  // loop per pair instead of two interpreted lambdas and an intermediate
+  // array — this is THE per-pair kernel of the quadratic twin
+  private val dotExpr: String = "graft_idot(qtv, tv)"
 
   /** Exact MaxSim top-k: every query token against every document token
     * — the labeled QUADRATIC oracle twin ([[maxSimTopKWith]] is the
