@@ -831,9 +831,14 @@ object GraftDedup {
     require(q >= 2, s"editDistancePairs: q must be >= 2, got $q")
     val d = maxDist
     val prefixLen = q * d + 1
-    val t = docs.select(col(idCol).cast("long").as("id"),
-                        col(textCol).as("txt"),
-                        length(col(textCol)).as("len"))
+    // gram explosion multiplies work ~|text| per row — buy scan-stage
+    // parallelism when the corpus packs into fewer splits than cores
+    // (self-canceling at scale; see ScaleHints.fanOut)
+    val t = ScaleHints.fanOut(
+      docs.select(col(idCol).cast("long").as("id"),
+                  col(textCol).as("txt"),
+                  length(col(textCol)).as("len")),
+      col("id"))
     // positional q-grams, 1-based; strings shorter than q emit none and
     // are covered by the short pool (len < q ⇒ len < q·(d+1))
     val grams = t
@@ -897,6 +902,17 @@ object GraftDedup {
       .select(least(col("p_id"), col("id")).as("a_id"),
               greatest(col("p_id"), col("id")).as("b_id"))
     val cand = longCand.unionByName(shortCand).distinct()
+      // the verify stage's work is ∝ candidates × O(len·d) banded-DP
+      // cells, ~10³ ops per candidate BYTE — AQE's byte-based partition
+      // sizing underestimates it by that factor and coalesces the
+      // (skinny) candidate stream into a handful of tasks (the r16 probe
+      // measured the whole verify in ONE 4.3 s task at sf0.1, 31 cores
+      // idle). Spread the DP by pair key at the session's shuffle width
+      // — the explicit partition count keeps AQE from re-coalescing a
+      // compute-bound stage it can only see bytes of (guide §2.5:
+      // compute-heavy partitions sized by work, not bytes)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions,
+                   col("a_id"), col("b_id"))
     // candidate-bounded exact verify: banded DP via the threshold form
     // (returns −1 past the band — the filter and the emitted distance in
     // one codegen'd pass)

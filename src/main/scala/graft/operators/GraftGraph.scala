@@ -129,9 +129,15 @@ object GraftGraph {
       .select(col(srcCol).cast("long").as("src"),
               col(dstCol).cast("long").as("dst"))
       .distinct()
-    // loop-invariant frames localCheckpoint ONCE (materialized leaves;
-    // blocks reclaimed by the ContextCleaner when the result frame
-    // dies — no unpersist point to leak past, the r11 ADVICE lesson):
+    // loop-invariant frames localCheckpoint ONCE (leaves; blocks
+    // reclaimed by the ContextCleaner when the result frame dies — no
+    // unpersist point to leak past, the r11 ADVICE lesson). Checkpoints
+    // are LAZY (eager = false) throughout this operator: lineage is cut
+    // identically, but materialization folds into the caller's one
+    // action instead of running ~2 eager driver-blocking jobs per round
+    // (the r16 probe measured the eager cascade at 40 jobs for
+    // graph_pagerank_warm, nearly all of its wall time at bench scale —
+    // guide §1.2 step 1, fewer passes):
     // (src, dst, deg) is the per-iteration join side, nodes the
     // per-iteration universe. The personalized variant's per-node base
     // term rides the node frame as `__base` (0 or (100−d)·grid) WITH an
@@ -141,7 +147,7 @@ object GraftGraph {
     // variant's sink flag rides the same frame as `__dang`.
     val eDeg = e
       .join(e.groupBy("src").agg(count(lit(1)).as("__deg")), "src")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val baseAll = (100L - dampingPct) * grid
     val nodesPlain = eDeg.select(col("src").as("node_id"))
       .unionAll(eDeg.select(col("dst").as("node_id")))
@@ -164,7 +170,7 @@ object GraftGraph {
           .withColumn("__dang",
                       when(col("__out").isNull, 1).otherwise(0))
           .drop("__out")
-      else nodesSeeded).localCheckpoint()
+      else nodesSeeded).localCheckpoint(eager = false)
     // loop-invariant node count for the redistribution's `ds div n`
     // (nodes is a checkpointed leaf, so this is one cheap count)
     val n = if (danglingRedistribute) nodes.count().max(1L) else 1L
@@ -197,7 +203,7 @@ object GraftGraph {
     }
     var ranks = nodesStart
       .select(stateCols :+ startExpr.as("pr_micro"): _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var i = 0
     while (i < iters) {
       val contrib = eDeg
@@ -224,7 +230,7 @@ object GraftGraph {
       // blocks); the final round stays a live plan so the returned
       // frame explains as the iteration shape — one state×edges join +
       // one partial-agg sum, the thing a plan audit needs to see
-      if (i < iters - 1) ranks = ranks.localCheckpoint()
+      if (i < iters - 1) ranks = ranks.localCheckpoint(eager = false)
       i += 1
     }
     ranks.select(col("node_id"), col("pr_micro"))
@@ -257,11 +263,11 @@ object GraftGraph {
       .select(col(srcCol).cast("long").as("src"),
               col(dstCol).cast("long").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val nodes = e.select(col("src").as("node_id"))
       .unionAll(e.select(col("dst").as("node_id")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val n = nodes.count()
     require(n <= Long.MaxValue / grid / grid,
       s"hits: $n nodes at grid $grid risks 64-bit overflow in the " +
@@ -277,7 +283,7 @@ object GraftGraph {
                 when(col("__m") > 0L,
                      expr(s"$c * $grid div __m")).otherwise(lit(0L)).as(c))
     }
-    var hub = nodes.withColumn("hub_micro", lit(grid)).localCheckpoint()
+    var hub = nodes.withColumn("hub_micro", lit(grid)).localCheckpoint(eager = false)
     var auth: DataFrame = null
     var i = 0
     while (i < iters) {
@@ -288,7 +294,7 @@ object GraftGraph {
           Seq("node_id"), "left")
         .select(col("node_id"),
                 coalesce(col("auth_micro"), lit(0L)).as("auth_micro"))
-      auth = rescale(a, "auth_micro").localCheckpoint()
+      auth = rescale(a, "auth_micro").localCheckpoint(eager = false)
       val h = nodes.join(
           e.join(auth.withColumnRenamed("node_id", "dst"), "dst")
             .groupBy(col("src").as("node_id"))
@@ -298,7 +304,7 @@ object GraftGraph {
                 coalesce(col("hub_micro"), lit(0L)).as("hub_micro"))
       // final round stays a live plan (the pageRank convention) — the
       // result joins the last hub state to the checkpointed auth leaf
-      hub = if (i < iters - 1) rescale(h, "hub_micro").localCheckpoint()
+      hub = if (i < iters - 1) rescale(h, "hub_micro").localCheckpoint(eager = false)
             else rescale(h, "hub_micro")
       i += 1
     }
@@ -344,11 +350,11 @@ object GraftGraph {
     val und = e.unionAll(e.select(col("dst").as("src"),
                                   col("src").as("dst")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var st = und.select(col("src").as("node_id"))
       .distinct()
       .withColumn("lbl", col("node_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var i = 0
     while (i < iters) {
       // neighbors' labels → (node, label) counts → deterministic argmax:
@@ -361,7 +367,7 @@ object GraftGraph {
         .groupBy("node_id")
         .agg(max(struct(col("__c"), (-col("lbl")).as("__nl"))).as("__m"))
         .select(col("node_id"), (-col("__m.__nl")).as("lbl"))
-      st = if (i < iters - 1) next.localCheckpoint() else next
+      st = if (i < iters - 1) next.localCheckpoint(eager = false) else next
       i += 1
     }
     st.select(col("node_id"), col("lbl").as("community"))

@@ -83,8 +83,12 @@ object LateInteraction {
     graft.GraftSession.ensureExtensions(docToks.sparkSession)
     val qt = qToks.select(col("q_id"), col("tok").as("qtok"),
                           col("tv").as("qtv"))
+    // the cross join multiplies per-row work |q tokens|-fold — buy
+    // scan-stage parallelism when the token corpus packs into fewer
+    // splits than cores (self-canceling at scale; ScaleHints.fanOut)
     scoreAndRank(
-      broadcast(qt).crossJoin(docToks.filter(col("doc_id").isNotNull)), k)
+      broadcast(qt).crossJoin(ScaleHints.fanOut(
+        docToks.filter(col("doc_id").isNotNull), col("doc_id"))), k)
   }
 
   /** The serving path: MaxSim over a TOKEN-LEVEL IVF index. Build the
@@ -135,7 +139,11 @@ object LateInteraction {
     * composes ids exactly as a full build would). */
   def tokenVectors(docToks: DataFrame,
                    metaCols: Seq[String] = Nil): DataFrame = {
-    val base = docToks
+    // the explicit-width repartition doubles as the window's required
+    // hash(doc_id) distribution (no second exchange) and keeps AQE from
+    // coalescing the read side of it to a byte-derived handful — the
+    // downstream assign fold is compute-dense (√N cosines per row)
+    val base = ScaleHints.fanOut(docToks, col("doc_id"))
       .withColumn("__ord",
         row_number().over(org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id").orderBy("tok")).cast("long") - 1)

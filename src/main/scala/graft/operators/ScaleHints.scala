@@ -49,4 +49,32 @@ object ScaleHints {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
+
+  /** [[spread]] for use INSIDE operators, ahead of a stage whose work per
+    * input byte is large (gram explosion, signature hashing, banded-DP
+    * verification, pair generation against a broadcast side): hash-
+    * repartition `df` by `keys` to the session's shuffle width when the
+    * OPTIMIZER'S SIZE ESTIMATE says the input is too small for its scan
+    * to reach that width on its own (fewer bytes than width × one read
+    * split). The r16 probes measured exactly this shape: a corpus that
+    * packs into one 128 MB split runs its whole explode→hash→pair stage
+    * on ONE core of 32, and AQE cannot help — it sizes partitions by
+    * shuffle BYTES, which undercounts compute-dense stages by orders of
+    * magnitude (guide §2.5, input skew). The estimate gate makes the
+    * shuffle self-canceling at scale: it fires only when the input is
+    * small enough that moving it costs less than one split's scan. The
+    * explicit partition count keeps AQE from coalescing the exchange
+    * back to the byte-derived handful. Unlike [[spread]] this never
+    * touches `df.rdd` (which would materialize AQE query stages of a
+    * mid-plan frame eagerly).
+    */
+  def fanOut(df: DataFrame,
+             keys: org.apache.spark.sql.Column*): DataFrame = {
+    val conf = df.sparkSession.sessionState.conf
+    val width = conf.numShufflePartitions
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est < BigInt(conf.filesMaxPartitionBytes) * width)
+      df.repartition(width, keys: _*)
+    else df
+  }
 }
