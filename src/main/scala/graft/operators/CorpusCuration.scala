@@ -439,8 +439,13 @@ object CorpusCuration {
                          hashGrams: Boolean = false): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val base = docs.select(
-      col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+    // fanOut (self-canceling at scale): the gram explode runs at session
+    // width instead of one task per read split, and the four branches off
+    // `base` read ONE ReuseExchange instead of each re-tokenizing
+    val base = ScaleHints.fanOut(
+      docs.select(
+        col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk")),
+      col(idCol))
     // posexplode supplies the span position either way; the hashed tier
     // maps gram i straight to xxhash64 of its n-token slice, so no gram
     // string is ever materialized on that tier
@@ -523,8 +528,12 @@ object CorpusCuration {
                           textCol: String = "text"): DataFrame = {
     require(n >= 2, s"n-gram order must be >= 2, got $n")
     require(minCount >= 2, s"minCount must be >= 2, got $minCount")
-    val base = docs.select(
-      col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+    // same fanOut rationale as scrubRepeatedSpans (width + one shared
+    // tokenize exchange across the branches off `base`)
+    val base = ScaleHints.fanOut(
+      docs.select(
+        col(idCol), GraftText.whitespaceTokens(col(textCol)).as("__tk")),
+      col(idCol))
     val grams = base.filter(size(col("__tk")) >= n)
       .select(col(idCol),
               posexplode(GraftText.wordNGrams(col("__tk"), n))

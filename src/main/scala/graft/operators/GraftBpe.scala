@@ -35,7 +35,7 @@ object GraftBpe {
   /** (cnt, s) vocabulary of a corpus: distinct whitespace words with
     * their counts and initial symbol states. The ONE corpus-sized job. */
   def vocab(docs: DataFrame, textCol: String): DataFrame =
-    docs
+    ScaleHints.fanOut(docs.select(col(textCol)))
       .select(explode(GraftText.whitespaceTokens(col(textCol))).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -119,7 +119,10 @@ object GraftBpe {
           concat(lit(" "), lit(a + b), lit(" "))))
       }
     }
-    docs.withColumn("bpe_tokens",
+    // the replace-chain lambda is interpreted per WORD (HOF codegen
+    // fallback) — buy width for it when the corpus packs into fewer
+    // splits than cores (self-canceling at scale; ScaleHints.fanOut)
+    ScaleHints.fanOut(docs).withColumn("bpe_tokens",
       flatten(transform(
         filter(split(trim(col(textCol)), "\\s+"),
                w => length(w) > lit(0)),

@@ -73,8 +73,11 @@ object ScaleHints {
     val conf = df.sparkSession.sessionState.conf
     val width = conf.numShufflePartitions
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (est < BigInt(conf.filesMaxPartitionBytes) * width)
-      df.repartition(width, keys: _*)
-    else df
+    if (est < BigInt(conf.filesMaxPartitionBytes) * width) {
+      // no key → deterministic round-robin (sort-before-repartition is
+      // on by default, and the gate means the sorted input is tiny)
+      if (keys.isEmpty) df.repartition(width)
+      else df.repartition(width, keys: _*)
+    } else df
   }
 }

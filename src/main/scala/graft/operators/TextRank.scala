@@ -85,9 +85,20 @@ object TextRank {
   private[graft] def bm25Impacts(docs: DataFrame, idCol: String,
                                  textCol: String, k1: Double, b: Double,
                                  termGate: Option[DataFrame]): DataFrame = {
-    val toks = docs.select(
+    // On the UNGATED (impact-index build) path, fanOut buys two things
+    // when the corpus packs into fewer read splits than cores
+    // (self-canceling at scale — see ScaleHints): the tokenize+explode
+    // stage runs at session width instead of one task per file split,
+    // and the tf branch and the stats branch read ONE ReuseExchange
+    // instead of each re-tokenizing the corpus. The GATED (per-serve)
+    // path stays fused with the scan — a serve should not pay a corpus
+    // exchange for its one bounded query minibatch.
+    val toks0 = docs.select(
       col(idCol).as("doc_id"),
       GraftText.whitespaceTokens(col(textCol)).as("__tk"))
+    val toks =
+      if (termGate.isDefined) toks0
+      else ScaleHints.fanOut(toks0, col("doc_id"))
     val base0 = toks.select(
       col("doc_id"),
       size(col("__tk")).cast("long").as("__dl"),
