@@ -141,6 +141,10 @@ case class GraftArgmaxCos(left: Expression, right: Expression)
       val yv = ctx.freshName("yv")
       val sG = ctx.freshName("sG")
       val aG = ctx.freshName("aG")
+      // no generated line may BEGIN with '|': the assembled class body is
+      // margin-stripped again downstream, which silently deletes a leading
+      // "||" and leaves Java that Janino rejects ("is not a type"), felling
+      // the whole stage back to interpreted eval
       s"""
         |final int $m = $cents.numElements();
         |boolean $found = false;
@@ -173,11 +177,11 @@ case class GraftArgmaxCos(left: Expression, right: Expression)
         |    $found = true; $bestCc = $cc; $bestNull = $ccNull; $bestId = $id;
         |  } else {
         |    final boolean $sG = !$ccNull && !$bestNull &&
-        |      ((java.lang.Double.isNaN($cc) && !java.lang.Double.isNaN($bestCc))
-        |       || $cc > $bestCc);
+        |      ((java.lang.Double.isNaN($cc) && !java.lang.Double.isNaN($bestCc)) ||
+        |      $cc > $bestCc);
         |    final boolean $aG = !$ccNull && !$bestNull &&
-        |      ((java.lang.Double.isNaN($bestCc) && !java.lang.Double.isNaN($cc))
-        |       || $bestCc > $cc);
+        |      ((java.lang.Double.isNaN($bestCc) && !java.lang.Double.isNaN($cc)) ||
+        |      $bestCc > $cc);
         |    if ($sG || (!$aG && $id < $bestId)) {
         |      $bestCc = $cc; $bestNull = $ccNull; $bestId = $id;
         |    }

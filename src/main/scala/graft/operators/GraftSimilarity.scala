@@ -755,7 +755,11 @@ object GraftSimilarity {
       if (withQ4.columns.contains("b1")) withQ4
       else if (b1) withQ4.withColumn("b1", expr("graft_b1b(v)"))
       else withQ4
-    withB1.repartition(col("c_id")).sortWithinPartitions("n_id")
+    // ScaleHints.writeWidth: one file per cell either way; a small
+    // index writes its cell files from session-width tasks instead of
+    // the ONE task AQE's byte-sized coalescing would leave (~1 s of
+    // sequential file creation per store write on the bench)
+    ScaleHints.writeWidth(withB1, col("c_id")).sortWithinPartitions("n_id")
   }
 
   /** Absorb a batch into an AT-REST index without rewriting the store:

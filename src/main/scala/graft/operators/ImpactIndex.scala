@@ -108,8 +108,8 @@ object ImpactIndex {
       .withColumn("__bkt",
                   pmod(xxhash64(col("__term")), lit(buckets.toLong))
                     .cast("int"))
-    imp.repartition(col("__bkt"))
-      .sortWithinPartitions("__term", "doc_id")
+    ScaleHints.writeWidth(imp, col("__bkt"))
+      .sortWithinPartitions("__bkt", "__term", "doc_id")
       .write.mode("overwrite").partitionBy("__bkt")
       .parquet(s"$dir/impacts")
     // per-term bound table off the at-rest bytes (no rebuild)

@@ -178,9 +178,12 @@ object ImpactObjectStore {
       .withColumn("__bkt",
                   pmod(xxhash64(col("__term")), lit(buckets.toLong))
                     .cast("int"))
-      .repartition(col("__bkt"))
-      .sortWithinPartitions("__term", "doc_id")
-    val impFiles = IvfObjectStore.writeVia(imp, s"$dir/impacts",
+    // ScaleHints.writeWidth: one file per bucket either way; a small
+    // store stages from session-width tasks instead of one (see the
+    // ImpactIndex.write twin)
+    val impWide = ScaleHints.writeWidth(imp, col("__bkt"))
+      .sortWithinPartitions("__bkt", "__term", "doc_id")
+    val impFiles = IvfObjectStore.writeVia(impWide, s"$dir/impacts",
       Seq("__bkt")).map(r => s"impacts/$r")
     // the per-term bound table aggregates the WRITTEN bytes (one at-rest
     // scan of exactly the staged files), as on the directory layout

@@ -70,6 +70,11 @@ object ScaleHints {
     */
   def fanOut(df: DataFrame,
              keys: org.apache.spark.sql.Column*): DataFrame = {
+    // streaming frames: micro-batch sizing is the stream engine's concern,
+    // and even touching queryExecution.optimizedPlan on one throws
+    // (assertSupported runs the batch checker) — the stateless kernel
+    // twins pass streaming frames straight through the batch operators
+    if (df.isStreaming) return df
     val conf = df.sparkSession.sessionState.conf
     val width = conf.numShufflePartitions
     val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
@@ -79,5 +84,25 @@ object ScaleHints {
       if (keys.isEmpty) df.repartition(width)
       else df.repartition(width, keys: _*)
     } else df
+  }
+
+  /** Keyed repartition ahead of a `partitionBy(key)` store write. The
+    * FILE layout is identical either way (each key value hashes wholly
+    * into one task; the partitioned writer splits one file per value) —
+    * this only decides how many tasks write the files. Small store
+    * (the fanOut estimate gate): explicit session width, because AQE
+    * otherwise coalesces the tiny exchange to ONE task that writes
+    * every partition file sequentially. Large store: plain keyed
+    * repartition, leaving AQE's byte-sized coalescing in charge of
+    * write-task granularity.
+    */
+  def writeWidth(df: DataFrame,
+                 key: org.apache.spark.sql.Column): DataFrame = {
+    if (df.isStreaming) return df // see fanOut — store writes are batch-only
+    val conf = df.sparkSession.sessionState.conf
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <
+          BigInt(conf.filesMaxPartitionBytes) * conf.numShufflePartitions)
+      df.repartition(conf.numShufflePartitions, key)
+    else df.repartition(key)
   }
 }
