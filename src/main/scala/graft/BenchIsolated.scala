@@ -142,9 +142,20 @@ object BenchIsolated {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectErrorStream(false)
       val p = pb.start()
+      // drain stderr CONCURRENTLY: reading stdout to EOF first deadlocks
+      // when the worker writes more than one pipe buffer (~64 KB) of log
+      // lines to stderr before exiting — the worker blocks on the full
+      // stderr pipe inside a log appender (the dag-scheduler event loop,
+      // in the observed hang) and stdout never closes
+      val errBuf = new java.util.concurrent.atomic.AtomicReference[String]("")
+      val drainer = new Thread(() =>
+        errBuf.set(new String(p.getErrorStream.readAllBytes, "UTF-8")))
+      drainer.setDaemon(true)
+      drainer.start()
       val out = new String(p.getInputStream.readAllBytes, "UTF-8")
-      val err = new String(p.getErrorStream.readAllBytes, "UTF-8")
       val rc = p.waitFor()
+      drainer.join(10000)
+      val err = errBuf.get
       out.linesIterator.toSeq.lastOption
         .filter(l => rc == 0 && l.startsWith("\"" + name + "\":")) match {
         case Some(line) =>
