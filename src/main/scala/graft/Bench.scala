@@ -87,8 +87,14 @@ object Bench {
     // ...then the driver-contract line LAST and COMPACT: the driver keeps
     // only a 2000-char output tail, so the final JSON line must fit inside
     // it whole (the full map above does not — r1-r3 all recorded
-    // parsed:null because of exactly this). Headline values are the same
-    // [min, med, max] triples; `value` is the sum of medians.
+    // parsed:null because of exactly this). Contract-line values are the
+    // declared scalar `"name": sec` (the per-query MEDIAN — the triples
+    // stay on the full line above and in the bench_last.json file): r16's
+    // triple-valued contract line parsed but the driver's per-query
+    // comparison came back empty (PERF_r16 per_query: {}, n_common: 0,
+    // bench_ok: false), so the round's heavy wins were driver-invisible.
+    // Declared-contract scalars + a DYNAMIC headline are the fix
+    // (VERDICT r16 "Next round" #1).
     val headlineSet: Set[String] = Set(
       "q1_agg", "q3_join_agg", "q5_multi_join", "q_filter_topk",
       "q_window_rank", "q_sort_global", "q_percentile_exact",
@@ -104,8 +110,29 @@ object Bench {
       "pipeline_corpus_curation", "pipeline_contamination",
       "mm_embed_ann", "sample_bernoulli", "src_bucketed_join",
       "text_lm_perplexity", "pipeline_data_mixture", "text_scrub_repeats")
-    val headline = results.filter(r => headlineSet.contains(r._1))
-    val contract = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"queries":${toJson(headline)},"failed":$failed,"sf":"$sfDir"}"""
+    // Dynamic headline (additions only — every r16 entry above stays):
+    // the top queries by THIS run's median join the fixed sentinel set,
+    // so the contract line always carries the suite's dominant rows —
+    // r16's fixed set omitted every heavy query that round optimized
+    // (ann_maxsim*, ann_ivf_delete, graph_*, ann_hybrid_*, keepset),
+    // which left the driver's comparison blind exactly where the wins
+    // were. Budgeted so the line stays inside the driver's 2000-char
+    // output tail whole.
+    def scalarJson(rs: Seq[(String, Seq[Double])]): String =
+      rs.map { case (k, ts) => "\"" + k + "\":" + fmt(median(ts)) }
+        .mkString("{", ",", "}")
+    val byCost = results.sortBy(r => -median(r._2)).map(_._1)
+    val fixed = results.filter(r => headlineSet.contains(r._1))
+    val lineOverhead = 220 // metric/value/n_queries/runs/sf framing
+    val budget = 2000 - lineOverhead - failed.length -
+      fixed.map(_._1.length + 10).sum
+    var used = 0
+    val dynNames = byCost.filterNot(headlineSet.contains).takeWhile { n =>
+      used += n.length + 10; used <= budget
+    }.toSet
+    val headline = results.filter(r =>
+      headlineSet.contains(r._1) || dynNames.contains(r._1))
+    val contract = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"runs":$runs,"queries":${scalarJson(headline)},"failed":$failed,"sf":"$sfDir"}"""
     // Belt and braces against log-tail truncation (BENCH_r03 lost its
     // totals to exactly that): the contract line also lands in a FILE the
     // judge can always read, before stdout gets a chance to truncate.

@@ -62,10 +62,20 @@ object DedupQueries extends QueryModule {
     * persisted — the band self-join and the verify attaches would otherwise
     * re-execute the minhash/gram subtree on every branch. Long-lived
     * multi-corpus sessions release everything via [[unpersistCache]].
+    *
+    * persist() re-registers on EVERY lookup (not just first build): the
+    * bench clears the cache after every run — anti-gaming, so each run
+    * recomputes from parquet — which also dropped this frame's cache
+    * entry forever after run 1, so every multi-action lifecycle
+    * (keepset create→increment→read) was re-mining the pair set once
+    * per ACTION inside a single timed run. Re-registering restores the
+    * within-run sharing the memo was built for; cross-run reuse stays
+    * impossible (the clear still runs between runs). persist() on an
+    * already-cached frame is a no-op.
     */
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
     lshPairsCache.computeIfAbsent((s, dir),
-                                  _ => buildLshPairs(s, dir).persist())
+                                  _ => buildLshPairs(s, dir)).persist()
 
   private val cosinePairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
@@ -82,7 +92,7 @@ object DedupQueries extends QueryModule {
   def cosinePairs(s: SparkSession, dir: String): DataFrame =
     cosinePairsCache.computeIfAbsent((s, dir),
       _ => graft.operators.GraftSimilarity
-        .cosinePairs(t(s, dir, "embeddings"), threshold = 0.35).persist())
+        .cosinePairs(t(s, dir, "embeddings"), threshold = 0.35)).persist()
 
   /** Release every memoized pair frame AND the signature tables the
     * library pinned under them ([[graft.operators.GraftDedup.unpersistAll]]).
