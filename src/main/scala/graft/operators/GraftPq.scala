@@ -550,7 +550,14 @@ object GraftPq {
       "compact a pre-PQ store with its codebook present to migrate in " +
       "place")
     val cb = materialize(cb0)
+    // persist the minibatch projection: the PQ serve evaluates it at
+    // least four times — the qlutFrame join side, the survivor-fetch
+    // collect, the |Q| count, and the final rerank broadcast — and the
+    // caller's derivation is often a corpus join (guide §1.2 fewer
+    // passes; the ivfTopKQuant/qBatch precedent). Lazy; streaming
+    // frames pass through untouched.
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    if (!q.isStreaming) q.persist()
     val probes = GraftSimilarity.probeCells(q, index.centroids, nprobe,
                                             Seq("q_id", "qv"))
     val probeLut = broadcast(probes.select(col("q_id"), col("c_id"))

@@ -518,8 +518,17 @@ object GraftSimilarity {
     * centroids (hash-uniform md5 threshold — see [[ivfTopK]]'s scaladoc for
     * why not id-modulo), optionally Lloyd-refine them, and assign every
     * vector to its nearest cell via the map-side partial argmax. One
-    * broadcast-assign pass over the collection; nothing is persisted here —
-    * callers persist (or write out) the returned frames to amortize.
+    * broadcast-assign pass over the collection; `assigned` is never
+    * persisted here — callers persist (or write out) the corpus-sized
+    * frame to amortize. The CENTROID frame is persisted at build (√N
+    * rows — broadcastable, hence cacheable, at any N): its subtree costs
+    * TWO corpus scans per evaluation (the __N count and the md5-threshold
+    * filter) and every consumer evaluates it repeatedly — `assigned`
+    * embeds it in the assign argmax, a serve folds it again into the
+    * probe broadcast, and a store write materializes it a third time —
+    * so one serve-after-build was paying ~6 corpus scans for a √N-row
+    * frame (r17 ProbePhases; guide §1.2 fewer passes). Lazy persist: the
+    * first action materializes, everything after reads the cache.
     */
   def buildIvfIndex(collection: DataFrame,
                     centroidFraction: Option[Double] = None,
@@ -562,6 +571,10 @@ object GraftSimilarity {
     val cents =
       if (refineIters > 0) kmeansRefine(e, cents0, refineIters)
       else cents0
+    // see the scaladoc: √N rows, 2 corpus scans per evaluation, evaluated
+    // by every consumer — persist at build (streaming frames pass
+    // through untouched; persist would throw on them)
+    if (!cents.isStreaming) cents.persist()
     IvfIndex(cents, assignTo(cents, e))
   }
 
@@ -1979,7 +1992,14 @@ object GraftSimilarity {
       s"the $quantCol layout (or compact an older store to migrate it), " +
       s"or wrap an in-memory index with $augmentHint")
     graft.GraftSession.ensureExtensions(queries.sparkSession)
+    // persist the (serving-contract-bounded) minibatch projection: a
+    // quantized serve evaluates it at least three times — the |Q| count
+    // below, the survivor-fetch collect of `cand` (whose probe side
+    // embeds it), and the final rerank plan's broadcast(q) — and the
+    // caller's derivation is often a corpus join (guide §1.2 fewer
+    // passes; r17 ProbePhases). Lazy; streaming frames pass through.
     val q = queries.select(col(qIdCol).as("q_id"), col(qVecCol).as("qv"))
+    if (!q.isStreaming) q.persist()
     val probes = probeCells(q, index.centroids, nprobe, Seq("q_id", "qv"))
     val pq = broadcast(probes.withColumn("__qq", expr(s"$encodeFn(qv)")))
     val kk = k * rerankFactor

@@ -103,6 +103,27 @@ object HybridRetrieval {
     require(rrfK >= 1, s"$ctx: rrfK must be >= 1, got $rrfK")
   }
 
+  /** Project the caller's query minibatch to the canonical (q_id, __qtk,
+    * __qv) frame and PERSIST it: the minibatch is small by the serving
+    * contract but its DERIVATION is the caller's — often a join against
+    * the corpus (the bench rows derive it docs⋈embeddings) — and one
+    * fused serve evaluates the subtree repeatedly: the term-set /
+    * survivor collects and the |Q| count are driver actions, then the
+    * final plan evaluates it again in each leg (r17 ProbePhases measured
+    * 3-5 evaluations, ~0.12 s each, per serve at sf0.1 — guide §1.2,
+    * fewer passes). Persist is lazy (first action materializes, the rest
+    * read cache) and scale-safe (the serving contract bounds |Q|);
+    * streaming frames pass through untouched — persist throws on them.
+    */
+  private def qBatch(queries: DataFrame, qIdCol: String, qTermsCol: String,
+                     qVecCol: String, castId: Boolean = false): DataFrame = {
+    val id = if (castId) col(qIdCol).cast("long") else col(qIdCol)
+    val q = queries.select(id.as("q_id"), col(qTermsCol).as("__qtk"),
+                           col(qVecCol).as("__qv"))
+    if (!q.isStreaming) q.persist()
+    q
+  }
+
   /** Fused top-`k` per query, exact-cosine semantic leg. `queries`
     * carries one row per query: (`qIdCol`, `qTermsCol`:
     * array&lt;string&gt;, `qVecCol`: array&lt;double&gt;) — a
@@ -120,9 +141,7 @@ object HybridRetrieval {
                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     requireParams(k, kCand, rrfK, "hybridTopK")
     graft.GraftSession.ensureExtensions(docs.sparkSession)
-    val q = queries.select(col(qIdCol).as("q_id"),
-                           col(qTermsCol).as("__qtk"),
-                           col(qVecCol).as("__qv"))
+    val q = qBatch(queries, qIdCol, qTermsCol, qVecCol)
     val sem = GraftSimilarity.bruteForceTopK(
         vecs, q.select(col("q_id"), col("__qv").as("qv")), kCand,
         idCol = vecIdCol, vecCol = vecCol)
@@ -152,9 +171,7 @@ object HybridRetrieval {
     requireParams(k, kCand, rrfK, "hybridTopKWith")
     require(nprobe >= 1, s"hybridTopKWith: nprobe must be >= 1, got $nprobe")
     graft.GraftSession.ensureExtensions(docs.sparkSession)
-    val q = queries.select(col(qIdCol).as("q_id"),
-                           col(qTermsCol).as("__qtk"),
-                           col(qVecCol).as("__qv"))
+    val q = qBatch(queries, qIdCol, qTermsCol, qVecCol)
     // METADATA-FILTERED fusion: `where` filters the SEMANTIC leg's
     // candidate population (the predicate lives in the index — see
     // ivfTopKWith). The LEXICAL leg's population is the `docs` frame the
@@ -194,9 +211,7 @@ object HybridRetrieval {
     require(rerankFactor >= 1,
       s"hybridTopKWithQ8: rerankFactor must be >= 1, got $rerankFactor")
     graft.GraftSession.ensureExtensions(docs.sparkSession)
-    val q = queries.select(col(qIdCol).as("q_id"),
-                           col(qTermsCol).as("__qtk"),
-                           col(qVecCol).as("__qv"))
+    val q = qBatch(queries, qIdCol, qTermsCol, qVecCol)
     val sem = GraftSimilarity.ivfTopKWithQ8(
         index, q.select(col("q_id"), col("__qv").as("qv")), kCand,
         nprobe, rerankFactor, where = where)
@@ -229,9 +244,7 @@ object HybridRetrieval {
     require(rerankFactor >= 1,
       s"hybridTopKWithQ4: rerankFactor must be >= 1, got $rerankFactor")
     graft.GraftSession.ensureExtensions(docs.sparkSession)
-    val q = queries.select(col(qIdCol).as("q_id"),
-                           col(qTermsCol).as("__qtk"),
-                           col(qVecCol).as("__qv"))
+    val q = qBatch(queries, qIdCol, qTermsCol, qVecCol)
     val sem = GraftSimilarity.ivfTopKWithQ4(
         index, q.select(col("q_id"), col("__qv").as("qv")), kCand,
         nprobe, rerankFactor, where = where)
@@ -266,9 +279,7 @@ object HybridRetrieval {
     require(rerankFactor >= 1,
       s"hybridTopKWithB1: rerankFactor must be >= 1, got $rerankFactor")
     graft.GraftSession.ensureExtensions(docs.sparkSession)
-    val q = queries.select(col(qIdCol).as("q_id"),
-                           col(qTermsCol).as("__qtk"),
-                           col(qVecCol).as("__qv"))
+    val q = qBatch(queries, qIdCol, qTermsCol, qVecCol)
     val sem = GraftSimilarity.ivfTopKWithB1(
         index, q.select(col("q_id"), col("__qv").as("qv")), kCand,
         nprobe, rerankFactor, where = where)
@@ -303,9 +314,7 @@ object HybridRetrieval {
     require(rerankFactor >= 1,
       s"hybridTopKWithPq: rerankFactor must be >= 1, got $rerankFactor")
     graft.GraftSession.ensureExtensions(docs.sparkSession)
-    val q = queries.select(col(qIdCol).as("q_id"),
-                           col(qTermsCol).as("__qtk"),
-                           col(qVecCol).as("__qv"))
+    val q = qBatch(queries, qIdCol, qTermsCol, qVecCol)
     val sem = GraftPq.ivfPqTopKWithCw(
         index, cb, q.select(col("q_id"), col("__qv").as("qv")), kCand,
         nprobe, rerankFactor, where = where)
@@ -343,8 +352,12 @@ object HybridRetrieval {
     require(nprobe >= 1,
       s"hybridTopKWithMaxSim: nprobe must be >= 1, got $nprobe")
     graft.GraftSession.ensureExtensions(docs.sparkSession)
+    // same minibatch-persist rationale as qBatch (text shape: both legs
+    // re-derive from __qtext — tokens lexically, ±1 hash vectors
+    // semantically — so the subtree is evaluated at least twice)
     val q = queries.select(col(qIdCol).cast("long").as("q_id"),
                            col(qTextCol).as("__qtext"))
+    if (!q.isStreaming) q.persist()
     val lexQ = q.select(col("q_id"),
                         GraftText.whitespaceTokens(col("__qtext"))
                           .as("__qtk"))
@@ -435,9 +448,7 @@ object HybridRetrieval {
     require(nprobe >= 1,
       s"hybridTopKWithImpacts: nprobe must be >= 1, got $nprobe")
     graft.GraftSession.ensureExtensions(queries.sparkSession)
-    val q = queries.select(col(qIdCol).as("q_id"),
-                           col(qTermsCol).as("__qtk"),
-                           col(qVecCol).as("__qv"))
+    val q = qBatch(queries, qIdCol, qTermsCol, qVecCol)
     val qt = q.select(col("q_id"),
                       explode(array_distinct(col("__qtk"))).as("__term"))
     val termList = qt.select(col("__term")).distinct()
@@ -527,9 +538,7 @@ object HybridRetrieval {
     require(lambda >= 0.0 && lambda <= 1.0,
       s"serveProduction: lambda must be in [0, 1], got $lambda")
     graft.GraftSession.ensureExtensions(queries.sparkSession)
-    val q = queries.select(col(qIdCol).cast("long").as("q_id"),
-                           col(qTermsCol).as("__qtk"),
-                           col(qVecCol).as("__qv"))
+    val q = qBatch(queries, qIdCol, qTermsCol, qVecCol, castId = true)
     val qt = q.select(col("q_id"),
                       explode(array_distinct(col("__qtk"))).as("__term"))
     val termList = qt.select(col("__term")).distinct()
