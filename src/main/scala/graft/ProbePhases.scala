@@ -15,7 +15,9 @@ import org.apache.spark.sql.functions._
   */
 object ProbePhases {
   def main(args: Array[String]): Unit = {
-    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val mode = args.headOption.filterNot(_.forall(_.isDigit))
+      .getOrElse("hybrid")
+    val reps = args.find(_.forall(_.isDigit)).map(_.toInt).getOrElse(3)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -34,6 +36,151 @@ object ProbePhases {
       val r = f
       println(f"  $name%-28s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
       r
+    }
+
+    if (mode == "pq") {
+      // ann_ivf_stored_pq phase split: where do its ~4 s go — train
+      // chain, store write, or ADC serve? (VERDICT r16 next #5)
+      import graft.operators.GraftPq
+      (1 to reps).foreach { rep =>
+        println(s"== ann_ivf_stored_pq phases, rep $rep")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"),
+                  col("embedding").cast("array<double>").as("v"))
+        val qb = e.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("v").as("qv"))
+        val out = s"/tmp/graft_io/${new java.io.File(sfDir).getName}" +
+          "/probe_pq_store"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        val cb = phase("trainPq (lazy)") {
+          GraftPq.trainPq(e, m = 8, ksub = 16, iters = 2)
+        }
+        val cbM = phase("codebook materialize") { GraftPq.materialize(cb) }
+        val idx = phase("buildIvfIndex (lazy)") {
+          graft.operators.GraftSimilarity.buildIvfIndex(e)
+        }
+        phase("writeIvfPqStore") { GraftPq.writeIvfPqStore(idx, cbM, out) }
+        val served = phase("serve construction") {
+          GraftPq.ivfPqTopKStored(spark, out, qb, k = 5, nprobe = 4,
+                                  rerankFactor = 4)
+        }
+        phase("serve execution (noop)") {
+          served.write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      spark.stop()
+      return
+    }
+
+    if (mode == "keepset") {
+      // dedup_keepset_delete phase split: pair mining vs closure vs
+      // store lifecycle (create/increment/delete/read).
+      import graft.operators.{GraftDedup, KeepSetStore}
+      import graft.queries.DedupQueries
+      (1 to reps).foreach { rep =>
+        println(s"== dedup_keepset_delete phases, rep $rep")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val pairs = phase("minhashLshPairs (memo)") {
+          DedupQueries.minhashLshPairs(spark, sfDir)
+        }
+        phase("pairs materialize (count)") { pairs.count() }
+        def isOld(c: org.apache.spark.sql.Column) =
+          substring(md5(c.cast("string")), 1, 1) < "8"
+        val out = java.nio.file.Files
+          .createTempDirectory("probe_keepset").toString
+        val ks = phase("keepSet(old) construct") {
+          GraftDedup.keepSet(
+            docs.filter(isOld(col("doc_id"))),
+            pairs.filter(isOld(col("a_id")) && isOld(col("b_id"))))
+        }
+        phase("KeepSetStore.create") { KeepSetStore.create(ks, out) }
+        phase("KeepSetStore.increment") {
+          KeepSetStore.increment(spark, out,
+            newIds = docs.filter(!isOld(col("doc_id"))),
+            newPairs = pairs.filter(!(isOld(col("a_id")) &&
+                                      isOld(col("b_id")))),
+            batchTag = Some("increment1"))
+        }
+        phase("KeepSetStore.delete") {
+          KeepSetStore.delete(spark, out,
+            docs.filter(col("doc_id") % 7 === 3).select("doc_id"),
+            batchTag = Some("takedown1"))
+        }
+        phase("read + exec (noop)") {
+          KeepSetStore.read(spark, out)
+            .write.format("noop").mode("overwrite").save()
+        }
+        DedupQueries.unpersistCache()
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      spark.stop()
+      return
+    }
+
+    if (mode == "bm25build") {
+      // VERDICT r16 next #4: the BUILD-path (ungated bm25Impacts) plan —
+      // the serve-path dumps can't show the fanOut/ReuseExchange the
+      // index build uses. Writes plans/r17/text_bm25_build_plan.txt.
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val imp = graft.operators.TextRank.bm25Impacts(
+        docs.select(col("doc_id").cast("long").as("doc_id"), col("text")),
+        "doc_id", "text", 1.2, 0.75, termGate = None)
+      val qe = org.apache.spark.sql.GraftSqlBridge.queryExecution(imp)
+      val txt = qe.explainString(
+        org.apache.spark.sql.execution.FormattedMode).trim
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("plans/r17/text_bm25_build_plan.txt"),
+        txt + "\n")
+      println("WROTE plans/r17/text_bm25_build_plan.txt")
+      phase("bm25 build exec (collect)") { imp.collect() }
+      // the finalized adaptive plan is where runtime exchange reuse
+      // shows (a static dump of an unexecuted AQE plan prints the
+      // duplicate subtrees even when execution reuses one)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(
+          "plans/r17/text_bm25_build_plan_executed.txt"),
+        qe.executedPlan.toString + "\n")
+      println("WROTE plans/r17/text_bm25_build_plan_executed.txt")
+      spark.stop()
+      return
+    }
+
+    if (mode == "graph") {
+      // VERDICT r16 next #6: per-iteration AQE stage scheduling on the
+      // fixed-iteration graph loops — A/B adaptive on/off on the same
+      // session, alternating, cold cache per rep.
+      import graft.operators.GraftGraph
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      def edges = li.select((col("l_orderkey") * 2).as("src"),
+                            (col("l_partkey") * 2 + 1).as("dst"))
+      val rows: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        ("graph_pagerank", () => GraftGraph.pageRank(edges, iters = 3)),
+        ("graph_pagerank_warm", () => GraftGraph.pageRank(edges, iters = 2,
+           initialRanks = Some(GraftGraph.pageRank(edges, iters = 3)))),
+        ("graph_lpa_communities",
+         () => GraftGraph.labelPropagation(edges, iters = 4)),
+        ("graph_hits", () => GraftGraph.hits(edges, iters = 3)))
+      (1 to reps).foreach { rep =>
+        Seq(true, false).foreach { aqe =>
+          spark.conf.set("spark.sql.adaptive.enabled", aqe)
+          println(s"== graph rows, rep $rep, aqe=$aqe")
+          rows.foreach { case (name, f) =>
+            phase(name) {
+              f().write.format("noop").mode("overwrite").save()
+            }
+            spark.catalog.clearCache()
+            System.gc()
+          }
+        }
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", true)
+      spark.stop()
+      return
     }
 
     (1 to reps).foreach { rep =>
