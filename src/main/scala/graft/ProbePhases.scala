@@ -122,6 +122,119 @@ object ProbePhases {
       return
     }
 
+    if (mode == "hybrid_b1" || mode == "hybrid_pq") {
+      // r17: decompose the two heaviest hybrid rows (VERDICT r16 next #2's
+      // "Done" bar is isolated medians <= 4 s) — which phase holds the
+      // remaining seconds after the §3.4 persist wave: store build+write,
+      // lexical leg, semantic leg, or fusion?
+      import graft.operators.{GraftPq, GraftText}
+      (1 to reps).foreach { rep =>
+        println(s"== $mode phases, rep $rep")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .select(col("vec_id"),
+                  expr("transform(embedding, x -> cast(x AS double))").as("v"))
+        val queries = docs.filter(col("doc_id") < 10)
+          .join(e, col("doc_id") === col("vec_id"))
+          .select(col("doc_id").as("q_id"),
+                  GraftText.whitespaceTokens(col("text")).as("q_terms"),
+                  col("v").as("qv"))
+        val out = s"/tmp/graft_io/${new java.io.File(sfDir).getName}" +
+          s"/probe_$mode"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        if (mode == "hybrid_b1") {
+          val idx = phase("buildIvfIndex (lazy)") {
+            GraftSimilarity.buildIvfIndex(e)
+          }
+          phase("writeIvfIndex(b1)") {
+            GraftSimilarity.writeIvfIndex(idx, out, b1 = true)
+          }
+          val stored = phase("readIvfIndex") {
+            GraftSimilarity.readIvfIndex(spark, out)
+          }
+          val sem = phase("sem leg construction") {
+            GraftSimilarity.ivfTopKWithB1(stored,
+              queries.select(col("q_id"), col("qv")), 30, 4, 4)
+          }
+          phase("sem leg exec (noop)") {
+            sem.write.format("noop").mode("overwrite").save()
+          }
+          val served = phase("serve construction") {
+            HybridRetrieval.hybridTopKWithB1(stored, docs, queries,
+              k = 10, kCand = 30, rrfK = 60, nprobe = 4, rerankFactor = 4)
+          }
+          phase("serve execution (noop)") {
+            served.write.format("noop").mode("overwrite").save()
+          }
+        } else {
+          val idx = phase("buildIvfIndex (lazy)") {
+            GraftSimilarity.buildIvfIndex(e)
+          }
+          val cb = phase("trainPq (lazy)") {
+            GraftPq.trainPq(e, m = 8, ksub = 16, iters = 2)
+          }
+          phase("writeIvfPqStore") { GraftPq.writeIvfPqStore(idx, cb, out) }
+          val served = phase("serve construction") {
+            HybridRetrieval.hybridTopKPqStored(spark, out, docs, queries,
+              k = 10, kCand = 30, rrfK = 60, nprobe = 4, rerankFactor = 4)
+          }
+          phase("serve execution (noop)") {
+            served.write.format("noop").mode("overwrite").save()
+          }
+        }
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      spark.stop()
+      return
+    }
+
+    if (mode == "bm25del") {
+      // r17: text_bm25_delete_manifest — two full impact-store rebuilds
+      // per run by contract (masked vs rebuilt comparison row). Which
+      // half holds the ~5 s: the rebuild writes, the tombstone commit, or
+      // the two serves?
+      import graft.operators.{ImpactIndex, ImpactObjectStore}
+      (1 to reps).foreach { rep =>
+        println(s"== text_bm25_delete_manifest phases, rep $rep")
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val out = s"/tmp/graft_io/${new java.io.File(sfDir).getName}" +
+          "/probe_bm25del"
+        val fs = new org.apache.hadoop.fs.Path(out)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(out), true)
+        phase("rebuild #1 (full)") { ImpactObjectStore.rebuild(docs, out) }
+        phase("delete (tombstone)") {
+          ImpactObjectStore.delete(spark, out,
+            docs.filter(col("doc_id") % 7 === 3).select("doc_id"),
+            batchTag = Some("takedown7"))
+        }
+        val masked = phase("serve masked (construct)") {
+          ImpactIndex.bm25TopKStored(ImpactObjectStore.read(spark, out),
+            queryTerms = Seq("spark", "vector", "join"), k = 20)
+        }
+        phase("serve masked (noop)") {
+          masked.write.format("noop").mode("overwrite").save()
+        }
+        phase("rebuild #2 (filtered)") {
+          ImpactObjectStore.rebuild(docs.filter(col("doc_id") % 7 =!= 3), out)
+        }
+        val rebuilt = phase("serve rebuilt (construct)") {
+          ImpactIndex.bm25TopKStored(ImpactObjectStore.read(spark, out),
+            queryTerms = Seq("spark", "vector", "join"), k = 20)
+        }
+        phase("serve rebuilt (noop)") {
+          rebuilt.write.format("noop").mode("overwrite").save()
+        }
+        spark.catalog.clearCache()
+        System.gc()
+      }
+      spark.stop()
+      return
+    }
+
     if (mode == "bm25build") {
       // VERDICT r16 next #4: the BUILD-path (ungated bm25Impacts) plan —
       // the serve-path dumps can't show the fanOut/ReuseExchange the

@@ -47,6 +47,13 @@ import org.apache.spark.sql.types._
   * summation as [[GraftCosine]] (length mismatch throws — drifting dims
   * fail loudly). One tight loop per row, no per-element structs, stays
   * inside whole-stage codegen.
+  *
+  * PRECONDITION (ADVICE r16): the centroid ARRAY must not contain null
+  * ELEMENTS — this kernel skips them, where the fold above would lock
+  * onto a leading null accumulator and return NULL. Unreachable from
+  * the one call site ([[graft.operators.GraftSimilarity.assignTo]]'s
+  * `collect_list`, which never emits null elements); bit-equivalence is
+  * claimed under that precondition, not unconditionally.
   */
 case class GraftArgmaxCos(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -716,6 +716,12 @@ object GraftSimilarity {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
     requireStoreFsContract(fs, p, conf, "writeIvfIndex")
+    // NOTE (r17): overlapping the centroid and assigned writes in two
+    // driver threads (guide §2.6) was MEASURED and REJECTED — interleaved
+    // A/B over 16 store rows read 0.95 (noise-to-negative): at any width
+    // the two jobs share the same executor slots, and racing the first
+    // materialization of the persisted `cents` frame can compute its
+    // partitions twice before the cache fills. Sequential writes stay.
     index.centroids.write.mode("overwrite").parquet(s"$dir/centroids")
     storedLayout(index.assigned, q4, b1)
       .write.mode("overwrite").partitionBy("c_id")
@@ -771,8 +777,16 @@ object GraftSimilarity {
     // ScaleHints.writeWidth: one file per cell either way; a small
     // index writes its cell files from session-width tasks instead of
     // the ONE task AQE's byte-sized coalescing would leave (~1 s of
-    // sequential file creation per store write on the bench)
-    ScaleHints.writeWidth(withB1, col("c_id")).sortWithinPartitions("n_id")
+    // sequential file creation per store write on the bench).
+    // Sort (c_id, n_id) EXPLICITLY (VERDICT r16 minor #6): the former
+    // sortWithinPartitions("n_id") relied on the planned write's
+    // partition-column sort being STABLE to preserve the n_id ordering
+    // the rerank fetch's row-group pruning keys on — true today
+    // (TimSort) but an implementation detail; the explicit compound
+    // sort (the batched-compaction path's shape) removes the reliance
+    // and the writer's own added sort
+    ScaleHints.writeWidth(withB1, col("c_id"))
+      .sortWithinPartitions("c_id", "n_id")
   }
 
   /** Absorb a batch into an AT-REST index without rewriting the store:
@@ -1299,7 +1313,19 @@ object GraftSimilarity {
         // store carries); q4 is OPT-IN at write, so its repair runs
         // only when the merged files already carry the column (a
         // partially-written q4 store heals) or the caller asked for
-        // the in-place migration (addQ4)
+        // the in-place migration (addQ4).
+        // NOTE (ADVICE r16): because the batch merges ALL rewrite cells
+        // under one mergeSchema read, `columns.contains` sees the UNION
+        // schema — a rewrite cell that never carried q4/b1 gains the
+        // column (quantize-null repaired to real values) whenever any
+        // other rewrite cell has it. That HOMOGENIZES optional quant
+        // columns across the rewritten cells: deliberate — a store whose
+        // cells disagree on optional tiers cannot serve that tier at
+        // all, so compaction converges the store toward servability
+        // (per-cell gating would reintroduce the per-cell jobs this
+        // batch exists to remove). Cells NOT in the rewrite set are
+        // untouched, so full homogenization lands once every cell has
+        // been through a rewrite.
         val merged1 = quantRepair(merged0, "q8", "graft_q8b")
         val merged2 =
           if (addQ4 || merged1.columns.contains("q4"))

@@ -266,37 +266,49 @@ object KeepSetStore {
       if (batchTag.exists(m.tags.contains)) return m.version // replay
       val liveFiles = m.base ++ m.deltas ++ m.tombs
       if (staged == null || stagedAgainst != liveFiles) {
+        // the staged delta references the RESOLVED table three times
+        // (remap's touched lookup, the moved-label locate, the stored-id
+        // disjointness filter) and the remap sliver twice — persist both
+        // for exactly the staging scope (guide §1.2 fewer passes; the
+        // r17 keepset probe put the increment at ~3.3 s of its row's
+        // ~5.9, mostly these repeated resolve scans as sequential jobs),
+        // and unpersist before returning: bounded lifetime, no r11 leak.
+        // remap is pair-sliver-sized by construction; the resolved table
+        // is corpus-KEYED but skinny (two longs per id), and it is
+        // re-derived per retry attempt, so nothing outlives the call.
         val prevLbl = resolveFrom(spark, dir, m, idCol)
-          .select(col(idCol), col("cluster_id"))
+          .select(col(idCol), col("cluster_id")).persist()
         val remap = GraftDedup.keepSetRemap(prevLbl, newPairs, idCol,
-                                            aCol, bCol)
-        // old rows whose label moved: broadcast the sliver-sized remap
-        // against the resolved scan — the identity rows (a merged
-        // component's surviving min label) change nothing and are
-        // filtered out, so the delta is exactly the changed set
-        val moved = remap.filter(col("component") =!= col("__node"))
-        val oldChanged = prevLbl
-          .join(broadcast(moved.select(col("__node").as("cluster_id"),
-                                       col("component"))),
-                Seq("cluster_id"), "inner")
-          .select(col(idCol), col("component").as("cluster_id"))
-        // genuinely-new ids under THIS snapshot: already-stored ids come
-        // back from an id-pruned scan semi-joined with the sliver-sized
-        // candidate set, and are excepted — re-derived on every retry so
-        // the disjointness precondition survives concurrent committers
-        val cand = newIds.select(col(idCol)).distinct()
-        val genuinelyNew = cand.exceptAll(
-          prevLbl.select(col(idCol))
-            .join(broadcast(cand), Seq(idCol), "left_semi"))
-        val newRows = genuinelyNew
-          .join(ScaleHints.gated(remap.select(col("__node").as(idCol),
-                                              col("component"))),
-                Seq(idCol), "left")
-          .select(col(idCol),
-                  coalesce(col("component"), col(idCol)).as("cluster_id"))
-        staged = stage(oldChanged.unionByName(newRows), dir,
-                       m.version + 1, idCol)
-        stagedAgainst = liveFiles
+                                            aCol, bCol).persist()
+        try {
+          // old rows whose label moved: broadcast the sliver-sized remap
+          // against the resolved scan — the identity rows (a merged
+          // component's surviving min label) change nothing and are
+          // filtered out, so the delta is exactly the changed set
+          val moved = remap.filter(col("component") =!= col("__node"))
+          val oldChanged = prevLbl
+            .join(broadcast(moved.select(col("__node").as("cluster_id"),
+                                         col("component"))),
+                  Seq("cluster_id"), "inner")
+            .select(col(idCol), col("component").as("cluster_id"))
+          // genuinely-new ids under THIS snapshot: already-stored ids come
+          // back from an id-pruned scan semi-joined with the sliver-sized
+          // candidate set, and are excepted — re-derived on every retry so
+          // the disjointness precondition survives concurrent committers
+          val cand = newIds.select(col(idCol)).distinct()
+          val genuinelyNew = cand.exceptAll(
+            prevLbl.select(col(idCol))
+              .join(broadcast(cand), Seq(idCol), "left_semi"))
+          val newRows = genuinelyNew
+            .join(ScaleHints.gated(remap.select(col("__node").as(idCol),
+                                                col("component"))),
+                  Seq(idCol), "left")
+            .select(col(idCol),
+                    coalesce(col("component"), col(idCol)).as("cluster_id"))
+          staged = stage(oldChanged.unionByName(newRows), dir,
+                         m.version + 1, idCol)
+          stagedAgainst = liveFiles
+        } finally { remap.unpersist(); prevLbl.unpersist() }
       }
       val next = KeepSetManifest(m.version + 1, m.base, m.deltas ++ staged,
                                  m.tags ++ batchTag, m.tombs)

@@ -589,4 +589,129 @@ class FunctionsSpec extends GraftFunSuite {
       .collect())
     assert(z.contains("zero-norm"), z)
   }
+
+  // --------------------------------------------------------------------
+  // r17 (ADVICE r16): interpreted-eval vs whole-stage-codegen vs the
+  // documented HOF fold, on the edge inputs the oracle's happy path
+  // never exercises — NaN cosine (zero-norm centroid), c_id value ties,
+  // empty centroid array, and null elements in graft_idot.
+  // --------------------------------------------------------------------
+
+  /** The exact HOF fold [[graft.functions.GraftArgmaxCos]] documents
+    * bit-equivalence with (non-null centroid elements — the call-site
+    * precondition: collect_list never emits null elements). */
+  private val argmaxFoldSql =
+    """aggregate(
+      |  transform(cents, c -> struct(graft_cosine(v, c.cv) AS cc,
+      |                               c.c_id AS c_id)),
+      |  CAST(NULL AS STRUCT<cc: DOUBLE, c_id: BIGINT>),
+      |  (acc, s) -> CASE
+      |    WHEN acc IS NULL THEN s
+      |    WHEN s.cc > acc.cc OR (isnan(s.cc) AND NOT isnan(acc.cc)) THEN s
+      |    WHEN acc.cc > s.cc OR (isnan(acc.cc) AND NOT isnan(s.cc)) THEN acc
+      |    WHEN s.c_id < acc.c_id THEN s ELSE acc END).c_id""".stripMargin
+
+  test("graft_argmax_cos: codegen, interpreted eval and the documented " +
+       "HOF fold agree on NaN/tie/empty edge inputs") {
+    GraftSession.ensureExtensions(spark)
+    // rows: (v, cents) covering — plain winner; zero-norm centroid (NaN
+    // cosine ranks GREATEST); exact value tie (lowest c_id wins); ids
+    // deliberately out of order; empty centroid array (NULL out)
+    val rows = Seq(
+      // distinct cosines: cents 7 (aligned) beats 3 (orthogonal)
+      (Seq(1.0, 0.0), Seq((7L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))),
+      // zero-norm centroid → NaN cosine → claims the row over id 1
+      (Seq(1.0, 0.0), Seq((1L, Seq(1.0, 0.0)), (9L, Seq(0.0, 0.0)))),
+      // two NaNs tie → lowest c_id (9 vs 4 → 4)
+      (Seq(1.0, 0.0), Seq((9L, Seq(0.0, 0.0)), (4L, Seq(0.0, 0.0)))),
+      // exact value tie (identical centroids) → lowest c_id
+      (Seq(1.0, 1.0), Seq((5L, Seq(2.0, 2.0)), (2L, Seq(4.0, 4.0)))),
+      // empty centroid set → NULL
+      (Seq(1.0, 0.0), Seq.empty[(Long, Seq[Double])]))
+    val df = rows.toDF("v", "raw")
+      .selectExpr("v",
+        "transform(raw, r -> struct(r._1 AS c_id, r._2 AS cv)) AS cents")
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    try {
+      // fallback=false: a codegen compile failure becomes a hard error,
+      // not a silent interpreted fallback (the perf contract IS codegen)
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      val got = df.selectExpr("graft_argmax_cos(v, cents) AS id",
+                              s"($argmaxFoldSql) AS fold").collect()
+      val expected = Seq[Any](7L, 9L, 4L, 2L, null)
+      got.zip(expected).zipWithIndex.foreach { case ((r, e), i) =>
+        val cg = if (r.isNullAt(0)) null else r.getLong(0)
+        val fold = if (r.isNullAt(1)) null else r.getLong(1)
+        assert(cg == e, s"codegen row $i: got $cg, want $e")
+        assert(fold == e, s"HOF fold row $i: got $fold, want $e")
+      }
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    // interpreted eval twin on the same inputs
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val centsType = ArrayType(StructType(Seq(
+      StructField("c_id", LongType), StructField("cv",
+        ArrayType(DoubleType)))))
+    val expected = Seq[Any](7L, 9L, 4L, 2L, null)
+    rows.zip(expected).foreach { case ((v, cents), e) =>
+      val interp = graft.functions.GraftArgmaxCos(
+        Literal.create(v, ArrayType(DoubleType)),
+        Literal.create(cents.map(c => Row(c._1, c._2)), centsType))
+        .eval(null)
+      assert(interp == e, s"interpreted: got $interp, want $e for $cents")
+    }
+  }
+
+  test("graft_idot: codegen and interpreted agree with the zip_with fold " +
+       "on int-wrap and null-element inputs; length mismatch throws") {
+    GraftSession.ensureExtensions(spark)
+    val foldSql =
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (s, x) -> s + x)"
+    val df = Seq(
+      (Seq[Integer](1, 2, 3), Seq[Integer](4, 5, 6)),        // plain: 32
+      (Seq[Integer](1, null, 3), Seq[Integer](4, 5, 6)),      // null → NULL
+      (Seq.empty[Integer], Seq.empty[Integer]))               // empty: 0
+      .toDF("a", "b")
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    val got = try {
+      spark.conf.set("spark.sql.codegen.fallback", "false")
+      df.selectExpr("graft_idot(a, b) AS d", s"($foldSql) AS fold").collect()
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+    val expected = Seq[Any](32L, null, 0L)
+    got.zip(expected).zipWithIndex.foreach { case ((r, e), i) =>
+      val cg = if (r.isNullAt(0)) null else r.getLong(0)
+      val fold = if (r.isNullAt(1)) null else r.getLong(1)
+      assert(cg == e, s"codegen row $i: got $cg, want $e")
+      assert(fold == e, s"zip_with fold row $i: got $fold, want $e")
+    }
+    // interpreted twin (plus the INT-WRAP row, kernel-only: under ANSI
+    // mode — the session default — the fold THROWS on int overflow where
+    // the kernel wraps like the pre-ANSI fold did; unreachable at the
+    // call sites, whose token vectors are ±1 hash grids, so parity is
+    // pinned on the reachable domain and wrap is pinned as the kernel's
+    // documented out-of-domain behavior)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    def interp(a: Seq[Integer], b: Seq[Integer]): Any =
+      graft.functions.GraftIntDot(
+        Literal.create(a, ArrayType(IntegerType)),
+        Literal.create(b, ArrayType(IntegerType))).eval(null)
+    assert(interp(Seq(1, 2, 3), Seq(4, 5, 6)) == 32L)
+    assert(interp(Seq(1 << 30), Seq(4)) == 0L)
+    assert(interp(Seq[Integer](1, null, 3), Seq[Integer](4, 5, 6)) == null)
+    assert(interp(Seq.empty, Seq.empty) == 0L)
+    val wrapDf = Seq((Seq(1 << 30), Seq(4))).toDF("a", "b")
+      .selectExpr("graft_idot(a, b) AS d").collect()
+    assert(wrapDf.head.getLong(0) == 0L, "codegen wrap row")
+    // length mismatch: the fold would null-pad; the kernel FAILS LOUDLY
+    // (documented divergence — drifting dims are a build bug)
+    val err = intercept[Exception] {
+      Seq((Seq(1, 2), Seq(1)))
+        .toDF("a", "b").selectExpr("graft_idot(a, b)").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(err).exists(_.contains("lengths differ")), msgs(err))
+  }
 }
