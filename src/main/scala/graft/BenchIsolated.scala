@@ -77,7 +77,18 @@ object BenchIsolated {
     // lexical takedown lifecycle, and the everything-at-rest RAG serve
     "pipeline_contamination", "pipeline_corpus_curation",
     "dedup_minhash_lsh", "text_bm25_delete_manifest",
-    "ann_serve_production", "dedup_keepset_delete")
+    "ann_serve_production", "dedup_keepset_delete",
+    // r17: the persist-wave serve rows (§3.4 — centroid frame +
+    // query-minibatch projections), the PQ store family (§3.6 phase
+    // floor), the remaining hybrid rungs, the delete lifecycles, and
+    // the graph/BPE residue rows the round examined
+    "ann_ivf_pq", "ann_pq_budget_sweep", "ann_ivf_stored_q4",
+    "ann_ivf_stored_q8", "ann_ivf_rebuild", "ann_ivf_coarse",
+    "ann_ivf_stored_pq", "ann_ivf_pq_manifest", "ann_hybrid_pq",
+    "ann_hybrid_q8", "ann_hybrid_ivf", "ann_hybrid_filtered",
+    "ann_hybrid_rrf", "ann_ivf_kmeans", "mm_embed_ivf",
+    "ann_ivf_delete", "ann_ivf_delete_manifest",
+    "text_bpe_segment", "text_bpe_train", "graph_hits", "graph_ppr")
 
   private def median(ts: Seq[Double]): Double = {
     val s = ts.sorted
